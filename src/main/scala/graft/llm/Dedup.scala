@@ -1,0 +1,160 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every method here is either per-row columnar work or a
+  * key-equi shuffle (groupBy/join on hash buckets). There is NO all-pairs
+  * comparison anywhere — candidate generation is banded MinHash-LSH or
+  * SimHash buckets, so 100 TB of documents shuffles once on bucket keys
+  * and compares only within buckets.
+  */
+object Dedup {
+
+  /** Exact-dup key: md5 hex of the raw text (DuckDB-reproducible). */
+  def exactKey(text: Column): Column = md5(text.cast("binary"))
+
+  /** Exact duplicate groups: hash → (count, representative id). */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(exactKey(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Distinct word k-shingles of the normalized text; short docs yield
+    * their whole text as a single shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val ws = Text.words(Text.normalize(text))
+    when(size(ws) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(ws) - k),
+        i => array_join(slice(ws, i + 1, lit(k)), " "))))
+    .otherwise(array(array_join(ws, " ")))
+  }
+
+  /** Shingle hash set (array<long>) — the MinHash input. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => xxhash64(s))
+
+  /** Deterministic affine permutation constants (seed 42). */
+  private[llm] def perms(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signature: for each permutation i, min over shingle hashes
+    * of `a_i*h + b_i` (64-bit wrap-around arithmetic). */
+  def minhashSignature(hashes: Column, numHashes: Int): Column = {
+    val sig = perms(numHashes).map { case (a, b) =>
+      array_min(transform(hashes, h => h * lit(a) + lit(b)))
+    }
+    array(sig: _*)
+  }
+
+  /** Banded-LSH keys: signature split into `bands` bands of
+    * `numHashes/bands` rows each; key = (band index, hash of band slice). */
+  def lshBandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val entries = (0 until bands).map { b =>
+      struct(lit(b).as("band"), hash(slice(signature, b * r + 1, r), lit(b)).as("bucket"))
+    }
+    array(entries: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: shingle → minhash → band → bucket
+    * equi-join. Returns (id_a, id_b, jaccard_est) with id_a < id_b,
+    * deduplicated across bands. The only shuffle is the bucket
+    * self-join; bucket skew is bounded because a bucket collision
+    * requires an exact band match. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, numHashes: Int = 128,
+                        bands: Int = 32): DataFrame = {
+    val withSig = docs
+      .select(col(idCol).as("doc_id"),
+        minhashSignature(shingleHashes(col(textCol), k), numHashes).as("sig"))
+    val exploded = withSig
+      .select(col("doc_id"), col("sig"),
+        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = exploded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = exploded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+           (x, y) => when(x === y, 1).otherwise(0)),
+           lit(0), (acc, v) => acc + v).cast("double") / numHashes
+        ).as("jaccard_est"))
+      .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
+  }
+
+  /** Exact n-gram Jaccard for a candidate pair set: joins candidate ids
+    * back to shingle sets (equi-join on id) and computes
+    * |A∩B| / |A∪B|. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, k: Int = 5): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+      shingles(col(textCol), k).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Near-dup pairs above a Jaccard threshold: LSH candidates verified
+    * with exact shingle Jaccard. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.8, k: Int = 5,
+                     numHashes: Int = 128, bands: Int = 32): DataFrame =
+    ngramJaccard(
+      minhashCandidates(docs, idCol, textCol, k, numHashes, bands),
+      docs, idCol, textCol, k)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** 64-bit SimHash over normalized word hashes: bit j of the result is
+    * the sign of the sum over tokens of ±1 for that token-hash bit.
+    * Pure per-row columnar fold — no shuffle. */
+  def simhash(text: Column): Column = {
+    val hs = transform(Text.words(Text.normalize(text)), w => xxhash64(w))
+    (0 until 64).map { j =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: bucket on 4 x 16-bit bands of the
+    * simhash (any pair within Hamming distance 3 shares at least one
+    * band), verify with full Hamming distance <= maxDist. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      simhash(col(textCol)).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
+  }
+}

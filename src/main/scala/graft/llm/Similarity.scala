@@ -1,0 +1,102 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k against a (broadcast)
+  *    query set. Correctness baseline; cost O(|corpus| x |queries|)
+  *    but fully distributed and shuffle-free except the final top-k.
+  *  - [[lshTopK]] — random-hyperplane LSH bucketing: corpus is hashed
+  *    once into sign-pattern buckets, queries probe only their bucket
+  *    (plus multiprobe neighbors), so the join is a bucket equi-join.
+  *    This is the 100 TB path: the corpus shuffles once on bucket key.
+  */
+object Similarity {
+
+  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** Dot product via zip_with + fold (left-to-right, deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self-matches excluded). Queries are broadcast — the big
+    * side never shuffles; the window top-k runs per query partition. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "sim", "rank")
+  }
+
+  /** Deterministic random hyperplanes (seed 7): `nBits` planes of
+    * dimension `dim`. */
+  private[llm] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern LSH bucket id for a vector: bit i = sign(v . plane_i). */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p)) >= 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: bucket the corpus on `nBits` hyperplane signs,
+    * join queries to their bucket, rank by exact cosine inside the
+    * bucket. Recall rises with fewer bits / multiprobe; cost falls with
+    * more bits — corpus-side work is one narrow shuffle on bucket key. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nBits: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * buckets (near-identical vectors collide in all-bit buckets with
+    * high probability). */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double, dim: Int,
+                        nBits: Int = 8, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(nBits, dim)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis pack for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All per-row
+  * column expressions — embarrassingly parallel, no shuffles, and
+  * everything except the higher-order folds stays in WholeStageCodegen.
+  */
+object Text {
+
+  /** Whitespace-normalized lowercase form used for dedup/fingerprints. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(words(text)))
+
+  /** BPE-ish token estimate: alpha runs, single digits, punctuation —
+    * a GPT-2-style pre-tokenizer approximation. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+
+  def digitCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+
+  /** Occurrences of a constant marker substring — computed by length
+    * difference so an ANSI-SQL oracle can reproduce it exactly. */
+  def substringCount(text: Column, marker: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("int")
+
+  /** Punctuation density in [0, 1]. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(punctCount(text).cast("double") / length(text))
+
+  /** Stopword-token fraction — a cheap fluency signal. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be")
+
+  def stopwordCount(text: Column): Column = {
+    val set = typedlit(stopwords)
+    size(filter(words(lower(text)), w => array_contains(set, w)))
+  }
+
+  def stopwordRatio(text: Column): Column =
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise(stopwordCount(text).cast("double") / tokenCount(text))
+
+  /** Mean word length. */
+  def meanWordLen(text: Column): Column =
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise(
+        aggregate(words(text), lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / tokenCount(text))
+
+  /** Composite quality score in [0, 1]: rewards mid-length docs with
+    * some stopwords and low punctuation noise (heuristic in the spirit
+    * of C4/Gopher quality filters). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    round((lenScore + stopScore + punctPenalty) / 3.0, 6)
+  }
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Scores are marker-occurrence counts in the padded text;
+    * ties break in declaration order (en first), deterministically. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " los "),
+    "fr" -> Seq(" le ", " les ", " et "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    markers.map(m => substringCount(padded, m)).reduce(_ + _)
+  }
+
+  /** Heuristic language ID: argmax of marker scores, "und" when all
+    * zero. Deterministic tiebreak = declaration order. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight nests the first language's `when` outermost, so the
+    // earliest declared language wins ties deterministically.
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint over normalized words —
+    * deterministic across runs (xxhash64 is seeded constant in Spark).
+    * Collision-free in practice at catalog scale for dedup pre-keys. */
+  def fingerprint(text: Column): Column =
+    aggregate(words(normalize(text)), lit(0L),
+      (acc, w) => acc * lit(1000003L) + xxhash64(w))
+}

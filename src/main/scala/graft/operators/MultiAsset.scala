@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** J1 — multi-asset grouping ("product join"), the reference's only
+  * real join (`cmr-query/handler.py:10-101`).
+  *
+  * Semantics: `product_id = regex_search(data_file_regex, url)`;
+  * sibling files fold into a sorted `Map[asset_name → url]` where
+  * `asset_name = re.sub(".*{product_id}[-_.]?", "", url)`; rows whose
+  * url matches `.*{product_id}.*{data_file}` get the full sibling map
+  * plus the `product_id`.
+  *
+  * Spark shape: `regexp_extract` → `groupBy(product_id)` building the
+  * sorted asset map via `map_from_entries(sort_array(collect_list))` →
+  * equi-join back on `product_id` (the reference's O(groups × rows)
+  * regex nested loop collapses to one shuffle-equi join; a row can only
+  * match the product extracted from its own url, since the match regex
+  * embeds the product id). AQE handles the skewed-group case (one
+  * UAVSAR product ⇒ dozens of siblings, SURVEY §4); with a small group
+  * side Catalyst broadcasts automatically. */
+object MultiAsset {
+
+  def attach(objs: DataFrame, dataFile: String, dataFileRegex: String): DataFrame = {
+    val pid = regexp_extract(col("remote_fileurl"), dataFileRegex, 0)
+    val withPid = objs
+      .withColumn("product_id", when(pid =!= "", pid))
+    val matched = withPid.filter(col("product_id").isNotNull)
+    // asset_name: everything after the product id (+ one optional
+    // [-_.] separator) — dynamic per-row pattern, exactly the
+    // reference's re.sub (`cmr-query/handler.py:82-83`).
+    val assetName = regexp_replace(col("remote_fileurl"),
+      concat(lit(".*"), col("product_id"), lit("[-_.]?")), lit(""))
+    val groups = matched
+      .select(col("product_id"), assetName.as("asset_name"),
+        col("remote_fileurl").as("href"))
+      // a duplicate asset name within a product last-wins in the
+      // reference's dict; max() is the deterministic equivalent
+      .groupBy("product_id", "asset_name").agg(max("href").as("href"))
+      .groupBy("product_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("asset_name"), col("href"))))).as("sibling_assets"))
+    matched.drop("assets")
+      .join(groups, "product_id")
+      // residual of the reference's `.*{product_id}.*{data_file}` filter
+      .filter(regexp_like(col("remote_fileurl"),
+        concat(lit(".*"), col("product_id"), lit(s".*$dataFile"))))
+      .withColumnRenamed("sibling_assets", "assets")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** K1/K4/K6/T2/T4 — publication sinks.
+  *
+  * The catalog itself is a table (K1): the reference's 256 KiB payload
+  * dodge and per-item REST POSTs are replaced by a partitioned parquet
+  * write. [[toApi]] keeps the REST-ingestor shape (K4) for parity:
+  * per-partition submit with selective retry (T4) and a quarantine DLQ
+  * (T2), the Spark analog of the SQS redrive policy
+  * (`deploy/cdk/queue_stack.py:25-46`). */
+object Publish {
+
+  /** K1: items → partitioned catalog table, collection-partitioned so
+    * per-collection reads prune (J2-style lookups become partition
+    * pruning at scale). */
+  def toCatalog(items: DataFrame, path: String,
+                mode: SaveMode = SaveMode.Append): Unit =
+    items.write.mode(mode).partitionBy("collection").parquet(path)
+
+  /** Pluggable item submitter (the Cognito/OAuth REST ingestor in the
+    * reference, `submit-stac/handler.py:40-93`; a local collector in
+    * tests). Implementations throw [[RetryableFailure]] for transient
+    * errors — only those retry, mirroring the reference's selective
+    * `RasterioIOError`-only retry policy (T4,
+    * `step_function_stack.py:237-241`). */
+  trait Submitter extends Serializable {
+    def submit(itemJson: String): Unit
+  }
+
+  final class RetryableFailure(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+  /** Submission outcome row. */
+  case class SubmitResult(item_json: String, ok: Boolean, attempts: Int,
+                          error: String)
+
+  /** K4: submit each item (as JSON) through `submitter`, retrying
+    * retryable failures up to `maxAttempts` with a fixed delay
+    * (reference: 5 attempts x 2 s, `step_function_stack.py:66-99`).
+    * Returns per-item outcomes; callers write failures to a quarantine
+    * path via [[quarantine]] (T2). Dry-run (K6) skips submission. */
+  def toApi(items: DataFrame, submitter: Submitter, maxAttempts: Int = 3,
+            retryDelayMs: Long = 0L, dryRun: Boolean = false)
+  : Dataset[SubmitResult] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val jsons = items.select(to_json(struct(items.columns.map(col): _*))
+      .as("item_json")).as[String]
+    if (dryRun)
+      jsons.map(j => SubmitResult(j, ok = true, attempts = 0, error = null))
+    else jsons.mapPartitions { iter =>
+      iter.map { j =>
+        var attempt = 0
+        var done = false
+        var err: String = null
+        while (!done && attempt < maxAttempts) {
+          attempt += 1
+          try { submitter.submit(j); done = true; err = null }
+          catch {
+            case e: RetryableFailure =>
+              err = e.getMessage
+              if (attempt < maxAttempts && retryDelayMs > 0)
+                Thread.sleep(retryDelayMs)
+            case e: Exception => // permanent: no retry (T4)
+              err = e.getMessage
+              attempt = maxAttempts
+          }
+        }
+        SubmitResult(j, done, attempt, err)
+      }
+    }
+  }
+
+  /** T2: append failed submissions to the quarantine (DLQ) path. */
+  def quarantine(results: Dataset[SubmitResult], path: String): Long = {
+    val failed = results.filter(!col("ok"))
+    val n = failed.count()
+    if (n > 0) failed.write.mode(SaveMode.Append).json(path)
+    n
+  }
+}

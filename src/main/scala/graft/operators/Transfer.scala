@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.Ids
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K2/J3/U3 — data-transfer planning and execution (reference
+  * `lambdas/data-transfer/handler.py:35-70`).
+  *
+  * The reference issues one `head_object` probe per row to skip
+  * existing targets; here that becomes a single left-anti join against
+  * a target-listing DataFrame (J3) — N probes collapse to one listing +
+  * one shuffle, which is the scalable shape at 100 TB.
+  */
+object Transfer {
+
+  val DefaultDirectory = "file-staging"
+
+  /** Target key layout `{directory|file-staging}/{collection}/{filename}`
+    * (`handler.py:46-50`); an explicit empty directory means no prefix
+    * (the reference's `if directory:` falsiness). */
+  def targetKey(url: Column, collection: Column, directory: Column): Column = {
+    val dir = coalesce(directory, lit(DefaultDirectory))
+    val base = concat_ws("/", collection, Ids.fileName(url))
+    when(length(dir) > 0, concat_ws("/", dir, base)).otherwise(base)
+  }
+
+  /** Eligibility (`handler.py:35`): skip when
+    * `(upload && cogify) || !upload` — i.e. copy only plain uploads
+    * (cogify handles its own upload). */
+  def eligible: Column =
+    !((col("upload") && col("cogify")) || !coalesce(col("upload"), lit(false)))
+
+  /** Annotate file_objs with transfer plan columns: `transfer_eligible`,
+    * `target_key`, `target_url` (user_shared routes to the shared
+    * bucket, `handler.py:38-39`). `directory` may come from the
+    * per-object `extra` map. */
+  def plan(objs: DataFrame, targetBucket: String,
+           userSharedBucket: Option[String] = None): DataFrame = {
+    val url = col("remote_fileurl")
+    val directory = element_at(coalesce(col("extra"),
+      lit(null).cast("map<string,string>")), "directory")
+    val key = targetKey(url, col("collection"), directory)
+    val bucket = userSharedBucket match {
+      case Some(shared) =>
+        when(coalesce(col("user_shared"), lit(false)), lit(shared))
+          .otherwise(lit(targetBucket))
+      case None => lit(targetBucket)
+    }
+    objs
+      .withColumn("transfer_eligible", eligible)
+      .withColumn("target_key", when(eligible, key))
+      .withColumn("target_url",
+        when(eligible, concat(bucket, lit("/"), key)))
+  }
+
+  /** J3/U3 — drop planned copies whose target key already exists:
+    * left-anti join against the target listing (idempotent re-runs). */
+  def skipExisting(planned: DataFrame, existingKeys: DataFrame): DataFrame = {
+    val existing = existingKeys.select(col(existingKeys.columns.head).as("__k"))
+    planned.join(existing, planned("target_key") === existing("__k"),
+      "left_anti")
+  }
+
+  /** Execute the copies partition-parallel via the Hadoop FileSystem API
+    * (works for file:// in tests, s3a:// at scale) and rewrite
+    * `remote_fileurl` to the target (`handler.py:51-72`). Rows that are
+    * not transfer-eligible pass through untouched. */
+  def execute(planned: DataFrame): DataFrame = {
+    val spark = planned.sparkSession
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val schema = planned.schema
+    val urlIdx = schema.fieldIndex("remote_fileurl")
+    val eligIdx = schema.fieldIndex("transfer_eligible")
+    val tgtIdx = schema.fieldIndex("target_url")
+    val out = planned.mapPartitions { rows =>
+      rows.map { row =>
+        if (row.getBoolean(eligIdx) && !row.isNullAt(tgtIdx)) {
+          val src = new org.apache.hadoop.fs.Path(row.getString(urlIdx))
+          val dst = new org.apache.hadoop.fs.Path(row.getString(tgtIdx))
+          val srcFs = src.getFileSystem(hadoopConf.value)
+          val dstFs = dst.getFileSystem(hadoopConf.value)
+          org.apache.hadoop.fs.FileUtil.copy(
+            srcFs, src, dstFs, dst, false, true, hadoopConf.value)
+          val vals = row.toSeq.updated(urlIdx, row.getString(tgtIdx))
+          Row.fromSeq(vals)
+        } else row
+      }
+    }(RowEncoder.encoderFor(schema))
+    out
+  }
+}

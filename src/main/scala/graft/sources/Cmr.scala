@@ -1,0 +1,61 @@
+package graft.sources
+
+import graft.model.{PipelineEvent, Schemas}
+import graft.operators.MultiAsset
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S3/S4 — CMR granule catalog source.
+  *
+  * The reference pages `search/granules.json` 100 at a time on the
+  * driver (`cmr-query/handler.py:104-151`); here the granule catalog is
+  * a DataFrame — either loaded from fixture JSON (tests, local runs) or
+  * produced by a partition-per-page fetch at scale — and link selection
+  * (P5) + multi-asset grouping (J1) are DataFrame transforms, so the
+  * pagination machinery disappears into source partitioning (SURVEY
+  * §2.1/S3, §7.5).
+  */
+object Cmr {
+
+  /** Load granules from fixture JSON files (one JSON object or array
+    * per file, `multiLine` enabled) with the CMR granule schema. */
+  def granulesFromJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.cmrGranule).option("multiLine", "true").json(path)
+
+  /** P5 + file_obj projection (reference `cmr-query/handler.py:152-193`):
+    * per granule, pick the href whose link rel is the fedsearch `s3#`
+    * rel or the event's `link_rel`; `mode=stac` instead picks hrefs
+    * ending `stac.json` and starting `https`. Event keys containing
+    * "asset" pass through (P4). */
+  def discover(granules: DataFrame, ev: PipelineEvent): DataFrame = {
+    val l = col("link")
+    val base = granules.select(col("id").as("granule_id"),
+      explode(col("links")).as("link"))
+    val selected = ev.mode match {
+      case Some("stac") =>
+        base.filter(l.getField("href").endsWith("stac.json") &&
+          l.getField("href").startsWith("https"))
+      case _ =>
+        val relMatch = l.getField("rel") === "http://esipfed.org/ns/fedsearch/1.1/s3#" ||
+          ev.linkRel.map(r => l.getField("rel") === r).getOrElse(lit(false))
+        base.filter(relMatch)
+    }
+    val objs = selected.select(
+      lit(ev.collection).as("collection"),
+      l.getField("href").as("remote_fileurl"),
+      lit(ev.upload).as("upload"),
+      lit(ev.userShared).as("user_shared"),
+      lit(ev.ingest).as("ingest"),
+      lit(ev.cogify).as("cogify"),
+      lit(null).cast("map<string,string>").as("properties"),
+      lit(null).cast("string").as("product_id"),
+      col("granule_id"),
+      lit(null).cast("map<string,string>").as("assets"),
+      lit(0).as("attempt"),
+      typedlit(Discovery.assetPassthrough(ev)).as("extra"))
+    (ev.dataFile, ev.dataFileRegex) match {
+      case (Some(df), Some(re)) => MultiAsset.attach(objs, df, re)
+      case _ => objs
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.functions.Ids
+import graft.model.{PipelineEvent, Schemas}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Discovery sources S1 (listing), S2 (CSV inventory): remote-file
+  * enumeration → `Dataset[FileObj]`.
+  *
+  * Scale design: both scans are partition-parallel file sources (the
+  * reference's driver-side pagination loops and 230 KB payload cursors
+  * are deleted per SURVEY §7.5 — Spark partitions the scan instead).
+  * The anchored filename-regex filter (P1) is applied as a catalyst
+  * predicate so it prunes before any downstream work.
+  */
+object Discovery {
+
+  /** P1: `re.match` anchors at the start; `rlike` searches — so the
+    * pattern gets a `^` prepended (reference `s3-discovery/handler.py:65`,
+    * `inventory/handler.py:61`). */
+  def anchoredMatch(c: Column, regex: String): Column =
+    c.rlike(if (regex.startsWith("^")) regex else "^" + regex)
+
+  private def regexFilter(df: DataFrame, target: Column,
+                          regex: Option[String]): DataFrame =
+    regex.fold(df)(r => df.filter(anchoredMatch(target, r)))
+
+  /** The projection/enrichment P3 shared by both scans: scan row →
+    * file_obj with event constants as `lit`s (constant-folded). */
+  private def toFileObj(df: DataFrame, ev: PipelineEvent, url: Column,
+                        productId: Column, assets: Column): DataFrame =
+    df.select(
+      lit(ev.collection).as("collection"),
+      url.as("remote_fileurl"),
+      lit(ev.upload).as("upload"),
+      lit(ev.userShared).as("user_shared"),
+      lit(ev.ingest).as("ingest"),
+      lit(ev.cogify).as("cogify"),
+      (if (ev.properties.isEmpty)
+        lit(null).cast("map<string,string>")
+      else typedlit(ev.properties)).as("properties"),
+      productId.as("product_id"),
+      lit(null).cast("string").as("granule_id"),
+      assets.as("assets"),
+      lit(0).as("attempt"),
+      // P4: every event key containing "asset" passes through wholesale
+      // (reference `inventory/handler.py:78-80`).
+      typedlit(assetPassthrough(ev)).as("extra"))
+
+  /** P4 asset-key passthrough, serialized into the open-world `extra`
+    * map (reference forwards raw event keys matching "asset"). */
+  def assetPassthrough(ev: PipelineEvent): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    ev.assetName.foreach(v => b += "asset_name" -> v)
+    ev.assetRolesList.foreach(v => b += "asset_roles" -> v.mkString(","))
+    ev.assetMediaTypeScalar.foreach(v => b += "asset_media_type" -> v)
+    if (ev.assetMediaTypeMap.nonEmpty)
+      b += "asset_media_type_map" -> ev.assetMediaTypeMap.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(";")
+    b.result()
+  }
+
+  /** S2 CSV inventory scan (reference `inventory/handler.py:49-81`):
+    * header CSV → pluck `file_url_key` (+ optional metadata column) →
+    * anchored regex filter → file_obj. `product_id` is the filename stem
+    * (`handler.py:72`); a metadata url becomes a 1-entry assets map
+    * (`handler.py:73-75`). */
+  def inventory(spark: SparkSession, ev: PipelineEvent): DataFrame = {
+    val url = ev.inventoryUrl.getOrElse(
+      throw new IllegalArgumentException("inventory discovery requires inventory_url"))
+    val raw = spark.read.option("header", "true").csv(url)
+    val filtered = regexFilter(raw, col(ev.fileUrlKey), ev.filenameRegex)
+    val assets = (ev.metadataFileUrlKey, ev.metadataType) match {
+      case (Some(k), Some(t)) => map(lit(t), col(k))
+      case _ => lit(null).cast("map<string,string>")
+    }
+    toFileObj(filtered, ev, col(ev.fileUrlKey),
+      Ids.stem(col(ev.fileUrlKey)), assets)
+  }
+
+  /** S1 listing scan (reference `s3-discovery/handler.py:32-83`):
+    * partition-parallel enumeration of `bucket/prefix` via the
+    * `binaryFile` source with column pruning — only (path, length,
+    * modificationTime) are read, never content, so this is a pure
+    * distributed listing that survives 100 TB buckets (no driver-side
+    * `list_objects_v2` loop). */
+  def listing(spark: SparkSession, ev: PipelineEvent): DataFrame = {
+    val bucket = ev.bucket.getOrElse(
+      throw new IllegalArgumentException("s3 discovery requires bucket"))
+    val root = s"$bucket/${ev.prefix}".stripSuffix("/")
+    val raw = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(col("path"), col("length"), col("modificationTime"))
+    // the reference matches the regex against the KEY (path inside the
+    // bucket), not the full url (`s3-discovery/handler.py:65-66`)
+    val key = regexp_replace(col("path"), "^file:/*|^[A-Za-z0-9+.-]+://[^/]+/", "")
+    val filtered = regexFilter(raw, key, ev.filenameRegex)
+    val collection =
+      if (ev.collection.nonEmpty) ev.collection
+      else ev.prefix.stripSuffix("/") // handler.py:23 default
+    toFileObj(filtered, ev.copy(collection = collection), col("path"),
+      lit(null).cast("string"),
+      lit(null).cast("map<string,string>"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.model.{PipelineEvent, Schemas}
+import graft.operators.StacBuilder
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** T1/T2/T7 — the standing publication stream (reference §3.3: SQS
+  * drain → proxy → publication state machine).
+  *
+  * Spark shape: `readStream` over a file_obj drop directory (the queue;
+  * K5's SQS hop becomes a directory between jobs), micro-batched on a
+  * processing-time trigger (the SQS 20-30 s batch window, T1), items
+  * built per batch and appended to the collection-partitioned catalog;
+  * rows that fail item build (no extractable date) are retried with an
+  * attempt counter and land in the quarantine DLQ after `maxAttempts`
+  * (T2 — the redrive policy of `queue_stack.py:25-46`). Per-collection
+  * grouping (T7/A1) is the catalog partitioning itself. */
+object Publication {
+
+  def start(spark: SparkSession, ev: PipelineEvent, inDir: String,
+            catalogDir: String, quarantineDir: String,
+            checkpointDir: String, maxAttempts: Int = 3,
+            triggerInterval: String = "20 seconds"): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(Schemas.fileObj)
+      .option("maxFilesPerTrigger", 10) // SQS batch size 10 analog
+      .json(inDir)
+    stream.writeStream
+      .trigger(Trigger.ProcessingTime(triggerInterval))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, ev, inDir, catalogDir, quarantineDir,
+          maxAttempts)
+      }
+      .start()
+  }
+
+  /** One micro-batch: build items; good rows append to the catalog,
+    * failed rows re-enqueue with attempt+1 until `maxAttempts`, then
+    * quarantine. Exposed for deterministic single-batch tests. */
+  def processBatch(batch: DataFrame, ev: PipelineEvent, inDir: String,
+                   catalogDir: String, quarantineDir: String,
+                   maxAttempts: Int): Unit = {
+    if (batch.isEmpty) return
+    val items = StacBuilder.regexItems(batch, ev).cache()
+    try {
+      items.filter(!col("datetime_error"))
+        .drop("datetime_error")
+        .write.mode(SaveMode.Append).partitionBy("collection")
+        .parquet(catalogDir)
+      val failedIds = items.filter(col("datetime_error"))
+        .select(col("id")).distinct()
+      val failed = batch.join(failedIds,
+        graft.functions.Ids.itemId(col("remote_fileurl"), ev.idRegex,
+          col("product_id")) === failedIds("id"))
+        .drop("id")
+        .withColumn("attempt", coalesce(col("attempt"), lit(0)) + 1)
+      val (dead, retry) = (failed.filter(col("attempt") >= maxAttempts),
+        failed.filter(col("attempt") < maxAttempts))
+      if (!dead.isEmpty)
+        dead.write.mode(SaveMode.Append).json(quarantineDir)
+      if (!retry.isEmpty)
+        retry.write.mode(SaveMode.Append).json(inDir)
+    } finally items.unpersist()
+  }
+}
