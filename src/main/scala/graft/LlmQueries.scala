@@ -1,0 +1,141 @@
+package graft
+
+import graft.llm.{Dedup, Similarity, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline queries: text analysis, dedup families,
+  * similarity search over the `documents` / `embeddings` tables.
+  *
+  * Self-dup construction: several dedup queries union the corpus with a
+  * clone of itself (ids offset by [[LlmQueries.CloneOffset]]) so that
+  * every document has exactly one known near-duplicate — making the
+  * minhash-LSH / embedding-LSH pipelines oracle-checkable end to end
+  * (identical inputs must collide in every band and score 1.0). */
+object LlmQueries {
+  import Tables.t
+
+  val CloneOffset = 100000L
+
+  private def docsWithClones(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + CloneOffset).as("doc_id"),
+      col("text")))
+  }
+
+  /** Text stats per language: token counts, punctuation, marker words. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col("text"))).cast("bigint").as("n_tokens"),
+        sum(Text.punctCount(col("text"))).cast("bigint").as("n_punct"),
+        sum(Text.substringCount(
+          concat(lit(" "), lower(col("text")), lit(" ")), " the "))
+          .cast("bigint").as("n_the"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+      .orderBy("lang")
+
+  /** Per-doc quality components: token/stopword counts + decile bucket. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val tc = Text.tokenCount(col("text"))
+    val sc = Text.stopwordCount(col("text"))
+    t(s, dir, "documents").select(col("doc_id"),
+      tc.as("n_tokens"), sc.as("n_stop"),
+      floor((sc * 10).cast("double") / tc).cast("int").as("stop_decile"))
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic language ID (marker-word argmax). */
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      Text.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprint: collision-free distinct count equals the
+    * distinct normalized-text count. */
+  def fingerprintDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .agg(countDistinct(Text.fingerprint(col("text"))).as("n_distinct"))
+
+  /** Exact dedup stats: total vs distinct md5 keys. */
+  def dedupExactStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(Dedup.exactKey(col("text"))).as("n_distinct"))
+
+  /** Exact dup groups on the cloned corpus: every text appears exactly
+    * twice, keep-id is the original. */
+  def dedupExactGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(docsWithClones(s, dir), "doc_id", "text")
+      .orderBy("keep_id")
+
+  /** MinHash-LSH near-dup detection on the cloned corpus: each doc must
+    * pair with its clone at jaccard 1.0 (identical shingle sets collide
+    * in every band). Banded LSH + verify join — no all-pairs. */
+  def minhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicates(docsWithClones(s, dir), "doc_id", "text",
+      threshold = 0.9, k = 5, numHashes = 64, bands = 16)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup candidates (rows-only: hamming buckets are not
+    * ANSI-SQL-expressible). */
+  def simhashNearDups(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docsWithClones(s, dir), "doc_id", "text",
+      maxDist = 0)
+      .orderBy("id_a", "id_b")
+
+  /** n-gram Jaccard over sampled candidate pairs (deterministic pair
+    * construction: doc i vs doc i+1 within the same lang). */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val pairs = d.select(col("doc_id").as("id_a"), col("lang"))
+      .join(d.select(col("doc_id").as("id_b"), col("lang")), "lang")
+      .filter(col("id_b") === col("id_a") + 1)
+      .select("id_a", "id_b")
+    Dedup.ngramJaccard(pairs, d, "doc_id", "text", k = 3)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("jaccard") * 1000)).cast("bigint").as("jaccard_mills"))
+      .orderBy("id_a")
+  }
+
+  /** Brute-force cosine top-1 neighbor for the first 25 vectors. */
+  def annBruteForceTop1(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 25), k = 1)
+      .select(col("query_id"), col("nn_id"))
+      .orderBy("query_id")
+  }
+
+  /** LSH-bucketed ANN (rows-only; recall is asserted in ScalaTest). */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 25), k = 1, dim = 64,
+      nBits = 6)
+      .select(col("query_id"), col("nn_id"), col("rank"))
+      .orderBy("query_id")
+  }
+
+  /** Embedding-cosine near-dups on a cloned corpus: every vector pairs
+    * with its clone (cosine ~ 1.0 >= 0.999) via LSH buckets. */
+  def embeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val both = e.unionByName(e.select(
+      (col("vec_id") + CloneOffset).as("vec_id"), col("embedding")))
+    Similarity.embeddingNearDups(both, threshold = 0.999, dim = 64,
+      nBits = 8)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Distinct counting: exact + approx (approx is rows-only territory,
+    * so the oracle-checked columns are the exact ones + error bound). */
+  def distinctCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.agg(countDistinct(col("user_id")).as("n_exact"),
+      (abs(approx_count_distinct(col("user_id"), 0.02).cast("double") -
+        countDistinct(col("user_id")).cast("double")) /
+        countDistinct(col("user_id")).cast("double") <= 0.1)
+        .as("approx_within_10pct"))
+  }
+}

@@ -1,0 +1,377 @@
+package graft
+
+import graft.functions.{Dates, Geo, Ids}
+import graft.llm.{Dedup, Similarity, Text}
+import graft.model.PipelineEvent
+import graft.operators.{MultiAsset, StacBuilder, Transfer}
+import graft.sources.Discovery
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The operator-coverage query suite (SURVEY §2): each entry exercises
+  * one implemented operator against the synthetic testdata tables and
+  * is hash-compared by the driver against DuckDB running the paired
+  * ANSI SQL in [[Queries.oracle]].
+  *
+  * Determinism rules: money/float aggregation goes through exact
+  * decimal sums ([[Tables.moneySum]]), orderings are explicit and
+  * keyed, map/array outputs are serialized as sorted `k=v` strings so
+  * both engines produce byte-identical values.
+  */
+object Queries {
+  import Tables.t
+
+  private def dec(c: Column): Column = Tables.dec(c)
+
+  /** Serialize a map column as a deterministic "k=v,k=v" string in map
+    * entry order (entries are built sorted). */
+  private def mapStr(m: Column): Column =
+    array_join(transform(map_entries(m),
+      e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+
+  // ------------------------------------------------------------------
+  // P — projections / filters
+  // ------------------------------------------------------------------
+
+  /** P1 — anchored filename-regex filter (re.match semantics). */
+  def p1RegexFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(Discovery.anchoredMatch(col("p_name"), "(small|red) .*"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")
+
+  /** P2 — flag-predicate routing (`when().otherwise()` branch plan). */
+  def p2FlagRouting(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("route",
+        when(col("event_type") === "purchase" && col("value") > 50, "cogify")
+          .when(col("event_type").isin("click", "view"), "ingest")
+          .otherwise("skip"))
+      .groupBy("route").agg(count(lit(1)).as("n"))
+      .orderBy("route")
+
+  /** P3/P4 — file_obj projection/enrichment with event constants. */
+  def p3FileObjProjection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      lit("parts").as("collection"),
+      concat(lit("s3://data/"), regexp_replace(col("p_name"), " ", "_"),
+        lit("_"), col("p_partkey").cast("string"), lit(".tif"))
+        .as("remote_fileurl"),
+      lit(true).as("upload"),
+      lit(false).as("user_shared"),
+      lit(true).as("ingest"),
+      (col("p_retailprice") > 1500).as("cogify"))
+      .orderBy("remote_fileurl")
+
+  /** P6 — name sanitizer (F10). */
+  def p6Sanitize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        Ids.sanitizeName(col("c_name")).as("sanitized"))
+      .orderBy("c_custkey")
+
+  /** P7 — extension-dispatch projection (`.ext` then `ext` then default). */
+  def p7ExtDispatch(s: SparkSession, dir: String): DataFrame = {
+    val ext = element_at(typedlit(Seq("tif", "nc", "hdr")),
+      pmod(col("p_size"), lit(3)) + 1)
+    val url = concat(lit("s3://b/f"), col("p_partkey").cast("string"),
+      lit("."), ext)
+    t(s, dir, "part").select(
+      col("p_partkey"), url.as("url"),
+      Ids.extDispatch(url,
+        Map(".tif" -> "image/tiff", "nc" -> "application/x-netcdf"),
+        Some("application/octet-stream")).as("media_type"))
+      .orderBy("p_partkey")
+  }
+
+  // ------------------------------------------------------------------
+  // F — scalar functions
+  // ------------------------------------------------------------------
+
+  private def orderFname(c: Column) =
+    concat(lit("s3://d/file_"), date_format(c, "yyyyMMdd"), lit("_x.tif"))
+
+  /** F1 — date-extraction cascade, single-date path. */
+  def f1DatesSingle(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      Dates.extractDates(orderFname(col("o_orderdate")), None)
+        .getField("single_datetime").as("single_datetime"))
+      .orderBy("o_orderkey")
+
+  /** F1 — month-range widening of a single date. */
+  def f1DatesMonth(s: SparkSession, dir: String): DataFrame = {
+    val dt = Dates.extractDates(orderFname(col("o_orderdate")), Some("month"))
+    t(s, dir, "orders").select(col("o_orderkey"),
+      dt.getField("start_datetime").as("start_datetime"),
+      dt.getField("end_datetime").as("end_datetime"))
+      .orderBy("o_orderkey")
+  }
+
+  /** F1 — multi-date path: two dates in one filename → (min, max). */
+  def f1DatesRange(s: SparkSession, dir: String): DataFrame = {
+    val fname = concat(lit("s3://d/f_"),
+      date_format(col("o_orderdate"), "yyyyMMdd"), lit("_to_"),
+      date_format(col("l_shipdate"), "yyyyMMdd"), lit(".tif"))
+    val dt = Dates.extractDates(fname, None)
+    t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"),
+        dt.getField("start_datetime").as("start_datetime"),
+        dt.getField("end_datetime").as("end_datetime"))
+      .orderBy("o_orderkey")
+  }
+
+  /** F2 — item_id via id_regex (two capture groups joined with "-"). */
+  def f2ItemIdRegex(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("s3://"), col("p_brand"), lit("/"),
+      regexp_replace(col("p_name"), " ", "_"), lit("_"),
+      col("p_partkey").cast("string"), lit(".tif"))
+    t(s, dir, "part").select(col("p_partkey"),
+      Ids.itemId(url, Some("s3://([^/]*)/(.+).tif$"),
+        lit(null).cast("string")).as("item_id"))
+      .orderBy("p_partkey")
+  }
+
+  /** F2/F3 — item_id stem fallback (strips only the last extension). */
+  def f2ItemIdStem(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("s3://b/dir/"),
+      regexp_replace(col("p_name"), " ", "."), lit(".nc.tif"))
+    t(s, dir, "part").select(col("p_partkey"),
+      Ids.itemId(url, None, lit(null).cast("string")).as("item_id"))
+      .orderBy("p_partkey")
+  }
+
+  /** F4 — URL host/key split. */
+  def f4UrlParse(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("s3://bucket-"),
+      pmod(col("c_custkey"), lit(5)).cast("string"), lit("/a/b/file"),
+      col("c_custkey").cast("string"))
+    t(s, dir, "customer").select(col("c_custkey"),
+      Ids.urlHost(url).as("host"), Ids.urlKey(url).as("key"))
+      .orderBy("c_custkey")
+  }
+
+  /** F5 — STAC datetime serialization. */
+  def f5DatetimeFormat(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"),
+      Dates.stacDatetime(col("o_orderdate")).as("stac_dt"))
+      .orderBy("o_orderkey")
+
+  /** F12/F13 — JSON encode + octet-length size guard. */
+  def f13Json(s: SparkSession, dir: String): DataFrame = {
+    val js = to_json(struct(col("o_orderkey"), col("o_orderstatus")))
+    t(s, dir, "orders").select(col("o_orderkey"), js.as("item_json"),
+      octet_length(js).as("json_bytes"))
+      .filter(octet_length(js) < 256 * 1024)
+      .orderBy("o_orderkey")
+  }
+
+  // ------------------------------------------------------------------
+  // J — joins
+  // ------------------------------------------------------------------
+
+  /** J1 — multi-asset grouping via the real [[MultiAsset]] operator on
+    * synthetic sibling-file urls. */
+  def j1MultiAsset(s: SparkSession, dir: String): DataFrame = {
+    val objs = t(s, dir, "lineitem").select(
+      concat(lit("s3://store/prod"), col("l_orderkey").cast("string"),
+        lit("_f"), col("l_linenumber").cast("string"), lit(".bin"))
+        .as("remote_fileurl"))
+    MultiAsset.attach(objs, dataFile = "f1\\.bin", dataFileRegex = "prod\\d+")
+      .select(col("product_id"), mapStr(col("assets")).as("assets_str"))
+      .orderBy("product_id")
+  }
+
+  /** J2 — star-schema broadcast dimension join: revenue per region. */
+  def j2BroadcastDims(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+
+  /** J3 — existence left-anti join: customers with no orders. */
+  def j3AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  // ------------------------------------------------------------------
+  // A/W/U — aggregations, windows, set ops
+  // ------------------------------------------------------------------
+
+  /** A1/T7 — group-by-collection collect (per-collection dispatch). */
+  def a1GroupCollect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("doc_ids"))
+      .orderBy("lang")
+
+  /** A2/A3/W2 — bbox min/max aggregation. */
+  def a2Bbox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy("event_type")
+      .agg(min("value").as("min_x"),
+        min(col("user_id")).as("min_y"),
+        max("value").as("max_x"),
+        max(col("user_id")).as("max_y"))
+      .orderBy("event_type")
+
+  /** A4/W3 — sorted asset-map build (distinct parts per supplier). */
+  def a4SortedMap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+      .agg(array_join(transform(sort_array(collect_set(col("l_partkey"))),
+        _.cast("string")), ",").as("partkeys"))
+      .orderBy("l_suppkey")
+
+  /** A5 — cumulative-size cap via window cumulative sum. */
+  def a5CumulativeCap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("cum", sum(dec(col("o_totalprice"))).over(w))
+      .filter(col("cum") <= 500000)
+      .select(col("o_orderkey"),
+        round(col("cum"), 2).cast("double").as("cum_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** A6 — counts (hits) per group. */
+  def a6Counts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n")).orderBy("o_orderpriority")
+
+  /** W1 — date sort + ends (array sort, first/last element). */
+  def w1DateEnds(s: SparkSession, dir: String): DataFrame = {
+    val sorted = sort_array(collect_list(col("o_orderdate")))
+    t(s, dir, "orders").groupBy("o_custkey")
+      .agg(element_at(sorted, 1).as("start_dt"),
+        element_at(sorted, -1).as("end_dt"))
+      .orderBy("o_custkey")
+  }
+
+  /** W4 — deterministic top-k. */
+  def w4TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
+  /** Analytic windows (row_number) — best order per customer. */
+  def wRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("best_order"))
+      .orderBy("o_custkey")
+  }
+
+  /** U1 — right-biased sorted map merge via [[StacBuilder]]. */
+  def u1MapMerge(s: SparkSession, dir: String): DataFrame = {
+    val left = map(lit("lang"), col("lang"), lit("quality"), lit("raw"))
+    val right = map(lit("quality"), col("source"))
+    t(s, dir, "documents").select(col("doc_id"),
+      mapStr(StacBuilder.rightBiasedSortedMerge(left, right)).as("merged"))
+      .orderBy("doc_id")
+  }
+
+  /** U-set — intersect / except / union over key sets. */
+  def uSetOps(s: SparkSession, dir: String): DataFrame = {
+    val users = t(s, dir, "events").select(col("user_id").as("k")).distinct()
+    val custs = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    users.intersect(custs).agg(count(lit(1)).as("n_common"))
+      .crossJoin(users.except(custs).agg(count(lit(1)).as("n_only_users")))
+      .crossJoin(users.union(custs).distinct().agg(count(lit(1)).as("n_all")))
+  }
+
+  // ------------------------------------------------------------------
+  // G — geometry
+  // ------------------------------------------------------------------
+
+  /** G1/G2/F7/F9 — CMR box → closed polygon ring → bbox. */
+  def g1Geometry(s: SparkSession, dir: String): DataFrame = {
+    val x0 = pmod(col("user_id"), lit(80))
+    val y0 = pmod(col("event_id"), lit(90))
+    val boxStr = concat_ws(" ", x0.cast("string"), y0.cast("string"),
+      (x0 + 5).cast("string"), (y0 + 5).cast("string"))
+    val geom = Geo.cmrGeometry(
+      lit(null).cast("array<array<string>>"), array(boxStr), lit(false))
+    val bb = Geo.geometryBbox(geom)
+    t(s, dir, "events").select(col("event_id"),
+      element_at(bb, 1).as("min_x"), element_at(bb, 2).as("min_y"),
+      element_at(bb, 3).as("max_x"), element_at(bb, 4).as("max_y"),
+      size(element_at(geom.getField("coordinates"), 1)).as("ring_n"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------------------
+  // T — streaming-shaped batch analogs
+  // ------------------------------------------------------------------
+
+  /** T1 — tumbling event-time windows (1 h) per event type. */
+  def t1EventWindows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Tables.moneySum(col("value")).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy("ws", "event_type")
+
+  /** T2/T4 — DLQ classification: valid / invalid / retryable counts. */
+  def t2DlqClassify(s: SparkSession, dir: String): DataFrame = {
+    val valid = col("value") >= 10
+    t(s, dir, "events").groupBy("event_type")
+      .agg(sum(when(valid, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(!valid, 1L).otherwise(0L)).as("n_invalid"),
+        sum(when(!valid && col("event_type") === "error", 1L)
+          .otherwise(0L)).as("n_retryable"))
+      .orderBy("event_type")
+  }
+
+  // ------------------------------------------------------------------
+  // K2/J3 — transfer planning
+  // ------------------------------------------------------------------
+
+  /** K2/J3/U3 — target-key layout + eligibility + existence anti-join,
+    * via the real [[Transfer]] operator. */
+  def transferPlan(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("s3://src-bucket/raw/"),
+      regexp_replace(col("p_name"), " ", "_"), lit("_"),
+      col("p_partkey").cast("string"), lit(".tif"))
+    val objs = t(s, dir, "part").select(
+      col("p_partkey"),
+      lit("parts").as("collection"),
+      url.as("remote_fileurl"),
+      lit(true).as("upload"),
+      lit(false).as("user_shared"),
+      (pmod(col("p_size"), lit(4)) === 0).as("cogify"),
+      map(lit("directory"),
+        when(pmod(col("p_partkey"), lit(2)) === 0, "file-staging")
+          .otherwise("")).as("extra"))
+    val planned = Transfer.plan(objs, "s3://dst-bucket")
+      .filter(col("transfer_eligible"))
+    val existing = t(s, dir, "part")
+      .filter(pmod(col("p_partkey"), lit(10)) === 0)
+      .select(concat(
+        when(pmod(col("p_partkey"), lit(2)) === 0, "file-staging/")
+          .otherwise(""),
+        lit("parts/"), regexp_replace(col("p_name"), " ", "_"), lit("_"),
+        col("p_partkey").cast("string"), lit(".tif")).as("key"))
+    Transfer.skipExisting(planned, existing)
+      .select(col("p_partkey"), col("target_url"))
+      .orderBy("p_partkey")
+  }
+}

@@ -1,13 +1,430 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one SURVEY §2 operator (implemented in
+  * graft.functions / graft.operators / graft.sources / graft.llm) against
+  * the synthetic testdata tables; `oracleSql` holds the equivalent ANSI
+  * SQL the driver runs in DuckDB for the hash compare. Keys without an
+  * oracle (minhash/simhash buckets, LSH ANN) get the rows-only check. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full inventory→STAC-item pipeline (S2→P1→P3→F1→F2→item). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    StacQueries.stacRegexItems(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // projections / filters
+    "q_p1_regex_filter"      -> (Queries.p1RegexFilter _),
+    "q_p2_flag_routing"      -> (Queries.p2FlagRouting _),
+    "q_p3_fileobj_projection"-> (Queries.p3FileObjProjection _),
+    "q_p6_sanitize"          -> (Queries.p6Sanitize _),
+    "q_p7_ext_dispatch"      -> (Queries.p7ExtDispatch _),
+    // scalar functions
+    "q_f1_dates_single"      -> (Queries.f1DatesSingle _),
+    "q_f1_dates_month"       -> (Queries.f1DatesMonth _),
+    "q_f1_dates_range"       -> (Queries.f1DatesRange _),
+    "q_f2_item_id_regex"     -> (Queries.f2ItemIdRegex _),
+    "q_f2_item_id_stem"      -> (Queries.f2ItemIdStem _),
+    "q_f4_url_parse"         -> (Queries.f4UrlParse _),
+    "q_f5_datetime_format"   -> (Queries.f5DatetimeFormat _),
+    "q_f13_json"             -> (Queries.f13Json _),
+    // joins
+    "q_j1_multi_asset"       -> (Queries.j1MultiAsset _),
+    "q_j2_broadcast_dims"    -> (Queries.j2BroadcastDims _),
+    "q_j3_anti_join"         -> (Queries.j3AntiJoin _),
+    // aggregations / windows / set ops
+    "q_a1_group_collect"     -> (Queries.a1GroupCollect _),
+    "q_a2_bbox"              -> (Queries.a2Bbox _),
+    "q_a4_sorted_map"        -> (Queries.a4SortedMap _),
+    "q_a5_cumulative_cap"    -> (Queries.a5CumulativeCap _),
+    "q_a6_counts"            -> (Queries.a6Counts _),
+    "q_w1_date_ends"         -> (Queries.w1DateEnds _),
+    "q_w4_topk"              -> (Queries.w4TopK _),
+    "q_w_rank"               -> (Queries.wRank _),
+    "q_u1_map_merge"         -> (Queries.u1MapMerge _),
+    "q_u_set_ops"            -> (Queries.uSetOps _),
+    // geometry
+    "q_g1_geometry"          -> (Queries.g1Geometry _),
+    // streaming-shaped analogs
+    "q_t1_event_windows"     -> (Queries.t1EventWindows _),
+    "q_t2_dlq_classify"      -> (Queries.t2DlqClassify _),
+    // transfer
+    "q_transfer_plan"        -> (Queries.transferPlan _),
+    // STAC end-to-end
+    "q_stac_regex_items"     -> (StacQueries.stacRegexItems _),
+    "q_stac_regex_month"     -> (StacQueries.stacRegexItemsMonth _),
+    "q_stac_cmr_items"       -> (StacQueries.stacCmrItems _),
+    // LLM data ops
+    "q_text_stats"           -> (LlmQueries.textStats _),
+    "q_text_quality"         -> (LlmQueries.textQuality _),
+    "q_text_langid"          -> (LlmQueries.textLangId _),
+    "q_fingerprint_distinct" -> (LlmQueries.fingerprintDistinct _),
+    "q_dedup_exact_stats"    -> (LlmQueries.dedupExactStats _),
+    "q_dedup_exact_groups"   -> (LlmQueries.dedupExactGroups _),
+    "q_minhash_near_dups"    -> (LlmQueries.minhashNearDups _),
+    "q_simhash_near_dups"    -> (LlmQueries.simhashNearDups _),
+    "q_ngram_jaccard"        -> (LlmQueries.ngramJaccardPairs _),
+    "q_ann_top1"             -> (LlmQueries.annBruteForceTop1 _),
+    "q_ann_lsh"              -> (LlmQueries.annLsh _),
+    "q_embed_near_dups"      -> (LlmQueries.embeddingNearDups _),
+    "q_distinct_counts"      -> (LlmQueries.distinctCounts _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_p1_regex_filter" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE regexp_matches(p_name, '^(small|red) .*')
+        |ORDER BY p_partkey""".stripMargin,
+    "q_p2_flag_routing" ->
+      """SELECT CASE WHEN event_type = 'purchase' AND value > 50 THEN 'cogify'
+        |  WHEN event_type IN ('click','view') THEN 'ingest'
+        |  ELSE 'skip' END AS route, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_p3_fileobj_projection" ->
+      """SELECT 'parts' AS collection,
+        |  's3://data/' || replace(p_name, ' ', '_') || '_' ||
+        |    CAST(p_partkey AS VARCHAR) || '.tif' AS remote_fileurl,
+        |  true AS upload, false AS user_shared, true AS ingest,
+        |  p_retailprice > 1500 AS cogify
+        |FROM part ORDER BY remote_fileurl""".stripMargin,
+    "q_p6_sanitize" ->
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[^a-zA-Z0-9_-]', '', 'g') AS sanitized
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_p7_ext_dispatch" ->
+      """SELECT p_partkey,
+        |  's3://b/f' || CAST(p_partkey AS VARCHAR) || '.' ||
+        |    CASE (p_size % 3) WHEN 0 THEN 'tif' WHEN 1 THEN 'nc'
+        |    ELSE 'hdr' END AS url,
+        |  CASE (p_size % 3) WHEN 0 THEN 'image/tiff'
+        |    WHEN 1 THEN 'application/x-netcdf'
+        |    ELSE 'application/octet-stream' END AS media_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_f1_dates_single" ->
+      """SELECT o_orderkey, date_trunc('day', o_orderdate) AS single_datetime
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_f1_dates_month" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS start_datetime,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS end_datetime
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_f1_dates_range" ->
+      """SELECT o_orderkey,
+        |  least(date_trunc('day', o_orderdate), date_trunc('day', l_shipdate))
+        |    AS start_datetime,
+        |  greatest(date_trunc('day', o_orderdate), date_trunc('day', l_shipdate))
+        |    AS end_datetime
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_linenumber = 1 ORDER BY o_orderkey""".stripMargin,
+    "q_f2_item_id_regex" ->
+      """SELECT p_partkey,
+        |  p_brand || '-' || replace(p_name, ' ', '_') || '_' ||
+        |    CAST(p_partkey AS VARCHAR) AS item_id
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_f2_item_id_stem" ->
+      """SELECT p_partkey, replace(p_name, ' ', '.') || '.nc' AS item_id
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_f4_url_parse" ->
+      """SELECT c_custkey,
+        |  'bucket-' || CAST(c_custkey % 5 AS VARCHAR) AS host,
+        |  'a/b/file' || CAST(c_custkey AS VARCHAR) AS key
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_f5_datetime_format" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS stac_dt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_f13_json" ->
+      """SELECT o_orderkey,
+        |  '{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) ||
+        |    ',"o_orderstatus":"' || o_orderstatus || '"}' AS item_json,
+        |  CAST(length('{"o_orderkey":' || CAST(o_orderkey AS VARCHAR) ||
+        |    ',"o_orderstatus":"' || o_orderstatus || '"}') AS INT)
+        |    AS json_bytes
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_j1_multi_asset" ->
+      """WITH u AS (
+        |  SELECT DISTINCT l_orderkey,
+        |    'f' || CAST(l_linenumber AS VARCHAR) || '.bin' AS aname,
+        |    's3://store/prod' || CAST(l_orderkey AS VARCHAR) || '_f' ||
+        |      CAST(l_linenumber AS VARCHAR) || '.bin' AS href
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT l_orderkey,
+        |    string_agg(aname || '=' || href, ',' ORDER BY aname) AS assets_str
+        |  FROM u GROUP BY l_orderkey)
+        |SELECT 'prod' || CAST(l_orderkey AS VARCHAR) AS product_id, g.assets_str
+        |FROM g JOIN lineitem USING (l_orderkey)
+        |WHERE l_linenumber = 1 ORDER BY product_id""".stripMargin,
+    "q_j2_broadcast_dims" ->
+      """SELECT r_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q_j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_a1_group_collect" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_a2_bbox" ->
+      """SELECT event_type, min(value) AS min_x, min(user_id) AS min_y,
+        |  max(value) AS max_x, max(user_id) AS max_y
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_a4_sorted_map" ->
+      """WITH d AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+        |SELECT l_suppkey,
+        |  string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey)
+        |    AS partkeys
+        |FROM d GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_a5_cumulative_cap" ->
+      """SELECT o_orderkey, CAST(round(cum, 2) AS DOUBLE) AS cum_price
+        |FROM (SELECT o_orderkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM orders)
+        |WHERE cum <= 500000 ORDER BY o_orderkey""".stripMargin,
+    "q_a6_counts" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_w1_date_ends" ->
+      """SELECT o_custkey, min(o_orderdate) AS start_dt,
+        |  max(o_orderdate) AS end_dt
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_w4_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_w_rank" ->
+      """SELECT o_custkey, best_order FROM (
+        |  SELECT o_custkey, o_orderkey AS best_order,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_u1_map_merge" ->
+      """SELECT doc_id, 'lang=' || lang || ',quality=' || source AS merged
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_u_set_ops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
+        |    INTERSECT SELECT c_custkey FROM customer)) AS n_common,
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
+        |    EXCEPT SELECT c_custkey FROM customer)) AS n_only_users,
+        |  (SELECT count(*) FROM (SELECT DISTINCT user_id FROM events
+        |    UNION SELECT c_custkey FROM customer)) AS n_all""".stripMargin,
+    "q_g1_geometry" ->
+      """SELECT event_id,
+        |  CAST(user_id % 80 AS DOUBLE) AS min_x,
+        |  CAST(event_id % 90 AS DOUBLE) AS min_y,
+        |  CAST(user_id % 80 + 5 AS DOUBLE) AS max_x,
+        |  CAST(event_id % 90 + 5 AS DOUBLE) AS max_y,
+        |  CAST(5 AS INT) AS ring_n
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_t1_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_t2_dlq_classify" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN value >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+        |  CAST(sum(CASE WHEN value < 10 AND event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retryable
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_transfer_plan" ->
+      """SELECT p_partkey,
+        |  's3://dst-bucket/' ||
+        |    CASE WHEN p_partkey % 2 = 0 THEN 'file-staging/' ELSE '' END ||
+        |    'parts/' || replace(p_name, ' ', '_') || '_' ||
+        |    CAST(p_partkey AS VARCHAR) || '.tif' AS target_url
+        |FROM part
+        |WHERE p_size % 4 <> 0 AND p_partkey % 10 <> 0
+        |ORDER BY p_partkey""".stripMargin,
+    "q_stac_regex_items" ->
+      """SELECT 'ord_' || CAST(o_orderkey AS VARCHAR) || '_' ||
+        |    strftime(o_orderdate, '%Y%m%d') AS id,
+        |  'orders' AS collection,
+        |  date_trunc('day', o_orderdate) AS datetime,
+        |  'data=s3://raw/orders/ord_' || CAST(o_orderkey AS VARCHAR) || '_' ||
+        |    strftime(o_orderdate, '%Y%m%d') ||
+        |    '.tif|image/tiff; application=geotiff; profile=cloud-optimized|data'
+        |    AS assets_str
+        |FROM orders ORDER BY id""".stripMargin,
+    "q_stac_regex_month" ->
+      """SELECT 'ord_' || CAST(o_orderkey AS VARCHAR) || '_' ||
+        |    strftime(o_orderdate, '%Y%m%d') AS id,
+        |  date_trunc('month', o_orderdate) AS start_datetime,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS end_datetime,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%dT%H:%M:%SZ')
+        |    AS prop_start,
+        |  strftime(CAST(last_day(o_orderdate) AS TIMESTAMP),
+        |    '%Y-%m-%dT%H:%M:%SZ') AS prop_end
+        |FROM orders ORDER BY id""".stripMargin,
+    "q_stac_cmr_items" ->
+      """SELECT 'g' || CAST(p_partkey AS VARCHAR) AS id,
+        |  CAST(DATE '2016-01-01' + CAST(p_partkey % 365 AS INT) AS TIMESTAMP)
+        |    AS datetime,
+        |  CAST(p_partkey % 80 AS DOUBLE) AS min_x,
+        |  CAST(p_partkey % 90 AS DOUBLE) AS min_y,
+        |  CAST(p_partkey % 80 + 2 AS DOUBLE) AS max_x,
+        |  CAST(p_partkey % 90 + 2 AS DOUBLE) AS max_y,
+        |  'data=s3://store/g' || CAST(p_partkey AS VARCHAR) ||
+        |    '.hdr|binary/octet-stream|data' AS assets_str,
+        |  CAST(1 AS INT) AS n_links,
+        |  'G' || CAST(p_partkey AS VARCHAR) AS concept_id
+        |FROM part ORDER BY id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(length(text) -
+        |    length(regexp_replace(text, '[[:punct:]]', '', 'g'))) AS BIGINT)
+        |    AS n_punct,
+        |  CAST(sum((length(' ' || lower(text) || ' ') -
+        |    length(replace(' ' || lower(text) || ' ', ' the ', ''))) // 5)
+        |    AS BIGINT) AS n_the,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, n_tokens, n_stop,
+        |  CAST(floor(CAST(n_stop * 10 AS DOUBLE) / n_tokens) AS INT)
+        |    AS stop_decile
+        |FROM (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |      'that','for','on','with','as','was','at','by','be'))) AS INT)
+        |    AS n_stop
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    (length(p) - length(replace(p, ' the ', ''))) // 5 +
+        |    (length(p) - length(replace(p, ' and ', ''))) // 5 +
+        |    (length(p) - length(replace(p, ' of ', ''))) // 4 AS s_en,
+        |    (length(p) - length(replace(p, ' el ', ''))) // 4 +
+        |    (length(p) - length(replace(p, ' la ', ''))) // 4 +
+        |    (length(p) - length(replace(p, ' los ', ''))) // 5 AS s_es,
+        |    (length(p) - length(replace(p, ' le ', ''))) // 4 +
+        |    (length(p) - length(replace(p, ' les ', ''))) // 5 +
+        |    (length(p) - length(replace(p, ' et ', ''))) // 4 AS s_fr,
+        |    (length(p) - length(replace(p, ' der ', ''))) // 5 +
+        |    (length(p) - length(replace(p, ' und ', ''))) // 5 +
+        |    (length(p) - length(replace(p, ' die ', ''))) // 5 AS s_de,
+        |    (length(p) - length(replace(p, '的', ''))) // 1 +
+        |    (length(p) - length(replace(p, '是', ''))) // 1 +
+        |    (length(p) - length(replace(p, '了', ''))) // 1 AS s_zh
+        |  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
+        |        FROM documents))
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_en > 0
+        |      THEN 'en'
+        |    WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_es > 0
+        |      THEN 'es'
+        |    WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_fr > 0
+        |      THEN 'fr'
+        |    WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_de > 0
+        |      THEN 'de'
+        |    WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) AND s_zh > 0
+        |      THEN 'zh'
+        |    ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_fingerprint_distinct" ->
+      """SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  AS n_distinct FROM documents""".stripMargin,
+    "q_dedup_exact_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
+        |FROM documents""".stripMargin,
+    "q_dedup_exact_groups" ->
+      """SELECT md5(text) AS text_hash, CAST(2 AS BIGINT) AS n_docs,
+        |  doc_id AS keep_id
+        |FROM documents ORDER BY keep_id""".stripMargin,
+    // ground truth: all-pairs 5-shingle Jaccard >= 0.9 over the cloned
+    // corpus (computed on the 500 originals and expanded to clone ids —
+    // the LSH banding (16 bands x 4 rows) has >1-1e-7 collision
+    // probability at J>=0.9, so LSH output equals the exact answer)
+    "q_minhash_near_dups" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 3),
+        |        i -> array_to_string(ws[i:i+4], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM w),
+        |pj AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |px AS (SELECT ia, ib, j FROM pj WHERE j >= 0.9)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |    CAST(1.0 AS DOUBLE) AS jaccard FROM documents
+        |  UNION ALL SELECT ia, ib, j FROM px
+        |  UNION ALL SELECT ia, ib + 100000, j FROM px
+        |  UNION ALL SELECT ib, ia + 100000, j FROM px
+        |  UNION ALL SELECT ia + 100000, ib + 100000, j FROM px)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 1),
+        |        i -> array_to_string(ws[i:i+2], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM w),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND b.doc_id = a.doc_id + 1)
+        |SELECT id_a, id_b,
+        |  CAST(floor(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(sa.sh, sb.sh))) * 1000) AS BIGINT)
+        |    AS jaccard_mills
+        |FROM pairs
+        |JOIN sh sa ON sa.doc_id = id_a
+        |JOIN sh sb ON sb.doc_id = id_b
+        |ORDER BY id_a""".stripMargin,
+    "q_ann_top1" ->
+      """SELECT query_id, nn_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |        c.vec_id) AS rn
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "q_embed_near_dups" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
+        |FROM embeddings ORDER BY id_a, id_b""".stripMargin,
+    "q_distinct_counts" ->
+      """SELECT count(DISTINCT user_id) AS n_exact,
+        |  true AS approx_within_10pct FROM events""".stripMargin,
+  )
 }

@@ -11,9 +11,19 @@ import org.apache.spark.sql.functions._
   * and is only converted to double at the very end (after rounding).
   */
 object Tables {
-  /** Load one synthetic table (see /root/repo/TESTDATA.md). */
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Load one synthetic table (see /root/repo/TESTDATA.md). The events
+    * table stores TIMESTAMP(NANOS) which Spark reads as a nanos long
+    * (spark.sql.legacy.parquet.nanosAsLong) — convert back to a
+    * microsecond timestamp with exact integer arithmetic. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.dataType == org.apache.spark.sql.types.LongType &&
+          (f.name == "ts" || f.name.endsWith("_ts")) && name == "events" =>
+        acc.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+      case (acc, _) => acc
+    }
+  }
 
   /** Exact-money cast: double -> decimal(18,4). Decimal arithmetic is
     * exact and identical across Spark and DuckDB, unlike float sums whose

@@ -87,16 +87,27 @@ object Similarity {
     * high probability). */
   def embeddingNearDups(corpus: DataFrame, threshold: Double, dim: Int,
                         nBits: Int = 8, idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding",
+                        maxBucketSize: Int = 10000): DataFrame = {
     val planes = hyperplanes(nBits, dim)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
       lshBucket(col(vecCol), planes).as("bucket"))
-    val a = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+    // one scan → bucket groupBy → in-bucket pairwise combinations
+    // (no self-join, signatures computed once)
+    val buckets = c.groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("vec"))))
+        .as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    buckets
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + 2, size(col("members"))),
+          y => struct(
+            x.getField("id").as("id_a"),
+            y.getField("id").as("id_b"),
+            cosine(x.getField("vec"), y.getField("vec")).as("sim"))))))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sim").as("sim"))
       .filter(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
   }
 }

@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: runs each oracle SQL in
+DuckDB over the testdata parquet and compares (sorted columns, sorted
+rows) with the Spark result parquet dumped by graft.Verify.
+
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            expect = canon(con.execute(sql).fetchdf())
+            got = canon(con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: exception {e}")
+            n_fail += 1
+            continue
+        ok_rows = len(expect) == len(got)
+        ok_cols = list(expect.columns) == list(got.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(
+                    expect, got, check_dtype=False, check_exact=True)
+                ok_vals = True
+            except AssertionError as e:
+                msg = str(e).split("\n")[0]
+        if ok_rows and ok_cols and ok_vals:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            if not ok_rows:
+                print(f"FAIL {name}: rows expect={len(expect)} got={len(got)}")
+            elif not ok_cols:
+                print(f"FAIL {name}: cols expect={list(expect.columns)} "
+                      f"got={list(got.columns)}")
+            else:
+                print(f"FAIL {name}: values differ: {msg}")
+                merged = expect.compare(got) if expect.shape == got.shape else None
+                if merged is not None and len(merged):
+                    print(merged.head(5))
+    print(f"\n{n_pass} pass / {n_fail} fail "
+          f"(+{len(set(sys_queries()) - set(oracle))} rows-only)")
+    return 1 if n_fail else 0
+
+
+def sys_queries():
+    import os
+    out_dir = sys.argv[2]
+    return [d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))]
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
