@@ -10,12 +10,16 @@ object Geo {
   /** F7 `pairwise`: flat token array → array of [x, y] pairs
     * (reference `stac.py:164-170`). An odd trailing token is dropped,
     * exactly like `zip(a, a)`. */
-  def pairwise(tokens: Column): Column =
-    transform(
-      sequence(lit(0), floor(size(tokens) / 2).cast("int") - 1),
-      i => array(
-        element_at(tokens, i * 2 + 1).cast("double"),
-        element_at(tokens, i * 2 + 2).cast("double")))
+  def pairwise(tokens: Column): Column = {
+    val nPairs = floor(size(tokens) / 2).cast("int")
+    when(nPairs >= 1,
+      transform(
+        sequence(lit(0), nPairs - 1),
+        i => array(
+          element_at(tokens, i * 2 + 1).cast("double"),
+          element_at(tokens, i * 2 + 2).cast("double"))))
+      .otherwise(array().cast("array<array<double>>"))
+  }
 
   /** G2 `get_bbox`: coords (array of [x,y]) → [minx, miny, maxx, maxy]
     * (reference `stac.py:173-184`; sorting to find extrema is

@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video as opaque binary
+  * columns with typed metadata, processed partition-parallel.
+  *
+  * The pipeline shape is the real part — `binaryFile` source (path,
+  * length, content), schema'd metadata struct, deterministic
+  * partitioning, typed `mapPartitions` batch processing (the Scala
+  * analog of `mapInPandas`: one iterator per partition so decoders can
+  * amortize per-partition init). The decode itself is a clearly-marked
+  * STUB (`decodeStub`) — the image/audio libraries are not in this
+  * container; production swaps it for javax.imageio / ffmpeg without
+  * touching the plumbing. */
+object Multimodal {
+
+  /** Typed metadata for one media file. */
+  case class MediaMeta(path: String, mediaType: String, nBytes: Long,
+                       width: Int, height: Int, nFrames: Int)
+
+  /** Extracted feature row: metadata + a fixed-width feature vector
+    * (the batch shape a downstream embedding model consumes). */
+  case class MediaFeatures(path: String, mediaType: String, width: Int,
+                           height: Int, nFrames: Int,
+                           feature: Array[Double])
+
+  /** Media-type dispatch by extension (P7 pattern). */
+  val mediaTypes: Map[String, String] = Map(
+    "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg", "png" -> "image/png",
+    "tif" -> "image/tiff", "wav" -> "audio/wav", "mp3" -> "audio/mpeg",
+    "mp4" -> "video/mp4")
+
+  /** STUB decoder — deterministic fake deriving dimensions from the
+    * byte content (no image libs in this container). Production
+    * replaces ONLY this function (e.g. `ImageIO.read`), keeping the
+    * schema, partitioning and batch shape identical. */
+  def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < math.min(bytes.length, 4096)) {
+      h = 31 * h + bytes(i); i += 1
+    }
+    val w = 16 + math.floorMod(h, 1024).toInt
+    val ht = 16 + math.floorMod(h >>> 10, 1024).toInt
+    val frames =
+      if (mediaType.startsWith("video")) 1 + math.floorMod(h >>> 20, 300).toInt
+      else 1
+    (w, ht, frames)
+  }
+
+  /** Read a directory of media files as a binary DataFrame
+    * (path, modificationTime, length, content). */
+  def readMedia(spark: SparkSession, path: String,
+                glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(path)
+
+  /** Decode + feature-extract, partition-parallel. The per-partition
+    * iterator lets real decoders reuse native contexts across files
+    * (the `mapInPandas` batch-shape analog). */
+  def extractFeatures(media: DataFrame, featureDim: Int = 8)
+  : Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("path"), col("length"), col("content"))
+      .as[(String, Long, Array[Byte])]
+      .mapPartitions { files =>
+        // per-partition init happens here (native decoder handles etc.)
+        files.map { case (path, _, bytes) =>
+          val ext = path.split('.').lastOption.getOrElse("").toLowerCase
+          val mt = mediaTypes.getOrElse(ext, "application/octet-stream")
+          val (w, h, frames) = decodeStub(mt, bytes)
+          // STUB feature: deterministic projection of the fake pixels —
+          // stands in for resize -> embed
+          val feat = Array.tabulate(featureDim) { i =>
+            val slice = if (bytes.isEmpty) 0L
+              else bytes(math.floorMod(i * 37, bytes.length)).toLong
+            (slice + i).toDouble / 256.0
+          }
+          MediaFeatures(path, mt, w, h, frames, feat)
+        }
+      }
+  }
+
+  /** Frame-sampling plan for video rows: one row per sampled frame
+    * index — the explode-on-metadata pattern that keeps per-frame work
+    * distributed without decoding on the driver. */
+  def sampleFrames(features: Dataset[MediaFeatures],
+                   everyN: Int = 30): DataFrame =
+    features.toDF()
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), greatest(col("nFrames") - 1, lit(0)),
+          lit(everyN))))
+      .select(col("path"), col("mediaType"), col("frame_idx"))
+}

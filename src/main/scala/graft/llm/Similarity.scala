@@ -62,18 +62,30 @@ object Similarity {
 
   /** Approximate top-k: bucket the corpus on `nBits` hyperplane signs,
     * join queries to their bucket, rank by exact cosine inside the
-    * bucket. Recall rises with fewer bits / multiprobe; cost falls with
-    * more bits — corpus-side work is one narrow shuffle on bucket key. */
+    * bucket. Multiprobe: each query also probes every bucket at
+    * Hamming distance 1 (query-side explode — the big corpus side
+    * never fans out), trading a small query blow-up for much higher
+    * recall. Corpus-side work stays one narrow shuffle on bucket key. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              nBits: Int = 8, idCol: String = "vec_id",
+              nBits: Int = 8, multiprobe: Boolean = true,
+              idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(nBits, dim)
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
       lshBucket(col(vecCol), planes).as("bucket"))
+    val qBucket = lshBucket(col(vecCol), planes)
+    val probes =
+      if (multiprobe)
+        array(qBucket +: (0 until nBits).map(i =>
+          qBucket.bitwiseXOR(lit(1L << i))): _*)
+      else array(qBucket)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      explode(probes).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("nn_id") =!= col("query_id"))
+      // a (query, candidate) pair can meet in several probe buckets
+      .groupBy("query_id", "nn_id")
+      .agg(first("q_vec").as("q_vec"), first("nn_vec").as("nn_vec"))
       .withColumn("sim", cosine(col("q_vec"), col("nn_vec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("nn_id"))

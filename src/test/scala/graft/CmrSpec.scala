@@ -1,0 +1,120 @@
+package graft
+
+import graft.model.PipelineEvent
+import graft.operators.{MultiAsset, StacBuilder}
+import graft.sources.Cmr
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** CMR-path golden tests — ports of
+  * `lambdas/build-stac/tests/test_cmr.py` (asset/link partitioning and
+  * generate_stac_cmrevent) plus the `multi_asset_items` docstring
+  * example from `lambdas/cmr-query/handler.py`. */
+class CmrSpec extends SparkSuite {
+
+  /** conftest.py cmr_json_example, written as a fixture file. */
+  private lazy val granulePath: String = {
+    val json =
+      """{
+        |  "boxes": ["-2.0677778 9.1694444 0.61 11.8641667"],
+        |  "time_start": "2016-02-25T00:00:00.000Z",
+        |  "updated": "2019-04-12T20:18:18.461Z",
+        |  "dataset_id": "AfriSAR UAVSAR KZ",
+        |  "data_center": "NASA_MAAP",
+        |  "title": "uavsar_AfriSAR_v1-coreg_fine_lopenp_14043_16008_140_009_160225_kz.hdr",
+        |  "time_end": "2016-02-25T23:59:59.000Z",
+        |  "id": "G1200110083-NASA_MAAP",
+        |  "original_format": "ECHO10",
+        |  "browse_flag": false,
+        |  "collection_concept_id": "C1200109243-NASA_MAAP",
+        |  "online_access_flag": false,
+        |  "links": [
+        |    {"rel": "http://esipfed.org/ns/fedsearch/1.1/s3#",
+        |     "title": "File to download", "hreflang": "en-US",
+        |     "href": "s3://nasa-maap-data-store/file-staging/nasa-map/AfriSAR_UAVSAR_KZ___1/uavsar_AfriSAR_v1-coreg_fine_lopenp_14043_16008_140_009_160225_kz.hdr"},
+        |    {"inherited": true,
+        |     "rel": "http://esipfed.org/ns/fedsearch/1.1/data#",
+        |     "hreflang": "en-US",
+        |     "href": "s3://nasa-maap-data-store/file-staging/nasa-map/AfriSAR_UAVSAR_KZ___1"},
+        |    {"inherited": true,
+        |     "rel": "http://esipfed.org/ns/fedsearch/1.1/documentation#",
+        |     "hreflang": "en-US",
+        |     "href": "https://ieeexplore.ieee.org/document/8469014"}
+        |  ]
+        |}""".stripMargin
+    val f = Files.createTempFile("granule", ".json")
+    Files.writeString(f, json)
+    f.toString
+  }
+
+  private val sampleAssets = Map(
+    "bin" -> "s3://nasa-maap-data-store/file-staging/nasa-map/AfriSAR_UAVSAR_KZ___1/uavsar_AfriSAR_v1-coreg_fine_lopenp_14043_16008_140_009_160225_kz.bin",
+    "hdr" -> "s3://nasa-maap-data-store/file-staging/nasa-map/AfriSAR_UAVSAR_KZ___1/uavsar_AfriSAR_v1-coreg_fine_lopenp_14043_16008_140_009_160225_kz.hdr",
+    "vrt" -> "s3://nasa-maap-data-store/file-staging/nasa-map/AfriSAR_UAVSAR_KZ___1/uavsar_AfriSAR_v1-coreg_fine_lopenp_14043_16008_140_009_160225_kz.vrt")
+
+  private val productId =
+    "uavsar_AfriSAR_v1-coreg_fine_lopenp_14043_16008_140_009_160225_kz"
+
+  private def event(withAssets: Boolean) = PipelineEvent(
+    collection = "AfriSAR_UAVSAR_KZ",
+    discovery = "cmr",
+    mode = Some("cmr"),
+    assetName = Some("data"),
+    assetRolesList = Some(Seq("data")),
+    assetMediaTypeScalar = Some("application/x-hdr"),
+    assets = if (withAssets) sampleAssets else Map.empty)
+
+  test("from_cmr_links: 1 link + assets partitioning (test_cmr.py:31-39)") {
+    val granules = Cmr.granulesFromJson(spark, granulePath)
+    val ev = event(withAssets = false)
+    val r = granules.select(
+      StacBuilder.cmrAssets(col("links"), ev).as("assets"),
+      StacBuilder.cmrLinks(col("links")).as("links"))
+      .collect().head
+    val assets = r.getMap[String, Any](0)
+    assert(assets.keySet == Set("data")) // s3# + dir-data# fold to one
+    assert(r.getAs[scala.collection.Seq[Any]](1).size == 1)   // documentation link only
+  }
+
+  test("generate_stac_cmrevent: 3 assets, id = product_id (test_cmr.py:6-28)") {
+    val granules = Cmr.granulesFromJson(spark, granulePath)
+    val ev = event(withAssets = true)
+    val objs = Cmr.discover(granules, ev)
+      .withColumn("product_id", lit(productId))
+    val items = StacBuilder.cmrItems(objs, granules, ev)
+    val r = items.select(col("id"), map_keys(col("assets")).as("ks"),
+      date_format(col("datetime"), "yyyy-MM-dd").as("dt"),
+      col("bbox")).collect().head
+    assert(r.getString(0) == productId)
+    assert(r.getAs[scala.collection.Seq[String]](1).sorted == Seq("bin", "hdr", "vrt"))
+    assert(r.getString(2) == "2016-02-25")
+    assert(r.getAs[scala.collection.Seq[Double]](3) ==
+      Seq(-2.0677778, 9.1694444, 0.61, 11.8641667))
+  }
+
+  test("multi_asset_items docstring example (cmr-query/handler.py:10-101)") {
+    import spark.implicits._
+    val base = "s3://nasa-maap-data-store/file-staging/nasa-map/AfriSAR_UAVSAR_KZ___1/"
+    val objs = Seq("bin", "hdr", "vrt")
+      .map(ext => base + productId + "." + ext)
+      .toDF("remote_fileurl")
+    val out = MultiAsset.attach(objs, dataFile = "hdr",
+      dataFileRegex = "uavsar_AfriSAR_v1-.*.{5}_.{5}_.{3}_.{3}_.{6}_kz")
+    val rows = out.select(col("product_id"), col("assets")).collect()
+    assert(rows.length == 1) // only the .hdr data-file row survives
+    assert(rows.head.getString(0) == productId)
+    val assets = rows.head.getMap[String, String](1)
+    assert(assets.keys.toSeq.sorted == Seq("bin", "hdr", "vrt"))
+    assert(assets("bin") == base + productId + ".bin")
+  }
+
+  test("cmr discovery link selection: s3# rel wins; mode=stac picks stac.json") {
+    val granules = Cmr.granulesFromJson(spark, granulePath)
+    val objs = Cmr.discover(granules, event(withAssets = false))
+    val urls = objs.select(col("remote_fileurl")).collect().map(_.getString(0))
+    assert(urls.toSeq == Seq(sampleAssets("hdr")))
+    val none = Cmr.discover(granules,
+      event(withAssets = false).copy(mode = Some("stac")))
+    assert(none.count() == 0) // no https .../stac.json links in fixture
+  }
+}

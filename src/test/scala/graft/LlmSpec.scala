@@ -1,0 +1,114 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, Text}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator tests: dedup recall/precision on crafted
+  * corpora, LSH ANN recall vs brute force, text metrics, multimodal
+  * plumbing. */
+class LlmSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different words about spark query engines at scale"),
+    (5L, "unrelated text mentioning parquet shuffles and broadcast joins"))
+    .toDF("doc_id", "text")
+
+  test("minhash near-dups: identical pair found at 1.0; distinct docs absent") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      threshold = 0.9, k = 3, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
+  }
+
+  test("near-identical docs (one word changed) score high but below 1") {
+    val j = Dedup.ngramJaccard(
+      Seq((1L, 3L)).toDF("id_a", "id_b"), docs, "doc_id", "text", k = 3)
+      .select("jaccard").collect().head.getDouble(0)
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  test("simhash: identical docs collide at distance 0") {
+    val dups = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dups.contains((1L, 2L)))
+  }
+
+  test("exact dedup groups by md5") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 1 && g.head.getLong(1) == 2 && g.head.getLong(2) == 1L)
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings >= 0.6") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(e, q, k = 1)
+      .select("query_id", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTopK(e, q, k = 1, dim = 64, nBits = 4)
+      .select("query_id", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = bf.count { case (qid, nn) => lsh.get(qid).contains(nn) }
+      .toDouble / bf.size
+    assert(recall >= 0.6, s"LSH top-1 recall $recall")
+  }
+
+  test("cosine of a vector with itself is ~1; orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0f, 2f), Seq(1.0f, 0f, 2f), Seq(0f, 3f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(Similarity.cosine(col("a"), col("b")),
+      Similarity.cosine(col("a"), col("c"))).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("text metrics: tokens, punct, stopwords, langId, fingerprint") {
+    val df = Seq("The quick fox, and the dog!").toDF("text")
+    val r = df.select(
+      Text.tokenCount(col("text")),
+      Text.punctCount(col("text")),
+      Text.stopwordCount(col("text")),
+      Text.langId(col("text")),
+      Text.fingerprint(col("text"))).collect().head
+    assert(r.getInt(0) == 6)
+    assert(r.getInt(1) == 2)  // comma + bang
+    assert(r.getInt(2) == 3)  // the, and, the
+    assert(r.getString(3) == "en")
+    // deterministic across evaluations
+    val again = df.select(Text.fingerprint(col("text"))).collect().head
+    assert(r.getLong(4) == again.getLong(0))
+  }
+
+  test("empty/blank text is safe") {
+    val df = Seq("", "   ").toDF("text")
+    val rows = df.select(Text.tokenCount(col("text")),
+      Text.langId(col("text"))).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 0))
+    assert(rows.map(_.getString(1)).toSeq == Seq("und", "und"))
+  }
+
+  test("multimodal plumbing: binaryFile read -> features -> frame sampling") {
+    val dir = java.nio.file.Files.createTempDirectory("media")
+    java.nio.file.Files.write(dir.resolve("a.jpg"),
+      Array.tabulate(256)(_.toByte))
+    java.nio.file.Files.write(dir.resolve("b.mp4"),
+      Array.tabulate(512)(i => (i * 7).toByte))
+    val media = Multimodal.readMedia(spark, s"file://$dir")
+    val feats = Multimodal.extractFeatures(media, featureDim = 4)
+    val rows = feats.collect().sortBy(_.path)
+    assert(rows.length == 2)
+    assert(rows.head.mediaType == "image/jpeg" && rows.head.nFrames == 1)
+    assert(rows.last.mediaType == "video/mp4" && rows.last.nFrames >= 1)
+    assert(rows.forall(_.feature.length == 4))
+    // deterministic stub: same input -> same features
+    val again = Multimodal.extractFeatures(media, featureDim = 4)
+      .collect().sortBy(_.path)
+    assert(rows.map(_.feature.toSeq) sameElements again.map(_.feature.toSeq))
+    val frames = Multimodal.sampleFrames(feats, everyN = 30)
+    assert(frames.count() >= 2)
+  }
+}

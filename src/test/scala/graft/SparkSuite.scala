@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM, one session). */
+object SparkSuite {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", 4)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("graft-tests")
+    .getOrCreate()
+}
+
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSuite.session
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

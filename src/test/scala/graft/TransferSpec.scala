@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Transfer
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** K2/J3 — port of the reference transfer test
+  * (`lambdas/data-transfer/tests/test_handler.py:4-24`): key layout
+  * `{directory|file-staging}/{collection}/{filename}`, byte equality,
+  * payload rewrite — against the local filesystem. */
+class TransferSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("copy: key layout + byte equality + url rewrite (reference golden)") {
+    val src = Files.createTempDirectory("xfer-src")
+    val dst = Files.createTempDirectory("xfer-dst")
+    val data = "test-object".getBytes
+    Files.write(src.resolve("test-key"), data)
+
+    // directory explicitly empty, like the reference test event
+    val objs = Seq(1).toDF("i").select(
+      lit("test_collection").as("collection"),
+      lit(s"file://$src/test-key").as("remote_fileurl"),
+      lit(true).as("upload"),
+      lit(false).as("user_shared"),
+      lit(false).as("cogify"),
+      map(lit("directory"), lit("")).as("extra"))
+
+    val planned = Transfer.plan(objs, s"file://$dst")
+    val out = Transfer.execute(planned).collect().head
+    val url = out.getString(out.fieldIndex("remote_fileurl"))
+    assert(url == s"file://$dst/test_collection/test-key")
+    val copied = Paths.get(s"$dst/test_collection/test-key")
+    assert(Files.exists(copied))
+    assert(Files.readAllBytes(copied).toSeq == data.toSeq)
+  }
+
+  test("default directory is file-staging; eligibility skips cogify/no-upload") {
+    val objs = Seq(
+      ("s3://b/k/f1.tif", true, false),   // upload, no cogify -> copy
+      ("s3://b/k/f2.tif", true, true),    // cogify handles its own upload
+      ("s3://b/k/f3.tif", false, false))  // no upload
+      .toDF("remote_fileurl", "upload", "cogify")
+      .withColumn("collection", lit("c"))
+      .withColumn("user_shared", lit(false))
+      .withColumn("extra", lit(null).cast("map<string,string>"))
+    val planned = Transfer.plan(objs, "s3://dst")
+    val rows = planned.select("remote_fileurl", "transfer_eligible",
+      "target_url").collect()
+    val byUrl = rows.map(r => r.getString(0) ->
+      (r.getBoolean(1), Option(r.getString(2)))).toMap
+    assert(byUrl("s3://b/k/f1.tif") ==
+      (true, Some("s3://dst/file-staging/c/f1.tif")))
+    assert(byUrl("s3://b/k/f2.tif")._1 == false)
+    assert(byUrl("s3://b/k/f3.tif")._1 == false)
+  }
+
+  test("user_shared routes to the shared bucket") {
+    val objs = Seq(("s3://b/f.tif", true)).toDF("remote_fileurl", "user_shared")
+      .withColumn("collection", lit("c"))
+      .withColumn("upload", lit(true))
+      .withColumn("cogify", lit(false))
+      .withColumn("extra", lit(null).cast("map<string,string>"))
+    val planned = Transfer.plan(objs, "s3://main", Some("s3://shared"))
+    assert(planned.select("target_url").collect().head.getString(0) ==
+      "s3://shared/file-staging/c/f.tif")
+  }
+
+  test("skipExisting drops rows whose target key already exists (J3)") {
+    val objs = Seq("s3://b/p/a.tif", "s3://b/p/b.tif")
+      .toDF("remote_fileurl")
+      .withColumn("collection", lit("c"))
+      .withColumn("upload", lit(true))
+      .withColumn("cogify", lit(false))
+      .withColumn("user_shared", lit(false))
+      .withColumn("extra", lit(null).cast("map<string,string>"))
+    val planned = Transfer.plan(objs, "s3://dst")
+    val existing = Seq("file-staging/c/a.tif").toDF("key")
+    val left = Transfer.skipExisting(planned, existing)
+      .select("remote_fileurl").collect().map(_.getString(0))
+    assert(left.toSeq == Seq("s3://b/p/b.tif"))
+  }
+}
