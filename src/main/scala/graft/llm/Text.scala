@@ -26,10 +26,10 @@ object Text {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
 
   def digitCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[0-9]"), lit(0)))
+    length(text) - length(regexp_replace(text, "[0-9]", ""))
 
   /** Occurrences of a constant marker substring — computed by length
     * difference so an ANSI-SQL oracle can reproduce it exactly. */
