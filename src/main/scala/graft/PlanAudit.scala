@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for the load-bearing queries so scan
+  * pruning / join strategies / shuffle counts can be audited
+  * (`sbt "runMain graft.PlanAudit" > plans.txt`). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val targets = Seq("q_j2_broadcast_dims", "q_j1_multi_asset",
+      "q_minhash_near_dups", "q_stac_regex_items", "q_stac_cmr_items",
+      "q_ann_top1", "q_p1_regex_filter", "q_a5_cumulative_cap")
+    targets.foreach { name =>
+      println(s"\n========== $name ==========")
+      println(SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

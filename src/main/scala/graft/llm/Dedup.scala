@@ -108,10 +108,17 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, numHashes: Int = 128,
                         bands: Int = 32,
-                        maxBucketSize: Int = 1000): DataFrame = {
-    val withSig = docs
-      .select(col(idCol).as("doc_id"),
-        minhashSignature(shingleHashes(col(textCol), k), numHashes).as("sig"))
+                        maxBucketSize: Int = 1000): DataFrame =
+    candidatesFromSignatures(
+      docs.select(col(idCol).as("doc_id"),
+        minhashSignature(shingleHashes(col(textCol), k), numHashes)
+          .as("sig")),
+      numHashes, bands, maxBucketSize)
+
+  /** LSH candidate generation from a precomputed (doc_id, sig) frame. */
+  def candidatesFromSignatures(withSig: DataFrame, numHashes: Int,
+                               bands: Int,
+                               maxBucketSize: Int): DataFrame = {
     val banded = withSig
       .select(col("doc_id"), col("sig"),
         explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
@@ -152,15 +159,30 @@ object Dedup {
   }
 
   /** Near-dup pairs above a Jaccard threshold: LSH candidates verified
-    * with exact shingle Jaccard. */
+    * with exact shingle Jaccard. The shingle frame feeds three plan
+    * branches (signature + both sides of the verify join), so it is
+    * persisted for the run — at cluster scale this is a
+    * MEMORY_AND_DISK materialization of (id, shingle hashes), the
+    * standard LSH-join shape (Spark MLlib's MinHashLSH does the same). */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, k: Int = 5,
-                     numHashes: Int = 128, bands: Int = 32): DataFrame =
-    ngramJaccard(
-      minhashCandidates(docs, idCol, textCol, k, numHashes, bands),
-      docs, idCol, textCol, k)
+                     numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val sh = docs.select(col(idCol).as("jid"),
+      shingleHashes(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withSig = sh.select(col("jid").as("doc_id"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    val pairs = candidatesFromSignatures(withSig, numHashes, bands,
+      maxBucketSize = 1000)
+    pairs
+      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
 
   /** 64-bit SimHash over normalized word hashes: bit j of the result is
     * the sign of the sum over tokens of ±1 for that token-hash bit.

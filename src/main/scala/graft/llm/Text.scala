@@ -32,9 +32,11 @@ object Text {
     length(text) - length(regexp_replace(text, "[0-9]", ""))
 
   /** Occurrences of a constant marker substring — computed by length
-    * difference so an ANSI-SQL oracle can reproduce it exactly. */
+    * difference (literal replace, no regex) so an ANSI-SQL oracle can
+    * reproduce it exactly. */
   def substringCount(text: Column, marker: String): Column =
-    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(marker), ""))) / marker.length).cast("int")
+    ((length(text) - length(replace(text, lit(marker), lit("")))) /
+      marker.length).cast("int")
 
   /** Punctuation density in [0, 1]. */
   def punctRatio(text: Column): Column =

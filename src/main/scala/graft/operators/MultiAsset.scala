@@ -42,7 +42,11 @@ object MultiAsset {
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("asset_name"), col("href"))))).as("sibling_assets"))
     matched.drop("assets")
-      .join(groups, "product_id")
+      // the groups side has the same cardinality class as the input
+      // (one row per product) — never broadcast-safe at scale; pin a
+      // shuffled hash join on product_id so AQE can't pick a
+      // borderline broadcast of a map-valued relation
+      .join(groups.hint("shuffle_hash"), "product_id")
       // residual of the reference's `.*{product_id}.*{data_file}` filter
       .filter(regexp_like(col("remote_fileurl"),
         concat(lit(".*"), col("product_id"), lit(s".*$dataFile"))))
