@@ -36,4 +36,55 @@ class StreamingSpec extends SparkSuite {
       assert(Files.exists(java.nio.file.Paths.get(catalog, "collection=sc")))
     } finally q.stop()
   }
+
+  test("watermarked tumbling windows over a streaming event source") {
+    import graft.streaming.EventWindows
+    import org.apache.spark.sql.types._
+    val inDir = Files.createTempDirectory("ev-in").toString
+    val outCkpt = Files.createTempDirectory("ev-ckpt").toString
+    // three files -> three micro-batches (maxFilesPerTrigger=1): the
+    // watermark a batch uses comes from the PREVIOUS batch, so the
+    // 10:00-11:00 click window is emitted while processing batch 3
+    // (batch 2's 11:20 event advanced the watermark past 11:00)
+    val files = Seq(
+      "ev1.json" ->
+        """{"ts":"2024-01-01T10:05:00Z","event_type":"click","value":2.0}
+          |{"ts":"2024-01-01T10:55:00Z","event_type":"click","value":3.0}
+          |""".stripMargin,
+      "ev2.json" ->
+        """{"ts":"2024-01-01T11:20:00Z","event_type":"view","value":1.0}
+          |""".stripMargin,
+      "ev3.json" ->
+        """{"ts":"2024-01-01T12:30:00Z","event_type":"view","value":1.0}
+          |""".stripMargin)
+    files.zipWithIndex.foreach { case ((name, content), i) =>
+      val p = java.nio.file.Paths.get(inDir, name)
+      Files.writeString(p, content)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000))
+    }
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(inDir)
+    assert(stream.isStreaming)
+    val windowed = EventWindows.tumbling(stream, "1 hour", "10 minutes")
+    val q = windowed.writeStream
+      .format("memory").queryName("ev_windows")
+      .outputMode("append")
+      .option("checkpointLocation", outCkpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    // append mode emits only watermark-closed windows: the click
+    // 10:00-11:00 window (n=2, total=5) and the view 11:00-12:00
+    // window (n=1); the 12:00 window holding the 12:30 event is still
+    // open and therefore absent
+    val rows = spark.sql(
+      "SELECT event_type, n, total FROM ev_windows ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("click", 2L, 5.0), ("view", 1L, 1.0)))
+  }
 }
