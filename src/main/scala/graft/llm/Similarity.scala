@@ -94,6 +94,51 @@ object Similarity {
       .select("query_id", "nn_id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN — the scale path for clustered corpora:
+    * a KMeans codebook (trained once, on a sample at 100 TB scale)
+    * partitions the corpus into `nCentroids` cells; each query probes
+    * its `nProbe` nearest cells, so the search join is a cell-id
+    * equi-join touching ~nProbe/nCentroids of the corpus.
+    *
+    * Corpus-side work: one ML assignment pass + one shuffle on cell id.
+    * Query-side: distances to the (broadcast-literal) codebook, probe
+    * explode, rank by exact cosine inside probed cells. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c0 = corpus.select(col(idCol).as("nn_id"),
+      asDouble(col(vecCol)).as("nn_vec"))
+      .withColumn("fv", array_to_vector(col("nn_vec")))
+    val model = new KMeans().setK(nCentroids).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(c0.select("fv"))
+    val cells = model.transform(c0).drop("fv")
+    // codebook as a literal: array<struct<cid, centroid>>
+    val codebook = typedlit(model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) })
+    val q0 = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("q_vec"))
+    // nProbe nearest cells per query (negative dot = proxy distance
+    // for normalized embeddings; exact cosine re-ranks inside cells)
+    val scoredCells = transform(codebook, e => struct(
+      (lit(0.0) - dot(col("q_vec"), e.getField("_2"))).as("d"),
+      e.getField("_1").as("cid")))
+    val probes = slice(array_sort(scoredCells), 1, nProbe)
+    val q = q0.select(col("query_id"), col("q_vec"),
+      explode(transform(probes, _.getField("cid"))).as("cell"))
+    val scored = cells.join(q, Seq("cell"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("nn_vec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (near-identical vectors collide in all-bit buckets with
     * high probability). */

@@ -57,6 +57,20 @@ class LlmSpec extends SparkSuite {
     assert(recall >= 0.6, s"LSH top-1 recall $recall")
   }
 
+  test("IVF ANN recall vs brute force on real embeddings >= 0.8") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(e, q, k = 1)
+      .select("query_id", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(e, q, k = 1, nCentroids = 8, nProbe = 3)
+      .select("query_id", "nn_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = bf.count { case (qid, nn) => ivf.get(qid).contains(nn) }
+      .toDouble / bf.size
+    assert(recall >= 0.8, s"IVF top-1 recall $recall")
+  }
+
   test("cosine of a vector with itself is ~1; orthogonal is 0") {
     val df = Seq((Seq(1.0f, 0f, 2f), Seq(1.0f, 0f, 2f), Seq(0f, 3f, 0f)))
       .toDF("a", "b", "c")

