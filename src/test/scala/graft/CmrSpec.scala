@@ -108,6 +108,31 @@ class CmrSpec extends SparkSuite {
     assert(assets("bin") == base + productId + ".bin")
   }
 
+  test("endswith('data#') quirk: metadata# links also hit the data-asset branch") {
+    // Python: "…/metadata#".endswith("data#") is True — a metadata link
+    // that arrives FIRST becomes the data asset AND a metadata link
+    // (stac.py:270-289). The fold preserves this exactly.
+    import spark.implicits._
+    val links = Seq(Tuple1(Seq(
+      ("http://esipfed.org/ns/fedsearch/1.1/metadata#",
+        "https://x/meta.xml", "application/xml", "Meta", "en-US", false))))
+      .toDF("raw")
+      .select(transform(col("raw"), t => struct(
+        t.getField("_1").as("rel"), t.getField("_2").as("href"),
+        t.getField("_3").as("type"), t.getField("_4").as("title"),
+        t.getField("_5").as("hreflang"),
+        t.getField("_6").as("inherited"))).as("links"))
+    val ev = event(withAssets = false)
+    val r = links.select(
+      StacBuilder.cmrAssets(col("links"), ev).as("assets"),
+      StacBuilder.cmrLinks(col("links")).as("ls")).collect().head
+    val assets = r.getMap[String, org.apache.spark.sql.Row](0)
+    assert(assets.keySet == Set("data"))
+    assert(assets("data").getString(0) == "https://x/meta.xml")
+    assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+      .map(_.getString(0)) == Seq("metadata"))
+  }
+
   test("cmr discovery link selection: s3# rel wins; mode=stac picks stac.json") {
     val granules = Cmr.granulesFromJson(spark, granulePath)
     val objs = Cmr.discover(granules, event(withAssets = false))
