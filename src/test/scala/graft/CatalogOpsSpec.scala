@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.CatalogOps
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Catalog management: list/get/delete over the partitioned table,
+  * delete touching only affected partitions. */
+class CatalogOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("summary, get, and partition-scoped delete") {
+    val path = Files.createTempDirectory("catops").toString + "/t"
+    val items = Seq(
+      ("a", "i1", "2020-01-01"), ("a", "i2", "2020-06-01"),
+      ("b", "i3", "2021-01-01"))
+      .toDF("collection", "id", "d")
+      .withColumn("datetime", to_timestamp(col("d"))).drop("d")
+      .withColumn("start_datetime", lit(null).cast("timestamp"))
+      .withColumn("end_datetime", lit(null).cast("timestamp"))
+    items.write.partitionBy("collection").parquet(path)
+
+    val sum = CatalogOps.summary(spark, path).collect()
+    assert(sum.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+
+    assert(CatalogOps.get(spark, path, Seq("i2", "i3")).count() == 2)
+
+    // capture partition b's files before the delete
+    val bFiles = new java.io.File(s"$path/collection=b").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val removed = CatalogOps.delete(spark, path, Seq("i1"))
+    assert(removed == 1)
+    val left = spark.read.parquet(path).select("id").collect()
+      .map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("i2", "i3"))
+    // partition b was untouched by the rewrite
+    val bAfter = new java.io.File(s"$path/collection=b").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(bAfter == bFiles, "unaffected partition was rewritten")
+  }
+}
