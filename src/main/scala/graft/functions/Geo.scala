@@ -11,14 +11,14 @@ object Geo {
     * (reference `stac.py:164-170`). An odd trailing token is dropped,
     * exactly like `zip(a, a)`. */
   def pairwise(tokens: Column): Column = {
-    val nPairs = floor(size(tokens) / 2).cast("int")
-    when(nPairs >= 1,
-      transform(
-        sequence(lit(0), nPairs - 1),
-        i => array(
-          element_at(tokens, i * 2 + 1).cast("double"),
-          element_at(tokens, i * 2 + 2).cast("double"))))
-      .otherwise(array().cast("array<array<double>>"))
+    // even/odd split + zip (truncated to the shorter side) — indexing
+    // the outer array inside a transform lambda would re-evaluate the
+    // token pipeline per element (see Dedup.shingleHashes)
+    val xs = filter(tokens, (_, i) => i % 2 === 0)
+    val ys = filter(tokens, (_, i) => i % 2 === 1)
+    val zipped = zip_with(xs, ys,
+      (a, b) => array(a.cast("double"), b.cast("double")))
+    slice(zipped, lit(1), size(ys))
   }
 
   /** G2 `get_bbox`: coords (array of [x,y]) → [minx, miny, maxx, maxy]
