@@ -78,6 +78,24 @@ object LlmQueries {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Greedy near-dup removal over the original corpus: survivors are
+    * docs never appearing as the higher id of a >= 0.9 Jaccard pair. */
+  def dedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+      threshold = 0.9, k = 5, numHashes = 64, bands = 16)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  /** Full cleaning pipeline: quality gate + exact dedup + near-dup
+    * removal (rows-only: the quality decile + LSH combination is
+    * exercised against the per-stage oracles instead). */
+  def cleanCorpus(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Clean.corpus(t(s, dir, "documents"), "doc_id", "text",
+      graft.llm.Clean.Config(minTokens = 5, nearDupThreshold = 0.9,
+        numHashes = 64, bands = 16))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** SimHash near-dup candidates (rows-only: hamming buckets are not
     * ANSI-SQL-expressible). */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame =

@@ -66,6 +66,8 @@ object SparkEntry {
     "q_dedup_exact_stats"    -> (LlmQueries.dedupExactStats _),
     "q_dedup_exact_groups"   -> (LlmQueries.dedupExactGroups _),
     "q_minhash_near_dups"    -> (LlmQueries.minhashNearDups _),
+    "q_dedup_keep"           -> (LlmQueries.dedupKeep _),
+    "q_clean_corpus"         -> (LlmQueries.cleanCorpus _),
     "q_simhash_near_dups"    -> (LlmQueries.simhashNearDups _),
     "q_ngram_jaccard"        -> (LlmQueries.ngramJaccardPairs _),
     "q_ann_top1"             -> (LlmQueries.annBruteForceTop1 _),
@@ -386,6 +388,27 @@ object SparkEntry {
         |  UNION ALL SELECT ib, ia + 100000, j FROM px
         |  UNION ALL SELECT ia + 100000, ib + 100000, j FROM px)
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_keep" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 3),
+        |        i -> array_to_string(ws[i:i+4], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM w),
+        |px AS (
+        |  SELECT b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT ib FROM px)
+        |ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id,

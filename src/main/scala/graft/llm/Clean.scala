@@ -1,0 +1,51 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-call corpus cleaning — the C4/Gopher-style pipeline a
+  * training-data run applies before tokenization:
+  * quality filter → language filter → exact dedup → near-dup removal.
+  *
+  * Every stage is a deterministic DataFrame transform; the near-dup
+  * stage is the banded-LSH path (no all-pairs anywhere), so the whole
+  * pipeline is two keyed shuffles regardless of corpus size. */
+object Clean {
+
+  case class Config(
+      minTokens: Int = 5,
+      maxTokens: Int = 1000000,
+      minStopwordDecile: Int = 0,
+      langs: Option[Seq[String]] = None,     // None = keep all
+      nearDupThreshold: Double = 0.9,
+      shingleK: Int = 5,
+      numHashes: Int = 128,
+      bands: Int = 32)
+
+  /** Token/stopword-based keep predicate (quality gate). */
+  def qualityKeep(text: Column, cfg: Config): Column = {
+    val tc = Text.tokenCount(text)
+    val decile = floor((Text.stopwordCount(text) * 10).cast("double") / tc)
+    tc.between(cfg.minTokens, cfg.maxTokens) &&
+      (decile >= cfg.minStopwordDecile)
+  }
+
+  /** Run the full pipeline; returns the cleaned corpus (same schema). */
+  def corpus(docs: DataFrame, idCol: String, textCol: String,
+             cfg: Config = Config(),
+             langCol: Option[String] = None): DataFrame = {
+    var d = docs.filter(qualityKeep(col(textCol), cfg))
+    (cfg.langs, langCol) match {
+      case (Some(ls), Some(lc)) => d = d.filter(col(lc).isin(ls: _*))
+      case _ =>
+    }
+    // exact dedup: keep the smallest id per identical text
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Dedup.exactKey(col(textCol))).orderBy(col(idCol))
+    d = d.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // near-dup removal (greedy keep-lowest-id)
+    Dedup.dropNearDuplicates(d, idCol, textCol, cfg.nearDupThreshold,
+      cfg.shingleK, cfg.numHashes, cfg.bands)
+  }
+}

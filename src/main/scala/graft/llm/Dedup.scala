@@ -184,6 +184,57 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Greedy near-dup removal policy: from each near-dup pair
+    * (id_a < id_b), the higher id is dropped. Deterministic, no
+    * clustering pass — the standard cheap keep-first policy for
+    * training-data dedup. Returns the surviving docs. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.9, k: Int = 5,
+                         numHashes: Int = 128, bands: Int = 32)
+  : DataFrame = {
+    val losers = nearDuplicates(docs, idCol, textCol, threshold, k,
+      numHashes, bands)
+      .select(col("id_b").as("__loser")).distinct()
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** Connected components over a near-dup pair set by iterative
+    * min-label propagation: component = smallest doc id reachable.
+    * Near-dup clusters have tiny diameter, so this converges in a few
+    * iterations; at extreme scale swap in the large-star/small-star
+    * algorithm — the interface (pairs in, (id, component) out) stays.
+    * Returns ONLY ids that appear in some pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("id"),
+        least(col("src"), col("m")).as("component"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "nbr"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nbr").as("nbrMin"))
+        .join(labels, "id")
+        .select(col("id"),
+          least(col("component"), col("nbrMin")).as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over normalized word hashes: bit j of the result is
     * the sign of the sum over tokens of ±1 for that token-hash bit.
     * Pure per-row columnar fold — no shuffle. */

@@ -38,6 +38,30 @@ class LlmSpec extends SparkSuite {
     assert(dups.contains((1L, 2L)))
   }
 
+  test("dropNearDuplicates keeps the lowest id of each pair") {
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text",
+      threshold = 0.9, k = 3, numHashes = 64, bands = 16)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L)) // doc 2 == doc 1, dropped
+  }
+
+  test("connectedComponents: min-label over a chain and a separate pair") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("Clean.corpus: quality gate + exact + near-dup removal") {
+    val withJunk = docs.unionByName(
+      Seq((6L, "tiny")).toDF("doc_id", "text")) // fails minTokens
+    val cleaned = graft.llm.Clean.corpus(withJunk, "doc_id", "text",
+      graft.llm.Clean.Config(minTokens = 5, nearDupThreshold = 0.9,
+        shingleK = 3, numHashes = 64, bands = 16))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(cleaned.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("exact dedup groups by md5") {
     val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
     assert(g.length == 1 && g.head.getLong(1) == 2 && g.head.getLong(2) == 1L)
