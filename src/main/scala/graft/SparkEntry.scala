@@ -237,8 +237,8 @@ object SparkEntry {
         |  CAST(5 AS INT) AS ring_n
         |FROM events ORDER BY event_id""".stripMargin,
     "q_t1_event_windows" ->
-      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
-        |  CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      s"""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+        |  ${Tables.moneySumSql("value")} AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_t2_dlq_classify" ->
       """SELECT event_type,
