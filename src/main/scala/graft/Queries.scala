@@ -122,6 +122,18 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** F1 via the native codegen'd [[graft.expr.ExtractDatesExpr]] —
+    * must hash-match the same oracle as the declarative cascade. */
+  def f1DatesNative(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val dt = call_function("extract_dates",
+      orderFname(col("o_orderdate")), lit("month"))
+    t(s, dir, "orders").select(col("o_orderkey"),
+      dt.getField("start_datetime").as("start_datetime"),
+      dt.getField("end_datetime").as("end_datetime"))
+      .orderBy("o_orderkey")
+  }
+
   /** F2 — item_id via id_regex (two capture groups joined with "-"). */
   def f2ItemIdRegex(s: SparkSession, dir: String): DataFrame = {
     val url = concat(lit("s3://"), col("p_brand"), lit("/"),

@@ -27,6 +27,7 @@ object SparkEntry {
     "q_f1_dates_single"      -> (Queries.f1DatesSingle _),
     "q_f1_dates_month"       -> (Queries.f1DatesMonth _),
     "q_f1_dates_range"       -> (Queries.f1DatesRange _),
+    "q_f1_dates_native"      -> (Queries.f1DatesNative _),
     "q_f2_item_id_regex"     -> (Queries.f2ItemIdRegex _),
     "q_f2_item_id_stem"      -> (Queries.f2ItemIdStem _),
     "q_f4_url_parse"         -> (Queries.f4UrlParse _),
@@ -112,6 +113,11 @@ object SparkEntry {
       """SELECT o_orderkey, date_trunc('day', o_orderdate) AS single_datetime
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_f1_dates_month" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS start_datetime,
+        |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS end_datetime
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_f1_dates_native" ->
       """SELECT o_orderkey,
         |  date_trunc('month', o_orderdate) AS start_datetime,
         |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS end_datetime
