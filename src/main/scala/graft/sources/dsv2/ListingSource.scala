@@ -1,0 +1,165 @@
+package graft.sources.dsv2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, StringContains, StringEndsWith, StringStartsWith}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** S1 as a DataSource V2 table with real filter pushdown (SURVEY §4's
+  * optional item): a partition-parallel object-store LISTING source —
+  * rows are (path, length, modificationTime), never file contents.
+  *
+  * Scale shape: the root's first-level entries become input partitions
+  * (one executor task per subtree), so enumerating a 100 TB bucket
+  * fans out instead of looping on the driver like the reference's
+  * `list_objects_v2` pagination (`s3-discovery/handler.py:32-83`).
+  * String predicates on `path` (startsWith / endsWith / contains) push
+  * into the enumerator and drop entries before they ever become rows.
+  *
+  * Usage: `spark.read.format("graft-listing").load(rootPath)`.
+  */
+class ListingSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-listing"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ListingSource.schema
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ListingTable(properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("graft-listing requires a path")))
+}
+
+object ListingSource {
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("length", LongType, nullable = false),
+    StructField("modificationTime", TimestampType, nullable = false)))
+
+  /** Pushable path predicates → a serializable matcher. */
+  def matcher(filters: Array[Filter]): String => Boolean = {
+    val preds = filters.toSeq.collect {
+      case StringStartsWith("path", v) => (p: String) => p.startsWith(v)
+      case StringEndsWith("path", v) => (p: String) => p.endsWith(v)
+      case StringContains("path", v) => (p: String) => p.contains(v)
+    }
+    p => preds.forall(_(p))
+  }
+
+  def isPushable(f: Filter): Boolean = f match {
+    case StringStartsWith("path", _) | StringEndsWith("path", _) |
+         StringContains("path", _) => true
+    case _ => false
+  }
+}
+
+class ListingTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-listing($root)"
+  override def schema(): StructType = ListingSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ListingScanBuilder(root)
+}
+
+class ListingScanBuilder(root: String)
+  extends ScanBuilder with SupportsPushDownFilters {
+
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition(ListingSource.isPushable)
+    pushed = accepted
+    rejected // Spark re-applies these above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new ListingScan(root, pushed)
+}
+
+case class ListingPartition(dir: String, recursive: Boolean)
+  extends InputPartition
+
+class ListingScan(root: String, pushed: Array[Filter])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = ListingSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-listing root=$root PushedFilters=[${pushed.mkString(", ")}]"
+
+  /** One partition per first-level subtree + one for root-level files. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p)
+    val subdirs = entries.filter(_.isDirectory)
+      .map(d => ListingPartition(d.getPath.toString, recursive = true))
+    (subdirs :+ ListingPartition(root, recursive = false))
+      .toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new ListingReaderFactory(
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      pushed)
+  }
+}
+
+class ListingReaderFactory(conf: SerializableConfiguration,
+                           pushed: Array[Filter])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val lp = partition.asInstanceOf[ListingPartition]
+    new ListingReader(lp, conf, ListingSource.matcher(pushed))
+  }
+}
+
+class ListingReader(part: ListingPartition,
+                    conf: SerializableConfiguration,
+                    keep: String => Boolean)
+  extends PartitionReader[InternalRow] {
+
+  private val path = new Path(part.dir)
+  private val fs = path.getFileSystem(conf.value)
+  private val iter: Iterator[org.apache.hadoop.fs.FileStatus] =
+    if (part.recursive) {
+      val it = fs.listFiles(path, true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+    } else {
+      // root partition: only direct (non-dir) children — subtrees are
+      // other partitions
+      fs.listStatus(path).iterator.filter(_.isFile)
+    }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && iter.hasNext) {
+      val s = iter.next()
+      val p = s.getPath.toString
+      if (s.isFile && keep(p))
+        current = InternalRow(UTF8String.fromString(p), s.getLen,
+          s.getModificationTime * 1000L)
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
