@@ -80,19 +80,18 @@ object Discovery {
   }
 
   /** S1 listing scan (reference `s3-discovery/handler.py:32-83`):
-    * partition-parallel enumeration of `bucket/prefix` via the
-    * `binaryFile` source with column pruning — only (path, length,
-    * modificationTime) are read, never content, so this is a pure
-    * distributed listing that survives 100 TB buckets (no driver-side
-    * `list_objects_v2` loop). */
+    * partition-parallel enumeration of `bucket/prefix` via the DSv2
+    * `graft-listing` source ([[graft.sources.dsv2.ListingSource]]) —
+    * one input partition per first-level subtree, path-predicate
+    * pushdown into the enumerator, and only (path, length,
+    * modificationTime) ever materialize. No driver-side
+    * `list_objects_v2` loop, no content reads — the shape that
+    * survives 100 TB buckets. */
   def listing(spark: SparkSession, ev: PipelineEvent): DataFrame = {
     val bucket = ev.bucket.getOrElse(
       throw new IllegalArgumentException("s3 discovery requires bucket"))
     val root = s"$bucket/${ev.prefix}".stripSuffix("/")
-    val raw = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(root)
-      .select(col("path"), col("length"), col("modificationTime"))
+    val raw = spark.read.format("graft-listing").load(root)
     // the reference matches the regex against the KEY (path inside the
     // bucket), not the full url (`s3-discovery/handler.py:65-66`)
     val key = regexp_replace(col("path"), "^file:/*|^[A-Za-z0-9+.-]+://[^/]+/", "")
