@@ -28,10 +28,13 @@ object MultiAsset {
       .withColumn("product_id", when(pid =!= "", pid))
     val matched = withPid.filter(col("product_id").isNotNull)
     // asset_name: everything after the product id (+ one optional
-    // [-_.] separator) — dynamic per-row pattern, exactly the
-    // reference's re.sub (`cmr-query/handler.py:82-83`).
+    // [-_.] separator) — the reference interpolates the extracted id
+    // into a per-row pattern (`cmr-query/handler.py:82-83`); since the
+    // id IS the dataFileRegex match, substituting the generic pattern
+    // is equivalent whenever it matches once per url (every shipped
+    // config) and lets the regex compile once instead of per row.
     val assetName = regexp_replace(col("remote_fileurl"),
-      concat(lit(".*"), col("product_id"), lit("[-_.]?")), lit(""))
+      s".*$dataFileRegex[-_.]?", "")
     val groups = matched
       .select(col("product_id"), assetName.as("asset_name"),
         col("remote_fileurl").as("href"))
@@ -47,9 +50,9 @@ object MultiAsset {
       // shuffled hash join on product_id so AQE can't pick a
       // borderline broadcast of a map-valued relation
       .join(groups.hint("shuffle_hash"), "product_id")
-      // residual of the reference's `.*{product_id}.*{data_file}` filter
-      .filter(regexp_like(col("remote_fileurl"),
-        concat(lit(".*"), col("product_id"), lit(s".*$dataFile"))))
+      // residual of the reference's `.*{product_id}.*{data_file}`
+      // filter — same single-match substitution, static pattern
+      .filter(col("remote_fileurl").rlike(s".*$dataFileRegex.*$dataFile"))
       .withColumnRenamed("sibling_assets", "assets")
   }
 }
