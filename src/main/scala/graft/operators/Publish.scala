@@ -61,8 +61,9 @@ object Publish {
       iter.map { j =>
         var attempt = 0
         var done = false
+        var permanent = false
         var err: String = null
-        while (!done && attempt < maxAttempts) {
+        while (!done && !permanent && attempt < maxAttempts) {
           attempt += 1
           try { submitter.submit(j); done = true; err = null }
           catch {
@@ -72,7 +73,7 @@ object Publish {
                 Thread.sleep(retryDelayMs)
             case e: Exception => // permanent: no retry (T4)
               err = e.getMessage
-              attempt = maxAttempts
+              permanent = true
           }
         }
         SubmitResult(j, done, attempt, err)

@@ -124,12 +124,10 @@ object StacBuilder {
     val evAssets = eventAssets(ev)
     // `dict(stac_record.assets | pystac_assets)` — config/row assets win
     // over the default (`stac.py:75-86`).
-    val overlays = Seq(evAssets, rowAssets).map(a => coalesce(a,
-      lit(null).cast(
-        "map<string,struct<href:string,media_type:string,roles:array<string>>>")))
-    val mergedAssets = overlays.foldLeft(defaultAsset) { (acc, a) =>
-      when(a.isNotNull, rightBiasedSortedMerge(acc, a)).otherwise(acc)
-    }
+    val mergedAssets = Seq(evAssets, rowAssets)
+      .foldLeft(defaultAsset) { (acc, a) =>
+        when(a.isNotNull, rightBiasedSortedMerge(acc, a)).otherwise(acc)
+      }
     objs.select(
       Ids.itemId(url, ev.idRegex, col("product_id")).as("id"),
       col("collection"),

@@ -43,7 +43,7 @@ class PublicationSpec extends SparkSuite {
     }
     val res2 = Publish.toApi(items, PermanentSubmitter, maxAttempts = 5)
       .collect()
-    assert(!res2.head.ok && res2.head.attempts == 5) // marked exhausted
+    assert(!res2.head.ok && res2.head.attempts == 1) // no retry burned
   }
 
   test("dry-run sink submits nothing (K6)") {
