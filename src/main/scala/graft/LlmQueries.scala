@@ -87,8 +87,9 @@ object LlmQueries {
       .orderBy("doc_id")
 
   /** Full cleaning pipeline: quality gate + exact dedup + near-dup
-    * removal (rows-only: the quality decile + LSH combination is
-    * exercised against the per-stage oracles instead). */
+    * removal, oracle-checked end to end (the DuckDB oracle replays the
+    * same stage order: token gate, then true-Jaccard pair drop over
+    * the survivors). */
   def cleanCorpus(s: SparkSession, dir: String): DataFrame =
     graft.llm.Clean.corpus(t(s, dir, "documents"), "doc_id", "text",
       graft.llm.Clean.Config(minTokens = 5, nearDupThreshold = 0.9,

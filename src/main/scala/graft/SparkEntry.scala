@@ -394,6 +394,31 @@ object SparkEntry {
         |  UNION ALL SELECT ib, ia + 100000, j FROM px
         |  UNION ALL SELECT ia + 100000, ib + 100000, j FROM px)
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_clean_corpus" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+'))
+        |    BETWEEN 5 AND 1000000),
+        |w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 3),
+        |        i -> array_to_string(ws[i:i+4], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM w),
+        |px AS (
+        |  SELECT b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9)
+        |SELECT doc_id, lang FROM base
+        |WHERE doc_id NOT IN (SELECT ib FROM px)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_keep" ->
       """WITH w AS (
         |  SELECT doc_id,
