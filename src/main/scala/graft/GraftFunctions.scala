@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.ExtractDatesExpr
+import graft.expr.{CmrGeometryExpr, ExtractDatesExpr, GeometryBboxExpr, MinhashSigExpr, ShingleHashesExpr, SimhashExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -26,11 +26,43 @@ object GraftFunctions {
       s"extract_dates expects 1 or 2 arguments, got ${other.size}")
   }
 
+  private def arity2(name: String, mk: (Expression, Expression) => Expression)
+  : Seq[Expression] => Expression = {
+    case Seq(a, b) => mk(a, b)
+    case other => throw new IllegalArgumentException(
+      s"$name expects 2 arguments, got ${other.size}")
+  }
+
   private val registrations = Seq(
     (FunctionIdentifier("extract_dates"),
       new ExpressionInfo(classOf[ExtractDatesExpr].getName,
         "extract_dates"),
-      extractDatesBuilder))
+      extractDatesBuilder),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName,
+        "shingle_hashes"),
+      arity2("shingle_hashes", ShingleHashesExpr.apply)),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
+      arity2("minhash_sig", MinhashSigExpr.apply)),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash64"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "simhash64 expects 1 argument")
+        SimhashExpr(exprs.head)
+      }),
+    (FunctionIdentifier("cmr_geometry"),
+      new ExpressionInfo(classOf[CmrGeometryExpr].getName, "cmr_geometry"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 3, "cmr_geometry expects 3 arguments")
+        CmrGeometryExpr(exprs(0), exprs(1), exprs(2))
+      }),
+    (FunctionIdentifier("geometry_bbox"),
+      new ExpressionInfo(classOf[GeometryBboxExpr].getName, "geometry_bbox"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "geometry_bbox expects 1 argument")
+        GeometryBboxExpr(exprs.head)
+      }))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

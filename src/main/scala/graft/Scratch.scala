@@ -1,40 +1,29 @@
 package graft
 
-import graft.llm.Dedup
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev scratchpad for profiling individual pipeline stages. */
+/** Dev scratchpad: profile selected SparkEntry queries at a given SF.
+  * Usage: runMain graft.Scratch [sfDir] [query ...] (default: hot set) */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "q_minhash_near_dups", "q_j1_multi_asset", "q_clean_corpus",
+      "q_stac_cmr_items", "q_dedup_keep", "q_g1_geometry", "q_text_stats",
+      "q_f1_dates_range", "q_a5_cumulative_cap", "q_t1_event_windows")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    val d = Tables.t(spark, dir, "documents").select("doc_id", "text")
-    val docs = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
-      col("text")))
-    def time(name: String)(f: => Long): Unit = {
+    names.foreach { n =>
       val t0 = System.nanoTime()
-      val n = f
-      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  n=$n")
+      val c = SparkEntry.queries(n)(spark, dir).count()
+      println(f"$n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  n=$c")
     }
-    time("shingles")(docs.select(Dedup.shingles(col("text"), 5).as("sh"))
-      .agg(sum(size(col("sh")))).collect().head.getLong(0))
-    time("shingleHashes")(docs.select(
-      Dedup.shingleHashes(col("text"), 5).as("h"))
-      .agg(sum(size(col("h")))).collect().head.getLong(0))
-    time("signature")(docs.select(
-      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 5), 64).as("s"))
-      .agg(sum(size(col("s")))).collect().head.getLong(0))
-    time("candidates")(Dedup.minhashCandidates(docs, "doc_id", "text",
-      5, 64, 16).count())
-    time("nearDuplicates")(Dedup.nearDuplicates(docs, "doc_id", "text",
-      0.9, 5, 64, 16).count())
     spark.stop()
   }
 }

@@ -16,6 +16,7 @@ object Tables {
     * (spark.sql.legacy.parquet.nanosAsLong) — convert back to a
     * microsecond timestamp with exact integer arithmetic. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftFunctions.register(s) // graft SQL functions ride along everywhere
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.dataType == org.apache.spark.sql.types.LongType &&

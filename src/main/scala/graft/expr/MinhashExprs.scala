@@ -1,0 +1,249 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native evaluators for the text-dedup hot path (shingle hashing,
+  * MinHash signatures, SimHash). Semantics are IDENTICAL to the
+  * declarative higher-order-function forms in [[graft.llm.Dedup]]
+  * (kept there as `*Hof` for the equivalence spec) — but Spark's HOFs
+  * (`transform`/`aggregate`/`zip_with`) evaluate interpreted with boxed
+  * per-element lambdas, which made them ~10x the cost of these tight
+  * primitive loops on the sf0.1 corpus.
+  *
+  * Tokenization mirrors `Text.words(Text.normalize(text))`:
+  * `split(trim(collapse_ws(lower(trim(text)))), "\\s+")` with Spark's
+  * UTF8String trim/toLowerCase, so byte-identical word boundaries.
+  * Word hash = Spark's `xxhash64` (seed 42) over the word's UTF-8
+  * bytes; k-shingle hash = Horner fold with M = 1000003 (wrap-around
+  * Long arithmetic), distinct preserving first occurrence.
+  */
+object MinhashCore extends Serializable {
+
+  val M = 1000003L
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+
+  /** Normalized word-hash array; [""]-semantics for blank text (one
+    * empty word, exactly like split on an empty string). */
+  def wordHashes(text: UTF8String): Array[Long] = {
+    val s = WS.matcher(text.trim().toLowerCase().toString).replaceAll(" ")
+    val t = s.trim()
+    val words = t.split(" ", -1)
+    val out = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      out(i) = XxHash64Function.hash(
+        UTF8String.fromString(words(i)), StringType, 42L)
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct k-shingle Horner hashes; whole-text fold when fewer than
+    * k words. */
+  def shingleHashes(text: UTF8String, k: Int): GenericArrayData = {
+    val w = wordHashes(text)
+    val n = w.length
+    if (n < k) {
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc = acc * M + w(i); i += 1 }
+      new GenericArrayData(Array[Any](acc))
+    } else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i <= n - k) {
+        var acc = w(i)
+        var j = 1
+        while (j < k) { acc = acc * M + w(i + j); j += 1 }
+        seen.add(acc)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var p = 0
+      while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Deterministic affine permutation constants (seed 42) — the single
+    * source of truth shared with [[graft.llm.Dedup]]. */
+  def perms(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  def permArrays(n: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(n, { m =>
+      val ps = perms(m)
+      (ps.map(_._1).toArray, ps.map(_._2).toArray)
+    })
+
+  /** MinHash signature: per permutation i, min over shingle hashes of
+    * `a_i*h + b_i` (wrap-around). */
+  def minhashSig(hashes: ArrayData, numHashes: Int): GenericArrayData = {
+    val (as, bs) = permArrays(numHashes)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = h * as(j) + bs(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig.map(x => x: Any))
+  }
+
+  /** 64-bit SimHash: bit j set when the sum over token hashes of
+    * ±1 (bit j of the hash) is positive. */
+  def simhash(text: UTF8String): Long = {
+    val w = wordHashes(text)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < w.length) {
+      val h = w(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+}
+
+/** `shingle_hashes(text, k)` → array<long>. */
+case class ShingleHashesExpr(text: Expression, k: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = k
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = text.nullable
+
+  private lazy val kVal: Int = k.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"shingle_hashes k must be a constant integer, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null
+    else MinhashCore.shingleHashes(t.asInstanceOf[UTF8String], kVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val t = text.genCode(ctx)
+    val core = ctx.addReferenceObj("minhashCore", MinhashCore,
+      MinhashCore.getClass.getName)
+    val kv = kVal
+    ev.copy(code =
+      code"""
+        ${t.code}
+        boolean ${ev.isNull} = ${t.isNull};
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $core.shingleHashes(${t.value}, $kv);
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, k = newRight)
+}
+
+/** `minhash_sig(hashes, n)` → array<long> (n running minima). */
+case class MinhashSigExpr(hashes: Expression, n: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = hashes
+  override def right: Expression = n
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = hashes.nullable
+
+  private lazy val nVal: Int = n.eval(null) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig n must be a constant integer, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val h = hashes.eval(input)
+    if (h == null) null
+    else MinhashCore.minhashSig(h.asInstanceOf[ArrayData], nVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val h = hashes.genCode(ctx)
+    val core = ctx.addReferenceObj("minhashCore", MinhashCore,
+      MinhashCore.getClass.getName)
+    val nv = nVal
+    ev.copy(code =
+      code"""
+        ${h.code}
+        boolean ${ev.isNull} = ${h.isNull};
+        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $core.minhashSig(${h.value}, $nv);
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(hashes = newLeft, n = newRight)
+}
+
+/** `simhash64(text)` → long. */
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null
+    else MinhashCore.simhash(t.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val t = child.genCode(ctx)
+    val core = ctx.addReferenceObj("minhashCore", MinhashCore,
+      MinhashCore.getClass.getName)
+    ev.copy(code =
+      code"""
+        ${t.code}
+        boolean ${ev.isNull} = ${t.isNull};
+        long ${ev.value} = 0L;
+        if (!${ev.isNull}) {
+          ${ev.value} = $core.simhash(${t.value});
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

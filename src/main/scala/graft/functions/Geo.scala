@@ -46,12 +46,19 @@ object Geo {
   /** G1 `generate_geometry_from_cmr` (reference `stac.py:187-206`):
     * `polygons[0][0]` tokens (optionally reversed, F8) else `boxes[0]`
     * tokens → GeoJSON Polygon struct; NULL when neither present.
+    * Native [[graft.expr.CmrGeometryExpr]] — the HOF form below is the
+    * equivalence-spec reference.
     *
     * @param polygons `array<array<string>>` CMR polygons
     * @param boxes    `array<string>` CMR boxes
     */
   def cmrGeometry(polygons: Column, boxes: Column,
-                  reverseCoords: Column): Column = {
+                  reverseCoords: Column): Column =
+    call_function("cmr_geometry", polygons, boxes, reverseCoords)
+
+  /** Declarative HOF twin of [[cmrGeometry]] (spec reference only). */
+  def cmrGeometryHof(polygons: Column, boxes: Column,
+                     reverseCoords: Column): Column = {
     val polyTokens = split(trim(element_at(element_at(polygons, 1), 1)), "\\s+")
     val tokens =
       when(polygons.isNotNull && size(polygons) > 0,
@@ -65,7 +72,12 @@ object Geo {
       struct(array(ring).as("coordinates"), lit("Polygon").as("type")))
   }
 
-  /** bbox of a Polygon geometry struct produced by [[cmrGeometry]]. */
+  /** bbox of a Polygon geometry struct produced by [[cmrGeometry]] —
+    * native [[graft.expr.GeometryBboxExpr]]. */
   def geometryBbox(geometry: Column): Column =
+    call_function("geometry_bbox", geometry)
+
+  /** Declarative HOF twin of [[geometryBbox]] (spec reference only). */
+  def geometryBboxHof(geometry: Column): Column =
     when(geometry.isNotNull, bbox(element_at(geometry.getField("coordinates"), 1)))
 }

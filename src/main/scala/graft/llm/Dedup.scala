@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** The native dedup expressions resolve through the session function
+    * registry — make sure they're registered before analysis. */
+  private def reg(df: DataFrame): DataFrame = {
+    graft.GraftFunctions.register(df.sparkSession); df
+  }
+
   /** Exact-dup key: md5 hex of the raw text (DuckDB-reproducible). */
   def exactKey(text: Column): Column = md5(text.cast("binary"))
 
@@ -33,13 +39,17 @@ object Dedup {
     .otherwise(array(array_join(ws, " ")))
   }
 
-  /** Shingle hash set (array<long>) — the MinHash input.
-    *
-    * Computed numerically: word-level xxhash64 then a k-term polynomial
-    * combine — no "w1 w2 w3" string materialization (measured ~3x
-    * faster than hashing joined strings). Set semantics (distinct)
-    * match [[shingles]] up to 64-bit collisions (~2^-40 per doc pair). */
-  def shingleHashes(text: Column, k: Int): Column = {
+  /** Shingle hash set (array<long>) — the MinHash input. Word-level
+    * xxhash64 then a k-term polynomial combine, evaluated by the native
+    * [[graft.expr.ShingleHashesExpr]] (HOF evaluation is interpreted
+    * and was ~10x slower; [[shingleHashesHof]] keeps the declarative
+    * form for the equivalence spec). Set semantics (distinct) match
+    * [[shingles]] up to 64-bit collisions (~2^-40 per doc pair). */
+  def shingleHashes(text: Column, k: Int): Column =
+    call_function("shingle_hashes", text, lit(k))
+
+  /** Declarative HOF twin of [[shingleHashes]] (spec reference only). */
+  def shingleHashesHof(text: Column, k: Int): Column = {
     val w = transform(Text.words(Text.normalize(text)), x => xxhash64(x))
     val n = size(w)
     val M = lit(1000003L)
@@ -56,20 +66,21 @@ object Dedup {
   }
 
   /** Deterministic affine permutation constants (seed 42). */
-  private[llm] def perms(n: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(n)((rnd.nextLong() | 1L, rnd.nextLong()))
-  }
+  private[llm] def perms(n: Int): Seq[(Long, Long)] =
+    graft.expr.MinhashCore.perms(n)
 
   /** MinHash signature: for each permutation i, min over shingle hashes
-    * of `a_i*h + b_i` (64-bit wrap-around arithmetic).
-    *
-    * Implemented as ONE fold over the hash array with an
-    * `array<long>` accumulator (numHashes running minima) — the naive
-    * `numHashes x array_min(transform(...))` form re-evaluates the
-    * whole shingle pipeline per permutation (no CSE inside a
-    * projection), which measured ~60x slower. */
-  def minhashSignature(hashes: Column, numHashes: Int): Column = {
+    * of `a_i*h + b_i` (64-bit wrap-around arithmetic) — native
+    * [[graft.expr.MinhashSigExpr]]. */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    call_function("minhash_sig", hashes, lit(numHashes))
+
+  /** Declarative HOF twin of [[minhashSignature]] (spec reference only):
+    * ONE fold over the hash array with an `array<long>` accumulator —
+    * the naive `numHashes x array_min(transform(...))` form
+    * re-evaluates the whole shingle pipeline per permutation (no CSE
+    * inside a projection), which measured ~60x slower. */
+  def minhashSignatureHof(hashes: Column, numHashes: Int): Column = {
     val ps = typedlit(perms(numHashes))  // array<struct<_1:a, _2:b>>
     val init = typedlit(Seq.fill(numHashes)(Long.MaxValue))
     aggregate(hashes, init, (acc, h) =>
@@ -110,7 +121,7 @@ object Dedup {
                         bands: Int = 32,
                         maxBucketSize: Int = 1000): DataFrame =
     candidatesFromSignatures(
-      docs.select(col(idCol).as("doc_id"),
+      reg(docs).select(col(idCol).as("doc_id"),
         minhashSignature(shingleHashes(col(textCol), k), numHashes)
           .as("sig")),
       numHashes, bands, maxBucketSize)
@@ -147,7 +158,7 @@ object Dedup {
     * |A∩B| / |A∪B|. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, k: Int = 5): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"),
+    val sh = reg(docs).select(col(idCol).as("jid"),
       shingleHashes(col(textCol), k).as("sh"))
     pairs
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -161,27 +172,33 @@ object Dedup {
   /** Near-dup pairs above a Jaccard threshold: LSH candidates verified
     * with exact shingle Jaccard. The shingle frame feeds three plan
     * branches (signature + both sides of the verify join), so it is
-    * persisted for the run — at cluster scale this is a
-    * MEMORY_AND_DISK materialization of (id, shingle hashes), the
-    * standard LSH-join shape (Spark MLlib's MinHashLSH does the same). */
+    * persisted for the computation — a MEMORY_AND_DISK materialization
+    * of (id, shingle hashes), the standard LSH-join shape (Spark
+    * MLlib's MinHashLSH does the same) — and unpersisted before
+    * returning: the result (the pair set, tiny next to the corpus) is
+    * eagerly materialized via `localCheckpoint`, so no cached corpus
+    * frame leaks into the session. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, k: Int = 5,
                      numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"),
+    val sh = reg(docs).select(col(idCol).as("jid"),
       shingleHashes(col(textCol), k).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = sh.select(col("jid").as("doc_id"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
-    val pairs = candidatesFromSignatures(withSig, numHashes, bands,
-      maxBucketSize = 1000)
-    pairs
-      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    try {
+      val withSig = sh.select(col("jid").as("doc_id"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
+      val pairs = candidatesFromSignatures(withSig, numHashes, bands,
+        maxBucketSize = 1000)
+      pairs
+        .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   /** Greedy near-dup removal policy: from each near-dup pair
@@ -237,8 +254,11 @@ object Dedup {
 
   /** 64-bit SimHash over normalized word hashes: bit j of the result is
     * the sign of the sum over tokens of ±1 for that token-hash bit.
-    * Pure per-row columnar fold — no shuffle. */
-  def simhash(text: Column): Column = {
+    * Pure per-row work, no shuffle — native [[graft.expr.SimhashExpr]]. */
+  def simhash(text: Column): Column = call_function("simhash64", text)
+
+  /** Declarative HOF twin of [[simhash]] (spec reference only). */
+  def simhashHof(text: Column): Column = {
     val hs = transform(Text.words(Text.normalize(text)), w => xxhash64(w))
     // ONE fold with a 64-wide vote accumulator (a per-bit fold would
     // re-evaluate the token-hash pipeline 64x — same trap as the
@@ -262,7 +282,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
+    val sh = reg(docs).select(col(idCol).as("doc_id"),
       simhash(col(textCol)).as("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>

@@ -32,35 +32,48 @@ object CatalogOps {
     read(spark, catalogPath).filter(col("id").isin(ids: _*))
 
   /** `ingest delete` analog: remove items by id, rewriting only the
-    * partitions that contain them. */
+    * partitions that contain them.
+    *
+    * The surviving rows of every affected collection are STAGED to a
+    * temp directory first (never a read-then-overwrite of the same
+    * path), then each affected partition directory is explicitly
+    * deleted and replaced by its staged rewrite — a collection whose
+    * items are ALL deleted simply gets no replacement, so its old
+    * files go away too (dynamic partition overwrite would have left
+    * them: it only rewrites partitions present in the written data). */
   def delete(spark: SparkSession, catalogPath: String,
              ids: Seq[String]): Long = {
+    import org.apache.hadoop.fs.Path
     val catalog = read(spark, catalogPath)
+    // affected partition dirs = parents of the files holding target ids
+    // (names come from the filesystem, so partition-value escaping is
+    // whatever Spark wrote — no re-encoding on our side).
+    val affectedDirs = catalog.filter(col("id").isin(ids: _*))
+      .select(input_file_name()).distinct()
+      .collect().map(r => new Path(r.getString(0)).getParent)
+      .distinct
+    if (affectedDirs.isEmpty) return 0L
     val affected = catalog.filter(col("id").isin(ids: _*))
       .select("collection").distinct()
-      .collect().map(_.getString(0))
-    if (affected.isEmpty) return 0L
-    val before = catalog
-      .filter(col("collection").isin(affected.toIndexedSeq: _*)).count()
-    val remaining = catalog
-      .filter(col("collection").isin(affected.toIndexedSeq: _*))
-      .filter(!col("id").isin(ids: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE overwriting the files the plan reads from
+      .collect().map(_.getString(0)).toIndexedSeq
+    val inAffected = catalog.filter(col("collection").isin(affected: _*))
+    val before = inAffected.count()
+    val remaining = inAffected.filter(!col("id").isin(ids: _*))
     val after = remaining.count()
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try remaining.write.mode(SaveMode.Overwrite)
-      .partitionBy("collection").parquet(catalogPath)
-    finally {
-      remaining.unpersist()
-      prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    val catPath = new Path(catalogPath)
+    val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(catPath.getParent,
+      s".${catPath.getName}_delete_staging_${java.util.UUID.randomUUID()}")
+    try {
+      // stage BEFORE touching the files the plan reads from
+      remaining.write.mode(SaveMode.Overwrite)
+        .partitionBy("collection").parquet(tmp.toString)
+      affectedDirs.foreach(dir => fs.delete(dir, true))
+      fs.listStatus(tmp).filter(_.getPath.getName.startsWith("collection="))
+        .foreach { st =>
+          fs.rename(st.getPath, new Path(catPath, st.getPath.getName))
+        }
+    } finally fs.delete(tmp, true)
     before - after
   }
 }

@@ -22,6 +22,29 @@ import org.apache.spark.sql.functions._
   * side Catalyst broadcasts automatically. */
 object MultiAsset {
 
+  /** If `pattern` is a literal modulo escapes (no unescaped regex
+    * metacharacters, escapes only of punctuation), return the literal
+    * string it matches — used to prefilter with a codegen'd `contains`
+    * before the real regex runs (measured ~7 s of the sf0.1 J1 query
+    * was plain rlike backtracking over rows that a substring test
+    * rejects for free). */
+  private[operators] def literalOf(pattern: String): Option[String] = {
+    val meta = ".[](){}*+?^$|"
+    val sb = new StringBuilder
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      if (c == '\\') {
+        if (i + 1 >= pattern.length) return None
+        val e = pattern.charAt(i + 1)
+        if (Character.isLetterOrDigit(e)) return None // \d, \w, \1, ...
+        sb.append(e); i += 2
+      } else if (meta.indexOf(c) >= 0) return None
+      else { sb.append(c); i += 1 }
+    }
+    Some(sb.toString)
+  }
+
   def attach(objs: DataFrame, dataFile: String, dataFileRegex: String): DataFrame = {
     val pid = regexp_extract(col("remote_fileurl"), dataFileRegex, 0)
     val withPid = objs
@@ -44,15 +67,25 @@ object MultiAsset {
       .groupBy("product_id")
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("asset_name"), col("href"))))).as("sibling_assets"))
+    // residual of the reference's `.*{product_id}.*{data_file}` match —
+    // same single-match substitution, static pattern. rlike is an
+    // unanchored find, so the reference's leading `.*` (re.match) is
+    // dropped; when data_file is literal-modulo-escapes a substring
+    // test rejects most rows before the regex engine ever runs.
+    val residual = col("remote_fileurl").rlike(s"$dataFileRegex.*$dataFile")
+    val dataFilter = literalOf(dataFile) match {
+      case Some(lit0) => col("remote_fileurl").contains(lit0) && residual
+      case None => residual
+    }
     matched.drop("assets")
+      // applied BEFORE the join: only data-file rows need sibling maps,
+      // so the probe side shrinks from |files| to |products|
+      .filter(dataFilter)
       // the groups side has the same cardinality class as the input
       // (one row per product) — never broadcast-safe at scale; pin a
       // shuffled hash join on product_id so AQE can't pick a
       // borderline broadcast of a map-valued relation
       .join(groups.hint("shuffle_hash"), "product_id")
-      // residual of the reference's `.*{product_id}.*{data_file}`
-      // filter — same single-match substitution, static pattern
-      .filter(col("remote_fileurl").rlike(s".*$dataFileRegex.*$dataFile"))
       .withColumnRenamed("sibling_assets", "assets")
   }
 }

@@ -88,9 +88,12 @@ object StacBuilder {
     *
     * Rows where no date can be extracted get `datetime_error = true`
     * (the reference raises; callers route these to the DLQ, T2). */
-  def regexItems(objs: DataFrame, ev: PipelineEvent): DataFrame = {
-    val url = col("remote_fileurl")
-    val dt = (ev.startDatetime, ev.endDatetime, ev.singleDatetime) match {
+  /** The start/end/single datetime struct for a file_obj row: event
+    * overrides else the F1 cascade over `remote_fileurl`; NULL when no
+    * date is extractable (the reference's raise — callers route those
+    * rows to retry/DLQ). */
+  def datetimes(ev: PipelineEvent): Column =
+    (ev.startDatetime, ev.endDatetime, ev.singleDatetime) match {
       case (Some(s), Some(e), _) =>
         struct(lit(s).cast("timestamp").as("start_datetime"),
           lit(e).cast("timestamp").as("end_datetime"),
@@ -99,8 +102,12 @@ object StacBuilder {
         struct(lit(null).cast("timestamp").as("start_datetime"),
           lit(null).cast("timestamp").as("end_datetime"),
           lit(si).cast("timestamp").as("single_datetime"))
-      case _ => Dates.extractDates(url, ev.datetimeRange)
+      case _ => Dates.extractDates(col("remote_fileurl"), ev.datetimeRange)
     }
+
+  def regexItems(objs: DataFrame, ev: PipelineEvent): DataFrame = {
+    val url = col("remote_fileurl")
+    val dt = datetimes(ev)
     val start = dt.getField("start_datetime")
     val end = dt.getField("end_datetime")
     val single = dt.getField("single_datetime")
@@ -111,8 +118,14 @@ object StacBuilder {
     val rangeProps = map(
       lit("start_datetime"), Dates.stacDatetime(start),
       lit("end_datetime"), Dates.stacDatetime(end))
+    // right-biased like the reference's dict update (`stac.py:143-147`):
+    // extracted datetimes overwrite pre-existing keys instead of hitting
+    // map_concat's duplicate-key exception.
     val props = when(start.isNotNull && end.isNotNull,
-        map_concat(coalesce(baseProps, map()), rangeProps))
+        map_concat(
+          map_filter(coalesce(baseProps, map()),
+            (k, _) => k =!= "start_datetime" && k =!= "end_datetime"),
+          rangeProps))
       .otherwise(baseProps)
     val defaultAsset = map(
       lit(ev.assetName.getOrElse("cog_default")),

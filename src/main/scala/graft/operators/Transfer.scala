@@ -27,9 +27,13 @@ object Transfer {
 
   /** Eligibility (`handler.py:35`): skip when
     * `(upload && cogify) || !upload` — i.e. copy only plain uploads
-    * (cogify handles its own upload). */
-  def eligible: Column =
-    !((col("upload") && col("cogify")) || !coalesce(col("upload"), lit(false)))
+    * (cogify handles its own upload). NULL flags read as false (the
+    * reference's falsy semantics), so the result is never NULL. */
+  def eligible: Column = {
+    val up = coalesce(col("upload"), lit(false))
+    val cog = coalesce(col("cogify"), lit(false))
+    !((up && cog) || !up)
+  }
 
   /** Annotate file_objs with transfer plan columns: `transfer_eligible`,
     * `target_key`, `target_url` (user_shared routes to the shared
@@ -78,7 +82,8 @@ object Transfer {
     val tgtIdx = schema.fieldIndex("target_url")
     val out = planned.mapPartitions { rows =>
       rows.map { row =>
-        if (row.getBoolean(eligIdx) && !row.isNullAt(tgtIdx)) {
+        if (!row.isNullAt(eligIdx) && row.getBoolean(eligIdx) &&
+            !row.isNullAt(tgtIdx)) {
           val src = new org.apache.hadoop.fs.Path(row.getString(urlIdx))
           val dst = new org.apache.hadoop.fs.Path(row.getString(tgtIdx))
           val srcFs = src.getFileSystem(hadoopConf.value)

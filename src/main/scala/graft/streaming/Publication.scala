@@ -37,32 +37,30 @@ object Publication {
       .start()
   }
 
-  /** One micro-batch: build items; good rows append to the catalog,
-    * failed rows re-enqueue with attempt+1 until `maxAttempts`, then
-    * quarantine. Exposed for deterministic single-batch tests. */
+  /** One micro-batch: good rows build items appended to the catalog,
+    * failed rows (no extractable datetime) re-enqueue with attempt+1
+    * until `maxAttempts`, then quarantine. The failure flag is computed
+    * directly on the batch — no re-derivation join, so rows whose
+    * item_id is NULL (id_regex matched 0 or >1 times) still reach the
+    * retry/quarantine path. Exposed for deterministic tests. */
   def processBatch(batch: DataFrame, ev: PipelineEvent, inDir: String,
                    catalogDir: String, quarantineDir: String,
                    maxAttempts: Int): Unit = {
     if (batch.isEmpty) return
-    val items = StacBuilder.regexItems(batch, ev).cache()
-    try {
-      items.filter(!col("datetime_error"))
+    val failFlag = StacBuilder.datetimes(ev).isNull
+    val good = batch.filter(!failFlag)
+    if (!good.isEmpty)
+      StacBuilder.regexItems(good, ev)
         .drop("datetime_error")
         .write.mode(SaveMode.Append).partitionBy("collection")
         .parquet(catalogDir)
-      val failedIds = items.filter(col("datetime_error"))
-        .select(col("id")).distinct()
-      val failed = batch.join(failedIds,
-        graft.functions.Ids.itemId(col("remote_fileurl"), ev.idRegex,
-          col("product_id")) === failedIds("id"))
-        .drop("id")
-        .withColumn("attempt", coalesce(col("attempt"), lit(0)) + 1)
-      val (dead, retry) = (failed.filter(col("attempt") >= maxAttempts),
-        failed.filter(col("attempt") < maxAttempts))
-      if (!dead.isEmpty)
-        dead.write.mode(SaveMode.Append).json(quarantineDir)
-      if (!retry.isEmpty)
-        retry.write.mode(SaveMode.Append).json(inDir)
-    } finally items.unpersist()
+    val failed = batch.filter(failFlag)
+      .withColumn("attempt", coalesce(col("attempt"), lit(0)) + 1)
+    val (dead, retry) = (failed.filter(col("attempt") >= maxAttempts),
+      failed.filter(col("attempt") < maxAttempts))
+    if (!dead.isEmpty)
+      dead.write.mode(SaveMode.Append).json(quarantineDir)
+    if (!retry.isEmpty)
+      retry.write.mode(SaveMode.Append).json(inDir)
   }
 }

@@ -38,5 +38,15 @@ class CatalogOpsSpec extends SparkSuite {
     val bAfter = new java.io.File(s"$path/collection=b").listFiles()
       .map(f => f.getName -> f.lastModified()).toMap
     assert(bAfter == bFiles, "unaffected partition was rewritten")
+
+    // deleting EVERY item of a collection must remove its partition
+    // files too (dynamic partition overwrite would have left them)
+    val removedAll = CatalogOps.delete(spark, path, Seq("i2"))
+    assert(removedAll == 1)
+    val leftAll = spark.read.parquet(path).select("id").collect()
+      .map(_.getString(0)).toSeq
+    assert(leftAll == Seq("i3"))
+    assert(!new java.io.File(s"$path/collection=a").exists(),
+      "emptied partition directory still present after delete")
   }
 }

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.Geo
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+
+/** The native Catalyst expressions (shingle_hashes / minhash_sig /
+  * simhash64 / cmr_geometry / geometry_bbox) must be bit-identical to
+  * their declarative HOF twins — the HOF forms are the executable spec
+  * of the semantics; the natives exist purely for speed. */
+class NativeExprSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "The quick brown fox jumps over the lazy dog",
+    "the  quick\tbrown\nfox", // whitespace runs + tabs/newlines
+    "", " ", "\t \n", // blank-ish edge cases
+    "one", "one two", "one two three four", // below shingle size k=5
+    "ÄÖÜ Straße ÉCOLE naïve ΣΟΦΙΑ", // unicode lowercasing
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "dup dup dup dup dup dup dup dup") // repeated shingles -> distinct
+
+  test("shingle_hashes / minhash_sig / simhash64 match HOF twins") {
+    val df = texts.toDF("text")
+    for (k <- Seq(1, 3, 5)) {
+      val rows = df.select(
+        Dedup.shingleHashes(col("text"), k).as("nat"),
+        Dedup.shingleHashesHof(col("text"), k).as("hof")).collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"shingle mismatch k=$k text='$t'")
+      }
+    }
+    for (n <- Seq(16, 64)) {
+      val rows = df.select(
+        Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 5), n).as("nat"),
+        Dedup.minhashSignatureHof(Dedup.shingleHashesHof(col("text"), 5), n)
+          .as("hof")).collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"signature mismatch n=$n text='$t'")
+      }
+    }
+    val sims = df.select(Dedup.simhash(col("text")).as("nat"),
+      Dedup.simhashHof(col("text")).as("hof")).collect()
+    sims.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"simhash mismatch text='$t'")
+    }
+  }
+
+  test("shingle_hashes matches HOF on the real documents table") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val bad = docs.select(
+      Dedup.shingleHashes(col("text"), 5).as("nat"),
+      Dedup.shingleHashesHof(col("text"), 5).as("hof"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 5), 64).as("nsig"),
+      Dedup.minhashSignatureHof(Dedup.shingleHashesHof(col("text"), 5), 64).as("hsig"))
+      .filter(col("nat") =!= col("hof") || col("nsig") =!= col("hsig"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("cmr_geometry / geometry_bbox match HOF twins") {
+    val cases = Seq(
+      // (polygons, boxes, reverse)
+      (Seq(Seq("0 0 0 10 10 10 10 0 0 0")), null, false),
+      (Seq(Seq("1 2 3 4 5 6 1 2")), null, true), // reversed lat-lon
+      (null, Seq("-10 -20 30 40"), false), // box -> closed 5-pt ring
+      (null, Seq("1.5 2.5 3.5 4.5"), true), // reverse ignored for boxes
+      (null, Seq(" 7  8   9 10 "), false), // ragged whitespace
+      (Seq(Seq("1 2 3")), null, false), // odd token dropped
+      (null, null, false)) // neither -> NULL geometry
+      .toDF("polygons", "boxes", "reverse")
+    val rows = cases.select(
+      Geo.cmrGeometry(col("polygons"), col("boxes"), col("reverse")).as("nat"),
+      Geo.cmrGeometryHof(col("polygons"), col("boxes"), col("reverse")).as("hof"),
+      Geo.geometryBbox(
+        Geo.cmrGeometry(col("polygons"), col("boxes"), col("reverse")))
+        .as("nbb"),
+      Geo.geometryBboxHof(
+        Geo.cmrGeometryHof(col("polygons"), col("boxes"), col("reverse")))
+        .as("hbb")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.get(0) == r.get(1), s"geometry mismatch case $i")
+      assert(r.get(2) == r.get(3), s"bbox mismatch case $i")
+    }
+  }
+}

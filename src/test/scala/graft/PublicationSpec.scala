@@ -79,4 +79,36 @@ class PublicationSpec extends SparkSuite {
     val dead = spark.read.json(dlq)
     assert(dead.count() == 1)
   }
+
+  test("pre-existing start/end_datetime props are overwritten, not an error") {
+    val ev = PipelineEvent(collection = "c")
+    val row = objs("s3://b/f_2020-01-01_2020-02-01.tif")
+      .withColumn("properties", map(
+        lit("start_datetime"), lit("STALE"), lit("other"), lit("kept")))
+    val props = StacBuilder.regexItems(row, ev).select("properties")
+      .collect().head.getMap[String, String](0)
+    assert(props("other") == "kept")
+    assert(props("start_datetime") == "2020-01-01T00:00:00Z")
+    assert(props("end_datetime") == "2020-02-01T00:00:00Z")
+  }
+
+  test("failed rows with NULL item_id still reach retry, not dropped") {
+    // id_regex matches nothing -> itemId is NULL for every row; the
+    // undateable row must still be re-enqueued (ADVICE r2 regression).
+    val ev = PipelineEvent(collection = "c",
+      idRegex = Some("NEVER-MATCHES-(\\d{99})"))
+    val inDir = Files.createTempDirectory("in2").toString
+    val catalog = Files.createTempDirectory("cat2").toString + "/t"
+    val dlq = Files.createTempDirectory("dlq2").toString + "/q"
+    val batch = objs("s3://b/good_2020.tif", "s3://b/nodate.tif")
+    Publication.processBatch(batch, ev, inDir, catalog, dlq,
+      maxAttempts = 2)
+    // dateable row landed (with NULL id), undateable row re-enqueued
+    assert(spark.read.parquet(catalog).count() == 1)
+    val retry = spark.read.schema(graft.model.Schemas.fileObj).json(inDir)
+    val r = retry.collect()
+    assert(r.length == 1 &&
+      r.head.getString(r.head.fieldIndex("remote_fileurl"))
+        == "s3://b/nodate.tif")
+  }
 }

@@ -20,6 +20,7 @@ trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkSuite.session
     s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
     s
   }
 }

@@ -55,6 +55,28 @@ class TransferSpec extends SparkSuite {
     assert(byUrl("s3://b/k/f3.tif")._1 == false)
   }
 
+  test("NULL cogify/upload flags read as false — plan and execute survive") {
+    val src = Files.createTempDirectory("xfer-src2")
+    Files.write(src.resolve("n.tif"), "x".getBytes)
+    val objs = Seq(
+      (s"file://$src/n.tif", Some(true), None: Option[Boolean]), // cogify NULL
+      (s"file://$src/n.tif", None: Option[Boolean], Some(true))) // upload NULL
+      .toDF("remote_fileurl", "upload", "cogify")
+      .withColumn("collection", lit("c"))
+      .withColumn("user_shared", lit(null).cast("boolean"))
+      .withColumn("extra", lit(null).cast("map<string,string>"))
+    val dst = Files.createTempDirectory("xfer-dst2")
+    val planned = Transfer.plan(objs, s"file://$dst")
+    val elig = planned.select("transfer_eligible").collect()
+      .map(r => r.isNullAt(0) -> (!r.isNullAt(0) && r.getBoolean(0)))
+    assert(elig.forall(!_._1), "transfer_eligible must never be NULL")
+    assert(elig.map(_._2).toSeq == Seq(true, false))
+    // the NULL-cogify row is eligible and copies without NPE
+    val out = Transfer.execute(planned).collect()
+    assert(out.length == 2)
+    assert(Files.exists(Paths.get(s"$dst/file-staging/c/n.tif")))
+  }
+
   test("user_shared routes to the shared bucket") {
     val objs = Seq(("s3://b/f.tif", true)).toDF("remote_fileurl", "user_shared")
       .withColumn("collection", lit("c"))
