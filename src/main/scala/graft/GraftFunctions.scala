@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, ExtractDatesExpr, GeometryBboxExpr, MinhashSigExpr, ShingleHashesExpr, SimhashExpr}
+import graft.expr.{CmrGeometryExpr, CosineSimExpr, ExtractDatesExpr, GeometryBboxExpr, LshBucketExpr, MinhashSigExpr, ShingleHashesExpr, SimhashExpr, VecDotExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -62,6 +62,18 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.size == 1, "geometry_bbox expects 1 argument")
         GeometryBboxExpr(exprs.head)
+      }),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
+      arity2("vec_dot", VecDotExpr.apply)),
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      arity2("cosine_sim", CosineSimExpr.apply)),
+    (FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 3, "lsh_bucket expects 3 arguments")
+        LshBucketExpr(exprs(0), exprs(1), exprs(2))
       }))
 
   /** Runtime registration on an existing session. */

@@ -4,7 +4,7 @@ import graft.llm.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Stage-level profile of the minhash-LSH near-dup pipeline. */
+/** Cold-path breakdown of the minhash-LSH near-dup pipeline. */
 object ScratchMinhash {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -21,37 +21,34 @@ object ScratchMinhash {
       val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  n=$n")
     }
+    // mirror Bench warmup
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$dir/region.parquet").count()
     val d = Tables.t(spark, dir, "documents").select("doc_id", "text")
     val docs = d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
       col("text")))
-    time("text scan")(docs.count())
-    time("docs total chars")(docs.agg(sum(length(col("text"))))
-      .collect().head.getLong(0))
-    time("words")(docs.select(graft.llm.Text.words(
-      graft.llm.Text.normalize(col("text"))).as("w"))
-      .agg(sum(size(col("w")))).collect().head.getLong(0))
-    time("shingleHashes")(docs.select(
-      Dedup.shingleHashes(col("text"), 5).as("h"))
-      .agg(sum(size(col("h")))).collect().head.getLong(0))
-    time("signature")(docs.select(
-      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 5), 64).as("s"))
-      .agg(sum(size(col("s")))).collect().head.getLong(0))
-    val withSig = docs.select(col("doc_id").as("doc_id"),
-      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 5), 64)
-        .as("sig"))
-    time("candidates")(Dedup.candidatesFromSignatures(
-      withSig, 64, 16, 1000).count())
-    time("candidates again")(Dedup.candidatesFromSignatures(
-      withSig, 64, 16, 1000).count())
-    time("nearDuplicates e2e")(Dedup.nearDuplicates(docs, "doc_id", "text",
-      0.9, 5, 64, 16).count())
-    time("nearDuplicates again")(Dedup.nearDuplicates(docs, "doc_id", "text",
-      0.9, 5, 64, 16).count())
-    time("nearDup nh=32")(Dedup.nearDuplicates(docs, "doc_id", "text",
-      0.9, 5, 32, 16).count())
-    time("dedup_keep e2e")(Dedup.dropNearDuplicates(
-      Tables.t(spark, dir, "documents"), "doc_id", "text",
-      0.9, 5, 64, 16).count())
+    val sh = docs.select(col("doc_id").as("jid"),
+      Dedup.shingleHashes(col("text"), 5).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("sh persist+count")(sh.count())
+    val withSig = sh.select(col("jid").as("doc_id"),
+      Dedup.minhashSignature(col("sh"), 64).as("sig"))
+    time("sig from cache")(withSig.count())
+    val pairs = Dedup.candidatesFromSignatures(withSig, 64, 16, 1000,
+      withEst = false)
+    time("candidates")(pairs.count())
+    val verified = pairs
+      .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b", "jaccard")
+    time("verify join")(verified.count())
+    time("localCheckpoint")(verified.localCheckpoint(true).count())
+    sh.unpersist()
+    time("full query again")(LlmQueries.minhashNearDups(spark, dir).count())
     spark.stop()
   }
 }

@@ -126,31 +126,52 @@ object Dedup {
           .as("sig")),
       numHashes, bands, maxBucketSize)
 
-  /** LSH candidate generation from a precomputed (doc_id, sig) frame. */
+  /** LSH candidate generation from a precomputed (doc_id, sig) frame.
+    *
+    * With `withEst = false` the bucket shuffle carries only doc ids —
+    * not the numHashes-long signatures — and pairs skip the agreement
+    * estimate: the right shape when candidates feed an exact-Jaccard
+    * verify join anyway (signature bytes dominate the shuffle volume
+    * at corpus scale). */
   def candidatesFromSignatures(withSig: DataFrame, numHashes: Int,
-                               bands: Int,
-                               maxBucketSize: Int): DataFrame = {
-    val banded = withSig
-      .select(col("doc_id"), col("sig"),
-        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val buckets = banded.groupBy("band", "bucket")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
-        .as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize))
-    val est = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / numHashes
-    buckets
-      .select(explode(bucketPairs(col("members"), (x, y) => struct(
-        x.getField("doc_id").as("id_a"),
-        y.getField("doc_id").as("id_b"),
-        est(x.getField("sig"), y.getField("sig")).as("jaccard_est"))))
-        .as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.jaccard_est").as("jaccard_est"))
-      .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
+                               bands: Int, maxBucketSize: Int,
+                               withEst: Boolean = true): DataFrame = {
+    val bandKeys = explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk")
+    if (withEst) {
+      val banded = withSig
+        .select(col("doc_id"), col("sig"), bandKeys)
+        .select(col("doc_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      val buckets = banded.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+          .as("members"))
+        .filter(size(col("members")).between(2, maxBucketSize))
+      val est = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes
+      buckets
+        .select(explode(bucketPairs(col("members"), (x, y) => struct(
+          x.getField("doc_id").as("id_a"),
+          y.getField("doc_id").as("id_b"),
+          est(x.getField("sig"), y.getField("sig")).as("jaccard_est"))))
+          .as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.jaccard_est").as("jaccard_est"))
+        .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
+    } else {
+      val banded = withSig
+        .select(col("doc_id"), bandKeys)
+        .select(col("doc_id"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      val buckets = banded.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+        .filter(size(col("members")).between(2, maxBucketSize))
+      buckets
+        .select(explode(bucketPairs(col("members"), (x, y) => struct(
+          x.as("id_a"), y.as("id_b")))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .distinct()
+    }
   }
 
   /** Exact n-gram Jaccard for a candidate pair set: joins candidate ids
@@ -187,8 +208,10 @@ object Dedup {
     try {
       val withSig = sh.select(col("jid").as("doc_id"),
         minhashSignature(col("sh"), numHashes).as("sig"))
+      // ids only through the bucket shuffle — the exact-Jaccard verify
+      // below replaces any signature-agreement estimate
       val pairs = candidatesFromSignatures(withSig, numHashes, bands,
-        maxBucketSize = 1000)
+        maxBucketSize = 1000, withEst = false)
       pairs
         .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -19,15 +19,26 @@ object Similarity {
 
   private def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Dot product via zip_with + fold (left-to-right, deterministic). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product, left-to-right fold — native
+    * [[graft.expr.VecDotExpr]]; HOF twin below is the equivalence-spec
+    * reference. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Declarative HOF twin of [[dot]] (spec reference only). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column =
     sqrt(aggregate(asDouble(a), lit(0.0), (acc, v) => acc + v * v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native [[graft.expr.CosineSimExpr]]. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  /** Declarative HOF twin of [[cosine]] (spec reference only). */
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self-matches excluded). Queries are broadcast — the big
@@ -49,15 +60,21 @@ object Similarity {
 
   /** Deterministic random hyperplanes (seed 7): `nBits` planes of
     * dimension `dim`. */
-  private[llm] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-pattern LSH bucket id for a vector: bit i = sign(v . plane_i). */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  /** Sign-pattern LSH bucket id for a vector: bit i = sign(v . plane_i),
+    * planes = deterministic seed-7 gaussians — native
+    * [[graft.expr.LshBucketExpr]]. */
+  def lshBucket(vec: Column, nBits: Int, dim: Int): Column =
+    call_function("lsh_bucket", vec, lit(nBits), lit(dim))
+
+  /** Declarative HOF twin of [[lshBucket]] (spec reference only). */
+  def lshBucketHof(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedlit(p)) >= 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
+      when(dotHof(vec, typedlit(p)) >= 0, lit(1L) * lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Approximate top-k: bucket the corpus on `nBits` hyperplane signs,
@@ -70,10 +87,9 @@ object Similarity {
               nBits: Int = 8, multiprobe: Boolean = true,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(nBits, dim)
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    val qBucket = lshBucket(col(vecCol), planes)
+      lshBucket(col(vecCol), nBits, dim).as("bucket"))
+    val qBucket = lshBucket(col(vecCol), nBits, dim)
     val probes =
       if (multiprobe)
         array(qBucket +: (0 until nBits).map(i =>
@@ -146,9 +162,8 @@ object Similarity {
                         nBits: Int = 8, idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         maxBucketSize: Int = 10000): DataFrame = {
-    val planes = hyperplanes(nBits, dim)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(col(vecCol), nBits, dim).as("bucket"))
     // one scan → bucket groupBy → in-bucket pairwise combinations
     // (no self-join, signatures computed once)
     val buckets = c.groupBy("bucket")

@@ -60,6 +60,25 @@ class NativeExprSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("vec_dot / cosine_sim / lsh_bucket match HOF twins on embeddings") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select((col("vec_id") + 1).as("id_b"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("id_a") === col("id_b")).limit(200)
+    val bad = pairs.select(
+      graft.llm.Similarity.dot(col("va"), col("vb")).as("nd"),
+      graft.llm.Similarity.dotHof(col("va"), col("vb")).as("hd"),
+      graft.llm.Similarity.cosine(col("va"), col("vb")).as("nc"),
+      graft.llm.Similarity.cosineHof(col("va"), col("vb")).as("hc"),
+      graft.llm.Similarity.lshBucket(col("va"), 8, 64).as("nb"),
+      graft.llm.Similarity.lshBucketHof(col("va"),
+        graft.llm.Similarity.hyperplanes(8, 64)).as("hb"))
+      .filter(col("nd") =!= col("hd") || col("nc") =!= col("hc") ||
+        col("nb") =!= col("hb"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("cmr_geometry / geometry_bbox match HOF twins") {
     val cases = Seq(
       // (polygons, boxes, reverse)
