@@ -97,12 +97,24 @@ object LlmQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
-  /** SimHash near-dup candidates (rows-only: hamming buckets are not
-    * ANSI-SQL-expressible). */
-  def simhashNearDups(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(docsWithClones(s, dir), "doc_id", "text",
-      maxDist = 0)
+  /** SimHash near-dup pipeline with an exact verify stage: distance-0
+    * candidates (identical 64-bit simhash) filtered to pairs whose
+    * normalized texts are equal. Identical texts always collide in
+    * every simhash band, so the result provably equals the set of
+    * norm-equal pairs — which is what the DuckDB oracle computes. */
+  def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithClones(s, dir)
+    val n = d.select(col("doc_id"),
+      Text.normalize(col("text")).as("norm"))
+    Dedup.simhashNearDups(d, "doc_id", "text", maxDist = 0)
+      .join(n.select(col("doc_id").as("id_a"), col("norm").as("norm_a")),
+        "id_a")
+      .join(n.select(col("doc_id").as("id_b"), col("norm").as("norm_b")),
+        "id_b")
+      .filter(col("norm_a") === col("norm_b"))
+      .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy("id_a", "id_b")
+  }
 
   /** n-gram Jaccard over sampled candidate pairs (deterministic pair
     * construction: doc i vs doc i+1 within the same lang). */

@@ -465,6 +465,20 @@ object SparkEntry {
         |JOIN sh sa ON sa.doc_id = id_a
         |JOIN sh sb ON sb.doc_id = id_b
         |ORDER BY id_a""".stripMargin,
+    // simhash candidates + norm-equality verify = exactly the pairs
+    // with equal normalized text (identical text -> identical simhash
+    // -> collides in every band)
+    "q_simhash_near_dups" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, norm FROM d
+        |  UNION ALL SELECT doc_id + 100000, norm FROM d)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b, CAST(0 AS INT) AS dist
+        |FROM b a JOIN b b2 ON a.norm = b2.norm AND a.doc_id < b2.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_ann_top1" ->
       """SELECT query_id, nn_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
@@ -474,6 +488,7 @@ object SparkEntry {
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "q_ann_lsh" -> annLshOracleSql,
     "q_embed_near_dups" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b
         |FROM embeddings ORDER BY id_a, id_b""".stripMargin,
@@ -481,4 +496,53 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS n_exact,
         |  true AS approx_within_10pct FROM events""".stripMargin,
   )
+
+  /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,
+    * dim=64, multiprobe Hamming-1, k=1): bucket sign tests are emitted
+    * as explicit left-associative 64-term dot products against the
+    * seed-7 plane constants (bit-exact vs the native fold — both cast
+    * float elements to double and accumulate left to right); candidate
+    * ranking reuses `list_cosine_similarity`, whose ordering already
+    * hash-matches in q_ann_top1. */
+  private def annLshOracleSql: String = {
+    val nBits = 6
+    val planes = graft.llm.Similarity.hyperplanes(nBits, 64)
+    def dotExpr(v: String, p: Seq[Double]): String =
+      p.zipWithIndex.map { case (c, i) =>
+        s"CAST($v[${i + 1}] AS DOUBLE)*($c)"
+      }.mkString(" + ")
+    def bucketExpr(v: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotExpr(v, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val probeList = "qb" +:
+      (0 until nBits).map(i => s"xor(qb, ${1L << i})")
+    s"""WITH c AS (
+       |  SELECT vec_id AS nn_id, embedding AS nv,
+       |    ${bucketExpr("embedding")} AS bucket
+       |  FROM embeddings),
+       |q0 AS (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |    ${bucketExpr("embedding")} AS qb
+       |  FROM embeddings WHERE vec_id < 25),
+       |q AS (
+       |  SELECT query_id, qv,
+       |    unnest([${probeList.mkString(", ")}]) AS bucket
+       |  FROM q0),
+       |cand2 AS (
+       |  SELECT DISTINCT query_id, nn_id
+       |  FROM q JOIN c USING (bucket) WHERE nn_id <> query_id),
+       |scored AS (
+       |  SELECT cand2.query_id, cand2.nn_id,
+       |    list_cosine_similarity(q0.qv, c.nv) AS sim
+       |  FROM cand2
+       |  JOIN q0 ON q0.query_id = cand2.query_id
+       |  JOIN c ON c.nn_id = cand2.nn_id)
+       |SELECT query_id, nn_id, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, nn_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, nn_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 1 ORDER BY query_id""".stripMargin
+  }
 }
