@@ -271,8 +271,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // hand back an eagerly materialized frame and drop every cached
+    // intermediate — same no-leak contract as nearDuplicates
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /** 64-bit SimHash over normalized word hashes: bit j of the result is
