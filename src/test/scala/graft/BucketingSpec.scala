@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Bucketing
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Co-located joins over bucketed tables: the write-once shuffle is
+  * amortized — the join itself must contain NO Exchange. */
+class BucketingSpec extends SparkSuite {
+
+  test("join of two bucketed tables runs without any shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("buckets")
+    val orders = Tables.t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Bucketing.writeBucketed(orders, "b_orders",
+      s"$base/b_orders", 8, Seq("o_orderkey"))
+    Bucketing.writeBucketed(lineitem, "b_lineitem",
+      s"$base/b_lineitem", 8, Seq("l_orderkey"))
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.colocatedJoin(spark, "b_orders", "b_lineitem",
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it still computes the right thing
+      val n = joined.count()
+      val expected = orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(n == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
