@@ -249,10 +249,14 @@ object Dedup {
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint per iteration: materializes AND truncates the
+    // logical plan — without it the plan tree grows with the iteration
+    // count and plan analysis/stringification blows up long before the
+    // data does (the classic iterative-algorithm failure mode)
     var labels = edges.groupBy("src").agg(min("dst").as("m"))
       .select(col("src").as("id"),
         least(col("src"), col("m")).as("component"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -264,19 +268,72 @@ object Dedup {
         .join(labels, "id")
         .select(col("id"),
           least(col("component"), col("nbrMin")).as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") < col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    // hand back an eagerly materialized frame and drop every cached
-    // intermediate — same no-leak contract as nearDuplicates
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
     edges.unpersist()
-    out
+    labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the extreme-scale path promised by [[connectedComponents]]: each
+    * round is two groupBy-explode passes over the edge list, converges
+    * in O(log n) rounds even on high-diameter graphs, and never
+    * materializes a neighborhood larger than a node's degree. Edges
+    * are kept canonical (hi, lo). Same interface: pairs in,
+    * (id, component=min reachable id) out, ids restricted to those
+    * appearing in some pair. */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 25)
+  : DataFrame = {
+    def canonical(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    // large-star: over the SYMMETRIZED neighborhood of u, link every
+    // strictly-larger neighbor to m = min(N(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val grouped = sym.groupBy("u")
+        .agg(collect_set(col("v")).as("nv"))
+        .select(col("u"),
+          least(col("u"), array_min(col("nv"))).as("m"),
+          filter(col("nv"), v => v > col("u")).as("bigger"))
+      grouped.select(explode(col("bigger")).as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: over the canonical (hi -> lo) edges of u, link every
+    // smaller neighbor (and u itself) to the minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val grouped = e.groupBy("u").agg(collect_set(col("v")).as("nv"))
+        .select(col("u"), array_min(col("nv")).as("m"), col("nv"))
+      grouped
+        .select(col("m"),
+          explode(concat(filter(col("nv"), v => v =!= col("m")),
+            array(col("u")))).as("n"))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    var edges = canonical(pairs.select(col("id_a").as("u"),
+      col("id_b").as("v")))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    // stars: every non-root points at its component root
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
   }
 
   /** 64-bit SimHash over normalized word hashes: bit j of the result is
