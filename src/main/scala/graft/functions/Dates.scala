@@ -56,12 +56,19 @@ object Dates {
 
   /** `struct<start_datetime, end_datetime, single_datetime>` — exactly
     * one of (start+end) or single is set; whole struct NULL when no date
-    * is found (reference raises).
+    * is found (reference raises). Evaluated by the native single-pass
+    * [[graft.expr.ExtractDatesExpr]] (SURVEY §7.3's nominated custom
+    * expression); [[extractDatesDecl]] is the declarative twin kept as
+    * the executable spec (both hash-match the same oracle).
     *
     * @param datetimeRange NULL, "month" or "year" — widens a single hit
     *                      to a range (`regex.py:24-27`).
     */
-  def extractDates(filename: Column, datetimeRange: Column): Column = {
+  def extractDates(filename: Column, datetimeRange: Column): Column =
+    call_function("extract_dates", filename, datetimeRange)
+
+  /** Declarative 4-regex cascade twin of [[extractDates]]. */
+  def extractDatesDecl(filename: Column, datetimeRange: Column): Column = {
     val dates  = foundDates(filename)
     val n      = size(dates)
     val single = element_at(dates, 1)
@@ -70,7 +77,9 @@ object Dates {
       .when(datetimeRange === "year", yearStart(single))
     val we = when(datetimeRange === "month", monthEnd(single))
       .when(datetimeRange === "year", yearEnd(single))
-    when(dates.isNotNull, struct(
+    // an unparseable hit in the winning strategy NULLs the whole
+    // struct — the reference's ValueError (`regex.py:51-53` strptime)
+    when(dates.isNotNull && !exists(dates, d => d.isNull), struct(
       when(n > 1, array_min(dates)).when(n === 1 && widen, ws)
         .as("start_datetime"),
       when(n > 1, array_max(dates)).when(n === 1 && widen, we)

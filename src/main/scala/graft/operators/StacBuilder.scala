@@ -106,6 +106,7 @@ object StacBuilder {
     }
 
   def regexItems(objs: DataFrame, ev: PipelineEvent): DataFrame = {
+    graft.GraftFunctions.register(objs.sparkSession)
     val url = col("remote_fileurl")
     val dt = datetimes(ev)
     val start = dt.getField("start_datetime")

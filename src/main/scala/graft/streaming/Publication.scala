@@ -47,6 +47,7 @@ object Publication {
                    catalogDir: String, quarantineDir: String,
                    maxAttempts: Int): Unit = {
     if (batch.isEmpty) return
+    graft.GraftFunctions.register(batch.sparkSession)
     val failFlag = StacBuilder.datetimes(ev).isNull
     val good = batch.filter(!failFlag)
     if (!good.isEmpty)

@@ -79,6 +79,23 @@ class NativeExprSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("extract_dates native matches the declarative cascade") {
+    val names = Seq(
+      "s3://d/file_2020-01-15.tif", "s3://d/f_20200115_x.tif",
+      "s3://d/f_202001.tif", "s3://d/f_2020.tif",
+      "s3://d/f_20200101_to_20200301.tif", "s3://d/nodate.tif",
+      "s3://d/f_99999999.tif") // unparseable hit -> NULL both ways
+    for (range <- Seq(null, "month", "year")) {
+      val rows = names.toDF("f").select(
+        graft.functions.Dates.extractDates(col("f"), lit(range)).as("nat"),
+        graft.functions.Dates.extractDatesDecl(col("f"), lit(range))
+          .as("dec")).collect()
+      rows.zip(names).foreach { case (r, n) =>
+        assert(r.get(0) == r.get(1), s"mismatch for '$n' range=$range")
+      }
+    }
+  }
+
   test("cmr_geometry / geometry_bbox match HOF twins") {
     val cases = Seq(
       // (polygons, boxes, reverse)
