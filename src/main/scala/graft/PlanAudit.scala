@@ -17,7 +17,9 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val targets = Seq("q_j2_broadcast_dims", "q_j1_multi_asset",
       "q_minhash_near_dups", "q_stac_regex_items", "q_stac_cmr_items",
-      "q_ann_top1", "q_p1_regex_filter", "q_a5_cumulative_cap")
+      "q_ann_top1", "q_ann_lsh", "q_p1_regex_filter",
+      "q_a5_cumulative_cap", "q_g1_geometry", "q_simhash_near_dups",
+      "q_clean_corpus")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)
