@@ -158,6 +158,43 @@ object StacBuilder {
       dt.isNull.as("datetime_error"))
   }
 
+  /** S5 integration (`stac.py:53-114` `with_proj`/`with_raster`): merge
+    * projection/raster fields parsed from the file headers
+    * ([[graft.sources.GeoTiff.scanMetadata]]) into item properties,
+    * right-biased like the reference's property update. Items whose
+    * file wasn't raster-readable keep their properties untouched — the
+    * reference's metadata-only fallback (`stac.py:88-93`). The join is
+    * a keyed equi-join on the data-asset href (same cardinality both
+    * sides — one row per file; never broadcast the raster side). */
+  def enrichWithRaster(items: DataFrame,
+                       raster: org.apache.spark.sql.Dataset[
+                         graft.sources.GeoTiff.ScanResult]): DataFrame = {
+    val dataHref = coalesce(
+      element_at(col("assets"), "data").getField("href"),
+      element_at(map_values(col("assets")), 1).getField("href"))
+    val meta = raster.toDF().filter(col("ok"))
+      .select(col("path").as("__rpath"),
+        map_filter(map(
+          lit("proj:epsg"), col("epsg").cast("string"),
+          lit("proj:shape"),
+            concat_ws(",", col("height"), col("width")),
+          lit("proj:transform"),
+            when(col("transform").isNotNull,
+              array_join(col("transform"), ",")),
+          lit("raster:bits_per_sample"),
+            col("bitsPerSample").cast("string"),
+          lit("raster:bands"), col("samplesPerPixel").cast("string")),
+          (_, v) => v.isNotNull).as("__rprops"))
+    items
+      .join(meta, dataHref === col("__rpath"), "left")
+      .withColumn("properties",
+        when(col("__rprops").isNotNull,
+          rightBiasedSortedMerge(
+            coalesce(col("properties"), map()), col("__rprops")))
+          .otherwise(col("properties")))
+      .drop("__rpath", "__rprops")
+  }
+
   // -------------------------------------------------------------- cmr path
 
   /** `from_cmr_links` asset fold (`stac.py:268-317`) as a per-row

@@ -78,6 +78,38 @@ class GeoTiffSpec extends SparkSuite {
       .left.exists(_.contains("magic")))
   }
 
+  test("raster metadata enriches item properties; fallback rows untouched") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("rasters-enrich")
+    Files.write(dir.resolve("good_2020.tif"),
+      makeGeoTiff(ByteOrder.LITTLE_ENDIAN))
+    Files.write(dir.resolve("bad_2021.tif"), "not a raster".getBytes)
+    val media = graft.llm.Multimodal.readMedia(spark, s"file://$dir",
+      glob = "*.tif")
+    val urls = media.select("path").collect().map(_.getString(0)).sorted
+    import spark.implicits._
+    val objs = urls.toSeq.toDF("remote_fileurl")
+      .withColumn("collection", lit("c"))
+      .withColumn("properties", map(lit("k"), lit("v")))
+      .withColumn("product_id", lit(null).cast("string"))
+      .withColumn("assets", lit(null).cast("map<string,string>"))
+    val ev = graft.model.PipelineEvent(collection = "c",
+      assetName = Some("data"))
+    val items = graft.operators.StacBuilder.regexItems(objs, ev)
+    val enriched = graft.operators.StacBuilder
+      .enrichWithRaster(items, GeoTiff.scanMetadata(media))
+      .select(col("id"), col("properties")).collect()
+      .map(r => r.getString(0) -> r.getMap[String, String](1)).toMap
+    val good = enriched("good_2020")
+    assert(good("proj:epsg") == "4326")
+    assert(good("proj:shape") == "256,512")
+    assert(good("proj:transform") == "-180.0,0.1,0.0,90.0,0.0,-0.05")
+    assert(good("raster:bits_per_sample") == "8")
+    assert(good("k") == "v") // pre-existing properties survive the merge
+    val bad = enriched("bad_2021")
+    assert(!bad.contains("proj:epsg") && bad("k") == "v")
+  }
+
   test("distributed scan over binaryFile source with fallback rows") {
     val dir = Files.createTempDirectory("rasters")
     Files.write(dir.resolve("good.tif"),
