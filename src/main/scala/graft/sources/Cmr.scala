@@ -22,6 +22,19 @@ object Cmr {
   def granulesFromJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.cmrGranule).option("multiLine", "true").json(path)
 
+  /** Partition-per-page granule source (S3 at scale): each CMR result
+    * page is one executor task via the `graft-cmr-pages` DSv2 table
+    * ([[graft.sources.dsv2.CmrPagesSource]]); granule JSON decodes
+    * against the schema partition-parallel. A LIMIT over the result
+    * prunes whole pages at planning time (W4 page-limit pushdown). */
+  def pagedGranules(spark: SparkSession, pagesDir: String,
+                    pageSize: Int = 100): DataFrame =
+    spark.read.format("graft-cmr-pages")
+      .option("page_size", pageSize)
+      .load(pagesDir)
+      .select(from_json(col("granule_json"), Schemas.cmrGranule).as("g"))
+      .select(col("g.*"))
+
   /** P5 + file_obj projection (reference `cmr-query/handler.py:152-193`):
     * per granule, pick the href whose link rel is the fedsearch `s3#`
     * rel or the event's `link_rel`; `mode=stac` instead picks hrefs

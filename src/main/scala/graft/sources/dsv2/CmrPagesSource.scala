@@ -1,0 +1,163 @@
+package graft.sources.dsv2
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** S3 as a DataSource V2 table with partition-per-page (SURVEY §2.1's
+  * nominated shape for the CMR granule query): the reference loops
+  * `search/granules.json` pages serially on the driver, re-triggering
+  * itself via Step Functions when the payload fills up
+  * (`cmr-query/handler.py:104-151`); here every page is an input
+  * partition fetched by an executor task, so a million-granule
+  * collection fans out instead of paging one-at-a-time.
+  *
+  * The page store is abstracted as a directory of `page-*.json` files,
+  * each holding one page's `feed.entry` array (exactly the fixture
+  * shape of the reference's tests, `conftest.py:78-114`); a production
+  * deployment swaps the per-partition reader's `open` for an HTTP GET
+  * with `page_num` — the planning/fan-out logic is identical.
+  *
+  * Limit pushdown (W4): `page_size` (default 100, the CMR default)
+  * lets a pushed LIMIT prune whole pages at planning time — the
+  * partition list shrinks to ceil(limit / page_size) pages, mirroring
+  * the `CMR-Hits`-bounded pagination of the reference.
+  *
+  * Rows are `(page, granule_json)`; [[graft.sources.Cmr.pagedGranules]]
+  * decodes them against the granule schema partition-parallel.
+  */
+class CmrPagesSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-cmr-pages"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CmrPagesSource.schema
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = properties.asScala
+    new CmrPagesTable(
+      opts.getOrElse("path", throw new IllegalArgumentException(
+        "graft-cmr-pages requires a path")),
+      opts.get("page_size").map(_.toInt).getOrElse(100))
+  }
+}
+
+object CmrPagesSource {
+  val schema: StructType = StructType(Seq(
+    StructField("page", IntegerType, nullable = false),
+    StructField("granule_json", StringType, nullable = false)))
+}
+
+class CmrPagesTable(root: String, pageSize: Int)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-cmr-pages($root)"
+  override def schema(): StructType = CmrPagesSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CmrPagesScanBuilder(root, pageSize)
+}
+
+class CmrPagesScanBuilder(root: String, pageSize: Int)
+  extends ScanBuilder with SupportsPushDownLimit {
+
+  private var limit: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    false // pages may be ragged; Spark re-applies the limit above
+  }
+
+  override def build(): Scan = new CmrPagesScan(root, pageSize, limit)
+}
+
+case class CmrPagePartition(page: Int, file: String) extends InputPartition
+
+class CmrPagesScan(root: String, pageSize: Int, limit: Option[Int])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = CmrPagesSource.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-cmr-pages root=$root pageSize=$pageSize" +
+      limit.map(l => s" PushedLimit=$l").getOrElse("")
+
+  /** One partition per page file, pruned to the pushed limit. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pages = fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.toString)
+      .filter(f => f.split('/').last.matches("page-\\d+\\.json"))
+      .sortBy(f => f.split('/').last)
+      .zipWithIndex
+      .map { case (f, i) => CmrPagePartition(i + 1, f) }
+    val kept = limit match {
+      case Some(l) =>
+        val needed = math.max(1, (l + pageSize - 1) / pageSize)
+        pages.take(needed)
+      case None => pages
+    }
+    kept.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new CmrPagesReaderFactory(new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration))
+  }
+}
+
+class CmrPagesReaderFactory(conf: SerializableConfiguration)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val pp = partition.asInstanceOf[CmrPagePartition]
+    new CmrPageReader(pp, conf)
+  }
+}
+
+/** Reads one page: a JSON array of granule objects → one row per
+  * granule. Production swaps the filesystem open for the paged HTTP
+  * GET; everything else stays. */
+class CmrPageReader(part: CmrPagePartition, conf: SerializableConfiguration)
+  extends PartitionReader[InternalRow] {
+
+  private val iter: Iterator[String] = {
+    val path = new Path(part.file)
+    val fs = path.getFileSystem(conf.value)
+    val in = fs.open(path)
+    val bytes =
+      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      finally in.close()
+    val mapper = new ObjectMapper()
+    val node = mapper.readTree(bytes)
+    require(node.isArray, s"${part.file}: expected a JSON array page")
+    node.elements().asScala.map(_.toString).toList.iterator
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (iter.hasNext) {
+      current = InternalRow(part.page,
+        UTF8String.fromString(iter.next()))
+      true
+    } else false
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
