@@ -86,6 +86,26 @@ object Multimodal {
       }
   }
 
+  /** Aspect-preserving resize planning: fit (width, height) into a
+    * target box without upscaling — the column-math half of a resize
+    * stage (the pixel resample itself lives behind the same pluggable
+    * seam as [[decodeStub]]). Returns the plan with `target_w`,
+    * `target_h`, `scale` columns; rows already inside the box keep
+    * their dimensions (scale 1.0). */
+  def resizePlan(features: Dataset[MediaFeatures], maxW: Int = 512,
+                 maxH: Int = 512): DataFrame = {
+    val scale = least(
+      lit(maxW).cast("double") / col("width"),
+      lit(maxH).cast("double") / col("height"),
+      lit(1.0))
+    features.toDF()
+      .withColumn("scale", scale)
+      .withColumn("target_w",
+        greatest(floor(col("width") * col("scale")), lit(1)).cast("int"))
+      .withColumn("target_h",
+        greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
+  }
+
   /** Frame-sampling plan for video rows: one row per sampled frame
     * index — the explode-on-metadata pattern that keeps per-frame work
     * distributed without decoding on the driver. */

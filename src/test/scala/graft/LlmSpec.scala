@@ -148,5 +148,16 @@ class LlmSpec extends SparkSuite {
     assert(rows.map(_.feature.toSeq) sameElements again.map(_.feature.toSeq))
     val frames = Multimodal.sampleFrames(feats, everyN = 30)
     assert(frames.count() >= 2)
+    // resize planning: aspect-preserving fit, no upscaling
+    val plan = Multimodal.resizePlan(feats, maxW = 16, maxH = 16)
+      .select("width", "height", "target_w", "target_h", "scale").collect()
+    plan.foreach { r =>
+      val (w, h, tw, th, s) = (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4))
+      assert(tw <= 16 && th <= 16 && s <= 1.0)
+      // aspect ratio preserved within rounding
+      assert(math.abs(tw.toDouble / th - w.toDouble / h) <
+        math.max(1.0 / th, 1.0 / tw) * 2 + 1e-9)
+    }
   }
 }
