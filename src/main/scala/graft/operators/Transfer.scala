@@ -66,6 +66,28 @@ object Transfer {
       "left_anti")
   }
 
+  /** [[skipExisting]] for extreme key counts: a Bloom filter over the
+    * target listing splits the planned rows BEFORE any shuffle —
+    * definitely-new keys (the overwhelming majority of a fresh ingest)
+    * bypass the join entirely; only maybe-existing keys (Bloom
+    * positives, incl. false positives at `fpp`) go through the exact
+    * anti-join. Result is identical to [[skipExisting]]; only the
+    * shuffled volume changes. The membership probe is a broadcast
+    * Bloom + UDF — the same shape Spark's own runtime row-level
+    * filtering injects. */
+  def skipExistingBloom(planned: DataFrame, existingKeys: DataFrame,
+                        expectedKeys: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    val keyCol = existingKeys.columns.head
+    val bf = existingKeys.stat.bloomFilter(keyCol, expectedKeys, fpp)
+    val bcast = planned.sparkSession.sparkContext.broadcast(bf)
+    val mightExist = org.apache.spark.sql.functions.udf(
+      (k: String) => k != null && bcast.value.mightContainString(k))
+    val definitelyNew = planned.filter(!mightExist(col("target_key")))
+    val maybe = planned.filter(mightExist(col("target_key")))
+    definitelyNew.unionByName(skipExisting(maybe, existingKeys))
+  }
+
   /** Execute the copies partition-parallel via the Hadoop FileSystem API
     * (works for file:// in tests, s3a:// at scale) and rewrite
     * `remote_fileurl` to the target (`handler.py:51-72`). Rows that are

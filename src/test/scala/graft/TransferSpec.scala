@@ -88,6 +88,28 @@ class TransferSpec extends SparkSuite {
       "s3://shared/file-staging/c/f.tif")
   }
 
+  test("skipExistingBloom matches skipExisting exactly (J3 at scale)") {
+    val objs = (1 to 200).map(i => s"s3://b/p/f$i.tif")
+      .toDF("remote_fileurl")
+      .withColumn("collection", lit("c"))
+      .withColumn("upload", lit(true))
+      .withColumn("cogify", lit(false))
+      .withColumn("user_shared", lit(false))
+      .withColumn("extra", lit(null).cast("map<string,string>"))
+    val planned = Transfer.plan(objs, "s3://dst")
+    val existing = (1 to 200 by 3)
+      .map(i => s"file-staging/c/f$i.tif").toDF("key")
+    val exact = Transfer.skipExisting(planned, existing)
+      .select("remote_fileurl").collect().map(_.getString(0)).sorted
+    for (fpp <- Seq(0.5, 0.01)) { // even a terrible filter stays exact
+      val bloom = Transfer.skipExistingBloom(planned, existing,
+        expectedKeys = 100, fpp = fpp)
+        .select("remote_fileurl").collect().map(_.getString(0)).sorted
+      assert(bloom.toSeq == exact.toSeq, s"fpp=$fpp")
+    }
+    assert(exact.length == 200 - 67)
+  }
+
   test("skipExisting drops rows whose target key already exists (J3)") {
     val objs = Seq("s3://b/p/a.tif", "s3://b/p/b.tif")
       .toDF("remote_fileurl")
