@@ -79,6 +79,38 @@ class NativeExprSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("property: shingle/minhash/simhash native == HOF on random text") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("the", "Straße", "ΣΟΦΙΑ", "的", "a-b_c", "x.y", ""),
+      Gen.listOfN(3, Gen.choose('!', '~')).map(_.mkString))
+    val textGen = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, word)
+      sep <- Gen.oneOf(" ", "  ", "\t", " \n ")
+    } yield ws.mkString(sep)
+    // deterministic sample (no scalatest-scalacheck bridge offline)
+    val random = Gen.listOfN(300, textGen)
+      .apply(Gen.Parameters.default, Seed(42L)).getOrElse(Nil)
+    assert(random.size == 300)
+    val df = random.toDF("text")
+    val bad = df.select(
+      Dedup.shingleHashes(col("text"), 3).as("ns"),
+      Dedup.shingleHashesHof(col("text"), 3).as("hs"),
+      Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 16)
+        .as("nm"),
+      Dedup.minhashSignatureHof(Dedup.shingleHashesHof(col("text"), 3), 16)
+        .as("hm"),
+      Dedup.simhash(col("text")).as("nh"),
+      Dedup.simhashHof(col("text")).as("hh"))
+      .filter(col("ns") =!= col("hs") || col("nm") =!= col("hm") ||
+        col("nh") =!= col("hh"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("extract_dates native matches the declarative cascade") {
     val names = Seq(
       "s3://d/file_2020-01-15.tif", "s3://d/f_20200115_x.tif",
