@@ -59,4 +59,24 @@ class EventCorpusSpec extends SparkSuite {
       evs.exists(_.assetMediaTypeScalar.isDefined))
     assert(evs.exists(_.dataFileRegex.isDefined), "no multi-asset config")
   }
+
+  test("all reference collection docs load, validate, and broadcast-join") {
+    val dir = Paths.get("/root/reference/data/collections")
+    assume(Files.isDirectory(dir), "reference corpus not present")
+    val nFiles = Files.list(dir).iterator().asScala
+      .count(_.toString.endsWith(".json"))
+    val cols = graft.sources.Collections.load(spark, dir.toString)
+    assert(cols.count() == nFiles && nFiles >= 31)
+    val validity = graft.sources.Collections.withValidity(cols)
+    import org.apache.spark.sql.functions.col
+    assert(validity.filter(!col("valid")).count() == 0,
+      "reference collection doc failed validation")
+    // ids unique; the J2 dimension join finds every collection
+    assert(cols.select("id").distinct().count() == nFiles)
+    import spark.implicits._
+    val items = cols.select(col("id").as("collection"))
+      .withColumn("item_id", col("collection"))
+    val joined = graft.sources.Collections.joinItems(items, cols)
+    assert(joined.filter(col("collection_title").isNull).count() == 0)
+  }
 }
