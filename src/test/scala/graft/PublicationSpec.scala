@@ -80,6 +80,25 @@ class PublicationSpec extends SparkSuite {
     assert(dead.count() == 1)
   }
 
+  test("rows missing remote_fileurl route to retry/DLQ, not a crash") {
+    // the reference's pydantic ValidationError (events.py:12-53,
+    // test_handler.py:92-101) — here the row takes the failure path
+    val ev = PipelineEvent(collection = "c")
+    val inDir = Files.createTempDirectory("in3").toString
+    val catalog = Files.createTempDirectory("cat3").toString + "/t"
+    val dlq = Files.createTempDirectory("dlq3").toString + "/q"
+    val batch = objs("s3://b/good_2020.tif")
+      .unionByName(objs("ignored")
+        .withColumn("remote_fileurl", lit(null).cast("string")))
+    Publication.processBatch(batch, ev, inDir, catalog, dlq,
+      maxAttempts = 2)
+    assert(spark.read.parquet(catalog).count() == 1)
+    val retry = spark.read.schema(graft.model.Schemas.fileObj).json(inDir)
+    val r = retry.collect()
+    assert(r.length == 1 &&
+      r.head.isNullAt(r.head.fieldIndex("remote_fileurl")))
+  }
+
   test("pre-existing start/end_datetime props are overwritten, not an error") {
     val ev = PipelineEvent(collection = "c")
     val row = objs("s3://b/f_2020-01-01_2020-02-01.tif")
