@@ -103,6 +103,7 @@ case class PipelineEvent(
     temporal: Seq[String] = Seq("1000-01-01T00:00:00Z", "3000-01-01T23:59:59Z"),
     mode: Option[String] = None,
     linkRel: Option[String] = None,
+    limit: Int = 100,                         // CMR page size (W4)
     dataFile: Option[String] = None,
     dataFileRegex: Option[String] = None,
     // shared

@@ -68,6 +68,8 @@ object EventJson {
       temporal = temporal,
       mode = optStr(n, "mode"),
       linkRel = optStr(n, "link_rel"),
+      limit = Option(n.get("limit")).filter(v => !v.isNull)
+        .map(_.asInt()).getOrElse(100),
       dataFile = optStr(n, "data_file"),
       dataFileRegex = optStr(n, "data_file_regex"),
       filenameRegex = optStr(n, "filename_regex"),

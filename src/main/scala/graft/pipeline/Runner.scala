@@ -19,6 +19,10 @@ object Runner {
     * listings, conversion plumbing). */
   case class RunContext(
       granules: Option[DataFrame] = None,
+      /** Page-file directory for the partition-per-page CMR source
+        * (graft-cmr-pages); used when no granule frame is given.
+        * The event's `limit` is the page size. */
+      granulePagesDir: Option[String] = None,
       targetBucket: Option[String] = None,
       userSharedBucket: Option[String] = None,
       existingTargetKeys: Option[DataFrame] = None,
@@ -28,6 +32,16 @@ object Runner {
 
   case class RunResult(items: DataFrame, quarantined: DataFrame)
 
+  /** The granule catalog for a cmr run: an explicit frame, or the
+    * partition-per-page source over `granulePagesDir`. */
+  private def granuleFrame(spark: SparkSession, ev: PipelineEvent,
+                           ctx: RunContext): DataFrame =
+    ctx.granules
+      .orElse(ctx.granulePagesDir.map(d =>
+        Cmr.pagedGranules(spark, d, ev.limit)))
+      .getOrElse(throw new IllegalArgumentException(
+        "cmr discovery requires a granule catalog or pages dir"))
+
   /** Route the discovery stage on `event.discovery`
     * (`step_function_stack.py:146-161` Choice state). */
   def discover(spark: SparkSession, ev: PipelineEvent,
@@ -35,9 +49,7 @@ object Runner {
     ev.discovery match {
       case "inventory" => Discovery.inventory(spark, ev)
       case "s3" => Discovery.listing(spark, ev)
-      case "cmr" => Cmr.discover(ctx.granules.getOrElse(
-        throw new IllegalArgumentException(
-          "cmr discovery requires a granule catalog")), ev)
+      case "cmr" => Cmr.discover(granuleFrame(spark, ev, ctx), ev)
       case other =>
         throw new IllegalArgumentException(s"unknown discovery: $other")
     }
@@ -71,7 +83,7 @@ object Runner {
     // granule_id (build-stac/handler.py:40-41)
     val items = ev.discovery match {
       case "cmr" =>
-        StacBuilder.cmrItems(objs, ctx.granules.get, ev)
+        StacBuilder.cmrItems(objs, granuleFrame(spark, ev, ctx), ev)
       case _ =>
         StacBuilder.regexItems(objs, ev)
     }

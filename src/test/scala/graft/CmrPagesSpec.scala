@@ -52,6 +52,17 @@ class CmrPagesSpec extends SparkSuite {
     assert(limited.count() == 3)
   }
 
+  test("Runner.run drives cmr discovery straight from the paged source") {
+    val dir = writePages(nPages = 2, perPage = 3)
+    val ev = PipelineEvent(collection = "c", discovery = "cmr", limit = 3)
+    val res = graft.pipeline.Runner.run(spark, ev,
+      graft.pipeline.Runner.RunContext(granulePagesDir = Some(dir)))
+    assert(res.items.count() == 6)
+    assert(res.quarantined.isEmpty)
+    assert(res.items.select("id").collect().map(_.getString(0)).sorted
+      .head == "g1")
+  }
+
   test("paged granules feed the CMR discovery path end to end") {
     val dir = writePages(nPages = 2, perPage = 3)
     val ev = PipelineEvent(collection = "c", discovery = "cmr")
