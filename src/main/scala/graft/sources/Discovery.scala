@@ -79,6 +79,28 @@ object Discovery {
       Ids.stem(col(ev.fileUrlKey)), assets)
   }
 
+  /** S2 as an incremental stream: new inventory CSV files dropped into
+    * `dir` become micro-batches of file_objs (the streaming analog of
+    * the reference's pagination re-trigger loop, T5 — offsets replace
+    * the `start_after` cursor). Same filter/projection as [[inventory]];
+    * a header-shaped schema is required up front (streaming CSV cannot
+    * infer). */
+  def inventoryStream(spark: SparkSession, ev: PipelineEvent, dir: String,
+                      csvSchema: org.apache.spark.sql.types.StructType,
+                      maxFilesPerTrigger: Int = 10): DataFrame = {
+    val raw = spark.readStream.schema(csvSchema)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .csv(dir)
+    val filtered = regexFilter(raw, col(ev.fileUrlKey), ev.filenameRegex)
+    val assets = (ev.metadataFileUrlKey, ev.metadataType) match {
+      case (Some(k), Some(t)) => map(lit(t), col(k))
+      case _ => lit(null).cast("map<string,string>")
+    }
+    toFileObj(filtered, ev, col(ev.fileUrlKey),
+      Ids.stem(col(ev.fileUrlKey)), assets)
+  }
+
   /** S1 listing scan (reference `s3-discovery/handler.py:32-83`):
     * partition-parallel enumeration of `bucket/prefix` via the DSv2
     * `graft-listing` source ([[graft.sources.dsv2.ListingSource]]) —

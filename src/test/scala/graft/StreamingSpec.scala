@@ -37,6 +37,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming inventory discovery: CSV drops become file_obj batches") {
+    import org.apache.spark.sql.types._
+    val inDir = Files.createTempDirectory("inv-in").toString
+    val ckpt = Files.createTempDirectory("inv-ckpt").toString
+    Files.writeString(java.nio.file.Paths.get(inDir, "inv1.csv"),
+      "s3_path,size\ns3://b/match_a.tif,1\ns3://b/skip_b.tif,2\n")
+    Files.writeString(java.nio.file.Paths.get(inDir, "inv2.csv"),
+      "s3_path,size\ns3://b/match_c.tif,3\n")
+    val ev = PipelineEvent(collection = "sc",
+      filenameRegex = Some("s3://b/match_.*"))
+    val schema = StructType(Seq(StructField("s3_path", StringType),
+      StructField("size", StringType)))
+    val stream = graft.sources.Discovery.inventoryStream(spark, ev,
+      inDir, schema, maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("inv_objs")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val urls = spark.sql("SELECT remote_fileurl FROM inv_objs")
+      .collect().map(_.getString(0)).sorted
+    assert(urls.toSeq == Seq("s3://b/match_a.tif", "s3://b/match_c.tif"))
+  }
+
   test("watermarked tumbling windows over a streaming event source") {
     import graft.streaming.EventWindows
     import org.apache.spark.sql.types._
