@@ -310,6 +310,47 @@ object Queries {
   }
 
   // ------------------------------------------------------------------
+  // Scale utilities as oracle-checked queries
+  // ------------------------------------------------------------------
+
+  /** Salted two-phase aggregation — result must equal the plain
+    * groupBy (exact decimal sum → bit-identical to the oracle). */
+  def skewSaltedSum(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedSum(t(s, dir, "lineitem"),
+      col("l_suppkey"), dec(col("l_quantity")))
+      .select(col("key").as("l_suppkey"),
+        round(col("sum"), 2).cast("double").as("sum_qty"))
+      .orderBy("l_suppkey")
+
+  /** Cross-batch keyed-state dedup, batch mode: exactly one row per
+    * key survives — keys projected so the result is deterministic. */
+  def statefulDedupKeys(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StatefulDedup.firstOccurrence(
+      t(s, dir, "events").select(col("user_id"), col("event_id")),
+      "user_id")
+      .select(col("user_id"))
+      .orderBy("user_id")
+
+  /** Bucketed co-located join: both sides written bucketed+sorted on
+    * the join key (one write-time shuffle), then joined Exchange-free;
+    * the aggregate must match the plain-join oracle. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = s"/tmp/graft_buckets_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.operators.Bucketing.writeBucketed(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+      "gq_b_orders", s"$base/orders", 16, Seq("o_orderkey"))
+    graft.operators.Bucketing.writeBucketed(
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+      "gq_b_lineitem", s"$base/lineitem", 16, Seq("l_orderkey"))
+    graft.operators.Bucketing.colocatedJoin(s, "gq_b_orders",
+      "gq_b_lineitem", col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_items"),
+        Tables.moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_custkey")
+  }
+
+  // ------------------------------------------------------------------
   // G — geometry
   // ------------------------------------------------------------------
 

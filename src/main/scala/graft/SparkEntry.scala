@@ -55,6 +55,10 @@ object SparkEntry {
     "q_t2_dlq_classify"      -> (Queries.t2DlqClassify _),
     // transfer
     "q_transfer_plan"        -> (Queries.transferPlan _),
+    // scale utilities
+    "q_skew_salted_sum"      -> (Queries.skewSaltedSum _),
+    "q_stateful_dedup_keys"  -> (Queries.statefulDedupKeys _),
+    "q_bucketed_join"        -> (Queries.bucketedJoin _),
     // STAC end-to-end
     "q_stac_regex_items"     -> (StacQueries.stacRegexItems _),
     "q_stac_regex_month"     -> (StacQueries.stacRegexItemsMonth _),
@@ -253,6 +257,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN value < 10 AND event_type = 'error' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_retryable
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_skew_salted_sum" ->
+      s"""SELECT l_suppkey, ${Tables.moneySumSql("l_quantity")} AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "q_stateful_dedup_keys" ->
+      """SELECT DISTINCT user_id FROM events ORDER BY user_id""".stripMargin,
+    "q_bucketed_join" ->
+      s"""SELECT o_custkey, count(*) AS n_items,
+        |  ${Tables.moneySumSql("l_quantity")} AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_transfer_plan" ->
       """SELECT p_partkey,
         |  's3://dst-bucket/' ||
