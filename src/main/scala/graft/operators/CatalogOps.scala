@@ -31,27 +31,45 @@ object CatalogOps {
           ids: Seq[String]): DataFrame =
     read(spark, catalogPath).filter(col("id").isin(ids: _*))
 
+  /** Stage `replacement` (rows for the affected collections only) to a
+    * temp directory, then swap it in: every directory in `affectedDirs`
+    * is deleted and the staged partition directories move into place.
+    * Staging first means the plan never reads files it has already
+    * overwritten; explicit deletion means emptied partitions lose
+    * their files too (dynamic partition overwrite would leave them). */
+  private def replacePartitions(spark: SparkSession, catalogPath: String,
+                                affectedDirs: Seq[org.apache.hadoop.fs.Path],
+                                replacement: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val catPath = new Path(catalogPath)
+    val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(catPath.getParent,
+      s".${catPath.getName}_staging_${java.util.UUID.randomUUID()}")
+    try {
+      replacement.write.mode(SaveMode.Overwrite)
+        .partitionBy("collection").parquet(tmp.toString)
+      affectedDirs.foreach(dir => fs.delete(dir, true))
+      fs.listStatus(tmp).filter(_.getPath.getName.startsWith("collection="))
+        .foreach { st =>
+          fs.rename(st.getPath, new Path(catPath, st.getPath.getName))
+        }
+    } finally fs.delete(tmp, true)
+  }
+
+  /** Partition directories holding any row of `subset` — names come
+    * from the filesystem, so partition-value escaping is whatever Spark
+    * wrote (no re-encoding on our side). */
+  private def dirsOf(subset: DataFrame): Seq[org.apache.hadoop.fs.Path] =
+    subset.select(input_file_name()).distinct()
+      .collect().map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+        .getParent).distinct.toIndexedSeq
+
   /** `ingest delete` analog: remove items by id, rewriting only the
-    * partitions that contain them.
-    *
-    * The surviving rows of every affected collection are STAGED to a
-    * temp directory first (never a read-then-overwrite of the same
-    * path), then each affected partition directory is explicitly
-    * deleted and replaced by its staged rewrite — a collection whose
-    * items are ALL deleted simply gets no replacement, so its old
-    * files go away too (dynamic partition overwrite would have left
-    * them: it only rewrites partitions present in the written data). */
+    * partitions that contain them. */
   def delete(spark: SparkSession, catalogPath: String,
              ids: Seq[String]): Long = {
-    import org.apache.hadoop.fs.Path
     val catalog = read(spark, catalogPath)
-    // affected partition dirs = parents of the files holding target ids
-    // (names come from the filesystem, so partition-value escaping is
-    // whatever Spark wrote — no re-encoding on our side).
-    val affectedDirs = catalog.filter(col("id").isin(ids: _*))
-      .select(input_file_name()).distinct()
-      .collect().map(r => new Path(r.getString(0)).getParent)
-      .distinct
+    val affectedDirs = dirsOf(catalog.filter(col("id").isin(ids: _*)))
     if (affectedDirs.isEmpty) return 0L
     val affected = catalog.filter(col("id").isin(ids: _*))
       .select("collection").distinct()
@@ -60,20 +78,48 @@ object CatalogOps {
     val before = inAffected.count()
     val remaining = inAffected.filter(!col("id").isin(ids: _*))
     val after = remaining.count()
-    val catPath = new Path(catalogPath)
-    val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(catPath.getParent,
-      s".${catPath.getName}_delete_staging_${java.util.UUID.randomUUID()}")
-    try {
-      // stage BEFORE touching the files the plan reads from
-      remaining.write.mode(SaveMode.Overwrite)
-        .partitionBy("collection").parquet(tmp.toString)
-      affectedDirs.foreach(dir => fs.delete(dir, true))
-      fs.listStatus(tmp).filter(_.getPath.getName.startsWith("collection="))
-        .foreach { st =>
-          fs.rename(st.getPath, new Path(catPath, st.getPath.getName))
-        }
-    } finally fs.delete(tmp, true)
+    replacePartitions(spark, catalogPath, affectedDirs, remaining)
     before - after
+  }
+
+  /** `ingest insert/update` analog: upsert items — new ids append, ids
+    * already present are REPLACED by the incoming row. Only the
+    * affected collections' partitions rewrite; everything else appends
+    * untouched. Returns the number of replaced (pre-existing) ids. */
+  def upsert(spark: SparkSession, catalogPath: String,
+             items: DataFrame): Long = {
+    val fs = new org.apache.hadoop.fs.Path(catalogPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(catalogPath))) {
+      items.write.mode(SaveMode.Append)
+        .partitionBy("collection").parquet(catalogPath)
+      return 0L
+    }
+    val catalog = read(spark, catalogPath)
+    val keys = items.select(col("collection").as("__c"), col("id").as("__i"))
+    val clashing = catalog.join(keys,
+      col("collection") === col("__c") && col("id") === col("__i"), "left_semi")
+    val affectedDirs = dirsOf(clashing)
+    if (affectedDirs.isEmpty) {
+      items.write.mode(SaveMode.Append)
+        .partitionBy("collection").parquet(catalogPath)
+      return 0L
+    }
+    val replaced = clashing.count()
+    val affected = clashing.select("collection").distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    // affected collections rewrite: survivors (old minus clashing ids)
+    // plus ALL incoming rows for those collections; the rest appends
+    val survivors = catalog.filter(col("collection").isin(affected: _*))
+      .join(keys, col("collection") === col("__c") && col("id") === col("__i"),
+        "left_anti")
+    val incomingAffected = items.filter(col("collection").isin(affected: _*))
+    replacePartitions(spark, catalogPath, affectedDirs,
+      survivors.unionByName(incomingAffected))
+    val incomingRest = items.filter(!col("collection").isin(affected: _*))
+    if (!incomingRest.isEmpty)
+      incomingRest.write.mode(SaveMode.Append)
+        .partitionBy("collection").parquet(catalogPath)
+    replaced
   }
 }

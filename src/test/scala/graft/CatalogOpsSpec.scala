@@ -49,4 +49,39 @@ class CatalogOpsSpec extends SparkSuite {
     assert(!new java.io.File(s"$path/collection=a").exists(),
       "emptied partition directory still present after delete")
   }
+
+  test("upsert replaces clashing ids, appends the rest, skips other partitions") {
+    val path = Files.createTempDirectory("catops-up").toString + "/t"
+    def items(rows: (String, String, String)*) = rows.toSeq
+      .toDF("collection", "id", "d")
+      .withColumn("datetime", to_timestamp(col("d"))).drop("d")
+      .withColumn("start_datetime", lit(null).cast("timestamp"))
+      .withColumn("end_datetime", lit(null).cast("timestamp"))
+    items(("a", "i1", "2020-01-01"), ("a", "i2", "2020-06-01"),
+      ("b", "i3", "2021-01-01"))
+      .write.partitionBy("collection").parquet(path)
+    val bFiles = new java.io.File(s"$path/collection=b").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+
+    // i2 replaced (new datetime), i4 new in a, i5 opens collection c
+    val replaced = CatalogOps.upsert(spark, path, items(
+      ("a", "i2", "2022-12-31"), ("a", "i4", "2022-01-01"),
+      ("c", "i5", "2023-01-01")))
+    assert(replaced == 1)
+    val out = spark.read.parquet(path)
+      .select(col("id"), date_format(col("datetime"), "yyyy-MM-dd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("i1", "i2", "i3", "i4", "i5"))
+    assert(out("i2") == "2022-12-31", "clashing id not replaced")
+    assert(out("i1") == "2020-01-01")
+    // untouched collection b was never rewritten
+    val bAfter = new java.io.File(s"$path/collection=b").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(bAfter == bFiles, "unaffected partition was rewritten")
+
+    // pure-append upsert (no clashes) touches nothing existing
+    assert(CatalogOps.upsert(spark, path,
+      items(("b", "i6", "2024-01-01"))) == 0)
+    assert(spark.read.parquet(path).count() == 6)
+  }
 }
