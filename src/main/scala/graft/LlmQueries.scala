@@ -45,6 +45,14 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish token estimate (GPT-2-style pre-tokenizer approximation)
+    * per document, next to the whitespace count. */
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Text.bpeTokenCount(col("text")).as("n_bpe"),
+      Text.tokenCount(col("text")).as("n_ws"))
+      .orderBy("doc_id")
+
   /** Heuristic language ID (marker-word argmax). */
   def textLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), col("lang"),

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_text_stats"           -> (LlmQueries.textStats _),
     "q_text_quality"         -> (LlmQueries.textQuality _),
     "q_text_langid"          -> (LlmQueries.textLangId _),
+    "q_text_bpe"             -> (LlmQueries.textBpeTokens _),
     "q_fingerprint_distinct" -> (LlmQueries.fingerprintDistinct _),
     "q_dedup_exact_stats"    -> (LlmQueries.dedupExactStats _),
     "q_dedup_exact_groups"   -> (LlmQueries.dedupExactGroups _),
@@ -367,6 +368,14 @@ object SparkEntry {
         |      THEN 'zh'
         |    ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END AS INT)
+        |    AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint_distinct" ->
       """SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |  AS n_distinct FROM documents""".stripMargin,
