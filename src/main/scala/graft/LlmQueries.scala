@@ -53,6 +53,12 @@ object LlmQueries {
       Text.tokenCount(col("text")).as("n_ws"))
       .orderBy("doc_id")
 
+  /** Composite C4/Gopher-style quality score. */
+  def textQualityScore(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      Text.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
   /** Heuristic language ID (marker-word argmax). */
   def textLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), col("lang"),

@@ -68,6 +68,7 @@ object SparkEntry {
     "q_text_quality"         -> (LlmQueries.textQuality _),
     "q_text_langid"          -> (LlmQueries.textLangId _),
     "q_text_bpe"             -> (LlmQueries.textBpeTokens _),
+    "q_text_quality_score"   -> (LlmQueries.textQualityScore _),
     "q_fingerprint_distinct" -> (LlmQueries.fingerprintDistinct _),
     "q_dedup_exact_stats"    -> (LlmQueries.dedupExactStats _),
     "q_dedup_exact_groups"   -> (LlmQueries.dedupExactGroups _),
@@ -368,6 +369,26 @@ object SparkEntry {
         |      THEN 'zh'
         |    ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_quality_score" ->
+      """SELECT doc_id, round((
+        |    least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) +
+        |    least((CASE WHEN n_tok = 0 THEN 0.0
+        |      ELSE CAST(n_stop AS DOUBLE) / n_tok END) * 4.0, 1.0) +
+        |    greatest(0.0, 1.0 - (CASE WHEN len_t = 0 THEN 0.0
+        |      ELSE CAST(n_punct AS DOUBLE) / len_t END) * 5.0)
+        |  ) / 3.0, 6) AS quality
+        |FROM (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+        |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> w IN ('the','a','an','and','or','of','to','in','is','it',
+        |        'that','for','on','with','as','was','at','by','be')))
+        |      AS n_stop,
+        |    length(text) -
+        |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+        |    length(text) AS len_t
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
