@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CosineSimExpr, ExtractDatesExpr, GeometryBboxExpr, LshBucketExpr, MinhashSigExpr, ShingleHashesExpr, SimhashExpr, VecDotExpr}
+import graft.expr.{CmrGeometryExpr, CosineSimExpr, ExtractDatesExpr, GeometryBboxExpr, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SimhashExpr, VecDotExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -74,6 +74,12 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.size == 3, "lsh_bucket expects 3 arguments")
         LshBucketExpr(exprs(0), exprs(1), exprs(2))
+      }),
+    (FunctionIdentifier("minhash_union"),
+      new ExpressionInfo(classOf[MinhashUnionAgg].getName, "minhash_union"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "minhash_union expects 1 argument")
+        MinhashUnionAgg(exprs.head).toAggregateExpression()
       }))
 
   /** Runtime registration on an existing session. */
