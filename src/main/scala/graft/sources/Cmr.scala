@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.model.{PipelineEvent, Schemas}
 import graft.operators.MultiAsset
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** S3/S4 — CMR granule catalog source.
@@ -37,25 +37,36 @@ object Cmr {
 
   /** P5 + file_obj projection (reference `cmr-query/handler.py:152-193`):
     * per granule, pick the href whose link rel is the fedsearch `s3#`
-    * rel or the event's `link_rel`; `mode=stac` instead picks hrefs
-    * ending `stac.json` and starting `https`. Event keys containing
+    * rel or the event's `link_rel` — the reference reassigns `file_obj`
+    * on every matching link and appends ONCE per granule
+    * (`handler.py:156-178`), so the LAST matching link wins and a
+    * granule with no matching link still emits a record (an empty dict
+    * there, which fails validation downstream; here a null
+    * `remote_fileurl`, which the pipeline routes to quarantine).
+    * `mode=stac` instead emits one row per href ending `stac.json` and
+    * starting `https` (`handler.py:157-159`). Event keys containing
     * "asset" pass through (P4). */
   def discover(granules: DataFrame, ev: PipelineEvent): DataFrame = {
-    val l = col("link")
-    val base = granules.select(col("id").as("granule_id"),
-      explode(col("links")).as("link"))
     val selected = ev.mode match {
       case Some("stac") =>
-        base.filter(l.getField("href").endsWith("stac.json") &&
-          l.getField("href").startsWith("https"))
+        val l = col("link")
+        granules.select(col("id").as("granule_id"),
+          explode(col("links")).as("link"))
+          .filter(l.getField("href").endsWith("stac.json") &&
+            l.getField("href").startsWith("https"))
+          .select(col("granule_id"), l.getField("href").as("href"))
       case _ =>
-        val relMatch = l.getField("rel") === "http://esipfed.org/ns/fedsearch/1.1/s3#" ||
-          ev.linkRel.map(r => l.getField("rel") === r).getOrElse(lit(false))
-        base.filter(relMatch)
+        val relMatch = (l: Column) =>
+          l.getField("rel") === "http://esipfed.org/ns/fedsearch/1.1/s3#" ||
+            ev.linkRel.map(r => l.getField("rel") === r).getOrElse(lit(false))
+        val matching = when(col("links").isNotNull,
+          filter(col("links"), relMatch))
+        granules.select(col("id").as("granule_id"),
+          element_at(matching, -1).getField("href").as("href"))
     }
     val objs = selected.select(
       lit(ev.collection).as("collection"),
-      l.getField("href").as("remote_fileurl"),
+      col("href").as("remote_fileurl"),
       lit(ev.upload).as("upload"),
       lit(ev.userShared).as("user_shared"),
       lit(ev.ingest).as("ingest"),

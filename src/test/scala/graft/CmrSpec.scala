@@ -133,6 +133,33 @@ class CmrSpec extends SparkSuite {
       .map(_.getString(0)) == Seq("metadata"))
   }
 
+  test("link selection: LAST matching link wins; no-match granule -> null url") {
+    import spark.implicits._
+    val mk = (rel: String, href: String) => (rel, href)
+    val granules = Seq(
+      ("G1", Seq(
+        mk("http://esipfed.org/ns/fedsearch/1.1/s3#", "s3://a/first.hdr"),
+        mk("http://esipfed.org/ns/fedsearch/1.1/metadata#", "s3://a/skip.xml"),
+        mk("http://esipfed.org/ns/fedsearch/1.1/s3#", "s3://a/last.hdr"))),
+      ("G2", Seq(
+        mk("http://esipfed.org/ns/fedsearch/1.1/browse#", "https://a/p.png"))))
+      .toDF("id", "raw")
+      .withColumn("links", expr(
+        "transform(raw, r -> named_struct('rel', r._1, 'href', r._2, " +
+          "'type', cast(null as string), 'title', cast(null as string), " +
+          "'hreflang', cast(null as string), " +
+          "'inherited', cast(null as boolean)))"))
+      .drop("raw")
+    val objs = Cmr.discover(granules, event(withAssets = false))
+      .select("granule_id", "remote_fileurl").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // the reference reassigns file_obj per matching link -> last wins
+    assert(objs("G1") == Some("s3://a/last.hdr"))
+    // no matching link -> the reference's empty file_obj; here a null
+    // url row that the pipeline quarantines downstream
+    assert(objs("G2").isEmpty)
+  }
+
   test("cmr discovery link selection: s3# rel wins; mode=stac picks stac.json") {
     val granules = Cmr.granulesFromJson(spark, granulePath)
     val objs = Cmr.discover(granules, event(withAssets = false))
