@@ -61,6 +61,16 @@ object Discovery {
     b.result()
   }
 
+  /** Metadata-file asset (`inventory/handler.py:57-77`): only when the
+    * metadata key is configured AND the row's cell is non-empty (the
+    * reference's Python falsiness — an empty cell means no asset). */
+  private def metadataAssets(ev: PipelineEvent): Column =
+    (ev.metadataFileUrlKey, ev.metadataType) match {
+      case (Some(k), Some(t)) =>
+        when(col(k).isNotNull && col(k) =!= "", map(lit(t), col(k)))
+      case _ => lit(null).cast("map<string,string>")
+    }
+
   /** S2 CSV inventory scan (reference `inventory/handler.py:49-81`):
     * header CSV → pluck `file_url_key` (+ optional metadata column) →
     * anchored regex filter → file_obj. `product_id` is the filename stem
@@ -71,12 +81,8 @@ object Discovery {
       throw new IllegalArgumentException("inventory discovery requires inventory_url"))
     val raw = spark.read.option("header", "true").csv(url)
     val filtered = regexFilter(raw, col(ev.fileUrlKey), ev.filenameRegex)
-    val assets = (ev.metadataFileUrlKey, ev.metadataType) match {
-      case (Some(k), Some(t)) => map(lit(t), col(k))
-      case _ => lit(null).cast("map<string,string>")
-    }
     toFileObj(filtered, ev, col(ev.fileUrlKey),
-      Ids.stem(col(ev.fileUrlKey)), assets)
+      Ids.stem(col(ev.fileUrlKey)), metadataAssets(ev))
   }
 
   /** S2 as an incremental stream: new inventory CSV files dropped into
@@ -93,12 +99,8 @@ object Discovery {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .csv(dir)
     val filtered = regexFilter(raw, col(ev.fileUrlKey), ev.filenameRegex)
-    val assets = (ev.metadataFileUrlKey, ev.metadataType) match {
-      case (Some(k), Some(t)) => map(lit(t), col(k))
-      case _ => lit(null).cast("map<string,string>")
-    }
     toFileObj(filtered, ev, col(ev.fileUrlKey),
-      Ids.stem(col(ev.fileUrlKey)), assets)
+      Ids.stem(col(ev.fileUrlKey)), metadataAssets(ev))
   }
 
   /** S1 listing scan (reference `s3-discovery/handler.py:32-83`):
