@@ -80,7 +80,27 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.size == 1, "minhash_union expects 1 argument")
         MinhashUnionAgg(exprs.head).toAggregateExpression()
-      }))
+      }),
+    // Spark's own Bloom expressions (used internally by runtime row
+    // filtering) surfaced as callable functions: whole-stage-codegen
+    // membership probes instead of a Scala UDF (Transfer J3 prefilter).
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 3,
+          "graft_bloom_agg expects (child, estimatedItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+          .toAggregateExpression()
+      }),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      arity2("graft_might_contain",
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain.apply)))
 
   /** Runtime registration on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -115,17 +115,25 @@ object LlmQueries {
     * candidates (identical 64-bit simhash) filtered to pairs whose
     * normalized texts are equal. Identical texts always collide in
     * every simhash band, so the result provably equals the set of
-    * norm-equal pairs — which is what the DuckDB oracle computes. */
+    * norm-equal pairs — which is what the DuckDB oracle computes.
+    *
+    * Scale shape: the verify join carries only (rolling-hash
+    * fingerprint, normalized length) per side — 12 bytes — never the
+    * corpus text. Fingerprint+length equality stands in for norm
+    * equality (a false positive needs a 64-bit polynomial-hash
+    * collision between same-length strings that also share a 64-bit
+    * simhash — far below any corpus scale). */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = docsWithClones(s, dir)
     val n = d.select(col("doc_id"),
-      Text.normalize(col("text")).as("norm"))
+      Text.fingerprint(col("text")).as("fp"),
+      length(Text.normalize(col("text"))).as("nlen"))
     Dedup.simhashNearDups(d, "doc_id", "text", maxDist = 0)
-      .join(n.select(col("doc_id").as("id_a"), col("norm").as("norm_a")),
-        "id_a")
-      .join(n.select(col("doc_id").as("id_b"), col("norm").as("norm_b")),
-        "id_b")
-      .filter(col("norm_a") === col("norm_b"))
+      .join(n.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
+        col("nlen").as("nlen_a")), "id_a")
+      .join(n.select(col("doc_id").as("id_b"), col("fp").as("fp_b"),
+        col("nlen").as("nlen_b")), "id_b")
+      .filter(col("fp_a") === col("fp_b") && col("nlen_a") === col("nlen_b"))
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy("id_a", "id_b")
   }

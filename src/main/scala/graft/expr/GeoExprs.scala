@@ -43,7 +43,12 @@ object GeoCore extends Serializable {
       tokenStr = boxes.getUTF8String(0)
     } else return null
     if (tokenStr == null) return null
-    var tokens = WS.split(tokenStr.trim().toString, -1)
+    // Python .split() (no argument) discards empty tokens everywhere —
+    // leading/trailing whitespace of ANY kind never yields a token, and
+    // ''.split() == [] makes `if not str_coords: return None` fire
+    // (stac.py:199-200)
+    var tokens = WS.split(tokenStr.toString, -1).filter(_.nonEmpty)
+    if (tokens.isEmpty) return null
     if (fromPolygons && reverse) tokens = tokens.reverse
     // pairwise with odd trailing token dropped (`zip(a, a)`)
     val nPairs = tokens.length / 2

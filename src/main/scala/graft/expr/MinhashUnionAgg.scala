@@ -59,6 +59,8 @@ case class MinhashUnionAgg(
     if (other.isEmpty) buffer
     else if (buffer.isEmpty) other.clone()
     else {
+      require(buffer.length == other.length,
+        s"minhash_union: signature width mismatch (${buffer.length} vs ${other.length})")
       var i = 0
       while (i < buffer.length) {
         if (other(i) < buffer(i)) buffer(i) = other(i)

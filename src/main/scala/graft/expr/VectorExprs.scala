@@ -64,6 +64,10 @@ object VectorCore extends Serializable {
     val na = norm(a, aet)
     val nb = norm(b, bet)
     if (na == null || nb == null) null
+    // zero-norm vector: the declarative twin divides via Spark's
+    // Divide, which yields NULL on a 0.0 divisor in non-ANSI mode —
+    // match that, never NaN/Infinity
+    else if (na.doubleValue() * nb.doubleValue() == 0.0) null
     else d.doubleValue() / (na.doubleValue() * nb.doubleValue())
   }
 

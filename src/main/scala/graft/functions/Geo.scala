@@ -59,13 +59,21 @@ object Geo {
   /** Declarative HOF twin of [[cmrGeometry]] (spec reference only). */
   def cmrGeometryHof(polygons: Column, boxes: Column,
                      reverseCoords: Column): Column = {
-    val polyTokens = split(trim(element_at(element_at(polygons, 1), 1)), "\\s+")
+    // Python .split() semantics: split on whitespace runs, discard
+    // empty tokens (so leading/trailing whitespace of any kind never
+    // yields a token), and an all-whitespace source → [] → null result
+    // (`if not str_coords: None`, stac.py:199-200)
+    def pySplit(src: Column): Column = {
+      val toks = filter(split(src, "\\s+"), t => length(t) > 0)
+      when(size(toks) > 0, toks)
+    }
+    val polyTokens = pySplit(element_at(element_at(polygons, 1), 1))
     val tokens =
       when(polygons.isNotNull && size(polygons) > 0,
         when(coalesce(reverseCoords, lit(false)), reverse(polyTokens))
           .otherwise(polyTokens))
       .when(boxes.isNotNull && size(boxes) > 0,
-        split(trim(element_at(boxes, 1)), "\\s+"))
+        pySplit(element_at(boxes, 1)))
     val coords = pairwise(tokens)
     val ring = when(size(coords) === 2, closedBoxRing(coords)).otherwise(coords)
     when(tokens.isNotNull,

@@ -40,9 +40,53 @@ object Similarity {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / (norm(a) * norm(b))
 
+  /** Global top-k per query over a (query_id, nn_id, sim) frame, with
+    * a per-partition bounded-heap pre-pass: each input partition emits
+    * at most k rows per query, so the per-query window that follows
+    * ranks at most numPartitions * k rows — never the whole corpus.
+    * Without the pre-pass, `row_number over (partition by query_id)`
+    * funnels every scored row for one query into a single task — the
+    * classic skew trap at corpus scale. Ordering (and ties) match the
+    * window exactly: sim desc, nn_id asc; null sims rank last. */
+  private[graft] def localTopK(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val sch = scored.schema
+    // "worse" = larger under this ordering, so the heap head is the
+    // eviction candidate
+    val byBadness: Ordering[Row] = new Ordering[Row] {
+      private def simOf(r: Row): Double =
+        if (r.isNullAt(2)) Double.NegativeInfinity else r.getDouble(2)
+      override def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Double.compare(simOf(b), simOf(a))
+        if (c != 0) c
+        else a.get(1).asInstanceOf[Comparable[Any]]
+          .compareTo(b.get(1).asInstanceOf[Comparable[Any]])
+      }
+    }
+    val partial = scored.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      rows.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.PriorityQueue.empty[Row](byBadness))
+        if (h.size < k) h.enqueue(r)
+        else if (byBadness.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(RowEncoder.encoderFor(sch))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("nn_id"))
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nn_id", "sim", "rank")
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self-matches excluded). Queries are broadcast — the big
-    * side never shuffles; the window top-k runs per query partition. */
+    * side never shuffles; a per-partition bounded heap pre-selects k
+    * candidates per (partition, query) so the final per-query ranking
+    * window never sees the full corpus ([[localTopK]]). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
@@ -50,12 +94,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("nn_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "nn_id", "sim", "rank")
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("sim"))
+    localTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes (seed 7): `nBits` planes of
@@ -102,12 +143,9 @@ object Similarity {
       // a (query, candidate) pair can meet in several probe buckets
       .groupBy("query_id", "nn_id")
       .agg(first("q_vec").as("q_vec"), first("nn_vec").as("nn_vec"))
-      .withColumn("sim", cosine(col("q_vec"), col("nn_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "nn_id", "sim", "rank")
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("sim"))
+    localTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN — the scale path for clustered corpora:
@@ -147,12 +185,9 @@ object Similarity {
       explode(transform(probes, _.getField("cid"))).as("cell"))
     val scored = cells.join(q, Seq("cell"))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("nn_vec")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("nn_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "nn_id", "sim", "rank")
+      .select(col("query_id"), col("nn_id"),
+        cosine(col("q_vec"), col("nn_vec")).as("sim"))
+    localTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH

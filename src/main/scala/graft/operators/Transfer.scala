@@ -72,19 +72,32 @@ object Transfer {
     * bypass the join entirely; only maybe-existing keys (Bloom
     * positives, incl. false positives at `fpp`) go through the exact
     * anti-join. Result is identical to [[skipExisting]]; only the
-    * shuffled volume changes. The membership probe is a broadcast
-    * Bloom + UDF — the same shape Spark's own runtime row-level
-    * filtering injects. */
+    * shuffled volume changes. The build is Spark's own distributed
+    * `BloomFilterAggregate` over xxhash64 keys and the probe is
+    * `BloomFilterMightContain` against the (small, literal) serialized
+    * filter — the exact shape Spark's runtime row-level filtering
+    * injects, and unlike a Scala UDF it stays in whole-stage codegen. */
   def skipExistingBloom(planned: DataFrame, existingKeys: DataFrame,
                         expectedKeys: Long = 1000000L,
                         fpp: Double = 0.01): DataFrame = {
+    graft.GraftFunctions.register(planned.sparkSession)
     val keyCol = existingKeys.columns.head
-    val bf = existingKeys.stat.bloomFilter(keyCol, expectedKeys, fpp)
-    val bcast = planned.sparkSession.sparkContext.broadcast(bf)
-    val mightExist = org.apache.spark.sql.functions.udf(
-      (k: String) => k != null && bcast.value.mightContainString(k))
-    val definitelyNew = planned.filter(!mightExist(col("target_key")))
-    val maybe = planned.filter(mightExist(col("target_key")))
+    // optimal bit count for (n, p): -n ln p / (ln 2)^2
+    val numBits = math.max(64L, math.ceil(
+      -expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bfBytes = existingKeys
+      .select(call_function("graft_bloom_agg", xxhash64(col(keyCol)),
+        lit(expectedKeys), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    // empty listing aggregates to a null filter — nothing can exist
+    if (bfBytes == null) return planned
+    // null target_key (transfer-ineligible rows) must pass through, as
+    // the exact anti-join's null-never-matches semantics would keep them
+    val mightExist = col("target_key").isNotNull &&
+      call_function("graft_might_contain", lit(bfBytes),
+        xxhash64(col("target_key")))
+    val definitelyNew = planned.filter(!mightExist)
+    val maybe = planned.filter(mightExist)
     definitelyNew.unionByName(skipExisting(maybe, existingKeys))
   }
 

@@ -44,8 +44,13 @@ object Cmr {
     * there, which fails validation downstream; here a null
     * `remote_fileurl`, which the pipeline routes to quarantine).
     * `mode=stac` instead emits one row per href ending `stac.json` and
-    * starting `https` (`handler.py:157-159`). Event keys containing
-    * "asset" pass through (P4). */
+    * starting `https` (`handler.py:157-159`) — PLUS one empty record
+    * per granule, because the reference's
+    * `granules_to_insert.append(file_obj)` at `handler.py:178` is
+    * unconditional and `file_obj` is never populated in stac mode; the
+    * empty dict fails validation downstream there, and the null-href
+    * row routes to quarantine here — same fate, same cardinality.
+    * Event keys containing "asset" pass through (P4). */
   def discover(granules: DataFrame, ev: PipelineEvent): DataFrame = {
     val selected = ev.mode match {
       case Some("stac") =>
@@ -55,6 +60,9 @@ object Cmr {
           .filter(l.getField("href").endsWith("stac.json") &&
             l.getField("href").startsWith("https"))
           .select(col("granule_id"), l.getField("href").as("href"))
+          .unionByName(granules.select(
+            lit(null).cast("string").as("granule_id"),
+            lit(null).cast("string").as("href")))
       case _ =>
         val relMatch = (l: Column) =>
           l.getField("rel") === "http://esipfed.org/ns/fedsearch/1.1/s3#" ||

@@ -94,7 +94,15 @@ class CmrPagesScan(root: String, pageSize: Int, limit: Option[Int])
     s"graft-cmr-pages root=$root pageSize=$pageSize" +
       limit.map(l => s" PushedLimit=$l").getOrElse("")
 
-  /** One partition per page file, pruned to the pushed limit. */
+  /** One partition per page file, pruned to the pushed limit.
+    *
+    * Pruning precondition (CMR pagination semantics): every page except
+    * the final one is full, i.e. holds exactly `page_size` entries —
+    * so a prefix of m < total pages holds at least m * page_size rows.
+    * Because a mis-specified `page_size` option (or a ragged fixture)
+    * breaks that invariant silently, one EXTRA page beyond
+    * ceil(limit / page_size) is always kept; `pushLimit` returned
+    * false, so Spark re-applies the limit above and trims the surplus. */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val p = new Path(root)
@@ -107,7 +115,7 @@ class CmrPagesScan(root: String, pageSize: Int, limit: Option[Int])
       .map { case (f, i) => CmrPagePartition(i + 1, f) }
     val kept = limit match {
       case Some(l) =>
-        val needed = math.max(1, (l + pageSize - 1) / pageSize)
+        val needed = math.max(1, (l + pageSize - 1) / pageSize) + 1
         pages.take(needed)
       case None => pages
     }

@@ -41,9 +41,9 @@ class CmrPagesSpec extends SparkSuite {
 
   test("pushed limit prunes whole pages at planning time (W4)") {
     val dir = writePages(nPages = 5, perPage = 2)
-    // ceil(3 / 2) = 2 pages planned when LIMIT 3 is pushed
+    // ceil(3 / 2) = 2 pages + one under-filled-page safety page
     assert(new CmrPagesScan(dir, 2, Some(3)).planInputPartitions()
-      .length == 2)
+      .length == 3)
     assert(new CmrPagesScan(dir, 2, None).planInputPartitions()
       .length == 5)
     // and through the SQL layer the limit still holds

@@ -167,6 +167,11 @@ class CmrSpec extends SparkSuite {
     assert(urls.toSeq == Seq(sampleAssets("hdr")))
     val none = Cmr.discover(granules,
       event(withAssets = false).copy(mode = Some("stac")))
-    assert(none.count() == 0) // no https .../stac.json links in fixture
+    // no https .../stac.json links in the fixture, but the reference's
+    // `granules_to_insert.append(file_obj)` (handler.py:178) is
+    // unconditional and file_obj is never populated in stac mode ->
+    // exactly one empty (null-url) record per granule
+    assert(none.count() == granules.count())
+    assert(none.filter(col("remote_fileurl").isNotNull).count() == 0)
   }
 }

@@ -111,6 +111,23 @@ class NativeExprSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("cosine_sim is null on zero-norm vectors (native == HOF twin)") {
+    val df = Seq(
+      (Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 2f, 3f), Seq(0f, 0f, 0f)),
+      (Seq(0f, 0f, 0f), Seq(0f, 0f, 0f))).toDF("va", "vb")
+    val rows = df.select(
+      graft.llm.Similarity.cosine(col("va"), col("vb")).as("nc"),
+      graft.llm.Similarity.cosineHof(col("va"), col("vb")).as("hc"))
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      // non-ANSI Divide yields NULL on a 0.0 divisor; the native path
+      // must match, never NaN/Infinity
+      assert(r.isNullAt(0), s"native cosine not null, case $i")
+      assert(r.isNullAt(1), s"HOF cosine not null, case $i")
+    }
+  }
+
   test("extract_dates native matches the declarative cascade") {
     val names = Seq(
       "s3://d/file_2020-01-15.tif", "s3://d/f_20200115_x.tif",
@@ -137,7 +154,13 @@ class NativeExprSpec extends SparkSuite {
       (null, Seq("1.5 2.5 3.5 4.5"), true), // reverse ignored for boxes
       (null, Seq(" 7  8   9 10 "), false), // ragged whitespace
       (Seq(Seq("1 2 3")), null, false), // odd token dropped
-      (null, null, false)) // neither -> NULL geometry
+      (null, null, false), // neither -> NULL geometry
+      // empty/whitespace-only token strings: Python ''.split() == []
+      // -> `if not str_coords: return None` (stac.py:199-200)
+      (Seq(Seq("")), null, false),
+      (Seq(Seq("  \t ")), null, true),
+      (null, Seq(""), false),
+      (null, Seq("   "), false))
       .toDF("polygons", "boxes", "reverse")
     val rows = cases.select(
       Geo.cmrGeometry(col("polygons"), col("boxes"), col("reverse")).as("nat"),
@@ -151,6 +174,8 @@ class NativeExprSpec extends SparkSuite {
     rows.zipWithIndex.foreach { case (r, i) =>
       assert(r.get(0) == r.get(1), s"geometry mismatch case $i")
       assert(r.get(2) == r.get(3), s"bbox mismatch case $i")
+      if (i >= 7) assert(r.isNullAt(0),
+        s"empty-token case $i must yield NULL geometry")
     }
   }
 }
