@@ -26,14 +26,21 @@ object Cmr {
     * page is one executor task via the `graft-cmr-pages` DSv2 table
     * ([[graft.sources.dsv2.CmrPagesSource]]); granule JSON decodes
     * against the schema partition-parallel. A LIMIT over the result
-    * prunes whole pages at planning time (W4 page-limit pushdown). */
-  def pagedGranules(spark: SparkSession, pagesDir: String,
-                    pageSize: Int = 100): DataFrame =
-    spark.read.format("graft-cmr-pages")
+    * prunes whole pages at planning time (W4 page-limit pushdown).
+    *
+    * `pages` is either a directory of fixture page files or a live
+    * `search/granules.json` HTTP endpoint (CMR-Hits-driven planning;
+    * `token` becomes a bearer Authorization header). */
+  def pagedGranules(spark: SparkSession, pages: String,
+                    pageSize: Int = 100,
+                    token: Option[String] = None): DataFrame = {
+    val rd = spark.read.format("graft-cmr-pages")
       .option("page_size", pageSize)
-      .load(pagesDir)
+    token.foreach(t => rd.option("token", t))
+    rd.load(pages)
       .select(from_json(col("granule_json"), Schemas.cmrGranule).as("g"))
       .select(col("g.*"))
+  }
 
   /** P5 + file_obj projection (reference `cmr-query/handler.py:152-193`):
     * per granule, pick the href whose link rel is the fedsearch `s3#`

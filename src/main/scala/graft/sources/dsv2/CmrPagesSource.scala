@@ -1,6 +1,5 @@
 package graft.sources.dsv2
 
-import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -23,11 +22,15 @@ import scala.jdk.CollectionConverters._
   * partition fetched by an executor task, so a million-granule
   * collection fans out instead of paging one-at-a-time.
   *
-  * The page store is abstracted as a directory of `page-*.json` files,
-  * each holding one page's `feed.entry` array (exactly the fixture
-  * shape of the reference's tests, `conftest.py:78-114`); a production
-  * deployment swaps the per-partition reader's `open` for an HTTP GET
-  * with `page_num` — the planning/fan-out logic is identical.
+  * Two page stores behind one source, dispatched on the path scheme:
+  *  - a directory of `page-*.json` files, each holding one page's
+  *    `feed.entry` array (exactly the fixture shape of the reference's
+  *    tests, `conftest.py:78-114`) — one partition per file;
+  *  - an `http(s)://...search/granules.json?...` endpoint — planning
+  *    probes `CMR-Hits` once (page_size=1) to learn the total, plans
+  *    ceil(hits / page_size) partitions, and each partition GETs its
+  *    own `page_num` ([[HttpPages]]); an optional `token` option is
+  *    sent as a bearer `Authorization` header (Earthdata-style auth).
   *
   * Limit pushdown (W4): `page_size` (default 100, the CMR default)
   * lets a pushed LIMIT prune whole pages at planning time — the
@@ -50,7 +53,8 @@ class CmrPagesSource extends TableProvider with DataSourceRegister {
     new CmrPagesTable(
       opts.getOrElse("path", throw new IllegalArgumentException(
         "graft-cmr-pages requires a path")),
-      opts.get("page_size").map(_.toInt).getOrElse(100))
+      opts.get("page_size").map(_.toInt).getOrElse(100),
+      opts.get("token"))
   }
 }
 
@@ -60,17 +64,17 @@ object CmrPagesSource {
     StructField("granule_json", StringType, nullable = false)))
 }
 
-class CmrPagesTable(root: String, pageSize: Int)
+class CmrPagesTable(root: String, pageSize: Int, token: Option[String])
   extends Table with SupportsRead {
   override def name(): String = s"graft-cmr-pages($root)"
   override def schema(): StructType = CmrPagesSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CmrPagesScanBuilder(root, pageSize)
+    new CmrPagesScanBuilder(root, pageSize, token)
 }
 
-class CmrPagesScanBuilder(root: String, pageSize: Int)
+class CmrPagesScanBuilder(root: String, pageSize: Int, token: Option[String])
   extends ScanBuilder with SupportsPushDownLimit {
 
   private var limit: Option[Int] = None
@@ -80,12 +84,13 @@ class CmrPagesScanBuilder(root: String, pageSize: Int)
     false // pages may be ragged; Spark re-applies the limit above
   }
 
-  override def build(): Scan = new CmrPagesScan(root, pageSize, limit)
+  override def build(): Scan = new CmrPagesScan(root, pageSize, limit, token)
 }
 
 case class CmrPagePartition(page: Int, file: String) extends InputPartition
 
-class CmrPagesScan(root: String, pageSize: Int, limit: Option[Int])
+class CmrPagesScan(root: String, pageSize: Int, limit: Option[Int],
+                   token: Option[String] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = CmrPagesSource.schema
@@ -93,6 +98,14 @@ class CmrPagesScan(root: String, pageSize: Int, limit: Option[Int])
   override def description(): String =
     s"graft-cmr-pages root=$root pageSize=$pageSize" +
       limit.map(l => s" PushedLimit=$l").getOrElse("")
+
+  private def keepForLimit(pages: Array[CmrPagePartition])
+  : Array[CmrPagePartition] = limit match {
+    case Some(l) =>
+      val needed = math.max(1, (l + pageSize - 1) / pageSize) + 1
+      pages.take(needed)
+    case None => pages
+  }
 
   /** One partition per page file, pruned to the pushed limit.
     *
@@ -103,58 +116,69 @@ class CmrPagesScan(root: String, pageSize: Int, limit: Option[Int])
     * breaks that invariant silently, one EXTRA page beyond
     * ceil(limit / page_size) is always kept; `pushLimit` returned
     * false, so Spark re-applies the limit above and trims the surplus. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pages = fs.listStatus(p).filter(_.isFile)
-      .map(_.getPath.toString)
-      .filter(f => f.split('/').last.matches("page-\\d+\\.json"))
-      .sortBy(f => f.split('/').last)
-      .zipWithIndex
-      .map { case (f, i) => CmrPagePartition(i + 1, f) }
-    val kept = limit match {
-      case Some(l) =>
-        val needed = math.max(1, (l + pageSize - 1) / pageSize) + 1
-        pages.take(needed)
-      case None => pages
+  override def planInputPartitions(): Array[InputPartition] =
+    if (HttpPages.isHttp(root)) {
+      // one CMR-Hits probe tells us the page count exactly — the
+      // partition-per-page fan-out of the reference's serial
+      // `hits > limit * page` loop (handler.py:145)
+      val total = HttpPages.hits(root, HttpPages.authHeaders(token))
+      val nPages = ((total + pageSize - 1) / pageSize).toInt
+      val pages = (1 to nPages).map(i =>
+        CmrPagePartition(i, HttpPages.pageUrl(root, i, pageSize))).toArray
+      keepForLimit(pages).toArray[InputPartition]
+    } else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val p = new Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pages = fs.listStatus(p).filter(_.isFile)
+        .map(_.getPath.toString)
+        .filter(f => f.split('/').last.matches("page-\\d+\\.json"))
+        .sortBy(f => f.split('/').last)
+        .zipWithIndex
+        .map { case (f, i) => CmrPagePartition(i + 1, f) }
+      keepForLimit(pages).toArray[InputPartition]
     }
-    kept.toArray[InputPartition]
-  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     new CmrPagesReaderFactory(new SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration))
+      spark.sparkContext.hadoopConfiguration), token)
   }
 }
 
-class CmrPagesReaderFactory(conf: SerializableConfiguration)
+class CmrPagesReaderFactory(conf: SerializableConfiguration,
+                            token: Option[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] = {
     val pp = partition.asInstanceOf[CmrPagePartition]
-    new CmrPageReader(pp, conf)
+    new CmrPageReader(pp, conf, token)
   }
 }
 
-/** Reads one page: a JSON array of granule objects → one row per
-  * granule. Production swaps the filesystem open for the paged HTTP
-  * GET; everything else stays. */
-class CmrPageReader(part: CmrPagePartition, conf: SerializableConfiguration)
+/** Reads one page — an HTTP GET of its `page_num` (live CMR) or a
+  * filesystem page file (fixtures) — into one row per granule. */
+class CmrPageReader(part: CmrPagePartition, conf: SerializableConfiguration,
+                    token: Option[String])
   extends PartitionReader[InternalRow] {
 
   private val iter: Iterator[String] = {
-    val path = new Path(part.file)
-    val fs = path.getFileSystem(conf.value)
-    val in = fs.open(path)
-    val bytes =
-      try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-      finally in.close()
-    val mapper = new ObjectMapper()
-    val node = mapper.readTree(bytes)
-    require(node.isArray, s"${part.file}: expected a JSON array page")
-    node.elements().asScala.map(_.toString).toList.iterator
+    val body =
+      if (HttpPages.isHttp(part.file)) {
+        val r = HttpPages.get(part.file, HttpPages.authHeaders(token))
+        require(r.status == 200,
+          s"HTTP ${r.status} fetching page ${part.page}: ${r.body.take(200)}")
+        r.body
+      } else {
+        val path = new Path(part.file)
+        val fs = path.getFileSystem(conf.value)
+        val in = fs.open(path)
+        val bytes =
+          try org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+          finally in.close()
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      }
+    HttpPages.entries(body)
   }
 
   private var current: InternalRow = _

@@ -1,0 +1,104 @@
+package graft.sources.dsv2
+
+import java.net.{HttpURLConnection, URL}
+import java.nio.charset.StandardCharsets
+
+/** Minimal HTTP page client — the live half of the S3 CMR source
+  * (reference `cmr-query/handler.py:104-151`): CMR's
+  * `search/granules.json` is paged with `page_num` / `page_size` query
+  * params and reports the total match count in the `CMR-Hits` response
+  * header, which drives the reference's keep-paging decision
+  * (`hits > limit * page`, handler.py:145) and here drives
+  * partition planning (total pages known up front, one partition per
+  * page). java.net only — no HTTP client dependency; zero-egress test
+  * environments exercise it against a loopback fixture server.
+  */
+object HttpPages extends Serializable {
+
+  final case class Response(status: Int, headers: Map[String, String],
+                            body: String)
+
+  private def isHttpUrl(s: String): Boolean =
+    s.startsWith("http://") || s.startsWith("https://")
+
+  def isHttp(locator: String): Boolean = isHttpUrl(locator)
+
+  /** GET with bounded retries on IO errors and 5xx (each Spark task
+    * retry adds another layer above this). */
+  def get(url: String, headers: Map[String, String] = Map.empty,
+          connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000,
+          retries: Int = 2): Response = {
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt <= retries) {
+      try {
+        val r = doGet(url, headers, connectTimeoutMs, readTimeoutMs)
+        if (r.status < 500) return r
+        last = new java.io.IOException(s"HTTP ${r.status} from $url")
+      } catch { case e: java.io.IOException => last = e }
+      attempt += 1
+      if (attempt <= retries) Thread.sleep(200L * attempt)
+    }
+    throw new java.io.IOException(
+      s"GET $url failed after ${retries + 1} attempts", last)
+  }
+
+  private def doGet(url: String, headers: Map[String, String],
+                    connectTimeoutMs: Int, readTimeoutMs: Int): Response = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setConnectTimeout(connectTimeoutMs)
+      conn.setReadTimeout(readTimeoutMs)
+      conn.setRequestMethod("GET")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val status = conn.getResponseCode
+      val stream =
+        if (status >= 400) conn.getErrorStream else conn.getInputStream
+      val body =
+        if (stream == null) ""
+        else try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+        finally stream.close()
+      import scala.jdk.CollectionConverters._
+      val hs = conn.getHeaderFields.asScala.collect {
+        case (k, vs) if k != null =>
+          k.toLowerCase -> vs.asScala.mkString(",")
+      }.toMap
+      Response(status, hs, body)
+    } finally conn.disconnect()
+  }
+
+  /** Append pagination params, preserving any query already present
+    * (the reference builds `...&page_size={limit}&page_num={page}`,
+    * handler.py:128-131). */
+  def pageUrl(endpoint: String, page: Int, pageSize: Int): String = {
+    val sep = if (endpoint.contains("?")) "&" else "?"
+    s"$endpoint${sep}page_size=$pageSize&page_num=$page"
+  }
+
+  /** Total matching granules via a page_size=1 probe — the `CMR-Hits`
+    * response header (handler.py:137). */
+  def hits(endpoint: String, headers: Map[String, String]): Long = {
+    val r = get(pageUrl(endpoint, page = 1, pageSize = 1), headers)
+    require(r.status == 200,
+      s"CMR hits probe failed: HTTP ${r.status} ${r.body.take(200)}")
+    r.headers.getOrElse("cmr-hits", throw new IllegalStateException(
+      s"no CMR-Hits header in response from $endpoint")).toLong
+  }
+
+  /** Page body → granule JSON strings: `feed.entry` (the live CMR
+    * response shape, handler.py:140) or a bare JSON array (fixture
+    * page files). */
+  def entries(body: String): Iterator[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(body)
+    val arr = if (node.has("feed")) node.get("feed").get("entry") else node
+    require(arr != null && arr.isArray,
+      "expected a feed.entry object or a JSON array page")
+    import scala.jdk.CollectionConverters._
+    arr.elements().asScala.map(_.toString).toList.iterator
+  }
+
+  /** Earthdata-style bearer token header. */
+  def authHeaders(token: Option[String]): Map[String, String] =
+    token.map(t => Map("Authorization" -> s"Bearer $t")).getOrElse(Map.empty)
+}

@@ -71,4 +71,81 @@ class CmrPagesSpec extends SparkSuite {
     assert(objs.select("remote_fileurl").collect()
       .map(_.getString(0)).forall(_.startsWith("s3://store/g")))
   }
+
+  /** Loopback `search/granules.json` fixture: pages a granule list with
+    * `page_num`/`page_size`, reports the total in `CMR-Hits` — the live
+    * CMR contract (`cmr-query/handler.py:128-145`). Records every
+    * request's Authorization header and page params. */
+  private def withCmrServer(total: Int)(
+      body: (String, java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String)]) => Unit)
+  : Unit = {
+    val requests =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/search/granules.json",
+      (exchange: com.sun.net.httpserver.HttpExchange) => {
+        val q = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("="))
+          .map { kv => val a = kv.split("=", 2); a(0) -> a(1) }.toMap
+        val ps = params.getOrElse("page_size", "100").toInt
+        val pn = params.getOrElse("page_num", "1").toInt
+        val auth = Option(
+          exchange.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        requests.add((pn, ps, auth))
+        val ids = ((pn - 1) * ps + 1) to math.min(pn * ps, total)
+        val entries = if (ids.isEmpty) "" else ids.map(granule).mkString(",")
+        val bytes = s"""{"feed":{"entry":[$entries]}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        exchange.getResponseHeaders.add("CMR-Hits", total.toString)
+        exchange.sendResponseHeaders(200, bytes.length)
+        val os = exchange.getResponseBody
+        os.write(bytes); os.close()
+      })
+    server.start()
+    try body(
+      s"http://127.0.0.1:${server.getAddress.getPort}/search/granules.json" +
+        "?short_name=C1&version=1", requests)
+    finally server.stop(0)
+  }
+
+  test("HTTP page store: CMR-Hits planning, per-partition GET, auth header") {
+    withCmrServer(total = 25) { (url, requests) =>
+      val df = spark.read.format("graft-cmr-pages")
+        .option("page_size", 10).option("token", "tok123").load(url)
+      assert(df.rdd.getNumPartitions == 3) // ceil(25 / 10) via CMR-Hits
+      assert(df.count() == 25)
+      // every request carried the bearer token (probe + 3 pages)
+      import scala.jdk.CollectionConverters._
+      assert(requests.asScala.nonEmpty)
+      assert(requests.asScala.forall(_._3 == "Bearer tok123"))
+      // the hits probe is a page_size=1 request; data pages are size 10
+      assert(requests.asScala.exists(r => r._2 == 1 && r._1 == 1))
+      assert(requests.asScala.count(_._2 == 10) >= 3)
+    }
+  }
+
+  test("HTTP page store: granules decode and feed CMR discovery") {
+    withCmrServer(total = 7) { (url, _) =>
+      val granules = Cmr.pagedGranules(spark, url, pageSize = 3)
+      assert(granules.count() == 7)
+      val objs = Cmr.discover(granules,
+        PipelineEvent(collection = "c", discovery = "cmr"))
+      assert(objs.count() == 7)
+      assert(objs.select("remote_fileurl").collect()
+        .map(_.getString(0)).forall(_.startsWith("s3://store/g")))
+    }
+  }
+
+  test("HTTP page store: pushed limit prunes page fetches") {
+    withCmrServer(total = 50) { (url, requests) =>
+      val limited = spark.read.format("graft-cmr-pages")
+        .option("page_size", 10).load(url).limit(5)
+      assert(limited.count() == 5)
+      import scala.jdk.CollectionConverters._
+      // ceil(5/10) = 1 page + 1 safety page fetched — never all 5 pages
+      val dataPages = requests.asScala.filter(_._2 == 10).map(_._1).toSet
+      assert(dataPages == Set(1, 2), s"fetched pages $dataPages")
+    }
+  }
 }
