@@ -427,4 +427,47 @@ object Queries {
       .select(col("p_partkey"), col("target_url"))
       .orderBy("p_partkey")
   }
+
+  /** S5 — GeoTIFF header scan over spec-built fixture bytes (both
+    * endians + a non-raster file hitting the metadata-only fallback,
+    * stac.py:88-93). Deterministic fixture → literal-VALUES oracle:
+    * the CORRECTNESS row pins the parser's field extraction. */
+  def s5GeoTiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import java.nio.ByteOrder
+    val files = Seq(
+      ("geotiff_le.tif", graft.sources.RasterFixtures.geoTiff(ByteOrder.LITTLE_ENDIAN)),
+      ("geotiff_be.tif", graft.sources.RasterFixtures.geoTiff(ByteOrder.BIG_ENDIAN)),
+      ("junk.tif", "not a raster".getBytes)).toDF("path", "content")
+    graft.sources.GeoTiff.scanMetadata(files).toDF()
+      .select(col("path").as("fname"), col("ok"),
+        col("width"), col("height"),
+        col("bitsPerSample").as("bits"), col("samplesPerPixel").as("spp"),
+        col("epsg"),
+        element_at(col("transform"), 1).as("gt_x0"),
+        element_at(col("transform"), 2).as("gt_xres"),
+        element_at(col("transform"), 4).as("gt_y0"),
+        element_at(col("transform"), 6).as("gt_yres"))
+      .orderBy("fname")
+  }
+
+  /** S6 — NetCDF classic + HDF5 header scan over spec-built fixture
+    * bytes: one row per discovered variable (group-qualified paths,
+    * shapes, types, fill values — the inputs `hdf5_to_cog` reads,
+    * cogify/handler.py:96-120) plus a fallback row for junk bytes. */
+  def s6NetCdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Seq(
+      ("grid.nc", graft.sources.NetCdfFixtures.classicGrid()),
+      ("nested.h5", graft.sources.NetCdfFixtures.hdf5()),
+      ("junk.bin", "no array data here".getBytes)).toDF("path", "content")
+    graft.sources.NetCdf.scanMetadata(files).toDF()
+      .select(col("path").as("fname"), col("ok"), col("format"),
+        coalesce(col("varPath"), lit("")).as("var_path"),
+        element_at(col("shape"), 1).as("dim0"),
+        element_at(col("shape"), 2).as("dim1"),
+        col("typeName").as("type_name"),
+        col("fillValue").as("fill_value"))
+      .orderBy("fname", "var_path")
+  }
 }

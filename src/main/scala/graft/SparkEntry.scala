@@ -81,6 +81,9 @@ object SparkEntry {
     "q_ann_lsh"              -> (LlmQueries.annLsh _),
     "q_embed_near_dups"      -> (LlmQueries.embeddingNearDups _),
     "q_distinct_counts"      -> (LlmQueries.distinctCounts _),
+    // raster / array-file header scans (fixture-pinned)
+    "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
+    "q_s6_netcdf"            -> (Queries.s6NetCdf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -539,6 +542,46 @@ object SparkEntry {
     "q_distinct_counts" ->
       """SELECT count(DISTINCT user_id) AS n_exact,
         |  true AS approx_within_10pct FROM events""".stripMargin,
+    // S5/S6 scan the deterministic spec-built fixtures, so the oracle
+    // is the expected field extraction as literals — a golden gate
+    // through the same hash-compare machinery
+    "q_s5_geotiff" ->
+      """SELECT * FROM (VALUES
+        |  ('geotiff_be.tif', true, CAST(512 AS BIGINT), CAST(256 AS BIGINT),
+        |   8, 1, 4326, CAST(-180.0 AS DOUBLE), CAST(0.1 AS DOUBLE),
+        |   CAST(90.0 AS DOUBLE), CAST(-0.05 AS DOUBLE)),
+        |  ('geotiff_le.tif', true, CAST(512 AS BIGINT), CAST(256 AS BIGINT),
+        |   8, 1, 4326, CAST(-180.0 AS DOUBLE), CAST(0.1 AS DOUBLE),
+        |   CAST(90.0 AS DOUBLE), CAST(-0.05 AS DOUBLE)),
+        |  ('junk.tif', false, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |   0, 0, CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        |) AS t(fname, ok, width, height, bits, spp, epsg,
+        |       gt_x0, gt_xres, gt_y0, gt_yres)
+        |ORDER BY fname""".stripMargin,
+    "q_s6_netcdf" ->
+      """SELECT * FROM (VALUES
+        |  ('grid.nc', true, 'netcdf-classic CDF-1', 'lat',
+        |   CAST(4 AS BIGINT), CAST(NULL AS BIGINT), 'double',
+        |   CAST(NULL AS DOUBLE)),
+        |  ('grid.nc', true, 'netcdf-classic CDF-1', 'lon',
+        |   CAST(6 AS BIGINT), CAST(NULL AS BIGINT), 'double',
+        |   CAST(NULL AS DOUBLE)),
+        |  ('grid.nc', true, 'netcdf-classic CDF-1', 'precip',
+        |   CAST(4 AS BIGINT), CAST(6 AS BIGINT), 'float',
+        |   CAST(-9999.0 AS DOUBLE)),
+        |  ('junk.bin', false, CAST(NULL AS VARCHAR), '',
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+        |  ('nested.h5', true, 'hdf5 superblock-v0', 'precip',
+        |   CAST(10 AS BIGINT), CAST(20 AS BIGINT), 'float',
+        |   CAST(-9999.0 AS DOUBLE)),
+        |  ('nested.h5', true, 'hdf5 superblock-v0', 'science/temp',
+        |   CAST(5 AS BIGINT), CAST(7 AS BIGINT), 'double',
+        |   CAST(NULL AS DOUBLE))
+        |) AS t(fname, ok, format, var_path, dim0, dim1, type_name,
+        |       fill_value)
+        |ORDER BY fname, var_path""".stripMargin,
   )
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,

@@ -82,6 +82,27 @@ object Cogify {
       outputBucket: String = "",
       outputDir: String = "file-staging")
 
+  /** S6 — derive the conversion grid for a NetCDF/HDF5 input from its
+    * header bytes + the collection config: the exact inputs
+    * `hdf5_to_cog` computes before reprojection (`handler.py:96-120` —
+    * variable shape via group dispatch, `_FillValue`, x/y extent with
+    * the global default) plus the evaluated affine override
+    * (`handler.py:143-147`: `xres = (xmax-xmin)/width` etc against the
+    * parsed 6-term language — never an eval). */
+  def netcdfGrid(bytes: Array[Byte], cfg: CollectionConfig)
+  : Either[String, (graft.sources.NetCdf.GridInfo, Option[Seq[Double]])] =
+    cfg.variableName.toRight("no variable_name configured").flatMap { v =>
+      graft.sources.NetCdf.gridInfo(bytes, v, cfg.group, cfg.xVariable,
+        cfg.yVariable).map { g =>
+        val affine = cfg.affine.map { terms =>
+          val xres = (g.xmax - g.xmin) / g.width.toDouble
+          val yres = (g.ymax - g.ymin) / g.height.toDouble
+          evalAffine(terms, g.xmin, g.ymax, xres, yres)
+        }
+        (g, affine)
+      }
+    }
+
   /** One file conversion: local input → local COG output. Production
     * implementations shell out to GDAL / use JNI; the contract is
     * file-in/file-out so the Spark layer never sees raster bytes. */

@@ -1,0 +1,253 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Deterministic in-memory NetCDF/HDF5 file builders.
+  *
+  * [[classic]] is a real (minimal) CDF-1 writer — the inverse of
+  * [[NetCdf.parseClassic]] — used both as test fixture source and as
+  * the byte-level oracle for the S6 scan queries: no native NetCDF
+  * library exists in this environment, so the fixtures are built from
+  * the published on-disk spec and parsed back.
+  *
+  * [[hdf5]] hand-assembles a fixed superblock-v0 HDF5 file (heap,
+  * B-tree, SNOD, object headers) with a root dataset, a subgroup and
+  * a grouped dataset — the symbol-table layout the HDF5 1.8/netCDF-4
+  * line writes.
+  */
+object NetCdfFixtures {
+
+  // ---------------- NetCDF classic (CDF-1) writer ----------------
+
+  /** Variable spec: `typ` is the NC type id (3 short, 4 int, 5 float,
+    * 6 double), `values` row-major. */
+  case class CVar(name: String, dims: Seq[String], typ: Int,
+                  values: Seq[Double],
+                  attrs: Seq[(String, Either[String, Seq[Double]])] = Nil)
+
+  private def typeSize(t: Int): Int = t match {
+    case 1 | 2 => 1; case 3 => 2; case 4 | 5 => 4; case 6 => 8
+  }
+
+  def classic(dims: Seq[(String, Int)], vars: Seq[CVar]): Array[Byte] = {
+    val bo = new ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      bo.write(((v >> 24) & 0xFF).toInt); bo.write(((v >> 16) & 0xFF).toInt)
+      bo.write(((v >> 8) & 0xFF).toInt); bo.write((v & 0xFF).toInt)
+    }
+    def name(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      u32(b.length); bo.write(b)
+      (0 until ((4 - b.length % 4) % 4)).foreach(_ => bo.write(0))
+    }
+    def attrs(as: Seq[(String, Either[String, Seq[Double]])]): Unit =
+      if (as.isEmpty) { u32(0); u32(0) }
+      else {
+        u32(0x0C); u32(as.size)
+        as.foreach { case (n, v) =>
+          name(n)
+          v match {
+            case Left(s) =>
+              val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              u32(2); u32(b.length); bo.write(b)
+              (0 until ((4 - b.length % 4) % 4)).foreach(_ => bo.write(0))
+            case Right(ds) =>
+              u32(6); u32(ds.size)
+              val bb = ByteBuffer.allocate(ds.size * 8)
+                .order(ByteOrder.BIG_ENDIAN)
+              ds.foreach(bb.putDouble)
+              bo.write(bb.array())
+          }
+        }
+      }
+
+    val dimIdx = dims.map(_._1).zipWithIndex.toMap
+    // pass 1: header with placeholder begins; remember patch offsets
+    bo.write('C'); bo.write('D'); bo.write('F'); bo.write(1)
+    u32(0) // numrecs
+    if (dims.isEmpty) { u32(0); u32(0) }
+    else { u32(0x0A); u32(dims.size); dims.foreach { case (n, l) => name(n); u32(l) } }
+    attrs(Nil) // no global attributes in fixtures
+    val beginPatches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (vars.isEmpty) { u32(0); u32(0) }
+    else {
+      u32(0x0B); u32(vars.size)
+      vars.foreach { v =>
+        name(v.name)
+        u32(v.dims.size)
+        v.dims.foreach(d => u32(dimIdx(d)))
+        attrs(v.attrs)
+        u32(v.typ)
+        val n = v.dims.map(d => dims(dimIdx(d))._2).product
+        u32((n * typeSize(v.typ) + 3) / 4 * 4) // vsize
+        beginPatches += bo.size()
+        u32(0) // begin placeholder
+      }
+    }
+    val header = bo.toByteArray
+    // pass 2: assign data offsets and write values
+    val data = new ByteArrayOutputStream()
+    val begins = vars.map { v =>
+      val begin = header.length + data.size()
+      val n = v.dims.map(d => dims(dimIdx(d))._2).product
+      require(v.values.size == n,
+        s"${v.name}: ${v.values.size} values for $n cells")
+      val bb = ByteBuffer.allocate((n * typeSize(v.typ) + 3) / 4 * 4)
+        .order(ByteOrder.BIG_ENDIAN)
+      v.values.foreach { d =>
+        v.typ match {
+          case 3 => bb.putShort(d.toShort)
+          case 4 => bb.putInt(d.toInt)
+          case 5 => bb.putFloat(d.toFloat)
+          case 6 => bb.putDouble(d)
+        }
+      }
+      data.write(bb.array())
+      begin
+    }
+    val full = ByteBuffer.wrap(header ++ data.toByteArray)
+      .order(ByteOrder.BIG_ENDIAN)
+    beginPatches.zip(begins).foreach { case (at, b) => full.putInt(at, b) }
+    full.array()
+  }
+
+  /** The standard S6 fixture: lat/lon coordinate vectors + a 2-D
+    * `precip` grid with a `_FillValue`, exactly the shape
+    * `hdf5_to_cog` reads (`cogify/handler.py:96-120`). */
+  def classicGrid(): Array[Byte] = classic(
+    dims = Seq("lat" -> 4, "lon" -> 6),
+    vars = Seq(
+      CVar("lat", Seq("lat"), 6, Seq(-30.0, -10.0, 10.0, 30.0)),
+      CVar("lon", Seq("lon"), 6, Seq(-120.0, -72.0, -24.0, 24.0, 72.0, 120.0)),
+      CVar("precip", Seq("lat", "lon"), 5,
+        (1 to 24).map(_.toDouble * 0.5),
+        attrs = Seq("_FillValue" -> Right(Seq(-9999.0)),
+          "units" -> Left("mm/hr")))))
+
+  // ---------------- HDF5 superblock-v0 fixture ----------------
+
+  /** A fixed HDF5 file: root {precip: float32[10][20] fill=-9999,
+    * science/ {temp: float64[5][7]}}. Every address below is chosen by
+    * this builder; the parser must navigate them via the superblock,
+    * heap, B-tree and SNOD structures only. */
+  def hdf5(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(2048).order(ByteOrder.LITTLE_ENDIAN)
+
+    // layout
+    val heapAddr = 96L; val heapData = 128L
+    val btreeAddr = 256L; val snodAddr = 320L
+    val precipHdr = 512L; val scienceHdr = 640L
+    val subHeap = 704L; val subHeapData = 736L
+    val subBtree = 832L; val subSnod = 896L
+    val tempHdr = 1024L
+
+    def putMagic(at: Int): Unit = {
+      buf.position(at)
+      buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    }
+    // superblock v0
+    putMagic(0)
+    buf.put(8, 0.toByte) // superblock version
+    buf.put(13, 8.toByte); buf.put(14, 8.toByte) // offset/length sizes
+    buf.putShort(16, 4); buf.putShort(18, 16) // leaf/internal K
+    buf.putLong(24, 0L) // base address
+    buf.putLong(40, 2048L) // EOF
+    // root symbol table entry @56: nameOff, objHdr, cacheType=1, scratch
+    buf.putLong(56, 0L); buf.putLong(64, 0L); buf.putInt(72, 1)
+    buf.putLong(80, btreeAddr); buf.putLong(88, heapAddr)
+
+    def localHeap(at: Long, dataAt: Long, names: Seq[(Long, String)]): Unit = {
+      buf.position(at.toInt)
+      buf.put('H'.toByte); buf.put('E'.toByte); buf.put('A'.toByte)
+      buf.put('P'.toByte)
+      buf.putLong(at.toInt + 8, 96L) // data segment size
+      buf.putLong(at.toInt + 16, 0L) // free list
+      buf.putLong(at.toInt + 24, dataAt) // data segment address
+      names.foreach { case (off, s) =>
+        buf.position((dataAt + off).toInt)
+        buf.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        buf.put(0.toByte)
+      }
+    }
+    def btree(at: Long, snod: Long): Unit = {
+      buf.position(at.toInt)
+      buf.put("TREE".getBytes); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putShort(at.toInt + 6, 1) // one entry
+      buf.putLong(at.toInt + 8, -1L); buf.putLong(at.toInt + 16, -1L)
+      buf.putLong(at.toInt + 24, 0L) // key 0
+      buf.putLong(at.toInt + 32, snod) // child 0
+      buf.putLong(at.toInt + 40, 8L) // key 1
+    }
+    def snod(at: Long, entries: Seq[(Long, Long)]): Unit = {
+      buf.position(at.toInt)
+      buf.put("SNOD".getBytes); buf.put(1.toByte); buf.put(0.toByte)
+      buf.putShort(at.toInt + 6, entries.size.toShort)
+      entries.zipWithIndex.foreach { case ((nameOff, hdr), i) =>
+        val e = at.toInt + 8 + i * 40
+        buf.putLong(e, nameOff); buf.putLong(e + 8, hdr)
+        buf.putInt(e + 16, 0)
+      }
+    }
+    /** v1 object header with pre-padded (8-multiple) message bodies. */
+    def objHeader(at: Long, msgs: Seq[(Int, Array[Byte])]): Unit = {
+      buf.position(at.toInt)
+      buf.put(1.toByte); buf.put(0.toByte)
+      buf.putShort(at.toInt + 2, msgs.size.toShort)
+      buf.putInt(at.toInt + 4, 1) // refcount
+      buf.putInt(at.toInt + 8, msgs.map(_._2.length + 8).sum)
+      var p = at.toInt + 16
+      msgs.foreach { case (typ, body) =>
+        require(body.length % 8 == 0, "message body must be 8-aligned")
+        buf.putShort(p, typ.toShort)
+        buf.putShort(p + 2, body.length.toShort)
+        buf.put(p + 4, 0.toByte)
+        buf.position(p + 8); buf.put(body)
+        p += 8 + body.length
+      }
+    }
+    def dataspace(dims: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + dims.size * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(dims.size.toByte); b.put(0.toByte)
+      b.position(8); dims.foreach(b.putLong)
+      b.array()
+    }
+    def datatype(clazz: Int, size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(((1 << 4) | clazz).toByte)
+      b.position(4); b.putInt(size)
+      b.array()
+    }
+    def fillValue(f: Float): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(1.toByte); b.put(2.toByte); b.put(1.toByte)
+      b.putInt(4, 4); b.putFloat(8, f)
+      b.array()
+    }
+    def symtab(bt: Long, hp: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(bt); b.putLong(hp)
+      b.array()
+    }
+
+    // root group: heap names, btree -> snod -> {precip, science}
+    localHeap(heapAddr, heapData, Seq(8L -> "precip", 24L -> "science"))
+    btree(btreeAddr, snodAddr)
+    snod(snodAddr, Seq(8L -> precipHdr, 24L -> scienceHdr))
+    objHeader(precipHdr, Seq(
+      0x0001 -> dataspace(Seq(10L, 20L)),
+      0x0003 -> datatype(clazz = 1, size = 4),
+      0x0005 -> fillValue(-9999f)))
+    objHeader(scienceHdr, Seq(0x0011 -> symtab(subBtree, subHeap)))
+    // science subgroup
+    localHeap(subHeap, subHeapData, Seq(8L -> "temp"))
+    btree(subBtree, subSnod)
+    snod(subSnod, Seq(8L -> tempHdr))
+    objHeader(tempHdr, Seq(
+      0x0001 -> dataspace(Seq(5L, 7L)),
+      0x0003 -> datatype(clazz = 1, size = 8)))
+
+    buf.array()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Deterministic in-memory GeoTIFF builder — fixture source for the
+  * S5 header-scan tests and oracle queries (no GDAL in this
+  * environment; bytes follow the published TIFF 6.0 + GeoTIFF specs).
+  */
+object RasterFixtures {
+
+  /** Minimal valid GeoTIFF: 512x256 uint8, tiles 256x256, EPSG:4326,
+    * origin (-180, 90), pixel size 0.1 x 0.05. */
+  def geoTiff(order: ByteOrder = ByteOrder.LITTLE_ENDIAN): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4096).order(order)
+    buf.put(if (order == ByteOrder.LITTLE_ENDIAN) "II".getBytes
+            else "MM".getBytes)
+    buf.putShort(42)
+    buf.putInt(8) // IFD at byte 8
+    val entries = 9
+    buf.putShort(8, entries.toShort)
+    var e = 10
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(e, tag.toShort)
+      buf.putShort(e + 2, typ.toShort)
+      buf.putInt(e + 4, cnt)
+      if (typ == 3 && cnt == 1) buf.putShort(e + 8, value.toShort)
+      else buf.putInt(e + 8, value.toInt)
+      e += 12
+    }
+    val geoKeysOff = 200
+    val scaleOff = 260
+    val tieOff = 300
+    entry(256, 3, 1, 512)        // ImageWidth
+    entry(257, 3, 1, 256)        // ImageLength
+    entry(258, 3, 1, 8)          // BitsPerSample
+    entry(277, 3, 1, 1)          // SamplesPerPixel
+    entry(322, 3, 1, 256)        // TileWidth
+    entry(323, 3, 1, 256)        // TileLength
+    entry(33550, 12, 3, scaleOff)   // ModelPixelScale
+    entry(33922, 12, 6, tieOff)     // ModelTiepoint
+    entry(34735, 3, 8, geoKeysOff)  // GeoKeyDirectory
+    buf.putInt(e, 0) // next IFD = none
+    // GeoKeyDirectory: header + GeographicTypeGeoKey=4326
+    val keys = Seq(1, 1, 0, 1, 2048, 0, 1, 4326)
+    keys.zipWithIndex.foreach { case (v, i) =>
+      buf.putShort(geoKeysOff + i * 2, v.toShort)
+    }
+    Seq(0.1, 0.05, 0.0).zipWithIndex.foreach { case (v, i) =>
+      buf.putDouble(scaleOff + i * 8, v)
+    }
+    Seq(0.0, 0.0, 0.0, -180.0, 90.0, 0.0).zipWithIndex.foreach {
+      case (v, i) => buf.putDouble(tieOff + i * 8, v)
+    }
+    buf.array()
+  }
+}

@@ -1,63 +1,15 @@
 package graft
 
 import graft.sources.GeoTiff
-import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.ByteOrder
 import java.nio.file.Files
 
 /** S5 — GeoTIFF header parser against a hand-assembled minimal
   * GeoTIFF (little-endian, tiled, EPSG + tiepoint/scale tags). */
 class GeoTiffSpec extends SparkSuite {
 
-  /** Build a minimal valid GeoTIFF: 512x256 uint8, tiles 256x256,
-    * EPSG:4326, origin (-180, 90), pixel size 0.1 x 0.05. */
-  private def makeGeoTiff(order: ByteOrder): Array[Byte] = {
-    val buf = ByteBuffer.allocate(4096).order(order)
-    // header
-    buf.put(if (order == ByteOrder.LITTLE_ENDIAN) "II".getBytes
-            else "MM".getBytes)
-    buf.putShort(42)
-    buf.putInt(8) // IFD at byte 8
-    // IFD: 9 entries
-    val entries = 9
-    buf.putShort(8, entries.toShort)
-    var e = 10
-    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
-      buf.putShort(e, tag.toShort)
-      buf.putShort(e + 2, typ.toShort)
-      buf.putInt(e + 4, cnt)
-      if (typ == 3 && cnt == 1) buf.putShort(e + 8, value.toShort)
-      else buf.putInt(e + 8, value.toInt)
-      e += 12
-    }
-    // out-of-line data areas
-    val geoKeysOff = 200
-    val scaleOff = 260
-    val tieOff = 300
-    entry(256, 3, 1, 512)        // ImageWidth
-    entry(257, 3, 1, 256)        // ImageLength
-    entry(258, 3, 1, 8)          // BitsPerSample
-    entry(277, 3, 1, 1)          // SamplesPerPixel
-    entry(322, 3, 1, 256)        // TileWidth
-    entry(323, 3, 1, 256)        // TileLength
-    entry(33550, 12, 3, scaleOff)   // ModelPixelScale
-    entry(33922, 12, 6, tieOff)     // ModelTiepoint
-    entry(34735, 3, 8, geoKeysOff)  // GeoKeyDirectory
-    buf.putInt(e, 0) // next IFD = none
-    // GeoKeyDirectory: header + 1 key (GeographicTypeGeoKey=4326)
-    val keys = Seq(1, 1, 0, 1, 2048, 0, 1, 4326)
-    keys.zipWithIndex.foreach { case (v, i) =>
-      buf.putShort(geoKeysOff + i * 2, v.toShort)
-    }
-    // ModelPixelScale: (0.1, 0.05, 0)
-    Seq(0.1, 0.05, 0.0).zipWithIndex.foreach { case (v, i) =>
-      buf.putDouble(scaleOff + i * 8, v)
-    }
-    // ModelTiepoint: (0, 0, 0, -180, 90, 0)
-    Seq(0.0, 0.0, 0.0, -180.0, 90.0, 0.0).zipWithIndex.foreach {
-      case (v, i) => buf.putDouble(tieOff + i * 8, v)
-    }
-    buf.array()
-  }
+  private def makeGeoTiff(order: ByteOrder): Array[Byte] =
+    graft.sources.RasterFixtures.geoTiff(order)
 
   test("parses dimensions, tiling, EPSG, geotransform (both endians)") {
     for (order <- Seq(ByteOrder.LITTLE_ENDIAN, ByteOrder.BIG_ENDIAN)) {

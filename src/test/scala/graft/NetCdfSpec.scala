@@ -1,0 +1,111 @@
+package graft
+
+import graft.sources.{NetCdf, NetCdfFixtures}
+import java.nio.file.Files
+
+/** S6 — NetCDF classic + HDF5 header parsers against spec-built
+  * fixture bytes (the GeoTiffSpec pattern: no native libs, bytes from
+  * the published on-disk formats, parsed back field by field). */
+class NetCdfSpec extends SparkSuite {
+
+  test("classic: dims, shapes, types, attributes, fill value") {
+    val m = NetCdf.parse(NetCdfFixtures.classicGrid())
+      .fold(e => fail(e), identity)
+    assert(m.format == "netcdf-classic CDF-1")
+    assert(m.dims == Seq("lat" -> 4L, "lon" -> 6L))
+    assert(m.vars.map(_.path) == Seq("lat", "lon", "precip"))
+    val precip = m.vars.find(_.path == "precip").get
+    assert(precip.shape == Seq(4L, 6L))
+    assert(precip.typeName == "float")
+    assert(precip.fillValue.contains(-9999.0))
+    assert(precip.attrs.exists(a =>
+      a.name == "units" && a.str.contains("mm/hr")))
+    assert(m.vars.find(_.path == "lat").get.typeName == "double")
+  }
+
+  test("classic: coordinate extents read from the data section") {
+    val bytes = NetCdfFixtures.classicGrid()
+    val m = NetCdf.parse(bytes).toOption.get
+    assert(NetCdf.coordExtent(bytes, m, "lat").contains((-30.0, 30.0)))
+    assert(NetCdf.coordExtent(bytes, m, "lon").contains((-120.0, 120.0)))
+    assert(NetCdf.coordExtent(bytes, m, "precip").isEmpty) // 2-D
+    assert(NetCdf.coordExtent(bytes, m, "nope").isEmpty)
+  }
+
+  test("gridInfo mirrors hdf5_to_cog's inputs (handler.py:96-120)") {
+    val g = NetCdf.gridInfo(NetCdfFixtures.classicGrid(), "precip",
+      xVariable = Some("lon"), yVariable = Some("lat"))
+      .fold(e => fail(e), identity)
+    assert(g.height == 4 && g.width == 6)
+    assert(g.fillValue.contains(-9999.0))
+    assert(g.xmin == -120.0 && g.xmax == 120.0)
+    assert(g.ymin == -30.0 && g.ymax == 30.0)
+    // no x/y variables configured -> the reference's global default
+    val d = NetCdf.gridInfo(NetCdfFixtures.classicGrid(), "precip")
+      .toOption.get
+    assert((d.xmin, d.ymin, d.xmax, d.ymax) == (-180.0, -90.0, 180.0, 90.0))
+    assert(NetCdf.gridInfo(NetCdfFixtures.classicGrid(), "missing").isLeft)
+  }
+
+  test("hdf5: superblock v0 symbol-table walk finds nested datasets") {
+    val m = NetCdf.parse(NetCdfFixtures.hdf5())
+      .fold(e => fail(e), identity)
+    assert(m.format == "hdf5 superblock-v0")
+    assert(m.vars.map(_.path).toSet == Set("precip", "science/temp"))
+    val precip = m.vars.find(_.path == "precip").get
+    assert(precip.shape == Seq(10L, 20L))
+    assert(precip.typeName == "float")
+    assert(precip.fillValue.contains(-9999.0))
+    val temp = m.vars.find(_.path == "science/temp").get
+    assert(temp.shape == Seq(5L, 7L))
+    assert(temp.typeName == "double")
+    assert(temp.fillValue.isEmpty)
+  }
+
+  test("hdf5: grouped variable lookup (the reference's group config)") {
+    val g = NetCdf.gridInfo(NetCdfFixtures.hdf5(), "temp",
+      group = Some("science")).fold(e => fail(e), identity)
+    assert(g.height == 5 && g.width == 7)
+    // chunked HDF5 coordinate data is not decoded -> global default
+    assert((g.xmin, g.ymin, g.xmax, g.ymax) == (-180.0, -90.0, 180.0, 90.0))
+  }
+
+  test("Cogify.netcdfGrid: config dispatch + affine eval (F15)") {
+    import graft.operators.Cogify
+    val cfg = Cogify.CollectionConfig(
+      variableName = Some("precip"),
+      xVariable = Some("lon"), yVariable = Some("lat"),
+      affine = Some(Cogify.parseAffine("(xmin, xres, 0, ymax, 0, -yres)")))
+    val (g, affine) = Cogify.netcdfGrid(NetCdfFixtures.classicGrid(), cfg)
+      .fold(e => fail(e), identity)
+    assert(g.height == 4 && g.width == 6)
+    // xres = (120 - -120)/6 = 40, yres = (30 - -30)/4 = 15
+    assert(affine.contains(Seq(-120.0, 40.0, 0.0, 30.0, 0.0, -15.0)))
+    assert(Cogify.netcdfGrid(NetCdfFixtures.hdf5(),
+      Cogify.CollectionConfig(variableName = Some("temp"),
+        group = Some("science"))).isRight)
+    assert(Cogify.netcdfGrid(NetCdfFixtures.classicGrid(),
+      Cogify.CollectionConfig()).isLeft)
+  }
+
+  test("unrecognized bytes hit the fallback, not an exception") {
+    assert(NetCdf.parse("plain text".getBytes).isLeft)
+    assert(NetCdf.parse(Array[Byte]()).isLeft)
+    assert(NetCdf.parse("CDF".getBytes ++ Array[Byte](9)).isLeft)
+  }
+
+  test("scanMetadata: partition-parallel scan over binaryFile rows") {
+    val dir = Files.createTempDirectory("netcdf-scan")
+    Files.write(dir.resolve("grid.nc"), NetCdfFixtures.classicGrid())
+    Files.write(dir.resolve("nested.h5"), NetCdfFixtures.hdf5())
+    Files.write(dir.resolve("junk.bin"), "not a netcdf".getBytes)
+    val scanned = NetCdf.scanMetadata(
+      spark.read.format("binaryFile").load(dir.toString)).collect()
+    assert(scanned.count(_.ok) == 5) // 3 classic vars + 2 hdf5 datasets
+    val bad = scanned.filter(!_.ok)
+    assert(bad.length == 1 && bad.head.path.endsWith("junk.bin"))
+    val precipRows = scanned.filter(r => r.ok && r.varPath == "precip")
+    assert(precipRows.map(_.format).toSet ==
+      Set("netcdf-classic CDF-1", "hdf5 superblock-v0"))
+  }
+}
