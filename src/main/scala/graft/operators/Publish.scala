@@ -39,6 +39,71 @@ object Publish {
   final class RetryableFailure(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
 
+  /** K4's production submitter — the Cognito client-credentials OAuth
+    * flow of the reference (`submit-stac/handler.py:40-93`): POST
+    * `{cognito_domain}/oauth2/token` with HTTP Basic client auth and
+    * `grant_type=client_credentials&scope=...`, then POST each item to
+    * `{base_url}/ingestions` with `Authorization: bearer <token>`.
+    *
+    * Token lifecycle (the part the Lambda never needed): the access
+    * token is `@transient` — fetched lazily once per executor JVM, NOT
+    * serialized from the driver — and refreshed `refreshSkewSecs`
+    * before `expires_in` elapses, so a long partition survives token
+    * expiry mid-stream. A 401 from the ingestor (revocation between
+    * refreshes) drops the cached token and throws retryable, so the
+    * standard retry loop re-authenticates. 5xx/429 are retryable;
+    * other 4xx are permanent (T4 selective retry). */
+  class OAuthSubmitter(tokenUrl: String, clientId: String,
+                       clientSecret: String, scope: String,
+                       ingestionsUrl: String,
+                       refreshSkewSecs: Long = 60) extends Submitter {
+    import graft.sources.dsv2.HttpPages
+
+    @transient private var token: String = _
+    @transient private var expiresAt: Long = 0L
+
+    private def basicAuth: String =
+      java.util.Base64.getEncoder.encodeToString(
+        s"$clientId:$clientSecret".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+
+    private[operators] def currentToken(): String = synchronized {
+      val now = System.currentTimeMillis() / 1000
+      if (token == null || now >= expiresAt - refreshSkewSecs) {
+        val r = HttpPages.post(tokenUrl,
+          Map("Content-Type" -> "application/x-www-form-urlencoded",
+            "Authorization" -> s"Basic $basicAuth"),
+          "grant_type=client_credentials&scope=" +
+            java.net.URLEncoder.encode(scope, "UTF-8"))
+        if (r.status >= 500)
+          throw new RetryableFailure(s"token endpoint HTTP ${r.status}")
+        if (r.status != 200)
+          throw new RuntimeException(
+            s"token endpoint HTTP ${r.status}: ${r.body.take(200)}")
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(r.body)
+        token = node.get("access_token").asText()
+        expiresAt = now + node.get("expires_in").asLong()
+      }
+      token
+    }
+
+    override def submit(itemJson: String): Unit = {
+      val r = HttpPages.post(ingestionsUrl,
+        Map("Content-Type" -> "application/json",
+          "Authorization" -> s"bearer ${currentToken()}"), itemJson)
+      if (r.status == 401) {
+        synchronized { token = null } // stale token: re-auth on retry
+        throw new RetryableFailure(
+          s"HTTP 401 from ingestor (token dropped for re-auth)")
+      }
+      if (r.status >= 500 || r.status == 429)
+        throw new RetryableFailure(s"HTTP ${r.status}: ${r.body.take(200)}")
+      if (r.status >= 400)
+        throw new RuntimeException(s"HTTP ${r.status}: ${r.body.take(200)}")
+    }
+  }
+
   /** Submission outcome row. */
   case class SubmitResult(item_json: String, ok: Boolean, attempts: Int,
                           error: String)

@@ -44,17 +44,36 @@ object HttpPages extends Serializable {
   }
 
   private def doGet(url: String, headers: Map[String, String],
-                    connectTimeoutMs: Int, readTimeoutMs: Int): Response = {
+                    connectTimeoutMs: Int, readTimeoutMs: Int): Response =
+    request(url, "GET", headers, None, connectTimeoutMs, readTimeoutMs)
+
+  /** Single POST, no retry — callers own the retry policy (e.g. the
+    * publication sink's selective-retry loop). */
+  def post(url: String, headers: Map[String, String], body: String,
+           connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000)
+  : Response =
+    request(url, "POST", headers, Some(body), connectTimeoutMs,
+      readTimeoutMs)
+
+  private def request(url: String, method: String,
+                      headers: Map[String, String], body: Option[String],
+                      connectTimeoutMs: Int, readTimeoutMs: Int): Response = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     try {
       conn.setConnectTimeout(connectTimeoutMs)
       conn.setReadTimeout(readTimeoutMs)
-      conn.setRequestMethod("GET")
+      conn.setRequestMethod(method)
       headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      body.foreach { b =>
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try os.write(b.getBytes(StandardCharsets.UTF_8))
+        finally os.close()
+      }
       val status = conn.getResponseCode
       val stream =
         if (status >= 400) conn.getErrorStream else conn.getInputStream
-      val body =
+      val respBody =
         if (stream == null) ""
         else try new String(stream.readAllBytes(), StandardCharsets.UTF_8)
         finally stream.close()
@@ -63,7 +82,7 @@ object HttpPages extends Serializable {
         case (k, vs) if k != null =>
           k.toLowerCase -> vs.asScala.mkString(",")
       }.toMap
-      Response(status, hs, body)
+      Response(status, hs, respBody)
     } finally conn.disconnect()
   }
 

@@ -46,6 +46,112 @@ class PublicationSpec extends SparkSuite {
     assert(!res2.head.ok && res2.head.attempts == 1) // no retry burned
   }
 
+  /** Loopback Cognito-style token endpoint + ingestor. The ingestor
+    * returns 401 for any token the token endpoint has since superseded
+    * — the deterministic stand-in for mid-partition token expiry. */
+  private def withOAuthServers(expireAfterUses: Int)(
+      body: (Publish.OAuthSubmitter,
+             java.util.concurrent.atomic.AtomicInteger,
+             java.util.concurrent.atomic.AtomicInteger) => Unit): Unit = {
+    val tokenFetches = new java.util.concurrent.atomic.AtomicInteger()
+    val ingestPosts = new java.util.concurrent.atomic.AtomicInteger()
+    val tokenUses = new java.util.concurrent.atomic.AtomicInteger()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(x: com.sun.net.httpserver.HttpExchange, status: Int,
+                body: String): Unit = {
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      x.sendResponseHeaders(status, b.length)
+      val os = x.getResponseBody; os.write(b); os.close()
+    }
+    server.createContext("/oauth2/token",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        val form = new String(x.getRequestBody.readAllBytes())
+        val auth = Option(
+          x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        val okAuth = auth == "Basic " +
+          java.util.Base64.getEncoder.encodeToString("cid:csecret".getBytes)
+        if (!okAuth || !form.contains("grant_type=client_credentials"))
+          respond(x, 400, """{"error":"invalid_client"}""")
+        else {
+          val n = tokenFetches.incrementAndGet()
+          tokenUses.set(0)
+          respond(x, 200,
+            s"""{"access_token":"tok-$n","expires_in":3600,"token_type":"Bearer"}""")
+        }
+      })
+    server.createContext("/ingestions",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        ingestPosts.incrementAndGet()
+        val auth = Option(
+          x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        val current = s"bearer tok-${tokenFetches.get()}"
+        if (auth != current) respond(x, 401, """{"detail":"expired"}""")
+        else if (tokenUses.incrementAndGet() > expireAfterUses)
+          respond(x, 401, """{"detail":"token expired mid-partition"}""")
+        else respond(x, 201, """{"status":"queued"}""")
+      })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try body(new Publish.OAuthSubmitter(s"$base/oauth2/token", "cid",
+      "csecret", "ingest/write", s"$base/ingestions"),
+      tokenFetches, ingestPosts)
+    finally server.stop(0)
+  }
+
+  test("oauth submitter: one token fetch serves a whole partition (K4)") {
+    withOAuthServers(expireAfterUses = Int.MaxValue) {
+      (submitter, tokenFetches, _) =>
+        val ev = PipelineEvent(collection = "c")
+        val items = StacBuilder.regexItems(
+          objs((1 to 6).map(i => s"s3://b/f${i}_2020.tif"): _*), ev)
+          .drop("datetime_error").repartition(1)
+        val res = Publish.toApi(items, submitter, maxAttempts = 2).collect()
+        assert(res.length == 6 && res.forall(_.ok))
+        // client-credentials flow ran exactly once, not per item
+        assert(tokenFetches.get() == 1)
+    }
+  }
+
+  test("oauth submitter: token expiry mid-partition re-auths and succeeds") {
+    withOAuthServers(expireAfterUses = 2) {
+      (submitter, tokenFetches, _) =>
+        val ev = PipelineEvent(collection = "c")
+        val items = StacBuilder.regexItems(
+          objs((1 to 5).map(i => s"s3://b/g${i}_2020.tif"): _*), ev)
+          .drop("datetime_error").repartition(1)
+        val res = Publish.toApi(items, submitter, maxAttempts = 2).collect()
+        // every item lands: 401s surface as retryable, the cached token
+        // is dropped, and the retry re-authenticates
+        assert(res.length == 5 && res.forall(_.ok))
+        assert(tokenFetches.get() > 1)
+        assert(res.exists(_.attempts == 2)) // at least one re-auth retry
+    }
+  }
+
+  test("oauth submitter: bad client credentials are a permanent failure") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/oauth2/token",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        val b = """{"error":"invalid_client"}""".getBytes
+        x.sendResponseHeaders(400, b.length)
+        val os = x.getResponseBody; os.write(b); os.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val sub = new Publish.OAuthSubmitter(s"$base/oauth2/token", "cid",
+        "wrong", "s", s"$base/ingestions")
+      val ev = PipelineEvent(collection = "c")
+      val items = StacBuilder.regexItems(objs("s3://b/h_2020.tif"), ev)
+        .drop("datetime_error")
+      val res = Publish.toApi(items, sub, maxAttempts = 5).collect()
+      assert(!res.head.ok && res.head.attempts == 1) // no retry burned
+      assert(res.head.error.contains("400"))
+    } finally server.stop(0)
+  }
+
   test("dry-run sink submits nothing (K6)") {
     val ev = PipelineEvent(collection = "c")
     val items = StacBuilder.regexItems(objs("s3://b/f_2020.tif"), ev)
