@@ -101,11 +101,30 @@ object Transfer {
     definitelyNew.unionByName(skipExisting(maybe, existingKeys))
   }
 
-  /** Execute the copies partition-parallel via the Hadoop FileSystem API
-    * (works for file:// in tests, s3a:// at scale) and rewrite
-    * `remote_fileurl` to the target (`handler.py:51-72`). Rows that are
-    * not transfer-eligible pass through untouched. */
-  def execute(planned: DataFrame): DataFrame = {
+  /** S7 — auth for http(s) sources: a bearer token (Earthdata token
+    * auth) or basic credentials (the reference's username/password
+    * session, `cogify/handler.py:68-77`). */
+  case class HttpAuth(bearerToken: Option[String] = None,
+                      basic: Option[(String, String)] = None)
+    extends Serializable {
+    def headers: Map[String, String] =
+      bearerToken.map(t => Map("Authorization" -> s"Bearer $t"))
+        .orElse(basic.map { case (u, p) =>
+          Map("Authorization" -> ("Basic " +
+            java.util.Base64.getEncoder.encodeToString(
+              s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        })
+        .getOrElse(Map.empty)
+  }
+
+  /** Execute the copies partition-parallel and rewrite `remote_fileurl`
+    * to the target (`handler.py:51-72`). `http(s)://` sources download
+    * via an authenticated HTTP GET (S7 — the reference's Earthdata
+    * session, `cogify/handler.py:64-86`); everything else copies via
+    * the Hadoop FileSystem API (file:// in tests, s3a:// at scale).
+    * Rows that are not transfer-eligible pass through untouched. */
+  def execute(planned: DataFrame, httpAuth: HttpAuth = HttpAuth())
+  : DataFrame = {
     val spark = planned.sparkSession
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -119,12 +138,22 @@ object Transfer {
       rows.map { row =>
         if (!row.isNullAt(eligIdx) && row.getBoolean(eligIdx) &&
             !row.isNullAt(tgtIdx)) {
-          val src = new org.apache.hadoop.fs.Path(row.getString(urlIdx))
+          val srcUrl = row.getString(urlIdx)
           val dst = new org.apache.hadoop.fs.Path(row.getString(tgtIdx))
-          val srcFs = src.getFileSystem(hadoopConf.value)
           val dstFs = dst.getFileSystem(hadoopConf.value)
-          org.apache.hadoop.fs.FileUtil.copy(
-            srcFs, src, dstFs, dst, false, true, hadoopConf.value)
+          if (srcUrl.startsWith("http://") || srcUrl.startsWith("https://")) {
+            val (status, data) = graft.sources.dsv2.HttpPages
+              .getBinary(srcUrl, httpAuth.headers)
+            if (status != 200)
+              throw new java.io.IOException(s"HTTP $status fetching $srcUrl")
+            val os = dstFs.create(dst, true)
+            try os.write(data) finally os.close()
+          } else {
+            val src = new org.apache.hadoop.fs.Path(srcUrl)
+            val srcFs = src.getFileSystem(hadoopConf.value)
+            org.apache.hadoop.fs.FileUtil.copy(
+              srcFs, src, dstFs, dst, false, true, hadoopConf.value)
+          }
           val vals = row.toSeq.updated(urlIdx, row.getString(tgtIdx))
           Row.fromSeq(vals)
         } else row

@@ -86,6 +86,39 @@ object HttpPages extends Serializable {
     } finally conn.disconnect()
   }
 
+  /** Binary GET (no string decode) — the transfer/cogify download path
+    * for http(s) sources. Retries IO errors and 5xx like [[get]]. */
+  def getBinary(url: String, headers: Map[String, String] = Map.empty,
+                connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000,
+                retries: Int = 2): (Int, Array[Byte]) = {
+    var last: Throwable = null
+    var attempt = 0
+    while (attempt <= retries) {
+      try {
+        val conn = new URL(url).openConnection()
+          .asInstanceOf[HttpURLConnection]
+        try {
+          conn.setConnectTimeout(connectTimeoutMs)
+          conn.setReadTimeout(readTimeoutMs)
+          conn.setRequestMethod("GET")
+          headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+          val status = conn.getResponseCode
+          val stream =
+            if (status >= 400) conn.getErrorStream else conn.getInputStream
+          val body =
+            if (stream == null) Array.empty[Byte]
+            else try stream.readAllBytes() finally stream.close()
+          if (status < 500) return (status, body)
+          last = new java.io.IOException(s"HTTP $status from $url")
+        } finally conn.disconnect()
+      } catch { case e: java.io.IOException => last = e }
+      attempt += 1
+      if (attempt <= retries) Thread.sleep(200L * attempt)
+    }
+    throw new java.io.IOException(
+      s"GET $url failed after ${retries + 1} attempts", last)
+  }
+
   /** Append pagination params, preserving any query already present
     * (the reference builds `...&page_size={limit}&page_num={page}`,
     * handler.py:128-131). */

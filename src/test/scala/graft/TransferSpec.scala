@@ -35,6 +35,50 @@ class TransferSpec extends SparkSuite {
     assert(Files.readAllBytes(copied).toSeq == data.toSeq)
   }
 
+  test("http source downloads via authenticated GET (S7 golden)") {
+    val dst = Files.createTempDirectory("xfer-http-dst")
+    // deterministic binary payload (not UTF-8 clean — catches any
+    // string-decode corruption in the fetch path)
+    val data = (0 until 1024).map(i => ((i * 31 + 7) % 256).toByte).toArray
+    val seenAuth = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/data/granule.bin",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        val auth = Option(
+          x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        seenAuth.add(auth)
+        if (auth != "Bearer edl-token-1") {
+          x.sendResponseHeaders(403, -1); x.close()
+        } else {
+          x.sendResponseHeaders(200, data.length)
+          val os = x.getResponseBody; os.write(data); os.close()
+        }
+      })
+    server.start()
+    try {
+      val url =
+        s"http://127.0.0.1:${server.getAddress.getPort}/data/granule.bin"
+      val objs = Seq(1).toDF("i").select(
+        lit("c").as("collection"),
+        lit(url).as("remote_fileurl"),
+        lit(true).as("upload"),
+        lit(false).as("user_shared"),
+        lit(false).as("cogify"),
+        map(lit("directory"), lit("")).as("extra"))
+      val planned = Transfer.plan(objs, s"file://$dst")
+      val out = Transfer.execute(planned,
+        Transfer.HttpAuth(bearerToken = Some("edl-token-1")))
+        .collect().head
+      assert(out.getString(out.fieldIndex("remote_fileurl")) ==
+        s"file://$dst/c/granule.bin")
+      val copied = Paths.get(s"$dst/c/granule.bin")
+      assert(Files.readAllBytes(copied).toSeq == data.toSeq)
+      import scala.jdk.CollectionConverters._
+      assert(seenAuth.asScala.forall(_ == "Bearer edl-token-1"))
+    } finally server.stop(0)
+  }
+
   test("default directory is file-staging; eligibility skips cogify/no-upload") {
     val objs = Seq(
       ("s3://b/k/f1.tif", true, false),   // upload, no cogify -> copy
