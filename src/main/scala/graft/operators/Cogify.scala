@@ -103,6 +103,51 @@ object Cogify {
       }
     }
 
+  /** K3 — real COG bytes for a classic-NetCDF input: grid data +
+    * envelope from the parsed header ([[netcdfGrid]]), affine override
+    * honored, float32 tiled-deflate output via
+    * [[graft.sources.GeoTiffWriter]] (the JVM replacement for the
+    * reference's GDAL `cog_translate` deflate profile,
+    * `handler.py:151-220`). */
+  def classicNetcdfToCog(bytes: Array[Byte], cfg: CollectionConfig,
+                         tileSize: Int = 256)
+  : Either[String, Array[Byte]] =
+    netcdfGrid(bytes, cfg).flatMap { case (g, affine) =>
+      graft.sources.NetCdf.parse(bytes).flatMap { meta =>
+        val path = cfg.group.map(gr => s"$gr/${cfg.variableName.get}")
+          .getOrElse(cfg.variableName.get)
+        graft.sources.NetCdf.readGrid2D(bytes, meta, path)
+          .toRight(s"no readable 2-D data for $path")
+          .map { data =>
+            val w = g.width.toInt; val h = g.height.toInt
+            val xres = (g.xmax - g.xmin) / w
+            val yres = (g.ymax - g.ymin) / h
+            val transform = affine.getOrElse(
+              Seq(g.xmin, xres, 0.0, g.ymax, 0.0, -yres))
+            graft.sources.GeoTiffWriter.write(w, h, data,
+              graft.sources.GeoTiffWriter.Geo(transform, epsg = 4326),
+              g.fillValue, tileSize)
+          }
+      }
+    }
+
+  /** [[FileTransform]] doing the real conversion for classic-NetCDF
+    * inputs (local/Hadoop-readable paths). Output naming matches the
+    * reference: `{stem}.tif` next to the input (`handler.py:174`). */
+  class NetcdfCogTransform(tileSize: Int = 256) extends FileTransform {
+    def toCog(url: String, collection: String,
+              config: CollectionConfig): String = {
+      val in = java.nio.file.Paths.get(url.stripPrefix("file://"))
+      val bytes = java.nio.file.Files.readAllBytes(in)
+      val cog = classicNetcdfToCog(bytes, config, tileSize)
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      val stem = in.getFileName.toString.replaceAll("\\.[^.]+$", "")
+      val out = in.resolveSibling(stem + ".tif")
+      java.nio.file.Files.write(out, cog)
+      out.toString
+    }
+  }
+
   /** One file conversion: local input → local COG output. Production
     * implementations shell out to GDAL / use JNI; the contract is
     * file-in/file-out so the Spark layer never sees raster bytes. */

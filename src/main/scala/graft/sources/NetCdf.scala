@@ -167,6 +167,34 @@ object NetCdf {
       }
     }
 
+  /** Row-major data of a 2-D fixed-size classic variable — the raster
+    * grid `hdf5_to_cog` reads into memory (`handler.py:100-105`).
+    * Classic only (HDF5 data is chunked; returns None there). */
+  def readGrid2D(bytes: Array[Byte], meta: FileMeta, varPath: String)
+  : Option[Array[Float]] =
+    meta.vars.find(_.path == varPath).flatMap { v =>
+      if (v.shape.size != 2 || v.shape.exists(_ == 0)) None
+      else v.begin.map { b =>
+        val n = (v.shape.head * v.shape(1)).toInt
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          out(i) = v.typeName match {
+            case "float" => buf.getFloat(b.toInt + i * 4)
+            case "double" => buf.getDouble(b.toInt + i * 8).toFloat
+            case "int" => buf.getInt(b.toInt + i * 4).toFloat
+            case "short" => buf.getShort(b.toInt + i * 2).toFloat
+            case "byte" => bytes(b.toInt + i).toFloat
+            case other =>
+              throw new IllegalArgumentException(s"unreadable type $other")
+          }
+          i += 1
+        }
+        out
+      }
+    }
+
   // ---------------------------------------------------------------
   // HDF5 — superblock v0/v1 + symbol-table groups (the layout the
   // netCDF-4/HDF5 1.8 line writes by default)

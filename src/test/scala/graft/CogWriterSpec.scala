@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Cogify
+import graft.sources.{GeoTiff, GeoTiffWriter, NetCdfFixtures}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** K3 — the JVM tiled-COG writer round-trips through the S5 parser:
+  * writer and parser are independent implementations of the TIFF +
+  * GeoTIFF specs, so agreement pins both. */
+class CogWriterSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tiled float32 deflate COG round-trips through GeoTiff.parse") {
+    val w = 300; val h = 200
+    val data = Array.tabulate(w * h)(i => (i % 97).toFloat / 3f)
+    val geo = GeoTiffWriter.Geo(Seq(-180.0, 0.25, 0.0, 90.0, 0.0, -0.25))
+    val bytes = GeoTiffWriter.write(w, h, data, geo,
+      fill = Some(-9999.0), tileSize = 256)
+    val m = GeoTiff.parse(bytes).fold(e => fail(e), identity)
+    assert(m.width == 300 && m.height == 200)
+    assert(m.bitsPerSample == 32 && m.samplesPerPixel == 1)
+    assert(m.tileWidth.contains(256L) && m.tileHeight.contains(256L))
+    assert(m.epsg.contains(4326))
+    assert(m.transform.contains(Seq(-180.0, 0.25, 0.0, 90.0, 0.0, -0.25)))
+  }
+
+  test("tile contents: deflate payload inflates to the source samples") {
+    val w = 300; val h = 200
+    val data = Array.tabulate(w * h)(i => i.toFloat)
+    val bytes = GeoTiffWriter.write(w, h, data,
+      GeoTiffWriter.Geo(Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)),
+      fill = Some(-5.0), tileSize = 256)
+    // tile grid is 2 across x 1 down; offsets/counts live in the IFD
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nEntries = buf.getShort(8) & 0xFFFF
+    def tag(t: Int): (Int, Int) = (0 until nEntries).collectFirst {
+      case i if (buf.getShort(10 + i * 12) & 0xFFFF) == t =>
+        (buf.getInt(10 + i * 12 + 4), buf.getInt(10 + i * 12 + 8))
+    }.get
+    val (nTiles, offsOff) = tag(324)
+    val (_, cntsOff) = tag(325)
+    assert(nTiles == 2)
+    val t0 = bytes.slice(buf.getInt(offsOff),
+      buf.getInt(offsOff) + buf.getInt(cntsOff))
+    val samples = GeoTiffWriter.inflateTile(t0, 256)
+    assert(samples(0) == 0f)            // (0,0)
+    assert(samples(255) == 255f)        // (0,255)
+    assert(samples(256) == 300f)        // (1,0) = second source row
+    val t1 = bytes.slice(buf.getInt(offsOff + 4),
+      buf.getInt(offsOff + 4) + buf.getInt(cntsOff + 4))
+    val s1 = GeoTiffWriter.inflateTile(t1, 256)
+    assert(s1(0) == 256f)               // (0,256) in source
+    assert(s1(43) == 299f && s1(44) == -5f) // past width 300 -> fill
+  }
+
+  test("classic NetCDF -> COG: envelope, fill, and data all carried") {
+    val cfg = Cogify.CollectionConfig(variableName = Some("precip"),
+      xVariable = Some("lon"), yVariable = Some("lat"))
+    val cog = Cogify.classicNetcdfToCog(NetCdfFixtures.classicGrid(), cfg)
+      .fold(e => fail(e), identity)
+    val m = GeoTiff.parse(cog).fold(e => fail(e), identity)
+    assert(m.width == 6 && m.height == 4)
+    // xres = 240/6 = 40, yres = 60/4 = 15, origin (xmin, ymax)
+    assert(m.transform.contains(Seq(-120.0, 40.0, 0.0, 30.0, 0.0, -15.0)))
+    assert(m.epsg.contains(4326))
+  }
+
+  test("cogify stage runs the real transform end to end (.he5 dispatch)") {
+    val dir = Files.createTempDirectory("cogify-real")
+    Files.write(dir.resolve("grid.he5"), NetCdfFixtures.classicGrid())
+    val objs = Seq(1).toDF("i").select(
+      lit("c").as("collection"),
+      lit(s"$dir/grid.he5").as("remote_fileurl"),
+      lit(false).as("upload"),
+      lit(true).as("cogify"))
+    val cfg = Cogify.CollectionConfig(variableName = Some("precip"),
+      xVariable = Some("lon"), yVariable = Some("lat"))
+    val out = Cogify.run(objs, new Cogify.NetcdfCogTransform(),
+      configs = Map("c" -> cfg)).collect().head
+    assert(out.getAs[String]("cog_error") == null)
+    val cogPath = out.getAs[String]("remote_fileurl")
+    assert(cogPath.endsWith("grid.tif"))
+    val m = GeoTiff.parse(
+      Files.readAllBytes(java.nio.file.Paths.get(cogPath)))
+      .fold(e => fail(e), identity)
+    assert(m.width == 6 && m.height == 4)
+  }
+}
