@@ -71,6 +71,56 @@ object Cogify {
       case Const(v) => v
     }
 
+  /** F14 — ndarray transforms between read and write, keyed per
+    * collection like the reference's hard-coded branches
+    * (`handler.py:106-110`). Row-major (shape, data) in and out. */
+  sealed trait GridOp extends Serializable
+  /** `variable[0]`: first plane of a rank-3 array. */
+  case object TakeFirstPlane extends GridOp
+  /** `np.transpose` of a 2-D array. */
+  case object Transpose extends GridOp
+  /** `np.flipud`: reverse row order of a 2-D array. */
+  case object FlipUd extends GridOp
+
+  def applyGridOps(shape: Seq[Long], data: Array[Float],
+                   ops: Seq[GridOp]): (Seq[Long], Array[Float]) =
+    ops.foldLeft((shape, data)) { case ((sh, d), op) =>
+      op match {
+        case TakeFirstPlane =>
+          require(sh.size == 3, s"take-first-plane needs rank 3, got $sh")
+          (sh.tail, d.slice(0, (sh(1) * sh(2)).toInt))
+        case Transpose =>
+          require(sh.size == 2, s"transpose needs rank 2, got $sh")
+          val h = sh.head.toInt; val w = sh(1).toInt
+          val out = new Array[Float](d.length)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { out(x * h + y) = d(y * w + x); x += 1 }
+            y += 1
+          }
+          (Seq(sh(1), sh.head), out)
+        case FlipUd =>
+          require(sh.size == 2, s"flipud needs rank 2, got $sh")
+          val h = sh.head.toInt; val w = sh(1).toInt
+          val out = new Array[Float](d.length)
+          var y = 0
+          while (y < h) {
+            System.arraycopy(d, y * w, out, (h - 1 - y) * w, w)
+            y += 1
+          }
+          (sh, out)
+      }
+    }
+
+  /** The reference's per-collection branches (`handler.py:106-110`),
+    * expressed as config data instead of code. */
+  def referenceGridOps(collection: String): Seq[GridOp] = collection match {
+    case "GPM_3IMERGM" => Seq(TakeFirstPlane, Transpose)
+    case "OMDOAO3e" => Seq(FlipUd)
+    case _ => Nil
+  }
+
   /** Per-collection conversion config (`example.ini` sections). */
   case class CollectionConfig(
       variableName: Option[String] = None,
@@ -80,7 +130,8 @@ object Cogify {
       srcCrs: Option[String] = None,
       affine: Option[Seq[AffineTerm]] = None,
       outputBucket: String = "",
-      outputDir: String = "file-staging")
+      outputDir: String = "file-staging",
+      gridOps: Seq[GridOp] = Nil)
 
   /** S6 — derive the conversion grid for a NetCDF/HDF5 input from its
     * header bytes + the collection config: the exact inputs
@@ -112,21 +163,39 @@ object Cogify {
   def classicNetcdfToCog(bytes: Array[Byte], cfg: CollectionConfig,
                          tileSize: Int = 256)
   : Either[String, Array[Byte]] =
-    netcdfGrid(bytes, cfg).flatMap { case (g, affine) =>
-      graft.sources.NetCdf.parse(bytes).flatMap { meta =>
-        val path = cfg.group.map(gr => s"$gr/${cfg.variableName.get}")
-          .getOrElse(cfg.variableName.get)
-        graft.sources.NetCdf.readGrid2D(bytes, meta, path)
-          .toRight(s"no readable 2-D data for $path")
-          .map { data =>
-            val w = g.width.toInt; val h = g.height.toInt
-            val xres = (g.xmax - g.xmin) / w
-            val yres = (g.ymax - g.ymin) / h
-            val transform = affine.getOrElse(
-              Seq(g.xmin, xres, 0.0, g.ymax, 0.0, -yres))
-            graft.sources.GeoTiffWriter.write(w, h, data,
-              graft.sources.GeoTiffWriter.Geo(transform, epsg = 4326),
-              g.fillValue, tileSize)
+    graft.sources.NetCdf.parse(bytes).flatMap { meta =>
+      val name = cfg.variableName.toRight("no variable_name configured")
+      name.flatMap { vn =>
+        val path = cfg.group.map(gr => s"$gr/$vn").getOrElse(vn)
+        meta.vars.find(_.path == path).toRight(s"no variable $path")
+          .flatMap { v =>
+            graft.sources.NetCdf.readGridRaw(bytes, meta, path)
+              .toRight(s"no readable data for $path").flatMap { raw =>
+                // F14 ops first; the grid is sized AFTER them, exactly
+                // like the reference (`variable.shape` read at
+                // handler.py:112, after the transpose/flipud branches)
+                val (shape, data) = applyGridOps(v.shape, raw, cfg.gridOps)
+                if (shape.size != 2)
+                  Left(s"$path is not 2-D after grid ops " +
+                    s"(shape ${shape.mkString("x")})")
+                else {
+                  val h = shape.head.toInt; val w = shape(1).toInt
+                  val xe = cfg.xVariable.flatMap(x =>
+                    graft.sources.NetCdf.coordExtent(bytes, meta, x))
+                  val ye = cfg.yVariable.flatMap(y =>
+                    graft.sources.NetCdf.coordExtent(bytes, meta, y))
+                  val (xmin, xmax) = xe.getOrElse((-180.0, 180.0))
+                  val (ymin, ymax) = ye.getOrElse((-90.0, 90.0))
+                  val xres = (xmax - xmin) / w
+                  val yres = (ymax - ymin) / h
+                  val transform = cfg.affine
+                    .map(terms => evalAffine(terms, xmin, ymax, xres, yres))
+                    .getOrElse(Seq(xmin, xres, 0.0, ymax, 0.0, -yres))
+                  Right(graft.sources.GeoTiffWriter.write(w, h, data,
+                    graft.sources.GeoTiffWriter.Geo(transform, epsg = 4326),
+                    v.fillValue, tileSize))
+                }
+              }
           }
       }
     }

@@ -167,15 +167,15 @@ object NetCdf {
       }
     }
 
-  /** Row-major data of a 2-D fixed-size classic variable — the raster
-    * grid `hdf5_to_cog` reads into memory (`handler.py:100-105`).
+  /** Row-major data of a fixed-size classic variable of any rank —
+    * the array `hdf5_to_cog` reads into memory (`handler.py:100-105`).
     * Classic only (HDF5 data is chunked; returns None there). */
-  def readGrid2D(bytes: Array[Byte], meta: FileMeta, varPath: String)
+  def readGridRaw(bytes: Array[Byte], meta: FileMeta, varPath: String)
   : Option[Array[Float]] =
     meta.vars.find(_.path == varPath).flatMap { v =>
-      if (v.shape.size != 2 || v.shape.exists(_ == 0)) None
+      if (v.shape.isEmpty || v.shape.exists(_ == 0)) None
       else v.begin.map { b =>
-        val n = (v.shape.head * v.shape(1)).toInt
+        val n = v.shape.product.toInt
         val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
         val out = new Array[Float](n)
         var i = 0
@@ -194,6 +194,13 @@ object NetCdf {
         out
       }
     }
+
+  /** 2-D restriction of [[readGridRaw]]. */
+  def readGrid2D(bytes: Array[Byte], meta: FileMeta, varPath: String)
+  : Option[Array[Float]] =
+    meta.vars.find(_.path == varPath)
+      .filter(_.shape.size == 2)
+      .flatMap(_ => readGridRaw(bytes, meta, varPath))
 
   // ---------------------------------------------------------------
   // HDF5 — superblock v0/v1 + symbol-table groups (the layout the

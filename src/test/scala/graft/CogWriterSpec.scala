@@ -67,6 +67,55 @@ class CogWriterSpec extends SparkSuite {
     assert(m.epsg.contains(4326))
   }
 
+  test("F14 grid ops: variable[0] + transpose + flipud (handler.py:106-110)") {
+    import Cogify.{applyGridOps, FlipUd, TakeFirstPlane, Transpose}
+    // rank-3 (2,3,2), values 0..11; [0] -> (3,2) = [[0,1],[2,3],[4,5]]
+    val raw = Array.tabulate(12)(_.toFloat)
+    val (s1, d1) = applyGridOps(Seq(2L, 3L, 2L), raw, Seq(TakeFirstPlane))
+    assert(s1 == Seq(3L, 2L) && d1.toSeq == (0 until 6).map(_.toFloat))
+    // transpose (3,2) -> (2,3): [[0,2,4],[1,3,5]]
+    val (s2, d2) = applyGridOps(s1, d1, Seq(Transpose))
+    assert(s2 == Seq(2L, 3L))
+    assert(d2.toSeq == Seq(0f, 2f, 4f, 1f, 3f, 5f))
+    // flipud (2,3): rows swapped
+    val (s3, d3) = applyGridOps(s2, d2, Seq(FlipUd))
+    assert(s3 == Seq(2L, 3L))
+    assert(d3.toSeq == Seq(1f, 3f, 5f, 0f, 2f, 4f))
+    // the reference's collection keying
+    assert(Cogify.referenceGridOps("GPM_3IMERGM") ==
+      Seq(TakeFirstPlane, Transpose))
+    assert(Cogify.referenceGridOps("OMDOAO3e") == Seq(FlipUd))
+    assert(Cogify.referenceGridOps("other").isEmpty)
+  }
+
+  test("grid ops flow through the COG conversion; grid sized after ops") {
+    // 3-D fixture: time=2, lat=3, lon=2 — the GPM_3IMERGM shape
+    val bytes = NetCdfFixtures.classic(
+      dims = Seq("time" -> 2, "lat" -> 3, "lon" -> 2),
+      vars = Seq(
+        NetCdfFixtures.CVar("lat", Seq("lat"), 6, Seq(-10.0, 0.0, 10.0)),
+        NetCdfFixtures.CVar("lon", Seq("lon"), 6, Seq(-20.0, 20.0)),
+        NetCdfFixtures.CVar("precip", Seq("time", "lat", "lon"), 5,
+          (0 until 12).map(_.toDouble),
+          attrs = Seq("_FillValue" ->
+            Right(Seq(-1.0))))))
+    val cfg = Cogify.CollectionConfig(variableName = Some("precip"),
+      xVariable = Some("lon"), yVariable = Some("lat"),
+      gridOps = Cogify.referenceGridOps("GPM_3IMERGM"))
+    val cog = Cogify.classicNetcdfToCog(bytes, cfg)
+      .fold(e => fail(e), identity)
+    val m = GeoTiff.parse(cog).fold(e => fail(e), identity)
+    // (2,3,2) -> [0] -> (3,2) -> transpose -> (2,3): h=2, w=3
+    assert(m.height == 2 && m.width == 3)
+    // xres = 40/3, yres = 20/2 from the coordinate extents
+    assert(m.transform.exists(t =>
+      t(0) == -20.0 && math.abs(t(1) - 40.0 / 3) < 1e-9 &&
+        t(3) == 10.0 && t(5) == -10.0))
+    // a 3-D variable with no ops must be rejected, not mis-written
+    assert(Cogify.classicNetcdfToCog(bytes,
+      cfg.copy(gridOps = Nil)).isLeft)
+  }
+
   test("cogify stage runs the real transform end to end (.he5 dispatch)") {
     val dir = Files.createTempDirectory("cogify-real")
     Files.write(dir.resolve("grid.he5"), NetCdfFixtures.classicGrid())
