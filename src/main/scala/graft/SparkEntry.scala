@@ -573,6 +573,9 @@ object SparkEntry {
         |  ('junk.bin', false, CAST(NULL AS VARCHAR), '',
         |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
         |   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+        |  ('nested.h5', true, 'hdf5 superblock-v0', 'lat',
+        |   CAST(3 AS BIGINT), CAST(NULL AS BIGINT), 'double',
+        |   CAST(NULL AS DOUBLE)),
         |  ('nested.h5', true, 'hdf5 superblock-v0', 'precip',
         |   CAST(10 AS BIGINT), CAST(20 AS BIGINT), 'float',
         |   CAST(-9999.0 AS DOUBLE)),

@@ -32,11 +32,15 @@ object NetCdf {
   /** One attribute: numeric values or a string (NC_CHAR / HDF5 string). */
   case class Attr(name: String, str: Option[String], nums: Seq[Double])
 
-  /** One variable/dataset: `path` is "var" or "group/var". */
+  /** One variable/dataset: `path` is "var" or "group/var". `begin` is
+    * the file offset of the raw data (classic always; HDF5 only for
+    * contiguous layout — chunked data is not decoded). */
   case class VarMeta(path: String, shape: Seq[Long], typeName: String,
                      fillValue: Option[Double], attrs: Seq[Attr],
-                     /** classic only: file offset of the data */
-                     begin: Option[Long] = None)
+                     begin: Option[Long] = None,
+                     /** data byte order: classic is big-endian; HDF5
+                       * reports it in the datatype bit field */
+                     littleEndian: Boolean = false)
 
   case class FileMeta(format: String, dims: Seq[(String, Long)],
                       vars: Seq[VarMeta], globalAttrs: Seq[Attr])
@@ -144,51 +148,54 @@ object NetCdf {
     case e: Exception => Left(s"netcdf parse failed: ${e.getMessage}")
   }
 
+  private def dataOrder(v: VarMeta): ByteOrder =
+    if (v.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+
+  private def readValue(bytes: Array[Byte], buf: ByteBuffer, v: VarMeta,
+                        base: Long, i: Int): Double = v.typeName match {
+    case "float" => buf.getFloat(base.toInt + i * 4).toDouble
+    case "double" => buf.getDouble(base.toInt + i * 8)
+    case "int" => buf.getInt(base.toInt + i * 4).toDouble
+    case "short" => buf.getShort(base.toInt + i * 2).toDouble
+    case "byte" => bytes(base.toInt + i).toDouble
+    case "long" => buf.getLong(base.toInt + i * 8).toDouble
+    case other =>
+      throw new IllegalArgumentException(s"unreadable type $other")
+  }
+
   /** min/max of a 1-D fixed-size coordinate variable, read from the
-    * data section at the header's `begin` offset (exactly the values
-    * `src[x_variable][:].min()/.max()` sees, `handler.py:114-117`).
-    * None for record/multi-dim/absent variables. */
+    * data at the header's offset (exactly the values
+    * `src[x_variable][:].min()/.max()` sees, `handler.py:114-117`) —
+    * classic data sections and contiguous HDF5 datasets alike. None
+    * for record/multi-dim/absent/chunked variables. */
   def coordExtent(bytes: Array[Byte], meta: FileMeta, varName: String)
   : Option[(Double, Double)] =
     meta.vars.find(_.path == varName).flatMap { v =>
       if (v.shape.size != 1 || v.shape.head == 0) None
       else v.begin.flatMap { b =>
         val n = v.shape.head.toInt
-        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-        val vals = v.typeName match {
-          case "float" => (0 until n).map(i => buf.getFloat(b.toInt + i * 4).toDouble)
-          case "double" => (0 until n).map(i => buf.getDouble(b.toInt + i * 8))
-          case "int" => (0 until n).map(i => buf.getInt(b.toInt + i * 4).toDouble)
-          case "short" => (0 until n).map(i => buf.getShort(b.toInt + i * 2).toDouble)
-          case "byte" => (0 until n).map(i => bytes(b.toInt + i).toDouble)
-          case _ => return None
-        }
+        val buf = ByteBuffer.wrap(bytes).order(dataOrder(v))
+        val vals =
+          try (0 until n).map(i => readValue(bytes, buf, v, b, i))
+          catch { case _: IllegalArgumentException => return None }
         if (vals.isEmpty) None else Some((vals.min, vals.max))
       }
     }
 
-  /** Row-major data of a fixed-size classic variable of any rank —
-    * the array `hdf5_to_cog` reads into memory (`handler.py:100-105`).
-    * Classic only (HDF5 data is chunked; returns None there). */
+  /** Row-major data of a fixed-size variable of any rank — the array
+    * `hdf5_to_cog` reads into memory (`handler.py:100-105`). Classic
+    * data sections and contiguous HDF5 datasets; None for chunked. */
   def readGridRaw(bytes: Array[Byte], meta: FileMeta, varPath: String)
   : Option[Array[Float]] =
     meta.vars.find(_.path == varPath).flatMap { v =>
       if (v.shape.isEmpty || v.shape.exists(_ == 0)) None
       else v.begin.map { b =>
         val n = v.shape.product.toInt
-        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+        val buf = ByteBuffer.wrap(bytes).order(dataOrder(v))
         val out = new Array[Float](n)
         var i = 0
         while (i < n) {
-          out(i) = v.typeName match {
-            case "float" => buf.getFloat(b.toInt + i * 4)
-            case "double" => buf.getDouble(b.toInt + i * 8).toFloat
-            case "int" => buf.getInt(b.toInt + i * 4).toFloat
-            case "short" => buf.getShort(b.toInt + i * 2).toFloat
-            case "byte" => bytes(b.toInt + i).toFloat
-            case other =>
-              throw new IllegalArgumentException(s"unreadable type $other")
-          }
+          out(i) = readValue(bytes, buf, v, b, i).toFloat
           i += 1
         }
         out
@@ -306,8 +313,10 @@ object NetCdf {
     var shape: Option[Seq[Long]] = None
     var typeClass = -1
     var typeSize = 0
+    var typeLittleEndian = true
     var fillBytes: Option[Array[Byte]] = None
     var group: Option[(Long, Long)] = None
+    var contiguousAddr: Option[Long] = None
 
     // messages start after prefix(12) + alignment padding(4); a
     // continuation message (0x0010) moves the cursor elsewhere
@@ -326,6 +335,8 @@ object NetCdf {
             buf.getLong(dimsStart + i * 8)))
         case 0x0003 => // datatype
           typeClass = bytes(body) & 0x0F
+          // class bit field byte 0, bit 0: data byte order (0 = LE)
+          typeLittleEndian = (bytes(body + 1) & 0x01) == 0
           typeSize = buf.getInt(body + 4)
         case 0x0004 | 0x0005 => // fill value (old | new)
           val ver = bytes(body) & 0xFF
@@ -343,6 +354,13 @@ object NetCdf {
               if (sz > 0)
                 fillBytes = Some(bytes.slice(body + 6, body + 6 + sz))
             }
+          }
+        case 0x0008 => // data layout: contiguous (v3 class 1) is
+          // directly readable; chunked (class 2) is not decoded
+          val ver = bytes(body) & 0xFF
+          if (ver == 3 && (bytes(body + 1) & 0xFF) == 1) {
+            val addr = buf.getLong(body + 2)
+            if (addr != -1L) contiguousAddr = Some(addr)
           }
         case 0x0011 => // symbol table: this object is a group
           group = Some((buf.getLong(body), buf.getLong(body + 8)))
@@ -379,7 +397,8 @@ object NetCdf {
             case _ => Double.NaN
           }
         }
-        out += VarMeta(path, shape.getOrElse(Nil), typeName, fill, Nil)
+        out += VarMeta(path, shape.getOrElse(Nil), typeName, fill, Nil,
+          begin = contiguousAddr, littleEndian = typeLittleEndian)
     }
   }
 

@@ -127,7 +127,8 @@ object NetCdfFixtures {
 
   // ---------------- HDF5 superblock-v0 fixture ----------------
 
-  /** A fixed HDF5 file: root {precip: float32[10][20] fill=-9999,
+  /** A fixed HDF5 file: root {lat: float64[3] contiguous data
+    * (-10, 0, 10), precip: float32[10][20] fill=-9999,
     * science/ {temp: float64[5][7]}}. Every address below is chosen by
     * this builder; the parser must navigate them via the superblock,
     * heap, B-tree and SNOD structures only. */
@@ -141,6 +142,7 @@ object NetCdfFixtures {
     val subHeap = 704L; val subHeapData = 736L
     val subBtree = 832L; val subSnod = 896L
     val tempHdr = 1024L
+    val latHdr = 1152L; val latData = 1280L
 
     def putMagic(at: Int): Unit = {
       buf.position(at)
@@ -230,11 +232,26 @@ object NetCdfFixtures {
       b.putLong(bt); b.putLong(hp)
       b.array()
     }
+    /** v3 contiguous data layout message (addr + size). */
+    def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(1.toByte)
+      b.putLong(2, addr); b.putLong(10, size)
+      b.array()
+    }
 
-    // root group: heap names, btree -> snod -> {precip, science}
-    localHeap(heapAddr, heapData, Seq(8L -> "precip", 24L -> "science"))
+    // root group: heap names, btree -> snod -> {lat, precip, science}
+    localHeap(heapAddr, heapData,
+      Seq(8L -> "lat", 16L -> "precip", 24L -> "science"))
     btree(btreeAddr, snodAddr)
-    snod(snodAddr, Seq(8L -> precipHdr, 24L -> scienceHdr))
+    snod(snodAddr, Seq(8L -> latHdr, 16L -> precipHdr, 24L -> scienceHdr))
+    objHeader(latHdr, Seq(
+      0x0001 -> dataspace(Seq(3L)),
+      0x0003 -> datatype(clazz = 1, size = 8),
+      0x0008 -> layoutContiguous(latData, 24)))
+    buf.putDouble(latData.toInt, -10.0)
+    buf.putDouble(latData.toInt + 8, 0.0)
+    buf.putDouble(latData.toInt + 16, 10.0)
     objHeader(precipHdr, Seq(
       0x0001 -> dataspace(Seq(10L, 20L)),
       0x0003 -> datatype(clazz = 1, size = 4),

@@ -51,7 +51,8 @@ class NetCdfSpec extends SparkSuite {
     val m = NetCdf.parse(NetCdfFixtures.hdf5())
       .fold(e => fail(e), identity)
     assert(m.format == "hdf5 superblock-v0")
-    assert(m.vars.map(_.path).toSet == Set("precip", "science/temp"))
+    assert(m.vars.map(_.path).toSet ==
+      Set("lat", "precip", "science/temp"))
     val precip = m.vars.find(_.path == "precip").get
     assert(precip.shape == Seq(10L, 20L))
     assert(precip.typeName == "float")
@@ -62,12 +63,25 @@ class NetCdfSpec extends SparkSuite {
     assert(temp.fillValue.isEmpty)
   }
 
+  test("hdf5: contiguous-layout coordinate data reads exactly") {
+    val bytes = NetCdfFixtures.hdf5()
+    val m = NetCdf.parse(bytes).toOption.get
+    assert(NetCdf.coordExtent(bytes, m, "lat").contains((-10.0, 10.0)))
+    // chunked/layout-less datasets have no readable data offset
+    assert(NetCdf.readGridRaw(bytes, m, "precip").isEmpty)
+  }
+
   test("hdf5: grouped variable lookup (the reference's group config)") {
     val g = NetCdf.gridInfo(NetCdfFixtures.hdf5(), "temp",
       group = Some("science")).fold(e => fail(e), identity)
     assert(g.height == 5 && g.width == 7)
-    // chunked HDF5 coordinate data is not decoded -> global default
+    // no x/y variables configured -> global default
     assert((g.xmin, g.ymin, g.xmax, g.ymax) == (-180.0, -90.0, 180.0, 90.0))
+    // a configured contiguous y variable reads its true extent
+    val g2 = NetCdf.gridInfo(NetCdfFixtures.hdf5(), "temp",
+      group = Some("science"), yVariable = Some("lat")).toOption.get
+    assert(g2.ymin == -10.0 && g2.ymax == 10.0)
+    assert(g2.xmin == -180.0 && g2.xmax == 180.0) // x stays default
   }
 
   test("Cogify.netcdfGrid: config dispatch + affine eval (F15)") {
@@ -101,7 +115,7 @@ class NetCdfSpec extends SparkSuite {
     Files.write(dir.resolve("junk.bin"), "not a netcdf".getBytes)
     val scanned = NetCdf.scanMetadata(
       spark.read.format("binaryFile").load(dir.toString)).collect()
-    assert(scanned.count(_.ok) == 5) // 3 classic vars + 2 hdf5 datasets
+    assert(scanned.count(_.ok) == 6) // 3 classic vars + 3 hdf5 datasets
     val bad = scanned.filter(!_.ok)
     assert(bad.length == 1 && bad.head.path.endsWith("junk.bin"))
     val precipRows = scanned.filter(r => r.ok && r.varPath == "precip")
