@@ -200,15 +200,33 @@ object Cogify {
       }
     }
 
-  /** [[FileTransform]] doing the real conversion for classic-NetCDF
-    * inputs (local/Hadoop-readable paths). Output naming matches the
-    * reference: `{stem}.tif` next to the input (`handler.py:174`). */
-  class NetcdfCogTransform(tileSize: Int = 256) extends FileTransform {
+  /** K3's `.tif` branch: decode a supported single-band GeoTIFF and
+    * re-emit it as a 256-block deflate COG, geo tags carried over —
+    * `cog_translate` without GDAL. Unsupported encodings are a `Left`
+    * (quarantine), never a silently wrong grid. */
+  def tiffToCog(bytes: Array[Byte], tileSize: Int = 256)
+  : Either[String, Array[Byte]] =
+    graft.sources.GeoTiff.readSamples(bytes).map { case (m, data) =>
+      val transform = m.transform.getOrElse(
+        Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+      graft.sources.GeoTiffWriter.write(m.width.toInt, m.height.toInt,
+        data, graft.sources.GeoTiffWriter.Geo(transform,
+          m.epsg.getOrElse(4326)), None, tileSize)
+    }
+
+  /** [[FileTransform]] doing the real conversion on both reference
+    * dispatch branches (`handler.py:233-243`): `.tif` →
+    * [[tiffToCog]] re-tile, anything else → [[classicNetcdfToCog]].
+    * Output naming matches the reference: `{stem}.tif` next to the
+    * input (`handler.py:174` — for a `.tif` input that overwrites the
+    * working copy in place, exactly like the reference's /tmp file). */
+  class RasterCogTransform(tileSize: Int = 256) extends FileTransform {
     def toCog(url: String, collection: String,
               config: CollectionConfig): String = {
       val in = java.nio.file.Paths.get(url.stripPrefix("file://"))
       val bytes = java.nio.file.Files.readAllBytes(in)
-      val cog = classicNetcdfToCog(bytes, config, tileSize)
+      val cog = (if (url.endsWith(".tif")) tiffToCog(bytes, tileSize)
+                 else classicNetcdfToCog(bytes, config, tileSize))
         .fold(e => throw new IllegalArgumentException(e), identity)
       val stem = in.getFileName.toString.replaceAll("\\.[^.]+$", "")
       val out = in.resolveSibling(stem + ".tif")

@@ -31,9 +31,16 @@ object GeoTiff {
   private val ImageWidth = 256
   private val ImageLength = 257
   private val BitsPerSample = 258
+  private val Compression = 259
+  private val StripOffsets = 273
   private val SamplesPerPixel = 277
+  private val RowsPerStrip = 278
+  private val StripByteCounts = 279
   private val TileWidth = 322
   private val TileLength = 323
+  private val TileOffsets = 324
+  private val TileByteCounts = 325
+  private val SampleFormat = 339
   private val ModelPixelScale = 33550
   private val ModelTiepoint = 33922
   private val GeoKeyDirectory = 34735
@@ -41,39 +48,37 @@ object GeoTiff {
   private val GeographicTypeGeoKey = 2048
   private val ProjectedCSTypeGeoKey = 3072
 
-  def parse(bytes: Array[Byte]): Either[String, RasterMeta] = try {
-    if (bytes.length < 8) return Left("not recognized: too short")
-    val order = (bytes(0), bytes(1)) match {
+  /** Parsed IFD tag table with typed accessors (shared by the
+    * metadata parse and the sample reader). */
+  private class TagReader(bytes: Array[Byte]) {
+    val order: ByteOrder = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
       case ('M', 'M') => ByteOrder.BIG_ENDIAN
-      case _ => return Left("not recognized as a supported file format")
+      case _ =>
+        throw new IllegalArgumentException(
+          "not recognized as a supported file format")
     }
-    val buf = ByteBuffer.wrap(bytes).order(order)
-    val magic = buf.getShort(2) & 0xFFFF
-    if (magic != 42) return Left("not recognized: bad TIFF magic")
-    val ifdOffset = buf.getInt(4) & 0xFFFFFFFFL
+    val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(order)
+    require((buf.getShort(2) & 0xFFFF) == 42, "bad TIFF magic")
+    private val ifdOffset = (buf.getInt(4) & 0xFFFFFFFFL).toInt
+    private val nEntries = buf.getShort(ifdOffset) & 0xFFFF
+    val tags: Map[Int, (Int, Long, Long)] = // tag -> (type, cnt, valueOrOff)
+      (0 until nEntries).map { i =>
+        val e = ifdOffset + 2 + i * 12
+        (buf.getShort(e) & 0xFFFF) -> ((buf.getShort(e + 2) & 0xFFFF,
+          buf.getInt(e + 4) & 0xFFFFFFFFL, buf.getInt(e + 8) & 0xFFFFFFFFL))
+      }.toMap
 
-    val nEntries = buf.getShort(ifdOffset.toInt) & 0xFFFF
-    var tags = Map.empty[Int, (Int, Long, Long)] // tag -> (type, count, valueOrOffset)
-    (0 until nEntries).foreach { i =>
-      val e = ifdOffset.toInt + 2 + i * 12
-      val tag = buf.getShort(e) & 0xFFFF
-      val typ = buf.getShort(e + 2) & 0xFFFF
-      val cnt = buf.getInt(e + 4) & 0xFFFFFFFFL
-      val v = buf.getInt(e + 8) & 0xFFFFFFFFL
-      tags += tag -> ((typ, cnt, v))
-    }
-
-    def scalar(tag: Int): Option[Long] = tags.get(tag).map {
-      case (3, 1, v) =>
-        // SHORT inline value sits in the first 2 bytes of the slot
-        val e = entryOffset(tag); (buf.getShort(e + 8) & 0xFFFF).toLong
-      case (_, _, v) => v
-    }
-    def entryOffset(tag: Int): Int = {
+    private def entryOffset(tag: Int): Int = {
       val idx = (0 until nEntries)
-        .find(i => (buf.getShort(ifdOffset.toInt + 2 + i * 12) & 0xFFFF) == tag).get
-      ifdOffset.toInt + 2 + idx * 12
+        .find(i => (buf.getShort(ifdOffset + 2 + i * 12) & 0xFFFF) == tag).get
+      ifdOffset + 2 + idx * 12
+    }
+    def scalar(tag: Int): Option[Long] = tags.get(tag).map {
+      case (3, 1, _) =>
+        // SHORT inline value sits in the first 2 bytes of the slot
+        (buf.getShort(entryOffset(tag) + 8) & 0xFFFF).toLong
+      case (_, _, v) => v
     }
     def doubles(tag: Int): Option[Seq[Double]] = tags.get(tag).collect {
       case (12, cnt, off) =>
@@ -83,13 +88,28 @@ object GeoTiff {
       case (3, cnt, off) if cnt > 2 =>
         (0 until cnt.toInt).map(i => buf.getShort(off.toInt + i * 2) & 0xFFFF)
     }
+    /** SHORT/LONG value array (inline when it fits the 4-byte slot). */
+    def longArray(tag: Int): Option[Seq[Long]] = tags.get(tag).map {
+      case (4, 1, v) => Seq(v)
+      case (4, cnt, off) =>
+        (0 until cnt.toInt).map(i => buf.getInt(off.toInt + i * 4) & 0xFFFFFFFFL)
+      case (3, cnt, _) if cnt <= 2 =>
+        val e = entryOffset(tag)
+        (0 until cnt.toInt).map(i => (buf.getShort(e + 8 + i * 2) & 0xFFFF).toLong)
+      case (3, cnt, off) =>
+        (0 until cnt.toInt).map(i => (buf.getShort(off.toInt + i * 2) & 0xFFFF).toLong)
+      case (t, _, _) =>
+        throw new IllegalArgumentException(s"tag $tag: unexpected type $t")
+    }
+  }
 
-    val w = scalar(ImageWidth).getOrElse(return Left("no ImageWidth"))
-    val h = scalar(ImageLength).getOrElse(return Left("no ImageLength"))
-    val bits = scalar(BitsPerSample).map(_.toInt).getOrElse(1)
-    val spp = scalar(SamplesPerPixel).map(_.toInt).getOrElse(1)
+  private def metaOf(r: TagReader): Either[String, RasterMeta] = {
+    val w = r.scalar(ImageWidth).getOrElse(return Left("no ImageWidth"))
+    val h = r.scalar(ImageLength).getOrElse(return Left("no ImageLength"))
+    val bits = r.scalar(BitsPerSample).map(_.toInt).getOrElse(1)
+    val spp = r.scalar(SamplesPerPixel).map(_.toInt).getOrElse(1)
 
-    val epsg = shorts(GeoKeyDirectory).flatMap { keys =>
+    val epsg = r.shorts(GeoKeyDirectory).flatMap { keys =>
       // header (4 shorts) then 4-short key entries
       val entries = keys.drop(4).grouped(4).toSeq
       def key(id: Int) = entries.find(e => e.headOption.contains(id))
@@ -98,14 +118,107 @@ object GeoTiff {
     }
 
     val transform = for {
-      scale <- doubles(ModelPixelScale) if scale.size >= 2
-      tie <- doubles(ModelTiepoint) if tie.size >= 6
+      scale <- r.doubles(ModelPixelScale) if scale.size >= 2
+      tie <- r.doubles(ModelTiepoint) if tie.size >= 6
     } yield Seq(tie(3), scale(0), 0.0, tie(4), 0.0, -scale(1))
 
     Right(RasterMeta(w, h, bits, spp,
-      scalar(TileWidth), scalar(TileLength), epsg, transform))
+      r.scalar(TileWidth), r.scalar(TileLength), epsg, transform))
+  }
+
+  def parse(bytes: Array[Byte]): Either[String, RasterMeta] = try {
+    if (bytes.length < 8) return Left("not recognized: too short")
+    metaOf(new TagReader(bytes))
   } catch {
     case e: Exception => Left(s"not recognized: ${e.getMessage}")
+  }
+
+  /** Decode the pixel samples of a single-band raster to a row-major
+    * float grid — the read half of `cog_translate` for `.tif` inputs
+    * (`cogify/handler.py:233-243`). Supported: compression none (1) or
+    * DEFLATE (8 / legacy 32946), tiled or stripped layout, 8/16-bit
+    * unsigned ints and 32-bit IEEE floats. Anything else →
+    * `Left(reason)` (the quarantine path, never a wrong grid). */
+  def readSamples(bytes: Array[Byte])
+  : Either[String, (RasterMeta, Array[Float])] = try {
+    val r = new TagReader(bytes)
+    metaOf(r).flatMap { m =>
+      if (m.samplesPerPixel != 1)
+        return Left(s"unsupported: ${m.samplesPerPixel} samples/pixel")
+      val compression = r.scalar(Compression).getOrElse(1L).toInt
+      if (compression != 1 && compression != 8 && compression != 32946)
+        return Left(s"unsupported compression $compression")
+      val fmt = r.scalar(SampleFormat).getOrElse(1L).toInt
+      val sampleBytes = m.bitsPerSample / 8
+      val decodeOk = (m.bitsPerSample, fmt) match {
+        case (8, 1) | (16, 1) | (32, 3) => true
+        case _ => false
+      }
+      if (!decodeOk)
+        return Left(
+          s"unsupported sample type: ${m.bitsPerSample}-bit format $fmt")
+
+      val w = m.width.toInt; val h = m.height.toInt
+      val out = new Array[Float](w * h)
+      // segment geometry: tiles or strips
+      val (segW, segH, offsets, counts) = (m.tileWidth, m.tileHeight) match {
+        case (Some(tw), Some(th)) =>
+          (tw.toInt, th.toInt,
+            r.longArray(TileOffsets).getOrElse(
+              return Left("tiled but no TileOffsets")),
+            r.longArray(TileByteCounts).getOrElse(
+              return Left("tiled but no TileByteCounts")))
+        case _ =>
+          val rps = r.scalar(RowsPerStrip).map(_.toInt).getOrElse(h)
+          (w, rps,
+            r.longArray(StripOffsets).getOrElse(
+              return Left("no StripOffsets")),
+            r.longArray(StripByteCounts).getOrElse(
+              return Left("no StripByteCounts")))
+      }
+      val segsAcross = (w + segW - 1) / segW
+      offsets.indices.foreach { s =>
+        val raw = bytes.slice(offsets(s).toInt,
+          (offsets(s) + counts(s)).toInt)
+        val seg =
+          if (compression == 1) raw
+          else inflate(raw, segW * segH * sampleBytes)
+        val sb = ByteBuffer.wrap(seg).order(r.order)
+        val x0 = (s % segsAcross) * segW
+        val y0 = (s / segsAcross) * segH
+        var y = 0
+        while (y < segH && y0 + y < h) {
+          var x = 0
+          while (x < segW) {
+            if (x0 + x < w) {
+              val i = (y * segW + x) * sampleBytes
+              if (i + sampleBytes <= seg.length)
+                out((y0 + y) * w + (x0 + x)) = (m.bitsPerSample, fmt) match {
+                  case (8, _) => (seg(i) & 0xFF).toFloat
+                  case (16, _) => (sb.getShort(i) & 0xFFFF).toFloat
+                  case _ => sb.getFloat(i)
+                }
+            }
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Right((m, out))
+    }
+  } catch {
+    case e: Exception => Left(s"sample read failed: ${e.getMessage}")
+  }
+
+  private def inflate(compressed: Array[Byte], maxLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(compressed)
+    val raw = new Array[Byte](maxLen)
+    var off = 0
+    while (!inf.finished() && off < raw.length)
+      off += inf.inflate(raw, off, raw.length - off)
+    inf.end()
+    raw
   }
 
   /** One scanned row: path + either metadata or the fallback reason. */

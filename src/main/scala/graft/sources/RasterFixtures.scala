@@ -53,4 +53,58 @@ object RasterFixtures {
     }
     buf.array()
   }
+
+  /** Plain stripped uint8 TIFF (the "ordinary GeoTIFF input" shape the
+    * reference's cog_translate ingests): uncompressed by default;
+    * `compression` overridable to fabricate unsupported inputs. */
+  def stripTiff(width: Int, height: Int, values: Seq[Int],
+                rowsPerStrip: Int = 2, compression: Int = 1): Array[Byte] = {
+    require(values.size == width * height)
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val entryCount = 9
+    val ifdSize = 2 + entryCount * 12 + 4
+    var dataOff = 8 + ifdSize
+    def alloc(n: Int): Int = { val o = dataOff; dataOff += n; o }
+    val offsOff = if (nStrips > 1) alloc(nStrips * 4) else 0
+    val cntsOff = if (nStrips > 1) alloc(nStrips * 4) else 0
+    val stripBytes = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+      rows * width
+    }
+    val stripStarts = stripBytes.scanLeft(dataOff)(_ + _)
+
+    val buf = ByteBuffer.allocate(stripStarts.last)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte); buf.put('I'.toByte)
+    buf.putShort(2, 42); buf.putInt(4, 8)
+    buf.putShort(8, entryCount.toShort)
+    var e = 10
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(e, tag.toShort); buf.putShort(e + 2, typ.toShort)
+      buf.putInt(e + 4, cnt)
+      if (typ == 3 && cnt == 1) buf.putShort(e + 8, value.toShort)
+      else buf.putInt(e + 8, value.toInt)
+      e += 12
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, 1)
+    entry(273, 4, nStrips,
+      if (nStrips == 1) stripStarts.head else offsOff) // StripOffsets
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, rowsPerStrip)
+    entry(279, 4, nStrips,
+      if (nStrips == 1) stripBytes.head else cntsOff) // StripByteCounts
+    buf.putInt(e, 0)
+    if (nStrips > 1) (0 until nStrips).foreach { s =>
+      buf.putInt(offsOff + s * 4, stripStarts(s))
+      buf.putInt(cntsOff + s * 4, stripBytes(s))
+    }
+    values.zipWithIndex.foreach { case (v, i) =>
+      buf.put(stripStarts.head + i, v.toByte)
+    }
+    buf.array()
+  }
 }

@@ -67,6 +67,40 @@ class CogWriterSpec extends SparkSuite {
     assert(m.epsg.contains(4326))
   }
 
+  test("readSamples round-trips the writer's own multi-tile output") {
+    val w = 300; val h = 200
+    val data = Array.tabulate(w * h)(i => ((i * 7) % 1001).toFloat / 7f)
+    val bytes = GeoTiffWriter.write(w, h, data,
+      GeoTiffWriter.Geo(Seq(-10.0, 0.5, 0.0, 40.0, 0.0, -0.5)),
+      fill = Some(-1.0), tileSize = 256)
+    val (m, decoded) = GeoTiff.readSamples(bytes).fold(e => fail(e), identity)
+    assert(m.width == w && m.height == h)
+    assert(decoded.toSeq == data.toSeq) // bit-exact, padding clipped
+  }
+
+  test("readSamples decodes plain stripped uint8 TIFFs; rejects others") {
+    import graft.sources.RasterFixtures
+    val vals = 0 until 20 // 5x4
+    val tiff = RasterFixtures.stripTiff(5, 4, vals, rowsPerStrip = 3)
+    val (m, decoded) = GeoTiff.readSamples(tiff).fold(e => fail(e), identity)
+    assert(m.width == 5 && m.height == 4)
+    assert(decoded.toSeq == vals.map(_.toFloat))
+    // unsupported compression (LZW) -> quarantine Left, not bad data
+    val lzw = RasterFixtures.stripTiff(5, 4, vals, compression = 5)
+    assert(GeoTiff.readSamples(lzw).left.exists(_.contains("compression")))
+  }
+
+  test("tiffToCog re-tiles a plain TIFF into a deflate COG (.tif branch)") {
+    val vals = 0 until 20
+    val tiff = graft.sources.RasterFixtures.stripTiff(5, 4, vals)
+    val cog = Cogify.tiffToCog(tiff).fold(e => fail(e), identity)
+    val m = GeoTiff.parse(cog).fold(e => fail(e), identity)
+    assert(m.width == 5 && m.height == 4)
+    assert(m.tileWidth.contains(256L))
+    val (_, decoded) = GeoTiff.readSamples(cog).fold(e => fail(e), identity)
+    assert(decoded.toSeq == vals.map(_.toFloat))
+  }
+
   test("F14 grid ops: variable[0] + transpose + flipud (handler.py:106-110)") {
     import Cogify.{applyGridOps, FlipUd, TakeFirstPlane, Transpose}
     // rank-3 (2,3,2), values 0..11; [0] -> (3,2) = [[0,1],[2,3],[4,5]]
@@ -126,7 +160,7 @@ class CogWriterSpec extends SparkSuite {
       lit(true).as("cogify"))
     val cfg = Cogify.CollectionConfig(variableName = Some("precip"),
       xVariable = Some("lon"), yVariable = Some("lat"))
-    val out = Cogify.run(objs, new Cogify.NetcdfCogTransform(),
+    val out = Cogify.run(objs, new Cogify.RasterCogTransform(),
       configs = Map("c" -> cfg)).collect().head
     assert(out.getAs[String]("cog_error") == null)
     val cogPath = out.getAs[String]("remote_fileurl")
