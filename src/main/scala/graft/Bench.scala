@@ -26,18 +26,24 @@ object Bench {
     // measures the steady-state cost that actually scales with data.
     // The run count is reported in the output line.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // per query: fastest SUCCESSFUL run; a query with zero successful
+    // runs reports -1 and lands in "failed" — a fast failure must
+    // never masquerade as a fast result
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> times.minOption.getOrElse(-1.0)
     }
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"failed":[${failed.mkString(",")}],"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

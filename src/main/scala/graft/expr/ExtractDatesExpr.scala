@@ -127,7 +127,8 @@ case class ExtractDatesExpr(filename: Expression, datetimeRange: Expression)
         InternalRow ${ev.value} = null;
         if (!${f.isNull}) {
           ${ev.value} = $helper.extract(${f.value},
-            ${r.isNull} ? null : ${r.value});
+            (org.apache.spark.unsafe.types.UTF8String)
+              (${r.isNull} ? null : ${r.value}));
           ${ev.isNull} = ${ev.value} == null;
         }""")
   }

@@ -211,7 +211,7 @@ object Cogify {
         Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
       graft.sources.GeoTiffWriter.write(m.width.toInt, m.height.toInt,
         data, graft.sources.GeoTiffWriter.Geo(transform,
-          m.epsg.getOrElse(4326)), None, tileSize)
+          m.epsg.getOrElse(4326)), m.nodata, tileSize)
     }
 
   /** [[FileTransform]] doing the real conversion on both reference

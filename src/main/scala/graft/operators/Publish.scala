@@ -45,13 +45,15 @@ object Publish {
     * `grant_type=client_credentials&scope=...`, then POST each item to
     * `{base_url}/ingestions` with `Authorization: bearer <token>`.
     *
-    * Token lifecycle (the part the Lambda never needed): the access
-    * token is `@transient` — fetched lazily once per executor JVM, NOT
-    * serialized from the driver — and refreshed `refreshSkewSecs`
-    * before `expires_in` elapses, so a long partition survives token
-    * expiry mid-stream. A 401 from the ingestor (revocation between
-    * refreshes) drops the cached token and throws retryable, so the
-    * standard retry loop re-authenticates. 5xx/429 are retryable;
+    * Token lifecycle (the part the Lambda never needed): tokens live
+    * in a JVM-wide cache keyed by (tokenUrl, clientId, scope) — NOT in
+    * the serialized submitter — so one fetch serves every task in the
+    * executor, no matter how many task closures deserialize their own
+    * submitter instance. Tokens refresh `refreshSkewSecs` before
+    * `expires_in` elapses, so a long partition survives token expiry
+    * mid-stream. A 401 from the ingestor (revocation between
+    * refreshes) invalidates the cache entry and throws retryable, so
+    * the standard retry loop re-authenticates. 5xx/429 are retryable;
     * other 4xx are permanent (T4 selective retry). */
   class OAuthSubmitter(tokenUrl: String, clientId: String,
                        clientSecret: String, scope: String,
@@ -59,41 +61,50 @@ object Publish {
                        refreshSkewSecs: Long = 60) extends Submitter {
     import graft.sources.dsv2.HttpPages
 
-    @transient private var token: String = _
-    @transient private var expiresAt: Long = 0L
+    private def cacheKey = (tokenUrl, clientId, scope)
 
     private def basicAuth: String =
       java.util.Base64.getEncoder.encodeToString(
         s"$clientId:$clientSecret".getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
 
-    private[operators] def currentToken(): String = synchronized {
-      val now = System.currentTimeMillis() / 1000
-      if (token == null || now >= expiresAt - refreshSkewSecs) {
-        val r = HttpPages.post(tokenUrl,
-          Map("Content-Type" -> "application/x-www-form-urlencoded",
-            "Authorization" -> s"Basic $basicAuth"),
-          "grant_type=client_credentials&scope=" +
-            java.net.URLEncoder.encode(scope, "UTF-8"))
-        if (r.status >= 500)
-          throw new RetryableFailure(s"token endpoint HTTP ${r.status}")
-        if (r.status != 200)
-          throw new RuntimeException(
-            s"token endpoint HTTP ${r.status}: ${r.body.take(200)}")
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(r.body)
-        token = node.get("access_token").asText()
-        expiresAt = now + node.get("expires_in").asLong()
-      }
-      token
+    private def fetchToken(now: Long): OAuthSubmitter.CachedToken = {
+      val r = HttpPages.post(tokenUrl,
+        Map("Content-Type" -> "application/x-www-form-urlencoded",
+          "Authorization" -> s"Basic $basicAuth"),
+        "grant_type=client_credentials&scope=" +
+          java.net.URLEncoder.encode(scope, "UTF-8"))
+      if (r.status >= 500)
+        throw new RetryableFailure(s"token endpoint HTTP ${r.status}")
+      if (r.status != 200)
+        throw new RuntimeException(
+          s"token endpoint HTTP ${r.status}: ${r.body.take(200)}")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(r.body)
+      OAuthSubmitter.CachedToken(node.get("access_token").asText(),
+        now + node.get("expires_in").asLong())
     }
+
+    private[operators] def currentToken(): String =
+      OAuthSubmitter.cache.synchronized {
+        val now = System.currentTimeMillis() / 1000
+        val cached = OAuthSubmitter.cache.get(cacheKey)
+        if (cached != null && now < cached.expiresAt - refreshSkewSecs)
+          cached.token
+        else {
+          val fresh = fetchToken(now)
+          OAuthSubmitter.cache.put(cacheKey, fresh)
+          fresh.token
+        }
+      }
 
     override def submit(itemJson: String): Unit = {
       val r = HttpPages.post(ingestionsUrl,
         Map("Content-Type" -> "application/json",
           "Authorization" -> s"bearer ${currentToken()}"), itemJson)
       if (r.status == 401) {
-        synchronized { token = null } // stale token: re-auth on retry
+        // stale/revoked token: invalidate so the retry re-auths
+        OAuthSubmitter.cache.remove(cacheKey)
         throw new RetryableFailure(
           s"HTTP 401 from ingestor (token dropped for re-auth)")
       }
@@ -102,6 +113,15 @@ object Publish {
       if (r.status >= 400)
         throw new RuntimeException(s"HTTP ${r.status}: ${r.body.take(200)}")
     }
+  }
+
+  object OAuthSubmitter {
+    private[operators] case class CachedToken(token: String,
+                                              expiresAt: Long)
+    /** JVM-wide token cache: (tokenUrl, clientId, scope) → token. */
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(String, String, String),
+        CachedToken]()
   }
 
   /** Submission outcome row. */

@@ -85,6 +85,19 @@ object Transfer {
     // optimal bit count for (n, p): -n ln p / (ln 2)^2
     val numBits = math.max(64L, math.ceil(
       -expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently clamps to the runtime-filter conf
+    // maxima (4M items / 64M bits by default) — at those sizes the
+    // requested fpp would silently degrade toward 1. Raise the caps to
+    // what this build actually needs.
+    val conf = planned.sparkSession.conf
+    Seq(("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+        4000000L, expectedKeys),
+      ("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+        67108864L, numBits))
+      .foreach { case (k, dflt, needed) =>
+        val cur = conf.getOption(k).map(_.toLong).getOrElse(dflt)
+        if (cur < needed) conf.set(k, needed.toString)
+      }
     val bfBytes = existingKeys
       .select(call_function("graft_bloom_agg", xxhash64(col(keyCol)),
         lit(expectedKeys), lit(numBits)).as("bf"))
@@ -142,12 +155,11 @@ object Transfer {
           val dst = new org.apache.hadoop.fs.Path(row.getString(tgtIdx))
           val dstFs = dst.getFileSystem(hadoopConf.value)
           if (srcUrl.startsWith("http://") || srcUrl.startsWith("https://")) {
-            val (status, data) = graft.sources.dsv2.HttpPages
-              .getBinary(srcUrl, httpAuth.headers)
-            if (status != 200)
-              throw new java.io.IOException(s"HTTP $status fetching $srcUrl")
-            val os = dstFs.create(dst, true)
-            try os.write(data) finally os.close()
+            // streamed copy: the body never sits in executor memory
+            // (granules can exceed the heap); each retry reopens a
+            // fresh, truncating sink
+            graft.sources.dsv2.HttpPages.download(srcUrl,
+              httpAuth.headers, () => dstFs.create(dst, true))
           } else {
             val src = new org.apache.hadoop.fs.Path(srcUrl)
             val srcFs = src.getFileSystem(hadoopConf.value)

@@ -25,7 +25,9 @@ object GeoTiff {
       epsg: Option[Int],
       /** GDAL-style geotransform [x0, xres, 0, y0, 0, yres] from
         * ModelTiepoint + ModelPixelScale, when present. */
-      transform: Option[Seq[Double]])
+      transform: Option[Seq[Double]],
+      /** GDAL_NODATA sentinel, when present. */
+      nodata: Option[Double] = None)
 
   // TIFF tag ids
   private val ImageWidth = 256
@@ -44,6 +46,7 @@ object GeoTiff {
   private val ModelPixelScale = 33550
   private val ModelTiepoint = 33922
   private val GeoKeyDirectory = 34735
+  private val GdalNodata = 42113
   // GeoKey ids
   private val GeographicTypeGeoKey = 2048
   private val ProjectedCSTypeGeoKey = 3072
@@ -88,6 +91,14 @@ object GeoTiff {
       case (3, cnt, off) if cnt > 2 =>
         (0 until cnt.toInt).map(i => buf.getShort(off.toInt + i * 2) & 0xFFFF)
     }
+    /** ASCII value (inline when count <= 4, per TIFF 6.0). */
+    def ascii(tag: Int): Option[String] = tags.get(tag).collect {
+      case (2, cnt, off) =>
+        val start = if (cnt <= 4) entryOffset(tag) + 8 else off.toInt
+        val raw = bytes.slice(start, start + cnt.toInt)
+        new String(raw.takeWhile(_ != 0),
+          java.nio.charset.StandardCharsets.US_ASCII).trim
+    }
     /** SHORT/LONG value array (inline when it fits the 4-byte slot). */
     def longArray(tag: Int): Option[Seq[Long]] = tags.get(tag).map {
       case (4, 1, v) => Seq(v)
@@ -122,8 +133,11 @@ object GeoTiff {
       tie <- r.doubles(ModelTiepoint) if tie.size >= 6
     } yield Seq(tie(3), scale(0), 0.0, tie(4), 0.0, -scale(1))
 
+    val nodata = r.ascii(GdalNodata)
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+
     Right(RasterMeta(w, h, bits, spp,
-      r.scalar(TileWidth), r.scalar(TileLength), epsg, transform))
+      r.scalar(TileWidth), r.scalar(TileLength), epsg, transform, nodata))
   }
 
   def parse(bytes: Array[Byte]): Either[String, RasterMeta] = try {
@@ -210,16 +224,8 @@ object GeoTiff {
     case e: Exception => Left(s"sample read failed: ${e.getMessage}")
   }
 
-  private def inflate(compressed: Array[Byte], maxLen: Int): Array[Byte] = {
-    val inf = new java.util.zip.Inflater()
-    inf.setInput(compressed)
-    val raw = new Array[Byte](maxLen)
-    var off = 0
-    while (!inf.finished() && off < raw.length)
-      off += inf.inflate(raw, off, raw.length - off)
-    inf.end()
-    raw
-  }
+  private def inflate(compressed: Array[Byte], maxLen: Int): Array[Byte] =
+    GeoTiffWriter.inflateFully(compressed, maxLen)
 
   /** One scanned row: path + either metadata or the fallback reason. */
   case class ScanResult(path: String, ok: Boolean, error: String,

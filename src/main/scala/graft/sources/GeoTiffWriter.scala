@@ -79,7 +79,10 @@ object GeoTiffWriter {
     val scaleOff = alloc(24)
     val tieOff = alloc(48)
     val geoKeysOff = alloc(16)
-    val nodataOff = nodataAscii.map(b => alloc((b.length + 1) / 2 * 2))
+    // TIFF 6.0: values of count*size <= 4 bytes MUST live inline in
+    // the value slot — only longer nodata strings go out of line
+    val nodataOff = nodataAscii.filter(_.length > 4)
+      .map(b => alloc((b.length + 1) / 2 * 2))
     val tileDataStart = dataOff
     val tileOffsets = tiles.scanLeft(tileDataStart.toLong)(_ + _.length)
 
@@ -101,7 +104,8 @@ object GeoTiffWriter {
       Entry(33922, 12, 6, tieOff),          // ModelTiepoint
       Entry(34735, 3, 8, geoKeysOff)        // GeoKeyDirectory
     ) ++ nodataAscii.map(b =>
-      Entry(42113, 2, b.length, nodataOff.get)) // GDAL_NODATA
+      Entry(42113, 2, b.length,
+        nodataOff.map(_.toLong).getOrElse(0L))) // GDAL_NODATA
 
     val out = ByteBuffer.allocate(tileDataStart + tiles.map(_.length).sum)
       .order(ByteOrder.LITTLE_ENDIAN)
@@ -135,7 +139,13 @@ object GeoTiffWriter {
     val geoKeyId = if (geo.epsg >= 4000 && geo.epsg <= 4999) 2048 else 3072
     Seq(1, 1, 0, 1, geoKeyId, 0, 1, geo.epsg).zipWithIndex.foreach {
       case (v, i) => out.putShort(geoKeysOff + i * 2, v.toShort) }
-    nodataAscii.foreach { b => out.position(nodataOff.get); out.put(b) }
+    nodataAscii.foreach { b =>
+      if (b.length <= 4) {
+        // inline: raw ASCII bytes occupy the slot of the LAST entry
+        val slot = ifdOffset + 2 + (entryCount - 1) * 12 + 8
+        out.position(slot); out.put(b)
+      } else { out.position(nodataOff.get); out.put(b) }
+    }
 
     out.position(tileDataStart)
     tiles.foreach(tb => out.put(tb))
@@ -155,16 +165,35 @@ object GeoTiffWriter {
     out.toByteArray
   }
 
+  /** Inflate a DEFLATE segment into a buffer of at most `maxLen`
+    * bytes. Throws on truncated input (Inflater.inflate returns 0 with
+    * needsInput while unfinished) instead of spinning — a partially
+    * downloaded file must error, not hang the task. */
+  private[sources] def inflateFully(compressed: Array[Byte],
+                                    maxLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(compressed)
+      val raw = new Array[Byte](maxLen)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0) {
+          if (inf.needsInput() || inf.needsDictionary())
+            throw new java.io.IOException(
+              "truncated or malformed DEFLATE stream")
+          // else finished flips on the next loop check
+        }
+        off += n
+      }
+      raw
+    } finally inf.end()
+  }
+
   /** Inflate one tile back to float32 samples (test/verification aid —
     * the read half of the round-trip contract with [[GeoTiff]]). */
   def inflateTile(compressed: Array[Byte], tileSize: Int): Array[Float] = {
-    val inf = new java.util.zip.Inflater()
-    inf.setInput(compressed)
-    val raw = new Array[Byte](tileSize * tileSize * 4)
-    var off = 0
-    while (!inf.finished() && off < raw.length)
-      off += inf.inflate(raw, off, raw.length - off)
-    inf.end()
+    val raw = inflateFully(compressed, tileSize * tileSize * 4)
     val fb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     Array.fill(tileSize * tileSize)(fb.getFloat)
   }

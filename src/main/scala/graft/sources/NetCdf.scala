@@ -338,7 +338,12 @@ object NetCdf {
           // class bit field byte 0, bit 0: data byte order (0 = LE)
           typeLittleEndian = (bytes(body + 1) & 0x01) == 0
           typeSize = buf.getInt(body + 4)
-        case 0x0004 | 0x0005 => // fill value (old | new)
+        case 0x0004 => // fill value (old): just size(4) + data, no
+          // version/flags — only used when the new message is absent
+          val sz = buf.getInt(body)
+          if (sz > 0 && fillBytes.isEmpty)
+            fillBytes = Some(bytes.slice(body + 4, body + 4 + sz))
+        case 0x0005 => // fill value (new)
           val ver = bytes(body) & 0xFF
           if (ver <= 2) {
             val defined = bytes(body + 3) & 0xFF

@@ -23,29 +23,37 @@ object HttpPages extends Serializable {
 
   def isHttp(locator: String): Boolean = isHttpUrl(locator)
 
-  /** GET with bounded retries on IO errors and 5xx (each Spark task
-    * retry adds another layer above this). */
+  /** Bounded retry on IO errors and 5xx (each Spark task retry adds
+    * another layer above this); `attempt` returns the response status
+    * so 5xx can trigger a retry too. */
+  private def withRetries[T](desc: String, retries: Int)
+                            (attempt: () => (Int, T)): (Int, T) = {
+    var last: Throwable = null
+    var n = 0
+    while (n <= retries) {
+      try {
+        val (status, v) = attempt()
+        if (status < 500) return (status, v)
+        last = new java.io.IOException(s"HTTP $status from $desc")
+      } catch { case e: java.io.IOException => last = e }
+      n += 1
+      if (n <= retries) Thread.sleep(200L * n)
+    }
+    throw new java.io.IOException(
+      s"$desc failed after ${retries + 1} attempts", last)
+  }
+
+  /** GET with bounded retries on IO errors and 5xx. */
   def get(url: String, headers: Map[String, String] = Map.empty,
           connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000,
           retries: Int = 2): Response = {
-    var last: Throwable = null
-    var attempt = 0
-    while (attempt <= retries) {
-      try {
-        val r = doGet(url, headers, connectTimeoutMs, readTimeoutMs)
-        if (r.status < 500) return r
-        last = new java.io.IOException(s"HTTP ${r.status} from $url")
-      } catch { case e: java.io.IOException => last = e }
-      attempt += 1
-      if (attempt <= retries) Thread.sleep(200L * attempt)
-    }
-    throw new java.io.IOException(
-      s"GET $url failed after ${retries + 1} attempts", last)
+    val (_, r) = withRetries(s"GET $url", retries)(() => {
+      val r = request(url, "GET", headers, None, connectTimeoutMs,
+        readTimeoutMs)
+      (r.status, r)
+    })
+    r
   }
-
-  private def doGet(url: String, headers: Map[String, String],
-                    connectTimeoutMs: Int, readTimeoutMs: Int): Response =
-    request(url, "GET", headers, None, connectTimeoutMs, readTimeoutMs)
 
   /** Single POST, no retry — callers own the retry policy (e.g. the
     * publication sink's selective-retry loop). */
@@ -58,12 +66,8 @@ object HttpPages extends Serializable {
   private def request(url: String, method: String,
                       headers: Map[String, String], body: Option[String],
                       connectTimeoutMs: Int, readTimeoutMs: Int): Response = {
-    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    val conn = open(url, method, headers, connectTimeoutMs, readTimeoutMs)
     try {
-      conn.setConnectTimeout(connectTimeoutMs)
-      conn.setReadTimeout(readTimeoutMs)
-      conn.setRequestMethod(method)
-      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
       body.foreach { b =>
         conn.setDoOutput(true)
         val os = conn.getOutputStream
@@ -86,37 +90,67 @@ object HttpPages extends Serializable {
     } finally conn.disconnect()
   }
 
-  /** Binary GET (no string decode) — the transfer/cogify download path
-    * for http(s) sources. Retries IO errors and 5xx like [[get]]. */
+  /** Binary GET (no string decode), fully buffered — for small
+    * payloads (pages, headers). Large-file transfer uses the streaming
+    * [[download]] instead. Retries IO errors and 5xx like [[get]]. */
   def getBinary(url: String, headers: Map[String, String] = Map.empty,
                 connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000,
-                retries: Int = 2): (Int, Array[Byte]) = {
-    var last: Throwable = null
-    var attempt = 0
-    while (attempt <= retries) {
+                retries: Int = 2): (Int, Array[Byte]) =
+    withRetries(s"GET $url", retries)(() => {
+      val conn = open(url, "GET", headers, connectTimeoutMs, readTimeoutMs)
       try {
-        val conn = new URL(url).openConnection()
-          .asInstanceOf[HttpURLConnection]
-        try {
-          conn.setConnectTimeout(connectTimeoutMs)
-          conn.setReadTimeout(readTimeoutMs)
-          conn.setRequestMethod("GET")
-          headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-          val status = conn.getResponseCode
-          val stream =
-            if (status >= 400) conn.getErrorStream else conn.getInputStream
-          val body =
-            if (stream == null) Array.empty[Byte]
-            else try stream.readAllBytes() finally stream.close()
-          if (status < 500) return (status, body)
-          last = new java.io.IOException(s"HTTP $status from $url")
-        } finally conn.disconnect()
-      } catch { case e: java.io.IOException => last = e }
-      attempt += 1
-      if (attempt <= retries) Thread.sleep(200L * attempt)
-    }
-    throw new java.io.IOException(
-      s"GET $url failed after ${retries + 1} attempts", last)
+        val status = conn.getResponseCode
+        val stream =
+          if (status >= 400) conn.getErrorStream else conn.getInputStream
+        val body =
+          if (stream == null) Array.empty[Byte]
+          else try stream.readAllBytes() finally stream.close()
+        (status, body)
+      } finally conn.disconnect()
+    })
+
+  /** Streaming GET → OutputStream: the large-file transfer path (the
+    * whole body never sits in executor memory). `openOut` is invoked
+    * once per attempt so a retry restarts with a fresh (truncated)
+    * sink. Returns bytes copied; non-2xx throws. */
+  def download(url: String, headers: Map[String, String],
+               openOut: () => java.io.OutputStream,
+               connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 120000,
+               retries: Int = 2): Long = {
+    val (status, copied) = withRetries(s"GET $url", retries)(() => {
+      val conn = open(url, "GET", headers, connectTimeoutMs, readTimeoutMs)
+      try {
+        val status = conn.getResponseCode
+        if (status >= 400) (status, 0L)
+        else {
+          val in = conn.getInputStream
+          val out = openOut()
+          try {
+            val chunk = new Array[Byte](1 << 16)
+            var total = 0L
+            var n = in.read(chunk)
+            while (n >= 0) {
+              out.write(chunk, 0, n); total += n; n = in.read(chunk)
+            }
+            (status, total)
+          } finally { in.close(); out.close() }
+        }
+      } finally conn.disconnect()
+    })
+    if (status >= 400)
+      throw new java.io.IOException(s"HTTP $status from $url")
+    copied
+  }
+
+  private def open(url: String, method: String,
+                   headers: Map[String, String], connectTimeoutMs: Int,
+                   readTimeoutMs: Int): HttpURLConnection = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod(method)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    conn
   }
 
   /** Append pagination params, preserving any query already present

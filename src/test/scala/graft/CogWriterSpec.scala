@@ -23,6 +23,38 @@ class CogWriterSpec extends SparkSuite {
     assert(m.tileWidth.contains(256L) && m.tileHeight.contains(256L))
     assert(m.epsg.contains(4326))
     assert(m.transform.contains(Seq(-180.0, 0.25, 0.0, 90.0, 0.0, -0.25)))
+    assert(m.nodata.contains(-9999.0)) // out-of-line ASCII (6 bytes)
+  }
+
+  test("GDAL_NODATA round-trips inline (short) and out-of-line (long)") {
+    def writeWith(fill: Double): GeoTiff.RasterMeta = {
+      val b = GeoTiffWriter.write(4, 3, Array.fill(12)(1f),
+        GeoTiffWriter.Geo(Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)),
+        fill = Some(fill), tileSize = 256)
+      GeoTiff.parse(b).fold(e => fail(e), identity)
+    }
+    // "0" + NUL = 2 bytes -> MUST be inline per TIFF 6.0
+    assert(writeWith(0.0).nodata.contains(0.0))
+    assert(writeWith(-5.0).nodata.contains(-5.0)) // 3 bytes inline
+    assert(writeWith(-9999.5).nodata.contains(-9999.5)) // 8 bytes offset
+    // and the .tif re-tile branch carries it over
+    val src = GeoTiffWriter.write(4, 3, Array.fill(12)(1f),
+      GeoTiffWriter.Geo(Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)),
+      fill = Some(-7.0))
+    val cog = Cogify.tiffToCog(src).fold(e => fail(e), identity)
+    assert(GeoTiff.parse(cog).toOption.get.nodata.contains(-7.0))
+  }
+
+  test("truncated DEFLATE data errors (quarantine), never hangs") {
+    val bytes = GeoTiffWriter.write(64, 64,
+      Array.tabulate(64 * 64)(_.toFloat),
+      GeoTiffWriter.Geo(Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0)))
+    // cut the file mid-tile: slice clamps, deflate stream truncates
+    val cut = bytes.slice(0, bytes.length - bytes.length / 4)
+    assert(GeoTiff.readSamples(cut).isLeft)
+    intercept[java.io.IOException] {
+      GeoTiffWriter.inflateTile(Array[Byte](0x78, 0x9c.toByte), 64)
+    }
   }
 
   test("tile contents: deflate payload inflates to the source samples") {
