@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * length, content), schema'd metadata struct, deterministic
   * partitioning, typed `mapPartitions` batch processing (the Scala
   * analog of `mapInPandas`: one iterator per partition so decoders can
-  * amortize per-partition init). The decode itself is a clearly-marked
-  * STUB (`decodeStub`) — the image/audio libraries are not in this
-  * container; production swaps it for javax.imageio / ffmpeg without
-  * touching the plumbing. */
+  * amortize per-partition init).
+  *
+  * Decoding: images decode for REAL via `javax.imageio` (in the JDK —
+  * PNG/JPEG/BMP/GIF), including bilinear aspect-fit resampling and a
+  * luminance-strip feature. Audio/video decode remains a
+  * clearly-marked STUB (`decodeStub`) — those codecs are not in this
+  * container; production swaps in ffmpeg behind the same seam. */
 object Multimodal {
 
   /** Typed metadata for one media file. */
@@ -32,10 +35,67 @@ object Multimodal {
     "tif" -> "image/tiff", "wav" -> "audio/wav", "mp3" -> "audio/mpeg",
     "mp4" -> "video/mp4")
 
-  /** STUB decoder — deterministic fake deriving dimensions from the
-    * byte content (no image libs in this container). Production
-    * replaces ONLY this function (e.g. `ImageIO.read`), keeping the
-    * schema, partitioning and batch shape identical. */
+  /** Real image decode via the JDK's javax.imageio (PNG/JPEG/BMP/GIF).
+    * None for undecodable bytes — callers fall back to [[decodeStub]]
+    * so a corrupt file degrades, never crashes the partition. */
+  def decodeImage(bytes: Array[Byte])
+  : Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Bilinear aspect-fit resample into (maxW, maxH), never upscaling —
+    * the pixel half of [[resizePlan]]'s column math. */
+  def resizeImage(img: java.awt.image.BufferedImage, maxW: Int,
+                  maxH: Int): java.awt.image.BufferedImage = {
+    val scale = math.min(1.0,
+      math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+    if (scale >= 1.0) img
+    else {
+      val w = math.max(1, (img.getWidth * scale).toInt)
+      val h = math.max(1, (img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+  }
+
+  /** Mean-luminance feature over `dim` vertical strips in [0, 1] —
+    * a deterministic, testable stand-in for a learned embedding with
+    * the same shape contract (fixed-width Array[Double]). */
+  def luminanceStripFeature(img: java.awt.image.BufferedImage,
+                            dim: Int): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+          (rgb & 0xFF) * 114L) / 1000.0
+        val s = math.min(dim - 1, x * dim / w)
+        sums(s) += lum / 255.0
+        counts(s) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(dim)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
+  }
+
+  /** STUB decoder for audio/video (those codecs are not in this
+    * container) — deterministic fake deriving dimensions from the
+    * byte content. Production replaces ONLY this function (ffmpeg),
+    * keeping the schema, partitioning and batch shape identical. */
   def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
     var h = 1125899906842597L
     var i = 0
@@ -73,15 +133,24 @@ object Multimodal {
         files.map { case (path, _, bytes) =>
           val ext = path.split('.').lastOption.getOrElse("").toLowerCase
           val mt = mediaTypes.getOrElse(ext, "application/octet-stream")
-          val (w, h, frames) = decodeStub(mt, bytes)
-          // STUB feature: deterministic projection of the fake pixels —
-          // stands in for resize -> embed
-          val feat = Array.tabulate(featureDim) { i =>
-            val slice = if (bytes.isEmpty) 0L
-              else bytes(math.floorMod(i * 37, bytes.length)).toLong
-            (slice + i).toDouble / 256.0
+          val decoded =
+            if (mt.startsWith("image/")) decodeImage(bytes) else None
+          decoded match {
+            case Some(img) =>
+              // real path: decode -> aspect-fit resample -> feature
+              val resized = resizeImage(img, 256, 256)
+              MediaFeatures(path, mt, img.getWidth, img.getHeight, 1,
+                luminanceStripFeature(resized, featureDim))
+            case None =>
+              val (w, h, frames) = decodeStub(mt, bytes)
+              // STUB feature for audio/video/undecodable bytes
+              val feat = Array.tabulate(featureDim) { i =>
+                val slice = if (bytes.isEmpty) 0L
+                  else bytes(math.floorMod(i * 37, bytes.length)).toLong
+                (slice + i).toDouble / 256.0
+              }
+              MediaFeatures(path, mt, w, h, frames, feat)
           }
-          MediaFeatures(path, mt, w, h, frames, feat)
         }
       }
   }

@@ -129,6 +129,32 @@ class LlmSpec extends SparkSuite {
     assert(rows.map(_.getString(1)).toSeq == Seq("und", "und"))
   }
 
+  test("multimodal: real PNG decode, resample, luminance feature") {
+    // 100x40, left half black, right half white
+    val img = new java.awt.image.BufferedImage(100, 40,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 40).foreach(y => (0 until 100).foreach(x =>
+      img.setRGB(x, y, if (x < 50) 0x000000 else 0xFFFFFF)))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val dir = java.nio.file.Files.createTempDirectory("media-real")
+    java.nio.file.Files.write(dir.resolve("split.png"), baos.toByteArray)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readMedia(spark, s"file://$dir"), featureDim = 4)
+      .collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    // REAL dimensions from the decoder, not the stub hash
+    assert(f.width == 100 && f.height == 40 && f.nFrames == 1)
+    // strips 0-1 over the black half, 2-3 over the white half
+    assert(f.feature(0) < 0.1 && f.feature(1) < 0.15)
+    assert(f.feature(2) > 0.85 && f.feature(3) > 0.9)
+    // bilinear aspect-fit: downscale preserves ratio, never upscales
+    val small = Multimodal.resizeImage(img, 50, 50)
+    assert(small.getWidth == 50 && small.getHeight == 20)
+    assert(Multimodal.resizeImage(img, 512, 512) eq img)
+  }
+
   test("multimodal plumbing: binaryFile read -> features -> frame sampling") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     java.nio.file.Files.write(dir.resolve("a.jpg"),
