@@ -181,6 +181,44 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** PII redaction audit: deterministic PII synthesized onto each doc
+    * (email + IPv4 + phone), then redacted; the oracle replays the
+    * same RE2-compatible patterns. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" reach me at user"), col("doc_id"), lit("@mail.example"),
+        lit(" or 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"),
+        lit(" tel 1 (415) 555-01"),
+        lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"))
+        .as("text"))
+    val red = Text.redactPii(col("text"))
+    withPii.select(col("doc_id"),
+      (Text.substringCount(red, "<EMAIL>") +
+        Text.substringCount(red, "<IP>") +
+        Text.substringCount(red, "<PHONE>")).as("n_pii"),
+      call_function("right", red, lit(60)).as("redacted_tail"))
+      .orderBy("doc_id")
+  }
+
+  /** Word-repetition quality signal per doc (Gopher-style). */
+  def dupWordRatio(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      floor(Text.dupWordRatio(col("text")) * 1000).cast("bigint")
+        .as("dup_mills"))
+      .orderBy("doc_id")
+
+  /** Train/test decontamination: the eval set is every 7th doc; any
+    * training doc sharing an 8-word shingle with it (itself, its
+    * planted near-dups, boilerplate twins) is dropped. */
+  def decontaminateKeep(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.llm.Clean.decontaminate(d,
+      d.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text", k = 8)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct counting: exact + approx (approx is rows-only territory,
     * so the oracle-checked columns are the exact ones + error bound). */
   def distinctCounts(s: SparkSession, dir: String): DataFrame = {

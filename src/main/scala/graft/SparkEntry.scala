@@ -81,6 +81,9 @@ object SparkEntry {
     "q_ann_lsh"              -> (LlmQueries.annLsh _),
     "q_embed_near_dups"      -> (LlmQueries.embeddingNearDups _),
     "q_distinct_counts"      -> (LlmQueries.distinctCounts _),
+    "q_pii_redact"           -> (LlmQueries.piiRedact _),
+    "q_dup_word_ratio"       -> (LlmQueries.dupWordRatio _),
+    "q_decontaminate"        -> (LlmQueries.decontaminateKeep _),
     // raster / array-file header scans (fixture-pinned)
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
@@ -542,6 +545,59 @@ object SparkEntry {
     "q_distinct_counts" ->
       """SELECT count(DISTINCT user_id) AS n_exact,
         |  true AS approx_within_10pct FROM events""".stripMargin,
+    "q_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' reach me at user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example' || ' or 10.0.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.7' ||
+        |    ' tel 1 (415) 555-01' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b\+?[0-9][0-9() .-]{7,}[0-9]\b', '<PHONE>', 'g') AS red
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST((len(red) - len(replace(red, '<EMAIL>', ''))) / 7 +
+        |       (len(red) - len(replace(red, '<IP>', ''))) / 4 +
+        |       (len(red) - len(replace(red, '<PHONE>', ''))) / 7 AS INT)
+        |    AS n_pii,
+        |  right(red, 60) AS redacted_tail
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_dup_word_ratio" ->
+      """SELECT doc_id,
+        |  CAST(floor((CAST(1 AS DOUBLE) -
+        |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)) * 1000)
+        |    AS BIGINT) AS dup_mills
+        |FROM (SELECT doc_id,
+        |        string_split_regex(lower(trim(text)), '\s+') AS ws
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 6),
+        |        i -> array_to_string(ws[i:i+7], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM w),
+        |tg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0),
+        |bad AS (
+        |  SELECT DISTINCT doc_id FROM
+        |    (SELECT doc_id, unnest(sh) AS g FROM sh)
+        |  WHERE g IN (SELECT g FROM tg))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     // S5/S6 scan the deterministic spec-built fixtures, so the oracle
     // is the expected field extraction as literals — a golden gate
     // through the same hash-compare machinery

@@ -1,5 +1,6 @@
 package graft.llm
 
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -47,5 +48,26 @@ object Clean {
     // near-dup removal (greedy keep-lowest-id)
     Dedup.dropNearDuplicates(d, idCol, textCol, cfg.nearDupThreshold,
       cfg.shingleK, cfg.numHashes, cfg.bands)
+  }
+
+  /** Train/test decontamination: drop training docs sharing ANY word
+    * k-shingle with the evaluation corpus — the standard guard against
+    * benchmark leakage into training data.
+    *
+    * Scale shape: the test side reduces to its DISTINCT shingle set
+    * (eval corpora are tiny next to training corpora, so this side
+    * broadcasts or at worst shuffles a small set); the train side
+    * explodes to (id, shingle) and LEFT SEMI joins — one keyed shuffle
+    * of 8-byte-ish gram keys, never an all-pairs comparison. */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+                    textCol: String, k: Int = 8): DataFrame = {
+    val testGrams = test
+      .select(explode(Dedup.shingles(col(textCol), k)).as("__g"))
+      .distinct()
+    val contaminated = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("__g"))
+      .join(testGrams, "__g")
+      .select(idCol).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
   }
 }

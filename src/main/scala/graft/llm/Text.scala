@@ -107,4 +107,40 @@ object Text {
   def fingerprint(text: Column): Column =
     aggregate(words(normalize(text)), lit(0L),
       (acc, w) => acc * lit(1000003L) + xxhash64(w))
+
+  /** PII redaction: emails, IPv4 addresses and long digit runs
+    * (phone-ish) replaced with fixed tokens. Patterns stay in the
+    * RE2-compatible subset (no backrefs/lookarounds) so an ANSI-SQL
+    * oracle reproduces them byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b\\+?[0-9][0-9() .-]{7,}[0-9]\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII hits [[redactPii]] removes — counted in the same
+    * email → IP → phone sequence (an IP would otherwise also match the
+    * phone pattern's digit-and-dot class and double-count). */
+  def piiCount(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))) +
+      size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0)))
+  }
+
+  /** Repetition signal (Gopher-style): fraction of word occurrences
+    * beyond each word's first — 0 for all-distinct text, → 1 for a
+    * single word repeated. Lowercased whitespace tokens. */
+  def dupWordRatio(text: Column): Column = {
+    val ws = words(lower(text))
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(ws)).cast("double") / size(ws))
+  }
 }

@@ -129,6 +129,34 @@ class LlmSpec extends SparkSuite {
     assert(rows.map(_.getString(1)).toSeq == Seq("und", "und"))
   }
 
+  test("pii redaction, repetition ratio, decontamination basics") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.org from 192.168.1.200 now"),
+      (2L, "call 1 (415) 555-0123 today"),
+      (3L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val red = df.select(col("doc_id"),
+      Text.redactPii(col("text")).as("r"),
+      Text.piiCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(red(1L)._1 == "mail me at <EMAIL> from <IP> now")
+    assert(red(2L)._1 == "call 1 <PHONE> today" ||
+      red(2L)._1.contains("<PHONE>"))
+    assert(red(3L)._1 == "clean text with no pii at all" && red(3L)._2 == 0)
+    assert(red(1L)._2 == 2)
+
+    val dup = Seq((1L, "a a a a"), (2L, "all words are different"),
+      (3L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), Text.dupWordRatio(col("text")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dup(1L) == 0.75 && dup(2L) == 0.0 && dup(3L) == 0.0)
+
+    // decontamination: doc 2 shares doc 1's (test) shingles; 4/5 clean
+    val kept = graft.llm.Clean.decontaminate(
+      docs, docs.filter(col("doc_id") === 1), "doc_id", "text", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(4L, 5L)) // 1 self, 2 identical, 3 near-dup
+  }
+
   test("multimodal: real PNG decode, resample, luminance feature") {
     // 100x40, left half black, right half white
     val img = new java.awt.image.BufferedImage(100, 40,
