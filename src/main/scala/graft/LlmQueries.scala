@@ -219,6 +219,18 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-doc repeated-span stats: sampled 64-char windows whose exact
+    * content recurs anywhere in the corpus (substring-level dedup
+    * signal — catches boilerplate that document-level dedup misses). */
+  def repeatedSpanStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      spanChars = 64, stride = 16)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_sites") > 1, 1).otherwise(0)).cast("bigint")
+          .as("n_repeated"))
+      .orderBy("doc_id")
+
   /** Distinct counting: exact + approx (approx is rows-only territory,
     * so the oracle-checked columns are the exact ones + error bound). */
   def distinctCounts(s: SparkSession, dir: String): DataFrame = {

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_pii_redact"           -> (LlmQueries.piiRedact _),
     "q_dup_word_ratio"       -> (LlmQueries.dupWordRatio _),
     "q_decontaminate"        -> (LlmQueries.decontaminateKeep _),
+    "q_repeated_spans"       -> (LlmQueries.repeatedSpanStats _),
     // raster / array-file header scans (fixture-pinned)
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
@@ -577,6 +578,22 @@ object SparkEntry {
         |        string_split_regex(lower(trim(text)), '\s+') AS ws
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_repeated_spans" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, p, substr(norm, CAST(p AS INT), 64) AS span
+        |  FROM (SELECT doc_id, norm,
+        |          unnest(generate_series(1, len(norm) - 63, 16)) AS p
+        |        FROM n WHERE len(norm) >= 64)),
+        |c AS (SELECT span, count(*) AS cnt FROM w GROUP BY span)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repeated
+        |FROM w JOIN c USING (span)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id,

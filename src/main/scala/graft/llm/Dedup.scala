@@ -336,6 +336,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact repeated-span detection — the substring-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., 2022), stride-approximated for distribution: a
+    * `spanChars`-character window is sampled every `stride` characters
+    * of the normalized text and windows are grouped by 64-bit hash; a
+    * hash with 2+ sites marks an exactly-repeated span (boilerplate,
+    * licenses, templated text) that survives document-level dedup.
+    *
+    * Scale shape: the suffix-array of the original paper is global and
+    * sequential; here the corpus explodes to (doc, pos, hash) — 8-byte
+    * keys, corpus_chars/stride rows — and shuffles ONCE on the hash.
+    * Returns one row per sampled window with its global `n_sites` /
+    * `n_docs` occurrence counts. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    spanChars: Int = 64, stride: Int = 16): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      Text.normalize(col(textCol)).as("__norm"))
+      .filter(length(col("__norm")) >= spanChars)
+    val wins = base.select(col("doc_id"),
+      explode(sequence(lit(1), length(col("__norm")) - (spanChars - 1),
+        lit(stride))).as("pos"),
+      col("__norm"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(call_function("substring", col("__norm"), col("pos"),
+          lit(spanChars))).as("span_hash"))
+    val counts = wins.groupBy("span_hash")
+      .agg(count(lit(1)).as("n_sites"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    wins.join(counts, "span_hash")
+  }
+
   /** 64-bit SimHash over normalized word hashes: bit j of the result is
     * the sign of the sum over tokens of ±1 for that token-hash bit.
     * Pure per-row work, no shuffle — native [[graft.expr.SimhashExpr]]. */
