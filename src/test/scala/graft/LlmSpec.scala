@@ -157,6 +157,26 @@ class LlmSpec extends SparkSuite {
     assert(kept.toSeq == Seq(4L, 5L)) // 1 self, 2 identical, 3 near-dup
   }
 
+  test("repeated spans: identical docs share every window; unique text none") {
+    val long = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val other = ("entirely different sentences about catalyst plans " * 4).trim
+    val d = Seq((1L, long), (2L, long), (3L, other))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text",
+      spanChars = 32, stride = 8)
+    val perDoc = spans.groupBy("doc_id")
+      .agg(sum(when(col("n_sites") > 1, 1).otherwise(0)).as("rep"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1 and 2 are identical: every sampled window repeats
+    assert(perDoc(1L)._1 == perDoc(1L)._2)
+    assert(perDoc(2L)._1 == perDoc(2L)._2)
+    // doc 3's text repeats internally (x4) but shares nothing with 1/2:
+    // its cross-doc n_docs stays 1
+    val crossDoc = spans.filter(col("doc_id") === 3L && col("n_docs") > 1)
+    assert(crossDoc.count() == 0)
+  }
+
   test("multimodal: real PNG decode, resample, luminance feature") {
     // 100x40, left half black, right half white
     val img = new java.awt.image.BufferedImage(100, 40,
