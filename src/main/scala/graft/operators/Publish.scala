@@ -61,7 +61,9 @@ object Publish {
                        refreshSkewSecs: Long = 60) extends Submitter {
     import graft.sources.dsv2.HttpPages
 
-    private def cacheKey = (tokenUrl, clientId, scope)
+    // the secret is part of the identity: rotated/misconfigured
+    // secrets must not share a token entry (nor evict each other's)
+    private def cacheKey = (tokenUrl, s"$clientId:$clientSecret", scope)
 
     private def basicAuth: String =
       java.util.Base64.getEncoder.encodeToString(
@@ -85,8 +87,13 @@ object Publish {
         now + node.get("expires_in").asLong())
     }
 
-    private[operators] def currentToken(): String =
-      OAuthSubmitter.cache.synchronized {
+    private[operators] def currentToken(): String = {
+      // per-key lock: a hanging token endpoint must only stall its own
+      // (tokenUrl, client, scope) — never unrelated submitters whose
+      // cached tokens are still valid
+      val lock = OAuthSubmitter.locks
+        .computeIfAbsent(cacheKey, _ => new Object)
+      lock.synchronized {
         val now = System.currentTimeMillis() / 1000
         val cached = OAuthSubmitter.cache.get(cacheKey)
         if (cached != null && now < cached.expiresAt - refreshSkewSecs)
@@ -97,6 +104,7 @@ object Publish {
           fresh.token
         }
       }
+    }
 
     override def submit(itemJson: String): Unit = {
       val r = HttpPages.post(ingestionsUrl,
@@ -118,10 +126,14 @@ object Publish {
   object OAuthSubmitter {
     private[operators] case class CachedToken(token: String,
                                               expiresAt: Long)
-    /** JVM-wide token cache: (tokenUrl, clientId, scope) → token. */
+    /** JVM-wide token cache: (tokenUrl, client identity, scope) →
+      * token, with one lock object per key. */
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[(String, String, String),
         CachedToken]()
+    private val locks =
+      new java.util.concurrent.ConcurrentHashMap[(String, String, String),
+        Object]()
   }
 
   /** Submission outcome row. */

@@ -87,21 +87,29 @@ object Transfer {
       -expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     // BloomFilterAggregate silently clamps to the runtime-filter conf
     // maxima (4M items / 64M bits by default) — at those sizes the
-    // requested fpp would silently degrade toward 1. Raise the caps to
-    // what this build actually needs.
+    // requested fpp would silently degrade toward 1. Raise the caps
+    // for the duration of the build only (the aggregation executes
+    // inside this method), then restore the session's own values.
     val conf = planned.sparkSession.conf
-    Seq(("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+    val caps = Seq(
+      ("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
         4000000L, expectedKeys),
       ("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
         67108864L, numBits))
-      .foreach { case (k, dflt, needed) =>
-        val cur = conf.getOption(k).map(_.toLong).getOrElse(dflt)
-        if (cur < needed) conf.set(k, needed.toString)
+    val saved = caps.map { case (k, _, _) => k -> conf.getOption(k) }
+    caps.foreach { case (k, dflt, needed) =>
+      val cur = conf.getOption(k).map(_.toLong).getOrElse(dflt)
+      if (cur < needed) conf.set(k, needed.toString)
+    }
+    val bfBytes =
+      try existingKeys
+        .select(call_function("graft_bloom_agg", xxhash64(col(keyCol)),
+          lit(expectedKeys), lit(numBits)).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      finally saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
       }
-    val bfBytes = existingKeys
-      .select(call_function("graft_bloom_agg", xxhash64(col(keyCol)),
-        lit(expectedKeys), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
     // empty listing aggregates to a null filter — nothing can exist
     if (bfBytes == null) return planned
     // null target_key (transfer-ineligible rows) must pass through, as
@@ -157,9 +165,22 @@ object Transfer {
           if (srcUrl.startsWith("http://") || srcUrl.startsWith("https://")) {
             // streamed copy: the body never sits in executor memory
             // (granules can exceed the heap); each retry reopens a
-            // fresh, truncating sink
-            graft.sources.dsv2.HttpPages.download(srcUrl,
-              httpAuth.headers, () => dstFs.create(dst, true))
+            // fresh, truncating sink. Download lands in a temp sibling
+            // and renames into place only on success — a failed fetch
+            // must never leave a truncated file where the idempotent
+            // skipExisting re-run would see a completed copy
+            val tmp = dst.suffix("._COPYING_")
+            try {
+              graft.sources.dsv2.HttpPages.download(srcUrl,
+                httpAuth.headers, () => dstFs.create(tmp, true))
+              dstFs.delete(dst, false)
+              if (!dstFs.rename(tmp, dst))
+                throw new java.io.IOException(s"rename $tmp -> $dst failed")
+            } catch {
+              case e: Throwable =>
+                try dstFs.delete(tmp, false) catch { case _: Exception => () }
+                throw e
+            }
           } else {
             val src = new org.apache.hadoop.fs.Path(srcUrl)
             val srcFs = src.getFileSystem(hadoopConf.value)

@@ -112,7 +112,9 @@ object HttpPages extends Serializable {
   /** Streaming GET → OutputStream: the large-file transfer path (the
     * whole body never sits in executor memory). `openOut` is invoked
     * once per attempt so a retry restarts with a fresh (truncated)
-    * sink. Returns bytes copied; non-2xx throws. */
+    * sink. The sink is only opened for an exact HTTP 200 — a redirect
+    * or no-content response must never materialize a target file.
+    * Returns bytes copied; any non-200 throws (5xx after retries). */
   def download(url: String, headers: Map[String, String],
                openOut: () => java.io.OutputStream,
                connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 120000,
@@ -121,7 +123,7 @@ object HttpPages extends Serializable {
       val conn = open(url, "GET", headers, connectTimeoutMs, readTimeoutMs)
       try {
         val status = conn.getResponseCode
-        if (status >= 400) (status, 0L)
+        if (status != 200) (status, 0L)
         else {
           val in = conn.getInputStream
           val out = openOut()
@@ -133,11 +135,13 @@ object HttpPages extends Serializable {
               out.write(chunk, 0, n); total += n; n = in.read(chunk)
             }
             (status, total)
-          } finally { in.close(); out.close() }
+          } finally {
+            try in.close() finally out.close()
+          }
         }
       } finally conn.disconnect()
     })
-    if (status >= 400)
+    if (status != 200)
       throw new java.io.IOException(s"HTTP $status from $url")
     copied
   }
