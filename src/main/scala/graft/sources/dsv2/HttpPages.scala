@@ -134,6 +134,13 @@ object HttpPages extends Serializable {
             while (n >= 0) {
               out.write(chunk, 0, n); total += n; n = in.read(chunk)
             }
+            // a dropped connection can read as a clean EOF — verify
+            // against Content-Length so a truncated body retries
+            // instead of passing as a completed copy
+            val expected = conn.getContentLengthLong
+            if (expected >= 0 && total != expected)
+              throw new java.io.IOException(
+                s"truncated body: $total of $expected bytes from $url")
             (status, total)
           } finally {
             try in.close() finally out.close()

@@ -79,6 +79,55 @@ class TransferSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("http failures leave NO file at the target (atomicity for re-runs)") {
+    val dst = Files.createTempDirectory("xfer-http-fail")
+    val hits = new java.util.concurrent.atomic.AtomicInteger()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // redirect endpoint: must never materialize a target file
+    server.createContext("/redirect.bin",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        x.getResponseHeaders.add("Location", "http://127.0.0.1:1/x")
+        x.sendResponseHeaders(302, -1); x.close()
+      })
+    // truncating endpoint: advertises more bytes than it sends, so the
+    // copy dies mid-stream on every attempt
+    server.createContext("/truncated.bin",
+      (x: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        x.sendResponseHeaders(200, 1 << 20)
+        x.getResponseBody.write(new Array[Byte](1024))
+        x.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      def planOne(url: String) = Transfer.plan(
+        Seq(1).toDF("i").select(
+          lit("c").as("collection"), lit(url).as("remote_fileurl"),
+          lit(true).as("upload"), lit(false).as("user_shared"),
+          lit(false).as("cogify"),
+          map(lit("directory"), lit("")).as("extra")),
+        s"file://$dst")
+      intercept[org.apache.spark.SparkException] {
+        Transfer.execute(planOne(s"$base/redirect.bin")).collect()
+      }
+      intercept[org.apache.spark.SparkException] {
+        Transfer.execute(planOne(s"$base/truncated.bin")).collect()
+      }
+      // neither the target nor a temp file survives a failed fetch
+      val leftover = Files.list(Paths.get(s"$dst"))
+        .toArray.map(_.toString).filter(!_.endsWith("xfer-http-fail"))
+      assert(Files.notExists(Paths.get(s"$dst/c/redirect.bin")))
+      assert(Files.notExists(Paths.get(s"$dst/c/truncated.bin")))
+      val cDir = Paths.get(s"$dst/c")
+      if (Files.exists(cDir))
+        assert(Files.list(cDir).toArray.isEmpty,
+          s"leftover files: ${Files.list(cDir).toArray.mkString(",")}")
+      assert(hits.get() >= 2) // the truncating fetch was retried
+    } finally server.stop(0)
+  }
+
   test("default directory is file-staging; eligibility skips cogify/no-upload") {
     val objs = Seq(
       ("s3://b/k/f1.tif", true, false),   // upload, no cogify -> copy
