@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CosineSimExpr, ExtractDatesExpr, GeometryBboxExpr, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SimhashExpr, VecDotExpr}
+import graft.expr.{CmrGeometryExpr, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SimhashExpr, VecDotExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -45,6 +45,13 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
       arity2("minhash_sig", MinhashSigExpr.apply)),
+    (FunctionIdentifier("text_fingerprint"),
+      new ExpressionInfo(classOf[FingerprintExpr].getName,
+        "text_fingerprint"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "text_fingerprint expects 1 argument")
+        FingerprintExpr(exprs.head)
+      }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "simhash64"),
       { exprs: Seq[Expression] =>

@@ -79,6 +79,16 @@ object MinhashCore extends Serializable {
     Seq.fill(n)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
 
+  /** Rolling-hash document fingerprint: Horner fold (M = 1000003) over
+    * the normalized word hashes — `Text.fingerprint`'s semantics. */
+  def fingerprint(text: UTF8String): Long = {
+    val w = wordHashes(text)
+    var acc = 0L
+    var i = 0
+    while (i < w.length) { acc = acc * M + w(i); i += 1 }
+    acc
+  }
+
   private val permCache =
     new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
 
@@ -132,6 +142,36 @@ object MinhashCore extends Serializable {
 }
 
 /** `shingle_hashes(text, k)` → array<long>. */
+/** `text_fingerprint(text)` → long (the per-doc rolling hash used as
+  * the narrow verify-join key in the simhash pipeline). */
+case class FingerprintExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null
+    else MinhashCore.fingerprint(t.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val t = child.genCode(ctx)
+    val core = ctx.addReferenceObj("minhashCore", MinhashCore,
+      MinhashCore.getClass.getName)
+    ev.copy(code =
+      code"""
+        ${t.code}
+        boolean ${ev.isNull} = ${t.isNull};
+        long ${ev.value} = ${ev.isNull}
+          ? 0L : $core.fingerprint(${t.value});""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class ShingleHashesExpr(text: Expression, k: Expression)
   extends BinaryExpression {
 

@@ -60,6 +60,21 @@ class NativeExprSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("text_fingerprint matches its HOF twin (edge cases + real docs)") {
+    import graft.llm.Text
+    val edge = texts.toDF("text").select(
+      Text.fingerprint(col("text")).as("nat"),
+      Text.fingerprintHof(col("text")).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(edge == 0)
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val bad = docs.select(
+      Text.fingerprint(col("text")).as("nat"),
+      Text.fingerprintHof(col("text")).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
   test("vec_dot / cosine_sim / lsh_bucket match HOF twins on embeddings") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
