@@ -40,10 +40,14 @@ object Bench {
       name -> times.minOption.getOrElse(-1.0)
     }
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision keeps the one-line JSON under ~1500 chars
+    // for 60+ queries; full-precision doubles pushed it past the driver's
+    // stdout tail capture and the line arrived truncated (unparseable)
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"failed":[${failed.mkString(",")}],"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"failed":[${failed.mkString(",")}],"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
