@@ -113,6 +113,24 @@ object Cogify {
       }
     }
 
+  /** Shape half of [[applyGridOps]] — what each op does to
+    * `variable.shape` without touching data. The reference reads
+    * `variable.shape` AFTER its transpose/flipud branches
+    * (`handler.py:106-112`), so anything deriving dims from a
+    * configured grid must size through this first. */
+  def applyGridOpsShape(shape: Seq[Long], ops: Seq[GridOp]): Seq[Long] =
+    ops.foldLeft(shape) { (sh, op) =>
+      op match {
+        case TakeFirstPlane =>
+          require(sh.size == 3, s"take-first-plane needs rank 3, got $sh")
+          sh.tail
+        case Transpose =>
+          require(sh.size == 2, s"transpose needs rank 2, got $sh")
+          Seq(sh(1), sh.head)
+        case FlipUd => sh
+      }
+    }
+
   /** The reference's per-collection branches (`handler.py:106-110`),
     * expressed as config data instead of code. */
   def referenceGridOps(collection: String): Seq[GridOp] = collection match {
@@ -144,7 +162,8 @@ object Cogify {
   : Either[String, (graft.sources.NetCdf.GridInfo, Option[Seq[Double]])] =
     cfg.variableName.toRight("no variable_name configured").flatMap { v =>
       graft.sources.NetCdf.gridInfo(bytes, v, cfg.group, cfg.xVariable,
-        cfg.yVariable).map { g =>
+        cfg.yVariable,
+        shapeOp = applyGridOpsShape(_, cfg.gridOps)).map { g =>
         val affine = cfg.affine.map { terms =>
           val xres = (g.xmax - g.xmin) / g.width.toDouble
           val yres = (g.ymax - g.ymin) / g.height.toDouble
@@ -155,11 +174,19 @@ object Cogify {
     }
 
   /** K3 — real COG bytes for a classic-NetCDF input: grid data +
-    * envelope from the parsed header ([[netcdfGrid]]), affine override
-    * honored, float32 tiled-deflate output via
-    * [[graft.sources.GeoTiffWriter]] (the JVM replacement for the
-    * reference's GDAL `cog_translate` deflate profile,
-    * `handler.py:151-220`). */
+    * envelope from the parsed header ([[netcdfGrid]]), float32
+    * tiled-deflate output via [[graft.sources.GeoTiffWriter]] (the JVM
+    * replacement for the reference's GDAL `cog_translate` deflate
+    * profile, `handler.py:151-220`). Georeferencing mirrors
+    * `hdf5_to_cog` exactly: geotransform = the EPSG:3857
+    * `calculate_default_transform` result ([[graft.sources.Reproject]])
+    * unless an affine override is configured, while the CRS tag, dims
+    * and pixel data stay in the source grid — the reference writes
+    * `crs=src_crs, height=src_height, width=src_width` and never
+    * resamples (`handler.py:150-162`). The `.tif` branch
+    * ([[tiffToCog]]) correspondingly carries geo tags over unchanged:
+    * `geotiff_to_cog` is a pure `cog_translate`, no CRS math
+    * (`handler.py:186-220`). */
   def classicNetcdfToCog(bytes: Array[Byte], cfg: CollectionConfig,
                          tileSize: Int = 256)
   : Either[String, Array[Byte]] =
@@ -188,12 +215,30 @@ object Cogify {
                   val (ymin, ymax) = ye.getOrElse((-90.0, 90.0))
                   val xres = (xmax - xmin) / w
                   val yres = (ymax - ymin) / h
-                  val transform = cfg.affine
-                    .map(terms => evalAffine(terms, xmin, ymax, xres, yres))
-                    .getOrElse(Seq(xmin, xres, 0.0, ymax, 0.0, -yres))
-                  Right(graft.sources.GeoTiffWriter.write(w, h, data,
-                    graft.sources.GeoTiffWriter.Geo(transform, epsg = 4326),
-                    v.fillValue, tileSize))
+                  // the reference's georeferencing (handler.py:121-162):
+                  // the geotransform is rasterio's EPSG:3857
+                  // calculate_default_transform (affine config wins,
+                  // handler.py:143-147) while CRS tag, dims and pixels
+                  // all stay in the SOURCE grid — it never resamples,
+                  // the "warp" is metadata-level; mirrored exactly
+                  val srcCrs = cfg.srcCrs
+                    .map(graft.sources.Reproject.parseSrcCrs)
+                    .getOrElse(Right(graft.sources.Reproject.Geodetic))
+                  srcCrs.flatMap { crs =>
+                    val transformE = cfg.affine match {
+                      case Some(terms) =>
+                        Right(evalAffine(terms, xmin, ymax, xres, yres))
+                      case None => graft.sources.Reproject
+                        .calculateDefaultTransform(crs, w, h,
+                          xmin, ymin, xmax, ymax).map(_._1)
+                    }
+                    transformE.map { transform =>
+                      graft.sources.GeoTiffWriter.write(w, h, data,
+                        graft.sources.GeoTiffWriter.Geo(transform,
+                          epsg = crs.epsg),
+                        v.fillValue, tileSize)
+                    }
+                  }
                 }
               }
           }

@@ -422,21 +422,30 @@ object NetCdf {
   def gridInfo(bytes: Array[Byte], variableName: String,
                group: Option[String] = None,
                xVariable: Option[String] = None,
-               yVariable: Option[String] = None)
+               yVariable: Option[String] = None,
+               shapeOp: Seq[Long] => Seq[Long] = identity)
   : Either[String, GridInfo] =
     parse(bytes).flatMap { meta =>
       val path = group.map(g => s"$g/$variableName").getOrElse(variableName)
       meta.vars.find(_.path == path).toRight(s"no variable $path").flatMap { v =>
-        if (v.shape.size < 2)
-          Left(s"variable $path is not 2-D (shape ${v.shape.mkString("x")})")
-        else {
-          val xe = xVariable.flatMap(x => coordExtent(bytes, meta, x))
-          val ye = yVariable.flatMap(y => coordExtent(bytes, meta, y))
-          val (xmin, xmax) = xe.getOrElse((-180.0, 180.0))
-          val (ymin, ymax) = ye.getOrElse((-90.0, 90.0))
-          Right(GridInfo(v.shape(0), v.shape(1), v.fillValue,
-            xmin, ymin, xmax, ymax))
-        }
+        // dims come from the shape AFTER the configured grid ops, like
+        // the reference reading variable.shape after its transpose/
+        // flipud branches (handler.py:106-112)
+        scala.util.Try(shapeOp(v.shape)).toEither
+          .left.map(e => s"grid ops reject $path: ${e.getMessage}")
+          .flatMap { shape =>
+            if (shape.size < 2)
+              Left(s"variable $path is not 2-D " +
+                s"(shape ${shape.mkString("x")})")
+            else {
+              val xe = xVariable.flatMap(x => coordExtent(bytes, meta, x))
+              val ye = yVariable.flatMap(y => coordExtent(bytes, meta, y))
+              val (xmin, xmax) = xe.getOrElse((-180.0, 180.0))
+              val (ymin, ymax) = ye.getOrElse((-90.0, 90.0))
+              Right(GridInfo(shape(0), shape(1), v.fillValue,
+                xmin, ymin, xmax, ymax))
+            }
+          }
       }
     }
 

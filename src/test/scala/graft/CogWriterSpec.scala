@@ -93,10 +93,41 @@ class CogWriterSpec extends SparkSuite {
     val cog = Cogify.classicNetcdfToCog(NetCdfFixtures.classicGrid(), cfg)
       .fold(e => fail(e), identity)
     val m = GeoTiff.parse(cog).fold(e => fail(e), identity)
+    // the reference's georeferencing (handler.py:150-162): SOURCE dims
+    // + SOURCE crs tag, but the geotransform is the EPSG:3857
+    // calculate_default_transform over the (-120,-30)..(120,30)
+    // envelope — pinned from the published formulas (ReprojectSpec)
     assert(m.width == 6 && m.height == 4)
-    // xres = 240/6 = 40, yres = 60/4 = 15, origin (xmin, ymax)
+    assert(m.epsg.contains(4326))
+    val t = m.transform.get
+    assert(math.abs(t(0) - -13358338.895192828) < 1e-3)
+    assert(math.abs(t(1) - 3830244.8158825915) < 1e-3)
+    assert(math.abs(t(3) - 3503549.843504374) < 1e-3)
+    assert(math.abs(t(5) - -3830244.8158825915) < 1e-3)
+  }
+
+  test("classic NetCDF -> COG: affine override pins the source-grid " +
+    "transform; UTM src_crs tags its EPSG") {
+    // affine config wins over the default transform (handler.py:143-147)
+    val cfg = Cogify.CollectionConfig(variableName = Some("precip"),
+      xVariable = Some("lon"), yVariable = Some("lat"),
+      affine = Some(Cogify.parseAffine("(xmin, xres, 0, ymax, 0, -yres)")))
+    val cog = Cogify.classicNetcdfToCog(NetCdfFixtures.classicGrid(), cfg)
+      .fold(e => fail(e), identity)
+    val m = GeoTiff.parse(cog).fold(e => fail(e), identity)
     assert(m.transform.contains(Seq(-120.0, 40.0, 0.0, 30.0, 0.0, -15.0)))
     assert(m.epsg.contains(4326))
+    // src_crs flows to the CRS tag (crs=src_crs, handler.py:157)
+    val cfgUtm = Cogify.CollectionConfig(variableName = Some("precip"),
+      xVariable = Some("lon"), yVariable = Some("lat"),
+      srcCrs = Some("+proj=utm +zone=32S +datum=WGS84"))
+    val cogUtm = Cogify.classicNetcdfToCog(NetCdfFixtures.classicGrid(),
+      cfgUtm).fold(e => fail(e), identity)
+    val mU = GeoTiff.parse(cogUtm).fold(e => fail(e), identity)
+    assert(mU.epsg.contains(32732))
+    // a bad src_crs is a config error (quarantine), not a wrong grid
+    assert(Cogify.classicNetcdfToCog(NetCdfFixtures.classicGrid(),
+      cfg.copy(affine = None, srcCrs = Some("+proj=sinu"))).isLeft)
   }
 
   test("readSamples round-trips the writer's own multi-tile output") {
@@ -167,13 +198,15 @@ class CogWriterSpec extends SparkSuite {
             Right(Seq(-1.0))))))
     val cfg = Cogify.CollectionConfig(variableName = Some("precip"),
       xVariable = Some("lon"), yVariable = Some("lat"),
-      gridOps = Cogify.referenceGridOps("GPM_3IMERGM"))
+      gridOps = Cogify.referenceGridOps("GPM_3IMERGM"),
+      affine = Some(Cogify.parseAffine("(xmin, xres, 0, ymax, 0, -yres)")))
     val cog = Cogify.classicNetcdfToCog(bytes, cfg)
       .fold(e => fail(e), identity)
     val m = GeoTiff.parse(cog).fold(e => fail(e), identity)
     // (2,3,2) -> [0] -> (3,2) -> transpose -> (2,3): h=2, w=3
     assert(m.height == 2 && m.width == 3)
-    // xres = 40/3, yres = 20/2 from the coordinate extents
+    // xres = 40/3, yres = 20/2 from the coordinate extents, against
+    // POST-op dims (the affine terms see the ops-adjusted shape)
     assert(m.transform.exists(t =>
       t(0) == -20.0 && math.abs(t(1) - 40.0 / 3) < 1e-9 &&
         t(3) == 10.0 && t(5) == -10.0))
