@@ -19,7 +19,8 @@ object Main {
     val catalogDir = args(1)
     val quarantineDir =
       if (args.length > 2) args(2) else catalogDir + "_quarantine"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)

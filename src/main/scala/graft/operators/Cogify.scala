@@ -127,7 +127,11 @@ object Cogify {
         case Transpose =>
           require(sh.size == 2, s"transpose needs rank 2, got $sh")
           Seq(sh(1), sh.head)
-        case FlipUd => sh
+        case FlipUd =>
+          // same rank guard as the data half: a config that sizes here
+          // must not be rejected later by applyGridOps on the same input
+          require(sh.size == 2, s"flipud needs rank 2, got $sh")
+          sh
       }
     }
 

@@ -40,19 +40,30 @@ object Reproject {
   /** Parse the `src_crs` config forms the reference accepts
     * (`CRS.from_proj4`, `handler.py:122-126`): a proj4 string. Also
     * accepts `EPSG:nnnn` for convenience. The reference's own example
-    * writes `+zone=32S` (proj4 proper wants `+zone=32 +south`); both
-    * spellings are tolerated. Unknown projections are a Left — config
-    * errors surface at load, never as a wrong grid. */
+    * writes `+zone=32S`; PROJ's atoi-based parsing reads that as zone
+    * 32 NORTH (trailing letter ignored, no `+south`), and that runtime
+    * behavior is matched here — south requires the `+south` flag.
+    * Unknown projections are a Left — config errors surface at load,
+    * never as a wrong grid. */
   def parseSrcCrs(s: String): Either[String, Crs] = {
     val t = s.trim
     val up = t.toUpperCase
     if (up == "EPSG:4326") Right(Geodetic)
     else if (up == "EPSG:3857") Right(WebMercator)
     else if (up.startsWith("EPSG:326") || up.startsWith("EPSG:327")) {
-      val code = t.drop(5).toInt
-      val zone = code % 100
-      if (zone >= 1 && zone <= 60) Right(Utm(zone, code >= 32700))
-      else Left(s"unsupported EPSG:$code")
+      // exactly 5 digits (326zz / 327zz) and zone 1..60; anything else
+      // is a Left — malformed config must never throw in a task or
+      // silently parse as a different zone ("EPSG:326" is not Utm(26))
+      val digits = t.drop(5)
+      val code =
+        if (digits.length == 5 && digits.forall(_.isDigit))
+          digits.toIntOption
+        else None
+      code match {
+        case Some(c) if (c % 100) >= 1 && (c % 100) <= 60 =>
+          Right(Utm(c % 100, c >= 32700))
+        case _ => Left(s"unsupported src_crs '$s'")
+      }
     } else if (t.startsWith("+")) {
       val kv = t.split("\\s+").map(_.stripPrefix("+")).map { p =>
         p.split("=", 2) match {
@@ -64,11 +75,18 @@ object Reproject {
         case Some("longlat") | Some("latlong") => Right(Geodetic)
         case Some("utm") =>
           kv.get("zone").toRight("+proj=utm needs +zone").flatMap { z =>
-            val south = kv.contains("south") ||
-              z.toUpperCase.endsWith("S")
+            // PROJ parses +zone= with atoi: a trailing letter is
+            // IGNORED, so the reference's shipped "+zone=32S"
+            // (example.ini:14) is zone 32 NORTH at its runtime —
+            // southern hemisphere needs the +south flag. Matched here
+            // for strict parity (was previously read as south).
+            val south = kv.contains("south")
             val digits = z.takeWhile(_.isDigit)
-            if (digits.isEmpty) Left(s"bad UTM zone '$z'")
-            else Right(Utm(digits.toInt, south))
+            digits.toIntOption match {
+              case Some(zone) if zone >= 1 && zone <= 60 =>
+                Right(Utm(zone, south))
+              case _ => Left(s"bad UTM zone '$z'")
+            }
           }
         case Some(p) => Left(s"unsupported projection +proj=$p")
         case None => Left(s"no +proj in '$s'")
@@ -83,7 +101,10 @@ object Reproject {
     if (lat >= 90.0 || lat <= -90.0 || lon.isNaN || lat.isNaN) None
     else {
       val x = A * math.toRadians(lon)
-      val y = A * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+      // 0.5*ln((1+s)/(1-s)) == ln(tan(pi/4 + phi/2)) analytically, but
+      // is exact at phi=0 (the tan form rounds to tan(pi/4) != 1.0)
+      val s = math.sin(math.toRadians(lat))
+      val y = A * 0.5 * math.log((1 + s) / (1 - s))
       if (x.isFinite && y.isFinite) Some((x, y)) else None
     }
 
@@ -161,7 +182,10 @@ object Reproject {
         (right, top - r * (top - bottom)))
     }
     val ok = pts.flatMap { case (x, y) => toMercator(src, x, y) }
-    if (ok.size < pts.size / 2)
+    // GDAL proceeds with whatever edge samples transform — a global
+    // geodetic extent legitimately loses both pole edges (46/84); only
+    // a bbox-degenerate survivor set (<2 points) is a config error
+    if (ok.size < 2)
       Left(s"too many sample points failed to transform to EPSG:3857 " +
         s"(${pts.size - ok.size}/${pts.size})")
     else {

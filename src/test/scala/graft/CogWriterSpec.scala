@@ -117,14 +117,26 @@ class CogWriterSpec extends SparkSuite {
     val m = GeoTiff.parse(cog).fold(e => fail(e), identity)
     assert(m.transform.contains(Seq(-120.0, 40.0, 0.0, 30.0, 0.0, -15.0)))
     assert(m.epsg.contains(4326))
-    // src_crs flows to the CRS tag (crs=src_crs, handler.py:157)
+    // src_crs flows to the CRS tag (crs=src_crs, handler.py:157);
+    // "+zone=32S" resolves to zone 32 north (PROJ atoi parity) so the
+    // tag is 32632, and +south gives the 327xx code
     val cfgUtm = Cogify.CollectionConfig(variableName = Some("precip"),
       xVariable = Some("lon"), yVariable = Some("lat"),
       srcCrs = Some("+proj=utm +zone=32S +datum=WGS84"))
     val cogUtm = Cogify.classicNetcdfToCog(NetCdfFixtures.classicGrid(),
       cfgUtm).fold(e => fail(e), identity)
     val mU = GeoTiff.parse(cogUtm).fold(e => fail(e), identity)
-    assert(mU.epsg.contains(32732))
+    assert(mU.epsg.contains(32632))
+    // +south tags the 327xx code; affine override here because the
+    // fixture's coords read as southern-UTM northings sit at ~90degS
+    // where the default-transform sampling correctly fails
+    val cfgUtmS = cfgUtm.copy(
+      srcCrs = Some("+proj=utm +zone=32 +south +datum=WGS84"),
+      affine = Some(Cogify.parseAffine("(xmin, xres, 0, ymax, 0, -yres)")))
+    val cogUtmS = Cogify.classicNetcdfToCog(NetCdfFixtures.classicGrid(),
+      cfgUtmS).fold(e => fail(e), identity)
+    val mUS = GeoTiff.parse(cogUtmS).fold(e => fail(e), identity)
+    assert(mUS.epsg.contains(32732))
     // a bad src_crs is a config error (quarantine), not a wrong grid
     assert(Cogify.classicNetcdfToCog(NetCdfFixtures.classicGrid(),
       cfg.copy(affine = None, srcCrs = Some("+proj=sinu"))).isLeft)

@@ -55,10 +55,19 @@ class ReprojectSpec extends AnyFunSuite {
   }
 
   test("parseSrcCrs: the reference's config forms") {
-    // example.ini:14 writes `+zone=32S` (proj4 proper is `+zone=32
-    // +south`) — both spellings accepted
+    // example.ini:14 writes `+zone=32S` — PROJ's atoi zone parse
+    // ignores the trailing letter, so the reference runtime resolves
+    // this to zone 32 NORTH; south needs the +south flag
     assert(Reproject.parseSrcCrs("+proj=utm +zone=32S +datum=WGS84") ==
+      Right(Utm(32, south = false)))
+    assert(Reproject.parseSrcCrs("+proj=utm +zone=32 +south +datum=WGS84") ==
       Right(Utm(32, south = true)))
+    // malformed configs are Lefts, never exceptions or silent zones
+    assert(Reproject.parseSrcCrs("EPSG:326ab").isLeft)
+    assert(Reproject.parseSrcCrs("EPSG:326").isLeft)
+    assert(Reproject.parseSrcCrs("EPSG:32699").isLeft)
+    assert(Reproject.parseSrcCrs("+proj=utm +zone=99 +datum=WGS84").isLeft)
+    assert(Reproject.parseSrcCrs("+proj=utm +zone=x +datum=WGS84").isLeft)
     assert(Reproject.parseSrcCrs("+proj=utm +zone=18 +datum=WGS84") ==
       Right(Utm(18, south = false)))
     assert(Utm(32, south = true).epsg == 32732)
