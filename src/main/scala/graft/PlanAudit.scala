@@ -19,7 +19,8 @@ object PlanAudit {
       "q_minhash_near_dups", "q_stac_regex_items", "q_stac_cmr_items",
       "q_ann_top1", "q_ann_lsh", "q_p1_regex_filter",
       "q_a5_cumulative_cap", "q_g1_geometry", "q_simhash_near_dups",
-      "q_clean_corpus", "q_decontaminate", "q_repeated_spans")
+      "q_clean_corpus", "q_decontaminate", "q_repeated_spans",
+      "q_asof_join", "q_range_join")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)

@@ -470,4 +470,43 @@ object Queries {
         col("fillValue").as("fill_value"))
       .orderBy("fname", "var_path")
   }
+
+  // ------------------------------------------------------------------
+  // temporal joins
+  // ------------------------------------------------------------------
+
+  /** As-of join: each purchase matched to the same user's most recent
+    * click at-or-before it (backward, no tolerance) — one keyed
+    * shuffle per side + a sequential merge, [[graft.operators.AsOfJoin]]. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    graft.operators.AsOfJoin.join(purchases, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "click_ts")
+      .orderBy("event_id")
+  }
+
+  /** Range join: clicks inside any [error, error+1d) window of the
+    * same user — binned equi-join, [[graft.operators.RangeJoin]],
+    * never a non-equi product. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val dayMicros = 86400L * 1000000L
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"),
+        (col("ts") + expr("INTERVAL 1 DAY")).as("error_end"))
+    graft.operators.RangeJoin.pointInInterval(
+      clicks, "click_ts", errors, "error_ts", "error_end",
+      keyCols = Seq("user_id"), binMicros = dayMicros)
+      .select("click_id", "error_id", "user_id", "click_ts", "error_ts")
+      .orderBy("click_id", "error_id")
+  }
 }

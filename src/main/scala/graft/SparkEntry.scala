@@ -37,6 +37,8 @@ object SparkEntry {
     "q_j1_multi_asset"       -> (Queries.j1MultiAsset _),
     "q_j2_broadcast_dims"    -> (Queries.j2BroadcastDims _),
     "q_j3_anti_join"         -> (Queries.j3AntiJoin _),
+    "q_asof_join"            -> (Queries.asofJoin _),
+    "q_range_join"           -> (Queries.rangeJoin _),
     // aggregations / windows / set ops
     "q_a1_group_collect"     -> (Queries.a1GroupCollect _),
     "q_a2_bbox"              -> (Queries.a2Bbox _),
@@ -197,6 +199,24 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id,
+        |             ts AS click_ts FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT c.event_id AS click_id, e.event_id AS error_id,
+        |  c.user_id, c.ts AS click_ts, e.ts AS error_ts
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        |  AND c.event_type = 'click' AND e.event_type = 'error'
+        |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 DAY
+        |ORDER BY click_id, error_id""".stripMargin,
     "q_a1_group_collect" ->
       """SELECT lang, count(*) AS n_docs,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids

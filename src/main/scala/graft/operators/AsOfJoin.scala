@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** As-of (nearest-event) join — an operator Spark has no built-in for.
+  *
+  * For every left row, attach the single right row with the same key
+  * whose time is the latest at-or-before the left time (`backward`),
+  * or the earliest at-or-after it (`forward`), optionally within a
+  * tolerance. The classic uses: point-in-time feature lookup, "most
+  * recent click before each purchase", sensor alignment.
+  *
+  * Scale shape (the reason this is an operator and not a SQL idiom):
+  * the naive formulations are a non-equi join (O(|L|x|R|) pairs per
+  * key before ranking) or a per-left-row LATERAL top-1 — both explode
+  * at 100 TB. This implementation is one keyed shuffle per side, an
+  * in-partition sort, and a single sequential merge pass:
+  *
+  *   union(left tagged 1, right tagged 0)
+  *     .repartition(key)                          // the only shuffle
+  *     .sortWithinPartitions(key, time, side, …)  // no global sort
+  *     .mapPartitions(last-seen carry per key)    // O(n) streaming
+  *
+  * — i.e. exactly the exchange+sort a sort-merge join would pay, with
+  * a zero-memory merge instead of a buffered range probe. A skewed key
+  * degrades to a linear scan of that key's rows, never a product.
+  *
+  * Determinism: rows tied on (key, time) on the right side are broken
+  * by the right row's full struct order (last wins), so repeated runs
+  * hash-identically — required by the driver's oracle gate. Structs
+  * containing unorderable fields (maps) skip that tiebreak.
+  */
+object AsOfJoin {
+
+  private def orderable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case s: StructType => s.fields.forall(f => orderable(f.dataType))
+    case a: ArrayType => orderable(a.elementType)
+    case _ => true
+  }
+
+  /** @param left       probe side; every row is kept (left join)
+    * @param right      build side providing the carried columns
+    * @param key        equality column, present on BOTH frames; the
+    *                   right copy is dropped from the output. Null
+    *                   keys never match (SQL join semantics).
+    * @param leftTime   timestamp column on `left`
+    * @param rightTime  timestamp column on `right` (micros precision)
+    * @param direction  "backward" (right.time <= left.time, latest
+    *                   wins — the pandas merge_asof default) or
+    *                   "forward" (right.time >= left.time, earliest)
+    * @param toleranceMicros max |left.time - right.time|; None = any
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           direction: String = "backward",
+           toleranceMicros: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    val rightOut = right.columns.filterNot(_ == key)
+    val collisions = left.columns.toSet.intersect(rightOut.toSet)
+    require(collisions.isEmpty,
+      s"rename right columns colliding with left: ${collisions.mkString(",")}")
+
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(right.schema.fields.map(_.copy(nullable = true)))
+    val l2 = left.select(
+      col(key).as("_k"),
+      unix_micros(col(leftTime)).as("_t"),
+      lit(1).as("_side"),
+      struct(left.columns.map(col): _*).as("_l"),
+      lit(null).cast(rStruct).as("_r"))
+    val r2 = right.select(
+      col(key).as("_k"),
+      unix_micros(col(rightTime)).as("_t"),
+      lit(0).as("_side"),
+      lit(null).cast(lStruct).as("_l"),
+      struct(right.columns.map(col): _*).as("_r"))
+
+    val backward = direction == "backward"
+    // right rows sort before left rows at equal time in BOTH directions
+    // so an exactly-equal timestamp is visible to the left row (the
+    // <= / >= in the contract); the struct tiebreak pins which of
+    // several equal-time right rows is carried (the greatest).
+    val sortCols = {
+      val base =
+        if (backward) Seq(col("_k"), col("_t").asc, col("_side").asc)
+        else Seq(col("_k"), col("_t").desc, col("_side").asc)
+      if (orderable(rStruct))
+        base :+ (if (backward) col("_r").asc else col("_r").desc)
+      else base
+    }
+    val sorted = l2.unionByName(r2)
+      .repartition(col("_k"))
+      .sortWithinPartitions(sortCols: _*)
+
+    val outSchema = StructType(Seq(
+      StructField("_l", lStruct, nullable = false),
+      StructField("_r", rStruct, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val merged = sorted.mapPartitions { it =>
+      // rows arrive grouped by key and time-ordered; carry the most
+      // recent right row and emit once per left row — O(1) state
+      var curKey: Any = null
+      var haveKey = false
+      var carried: Row = null
+      var carriedT = 0L
+      it.flatMap { row =>
+        val k = row.get(0)
+        if (!haveKey || k != curKey) {
+          curKey = k; haveKey = true; carried = null
+        }
+        if (row.getInt(2) == 0) {
+          carried = row.getStruct(4)
+          carriedT = row.getLong(1)
+          Iterator.empty
+        } else {
+          val ok = carried != null && k != null &&
+            toleranceMicros.forall(tol =>
+              math.abs(row.getLong(1) - carriedT) <= tol)
+          Iterator.single(Row(row.getStruct(3), if (ok) carried else null))
+        }
+      }
+    }(enc)
+
+    merged.select(
+      lStruct.fieldNames.map(n => col(s"_l.$n").as(n)) ++
+        rightOut.map(n => col(s"_r.$n").as(n)): _*)
+  }
+}

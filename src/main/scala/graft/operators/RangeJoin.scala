@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join without a cross product.
+  *
+  * "Which points fall inside which [start, end) intervals" is a
+  * non-equi join; Spark's planner turns it into a broadcast
+  * nested-loop or a sort-merge with a buffered range probe, both of
+  * which degrade to O(|P|x|I|) work per key under overlap. The
+  * standard scale-out shape (used by every distributed geo/temporal
+  * engine) is binning:
+  *
+  *   - each point keys to the single fixed-width bin its time falls in
+  *   - each interval explodes to every bin it overlaps
+  *   - equi-join on (key…, bin), then the exact containment filter
+  *
+  * Each qualifying (point, interval) pair meets in EXACTLY one bin —
+  * the point's — so no post-join dedup is needed. Cost: one keyed
+  * shuffle of points, one of (intervals x binsSpanned). With binMicros
+  * chosen >= the typical interval width, binsSpanned <= 2 and the
+  * explode is a constant factor, never a product.
+  */
+object RangeJoin {
+
+  /** @param points     frame with a timestamp column `pointTime`
+    * @param intervals  frame with `[startCol, endCol)` timestamps;
+    *                   empty or inverted intervals are dropped
+    * @param keyCols    equality columns present on BOTH frames (the
+    *                   interval copies are dropped from the output);
+    *                   may be empty for a pure temporal join
+    * @param binMicros  bin width in microseconds; pick the typical
+    *                   interval width (an interval spanning k bins
+    *                   costs k shuffled copies — linear, but worth
+    *                   keeping small)
+    * @return points columns + interval columns (minus duplicate keys),
+    *         one row per (point, containing interval) pair
+    */
+  def pointInInterval(points: DataFrame, pointTime: String,
+                      intervals: DataFrame, startCol: String, endCol: String,
+                      keyCols: Seq[String], binMicros: Long): DataFrame = {
+    require(binMicros > 0, "binMicros must be positive")
+    val ivOut = intervals.columns.filterNot(keyCols.contains)
+    val collisions = points.columns.toSet.intersect(ivOut.toSet)
+    require(collisions.isEmpty,
+      s"rename interval columns colliding with points: ${collisions.mkString(",")}")
+
+    // floor division (SQL `div` truncates toward zero, which would
+    // mis-bin pre-epoch timestamps)
+    def binOf(micros: String): String =
+      s"(($micros) div $binMicros) - (CASE WHEN ($micros) % $binMicros < 0 THEN 1 ELSE 0 END)"
+    val p = points
+      .withColumn("_bin", expr(binOf(s"unix_micros($pointTime)")))
+      .as("p")
+    val i = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("_bin", explode(sequence(
+        expr(binOf(s"unix_micros($startCol)")),
+        expr(binOf(s"unix_micros($endCol) - 1")))))
+      .as("i")
+    val cond = (keyCols.map(k => col(s"p.$k") === col(s"i.$k")) :+
+      (col("p._bin") === col("i._bin")) :+
+      (col(s"p.$pointTime") >= col(s"i.$startCol")) :+
+      (col(s"p.$pointTime") < col(s"i.$endCol"))).reduce(_ && _)
+    p.join(i, cond)
+      .select(points.columns.map(n => col(s"p.$n").as(n)) ++
+        ivOut.map(n => col(s"i.$n").as(n)): _*)
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** AsOfJoin / RangeJoin semantics the DuckDB oracle can't pin:
+  * tie-breaks, tolerance, direction, null keys, bin boundaries. */
+class TemporalJoinSpec extends SparkSuite {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def left(rows: (Long, String, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("lid", "lt", "k")
+      .select(col("lid"), to_timestamp(col("lt")).as("lt"), col("k"))
+  }
+  private def right(rows: (Long, String, Long)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("rid", "rt", "k")
+      .select(col("rid"), to_timestamp(col("rt")).as("rt"), col("k"))
+  }
+
+  test("backward: latest at-or-before wins; no candidate -> null") {
+    val l = left((1L, "2024-01-01 10:00:00", 7L),
+      (2L, "2024-01-01 09:00:00", 7L))
+    val r = right((10L, "2024-01-01 09:30:00", 7L),
+      (11L, "2024-01-01 08:00:00", 7L),
+      (12L, "2024-01-01 11:00:00", 7L))
+    val out = AsOfJoin.join(l, r, "k", "lt", "rt")
+      .orderBy("lid").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(3)).map(_.toString)))
+      .toSeq == Seq((1L, Some("10")), (2L, Some("11"))))
+  }
+
+  test("equal timestamps match (<=); among equal right rows the " +
+    "greatest struct wins deterministically") {
+    val l = left((1L, "2024-01-01 10:00:00", 7L))
+    val r = right((10L, "2024-01-01 10:00:00", 7L),
+      (11L, "2024-01-01 10:00:00", 7L))
+    val out = AsOfJoin.join(l, r, "k", "lt", "rt").collect()
+    assert(out.head.getLong(3) == 11L)
+  }
+
+  test("forward: earliest at-or-after wins; tolerance drops far matches") {
+    val l = left((1L, "2024-01-01 10:00:00", 7L),
+      (2L, "2024-01-01 12:00:00", 7L))
+    val r = right((10L, "2024-01-01 10:30:00", 7L),
+      (11L, "2024-01-01 16:00:00", 7L))
+    val fwd = AsOfJoin.join(l, r, "k", "lt", "rt", direction = "forward")
+      .orderBy("lid").collect()
+    assert(fwd.map(r => r.getLong(3)).toSeq == Seq(10L, 11L))
+    val tol = AsOfJoin.join(l, r, "k", "lt", "rt", direction = "forward",
+      toleranceMicros = Some(3600L * 1000000L))
+      .orderBy("lid").collect()
+    assert(tol.map(r => Option(r.get(3))).toSeq == Seq(Some(10L), None))
+  }
+
+  test("null keys never match; keys don't leak across groups") {
+    val l = left((1L, "2024-01-01 10:00:00", 7L))
+      .union(spark.sql(
+        "SELECT 2L AS lid, timestamp'2024-01-01 10:00:00' AS lt, CAST(NULL AS LONG) AS k"))
+    val r = right((10L, "2024-01-01 09:00:00", 8L)) // different key
+    val out = AsOfJoin.join(l, r, "k", "lt", "rt").orderBy("lid").collect()
+    assert(out.forall(_.isNullAt(3)))
+  }
+
+  test("as-of matches a driver-computed oracle on events (sf0.001)") {
+    val got = Queries.asofJoin(spark, "/root/testdata/sf0.001")
+      .select("event_id", "click_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime))
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._2)
+    val want = ev.filter(_._3 == "purchase").sortBy(_._1).map { p =>
+      val best = clicksByUser.getOrElse(p._2, Array.empty)
+        .filter(_._4 <= p._4)
+      (p._1, if (best.isEmpty) -1L
+             else best.maxBy(c => (c._4, c._1))._1)
+    }
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("range join: boundaries are [start, end); intervals spanning " +
+    "bins match in exactly one bin (no duplicate pairs)") {
+    import spark.implicits._
+    val pts = Seq((1L, "2024-01-01 00:00:00", 5L), // == start: in
+      (2L, "2024-01-01 00:59:59", 5L),             // just inside
+      (3L, "2024-01-01 01:00:00", 5L),             // == end: out
+      (4L, "2024-01-01 00:30:00", 6L))             // wrong key
+      .toDF("pid", "pt", "k")
+      .select(col("pid"), to_timestamp(col("pt")).as("pt"), col("k"))
+    val ivs = Seq((100L, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 5L))
+      .toDF("iid", "st", "en", "k")
+      .select(col("iid"), to_timestamp(col("st")).as("st"),
+        to_timestamp(col("en")).as("en"), col("k"))
+    // bin much smaller than the interval: it spans 4 bins; every
+    // matching pair must still appear exactly once
+    val out = RangeJoin.pointInInterval(pts, "pt", ivs, "st", "en",
+      Seq("k"), binMicros = 15L * 60L * 1000000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq == Seq((1L, 100L), (2L, 100L)))
+  }
+
+  test("range join: empty/inverted intervals drop; no key columns " +
+    "means a pure temporal join") {
+    import spark.implicits._
+    val pts = Seq((1L, "2024-01-01 00:30:00"))
+      .toDF("pid", "pt").select(col("pid"), to_timestamp(col("pt")).as("pt"))
+    val ivs = Seq((100L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+      (101L, "2024-01-01 01:00:00", "2024-01-01 01:00:00"), // empty
+      (102L, "2024-01-01 02:00:00", "2024-01-01 01:00:00")) // inverted
+      .toDF("iid", "st", "en")
+      .select(col("iid"), to_timestamp(col("st")).as("st"),
+        to_timestamp(col("en")).as("en"))
+    val out = RangeJoin.pointInInterval(pts, "pt", ivs, "st", "en",
+      Nil, binMicros = 3600L * 1000000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 100L)))
+  }
+
+  test("range join matches the non-equi-join oracle on events (sf0.001)") {
+    val got = Queries.rangeJoin(spark, "/root/testdata/sf0.001")
+      .select("click_id", "error_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    ev.createOrReplaceTempView("ev_range")
+    val want = spark.sql(
+      """SELECT c.event_id AS click_id, e.event_id AS error_id
+        |FROM ev_range c JOIN ev_range e
+        |  ON c.user_id = e.user_id
+        |  AND c.event_type = 'click' AND e.event_type = 'error'
+        |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 DAY""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("as-of plan: one exchange per side, no nested-loop join") {
+    val l = left((1L, "2024-01-01 10:00:00", 7L))
+    val r = right((10L, "2024-01-01 09:30:00", 7L))
+    val plan = AsOfJoin.join(l, r, "k", "lt", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
