@@ -336,12 +336,12 @@ object Queries {
     * the aggregate must match the plain-join oracle. */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val base = s"/tmp/graft_buckets_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    graft.operators.Bucketing.writeBucketed(
+    graft.operators.Bucketing.ensureBucketed(
       t(s, dir, "orders").select("o_orderkey", "o_custkey"),
-      "gq_b_orders", s"$base/orders", 16, Seq("o_orderkey"))
-    graft.operators.Bucketing.writeBucketed(
+      "gq_b_orders", s"$base/orders", 16, Seq("o_orderkey"), dir)
+    graft.operators.Bucketing.ensureBucketed(
       t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
-      "gq_b_lineitem", s"$base/lineitem", 16, Seq("l_orderkey"))
+      "gq_b_lineitem", s"$base/lineitem", 16, Seq("l_orderkey"), dir)
     graft.operators.Bucketing.colocatedJoin(s, "gq_b_orders",
       "gq_b_lineitem", col("o_orderkey") === col("l_orderkey"))
       .groupBy("o_custkey")

@@ -24,6 +24,39 @@ object Bucketing {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** [[writeBucketed]], skipped when this session already wrote the
+    * same table from the same source: the point of bucketing is paying
+    * the layout shuffle ONCE and amortizing it over every downstream
+    * join, so re-preparing an unchanged table is wasted work (and in a
+    * benchmark, mismeasures the operator). `fingerprint` identifies
+    * the source data (e.g. its immutable directory); any change to it,
+    * the bucket count, or the keys forces a rewrite. The table must
+    * also still be registered in this session's catalog — bucket specs
+    * live in the catalog entry, so a fresh session re-registers by
+    * rewriting. */
+  def ensureBucketed(df: DataFrame, table: String, path: String,
+                     numBuckets: Int, keys: Seq[String],
+                     fingerprint: String): Unit = {
+    val spark = df.sparkSession
+    val spec = s"$fingerprint|$numBuckets|${keys.mkString(",")}"
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_bucket_spec")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unchanged = spark.catalog.tableExists(table) && fs.exists(marker) && {
+      val in = fs.open(marker)
+      try {
+        val b = new Array[Byte](math.min(fs.getFileStatus(marker).getLen, 4096L).toInt)
+        in.readFully(b)
+        new String(b, java.nio.charset.StandardCharsets.UTF_8) == spec
+      } finally in.close()
+    }
+    if (!unchanged) {
+      writeBucketed(df, table, path, numBuckets, keys)
+      val out = fs.create(marker, true)
+      try out.write(spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Join two bucketed tables on an equi-condition over their bucket
     * keys. When both were written with [[writeBucketed]] and the same
     * bucket count, the plan contains NO Exchange on either side. */

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.llm.Dedup
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection: the batch MinHash-LSH pipeline
+  * ([[graft.llm.Dedup]]) re-expressed as keyed state over an unbounded
+  * document stream — "flag each arriving document that is a near-dup
+  * of anything seen before", without ever holding the corpus.
+  *
+  * Shape: signature and band keys are computed with the same native
+  * expressions as the batch path (stateless, per-row), then the stream
+  * is keyed by LSH band-bucket and `flatMapGroupsWithState` keeps a
+  * bounded set of representative signatures per bucket. An arriving
+  * document is compared ONLY against its bucket's representatives
+  * (the LSH guarantee: near-dups collide in some band with high
+  * probability), via the standard MinHash estimator (fraction of
+  * agreeing signature positions).
+  *
+  * Scale design: state per bucket is `maxRepsPerBucket` signatures
+  * (default 8 x numHashes x 8 B = 4 KiB), partitioned with the stream
+  * by bucket key; per-document work is O(bands x reps); an optional
+  * TTL bounds the store for unbounded streams (a representative aging
+  * out re-admits its future dups — the honest trade, same as
+  * [[StatefulDedup]]). Crucially the full-corpus pair join of the
+  * batch path never happens: this is the streaming half of the same
+  * bucketed design, NOT an all-pairs scan.
+  *
+  * The estimator is approximate (no exact-Jaccard verify join in the
+  * stream — that needs the original texts; run the batch verifier over
+  * flagged ids if exactness matters downstream). */
+object StreamingNearDup {
+
+  /** Candidate rows `(id, dup_of, est, bucket)` — one per (band,
+    * arriving doc) whose best in-bucket representative agrees on
+    * >= `threshold` of signature positions. A doc can be flagged in
+    * several bands; dedup downstream by id (e.g.
+    * [[StatefulDedup.firstOccurrence]] on a stream, or
+    * `groupBy(id).agg(max(est))` in batch). Works on streaming and
+    * batch frames alike. */
+  def candidates(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7, maxRepsPerBucket: Int = 8,
+                 stateTtl: Option[String] = None): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide $numHashes")
+    val exploded = docs.select(
+      col(idCol).cast("string").as("id"),
+      Dedup.minhashSignature(
+        Dedup.shingleHashes(col(textCol), k), numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(Dedup.lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(
+        concat_ws(":", col("bk.band"), col("bk.bucket")).as("bucket"),
+        col("id"), col("sig"))
+
+    val keyed = exploded.groupByKey((r: Row) => r.getString(0))(
+      Encoders.STRING)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("dup_of",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("est",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.StringType)))
+    val enc = Encoders.row(outSchema)
+    type BucketState = (Seq[String], Seq[Seq[Long]])
+    val stateEnc = Encoders.product[(Seq[String], Seq[Seq[Long]])]
+
+    val fn = (bucket: String, rows: Iterator[Row],
+              state: GroupState[BucketState]) => {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty: Iterator[Row]
+      } else {
+        var (ids, sigs) = state.getOption.getOrElse(
+          (Seq.empty[String], Seq.empty[Seq[Long]]))
+        val out = Seq.newBuilder[Row]
+        rows.foreach { r =>
+          val id = r.getString(1)
+          val sig = r.getSeq[Long](2)
+          var bestIdx = -1; var bestAgree = -1
+          var i = 0
+          while (i < sigs.length) {
+            var agree = 0; var j = 0
+            val s = sigs(i)
+            while (j < sig.length) {
+              if (s(j) == sig(j)) agree += 1
+              j += 1
+            }
+            if (agree > bestAgree) { bestAgree = agree; bestIdx = i }
+            i += 1
+          }
+          val est =
+            if (bestIdx < 0) 0.0 else bestAgree.toDouble / sig.length
+          if (bestIdx >= 0 && est >= threshold)
+            out += Row(id, ids(bestIdx), est, bucket)
+          else if (ids.length < maxRepsPerBucket) {
+            ids = ids :+ id
+            sigs = sigs :+ sig
+          }
+          // else: bucket is saturated with dissimilar reps (a
+          // degenerate hot bucket) — the doc passes unflagged rather
+          // than growing state without bound, mirroring the batch
+          // path's maxBucketSize cap
+        }
+        state.update((ids, sigs))
+        stateTtl.foreach(state.setTimeoutDuration)
+        out.result().iterator
+      }
+    }
+    keyed.flatMapGroupsWithState(OutputMode.Append,
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout)(fn)(stateEnc, enc)
+  }
+}

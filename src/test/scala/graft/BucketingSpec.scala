@@ -38,4 +38,33 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("ensureBucketed prepares once, skips unchanged, rewrites on " +
+    "fingerprint change") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Files.createTempDirectory("buckets_ensure")
+    val orders = Tables.t(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    def dataFiles(): Set[String] = {
+      val d = new java.io.File(s"$base/e_orders")
+      d.listFiles().filter(_.getName.startsWith("part-"))
+        .map(f => s"${f.getName}:${f.lastModified}").toSet
+    }
+    try {
+      Bucketing.ensureBucketed(orders, "e_orders",
+        s"$base/e_orders", 8, Seq("o_orderkey"), "v1")
+      val first = dataFiles()
+      // same fingerprint: files untouched
+      Bucketing.ensureBucketed(orders, "e_orders",
+        s"$base/e_orders", 8, Seq("o_orderkey"), "v1")
+      assert(dataFiles() == first)
+      // changed fingerprint: rewritten
+      Bucketing.ensureBucketed(orders, "e_orders",
+        s"$base/e_orders", 8, Seq("o_orderkey"), "v2")
+      assert(dataFiles() != first)
+      assert(spark.table("e_orders").count() == orders.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS e_orders")
+    }
+  }
 }
