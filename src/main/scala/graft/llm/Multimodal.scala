@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Decoding: images decode for REAL via `javax.imageio` (in the JDK —
   * PNG/JPEG/BMP/GIF), including bilinear aspect-fit resampling and a
-  * luminance-strip feature. Audio/video decode remains a
-  * clearly-marked STUB (`decodeStub`) — those codecs are not in this
+  * luminance-strip feature; WAV/PCM audio decodes for REAL via
+  * `javax.sound.sampled` (also JDK) with an RMS-strip feature.
+  * Compressed audio/video (mp3/mp4) remains a clearly-marked STUB
+  * (`decodeStub`) — those codecs are not in the JDK or this
   * container; production swaps in ffmpeg behind the same seam. */
 object Multimodal {
 
@@ -92,10 +94,76 @@ object Multimodal {
     Array.tabulate(dim)(i => if (counts(i) == 0) 0.0 else sums(i) / counts(i))
   }
 
-  /** STUB decoder for audio/video (those codecs are not in this
-    * container) — deterministic fake deriving dimensions from the
-    * byte content. Production replaces ONLY this function (ffmpeg),
-    * keeping the schema, partitioning and batch shape identical. */
+  /** Real WAV/PCM audio decode via the JDK's javax.sound.sampled
+    * (8-bit unsigned and 16-bit signed PCM — the standard WAV
+    * encodings). Returns (sampleRate, channels, frames, mono samples
+    * in [-1, 1], channel-averaged). None for compressed or corrupt
+    * audio — callers fall back to [[decodeStub]] (mp3/mp4 codecs are
+    * genuinely absent from the JDK). */
+  def decodeWav(bytes: Array[Byte])
+  : Option[(Float, Int, Long, Array[Double])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok =
+          (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+            (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+        if (!ok || ais.getFrameLength <= 0) None
+        else {
+          val channels = fmt.getChannels
+          val frames = ais.getFrameLength
+          val raw = ais.readAllBytes()
+          val mono = new Array[Double](frames.toInt)
+          val big = fmt.isBigEndian
+          var f = 0
+          while (f < mono.length) {
+            var acc = 0.0
+            var c = 0
+            while (c < channels) {
+              val idx = (f * channels + c) * (bits / 8)
+              acc +=
+                (if (bits == 8) ((raw(idx) & 0xFF) - 128) / 128.0
+                 else {
+                   val lo = if (big) raw(idx + 1) else raw(idx)
+                   val hi = if (big) raw(idx) else raw(idx + 1)
+                   ((hi << 8) | (lo & 0xFF)) / 32768.0
+                 })
+              c += 1
+            }
+            mono(f) = acc / channels
+            f += 1
+          }
+          Some((fmt.getSampleRate, channels, frames, mono))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** RMS energy over `dim` equal time strips — the audio analog of
+    * [[luminanceStripFeature]]: deterministic, fixed-width, the shape
+    * a downstream audio-embedding model consumes. */
+  def rmsStripFeature(samples: Array[Double], dim: Int): Array[Double] = {
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.min(dim - 1, (i.toLong * dim / samples.length).toInt)
+      sums(s) += samples(i) * samples(i)
+      counts(s) += 1
+      i += 1
+    }
+    Array.tabulate(dim)(i =>
+      if (counts(i) == 0) 0.0 else math.sqrt(sums(i) / counts(i)))
+  }
+
+  /** STUB decoder for compressed audio/video (mp3/mp4 codecs are not
+    * in the JDK or this container) — deterministic fake deriving
+    * dimensions from the byte content. Production replaces ONLY this
+    * function (ffmpeg), keeping the schema, partitioning and batch
+    * shape identical. */
   def decodeStub(mediaType: String, bytes: Array[Byte]): (Int, Int, Int) = {
     var h = 1125899906842597L
     var i = 0
@@ -133,17 +201,24 @@ object Multimodal {
         files.map { case (path, _, bytes) =>
           val ext = path.split('.').lastOption.getOrElse("").toLowerCase
           val mt = mediaTypes.getOrElse(ext, "application/octet-stream")
-          val decoded =
+          val image =
             if (mt.startsWith("image/")) decodeImage(bytes) else None
-          decoded match {
-            case Some(img) =>
-              // real path: decode -> aspect-fit resample -> feature
+          val audio =
+            if (mt.startsWith("audio/")) decodeWav(bytes) else None
+          (image, audio) match {
+            case (Some(img), _) =>
+              // real image path: decode -> aspect-fit resample -> feature
               val resized = resizeImage(img, 256, 256)
               MediaFeatures(path, mt, img.getWidth, img.getHeight, 1,
                 luminanceStripFeature(resized, featureDim))
-            case None =>
+            case (_, Some((rate, channels, frames, mono))) =>
+              // real audio path: width/height carry rate/channels so
+              // the one schema serves all modalities
+              MediaFeatures(path, mt, rate.toInt, channels, frames.toInt,
+                rmsStripFeature(mono, featureDim))
+            case _ =>
               val (w, h, frames) = decodeStub(mt, bytes)
-              // STUB feature for audio/video/undecodable bytes
+              // STUB feature for compressed/undecodable bytes
               val feat = Array.tabulate(featureDim) { i =>
                 val slice = if (bytes.isEmpty) 0L
                   else bytes(math.floorMod(i * 37, bytes.length)).toLong

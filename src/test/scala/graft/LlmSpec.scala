@@ -203,6 +203,40 @@ class LlmSpec extends SparkSuite {
     assert(Multimodal.resizeImage(img, 512, 512) eq img)
   }
 
+  test("multimodal: real WAV decode — silence then tone, RMS strips") {
+    // 1 s mono 16-bit PCM at 8 kHz: first half silence, second half a
+    // full-scale-ish 440 Hz tone
+    val rate = 8000
+    val n = rate
+    val pcm = new Array[Byte](n * 2)
+    (n / 2 until n).foreach { i =>
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * 20000).toInt
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val dir = java.nio.file.Files.createTempDirectory("media-wav")
+    java.nio.file.Files.write(dir.resolve("halftone.wav"), baos.toByteArray)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.readMedia(spark, s"file://$dir"), featureDim = 4)
+      .collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    // REAL audio metadata: rate/channels/frames, not the stub hash
+    assert(f.width == rate && f.height == 1 && f.nFrames == n)
+    // RMS strips: silent half ~0, tone half ~20000/32768/sqrt(2)~0.43
+    assert(f.feature(0) < 0.01 && f.feature(1) < 0.01)
+    assert(f.feature(2) > 0.3 && f.feature(3) > 0.3)
+    // corrupt WAV bytes degrade to the stub, never crash
+    assert(Multimodal.decodeWav("RIFFgarbage".getBytes).isEmpty)
+  }
+
   test("multimodal plumbing: binaryFile read -> features -> frame sampling") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     java.nio.file.Files.write(dir.resolve("a.jpg"),
