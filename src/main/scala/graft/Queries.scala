@@ -291,6 +291,67 @@ object Queries {
       .orderBy("o_custkey")
   }
 
+  /** Sessionization: per-user sessions split at >30 min inactivity —
+    * the gap-and-island idiom (lag → break flag → running sum), the
+    * batch analog of streaming session windows. One keyed window
+    * partition per user; per-user work is linear in their events. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapUs = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(byUser))
+    val brk = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L)
+      .otherwise(0L)
+    t(s, dir, "events")
+      .withColumn("sess", sum(brk).over(byUser))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` == DuckDB
+    * `quantile_cont`) of event value per type; rounded so the doubles
+    * hash-match across engines. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
+  /** Rollup aggregate: order totals at (status, priority), per-status
+    * and grand-total levels in one pass (partial aggregation handles
+    * the level fan-out map-side). Null grouping markers projected to
+    * '(all)' so ordering and hashing are engine-agnostic. */
+  def rollupTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Tables.moneySum(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** Sliding window frame: trailing 4-row sum + count of order totals
+    * per customer (rows between 3 preceding and current) — the moving
+    * metric shape. Windowed decimal SUM stays hash-exact across
+    * engines; AVG would route through double in DuckDB. */
+  def slidingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("trailing_sum",
+        round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("trailing_sum"), col("n_window"))
+      .orderBy("o_orderkey")
+  }
+
   /** U1 — right-biased sorted map merge via [[StacBuilder]]. */
   def u1MapMerge(s: SparkSession, dir: String): DataFrame = {
     val left = map(lit("lang"), col("lang"), lit("quality"), lit("raw"))

@@ -48,6 +48,10 @@ object SparkEntry {
     "q_w1_date_ends"         -> (Queries.w1DateEnds _),
     "q_w4_topk"              -> (Queries.w4TopK _),
     "q_w_rank"               -> (Queries.wRank _),
+    "q_sessionize"           -> (Queries.sessionize _),
+    "q_percentiles"          -> (Queries.percentiles _),
+    "q_rollup"               -> (Queries.rollupTotals _),
+    "q_w_sliding"            -> (Queries.slidingAvg _),
     "q_u1_map_merge"         -> (Queries.u1MapMerge _),
     "q_u_set_ops"            -> (Queries.uSetOps _),
     // geometry
@@ -256,6 +260,47 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts)
+        |      AS BIGINT) AS sess
+        |  FROM g)
+        |SELECT user_id, sess, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n, ${Tables.moneySumSql("o_totalprice")} AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_w_sliding" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2)
+        |    AS DOUBLE) AS trailing_sum,
+        |  count(*) OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_window
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_u1_map_merge" ->
       """SELECT doc_id, 'lang=' || lang || ',quality=' || source AS merged
         |FROM documents ORDER BY doc_id""".stripMargin,
