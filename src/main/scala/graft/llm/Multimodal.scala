@@ -250,12 +250,16 @@ object Multimodal {
         greatest(floor(col("height") * col("scale")), lit(1)).cast("int"))
   }
 
-  /** Frame-sampling plan for video rows: one row per sampled frame
-    * index — the explode-on-metadata pattern that keeps per-frame work
-    * distributed without decoding on the driver. */
+  /** Frame-sampling plan for VIDEO rows only: one row per sampled
+    * frame index — the explode-on-metadata pattern that keeps
+    * per-frame work distributed without decoding on the driver.
+    * Non-video rows are excluded: audio rows carry their PCM sample
+    * count in nFrames, which would explode a 1-hour WAV into millions
+    * of meaningless rows. */
   def sampleFrames(features: Dataset[MediaFeatures],
                    everyN: Int = 30): DataFrame =
     features.toDF()
+      .filter(col("mediaType").startsWith("video/"))
       .withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("nFrames") - 1, lit(0)),
           lit(everyN))))

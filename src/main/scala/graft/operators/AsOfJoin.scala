@@ -72,12 +72,17 @@ object AsOfJoin {
       lit(1).as("_side"),
       struct(left.columns.map(col): _*).as("_l"),
       lit(null).cast(rStruct).as("_r"))
-    val r2 = right.select(
-      col(key).as("_k"),
-      unix_micros(col(rightTime)).as("_t"),
-      lit(0).as("_side"),
-      lit(null).cast(lStruct).as("_l"),
-      struct(right.columns.map(col): _*).as("_r"))
+    // a null right time can never satisfy a SQL comparison — drop it
+    // here (keeping it would NPE the merge and could shadow a real
+    // candidate in the carry)
+    val r2 = right
+      .filter(col(rightTime).isNotNull)
+      .select(
+        col(key).as("_k"),
+        unix_micros(col(rightTime)).as("_t"),
+        lit(0).as("_side"),
+        lit(null).cast(lStruct).as("_l"),
+        struct(right.columns.map(col): _*).as("_r"))
 
     val backward = direction == "backward"
     // right rows sort before left rows at equal time in BOTH directions
@@ -117,7 +122,9 @@ object AsOfJoin {
           carriedT = row.getLong(1)
           Iterator.empty
         } else {
-          val ok = carried != null && k != null &&
+          // null left time: the row is kept (left join) but no
+          // comparison with it can be true — never matches
+          val ok = carried != null && k != null && !row.isNullAt(1) &&
             toleranceMicros.forall(tol =>
               math.abs(row.getLong(1) - carriedT) <= tol)
           Iterator.single(Row(row.getStruct(3), if (ok) carried else null))

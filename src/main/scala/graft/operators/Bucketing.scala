@@ -41,7 +41,17 @@ object Bucketing {
     val spec = s"$fingerprint|$numBuckets|${keys.mkString(",")}"
     val marker = new org.apache.hadoop.fs.Path(path, "_graft_bucket_spec")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val unchanged = spark.catalog.tableExists(table) && fs.exists(marker) && {
+    // the catalog entry must also point at THIS path — the same table
+    // name registered for a different source dir (another SF) would
+    // otherwise serve that dir's data with the skip taken
+    def tableAtPath: Boolean = try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      fs.makeQualified(new org.apache.hadoop.fs.Path(meta.location)) ==
+        fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+    } catch { case _: Exception => false }
+    val unchanged = spark.catalog.tableExists(table) && tableAtPath &&
+      fs.exists(marker) && {
       val in = fs.open(marker)
       try {
         val b = new Array[Byte](math.min(fs.getFileStatus(marker).getLen, 4096L).toInt)

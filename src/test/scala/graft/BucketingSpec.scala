@@ -67,4 +67,23 @@ class BucketingSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS e_orders")
     }
   }
+
+  test("ensureBucketed re-prepares when the table name was re-pointed " +
+    "at a different path (no stale cross-dir skip)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("buckets_xdir")
+    val dfA = Seq((1L, "a")).toDF("k", "v")
+    val dfB = Seq((2L, "b")).toDF("k", "v")
+    try {
+      Bucketing.ensureBucketed(dfA, "x_t", s"$base/a", 2, Seq("k"), "A")
+      Bucketing.ensureBucketed(dfB, "x_t", s"$base/b", 2, Seq("k"), "B")
+      // back to path A: its marker still matches, but the catalog entry
+      // now points at B — the skip must NOT serve B's data
+      Bucketing.ensureBucketed(dfA, "x_t", s"$base/a", 2, Seq("k"), "A")
+      assert(spark.table("x_t").select("v").collect()
+        .map(_.getString(0)).toSeq == Seq("a"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS x_t")
+    }
+  }
 }

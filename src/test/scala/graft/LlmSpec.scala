@@ -254,8 +254,12 @@ class LlmSpec extends SparkSuite {
     val again = Multimodal.extractFeatures(media, featureDim = 4)
       .collect().sortBy(_.path)
     assert(rows.map(_.feature.toSeq) sameElements again.map(_.feature.toSeq))
+    // frame sampling is video-only (audio nFrames = PCM sample count
+    // would explode; images have one frame by definition)
     val frames = Multimodal.sampleFrames(feats, everyN = 30)
-    assert(frames.count() >= 2)
+    assert(frames.count() >= 1)
+    assert(frames.select("mediaType").collect()
+      .forall(_.getString(0).startsWith("video/")))
     // resize planning: aspect-preserving fit, no upscaling
     val plan = Multimodal.resizePlan(feats, maxW = 16, maxH = 16)
       .select("width", "height", "target_w", "target_h", "scale").collect()

@@ -71,8 +71,12 @@ class TemporalJoinSpec extends SparkSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
     val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
       .select("event_id", "user_id", "event_type", "ts").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        r.getTimestamp(3).getTime))
+      .map { r =>
+        val inst = r.getTimestamp(3).toInstant
+        // micros, not millis — the operator compares at micros
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+      }
     val clicksByUser = ev.filter(_._3 == "click").groupBy(_._2)
     val want = ev.filter(_._3 == "purchase").sortBy(_._1).map { p =>
       val best = clicksByUser.getOrElse(p._2, Array.empty)
