@@ -32,6 +32,21 @@ object EventWindows {
         col("event_type"), col("n"),
         col("total").cast("double").as("total"))
 
+  /** Session windows per key: events closer than `gap` merge into one
+    * session (Spark's native `session_window` — state closes when the
+    * watermark passes a session's end + gap, so state stays bounded on
+    * an unbounded stream). The streaming twin of the batch
+    * gap-and-island sessionization (q_sessionize). */
+  def sessions(events: DataFrame, keyCol: String, gap: String = "30 minutes",
+               watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** File-drop streaming source for JSONL event records. */
   def readEventStream(spark: SparkSession, dir: String,
                       schema: StructType): DataFrame =

@@ -112,4 +112,55 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(rows.toSeq == Seq(("click", 2L, 5.0), ("view", 1L, 1.0)))
   }
+
+  test("watermarked session windows: close-together events merge, a " +
+    ">gap pause closes the session") {
+    import graft.streaming.EventWindows
+    import org.apache.spark.sql.types._
+    val inDir = Files.createTempDirectory("sess-in").toString
+    val ckpt = Files.createTempDirectory("sess-ckpt").toString
+    // user u1: 10:00 + 10:10 (one session), then 11:30 (new session —
+    // 80 min gap > 30 min). The 13:00 event in the last batch advances
+    // the watermark far enough to close and emit both u1 sessions.
+    val files = Seq(
+      "s1.json" ->
+        """{"ts":"2024-01-01T10:00:00Z","user":"u1"}
+          |{"ts":"2024-01-01T10:10:00Z","user":"u1"}
+          |""".stripMargin,
+      "s2.json" ->
+        """{"ts":"2024-01-01T11:30:00Z","user":"u1"}
+          |""".stripMargin,
+      "s3.json" ->
+        """{"ts":"2024-01-01T13:00:00Z","user":"u2"}
+          |""".stripMargin)
+    files.zipWithIndex.foreach { case ((name, content), i) =>
+      val p = java.nio.file.Paths.get(inDir, name)
+      Files.writeString(p, content)
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(2000000L + i * 60000))
+    }
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("user", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(inDir)
+    val sessions = EventWindows.sessions(stream, "user",
+      gap = "30 minutes", watermark = "10 minutes")
+    val q = sessions.writeStream
+      .format("memory").queryName("ev_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      """SELECT user, CAST(session_start AS STRING) s, n_events
+        |FROM ev_sessions ORDER BY user, s""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // u1's merged 2-event session ends 10:40 (last event + gap); the
+    // 11:30 singleton ends 12:00; u2's 13:00 session is still open
+    assert(rows.toSeq == Seq(
+      ("u1", "2024-01-01 10:00:00", 2L),
+      ("u1", "2024-01-01 11:30:00", 1L)))
+  }
 }
