@@ -570,4 +570,25 @@ object Queries {
       .select("click_id", "error_id", "user_id", "click_ts", "error_ts")
       .orderBy("click_id", "error_id")
   }
+
+  /** Interval-overlap join: 6-hour click windows x 6-hour error
+    * windows of the same user that intersect — both sides binned,
+    * each pair anchored to one bin ([[graft.operators.RangeJoin]]
+    * .intervalOverlap), never a non-equi product. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sixH = expr("INTERVAL 6 HOUR")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_start"), (col("ts") + sixH).as("click_end"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_start"), (col("ts") + sixH).as("error_end"))
+    graft.operators.RangeJoin.intervalOverlap(
+      clicks, "click_start", "click_end",
+      errors, "error_start", "error_end",
+      keyCols = Seq("user_id"), binMicros = 6L * 3600 * 1000000)
+      .select("click_id", "error_id", "user_id")
+      .orderBy("click_id", "error_id")
+  }
 }

@@ -39,6 +39,7 @@ object SparkEntry {
     "q_j3_anti_join"         -> (Queries.j3AntiJoin _),
     "q_asof_join"            -> (Queries.asofJoin _),
     "q_range_join"           -> (Queries.rangeJoin _),
+    "q_interval_join"        -> (Queries.intervalJoin _),
     // aggregations / windows / set ops
     "q_a1_group_collect"     -> (Queries.a1GroupCollect _),
     "q_a2_bbox"              -> (Queries.a2Bbox _),
@@ -220,6 +221,14 @@ object SparkEntry {
         |  ON c.user_id = e.user_id
         |  AND c.event_type = 'click' AND e.event_type = 'error'
         |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 1 DAY
+        |ORDER BY click_id, error_id""".stripMargin,
+    "q_interval_join" ->
+      """SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        |  AND c.event_type = 'click' AND e.event_type = 'error'
+        |  AND c.ts < e.ts + INTERVAL 6 HOUR
+        |  AND e.ts < c.ts + INTERVAL 6 HOUR
         |ORDER BY click_id, error_id""".stripMargin,
     "q_a1_group_collect" ->
       """SELECT lang, count(*) AS n_docs,

@@ -67,4 +67,39 @@ object RangeJoin {
       .select(points.columns.map(n => col(s"p.$n").as(n)) ++
         ivOut.map(n => col(s"i.$n").as(n)): _*)
   }
+
+  /** Interval-overlap join: one row per (left, right) interval pair
+    * with `[aStart,aEnd) ∩ [bStart,bEnd) ≠ ∅` (and equal keys). Same
+    * binning as [[pointInInterval]], except both sides explode; an
+    * overlapping pair now meets in EVERY shared bin, so the join keeps
+    * only the bin containing `max(aStart, bStart)` — each pair
+    * qualifies in exactly one bin again, no dedup shuffle. */
+  def intervalOverlap(left: DataFrame, aStart: String, aEnd: String,
+                      right: DataFrame, bStart: String, bEnd: String,
+                      keyCols: Seq[String], binMicros: Long): DataFrame = {
+    require(binMicros > 0, "binMicros must be positive")
+    val rightOut = right.columns.filterNot(keyCols.contains)
+    val collisions = left.columns.toSet.intersect(rightOut.toSet)
+    require(collisions.isEmpty,
+      s"rename right columns colliding with left: ${collisions.mkString(",")}")
+    def binOf(micros: String): String =
+      s"(($micros) div $binMicros) - (CASE WHEN ($micros) % $binMicros < 0 THEN 1 ELSE 0 END)"
+    def explodeBins(df: DataFrame, st: String, en: String): DataFrame =
+      df.filter(col(en) > col(st))
+        .withColumn("_bin", explode(sequence(
+          expr(binOf(s"unix_micros($st)")),
+          expr(binOf(s"unix_micros($en) - 1")))))
+    val a = explodeBins(left, aStart, aEnd).as("a")
+    val b = explodeBins(right, bStart, bEnd).as("b")
+    val anchor = expr(binOf(
+      s"greatest(unix_micros(a.$aStart), unix_micros(b.$bStart))"))
+    val cond = (keyCols.map(k => col(s"a.$k") === col(s"b.$k")) :+
+      (col("a._bin") === col("b._bin")) :+
+      (col(s"a.$aStart") < col(s"b.$bEnd")) :+
+      (col(s"b.$bStart") < col(s"a.$aEnd")) :+
+      (col("a._bin") === anchor)).reduce(_ && _)
+    a.join(b, cond)
+      .select(left.columns.map(n => col(s"a.$n").as(n)) ++
+        rightOut.map(n => col(s"b.$n").as(n)): _*)
+  }
 }

@@ -126,6 +126,31 @@ class TemporalJoinSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 100L)))
   }
 
+  test("interval overlap: touching endpoints don't overlap (half-open); " +
+    "a pair sharing many bins appears exactly once") {
+    import spark.implicits._
+    def ivs(rows: (Long, String, String)*) = rows
+      .toDF("iid", "st", "en")
+      .select(col("iid"), to_timestamp(col("st")).as("st"),
+        to_timestamp(col("en")).as("en"))
+    val a = ivs((1L, "2024-01-01 00:00:00", "2024-01-01 06:00:00"),
+      (2L, "2024-01-01 08:00:00", "2024-01-01 09:00:00"))
+      .withColumnRenamed("iid", "aid")
+      .withColumnRenamed("st", "a_st").withColumnRenamed("en", "a_en")
+    val b = ivs((10L, "2024-01-01 05:59:59", "2024-01-01 07:00:00"),
+      (11L, "2024-01-01 06:00:00", "2024-01-01 08:00:00"), // touches 1
+      (12L, "2023-12-31 20:00:00", "2024-01-01 12:00:00")) // spans all
+      .withColumnRenamed("iid", "bid")
+      .withColumnRenamed("st", "b_st").withColumnRenamed("en", "b_en")
+    // tiny bins: interval 12 spans 16 hours = 64 quarter-hour bins —
+    // the anchor-bin rule must still emit each pair exactly once
+    val out = graft.operators.RangeJoin.intervalOverlap(
+      a, "a_st", "a_en", b, "b_st", "b_en", Nil,
+      binMicros = 15L * 60 * 1000000)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.sorted.toSeq == Seq((1L, 10L), (1L, 12L), (2L, 12L)))
+  }
+
   test("range join matches the non-equi-join oracle on events (sf0.001)") {
     val got = Queries.rangeJoin(spark, "/root/testdata/sf0.001")
       .select("click_id", "error_id").collect()
