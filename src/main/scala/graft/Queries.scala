@@ -551,6 +551,21 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Forward as-of join: each purchase matched to the same user's
+    * EARLIEST click at-or-after it (the "next event" direction). */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    graft.operators.AsOfJoin.join(purchases, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "click_ts",
+      direction = "forward")
+      .orderBy("event_id")
+  }
+
   /** Range join: clicks inside any [error, error+1d) window of the
     * same user — binned equi-join, [[graft.operators.RangeJoin]],
     * never a non-equi product. */

@@ -203,6 +203,26 @@ class LlmSpec extends SparkSuite {
     assert(Multimodal.resizeImage(img, 512, 512) eq img)
   }
 
+  test("mergeable HLL sketches: per-partition sketch tables union to " +
+    "the global distinct estimate (the 100 TB pattern)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    // stage 1 (would be a stored sketch table at scale): one Datasketes
+    // HLL sketch per partition key — each row is a few KB regardless
+    // of cardinality
+    val sketches = ev.groupBy(pmod(col("event_id"), lit(8)).as("part"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    assert(sketches.count() == 8)
+    // stage 2: merging sketches answers the GLOBAL distinct without
+    // rescanning the raw data
+    val est = sketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val exact = ev.select("user_id").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"estimate $est vs exact $exact")
+  }
+
   test("multimodal: real WAV decode — silence then tone, RMS strips") {
     // 1 s mono 16-bit PCM at 8 kHz: first half silence, second half a
     // full-scale-ish 440 Hz tone
