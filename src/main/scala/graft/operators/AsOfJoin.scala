@@ -41,11 +41,29 @@ object AsOfJoin {
     case _ => true
   }
 
+  /** Single-key form of [[join]]. */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           direction: String,
+           toleranceMicros: Option[Long]): DataFrame =
+    join(left, right, Seq(key), leftTime, rightTime, direction,
+      toleranceMicros)
+
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String): DataFrame =
+    join(left, right, Seq(key), leftTime, rightTime)
+
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           direction: String): DataFrame =
+    join(left, right, Seq(key), leftTime, rightTime, direction)
+
   /** @param left       probe side; every row is kept (left join)
     * @param right      build side providing the carried columns
-    * @param key        equality column, present on BOTH frames; the
-    *                   right copy is dropped from the output. Null
-    *                   keys never match (SQL join semantics).
+    * @param keys       equality columns, present on BOTH frames (the
+    *                   pandas merge_asof `by` list); the right copies
+    *                   are dropped from the output. A null in ANY key
+    *                   component never matches (SQL join semantics).
     * @param leftTime   timestamp column on `left`
     * @param rightTime  timestamp column on `right` (micros precision)
     * @param direction  "backward" (right.time <= left.time, latest
@@ -53,32 +71,41 @@ object AsOfJoin {
     *                   "forward" (right.time >= left.time, earliest)
     * @param toleranceMicros max |left.time - right.time|; None = any
     */
-  def join(left: DataFrame, right: DataFrame, key: String,
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
            direction: String = "backward",
            toleranceMicros: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
-    val rightOut = right.columns.filterNot(_ == key)
+    require(keys.nonEmpty, "at least one key column")
+    val rightOut = right.columns.filterNot(keys.contains)
     val collisions = left.columns.toSet.intersect(rightOut.toSet)
     require(collisions.isEmpty,
       s"rename right columns colliding with left: ${collisions.mkString(",")}")
 
     val lStruct = StructType(left.schema.fields)
     val rStruct = StructType(right.schema.fields.map(_.copy(nullable = true)))
+    // composite keys ride as one struct column: equality, hashing and
+    // the in-partition sort all treat it atomically. _kok marks rows
+    // whose key has no null component — null keys group and sort
+    // together but must never MATCH, per SQL equality.
+    val kCol = struct(keys.map(col): _*)
+    val kOk = keys.map(col(_).isNotNull).reduce(_ && _)
     val l2 = left.select(
-      col(key).as("_k"),
+      kCol.as("_k"),
+      kOk.as("_kok"),
       unix_micros(col(leftTime)).as("_t"),
       lit(1).as("_side"),
       struct(left.columns.map(col): _*).as("_l"),
       lit(null).cast(rStruct).as("_r"))
-    // a null right time can never satisfy a SQL comparison — drop it
-    // here (keeping it would NPE the merge and could shadow a real
+    // a null right time or null-component right key can never match —
+    // drop here (keeping them would NPE the merge or shadow a real
     // candidate in the carry)
     val r2 = right
-      .filter(col(rightTime).isNotNull)
+      .filter(col(rightTime).isNotNull && kOk)
       .select(
-        col(key).as("_k"),
+        kCol.as("_k"),
+        lit(true).as("_kok"),
         unix_micros(col(rightTime)).as("_t"),
         lit(0).as("_side"),
         lit(null).cast(lStruct).as("_l"),
@@ -117,17 +144,19 @@ object AsOfJoin {
         if (!haveKey || k != curKey) {
           curKey = k; haveKey = true; carried = null
         }
-        if (row.getInt(2) == 0) {
-          carried = row.getStruct(4)
-          carriedT = row.getLong(1)
+        if (row.getInt(3) == 0) {
+          carried = row.getStruct(5)
+          carriedT = row.getLong(2)
           Iterator.empty
         } else {
-          // null left time: the row is kept (left join) but no
-          // comparison with it can be true — never matches
-          val ok = carried != null && k != null && !row.isNullAt(1) &&
+          // null left time or null-component key: the row is kept
+          // (left join) but no comparison/equality with it can be
+          // true — never matches
+          val ok = carried != null && row.getBoolean(1) &&
+            !row.isNullAt(2) &&
             toleranceMicros.forall(tol =>
-              math.abs(row.getLong(1) - carriedT) <= tol)
-          Iterator.single(Row(row.getStruct(3), if (ok) carried else null))
+              math.abs(row.getLong(2) - carriedT) <= tol)
+          Iterator.single(Row(row.getStruct(4), if (ok) carried else null))
         }
       }
     }(enc)

@@ -56,6 +56,28 @@ class TemporalJoinSpec extends SparkSuite {
     assert(tol.map(r => Option(r.get(3))).toSeq == Seq(Some(10L), None))
   }
 
+  test("composite keys: both components must match; null in any " +
+    "component never matches") {
+    import spark.implicits._
+    val l = Seq((1L, "2024-01-01 10:00:00", 7L, "x"),
+      (2L, "2024-01-01 10:00:00", 7L, "y"),
+      (3L, "2024-01-01 10:00:00", 7L, null))
+      .toDF("lid", "lt", "k1", "k2")
+      .select(col("lid"), to_timestamp(col("lt")).as("lt"),
+        col("k1"), col("k2"))
+    val r = Seq((10L, "2024-01-01 09:00:00", 7L, "x"),
+      (11L, "2024-01-01 09:30:00", 7L, "z"))
+      .toDF("rid", "rt", "k1", "k2")
+      .select(col("rid"), to_timestamp(col("rt")).as("rt"),
+        col("k1"), col("k2"))
+    val out = AsOfJoin.join(l, r, Seq("k1", "k2"), "lt", "rt")
+      .orderBy("lid").collect()
+      .map(row => (row.getLong(0), Option(row.get(4)).map(_.toString)))
+    // (7,x) matches rid 10; (7,y) matches nothing despite k1==7;
+    // null k2 matches nothing
+    assert(out.toSeq == Seq((1L, Some("10")), (2L, None), (3L, None)))
+  }
+
   test("null keys never match; keys don't leak across groups") {
     val l = left((1L, "2024-01-01 10:00:00", 7L))
       .union(spark.sql(
