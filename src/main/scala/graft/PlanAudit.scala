@@ -20,7 +20,8 @@ object PlanAudit {
       "q_ann_top1", "q_ann_lsh", "q_p1_regex_filter",
       "q_a5_cumulative_cap", "q_g1_geometry", "q_simhash_near_dups",
       "q_clean_corpus", "q_decontaminate", "q_repeated_spans",
-      "q_asof_join", "q_range_join")
+      "q_asof_join", "q_asof_fwd", "q_range_join", "q_interval_join",
+      "q_sessionize", "q_percentiles", "q_rollup", "q_w_sliding")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)

@@ -28,9 +28,11 @@ import org.apache.spark.sql.types._
   * degrades to a linear scan of that key's rows, never a product.
   *
   * Determinism: rows tied on (key, time) on the right side are broken
-  * by the right row's full struct order (last wins), so repeated runs
-  * hash-identically — required by the driver's oracle gate. Structs
-  * containing unorderable fields (maps) skip that tiebreak.
+  * by the right row's full struct order — the greatest struct wins
+  * backward, the least forward (last overwrite under that direction's
+  * sort) — so repeated runs hash-identically, as the driver's oracle
+  * gate requires. Structs containing unorderable fields (maps) skip
+  * that tiebreak.
   */
 object AsOfJoin {
 
@@ -41,22 +43,14 @@ object AsOfJoin {
     case _ => true
   }
 
-  /** Single-key form of [[join]]. */
+  /** Single-key form of [[join]] — carries the defaults (Scala allows
+    * default arguments on only one overload of a name). */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
-           direction: String,
-           toleranceMicros: Option[Long]): DataFrame =
+           direction: String = "backward",
+           toleranceMicros: Option[Long] = None): DataFrame =
     join(left, right, Seq(key), leftTime, rightTime, direction,
       toleranceMicros)
-
-  def join(left: DataFrame, right: DataFrame, key: String,
-           leftTime: String, rightTime: String): DataFrame =
-    join(left, right, Seq(key), leftTime, rightTime)
-
-  def join(left: DataFrame, right: DataFrame, key: String,
-           leftTime: String, rightTime: String,
-           direction: String): DataFrame =
-    join(left, right, Seq(key), leftTime, rightTime, direction)
 
   /** @param left       probe side; every row is kept (left join)
     * @param right      build side providing the carried columns
@@ -73,8 +67,8 @@ object AsOfJoin {
     */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
-           direction: String = "backward",
-           toleranceMicros: Option[Long] = None): DataFrame = {
+           direction: String,
+           toleranceMicros: Option[Long]): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
     require(keys.nonEmpty, "at least one key column")
@@ -115,7 +109,9 @@ object AsOfJoin {
     // right rows sort before left rows at equal time in BOTH directions
     // so an exactly-equal timestamp is visible to the left row (the
     // <= / >= in the contract); the struct tiebreak pins which of
-    // several equal-time right rows is carried (the greatest).
+    // several equal-time right rows is carried deterministically (the
+    // greatest struct backward, the least forward — last overwrite
+    // under the direction's sort order wins).
     val sortCols = {
       val base =
         if (backward) Seq(col("_k"), col("_t").asc, col("_side").asc)

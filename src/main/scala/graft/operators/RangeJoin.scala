@@ -24,6 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Floor division (SQL `div` truncates toward zero, which would
+    * mis-bin pre-epoch timestamps). Shared by both operators — binning
+    * MUST agree between them. */
+  private def binOf(micros: String, binMicros: Long): String =
+    s"(($micros) div $binMicros) - " +
+      s"(CASE WHEN ($micros) % $binMicros < 0 THEN 1 ELSE 0 END)"
+
+  /** Drop empty/inverted intervals and explode each survivor to every
+    * bin `[st, en)` overlaps. */
+  private def explodeBins(df: DataFrame, st: String, en: String,
+                          binMicros: Long): DataFrame =
+    df.filter(col(en) > col(st))
+      .withColumn("_bin", explode(sequence(
+        expr(binOf(s"unix_micros($st)", binMicros)),
+        expr(binOf(s"unix_micros($en) - 1", binMicros)))))
+
+  private def requireDisjoint(left: DataFrame, rightOut: Seq[String],
+                              what: String): Unit = {
+    val collisions = left.columns.toSet.intersect(rightOut.toSet)
+    require(collisions.isEmpty,
+      s"rename $what columns colliding: ${collisions.mkString(",")}")
+  }
+
   /** @param points     frame with a timestamp column `pointTime`
     * @param intervals  frame with `[startCol, endCol)` timestamps;
     *                   empty or inverted intervals are dropped
@@ -42,23 +65,12 @@ object RangeJoin {
                       keyCols: Seq[String], binMicros: Long): DataFrame = {
     require(binMicros > 0, "binMicros must be positive")
     val ivOut = intervals.columns.filterNot(keyCols.contains)
-    val collisions = points.columns.toSet.intersect(ivOut.toSet)
-    require(collisions.isEmpty,
-      s"rename interval columns colliding with points: ${collisions.mkString(",")}")
-
-    // floor division (SQL `div` truncates toward zero, which would
-    // mis-bin pre-epoch timestamps)
-    def binOf(micros: String): String =
-      s"(($micros) div $binMicros) - (CASE WHEN ($micros) % $binMicros < 0 THEN 1 ELSE 0 END)"
+    requireDisjoint(points, ivOut, "interval")
     val p = points
-      .withColumn("_bin", expr(binOf(s"unix_micros($pointTime)")))
+      .withColumn("_bin",
+        expr(binOf(s"unix_micros($pointTime)", binMicros)))
       .as("p")
-    val i = intervals
-      .filter(col(endCol) > col(startCol))
-      .withColumn("_bin", explode(sequence(
-        expr(binOf(s"unix_micros($startCol)")),
-        expr(binOf(s"unix_micros($endCol) - 1")))))
-      .as("i")
+    val i = explodeBins(intervals, startCol, endCol, binMicros).as("i")
     val cond = (keyCols.map(k => col(s"p.$k") === col(s"i.$k")) :+
       (col("p._bin") === col("i._bin")) :+
       (col(s"p.$pointTime") >= col(s"i.$startCol")) :+
@@ -79,20 +91,12 @@ object RangeJoin {
                       keyCols: Seq[String], binMicros: Long): DataFrame = {
     require(binMicros > 0, "binMicros must be positive")
     val rightOut = right.columns.filterNot(keyCols.contains)
-    val collisions = left.columns.toSet.intersect(rightOut.toSet)
-    require(collisions.isEmpty,
-      s"rename right columns colliding with left: ${collisions.mkString(",")}")
-    def binOf(micros: String): String =
-      s"(($micros) div $binMicros) - (CASE WHEN ($micros) % $binMicros < 0 THEN 1 ELSE 0 END)"
-    def explodeBins(df: DataFrame, st: String, en: String): DataFrame =
-      df.filter(col(en) > col(st))
-        .withColumn("_bin", explode(sequence(
-          expr(binOf(s"unix_micros($st)")),
-          expr(binOf(s"unix_micros($en) - 1")))))
-    val a = explodeBins(left, aStart, aEnd).as("a")
-    val b = explodeBins(right, bStart, bEnd).as("b")
+    requireDisjoint(left, rightOut, "right")
+    val a = explodeBins(left, aStart, aEnd, binMicros).as("a")
+    val b = explodeBins(right, bStart, bEnd, binMicros).as("b")
     val anchor = expr(binOf(
-      s"greatest(unix_micros(a.$aStart), unix_micros(b.$bStart))"))
+      s"greatest(unix_micros(a.$aStart), unix_micros(b.$bStart))",
+      binMicros))
     val cond = (keyCols.map(k => col(s"a.$k") === col(s"b.$k")) :+
       (col("a._bin") === col("b._bin")) :+
       (col(s"a.$aStart") < col(s"b.$bEnd")) :+

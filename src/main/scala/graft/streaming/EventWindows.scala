@@ -36,7 +36,11 @@ object EventWindows {
     * session (Spark's native `session_window` — state closes when the
     * watermark passes a session's end + gap, so state stays bounded on
     * an unbounded stream). The streaming twin of the batch
-    * gap-and-island sessionization (q_sessionize). */
+    * gap-and-island sessionization (q_sessionize).
+    *
+    * @param events streaming DataFrame with a `ts` timestamp column
+    *               (like [[tumbling]] — rename upstream if needed)
+    * @param keyCol session grouping key */
   def sessions(events: DataFrame, keyCol: String, gap: String = "30 minutes",
                watermark: String = "10 minutes"): DataFrame =
     events

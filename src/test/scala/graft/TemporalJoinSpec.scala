@@ -70,7 +70,8 @@ class TemporalJoinSpec extends SparkSuite {
       .toDF("rid", "rt", "k1", "k2")
       .select(col("rid"), to_timestamp(col("rt")).as("rt"),
         col("k1"), col("k2"))
-    val out = AsOfJoin.join(l, r, Seq("k1", "k2"), "lt", "rt")
+    val out = AsOfJoin.join(l, r, Seq("k1", "k2"), "lt", "rt",
+      "backward", None)
       .orderBy("lid").collect()
       .map(row => (row.getLong(0), Option(row.get(4)).map(_.toString)))
     // (7,x) matches rid 10; (7,y) matches nothing despite k1==7;
