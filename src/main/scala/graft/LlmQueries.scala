@@ -241,4 +241,16 @@ object LlmQueries {
         countDistinct(col("user_id")).cast("double") <= 0.1)
         .as("approx_within_10pct"))
   }
+
+  /** Deterministic train/val/test split by md5-bucket of the row key
+    * ([[graft.llm.Sampling]]): reproducible across engines and runs —
+    * per-stratum counts oracle-checked against DuckDB computing the
+    * same hash buckets. */
+  def detSplit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("split", graft.llm.Sampling.split(col("event_id")))
+      .groupBy("event_type", "split")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "split")
 }

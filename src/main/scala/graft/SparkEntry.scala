@@ -89,6 +89,7 @@ object SparkEntry {
     "q_ann_lsh"              -> (LlmQueries.annLsh _),
     "q_embed_near_dups"      -> (LlmQueries.embeddingNearDups _),
     "q_distinct_counts"      -> (LlmQueries.distinctCounts _),
+    "q_det_split"            -> (LlmQueries.detSplit _),
     "q_pii_redact"           -> (LlmQueries.piiRedact _),
     "q_dup_word_ratio"       -> (LlmQueries.dupWordRatio _),
     "q_decontaminate"        -> (LlmQueries.decontaminateKeep _),
@@ -631,6 +632,17 @@ object SparkEntry {
     "q_distinct_counts" ->
       """SELECT count(DISTINCT user_id) AS n_exact,
         |  true AS approx_within_10pct FROM events""".stripMargin,
+    "q_det_split" ->
+      """WITH b AS (SELECT event_type, user_id,
+        |  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+        |    AS INT) AS bk
+        |  FROM events)
+        |SELECT event_type,
+        |  CASE WHEN bk < 230 THEN 'train'
+        |       WHEN bk < 243 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM b GROUP BY 1, 2 ORDER BY event_type, split""".stripMargin,
     "q_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id,
