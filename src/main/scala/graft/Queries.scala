@@ -532,6 +532,16 @@ object Queries {
       .orderBy("fname", "var_path")
   }
 
+  /** Data profiling: per-column null/distinct/min/max in ONE scan
+    * ([[graft.operators.Profile]]). Long/string columns only in the
+    * oracle — double/timestamp→string rendering differs between
+    * engines. */
+  def profileEvents(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(
+      t(s, dir, "events").select("event_id", "user_id", "event_type"))
+      .withColumnRenamed("column", "col_name")
+      .orderBy("col_name")
+
   // ------------------------------------------------------------------
   // temporal joins
   // ------------------------------------------------------------------

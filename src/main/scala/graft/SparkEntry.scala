@@ -90,6 +90,7 @@ object SparkEntry {
     "q_embed_near_dups"      -> (LlmQueries.embeddingNearDups _),
     "q_distinct_counts"      -> (LlmQueries.distinctCounts _),
     "q_det_split"            -> (LlmQueries.detSplit _),
+    "q_profile"              -> (Queries.profileEvents _),
     "q_pii_redact"           -> (LlmQueries.piiRedact _),
     "q_dup_word_ratio"       -> (LlmQueries.dupWordRatio _),
     "q_decontaminate"        -> (LlmQueries.decontaminateKeep _),
@@ -643,6 +644,23 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM b GROUP BY 1, 2 ORDER BY event_type, split""".stripMargin,
+    "q_profile" ->
+      """SELECT 'event_id' AS col_name,
+        |  count(*) - count(event_id) AS n_nulls,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(min(event_id) AS VARCHAR) AS min_value,
+        |  CAST(max(event_id) AS VARCHAR) AS max_value FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*) - count(event_type),
+        |  count(DISTINCT event_type),
+        |  CAST(min(event_type) AS VARCHAR),
+        |  CAST(max(event_type) AS VARCHAR) FROM events
+        |UNION ALL
+        |SELECT 'user_id', count(*) - count(user_id),
+        |  count(DISTINCT user_id),
+        |  CAST(min(user_id) AS VARCHAR),
+        |  CAST(max(user_id) AS VARCHAR) FROM events
+        |ORDER BY col_name""".stripMargin,
     "q_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id,
