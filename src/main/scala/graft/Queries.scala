@@ -576,6 +576,33 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Tolerance as-of join: most recent click at most 1 hour before
+    * each purchase — the bounded-staleness lookup. */
+  def asofJoinTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    graft.operators.AsOfJoin.join(purchases, clicks,
+      key = "user_id", leftTime = "ts", rightTime = "click_ts",
+      toleranceMicros = Some(3600L * 1000000L))
+      .select("event_id", "click_id")
+      .orderBy("event_id")
+  }
+
+  /** Quartile assignment per group (ntile) — the quantile-bucketing
+    * shape for quality-score stratification. */
+  def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("event_id")
+  }
+
   /** Range join: clicks inside any [error, error+1d) window of the
     * same user — binned equi-join, [[graft.operators.RangeJoin]],
     * never a non-equi product. */

@@ -39,6 +39,8 @@ object SparkEntry {
     "q_j3_anti_join"         -> (Queries.j3AntiJoin _),
     "q_asof_join"            -> (Queries.asofJoin _),
     "q_asof_fwd"             -> (Queries.asofJoinForward _),
+    "q_asof_tol"             -> (Queries.asofJoinTolerance _),
+    "q_ntile"                -> (Queries.ntileQuartiles _),
     "q_range_join"           -> (Queries.rangeJoin _),
     "q_interval_join"        -> (Queries.intervalJoin _),
     // aggregations / windows / set ops
@@ -227,6 +229,21 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts <= c.click_ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_asof_tol" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS cid, user_id, ts AS cts
+        |           FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, arg_max(c.cid, c.cts) AS click_id
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.cts <= p.ts
+        |  AND c.cts >= p.ts - INTERVAL 1 HOUR
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+        |  ntile(4) OVER (PARTITION BY event_type
+        |                 ORDER BY value, event_id) AS quartile
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_range_join" ->
       """SELECT c.event_id AS click_id, e.event_id AS error_id,
         |  c.user_id, c.ts AS click_ts, e.ts AS error_ts
