@@ -230,14 +230,20 @@ object SparkEntry {
         |  ON p.user_id = c.user_id AND p.ts <= c.click_ts
         |ORDER BY p.event_id""".stripMargin,
     "q_asof_tol" ->
-      """WITH p AS (SELECT event_id, user_id, ts FROM events
+      // the tolerance boundary compares in MICROS on both engines:
+      // Spark sees micros-truncated timestamps (nanosAsLong div 1000)
+      // while raw DuckDB would compare native nanos — a sub-us gap at
+      // exactly 1 hour would classify differently
+      """WITH p AS (SELECT event_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
         |           WHERE event_type = 'purchase'),
-        |     c AS (SELECT event_id AS cid, user_id, ts AS cts
+        |     c AS (SELECT event_id AS cid, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS cus
         |           FROM events WHERE event_type = 'click')
-        |SELECT p.event_id, arg_max(c.cid, c.cts) AS click_id
+        |SELECT p.event_id, arg_max(c.cid, c.cus) AS click_id
         |FROM p LEFT JOIN c
-        |  ON p.user_id = c.user_id AND c.cts <= p.ts
-        |  AND c.cts >= p.ts - INTERVAL 1 HOUR
+        |  ON p.user_id = c.user_id AND c.cus <= p.tus
+        |  AND c.cus >= p.tus - 3600000000
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
     "q_ntile" ->
       """SELECT event_id, event_type,

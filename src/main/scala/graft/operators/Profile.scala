@@ -22,6 +22,7 @@ object Profile {
     val spark = df.sparkSession
     import spark.implicits._
     val cols = df.columns
+    require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         (count(lit(1)) - count(col(c))).as(s"__nulls_$c"),
@@ -30,10 +31,11 @@ object Profile {
         max(col(c)).cast("string").as(s"__max_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // an all-null column keeps NULL min/max (distinct from a real ""
+    // minimum, and the shape SQL oracles produce)
     cols.zipWithIndex.map { case (c, i) =>
       (c, row.getLong(4 * i), row.getLong(4 * i + 1),
-        Option(row.getString(4 * i + 2)).getOrElse(""),
-        Option(row.getString(4 * i + 3)).getOrElse(""))
+        row.getString(4 * i + 2), row.getString(4 * i + 3))
     }.toSeq
       .toDF("column", "n_nulls", "n_distinct", "min_value", "max_value")
   }

@@ -88,16 +88,23 @@ object StreamingAsOf {
           state.getOption.getOrElse((Long.MinValue, null: Row))
         val out = Seq.newBuilder[Row]
         // event-time order within the batch; side 0 first on ties so
-        // an equal-time reference is visible (the <= contract)
+        // an equal-time reference is visible (the <= contract); the
+        // struct rendering breaks equal-time reference ties
+        // deterministically (last overwrite wins), mirroring the
+        // batch operator's struct tiebreak
         val sorted = rows.toArray.sortBy(r =>
           (if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
-            r.getInt(2)))
+            r.getInt(2),
+            if (r.getInt(2) == 0) String.valueOf(r.getStruct(4)) else ""))
         sorted.foreach { r =>
           if (r.getInt(2) == 0) {
             val t = r.getLong(1)
             if (t >= carriedT) { carriedT = t; carried = r.getStruct(4) }
           } else {
-            out += Row(r.getStruct(3), carried)
+            // null event time: kept, but never matches (same contract
+            // as the batch AsOfJoin) — regardless of batch boundaries
+            out += Row(r.getStruct(3),
+              if (r.isNullAt(1)) null else carried)
           }
         }
         if (carried != null) state.update((carriedT, carried))

@@ -203,6 +203,35 @@ class LlmSpec extends SparkSuite {
     assert(Multimodal.resizeImage(img, 512, 512) eq img)
   }
 
+  test("deterministic sampling: rate bounds, repeatability, subset " +
+    "and bucket-predicate agreement") {
+    import graft.llm.Sampling
+    import org.apache.spark.sql.functions._
+    val ev = Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id")
+    val n = ev.count()
+    assert(Sampling.deterministicSample(ev, col("event_id"), 256)
+      .count() == n)
+    assert(Sampling.deterministicSample(ev, col("event_id"), 0)
+      .count() == 0)
+    val s1 = Sampling.deterministicSample(ev, col("event_id"), 32)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(ev, col("event_id"), 32)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2) // repeatable
+    // ~32/256 = 12.5% within loose bounds
+    assert(s1.size > n / 16 && s1.size < n / 4, s"got ${s1.size} of $n")
+    // agrees with the split assignment: sampled rows are exactly the
+    // ones whose bucket is < 32
+    val buckets = ev.select(col("event_id"),
+      Sampling.bucket256(col("event_id")).as("b")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(s1 == buckets.filter(_._2 < 32).keySet)
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSample(ev, col("event_id"), 257)
+    }
+  }
+
   test("mergeable HLL sketches: per-partition sketch tables union to " +
     "the global distinct estimate (the 100 TB pattern)") {
     import org.apache.spark.sql.functions._

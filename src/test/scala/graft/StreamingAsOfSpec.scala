@@ -23,7 +23,8 @@ class StreamingAsOfSpec extends SparkSuite {
           """{"kind":"ev","sym":"B","ts":"2024-01-01T10:06:00Z","px":null,"id":2}"""),
       "b2.json" ->
         ("""{"kind":"ref","sym":"A","ts":"2024-01-01T11:00:00Z","px":12.5,"id":0}""" + "\n" +
-          """{"kind":"ev","sym":"A","ts":"2024-01-01T11:30:00Z","px":null,"id":3}"""))
+          """{"kind":"ev","sym":"A","ts":"2024-01-01T11:30:00Z","px":null,"id":3}""" + "\n" +
+          """{"kind":"ev","sym":"A","ts":null,"px":null,"id":4}"""))
     files.zipWithIndex.foreach { case ((name, content), i) =>
       val p = java.nio.file.Paths.get(inDir, name)
       Files.writeString(p, content)
@@ -66,7 +67,9 @@ class StreamingAsOfSpec extends SparkSuite {
       .collect().map(r =>
         (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
     // trade 1: A priced 10.0 (same batch, earlier event time);
-    // trade 2: B unseen -> null; trade 3: A repriced 12.5 in batch 2
-    assert(rows.toSeq == Seq((1L, 10.0), (2L, -1.0), (3L, 12.5)))
+    // trade 2: B unseen -> null; trade 3: A repriced 12.5 in batch 2;
+    // trade 4: null event time never matches despite carried state
+    assert(rows.toSeq ==
+      Seq((1L, 10.0), (2L, -1.0), (3L, 12.5), (4L, -1.0)))
   }
 }
