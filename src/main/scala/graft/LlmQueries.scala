@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Similarity, Text}
+import graft.llm.{Dedup, Packing, Similarity, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -253,4 +253,64 @@ object LlmQueries {
       .agg(count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type", "split")
+
+  /** Sliding token-window chunking (window 16, stride 8) — the
+    * long-document splitter of [[graft.llm.Packing]]. Pure per-row
+    * explode, no shuffle. */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkWindows(t(s, dir, "documents"), "doc_id", "text", 16, 8)
+      .orderBy("doc_id", "chunk_id")
+
+  /** GPT-style concat-and-split packing at capacity 200: per-sequence
+    * doc/token/boundary-crossing stats. The global running sum uses the
+    * two-phase distributed prefix scan, not a one-task window. */
+  def packConcat(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Packing.packConcat(d, "doc_id", "n_tokens", 200)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_tokens").cast("bigint").as("seq_tokens"),
+        sum(when(col("spans_boundary"), 1).otherwise(0)).cast("bigint")
+          .as("n_spanning"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
+  }
+
+  /** First-fit greedy packing (no doc splitting) per language at
+    * capacity 200 — streamed sorted-group walk, O(1) state per group. */
+  def packGreedy(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+      Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Packing.packGreedy(d, "lang", "doc_id", "n_tokens", 200)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("n_tokens").cast("bigint").as("bin_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  /** Corpus TF-IDF: top-25 terms by total term frequency, with document
+    * frequency and smoothed idf = ln((N+1)/(df+1)) + 1. Ranking is by
+    * integer counts (term asc tiebreak), so it is exactly reproducible;
+    * only the reported idf is floating point, rounded to 6 dp. */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term").agg(
+      count(lit(1)).cast("bigint").as("df"),
+      sum("tf").cast("bigint").as("total_tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(n))
+      .withColumn("idf",
+        round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + 1.0, 6))
+      .select("term", "df", "total_tf", "idf")
+      .orderBy(desc("total_tf"), asc("term"))
+      .limit(25)
+  }
 }

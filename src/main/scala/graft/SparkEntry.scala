@@ -97,6 +97,11 @@ object SparkEntry {
     "q_dup_word_ratio"       -> (LlmQueries.dupWordRatio _),
     "q_decontaminate"        -> (LlmQueries.decontaminateKeep _),
     "q_repeated_spans"       -> (LlmQueries.repeatedSpanStats _),
+    // chunking / packing / tf-idf (training-data prep)
+    "q_chunk_windows"        -> (LlmQueries.chunkWindows _),
+    "q_pack_concat"          -> (LlmQueries.packConcat _),
+    "q_pack_greedy"          -> (LlmQueries.packGreedy _),
+    "q_tfidf_terms"          -> (LlmQueries.tfidfTerms _),
     // raster / array-file header scans (fixture-pinned)
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
@@ -796,6 +801,78 @@ object SparkEntry {
         |) AS t(fname, ok, format, var_path, dim0, dim1, type_name,
         |       fill_value)
         |ORDER BY fname, var_path""".stripMargin,
+    "q_chunk_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |e AS (
+        |  SELECT doc_id, words, len(words) AS n,
+        |    unnest(range(0, len(words), 8)) AS start FROM d)
+        |SELECT doc_id, CAST(start // 8 AS INT) AS chunk_id,
+        |  CAST(least(16, n - start) AS INT) AS n_chunk_tokens,
+        |  array_to_string(words[start + 1 : least(start + 16, n)], ' ')
+        |    AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_pack_concat" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d),
+        |a AS (
+        |  SELECT doc_id, n_tokens,
+        |    (cum - n_tokens) // 200 AS seq_id,
+        |    (n_tokens > 0 AND (cum - 1) // 200 > (cum - n_tokens) // 200)
+        |      AS spans
+        |  FROM c)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  CAST(sum(CASE WHEN spans THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_spanning,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM a GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "q_pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |fill AS (
+        |  SELECT lang, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+        |    n_tokens AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN f.fill + d.n_tokens <= 200 THEN f.bin
+        |         ELSE f.bin + 1 END,
+        |    CASE WHEN f.fill + d.n_tokens <= 200 THEN f.fill + d.n_tokens
+        |         ELSE d.n_tokens END
+        |  FROM fill f JOIN d ON d.lang = f.lang AND d.rn = f.rn + 1)
+        |SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM fill GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "q_tfidf_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term, df, total_tf,
+        |  round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+        |FROM stats, n
+        |ORDER BY total_tf DESC, term LIMIT 25""".stripMargin,
   )
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,
