@@ -109,16 +109,25 @@ object GraftFunctions {
       arity2("graft_might_contain",
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain.apply)))
 
-  /** Runtime registration on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Runtime registration on an existing session: SQL functions plus
+    * the graft optimizer rules (idempotent; the rules are opt-in via
+    * their own confs, so presence alone changes no plans). */
+  def register(spark: SparkSession): Unit = {
     registrations.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(id, info, builder)
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.exists(_.isInstanceOf[graft.plans.RangeJoinRule]))
+      spark.experimental.extraOptimizations =
+        extra :+ graft.plans.RangeJoinRule(spark)
+  }
 
   /** SparkSessionExtensions hook (for `spark.sql.extensions`). */
-  def injectInto(ext: SparkSessionExtensions): Unit =
+  def injectInto(ext: SparkSessionExtensions): Unit = {
     registrations.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(s => graft.plans.RangeJoinRule(s))
+  }
 }
 
 /** `spark.sql.extensions=graft.GraftExtensions` entry point. */
