@@ -21,7 +21,9 @@ object PlanAudit {
       "q_a5_cumulative_cap", "q_g1_geometry", "q_simhash_near_dups",
       "q_clean_corpus", "q_decontaminate", "q_repeated_spans",
       "q_asof_join", "q_asof_fwd", "q_range_join", "q_interval_join",
-      "q_sessionize", "q_percentiles", "q_rollup", "q_w_sliding")
+      "q_sessionize", "q_percentiles", "q_rollup", "q_w_sliding",
+      "q_chunk_windows", "q_pack_concat", "q_pack_greedy",
+      "q_tfidf_terms")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)
