@@ -816,8 +816,9 @@ object SparkEntry {
     "q_pack_concat" ->
       """WITH d AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |        AS BIGINT) END AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_tokens,
@@ -839,8 +840,9 @@ object SparkEntry {
     "q_pack_greedy" ->
       """WITH RECURSIVE d AS (
         |  SELECT lang, doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |        AS BIGINT) END AS n_tokens,
         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         |  FROM documents),
         |fill AS (

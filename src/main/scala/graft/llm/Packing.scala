@@ -1,8 +1,9 @@
 package graft.llm
 
 import graft.operators.Prefix
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Sequence chunking and packing for LLM training-data prep.
   *
@@ -70,33 +71,39 @@ object Packing {
     * `groupCol` group, walk documents in ascending `idCol` order and
     * append to the current bin while it fits in `capacity`, else open a
     * new bin. Documents larger than `capacity` get a bin of their own.
-    * Returns (group, id, tokens, bin).
+    * Returns all input columns plus `bin` (numbering restarts at 0 per
+    * group); `idCol` may be any orderable type, `tokensCol` any numeric
+    * (nulls pack as 0).
     *
     * Each group's iterator is streamed in sorted order with O(1) state
     * (`flatMapSortedGroups` — Spark sorts within the exchange, we never
-    * collect a group). Bin numbering restarts at 0 per group. */
+    * collect a group). */
   def packGreedy(docs: DataFrame, groupCol: String, idCol: String,
                  tokensCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val s = docs.sparkSession
-    import s.implicits._
+    val outSchema = StructType(docs.schema.fields)
+      .add("bin", LongType, nullable = false)
+    val tIdx = docs.schema.fieldIndex(tokensCol)
+    implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
     docs
-      .select(col(groupCol).cast("string").as("_g"),
-        col(idCol).cast("long").as("_id"),
-        col(tokensCol).cast("long").as("_n"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapSortedGroups(col("_id")) { (g, it) =>
+      .groupByKey((r: Row) =>
+        String.valueOf(r.getAs[Any](groupCol)))(Encoders.STRING)
+      .flatMapSortedGroups(col(idCol)) { (_, it) =>
         var bin = -1L
         var fill = 0L
         var started = false
-        it.map { case (_, id, n) =>
+        it.map { r =>
+          val n = r.get(tIdx) match {
+            case null      => 0L
+            case x: Number => x.longValue()
+            case other => throw new IllegalArgumentException(
+              s"$tokensCol must be numeric, got: ${other.getClass}")
+          }
           if (!started || fill + n > capacity) {
             bin += 1; fill = n; started = true
           } else fill += n
-          (g, id, n, bin)
+          Row.fromSeq(r.toSeq :+ bin)
         }
       }
-      .toDF(groupCol, idCol, tokensCol, "bin")
   }
 }

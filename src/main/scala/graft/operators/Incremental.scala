@@ -60,16 +60,30 @@ object Incremental {
       val wm = maxTs.getLong(0)
       val prev = watermark(processed.sparkSession, checkpoint)
       val next = math.max(wm, prev.getOrElse(Long.MinValue))
+      val hconf = processed.sparkSession.sparkContext.hadoopConfiguration
       val p = new Path(checkpoint)
-      val fs = p.getFileSystem(
-        processed.sparkSession.sparkContext.hadoopConfiguration)
+      val fs = p.getFileSystem(hconf)
       val tmp = new Path(checkpoint + ".tmp")
       val out = fs.create(tmp, true)
       try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      if (fs.exists(p)) fs.delete(p, false)
-      if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"watermark rename failed: $checkpoint")
+      // Rename OVER the old file in one step (FileContext supports
+      // OVERWRITE); delete-then-rename would leave a window where a
+      // crash loses the watermark entirely and the next run reprocesses
+      // the whole table instead of replaying one batch.
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          p.toUri, hconf)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no FileContext for this scheme: fall back, accepting the
+          // tiny non-atomic window rather than failing the commit
+          if (fs.exists(p)) fs.delete(p, false)
+          if (!fs.rename(tmp, p))
+            throw new java.io.IOException(
+              s"watermark rename failed: $checkpoint")
+      }
       Some(next)
     }
   }

@@ -48,16 +48,15 @@ object Layout {
               targetBytes: Long): CompactStats = {
     require(targetBytes > 0)
     val in = dataFiles(spark, inDir)
-    val conf = spark.conf
-    val saved = Seq("spark.sql.files.maxPartitionBytes",
-      "spark.sql.files.openCostInBytes").map(k => k -> conf.get(k))
-    try {
-      conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-      // openCost=0: pack purely by real bytes, so many tiny files
-      // coalesce into one partition instead of 4 MB-each phantom cost
-      conf.set("spark.sql.files.openCostInBytes", "0")
-      spark.read.parquet(inDir).write.mode("overwrite").parquet(outDir)
-    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+    // A cloned session shares the SparkContext but has its own SQLConf,
+    // so the scan-packing knobs never leak into (or race with) queries
+    // planned concurrently on the caller's session.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    // openCost=0: pack purely by real bytes, so many tiny files
+    // coalesce into one partition instead of 4 MB-each phantom cost
+    s2.conf.set("spark.sql.files.openCostInBytes", "0")
+    s2.read.parquet(inDir).write.mode("overwrite").parquet(outDir)
     CompactStats(in.size, in.map(_.getLen).sum,
       dataFiles(spark, outDir).count(_.getPath.getName.endsWith(".parquet")))
   }
@@ -73,6 +72,10 @@ object Layout {
   private[graft] def interleaveBits(buckets: Seq[Column],
                                         bits: Int): Column = {
     val n = buckets.size
+    // bit 63 is the sign: letting any bit land there (or wrap mod 64)
+    // would corrupt the range-partition ordering silently
+    require(n * bits <= 63,
+      s"z-order width ${n}x$bits exceeds 63 bits; lower bitsPerDim")
     var z = lit(0L)
     for (j <- 0 until bits; i <- 0 until n) {
       val bit = shiftright(buckets(i).cast("long"), j).bitwiseAND(lit(1L))

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Distributed exact prefix sums.
   *
@@ -13,55 +14,63 @@ import org.apache.spark.sql.functions._
   *
   *   1. range-partition by the order column (sampled range exchange —
   *      the same machinery `orderBy` uses), sort within partitions;
-  *   2. one tiny job aggregates a per-partition partial sum
-  *      (numPartitions rows to the driver — KBs at any scale);
-  *   3. each partition's exclusive starting offset is broadcast back as
-  *      a literal map and added to the per-partition running sum.
+  *   2. one job computes a per-partition partial sum
+  *      (numPartitions longs to the driver — KBs at any scale);
+  *   3. each partition streams its rows once more, adding its exclusive
+  *      starting offset.
   *
-  * Every row is touched exactly twice (once for partials, once for the
-  * windowed pass) and no task ever sees more than its own partition —
-  * this shape survives a 100 TB input, where the naive global window
-  * would OOM one executor.
+  * Both jobs hang off the SAME shuffled RDD, so the range exchange runs
+  * once and the second job reuses the shuffle files (a skipped stage) —
+  * no persist, no cache leak, no second exchange. No task ever sees
+  * more than its own partition; the shape survives a 100 TB input,
+  * where the naive global window would OOM one executor.
   */
 object Prefix {
 
-  /** Inclusive running sum of `valueCol` (integral) in ascending
-    * `orderCol` order, emitted as `outCol` (long). `orderCol` must be
-    * unique (it is the total order); ties would make the result
-    * nondeterministic across partitionings.
-    */
+  /** Inclusive running sum of `valueCol` (integral, nulls count as 0 —
+    * matching window-sum semantics) in ascending `orderCol` order,
+    * emitted as `outCol` (long). `orderCol` must be unique (it is the
+    * total order); ties would make the result nondeterministic across
+    * partitionings. */
   def runningSum(df: DataFrame, orderCol: String, valueCol: String,
                  outCol: String,
                  numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
-            else df.sparkSession.sessionState.conf.numShufflePartitions
-    val parted = df
+            else spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .select(df.columns.map(col) :+
+        col(valueCol).cast("long").as("_v"): _*)
       .repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(orderCol)
-      .withColumn("_pid", spark_partition_id())
-      .persist()
+    val vIdx = sorted.columns.length - 1
 
-    // Phase 2: per-partition partials -> exclusive offsets (driver-side,
-    // numPartitions rows only).
-    val partials = parted.groupBy("_pid")
-      .agg(sum(col(valueCol).cast("long")).as("_psum"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    val offsets: Map[Int, Long] = {
+    // ONE concrete RDD: both jobs below share its shuffle dependency,
+    // so the exchange executes once and is then a skipped stage.
+    val sortedRdd = sorted.rdd
+
+    // Phase 2: per-partition partials -> exclusive offsets.
+    val partials = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = 0L
-      partials.map { case (pid, s) => val o = pid -> acc; acc += s; o }.toMap
+      it.foreach(r => if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx))
+      Iterator((pid, acc))
+    }.collect().sortBy(_._1)
+    val offsets: Array[Long] = {
+      var acc = 0L
+      partials.map { case (_, s) => val o = acc; acc += s; o }
     }
 
-    // Phase 3: in-partition running sum + broadcast offset. The map is
-    // a literal (numPartitions entries), so no join and no shuffle.
-    val w = Window.partitionBy("_pid").orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .withColumn(outCol,
-        sum(col(valueCol).cast("long")).over(w) +
-          coalesce(element_at(typedlit(offsets), col("_pid")), lit(0L)))
-      .drop("_pid")
+    // Phase 3: stream each partition once, carrying the offset.
+    val outRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        if (!r.isNullAt(vIdx)) acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq.dropRight(1) :+ acc)
+      }
+    }
+    val schema = StructType(df.schema.fields)
+      .add(outCol, LongType, nullable = false)
+    spark.createDataFrame(outRdd, schema)
   }
 
   /** Reference single-partition implementation (spec cross-check only —

@@ -31,10 +31,13 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *
   * The equality conjunct lets the planner pick a hash/sort-merge join;
   * the original conjuncts stay in the condition, so the rewrite is
-  * correctness-preserving for ANY interval data (inverted intervals
-  * explode to a couple of junk bins that the retained predicates
-  * discard). Every qualifying pair still meets in exactly one bin —
-  * the point's — so no dedup is needed.
+  * correctness-preserving for ANY interval data: inverted/empty
+  * intervals (which can contain no point) produce an empty bin array
+  * and drop out at the explode, and intervals spanning more than
+  * `spark.graft.rangeJoin.maxBins` bins fail fast with an actionable
+  * error instead of materializing a giant array. Every qualifying pair
+  * still meets in exactly one bin — the point's — so no dedup is
+  * needed.
   *
   * Opt-in via `spark.graft.rangeJoin.enabled=true`;
   * `spark.graft.rangeJoin.binMicros` (default 1h) should be >= the
@@ -48,16 +51,36 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
 
   private def enabled: Boolean =
     spark.conf.get("spark.graft.rangeJoin.enabled", "false").toBoolean
-  private def binWidth: Long =
-    spark.conf.get("spark.graft.rangeJoin.binMicros",
-      (3600L * 1000000L).toString).toLong
+
+  /** None (rule disabled, warn once per apply) on a non-positive or
+    * unparseable width — never an opaque throw inside the optimizer. */
+  private def binWidth: Option[Long] = {
+    val raw = spark.conf.get("spark.graft.rangeJoin.binMicros",
+      (3600L * 1000000L).toString)
+    raw.toLongOption.filter(_ > 0).orElse {
+      logWarning(s"spark.graft.rangeJoin.binMicros='$raw' invalid " +
+        "(need a positive long); range-join rewrite disabled")
+      None
+    }
+  }
+
+  /** Intervals spanning more bins than this fail fast with an
+    * actionable message instead of materializing a giant bin array. */
+  private def maxBins: Long =
+    spark.conf.get("spark.graft.rangeJoin.maxBins", "8192")
+      .toLongOption.filter(_ > 0).getOrElse(8192L)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) plan
-    else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(cond), _)
-          if !cond.references.exists(a => a.name == BinL || a.name == BinR) =>
-        rewrite(j).getOrElse(j)
+    else binWidth match {
+      case None => plan
+      case Some(width) =>
+        val cap = maxBins
+        plan.transformUp {
+          case j @ Join(_, _, Inner, Some(cond), _)
+              if !cond.references.exists(a => a.name == BinL || a.name == BinR) =>
+            rewrite(j, width, cap).getOrElse(j)
+        }
     }
   }
 
@@ -93,13 +116,13 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   /** Floor-division bin (matches RangeJoin.binOf: pre-epoch safe). */
-  private def binOf(x: Expression): Expression = {
-    val b = Literal(binWidth)
+  private def binOf(x: Expression, width: Long): Expression = {
+    val b = Literal(width)
     Subtract(IntegralDivide(x, b),
       If(LessThan(Remainder(x, b), Literal(0L)), Literal(1L), Literal(0L)))
   }
 
-  private def rewrite(j: Join): Option[LogicalPlan] = {
+  private def rewrite(j: Join, width: Long, cap: Long): Option[LogicalPlan] = {
     val (left, right, hint) = (j.left, j.right, j.hint)
     val cond = j.condition.get
     val conjuncts = splitConjunctivePredicates(cond)
@@ -126,20 +149,36 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     } yield (pL, s, e, incl, pointSide)
 
     candidates.headOption.map { case (p, s, e, incl, pointOnLeft) =>
-      val binP = Alias(binOf(micros(p)), BinL)()
-      val stop = if (incl) binOf(micros(e))
-                 else binOf(Subtract(micros(e), Literal(1L)))
+      val binP = Alias(binOf(micros(p), width), BinL)()
+      val start = binOf(micros(s), width)
+      val stop = if (incl) binOf(micros(e), width)
+                 else binOf(Subtract(micros(e), Literal(1L)), width)
+      // Oversized spans (open-ended sentinel bounds, binMicros far too
+      // small) would explode to millions of rows or overflow the array
+      // limit mid-query — fail fast with an actionable message instead.
+      val guardedStop = If(GreaterThan(Subtract(stop, start), Literal(cap)),
+        Cast(new RaiseError(Literal(
+          s"graft range-join rewrite: an interval spans more than $cap " +
+            "bins; raise spark.graft.rangeJoin.binMicros (or maxBins), " +
+            "or disable spark.graft.rangeJoin.enabled")), LongType),
+        stop)
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
       // stays unresolved and fails post-rule plan validation
-      val seq = Sequence(binOf(micros(s)), stop, None,
+      val seq = Sequence(start, guardedStop, None,
         Some(spark.sessionState.conf.sessionLocalTimeZone))
+      // Inverted/empty intervals can't contain any point (the retained
+      // bound conjuncts are unsatisfiable) — drop them at the explode
+      // rather than letting Sequence default to a DESCENDING step and
+      // enumerate every bin in between.
+      val bins = If(LessThan(stop, start),
+        Literal.create(Array.empty[Long], seq.dataType), seq)
       val binI = AttributeReference(BinR, LongType,
-        nullable = seq.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        nullable = bins.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
           .containsNull)()
       def addBin(side: LogicalPlan): LogicalPlan =
         Project(side.output :+ binP, side)
       def addExplode(side: LogicalPlan): LogicalPlan =
-        Generate(Explode(seq), Nil, outer = false, None, Seq(binI), side)
+        Generate(Explode(bins), Nil, outer = false, None, Seq(binI), side)
       val (newLeft, newRight) =
         if (pointOnLeft) (addBin(left), addExplode(right))
         else (addExplode(left), addBin(right))

@@ -24,6 +24,13 @@ class LayoutSpec extends SparkSuite {
     assert(df.as[Long].collect().toSeq === Seq(5L, 10L, 6L))
   }
 
+  test("interleaveBits rejects widths that would spill past bit 62") {
+    val cols = (1 to 5).map(i => col(s"c$i"))
+    intercept[IllegalArgumentException] {
+      Layout.interleaveBits(cols, 16)
+    }
+  }
+
   test("compact: many small files become few target-sized files, rows kept") {
     val in = tmp("layout-in")
     val out = tmp("layout-out")

@@ -70,6 +70,31 @@ class PackingSpec extends SparkSuite {
       ("en", 1L, 0L), ("en", 2L, 1L), ("en", 3L, 1L), ("en", 4L, 2L)))
   }
 
+  test("packGreedy: non-numeric ids keep their type and sort order") {
+    val df = Seq(("en", "doc-b", 5L), ("en", "doc-a", 5L), ("en", "doc-c", 5L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val out = Packing.packGreedy(df, "lang", "doc_id", "n_tokens", 10)
+      .select("doc_id", "bin").as[(String, Long)].collect().toMap
+    // string order: a,b fill bin 0; c opens bin 1
+    assert(out === Map("doc-a" -> 0L, "doc-b" -> 0L, "doc-c" -> 1L))
+  }
+
+  test("packGreedy: null token counts pack as zero") {
+    val df = Seq(("en", 1L, Some(5L)), ("en", 2L, None), ("en", 3L, Some(5L)))
+      .toDF("lang", "doc_id", "n_tokens")
+    val out = Packing.packGreedy(df, "lang", "doc_id", "n_tokens", 10)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("Prefix.runningSum: null values add zero") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "v")
+    val out = Prefix.runningSum(df, "id", "v", "cum", numPartitions = 2)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
+  }
+
   test("packGreedy: bins never exceed capacity unless a single doc does") {
     val rnd = new scala.util.Random(11)
     val rows = (1L to 300L).map(i => ("g" + (i % 3), i, 1L + rnd.nextInt(60)))

@@ -116,6 +116,53 @@ class RangeJoinRuleSpec extends SparkSuite {
     assert(!planOf(got).contains("_graft_bin"))
   }
 
+  test("inverted intervals drop out instead of exploding descending bins") {
+    // en << st: a naive sequence(bin(st), bin(en-1)) would default to
+    // step -1 and enumerate every bin in between
+    val i = Seq((900L, 4000L, 0L)).toDF("iid", "s_sec", "e_sec")
+      .withColumn("st", expr("timestamp_seconds(s_sec)"))
+      .withColumn("en", expr("timestamp_seconds(e_sec)"))
+      .select("iid", "st", "en")
+    withRule(on = true) {
+      val got = points.join(i,
+        col("pt") >= col("st") && col("pt") < col("en"))
+      assert(planOf(got).contains("_graft_bin"))
+      assert(got.count() === 0)
+    }
+  }
+
+  test("oversized spans fail fast with an actionable error") {
+    val i = Seq((900L, 0L, 100000000L)).toDF("iid", "s_sec", "e_sec")
+      .withColumn("st", expr("timestamp_seconds(s_sec)"))
+      .withColumn("en", expr("timestamp_seconds(e_sec)"))
+      .select("iid", "st", "en")
+    spark.conf.set("spark.graft.rangeJoin.maxBins", "10")
+    try withRule(on = true, binMicros = 1000000L) {
+      val ex = intercept[Exception] {
+        points.join(i,
+          col("pt") >= col("st") && col("pt") < col("en")).count()
+      }
+      assert(ex.getMessage.contains("spans more than") ||
+        Option(ex.getCause).exists(_.getMessage.contains("spans more than")),
+        s"unexpected error: $ex")
+    } finally spark.conf.unset("spark.graft.rangeJoin.maxBins")
+  }
+
+  test("invalid binMicros disables the rewrite instead of corrupting results") {
+    spark.conf.set("spark.graft.rangeJoin.binMicros", "0")
+    spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    try {
+      val got = points.join(intervals,
+        col("pt") >= col("st") && col("pt") < col("en"))
+        .select("pid", "iid")
+      assert(!planOf(got).contains("_graft_bin"))
+      assert(got.count() === 4)
+    } finally {
+      spark.conf.set("spark.graft.rangeJoin.enabled", "false")
+      spark.conf.unset("spark.graft.rangeJoin.binMicros")
+    }
+  }
+
   test("bounds from both sides: not a range join, untouched") {
     val p = Seq((1L, 10L, 20L)).toDF("pid", "x", "ub")
     val i = Seq((100L, 5L)).toDF("iid", "lo")
