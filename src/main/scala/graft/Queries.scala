@@ -392,6 +392,17 @@ object Queries {
       .select(col("user_id"))
       .orderBy("user_id")
 
+  /** Space-saving heavy hitters run in exact mode (capacity far above
+    * the distinct-key count), so the top-20 matches a plain group-by
+    * oracle; the same operator bounds state at nBuckets x capacity on
+    * an unbounded stream. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingTopK.heavyHitters(
+      t(s, dir, "events"), "user_id",
+      nBuckets = 8, capacity = 4096, topPerBucket = 4096)
+      .orderBy(desc("count"), asc("item"))
+      .limit(20)
+
   /** Bucketed co-located join: both sides written bucketed+sorted on
     * the join key (one write-time shuffle), then joined Exchange-free;
     * the aggregate must match the plain-join oracle. */

@@ -68,6 +68,7 @@ object SparkEntry {
     // scale utilities
     "q_skew_salted_sum"      -> (Queries.skewSaltedSum _),
     "q_stateful_dedup_keys"  -> (Queries.statefulDedupKeys _),
+    "q_heavy_hitters"        -> (Queries.heavyHitters _),
     "q_bucketed_join"        -> (Queries.bucketedJoin _),
     // STAC end-to-end
     "q_stac_regex_items"     -> (StacQueries.stacRegexItems _),
@@ -801,6 +802,12 @@ object SparkEntry {
         |) AS t(fname, ok, format, var_path, dim0, dim1, type_name,
         |       fill_value)
         |ORDER BY fname, var_path""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT CAST(user_id AS VARCHAR) AS item,
+        |  CAST(count(*) AS BIGINT) AS count,
+        |  CAST(0 AS BIGINT) AS err
+        |FROM events GROUP BY 1
+        |ORDER BY count DESC, item LIMIT 20""".stripMargin,
     "q_chunk_windows" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
