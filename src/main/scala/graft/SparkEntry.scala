@@ -806,7 +806,7 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS item,
         |  CAST(count(*) AS BIGINT) AS count,
         |  CAST(0 AS BIGINT) AS err
-        |FROM events GROUP BY 1
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1
         |ORDER BY count DESC, item LIMIT 20""".stripMargin,
     "q_chunk_windows" ->
       """WITH d AS (

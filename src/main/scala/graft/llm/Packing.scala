@@ -19,9 +19,9 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *    scan, never a single-partition window;
   *  - [[packGreedy]] (first-fit, no document splitting) is inherently
   *    sequential per group — each bin boundary depends on the whole
-  *    prefix — so it streams each group's sorted iterator through O(1)
-  *    state via `flatMapSortedGroups`; parallelism comes from the
-  *    grouping key, and no group is ever materialized in memory.
+  *    prefix — so it streams sorted partitions through O(1) state
+  *    (one hash exchange + in-partition sort); parallelism comes from
+  *    the grouping key, and no group is ever materialized in memory.
   */
 object Packing {
 
@@ -73,34 +73,43 @@ object Packing {
     * new bin. Documents larger than `capacity` get a bin of their own.
     * Returns all input columns plus `bin` (numbering restarts at 0 per
     * group); `idCol` may be any orderable type, `tokensCol` any numeric
-    * (nulls pack as 0).
-    *
-    * Each group's iterator is streamed in sorted order with O(1) state
-    * (`flatMapSortedGroups` — Spark sorts within the exchange, we never
-    * collect a group). */
+    * (nulls pack as 0). Null and binary group values are handled by
+    * value equality — no key stringification. */
   def packGreedy(docs: DataFrame, groupCol: String, idCol: String,
                  tokensCol: String, capacity: Long): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val outSchema = StructType(docs.schema.fields)
       .add("bin", LongType, nullable = false)
+    val gIdx = docs.schema.fieldIndex(groupCol)
     val tIdx = docs.schema.fieldIndex(tokensCol)
     implicit val rowEnc: Encoder[Row] = Encoders.row(outSchema)
+    // One hash exchange on the group column + in-partition sort, then a
+    // single streaming walk detecting group changes by VALUE equality
+    // (deepEquals: nulls and binary keys stay distinct groups — no
+    // stringified-key collisions). O(1) state, groups never collected.
     docs
-      .groupByKey((r: Row) =>
-        String.valueOf(r.getAs[Any](groupCol)))(Encoders.STRING)
-      .flatMapSortedGroups(col(idCol)) { (_, it) =>
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+      .mapPartitions { it =>
+        var curGroup: Any = null
+        var haveGroup = false
         var bin = -1L
         var fill = 0L
-        var started = false
         it.map { r =>
+          val g = r.get(gIdx)
           val n = r.get(tIdx) match {
             case null      => 0L
             case x: Number => x.longValue()
             case other => throw new IllegalArgumentException(
               s"$tokensCol must be numeric, got: ${other.getClass}")
           }
-          if (!started || fill + n > capacity) {
-            bin += 1; fill = n; started = true
+          val newGroup = !haveGroup ||
+            !java.util.Objects.deepEquals(curGroup, g)
+          if (newGroup) {
+            curGroup = g; haveGroup = true
+            bin = 0L; fill = n
+          } else if (fill + n > capacity) {
+            bin += 1L; fill = n
           } else fill += n
           Row.fromSeq(r.toSeq :+ bin)
         }

@@ -50,8 +50,14 @@ object Layout {
     val in = dataFiles(spark, inDir)
     // A cloned session shares the SparkContext but has its own SQLConf,
     // so the scan-packing knobs never leak into (or race with) queries
-    // planned concurrently on the caller's session.
+    // planned concurrently on the caller's session. The caller's
+    // runtime conf (compression codec, timezone, ...) is carried over —
+    // newSession() alone would silently reset it to builder defaults.
     val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     s2.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
     // openCost=0: pack purely by real bytes, so many tiny files
     // coalesce into one partition instead of 4 MB-each phantom cost

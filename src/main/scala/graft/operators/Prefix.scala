@@ -27,20 +27,27 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object Prefix {
 
-  /** Inclusive running sum of `valueCol` (integral, nulls count as 0 —
-    * matching window-sum semantics) in ascending `orderCol` order,
+  /** Inclusive running sum of `valueCol` (integral, nulls add 0; rows
+    * before any non-null value get 0) in ascending `orderCol` order,
     * emitted as `outCol` (long). `orderCol` must be unique (it is the
     * total order); ties would make the result nondeterministic across
-    * partitionings. */
+    * partitionings.
+    *
+    * Eager by necessity: the per-partition partials job runs when this
+    * is CALLED (the offsets must exist before the result plan can),
+    * costing one extra pass over the shuffled data. */
   def runningSum(df: DataFrame, orderCol: String, valueCol: String,
                  outCol: String,
                  numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
+    require(!df.columns.contains("_v"),
+      "runningSum reserves the column name _v")
+    // withColumn (not a re-select through col()) so payload column
+    // names containing dots survive untouched
     val sorted = df
-      .select(df.columns.map(col) :+
-        col(valueCol).cast("long").as("_v"): _*)
+      .withColumn("_v", col(valueCol).cast("long"))
       .repartitionByRange(n, col(orderCol))
       .sortWithinPartitions(orderCol)
     val vIdx = sorted.columns.length - 1

@@ -156,10 +156,17 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
       // Oversized spans (open-ended sentinel bounds, binMicros far too
       // small) would explode to millions of rows or overflow the array
       // limit mid-query — fail fast with an actionable message instead.
-      val guardedStop = If(GreaterThan(Subtract(stop, start), Literal(cap)),
+      // Guard on span >= cap (bin count is span+1) OR span < 0: in the
+      // non-inverted branch below stop >= start, so a negative span can
+      // only mean Subtract wrapped around Long.MaxValue (sentinel
+      // bounds) — without this check the overflow would BYPASS the cap.
+      val span = Subtract(stop, start)
+      val guardedStop = If(
+        Or(GreaterThanOrEqual(span, Literal(cap)),
+          LessThan(span, Literal(0L))),
         Cast(new RaiseError(Literal(
-          s"graft range-join rewrite: an interval spans more than $cap " +
-            "bins; raise spark.graft.rangeJoin.binMicros (or maxBins), " +
+          s"graft range-join rewrite: an interval spans $cap bins or " +
+            "more; raise spark.graft.rangeJoin.binMicros (or maxBins), " +
             "or disable spark.graft.rangeJoin.enabled")), LongType),
         stop)
       // Sequence is TimeZoneAwareExpression: without an explicit zone it

@@ -39,11 +39,13 @@ object StreamingTopK {
                    topPerBucket: Int = 16,
                    stateTtl: Option[String] = None): DataFrame = {
     require(nBuckets > 0 && capacity > 0 && topPerBucket > 0)
-    val itemIdx = ds.schema.fieldIndex(itemCol)
-    val keyed = ds.groupByKey { r: Row =>
-      val v = r.get(itemIdx)
-      if (v == null) -1
-      else math.floorMod(v.toString.hashCode, nBuckets)
+    // project BEFORE the keyed shuffle: only the item strings move, not
+    // the full rows (the caller may hand us a wide table)
+    val items = ds.select(org.apache.spark.sql.functions.col(itemCol)
+      .cast("string").as("item"))
+    val keyed = items.groupByKey { r: Row =>
+      val v = r.getString(0)
+      if (v == null) -1 else math.floorMod(v.hashCode, nBuckets)
     }(Encoders.scalaInt)
 
     val fn = (bucket: Int, rows: Iterator[Row],
@@ -53,31 +55,40 @@ object StreamingTopK {
         Iterator.empty: Iterator[Candidate]
       } else if (bucket < 0) Iterator.empty // null items
       else {
-        // batch-local exact counts first: one state pass per distinct
-        // item in the batch, not per row
+        // batch-local exact counts first: one summary update per
+        // distinct item in the batch, not per row
         val batchCounts = new scala.collection.mutable.HashMap[String, Long]()
         rows.foreach { r =>
-          val v = r.get(itemIdx)
-          if (v != null) {
-            val s = v.toString
+          val s = r.getString(0)
+          if (s != null)
             batchCounts.update(s, batchCounts.getOrElse(s, 0L) + 1L)
-          }
         }
-        var m = state.getOption.map(_.items).getOrElse(Map.empty)
+        val m = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+        state.getOption.foreach(s => m ++= s.items)
+        // ordered index on (count, item) makes eviction O(log capacity)
+        // instead of a full O(capacity) min scan per new distinct item
+        val byCount = scala.collection.mutable.TreeSet.empty[(Long, String)]
+        m.foreach { case (i, (cnt, _)) => byCount += ((cnt, i)) }
         batchCounts.foreach { case (item, c) =>
           m.get(item) match {
-            case Some((cnt, err)) => m += item -> (cnt + c, err)
-            case None if m.size < capacity => m += item -> (c, 0L)
+            case Some((cnt, err)) =>
+              byCount -= ((cnt, item))
+              m.update(item, (cnt + c, err))
+              byCount += ((cnt + c, item))
+            case None if m.size < capacity =>
+              m.update(item, (c, 0L))
+              byCount += ((c, item))
             case None =>
               // evict the minimum (deterministic tie-break on item) and
               // inherit its count as the new candidate's overestimate
-              val (minItem, (minCnt, _)) =
-                m.minBy { case (i, (cnt, _)) => (cnt, i) }
+              val min @ (minCnt, minItem) = byCount.head
+              byCount -= min
               m -= minItem
-              m += item -> (minCnt + c, minCnt)
+              m.update(item, (minCnt + c, minCnt))
+              byCount += ((minCnt + c, item))
           }
         }
-        state.update(Summary(m))
+        state.update(Summary(m.toMap))
         stateTtl.foreach(state.setTimeoutDuration)
         m.toSeq
           .sortBy { case (i, (cnt, _)) => (-cnt, i) }

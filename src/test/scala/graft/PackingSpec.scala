@@ -79,6 +79,16 @@ class PackingSpec extends SparkSuite {
     assert(out === Map("doc-a" -> 0L, "doc-b" -> 0L, "doc-c" -> 1L))
   }
 
+  test("packGreedy: null group is distinct from the string 'null'") {
+    val df = Seq((Option("null"), 1L, 5L), (Option.empty[String], 2L, 5L),
+      (Option("null"), 3L, 5L), (Option.empty[String], 4L, 5L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val out = Packing.packGreedy(df, "lang", "doc_id", "n_tokens", 8)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // two independent groups of two docs each: bins restart per group
+    assert(out === Map(1L -> 0L, 3L -> 1L, 2L -> 0L, 4L -> 1L))
+  }
+
   test("packGreedy: null token counts pack as zero") {
     val df = Seq(("en", 1L, Some(5L)), ("en", 2L, None), ("en", 3L, Some(5L)))
       .toDF("lang", "doc_id", "n_tokens")

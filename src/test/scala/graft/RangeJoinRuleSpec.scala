@@ -142,8 +142,9 @@ class RangeJoinRuleSpec extends SparkSuite {
         points.join(i,
           col("pt") >= col("st") && col("pt") < col("en")).count()
       }
-      assert(ex.getMessage.contains("spans more than") ||
-        Option(ex.getCause).exists(_.getMessage.contains("spans more than")),
+      assert(ex.getMessage.contains("graft range-join rewrite") ||
+        Option(ex.getCause).exists(
+          _.getMessage.contains("graft range-join rewrite")),
         s"unexpected error: $ex")
     } finally spark.conf.unset("spark.graft.rangeJoin.maxBins")
   }

@@ -34,15 +34,18 @@ class StatefulDedupSpec extends SparkSuite {
         org.apache.spark.sql.types.StringType)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).json(inDir)
-    val deduped = StatefulDedup.firstOccurrence(stream, "id",
-      stateTtl = Some("1 hour"))
+    // no stateTtl: a ProcessingTimeTimeout keeps AvailableNow
+    // re-triggering empty batches to fire timers, so the query never
+    // terminates within the await window (TTL is for unbounded runs)
+    val deduped = StatefulDedup.firstOccurrence(stream, "id")
     val q = deduped.writeStream
       .format("memory").queryName("sd_out")
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    try assert(q.awaitTermination(120000), "query did not finish in time")
+    finally q.stop()
     val rows = spark.sql("SELECT id, payload FROM sd_out ORDER BY id")
       .collect().map(r => (r.getString(0), r.getString(1)))
     // b's re-delivery is suppressed; its FIRST payload survives

@@ -48,8 +48,9 @@ class StreamingAsOfSpec extends SparkSuite {
       .select(col("sym"), col("ts"), col("id"))
     val reference = stream.filter(col("kind") === "ref")
       .select(col("sym"), col("ts"), col("px"))
+    // no stateTtl: processing-time timers keep AvailableNow re-triggering
     val enriched = StreamingAsOf.enrichLatest(events, reference,
-      keyCol = "sym", timeCol = "ts", stateTtl = Some("1 hour"))
+      keyCol = "sym", timeCol = "ts")
     succeed(enriched, ckpt)
   }
 
@@ -61,7 +62,8 @@ class StreamingAsOfSpec extends SparkSuite {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    try assert(q.awaitTermination(120000), "query did not finish in time")
+    finally q.stop()
     val rows = spark.sql(
       "SELECT id, px FROM sao_out ORDER BY id")
       .collect().map(r =>

@@ -48,15 +48,16 @@ class StreamingNearDupSpec extends SparkSuite {
         org.apache.spark.sql.types.StringType)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).json(inDir)
-    val flagged = StreamingNearDup.candidates(stream, "doc_id", "text",
-      stateTtl = Some("1 hour"))
+    // no stateTtl: processing-time timers keep AvailableNow re-triggering
+    val flagged = StreamingNearDup.candidates(stream, "doc_id", "text")
     val q = flagged.writeStream
       .format("memory").queryName("snd_out")
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    try assert(q.awaitTermination(120000), "query did not finish in time")
+    finally q.stop()
     val rows = spark.sql(
       "SELECT DISTINCT id, dup_of FROM snd_out")
       .collect().map(r => (r.getString(0), r.getString(1)))

@@ -57,14 +57,18 @@ class StreamingTopKSpec extends SparkSuite {
         org.apache.spark.sql.types.StringType)))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).json(inDir)
+    // no stateTtl here: a ProcessingTimeTimeout keeps AvailableNow
+    // re-triggering (empty) batches to evaluate timers, so the query
+    // never terminates — TTL is for genuinely unbounded deployments
     val hh = StreamingTopK.heavyHitters(stream, "item",
-      nBuckets = 4, capacity = 8, stateTtl = Some("1 hour"))
+      nBuckets = 4, capacity = 8)
     val q = hh.writeStream.format("memory").queryName("tk_out")
       .outputMode("update")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(60000)
+    try assert(q.awaitTermination(120000), "query did not finish in time")
+    finally q.stop()
     // the memory sink accumulates every trigger's emission; the final
     // count per item is the max across triggers
     val finalCounts = spark.table("tk_out")
