@@ -392,6 +392,21 @@ object Queries {
       .select(col("user_id"))
       .orderBy("user_id")
 
+  /** Morton (z-order) code over fixed modular buckets — gates the
+    * bit-interleave math behind [[graft.operators.Layout.zorderWrite]]
+    * against a DuckDB oracle computing the same 16 shift/mask terms.
+    * (The production path buckets by sampled quantiles, which no
+    * SQL oracle can reproduce; the interleave is the invariant.) */
+  def zorderCode(s: SparkSession, dir: String): DataFrame = {
+    val ub = col("user_id") % 256
+    val vb = floor(col("value")).cast("long") % 256
+    t(s, dir, "events")
+      .filter(col("value") >= 0)
+      .select(col("event_id"),
+        graft.operators.Layout.interleaveBits(Seq(ub, vb), 8).as("z"))
+      .orderBy("event_id")
+  }
+
   /** Space-saving heavy hitters run in exact mode (capacity far above
     * the distinct-key count), so the top-20 matches a plain group-by
     * oracle; the same operator bounds state at nBuckets x capacity on

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_skew_salted_sum"      -> (Queries.skewSaltedSum _),
     "q_stateful_dedup_keys"  -> (Queries.statefulDedupKeys _),
     "q_heavy_hitters"        -> (Queries.heavyHitters _),
+    "q_zorder_code"          -> (Queries.zorderCode _),
     "q_bucketed_join"        -> (Queries.bucketedJoin _),
     // STAC end-to-end
     "q_stac_regex_items"     -> (StacQueries.stacRegexItems _),
@@ -802,6 +803,21 @@ object SparkEntry {
         |) AS t(fname, ok, format, var_path, dim0, dim1, type_name,
         |       fill_value)
         |ORDER BY fname, var_path""".stripMargin,
+    "q_zorder_code" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id % 256 AS ub,
+        |    CAST(floor(value) AS BIGINT) % 256 AS vb
+        |  FROM events WHERE value >= 0)
+        |SELECT event_id,
+        |  (((ub >> 0) & 1) << 0) | (((vb >> 0) & 1) << 1) |
+        |  (((ub >> 1) & 1) << 2) | (((vb >> 1) & 1) << 3) |
+        |  (((ub >> 2) & 1) << 4) | (((vb >> 2) & 1) << 5) |
+        |  (((ub >> 3) & 1) << 6) | (((vb >> 3) & 1) << 7) |
+        |  (((ub >> 4) & 1) << 8) | (((vb >> 4) & 1) << 9) |
+        |  (((ub >> 5) & 1) << 10) | (((vb >> 5) & 1) << 11) |
+        |  (((ub >> 6) & 1) << 12) | (((vb >> 6) & 1) << 13) |
+        |  (((ub >> 7) & 1) << 14) | (((vb >> 7) & 1) << 15) AS z
+        |FROM b ORDER BY event_id""".stripMargin,
     "q_heavy_hitters" ->
       """SELECT CAST(user_id AS VARCHAR) AS item,
         |  CAST(count(*) AS BIGINT) AS count,
