@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SimhashExpr, VecDotExpr}
+import graft.expr.{CmrGeometryExpr, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SimhashExpr, VecDotExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -87,6 +87,29 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.size == 1, "minhash_union expects 1 argument")
         MinhashUnionAgg(exprs.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+      { exprs: Seq[Expression] =>
+        val agg = exprs match {
+          case Seq(c) => HllSketchAgg(c)
+          case Seq(c, Literal(p: Int, _)) => HllSketchAgg(c, p)
+          case _ => throw new IllegalArgumentException(
+            "hll_sketch expects (col[, precision literal])")
+        }
+        agg.toAggregateExpression()
+      }),
+    (FunctionIdentifier("hll_union"),
+      new ExpressionInfo(classOf[HllUnionAgg].getName, "hll_union"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "hll_union expects 1 argument")
+        HllUnionAgg(exprs.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimateExpr].getName, "hll_estimate"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "hll_estimate expects 1 argument")
+        HllEstimateExpr(exprs.head)
       }),
     // Spark's own Bloom expressions (used internally by runtime row
     // filtering) surfaced as callable functions: whole-stage-codegen

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Packing, Similarity, Text}
+import graft.llm.{Dedup, Mixing, Packing, Retrieval, Similarity, Text}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -312,5 +312,46 @@ object LlmQueries {
       .select("term", "df", "total_tf", "idf")
       .orderBy(desc("total_tf"), asc("term"))
       .limit(25)
+  }
+
+  /** BM25 retrieval ([[graft.llm.Retrieval]]): top-20 documents for a
+    * 4-term query — the ranking step of retrieval-based curation /
+    * decontamination. One corpus shuffle; terms pruned pre-shuffle. */
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      Seq("join", "hash", "vector", "scan"), k = 20)
+
+  /** Domain-mixture materialization ([[graft.llm.Mixing]]): weighted
+    * up/down-sampling of sources into a training mix, deterministic by
+    * md5-bucket — both engines pick the identical rows and copy counts. */
+  def mixtureMaterialize(s: SparkSession, dir: String): DataFrame =
+    Mixing.materializeMixture(
+      t(s, dir, "documents").select("doc_id", "source"),
+      "doc_id", "source",
+      Map("src0" -> 3.0, "src1" -> 2.0, "src2" -> 1.5, "src3" -> 1.0),
+      targetRows = 777)
+      .select(col("source"), col("doc_id"), col("copy").cast("int").as("copy"))
+      .orderBy("source", "doc_id", "copy")
+
+  /** Mergeable HLL sketches ([[graft.expr.Hll]]): per-group sketches
+    * whose UNION answers the global distinct question without
+    * re-scanning raw data (the incremental-pipeline pattern). Exact
+    * per-group distincts are oracle-checked; the sketch estimates are
+    * asserted within 5% (3σ at p=12) — deterministic, no RNG. */
+  def hllUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val per = e.groupBy("event_type").agg(
+      expr("hll_sketch(user_id)").as("sk"),
+      countDistinct(col("user_id")).cast("bigint").as("n_exact"))
+    val perOut = per.select(col("event_type"), col("n_exact"),
+      (abs(expr("hll_estimate(sk)").cast("double") - col("n_exact")) /
+        col("n_exact") <= 0.05).as("within_5pct"))
+    val allOut = per.agg(expr("hll_estimate(hll_union(sk))").as("est"))
+      .crossJoin(broadcast(
+        e.agg(countDistinct(col("user_id")).cast("bigint").as("n_exact"))))
+      .select(lit("__all__").as("event_type"), col("n_exact"),
+        (abs(col("est").cast("double") - col("n_exact")) /
+          col("n_exact") <= 0.05).as("within_5pct"))
+    perOut.unionByName(allOut).orderBy("event_type")
   }
 }

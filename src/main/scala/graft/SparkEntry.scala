@@ -104,6 +104,10 @@ object SparkEntry {
     "q_pack_concat"          -> (LlmQueries.packConcat _),
     "q_pack_greedy"          -> (LlmQueries.packGreedy _),
     "q_tfidf_terms"          -> (LlmQueries.tfidfTerms _),
+    // retrieval / mixture / sketches (training-data curation)
+    "q_bm25_topk"            -> (LlmQueries.bm25Search _),
+    "q_mixture"              -> (LlmQueries.mixtureMaterialize _),
+    "q_hll_users"            -> (LlmQueries.hllUsers _),
     // raster / array-file header scans (fixture-pinned)
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
@@ -898,6 +902,61 @@ object SparkEntry {
         |  round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
         |FROM stats, n
         |ORDER BY total_tf DESC, term LIMIT 25""".stripMargin,
+    "q_bm25_topk" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+        |      FROM d),
+        |ex AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM ex
+        |  WHERE term IN ('join', 'hash', 'vector', 'scan') GROUP BY 1, 2),
+        |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT t.doc_id,
+        |  round(sum(
+        |    ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+        |    (CAST(t.tf AS DOUBLE) * 2.2) /
+        |    (CAST(t.tf AS DOUBLE) +
+        |     1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) / n.avgdl))), 6)
+        |    AS bm25,
+        |  CAST(count(*) AS BIGINT) AS n_hit
+        |FROM tf t JOIN dft f USING (term) JOIN d USING (doc_id), n
+        |GROUP BY t.doc_id ORDER BY bm25 DESC, t.doc_id LIMIT 20""".stripMargin,
+    "q_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS c_s FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES
+        |  ('src0', 3.0), ('src1', 2.0), ('src2', 1.5), ('src3', 1.0))
+        |  AS t(source, wt)),
+        |r AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(777 AS DOUBLE) * (CAST(w.wt AS DOUBLE) / 7.5) /
+        |      CAST(c.c_s AS DOUBLE) AS rate,
+        |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 AS fr
+        |  FROM documents d JOIN w USING (source) JOIN c USING (source)),
+        |e AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(rate) AS INT) +
+        |      (CASE WHEN fr < rate - floor(rate) THEN 1 ELSE 0 END)
+        |      AS n_copies
+        |  FROM r)
+        |SELECT source, doc_id, CAST(copy AS INT) AS copy FROM (
+        |  SELECT source, doc_id,
+        |    unnest(generate_series(1, n_copies)) AS copy
+        |  FROM e)
+        |ORDER BY source, doc_id, copy""".stripMargin,
+    "q_hll_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  true AS within_5pct
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__all__', count(DISTINCT user_id), true FROM events
+        |ORDER BY event_type""".stripMargin,
   )
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,

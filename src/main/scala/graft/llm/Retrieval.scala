@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 full-text retrieval over a document corpus — the ranking
+  * primitive behind retrieval-based curation and decontamination of
+  * training data (e.g. "find the corpus documents most similar to a
+  * benchmark prompt" before filtering them out).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - doc length is computed ROW-WISE (`size(tokens)`) before anything
+  *    is exploded — no extra pass over the corpus for lengths;
+  *  - the exploded token stream is filtered to the broadcast query-term
+  *    set BEFORE the first shuffle, so the (doc, term) aggregation only
+  *    ever sees rows for the handful of query terms, not the whole
+  *    posting list of the corpus;
+  *  - document frequencies aggregate to ≤ |queryTerms| rows and are
+  *    broadcast back — the corpus is shuffled once (by (doc, term)),
+  *    everything else is map-side;
+  *  - the final top-k is a `TakeOrderedAndProject`, never a full sort.
+  *
+  * Scoring is the standard Robertson/Sparck-Jones BM25 with the Lucene
+  * `+1` idf smoothing (idf = ln(1 + (N - df + 0.5)/(df + 0.5))), which
+  * keeps idf positive for terms appearing in more than half the corpus.
+  */
+object Retrieval {
+
+  /** Lowercased alphanumeric token stream (same tokenizer as the
+    * TF-IDF query family, widened to digits). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Top-k documents by BM25 score against a bag of query terms.
+    * Output: (id, bm25 rounded 6dp, n_hit = matched distinct terms),
+    * ordered by score desc with id as the deterministic tie-break. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val qset = queryTerms.map(_.toLowerCase).distinct
+    val base = docs.select(col(idCol).as("id"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("id"), col("toks"), size(col("toks")).as("dl"))
+    // corpus-level constants: one tiny agg, broadcast into the plan
+    val corpus = base.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // explode → prune to query terms BEFORE the shuffle
+    val hits = base.select(col("id"), col("dl"),
+        explode(col("toks")).as("term"))
+      .where(col("term").isin(qset: _*))
+    val tf = hits.groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // df per query term: tf already has one row per (doc, term)
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dft), "term").crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    scored.groupBy("id")
+      .agg(round(sum(col("w")), 6).as("bm25"),
+        count(lit(1)).cast("bigint").as("n_hit"))
+      .orderBy(desc("bm25"), asc("id"))
+      .limit(k)
+      .withColumnRenamed("id", idCol)
+  }
+}
