@@ -15,6 +15,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 80+ queries in one JVM: localCheckpoint/broadcast blocks are
+      // only reaped when the driver GCs (ContextCleaner) — with the
+      // default 30min periodic GC they accumulate across the run and
+      // late queries pay the memory pressure as GC thrash
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/classloading + parquet reader init are session

@@ -125,9 +125,16 @@ object LlmQueries {
     * simhash — far below any corpus scale). */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = docsWithClones(s, dir)
-    val n = d.select(col("doc_id"),
+    // spread: the fingerprint+normalize chain must not run at scan
+    // width (1-2 partitions); localCheckpoint: without it the join's
+    // isnotnull key conditions push `fingerprintexpr(text)` down INTO
+    // both sides' parquet scans and broadcast builds — the heavy chain
+    // evaluated 4x, twice at scan width. The checkpointed table is
+    // (id, fp, nlen) — 20 bytes/doc — computed exactly once.
+    val n = Dedup.spread(d, col("doc_id")).select(col("doc_id"),
       Text.fingerprint(col("text")).as("fp"),
       length(Text.normalize(col("text"))).as("nlen"))
+      .localCheckpoint(true)
     Dedup.simhashNearDups(d, "doc_id", "text", maxDist = 0)
       .join(n.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
         col("nlen").as("nlen_a")), "id_a")

@@ -22,6 +22,8 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long and
       // convert in Tables.t (Spark has no nanos timestamp type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reap localCheckpoint/broadcast blocks across the 80-query run
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -19,6 +19,24 @@ object Dedup {
     graft.GraftFunctions.register(df.sparkSession); df
   }
 
+  /** Decouple expensive per-row projections (shingle/minhash/simhash/
+    * fingerprint chains) from the scan partitioning. A small corpus
+    * file arrives in O(bytes / maxPartitionBytes) partitions — often
+    * 1-2 — and the projection would otherwise run at that width,
+    * including inside broadcast-exchange builds, which materialize the
+    * child plan COLD whenever the backing cache has not populated yet
+    * (measured: the 64-perm minhash chain running single-task inside a
+    * broadcast build, 65 s, vs ~10 s wall 32-way). Inputs already wider
+    * than the session's parallelism pass through untouched — at real
+    * scale the scan has thousands of splits and a blanket repartition
+    * would only add a full text shuffle. */
+  private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
+    if (df.isStreaming) return df // micro-batches carry their own width
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions >= par) df
+    else df.repartition(par, key)
+  }
+
   /** Exact-dup key: md5 hex of the raw text (DuckDB-reproducible). */
   def exactKey(text: Column): Column = md5(text.cast("binary"))
 
@@ -121,7 +139,7 @@ object Dedup {
                         bands: Int = 32,
                         maxBucketSize: Int = 1000): DataFrame =
     candidatesFromSignatures(
-      reg(docs).select(col(idCol).as("doc_id"),
+      spread(reg(docs), col(idCol)).select(col(idCol).as("doc_id"),
         minhashSignature(shingleHashes(col(textCol), k), numHashes)
           .as("sig")),
       numHashes, bands, maxBucketSize)
@@ -137,15 +155,24 @@ object Dedup {
                                bands: Int, maxBucketSize: Int,
                                withEst: Boolean = true): DataFrame = {
     val bandKeys = explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk")
+    // The in-bucket pair explosion is CPU-dense but BYTE-tiny (members
+    // are ids/signatures; pairs are quadratic in bucket size). AQE
+    // coalesces shuffle partitions by bytes, so it happily folds the
+    // bucket table into 1-3 partitions and serializes minutes of pair
+    // generation onto one core (measured 216 s vs ~4 s). A round-robin
+    // repartition pinned by number (REPARTITION_BY_NUM is exempt from
+    // AQE coalescing) keeps the explosion at full width.
+    val par = withSig.sparkSession.sparkContext.defaultParallelism
+    def atFullWidth(buckets: DataFrame): DataFrame = buckets.repartition(par)
     if (withEst) {
       val banded = withSig
         .select(col("doc_id"), col("sig"), bandKeys)
         .select(col("doc_id"), col("sig"),
           col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      val buckets = banded.groupBy("band", "bucket")
+      val buckets = atFullWidth(banded.groupBy("band", "bucket")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
           .as("members"))
-        .filter(size(col("members")).between(2, maxBucketSize))
+        .filter(size(col("members")).between(2, maxBucketSize)))
       val est = (a: Column, b: Column) =>
         aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes
@@ -163,9 +190,9 @@ object Dedup {
         .select(col("doc_id"), bandKeys)
         .select(col("doc_id"),
           col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      val buckets = banded.groupBy("band", "bucket")
+      val buckets = atFullWidth(banded.groupBy("band", "bucket")
         .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-        .filter(size(col("members")).between(2, maxBucketSize))
+        .filter(size(col("members")).between(2, maxBucketSize)))
       buckets
         .select(explode(bucketPairs(col("members"), (x, y) => struct(
           x.as("id_a"), y.as("id_b")))).as("p"))
@@ -202,7 +229,7 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, k: Int = 5,
                      numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val sh = reg(docs).select(col(idCol).as("jid"),
+    val sh = spread(reg(docs), col(idCol)).select(col(idCol).as("jid"),
       shingleHashes(col(textCol), k).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -397,17 +424,22 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3,
                       maxBucketSize: Int = 1000): DataFrame = {
-    val sh = reg(docs).select(col(idCol).as("doc_id"),
+    val sh = spread(reg(docs), col(idCol)).select(col(idCol).as("doc_id"),
       simhash(col(textCol)).as("sh"))
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bucket"))
+    // pin the quadratic pair explosion at full width — AQE would
+    // coalesce this byte-tiny/CPU-dense stage (see
+    // candidatesFromSignatures)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val buckets = banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
         .as("members"))
       .filter(size(col("members")).between(2, maxBucketSize))
+      .repartition(par)
     buckets
       .select(explode(bucketPairs(col("members"), (x, y) => struct(
         x.getField("doc_id").as("id_a"),
