@@ -347,9 +347,13 @@ object LlmQueries {
     * asserted within 5% (3σ at p=12) — deterministic, no RNG. */
   def hllUsers(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
+    // checkpoint: `per` (one row per event_type) feeds BOTH the
+    // per-group branch and the union branch — without it the grouped
+    // sketch aggregation over events runs twice
     val per = e.groupBy("event_type").agg(
       expr("hll_sketch(user_id)").as("sk"),
       countDistinct(col("user_id")).cast("bigint").as("n_exact"))
+      .localCheckpoint(true)
     val perOut = per.select(col("event_type"), col("n_exact"),
       (abs(expr("hll_estimate(sk)").cast("double") - col("n_exact")) /
         col("n_exact") <= 0.05).as("within_5pct"))

@@ -66,6 +66,9 @@ object Hll {
   /** Standard HLL estimator with linear-counting small-range correction.
     * (64-bit hash ⇒ no large-range correction needed.) */
   def estimate(registers: Array[Byte]): Long = {
+    require(registers.length >= 16 &&
+      Integer.bitCount(registers.length) == 1,
+      s"hll: not a sketch (${registers.length} bytes)")
     val m = registers.length
     val alpha = m match {
       case 16 => 0.673
@@ -135,23 +138,37 @@ case class HllSketchAgg(
     copy(child = newChildren.head)
 }
 
-/** `hll_union(sketch)` — union pre-built sketches (register max). */
+/** `hll_union(sketch)` — union pre-built sketches (register max).
+  * The buffer is sized lazily from the FIRST input sketch, so sketches
+  * built at any precision union correctly (a fixed-size buffer would
+  * reject every p except the default); mixed precisions in one group
+  * still fail fast in [[Hll.merge]]. */
 case class HllUnionAgg(
     child: Expression,
-    p: Int = Hll.DefaultP,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends HllAggBase {
 
+  override def p: Int = Hll.DefaultP // unused: buffer adopts input size
+  override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+  override def nullable: Boolean = true // all-null group → null sketch
+
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = BinaryType
 
+  private def fold(buffer: Array[Byte], sk: Array[Byte]): Array[Byte] =
+    if (sk.isEmpty) buffer
+    else if (buffer.isEmpty) sk.clone()
+    else { Hll.merge(buffer, sk); buffer }
+
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) Hll.merge(buffer, v.asInstanceOf[Array[Byte]])
-    buffer
+    if (v == null) buffer else fold(buffer, v.asInstanceOf[Array[Byte]])
   }
-  override def eval(buffer: Array[Byte]): Any = buffer
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] =
+    fold(buffer, other)
+  override def eval(buffer: Array[Byte]): Any =
+    if (buffer.isEmpty) null else buffer
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllUnionAgg =
     copy(mutableAggBufferOffset = newOffset)

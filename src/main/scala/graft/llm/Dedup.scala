@@ -33,9 +33,22 @@ object Dedup {
   private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df // micro-batches carry their own width
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions >= par) df
-    else df.repartition(par, key)
+    // width probe on the NON-adaptive physical plan: building its RDD
+    // graph is lazy (no job runs). `toRdd` would go through
+    // AdaptiveSparkPlanExec, which EXECUTES every upstream query stage
+    // just to be asked for partition counts — the probe itself would
+    // run the pipeline once before the real query runs it again.
+    val width = df.queryExecution.sparkPlan.execute().getNumPartitions
+    if (width >= par) df else df.repartition(par, key)
   }
+
+  /** Pin a byte-tiny / CPU-dense stage at full width. AQE coalesces
+    * shuffle partitions by BYTES, so a stage whose per-row cost is
+    * superlinear in row size (the quadratic in-bucket pair explosion)
+    * gets folded onto 1-3 cores; a round-robin repartition pinned by
+    * number (REPARTITION_BY_NUM) is exempt from AQE coalescing. */
+  private[graft] def pinWidth(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Exact-dup key: md5 hex of the raw text (DuckDB-reproducible). */
   def exactKey(text: Column): Column = md5(text.cast("binary"))
@@ -155,15 +168,9 @@ object Dedup {
                                bands: Int, maxBucketSize: Int,
                                withEst: Boolean = true): DataFrame = {
     val bandKeys = explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk")
-    // The in-bucket pair explosion is CPU-dense but BYTE-tiny (members
-    // are ids/signatures; pairs are quadratic in bucket size). AQE
-    // coalesces shuffle partitions by bytes, so it happily folds the
-    // bucket table into 1-3 partitions and serializes minutes of pair
-    // generation onto one core (measured 216 s vs ~4 s). A round-robin
-    // repartition pinned by number (REPARTITION_BY_NUM is exempt from
-    // AQE coalescing) keeps the explosion at full width.
-    val par = withSig.sparkSession.sparkContext.defaultParallelism
-    def atFullWidth(buckets: DataFrame): DataFrame = buckets.repartition(par)
+    // pair generation is quadratic in bucket size but byte-tiny —
+    // measured 216 s on 1-3 AQE-coalesced cores vs ~4 s pinned wide
+    def atFullWidth(buckets: DataFrame): DataFrame = pinWidth(buckets)
     if (withEst) {
       val banded = withSig
         .select(col("doc_id"), col("sig"), bandKeys)
@@ -431,15 +438,10 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bucket"))
-    // pin the quadratic pair explosion at full width — AQE would
-    // coalesce this byte-tiny/CPU-dense stage (see
-    // candidatesFromSignatures)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val buckets = banded.groupBy("band", "bucket")
+    val buckets = pinWidth(banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
         .as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize))
-      .repartition(par)
+      .filter(size(col("members")).between(2, maxBucketSize)))
     buckets
       .select(explode(bucketPairs(col("members"), (x, y) => struct(
         x.getField("doc_id").as("id_a"),

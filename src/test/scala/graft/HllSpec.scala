@@ -64,6 +64,17 @@ class HllSpec extends SparkSuite {
     assert(math.abs(r.getLong(0) - 10000.0) / 10000.0 < 0.25)
   }
 
+  test("hll_union adopts the input precision (non-default p unions work)") {
+    val df = spark.range(20000).select(col("id"), (col("id") % 4).as("g"))
+    val est = df.groupBy("g").agg(expr("hll_sketch(id, 8)").as("sk"))
+      .agg(expr("hll_estimate(hll_union(sk))")).head().getLong(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.25, s"est=$est")
+    // all-null union group evaluates to null, not a crash
+    val n = Seq((1, None: Option[Array[Byte]])).toDF("g", "sk")
+      .groupBy("g").agg(expr("hll_union(sk)").as("u")).head()
+    assert(n.isNullAt(1))
+  }
+
   test("Hll.add/merge kernel: rank math at register boundaries") {
     val regs = new Array[Byte](1 << 12)
     // hash with all-zero low bits → max rank for its register
