@@ -108,23 +108,40 @@ object Kll {
     }
 
     /** Quantile by weighted rank over all retained samples. */
-    def quantile(q: Double): Double = {
-      require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q")
-      val weighted = levels.indices.iterator.flatMap { i =>
+    def quantile(q: Double): Double = quantiles(Seq(q)).head
+
+    /** Several quantiles from ONE flatten+sort pass (the per-call sort
+      * dominates rank queries; callers asking for p50/p90/p99 per
+      * trigger should not pay it three times). */
+    def quantiles(qs: Seq[Double]): Seq[Double] = {
+      qs.foreach(q =>
+        require(q >= 0.0 && q <= 1.0, s"quantile out of [0,1]: $q"))
+      val n = sizes.sum
+      if (n == 0) return qs.map(_ => Double.NaN)
+      val vals = new Array[Double](n)
+      val ws = new Array[Long](n)
+      var idx = 0
+      levels.indices.foreach { i =>
         val w = 1L << i
-        (0 until sizes(i)).iterator.map(j => (levels(i)(j), w))
-      }.toArray.sortBy(_._1)
-      if (weighted.isEmpty) return Double.NaN
-      val total = weighted.iterator.map(_._2).sum
-      val target = q * (total - 1)
-      var acc = 0L
-      var j = 0
-      while (j < weighted.length) {
-        acc += weighted(j)._2
-        if (acc - 1 >= target) return weighted(j)._1
-        j += 1
+        var j = 0
+        while (j < sizes(i)) { vals(idx) = levels(i)(j); ws(idx) = w; idx += 1; j += 1 }
       }
-      weighted.last._1
+      // sort both arrays by value (indirect sort via index permutation)
+      val order = Array.range(0, n).sortBy(vals(_))
+      val total = ws.sum
+      qs.map { q =>
+        val target = q * (total - 1)
+        var acc = 0L
+        var j = 0
+        var out = vals(order(n - 1))
+        var done = false
+        while (j < n && !done) {
+          acc += ws(order(j))
+          if (acc - 1 >= target) { out = vals(order(j)); done = true }
+          j += 1
+        }
+        out
+      }
     }
 
     def serialize: Array[Byte] = {
@@ -192,6 +209,13 @@ case class KllSketchAgg(
 
   override def children: Seq[Expression] = Seq(child)
 
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType.isInstanceOf[NumericType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch expects a numeric column, got ${child.dataType}")
+
   override def update(buffer: Kll.Sketch, input: InternalRow): Kll.Sketch = {
     val v = child.eval(input)
     if (v != null) {
@@ -255,17 +279,26 @@ case class KllQuantileExpr(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  // accept any numeric rank argument (SQL parses `0.5` as DECIMAL(1,1);
+  // demanding DoubleType would force the non-obvious `0.5d` suffix)
   override def checkInputDataTypes()
   : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (left.dataType == BinaryType && right.dataType == DoubleType)
+    if (left.dataType == BinaryType &&
+        right.dataType.isInstanceOf[NumericType])
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"kll_quantile expects (binary sketch, double), got " +
+      s"kll_quantile expects (binary sketch, numeric rank), got " +
         s"(${left.dataType}, ${right.dataType})")
 
-  override protected def nullSafeEval(sk: Any, q: Any): Any =
-    Kll.deserialize(sk.asInstanceOf[Array[Byte]])
-      .quantile(q.asInstanceOf[Double])
+  override protected def nullSafeEval(sk: Any, q: Any): Any = {
+    val rank = q match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case n: Number => n.doubleValue()
+    }
+    Kll.deserialize(sk.asInstanceOf[Array[Byte]]).quantile(rank)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

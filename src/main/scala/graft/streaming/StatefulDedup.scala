@@ -35,8 +35,13 @@ object StatefulDedup {
       if (state.hasTimedOut) {
         state.remove()
         Iterator.empty: Iterator[Row]
-      } else if (state.exists) Iterator.empty
-      else {
+      } else if (state.exists) {
+        // re-arm: GroupState clears the timeout on every invocation —
+        // a re-delivered duplicate must not permanently disarm the
+        // key's TTL (and each sighting legitimately extends it)
+        stateTtl.foreach(state.setTimeoutDuration)
+        Iterator.empty
+      } else {
         state.update(true)
         stateTtl.foreach(state.setTimeoutDuration)
         rows.take(1)

@@ -65,7 +65,13 @@ object StreamingDistinct {
           state.update(SketchState(regs))
           stateTtl.foreach(state.setTimeoutDuration)
           Iterator.single(Estimate(key, Hll.estimate(regs)))
-        } else Iterator.empty
+        } else {
+          // re-arm: GroupState clears the timeout every invocation —
+          // an all-null batch must not permanently disarm a live key's
+          // TTL (the state would leak forever)
+          if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
+          Iterator.empty
+        }
       }
     }
     keyed.flatMapGroupsWithState(OutputMode.Update,

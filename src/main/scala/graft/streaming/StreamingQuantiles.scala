@@ -32,6 +32,7 @@ object StreamingQuantiles {
   def quantilesPerKey(ds: DataFrame, keyCol: String, valueCol: String,
                       k: Int = Kll.DefaultK,
                       stateTtl: Option[String] = None): DataFrame = {
+    require(k >= 8 && k <= 65536, s"kll k out of [8, 65536]: $k")
     import org.apache.spark.sql.functions.col
     val projected = ds.select(col(keyCol).cast("string").as("key"),
       col(valueCol).cast("double").as("value"))
@@ -57,9 +58,15 @@ object StreamingQuantiles {
         if (touched) {
           state.update(SketchState(sk.serialize))
           stateTtl.foreach(state.setTimeoutDuration)
-          Iterator.single(Estimate(key, sk.count,
-            sk.quantile(0.5), sk.quantile(0.9), sk.quantile(0.99)))
-        } else Iterator.empty
+          val Seq(p50, p90, p99) = sk.quantiles(Seq(0.5, 0.9, 0.99))
+          Iterator.single(Estimate(key, sk.count, p50, p90, p99))
+        } else {
+          // GroupState clears the timeout on every invocation unless
+          // re-set: an all-null batch for a live key must re-arm its
+          // TTL or the state leaks forever
+          if (state.exists) stateTtl.foreach(state.setTimeoutDuration)
+          Iterator.empty
+        }
       }
     }
     keyed.flatMapGroupsWithState(OutputMode.Update,

@@ -7,13 +7,6 @@ import org.apache.spark.sql.functions._
 class KllSpec extends SparkSuite {
   import spark.implicits._
 
-  private def rankError(est: Double, sorted: Array[Double]): Double = {
-    // rank error = |rank(est) - trueRank| / n
-    val idx = java.util.Arrays.binarySearch(sorted, est)
-    val r = if (idx >= 0) idx else -(idx + 1)
-    r.toDouble / sorted.length
-  }
-
   test("quantiles within 2% rank error at 100k uniform values") {
     val sk = spark.range(100000)
       .select((col("id") * 7919 % 100000).cast("double").as("v"))
@@ -74,6 +67,25 @@ class KllSpec extends SparkSuite {
     assert(math.abs(med - 1500.0) < 3000 * 0.03, s"median after merge: $med")
     val c = new Kll.Sketch(32); c.add(1.0)
     intercept[IllegalArgumentException] { a.merge(c) }
+  }
+
+  test("kll_quantile accepts a plain SQL decimal literal rank") {
+    val med = spark.range(1000).select(col("id").cast("double").as("v"))
+      .agg(expr("kll_quantile(kll_sketch(v), 0.5)")).head().getDouble(0)
+    assert(math.abs(med - 500.0) < 30.0, s"median=$med")
+  }
+
+  test("batched quantiles() agrees with one-at-a-time quantile()") {
+    val s = new Kll.Sketch(64)
+    (1 to 10000).foreach(i => s.add((i * 37 % 5000).toDouble))
+    val batch = s.quantiles(Seq(0.1, 0.5, 0.9))
+    assert(batch == Seq(0.1, 0.5, 0.9).map(s.quantile))
+  }
+
+  test("kll_sketch rejects non-numeric columns at analysis time") {
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("a", "b").toDF("v").agg(expr("kll_sketch(v)")).head()
+    }
   }
 
   test("serialization round-trip is lossless") {
