@@ -23,7 +23,8 @@ object PlanAudit {
       "q_asof_join", "q_asof_fwd", "q_range_join", "q_interval_join",
       "q_sessionize", "q_percentiles", "q_rollup", "q_w_sliding",
       "q_chunk_windows", "q_pack_concat", "q_pack_greedy",
-      "q_tfidf_terms", "q_bm25_topk", "q_mixture", "q_hll_users")
+      "q_tfidf_terms", "q_bm25_topk", "q_mixture", "q_hll_users",
+      "q_kll_quantiles")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)
