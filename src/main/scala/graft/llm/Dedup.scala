@@ -433,11 +433,19 @@ object Dedup {
                       maxBucketSize: Int = 1000): DataFrame = {
     val sh = spread(reg(docs), col(idCol)).select(col(idCol).as("doc_id"),
       simhash(col(textCol)).as("sh"))
-    val banded = sh.select(col("doc_id"), col("sh"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bucket"))
+    // maxDist=0 requires IDENTICAL hashes — banding adds nothing but a
+    // 4x explosion and giant 16-bit-band buckets (low-entropy corpora
+    // share band values far more often than whole hashes). Bucket on
+    // the full simhash instead: only true duplicates ever collide.
+    val banded =
+      if (maxDist == 0)
+        sh.select(col("doc_id"), col("sh"),
+          lit(0).as("band"), col("sh").as("bucket"))
+      else sh.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bucket"))
     val buckets = pinWidth(banded.groupBy("band", "bucket")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
         .as("members"))
