@@ -88,6 +88,23 @@ class KllSpec extends SparkSuite {
     }
   }
 
+  test("adversarial orders: sorted, reversed, constant inputs stay in bounds") {
+    // deterministic compaction must not bias on monotone streams (the
+    // alternating offset exists exactly for this)
+    def medianErr(vals: Iterator[Double]): Double = {
+      val s = new Kll.Sketch(200)
+      vals.foreach(s.add)
+      math.abs(s.quantile(0.5) / 100000.0 - 0.5)
+    }
+    val asc = medianErr((0 until 100000).iterator.map(_.toDouble))
+    val desc = medianErr((0 until 100000).reverseIterator.map(_.toDouble))
+    assert(asc < 0.02, s"ascending-order median rank error $asc")
+    assert(desc < 0.02, s"descending-order median rank error $desc")
+    val const = new Kll.Sketch(200)
+    (0 until 50000).foreach(_ => const.add(7.0))
+    assert(const.quantile(0.01) == 7.0 && const.quantile(0.99) == 7.0)
+  }
+
   test("serialization round-trip is lossless") {
     val s = new Kll.Sketch(100)
     (1 to 12345).foreach(i => s.add((i * 31 % 1000).toDouble))
