@@ -99,10 +99,10 @@ object GraftFunctions {
         }
         agg.toAggregateExpression()
       }),
-    (FunctionIdentifier("hll_union"),
-      new ExpressionInfo(classOf[HllUnionAgg].getName, "hll_union"),
+    (FunctionIdentifier("graft_hll_union"),
+      new ExpressionInfo(classOf[HllUnionAgg].getName, "graft_hll_union"),
       { exprs: Seq[Expression] =>
-        require(exprs.size == 1, "hll_union expects 1 argument")
+        require(exprs.size == 1, "graft_hll_union expects 1 argument")
         HllUnionAgg(exprs.head).toAggregateExpression()
       }),
     (FunctionIdentifier("hll_estimate"),
@@ -157,8 +157,11 @@ object GraftFunctions {
     * their own confs, so presence alone changes no plans). */
   def register(spark: SparkSession): Unit = {
     registrations.foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry
-        .registerFunction(id, info, builder)
+      // guard: re-registering an existing function is a WARN per call
+      // site, and Tables.t registers on every table load
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry
+          .registerFunction(id, info, builder)
     }
     val extra = spark.experimental.extraOptimizations
     if (!extra.exists(_.isInstanceOf[graft.plans.RangeJoinRule]))

@@ -357,7 +357,7 @@ object LlmQueries {
     val perOut = per.select(col("event_type"), col("n_exact"),
       (abs(expr("hll_estimate(sk)").cast("double") - col("n_exact")) /
         col("n_exact") <= 0.05).as("within_5pct"))
-    val allOut = per.agg(expr("hll_estimate(hll_union(sk))").as("est"))
+    val allOut = per.agg(expr("hll_estimate(graft_hll_union(sk))").as("est"))
       .crossJoin(broadcast(
         e.agg(countDistinct(col("user_id")).cast("bigint").as("n_exact"))))
       .select(lit("__all__").as("event_type"), col("n_exact"),

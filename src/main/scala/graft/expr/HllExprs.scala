@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * of rescanning raw data — the DataSketches / Delta pattern).
   *
   *  - `hll_sketch(col[, p])`  → binary: dense HLL registers (2^p bytes)
-  *  - `hll_union(sketch)`     → binary: register-wise max (aggregate)
+  *  - `graft_hll_union(sketch)`     → binary: register-wise max (aggregate)
   *  - `hll_estimate(sketch)`  → bigint: cardinality estimate (scalar)
   *
   * Register-wise max is idempotent/commutative/associative, so the same
@@ -138,7 +138,7 @@ case class HllSketchAgg(
     copy(child = newChildren.head)
 }
 
-/** `hll_union(sketch)` — union pre-built sketches (register max).
+/** `graft_hll_union(sketch)` — union pre-built sketches (register max).
   * The buffer is sized lazily from the FIRST input sketch, so sketches
   * built at any precision union correctly (a fixed-size buffer would
   * reject every p except the default); mixed precisions in one group

@@ -34,7 +34,7 @@ class HllSpec extends SparkSuite {
     val df = spark.range(50000)
       .select(col("id"), (col("id") % 4).as("g"))
     val merged = df.groupBy("g").agg(expr("hll_sketch(id)").as("sk"))
-      .agg(expr("hll_union(sk)")).head().getAs[Array[Byte]](0)
+      .agg(expr("graft_hll_union(sk)")).head().getAs[Array[Byte]](0)
     val direct = df.agg(expr("hll_sketch(id)")).head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(merged, direct))
   }
@@ -46,7 +46,7 @@ class HllSpec extends SparkSuite {
       .unionByName(spark.range(40000, 70000)
         .select(col("id"), lit(1).as("g")))
     val est = df.groupBy("g").agg(expr("hll_sketch(id)").as("sk"))
-      .agg(expr("hll_estimate(hll_union(sk))")).head().getLong(0)
+      .agg(expr("hll_estimate(graft_hll_union(sk))")).head().getLong(0)
     assert(math.abs(est - 100000.0) / 100000.0 < 0.03, s"est=$est")
   }
 
@@ -67,11 +67,11 @@ class HllSpec extends SparkSuite {
   test("hll_union adopts the input precision (non-default p unions work)") {
     val df = spark.range(20000).select(col("id"), (col("id") % 4).as("g"))
     val est = df.groupBy("g").agg(expr("hll_sketch(id, 8)").as("sk"))
-      .agg(expr("hll_estimate(hll_union(sk))")).head().getLong(0)
+      .agg(expr("hll_estimate(graft_hll_union(sk))")).head().getLong(0)
     assert(math.abs(est - 20000.0) / 20000.0 < 0.25, s"est=$est")
     // all-null union group evaluates to null, not a crash
     val n = Seq((1, None: Option[Array[Byte]])).toDF("g", "sk")
-      .groupBy("g").agg(expr("hll_union(sk)").as("u")).head()
+      .groupBy("g").agg(expr("graft_hll_union(sk)").as("u")).head()
     assert(n.isNullAt(1))
   }
 

@@ -47,7 +47,7 @@ object ScratchScaleR6c {
     time("hll sketch+union") {
       events.groupBy("event_type")
         .agg(expr("hll_sketch(user_id)").as("sk"))
-        .agg(expr("hll_estimate(hll_union(sk))")).collect()
+        .agg(expr("hll_estimate(graft_hll_union(sk))")).collect()
     }
     spark.stop()
   }
