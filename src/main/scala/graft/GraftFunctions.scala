@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SimhashExpr, VecDotExpr}
+import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SimhashExpr, VecDotExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -131,6 +131,27 @@ object GraftFunctions {
     (FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantileExpr].getName, "kll_quantile"),
       arity2("kll_quantile", KllQuantileExpr.apply)),
+    (FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "cms_sketch"),
+      { exprs: Seq[Expression] =>
+        val agg = exprs match {
+          case Seq(c) => CmsSketchAgg(c)
+          case Seq(c, Literal(d: Int, _), Literal(w: Int, _)) =>
+            CmsSketchAgg(c, d, w)
+          case _ => throw new IllegalArgumentException(
+            "cms_sketch expects (col[, depth literal, width literal])")
+        }
+        agg.toAggregateExpression()
+      }),
+    (FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "cms_merge"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "cms_merge expects 1 argument")
+        CmsMergeAgg(exprs.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateExpr].getName, "cms_estimate"),
+      arity2("cms_estimate", CmsEstimateExpr.apply)),
     // Spark's own Bloom expressions (used internally by runtime row
     // filtering) surfaced as callable functions: whole-stage-codegen
     // membership probes instead of a Scala UDF (Transfer J3 prefilter).

@@ -393,4 +393,69 @@ object LlmQueries {
           .as("median_within_2pct_rank"))
     perOut.unionByName(allOut).orderBy("event_type")
   }
+
+  /** Mergeable count-min sketches ([[graft.expr.Cms]]): per-bucket
+    * partial sketches cell-wise-summed into one, point-queried per
+    * event type against exact counts. The boolean asserts the CMS
+    * contract — never an undercount, overcount within (e/width)·N —
+    * deterministic (fixed per-row hash seeds, no RNG). */
+  def cmsEventCounts(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    // the incremental shape: sketch each slice once, merge the slices
+    val merged = e.groupBy(pmod(col("user_id"), lit(8)).as("bucket"))
+      .agg(expr("cms_sketch(event_type)").as("sk"))
+      .agg(expr("cms_merge(sk)").as("sk"))
+    val tot = e.agg(count(lit(1)).cast("bigint").as("n_total"))
+    val est = expr("cms_estimate(sk, event_type)")
+    e.groupBy("event_type")
+      .agg(count(lit(1)).cast("bigint").as("n_exact"))
+      .crossJoin(broadcast(merged))
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_exact"),
+        (est >= col("n_exact") && est <= col("n_exact") +
+          ceil(lit(math.E / graft.expr.Cms.DefaultWidth) *
+            col("n_total")).cast("bigint")).as("cms_ok"))
+      .orderBy("event_type")
+  }
+
+  /** Duplicate-cluster assignment: near-dup pairs from the banded
+    * minhash-LSH pipeline, resolved into connected components by the
+    * alternating-stars algorithm ([[Dedup.connectedComponentsStars]] —
+    * O(log n) rounds, no neighborhood blow-up), labeled by min member
+    * id. Docs in no pair form singleton clusters. The DuckDB oracle
+    * replays exact all-pairs Jaccard + a recursive-CTE transitive
+    * closure — oracle-checking the iterative distributed algorithm
+    * end to end. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithClones(s, dir)
+    val pairs = Dedup.nearDuplicates(d, "doc_id", "text",
+      threshold = 0.9, k = 5, numHashes = 64, bands = 16)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponentsStars(pairs)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("component", "cluster_id")
+    val labeled = d.select("doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint(true) // feeds both the size agg and the output join
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("bigint").as("n_members"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** IVF ANN vs the exact answer: the KMeans-cell inverted-file search
+    * ([[Similarity.ivfTopK]]) must recover the true cosine top-1 for
+    * every query — the DuckDB oracle computes the exact neighbor
+    * independently, so this gates the whole codebook/probe/rank path,
+    * not a self-comparison. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 25), k = 1,
+      nCentroids = 16, nProbe = 12)
+      .select(col("query_id"), col("nn_id"))
+      .orderBy("query_id")
+  }
 }

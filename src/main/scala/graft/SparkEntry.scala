@@ -109,6 +109,9 @@ object SparkEntry {
     "q_mixture"              -> (LlmQueries.mixtureMaterialize _),
     "q_hll_users"            -> (LlmQueries.hllUsers _),
     "q_kll_quantiles"        -> (LlmQueries.kllQuantiles _),
+    "q_cms_counts"           -> (LlmQueries.cmsEventCounts _),
+    "q_dup_clusters"         -> (LlmQueries.dupClusters _),
+    "q_ann_ivf"              -> (LlmQueries.annIvf _),
     // raster / array-file header scans (fixture-pinned)
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
@@ -965,6 +968,59 @@ object SparkEntry {
         |UNION ALL
         |SELECT '__all__', CAST(count(*) AS BIGINT), true FROM events
         |ORDER BY event_type""".stripMargin,
+    "q_cms_counts" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+        |  true AS cms_ok
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // exact all-pairs Jaccard pairs (the q_minhash_near_dups ground
+    // truth) expanded to the cloned corpus, then a recursive-CTE
+    // transitive closure labels each doc with its component minimum —
+    // an independent replay of the alternating-stars algorithm
+    "q_dup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 3),
+        |        i -> array_to_string(ws[i:i+4], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM w),
+        |px AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |e0 AS (
+        |  SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
+        |  UNION ALL SELECT ia, ib FROM px
+        |  UNION ALL SELECT ia, ib + 100000 FROM px
+        |  UNION ALL SELECT ib, ia + 100000 FROM px
+        |  UNION ALL SELECT ia + 100000, ib + 100000 FROM px),
+        |sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+        |  WHERE e.b <> r.a),
+        |lab AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |FROM lab ORDER BY doc_id""".stripMargin,
+    "q_ann_ivf" ->
+      """SELECT query_id, nn_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |        c.vec_id) AS rn
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
   )
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,

@@ -1,0 +1,213 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count-min sketch: approximate FREQUENCIES whose partial state is a
+  * first-class, storable column — the frequency-counting sibling of
+  * the [[Hll]] (distinct) and [[Kll]] (quantile) families.
+  *
+  * Spark ships `count_min_sketch(...)` but its sketch is an opaque
+  * spark-internal blob with no merge aggregate or point-query
+  * expression at the SQL layer; this family exposes all three, so an
+  * incremental 100 TB pipeline can sketch each day/source ONCE and
+  * answer any cross-slice frequency query by merging stored sketches:
+  *
+  *  - `cms_sketch(col[, depth, width])` → binary (depth x width counts)
+  *  - `cms_merge(sketch)`               → binary (cell-wise sum, aggregate)
+  *  - `cms_estimate(sketch, item)`      → bigint (min over rows)
+  *
+  * Guarantees (Cormode & Muthukrishnan 2005): estimate >= true count
+  * always; estimate <= true count + (e/width)·N with probability
+  * 1 − exp(−depth), N = total updates. Cell-wise ADD is commutative
+  * and associative, so one merge serves Catalyst partial aggregation
+  * and cross-table unions, and sketch bytes are identical regardless
+  * of partitioning or input order — asserted in spec.
+  *
+  * Buffer layout: Array[Long] of 2 + depth*width — [0]=depth,
+  * [1]=width, then row-major cells. Serialized big-endian via
+  * ByteBuffer (8 bytes/cell; default 5x2048 ≈ 80 KiB — one sketch per
+  * GROUP, not per row, so size is a non-issue at any scale).
+  */
+object Cms {
+  val DefaultDepth = 5
+  val DefaultWidth = 2048
+
+  /** Row-i hash: same input canonicalization as [[Hll.hash]], with a
+    * per-row seed so the depth rows are independent. */
+  def hash(v: Any, row: Int): Long = {
+    val seed = 42L + row * 0x9E3779B97F4A7C15L
+    v match {
+      case l: Long => XXH64.hashLong(l, seed)
+      case i: Int => XXH64.hashLong(i.toLong, seed)
+      case s: UTF8String =>
+        XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+      case b: Array[Byte] =>
+        XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+      case other =>
+        val bytes = other.toString.getBytes("UTF-8")
+        XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
+    }
+  }
+
+  def empty(depth: Int, width: Int): Array[Long] = {
+    require(depth >= 1 && depth <= 16, s"cms depth out of [1,16]: $depth")
+    require(width >= 16 && width <= (1 << 24), s"cms width out of [16,2^24]: $width")
+    val buf = new Array[Long](2 + depth * width)
+    buf(0) = depth; buf(1) = width
+    buf
+  }
+
+  def add(buf: Array[Long], v: Any): Unit = {
+    val depth = buf(0).toInt; val width = buf(1).toInt
+    var r = 0
+    while (r < depth) {
+      val idx = java.lang.Math.floorMod(hash(v, r), width.toLong).toInt
+      buf(2 + r * width + idx) += 1L
+      r += 1
+    }
+  }
+
+  def estimate(buf: Array[Long], v: Any): Long = {
+    val depth = buf(0).toInt; val width = buf(1).toInt
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = buf(2 + r * width + java.lang.Math.floorMod(hash(v, r), width.toLong).toInt)
+      if (c < min) min = c
+      r += 1
+    }
+    min
+  }
+
+  def merge(into: Array[Long], from: Array[Long]): Unit = {
+    require(into(0) == from(0) && into(1) == from(1),
+      s"cms: shape mismatch (${into(0)}x${into(1)} vs ${from(0)}x${from(1)})")
+    var i = 2
+    while (i < into.length) { into(i) += from(i); i += 1 }
+  }
+
+  def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length >= 16 && bytes.length % 8 == 0,
+      s"cms: not a sketch (${bytes.length} bytes)")
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    require(out(0) >= 1 && out(1) >= 16 && out.length == 2 + out(0) * out(1),
+      s"cms: corrupt header (${out(0)}x${out(1)} for ${out.length - 2} cells)")
+    out
+  }
+}
+
+abstract class CmsAggBase extends TypedImperativeAggregate[Array[Long]] {
+  override def dataType: DataType = BinaryType
+  override def serialize(buffer: Array[Long]): Array[Byte] = Cms.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = Cms.deserialize(bytes)
+}
+
+/** `cms_sketch(col[, depth, width])` — build a frequency sketch of the
+  * column's values. */
+case class CmsSketchAgg(
+    child: Expression,
+    depth: Int = Cms.DefaultDepth,
+    width: Int = Cms.DefaultWidth,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends CmsAggBase {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  // NOTE: shape validation lives here, not the constructor — subclass
+  // fields are unset during executor-side Java deserialization of the
+  // TypedImperativeAggregate base (same hazard as HllAggBase).
+  override def createAggregationBuffer(): Array[Long] = Cms.empty(depth, width)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) Cms.add(buffer, v)
+    buffer
+  }
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    Cms.merge(buffer, other); buffer
+  }
+  override def eval(buffer: Array[Long]): Any = Cms.serialize(buffer)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `cms_merge(sketch)` — cell-wise sum of pre-built sketches. The
+  * buffer adopts the FIRST input sketch's shape (so any depth/width
+  * merges correctly); mixed shapes in one group fail fast. */
+case class CmsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends CmsAggBase {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true // all-null group → null sketch
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  private def fold(buffer: Array[Long], sk: Array[Long]): Array[Long] =
+    if (sk.isEmpty) buffer
+    else if (buffer.isEmpty) sk.clone()
+    else { Cms.merge(buffer, sk); buffer }
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else fold(buffer, Cms.deserialize(v.asInstanceOf[Array[Byte]]))
+  }
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] =
+    fold(buffer, other)
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.isEmpty) null else Cms.serialize(buffer)
+  override def serialize(buffer: Array[Long]): Array[Byte] =
+    if (buffer.isEmpty) Array.emptyByteArray else Cms.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    if (bytes.isEmpty) Array.emptyLongArray else Cms.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** `cms_estimate(sketch, item)` — point frequency estimate: min over
+  * the sketch's depth rows at the item's hashed cells. */
+case class CmsEstimateExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_estimate expects (binary sketch, item), got ${left.dataType}")
+
+  override protected def nullSafeEval(sk: Any, item: Any): Any =
+    Cms.estimate(Cms.deserialize(sk.asInstanceOf[Array[Byte]]), item)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.expr.Cms
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch aggregate: exactness on small key sets, the
+  * never-undercount guarantee, mergeability, determinism. */
+class CmsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("point estimates are exact for few keys in a wide sketch") {
+    val df = spark.range(10000)
+      .select((col("id") % 7).cast("string").as("k"))
+    val got = df.agg(expr("cms_sketch(k)").as("sk"))
+      .crossJoin(df.groupBy("k").agg(count(lit(1)).as("n")))
+      .select(col("k"), col("n"), expr("cms_estimate(sk, k)").as("est"))
+      .collect()
+    assert(got.length == 7)
+    got.foreach(r => assert(r.getLong(2) == r.getLong(1),
+      s"k=${r.getString(0)}: est=${r.getLong(2)} exact=${r.getLong(1)}"))
+  }
+
+  test("never undercounts, overcount bounded even when width << keys") {
+    // 5000 distinct keys into width 64 → heavy collisions
+    val df = spark.range(20000).select((col("id") % 5000).as("k"))
+    val n = 20000.0
+    val bound = math.ceil(math.E / 64 * n).toLong // (e/w)·N
+    val bad = df.agg(expr("cms_sketch(k, 5, 64)").as("sk"))
+      .crossJoin(df.groupBy("k").agg(count(lit(1)).as("n")))
+      .select(col("n"), expr("cms_estimate(sk, k)").as("est"))
+      .filter(col("est") < col("n") || col("est") > col("n") + bound)
+      .count()
+    assert(bad == 0, s"$bad keys outside the CMS bound")
+  }
+
+  test("sketch bytes are independent of partitioning and row order") {
+    val a = spark.range(10000).repartition(1)
+      .agg(expr("cms_sketch(id)")).head().getAs[Array[Byte]](0)
+    val b = spark.range(10000).repartition(16, col("id"))
+      .agg(expr("cms_sketch(id)")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("merge of slice sketches == sketch of the whole (bit-exact)") {
+    val df = spark.range(50000)
+      .select((col("id") % 997).as("k"), (col("id") % 8).as("slice"))
+    val merged = df.groupBy("slice").agg(expr("cms_sketch(k)").as("sk"))
+      .agg(expr("cms_merge(sk)")).head().getAs[Array[Byte]](0)
+    val direct = df.agg(expr("cms_sketch(k)")).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct))
+  }
+
+  test("cms_merge adopts input shape; all-null group → null; mixed shapes fail") {
+    val est = spark.range(1000).select((col("id") % 3).as("k"), lit(0).as("g"))
+      .groupBy("g").agg(expr("cms_sketch(k, 3, 128)").as("sk"))
+      .agg(expr("cms_estimate(cms_merge(sk), 0)")).head().getLong(0)
+    assert(est == 334L) // k=0 occurs for id=0,3,...,999 → 334 times
+    val n = Seq((1, None: Option[Array[Byte]])).toDF("g", "sk")
+      .groupBy("g").agg(expr("cms_merge(sk)").as("u")).head()
+    assert(n.isNullAt(1))
+    intercept[Exception] {
+      Cms.merge(Cms.empty(5, 64), Cms.empty(5, 128))
+    }
+  }
+
+  test("kernel: serialize round-trip, corrupt bytes rejected, nulls skipped") {
+    val buf = Cms.empty(4, 32)
+    Seq[Any](1L, 1L, "x", 2L).foreach(Cms.add(buf, _))
+    val rt = Cms.deserialize(Cms.serialize(buf))
+    assert(rt.sameElements(buf))
+    assert(Cms.estimate(rt, 1L) >= 2)
+    intercept[IllegalArgumentException] { Cms.deserialize(Array[Byte](1, 2, 3)) }
+    intercept[IllegalArgumentException] {
+      Cms.deserialize(new Array[Byte](24)) // header says 0x0 — corrupt
+    }
+    val viaSql = Seq(Some(7L), None, Some(7L)).toDF("v")
+      .agg(expr("cms_estimate(cms_sketch(v), 7)")).head().getLong(0)
+    assert(viaSql == 2L)
+  }
+}
