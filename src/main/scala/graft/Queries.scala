@@ -669,4 +669,76 @@ object Queries {
       .select("click_id", "error_id", "user_id")
       .orderBy("click_id", "error_id")
   }
+
+  /** Daily × event-type pivot (cross-tab). Values are passed
+    * EXPLICITLY — `.pivot(col)` without values runs a driver-side
+    * distinct scan over the whole input first, a hidden extra job that
+    * hurts at 100 TB; with values it is one shuffle, same plan shape
+    * as any groupBy. Empty cells are 0 like the oracle's FILTER. */
+  def pivotDaily(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("day")
+  }
+
+  /** Semi-structured JSON column processing: `from_json` projects the
+    * props payload into a typed column inside whole-stage codegen (one
+    * scan, no UDF), then ordinary aggregation. */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType))))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_k"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Conversion funnel view → click → purchase by first-occurrence
+    * chain: one conditional-min aggregation per user (map-side
+    * combine, single shuffle on user_id — never a per-step self-join,
+    * which would be step-count shuffles at event scale). */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    def firstTs(tpe: String): Column =
+      min(when(col("event_type") === tpe, col("ts"))).as(s"t_$tpe")
+    val per = Tables.t(s, dir, "events").groupBy("user_id")
+      .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+    val stage = when(col("t_view").isNull, lit(0))
+      .when(col("t_click").isNull || col("t_click") <= col("t_view"), lit(1))
+      .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"),
+        lit(2))
+      .otherwise(lit(3))
+    per.select(stage.as("stage"))
+      .groupBy("stage").agg(count(lit(1)).cast("bigint").as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention: cohort = week of a user's first event,
+    * cell (cohort_wk, wk) = distinct users active wk weeks later.
+    * Two shuffles total (user-min, then the distinct-cell count); the
+    * cohort table is user-dimension sized, so at event scale the join
+    * back is broadcast-able. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohort = e.groupBy("user_id").agg(min(col("d")).as("c0"))
+    e.join(broadcast(cohort), "user_id")
+      .select(
+        floor(datediff(col("c0"), lit("2024-01-01").cast("date")) / 7)
+          .cast("int").as("cohort_wk"),
+        floor(datediff(col("d"), col("c0")) / 7).cast("int").as("wk"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_wk", "wk")
+      .agg(count(lit(1)).cast("bigint").as("n_users"))
+      .orderBy("cohort_wk", "wk")
+  }
 }

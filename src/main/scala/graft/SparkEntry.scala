@@ -112,6 +112,11 @@ object SparkEntry {
     "q_cms_counts"           -> (LlmQueries.cmsEventCounts _),
     "q_dup_clusters"         -> (LlmQueries.dupClusters _),
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
+    // event analytics (pivot / json / funnel / cohort)
+    "q_pivot_daily"          -> (Queries.pivotDaily _),
+    "q_json_props"           -> (Queries.jsonProps _),
+    "q_funnel"               -> (Queries.funnelStages _),
+    "q_retention"            -> (Queries.cohortRetention _),
     // raster / array-file header scans (fixture-pinned)
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
@@ -972,6 +977,48 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
         |  true AS cms_ok
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_type,
+        |  CAST(count(k) AS BIGINT) AS n_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_funnel" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    min(ts) FILTER (event_type = 'view') AS t_view,
+        |    min(ts) FILTER (event_type = 'click') AS t_click,
+        |    min(ts) FILTER (event_type = 'purchase') AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_users FROM (
+        |  SELECT CASE WHEN t_view IS NULL THEN 0
+        |    WHEN t_click IS NULL OR t_click <= t_view THEN 1
+        |    WHEN t_purchase IS NULL OR t_purchase <= t_click THEN 2
+        |    ELSE 3 END AS stage
+        |  FROM per)
+        |GROUP BY stage ORDER BY stage""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS c0 FROM e GROUP BY user_id),
+        |w AS (SELECT DISTINCT
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', c0) / 7.0)
+        |      AS INT) AS cohort_wk,
+        |    CAST(floor(date_diff('day', c0, d) / 7.0) AS INT) AS wk,
+        |    e.user_id
+        |  FROM e JOIN c USING (user_id))
+        |SELECT cohort_wk, wk, CAST(count(*) AS BIGINT) AS n_users
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // exact all-pairs Jaccard pairs (the q_minhash_near_dups ground
     // truth) expanded to the cloned corpus, then a recursive-CTE
     // transitive closure labels each doc with its component minimum —
