@@ -405,10 +405,15 @@ object LlmQueries {
     val merged = e.groupBy(pmod(col("user_id"), lit(8)).as("bucket"))
       .agg(expr("cms_sketch(event_type)").as("sk"))
       .agg(expr("cms_merge(sk)").as("sk"))
-    val tot = e.agg(count(lit(1)).cast("bigint").as("n_total"))
-    val est = expr("cms_estimate(sk, event_type)")
-    e.groupBy("event_type")
+    // checkpoint: per-type counts feed both the output rows and the
+    // N-total for the error bound — one events scan, not two (the
+    // sketch branch is the only other scan of the raw table)
+    val per = e.groupBy("event_type")
       .agg(count(lit(1)).cast("bigint").as("n_exact"))
+      .localCheckpoint(true)
+    val tot = per.agg(sum(col("n_exact")).cast("bigint").as("n_total"))
+    val est = expr("cms_estimate(sk, event_type)")
+    per
       .crossJoin(broadcast(merged))
       .crossJoin(broadcast(tot))
       .select(col("event_type"), col("n_exact"),
@@ -434,15 +439,15 @@ object LlmQueries {
     val comps = Dedup.connectedComponentsStars(pairs)
       .withColumnRenamed("id", "doc_id")
       .withColumnRenamed("component", "cluster_id")
-    val labeled = d.select("doc_id")
+    d.select("doc_id")
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .localCheckpoint(true) // feeds both the size agg and the output join
-    val sizes = labeled.groupBy("cluster_id")
-      .agg(count(lit(1)).cast("bigint").as("n_members"))
-    labeled.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      // size via count-over-window: one shuffle on cluster_id, same
+      // skew profile as the agg+join alternative but no second pass
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id"))
+        .cast("bigint"))
       .orderBy("doc_id")
   }
 

@@ -24,7 +24,8 @@ object PlanAudit {
       "q_sessionize", "q_percentiles", "q_rollup", "q_w_sliding",
       "q_chunk_windows", "q_pack_concat", "q_pack_greedy",
       "q_tfidf_terms", "q_bm25_topk", "q_mixture", "q_hll_users",
-      "q_kll_quantiles")
+      "q_kll_quantiles", "q_cms_counts", "q_ann_ivf",
+      "q_pivot_daily", "q_json_props", "q_funnel", "q_retention")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)

@@ -724,13 +724,14 @@ object Queries {
   /** Weekly cohort retention: cohort = week of a user's first event,
     * cell (cohort_wk, wk) = distinct users active wk weeks later.
     * Two shuffles total (user-min, then the distinct-cell count); the
-    * cohort table is user-dimension sized, so at event scale the join
-    * back is broadcast-able. */
+    * cohort table is user-dimension sized — no broadcast hint, AQE
+    * broadcasts it when it fits and falls back to a shuffle join when
+    * the user dimension itself is too big to ship. */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.t(s, dir, "events")
       .select(col("user_id"), to_date(col("ts")).as("d"))
     val cohort = e.groupBy("user_id").agg(min(col("d")).as("c0"))
-    e.join(broadcast(cohort), "user_id")
+    e.join(cohort, "user_id")
       .select(
         floor(datediff(col("c0"), lit("2024-01-01").cast("date")) / 7)
           .cast("int").as("cohort_wk"),

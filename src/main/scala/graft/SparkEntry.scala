@@ -993,12 +993,16 @@ object SparkEntry {
         |FROM (SELECT event_type,
         |  CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's nanosecond timestamps
+    // to the microseconds Spark compares (Tables.t) — without it two
+    // first-events in the same microsecond could order differently
+    // across engines (latent on the frozen fixtures, refresh-proof now)
     "q_funnel" ->
       """WITH per AS (
         |  SELECT user_id,
-        |    min(ts) FILTER (event_type = 'view') AS t_view,
-        |    min(ts) FILTER (event_type = 'click') AS t_click,
-        |    min(ts) FILTER (event_type = 'purchase') AS t_purchase
+        |    min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'view') AS t_view,
+        |    min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'click') AS t_click,
+        |    min(CAST(ts AS TIMESTAMP)) FILTER (event_type = 'purchase') AS t_purchase
         |  FROM events GROUP BY user_id)
         |SELECT stage, CAST(count(*) AS BIGINT) AS n_users FROM (
         |  SELECT CASE WHEN t_view IS NULL THEN 0

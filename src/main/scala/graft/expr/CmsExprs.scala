@@ -59,6 +59,9 @@ object Cms {
   def empty(depth: Int, width: Int): Array[Long] = {
     require(depth >= 1 && depth <= 16, s"cms depth out of [1,16]: $depth")
     require(width >= 16 && width <= (1 << 24), s"cms width out of [16,2^24]: $width")
+    // serialized size is (2 + d·w)·8 bytes and must fit one byte array
+    require(2L + depth.toLong * width <= Int.MaxValue / 8,
+      s"cms shape ${depth}x$width serializes past 2 GiB")
     val buf = new Array[Long](2 + depth * width)
     buf(0) = depth; buf(1) = width
     buf
@@ -94,9 +97,33 @@ object Cms {
   }
 
   def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8) // fits: see empty()
     bb.asLongBuffer().put(buf)
     bb.array()
+  }
+
+  /** Point estimate straight off the serialized bytes — reads only the
+    * header and `depth` cells, no Array[Long] copy. The per-row path
+    * of [[CmsEstimateExpr]]: probing a stored sketch against an item
+    * column must not copy the whole sketch per row. */
+  def estimateBytes(bytes: Array[Byte], v: Any): Long = {
+    require(bytes.length >= 24 && bytes.length % 8 == 0,
+      s"cms: not a sketch (${bytes.length} bytes)")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val depth = bb.getLong(0).toInt
+    val width = bb.getLong(8).toInt
+    require(depth >= 1 && width >= 16 &&
+      bytes.length == (2L + depth.toLong * width) * 8,
+      s"cms: corrupt header (${depth}x$width for ${bytes.length} bytes)")
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val idx = java.lang.Math.floorMod(hash(v, r), width.toLong).toInt
+      val c = bb.getLong(((2L + r.toLong * width + idx) * 8L).toInt)
+      if (c < min) min = c
+      r += 1
+    }
+    min
   }
 
   def deserialize(bytes: Array[Byte]): Array[Long] = {
@@ -163,6 +190,10 @@ case class CmsMergeAgg(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true // all-null group → null sketch
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_merge expects a binary sketch, got ${child.dataType}")
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
   private def fold(buffer: Array[Long], sk: Array[Long]): Array[Long] =
@@ -205,7 +236,7 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
       s"cms_estimate expects (binary sketch, item), got ${left.dataType}")
 
   override protected def nullSafeEval(sk: Any, item: Any): Any =
-    Cms.estimate(Cms.deserialize(sk.asInstanceOf[Array[Byte]]), item)
+    Cms.estimateBytes(sk.asInstanceOf[Array[Byte]], item)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -69,6 +69,14 @@ class CmsSpec extends SparkSuite {
     val rt = Cms.deserialize(Cms.serialize(buf))
     assert(rt.sameElements(buf))
     assert(Cms.estimate(rt, 1L) >= 2)
+    // the zero-copy byte-path estimator agrees with the array path
+    Seq[Any](1L, 2L, "x", "absent").foreach { v =>
+      assert(Cms.estimateBytes(Cms.serialize(buf), v) == Cms.estimate(buf, v))
+    }
+    intercept[IllegalArgumentException] {
+      Cms.estimateBytes(new Array[Byte](24), 1L)
+    }
+    intercept[IllegalArgumentException] { Cms.empty(16, 1 << 24) } // > 2 GiB
     intercept[IllegalArgumentException] { Cms.deserialize(Array[Byte](1, 2, 3)) }
     intercept[IllegalArgumentException] {
       Cms.deserialize(new Array[Byte](24)) // header says 0x0 — corrupt
