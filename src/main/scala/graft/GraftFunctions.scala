@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SimhashExpr, VecDotExpr}
+import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -45,6 +45,9 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
       arity2("minhash_sig", MinhashSigExpr.apply)),
+    (FunctionIdentifier("sig_agree"),
+      new ExpressionInfo(classOf[SigAgreeExpr].getName, "sig_agree"),
+      arity2("sig_agree", SigAgreeExpr.apply)),
     (FunctionIdentifier("text_fingerprint"),
       new ExpressionInfo(classOf[FingerprintExpr].getName,
         "text_fingerprint"),

@@ -119,6 +119,20 @@ object MinhashCore extends Serializable {
     new GenericArrayData(sig.map(x => x: Any))
   }
 
+  /** Equal positions between two signatures; a position past either
+    * end or holding a null counts 0 (see [[SigAgreeExpr]]). */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash: bit j set when the sum over token hashes of
     * ±1 (bit j of the hash) is positive. */
   def simhash(text: UTF8String): Long = {
@@ -286,4 +300,52 @@ case class SimhashExpr(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `sig_agree(a, b)` → int: positions where two minhash signatures
+  * carry the same value — the numerator of the LSH agreement estimate
+  * `sig_agree(a, b) / numHashes ≈ jaccard`. Semantics match the HOF
+  * twin `aggregate(zip_with(a, b, (x, y) => when(x === y, 1)
+  * .otherwise(0)), 0, _ + _)`: a length mismatch or null element is a
+  * DISAGREEMENT (counts 0), never a null result — zip_with pads the
+  * short side with nulls and `when` sends them to `otherwise(0)`.
+  *
+  * Why native: the candidate-verify prefilter evaluates this once per
+  * candidate pair; on adversarial corpora (large borderline-similar
+  * families) that is tens of millions of pairs, and the interpreted
+  * HOF chain was the hot path. */
+case class SigAgreeExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else MinhashCore.sigAgree(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    val core = ctx.addReferenceObj("minhashCore", MinhashCore,
+      MinhashCore.getClass.getName)
+    ev.copy(code =
+      code"""
+        ${a.code}
+        ${b.code}
+        boolean ${ev.isNull} = ${a.isNull} || ${b.isNull};
+        int ${ev.value} = 0;
+        if (!${ev.isNull}) {
+          ${ev.value} = $core.sigAgree(${a.value}, ${b.value});
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

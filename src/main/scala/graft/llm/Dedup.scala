@@ -180,9 +180,11 @@ object Dedup {
         .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
           .as("members"))
         .filter(size(col("members")).between(2, maxBucketSize)))
+      // native sig_agree: one call per in-bucket pair — the
+      // interpreted zip_with twin was the hot path when borderline
+      // families make candidate counts quadratic
       val est = (a: Column, b: Column) =>
-        aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes
+        call_function("sig_agree", a, b).cast("double") / numHashes
       buckets
         .select(explode(bucketPairs(col("members"), (x, y) => struct(
           x.getField("doc_id").as("id_a"),
@@ -233,9 +235,20 @@ object Dedup {
     * returning: the result (the pair set, tiny next to the corpus) is
     * eagerly materialized via `localCheckpoint`, so no cached corpus
     * frame leaks into the session. */
+  /** @param prefilterMargin opt-in candidate pruning BEFORE the exact
+    *   verify join: candidate pairs join back to signatures (64·8 B a
+    *   side vs ~KiB shingle sets) and survive only when the agreement
+    *   estimate is ≥ threshold − margin. On corpora with large
+    *   families of borderline-similar docs (est just under threshold)
+    *   LSH candidates go quadratic in family size and the verify join
+    *   dominates; the prefilter drops them for the price of one narrow
+    *   join. Probabilistic: a true ≥threshold pair is lost only when
+    *   its 64-hash estimate undershoots by the margin (≈4σ at
+    *   margin 0.15) — leave None where exact recall is contractual. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.8, k: Int = 5,
-                     numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                     numHashes: Int = 128, bands: Int = 32,
+                     prefilterMargin: Option[Double] = None): DataFrame = {
     val sh = spread(reg(docs), col(idCol)).select(col(idCol).as("jid"),
       shingleHashes(col(textCol), k).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -244,8 +257,21 @@ object Dedup {
         minhashSignature(col("sh"), numHashes).as("sig"))
       // ids only through the bucket shuffle — the exact-Jaccard verify
       // below replaces any signature-agreement estimate
-      val pairs = candidatesFromSignatures(withSig, numHashes, bands,
+      val candidates = candidatesFromSignatures(withSig, numHashes, bands,
         maxBucketSize = 1000, withEst = false)
+      val pairs = prefilterMargin match {
+        case None => candidates
+        case Some(margin) =>
+          val sig = withSig.localCheckpoint(true) // tiny: id + 64 longs
+          candidates
+            .join(sig.select(col("doc_id").as("id_a"),
+              col("sig").as("sig_a")), "id_a")
+            .join(sig.select(col("doc_id").as("id_b"),
+              col("sig").as("sig_b")), "id_b")
+            .filter(call_function("sig_agree", col("sig_a"), col("sig_b"))
+              .cast("double") / numHashes >= threshold - margin)
+            .select("id_a", "id_b")
+      }
       pairs
         .join(sh.select(col("jid").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("jid").as("id_b"), col("sh").as("sh_b")), "id_b")

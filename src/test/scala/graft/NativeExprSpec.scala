@@ -48,6 +48,50 @@ class NativeExprSpec extends SparkSuite {
     }
   }
 
+  test("sig_agree matches the zip_with HOF twin, incl. length mismatch") {
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),   // partial agreement
+      (Seq(1L, 2L), Seq(1L, 2L)),           // full
+      (Seq(1L, 2L, 3L), Seq(1L, 2L)),       // length mismatch: pad → 0
+      (Seq.empty[Long], Seq(1L))).toDF("a", "b")
+    val bad = df.select(call_function("sig_agree", col("a"), col("b"))
+      .as("nat"), hof(col("a"), col("b")).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(bad == 0)
+    // real signatures over the documents table
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(Dedup.minhashSignature(
+        Dedup.shingleHashes(col("text"), 5), 64).as("sig"),
+        Dedup.minhashSignature(
+          Dedup.shingleHashes(concat(col("text"), lit(" tail")), 5), 64)
+          .as("sig2"))
+    val bad2 = docs.select(
+      call_function("sig_agree", col("sig"), col("sig2")).as("nat"),
+      hof(col("sig"), col("sig2")).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(bad2 == 0)
+  }
+
+  test("nearDuplicates prefilter keeps every true pair on the corpus") {
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val both = docs.unionByName(docs.select(
+      (col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val base = Dedup.nearDuplicates(both, "doc_id", "text",
+      threshold = 0.9, k = 5, numHashes = 64, bands = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pre = Dedup.nearDuplicates(both, "doc_id", "text",
+      threshold = 0.9, k = 5, numHashes = 64, bands = 16,
+      prefilterMargin = Some(0.15))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(base.toSet == pre.toSet,
+      s"prefilter changed the verified pair set: ${base.length} vs ${pre.length}")
+    assert(base.nonEmpty)
+  }
+
   test("shingle_hashes matches HOF on the real documents table") {
     val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val bad = docs.select(

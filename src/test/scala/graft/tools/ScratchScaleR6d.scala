@@ -67,20 +67,17 @@ object ScratchScaleR6d {
     }
     events.unpersist()
 
-    // 200k docs: 20 SALTED copies of the sf0.1 corpus (40 distinct
-    // salt tokens each → cross-copy jaccard well under 0.9), each copy
-    // cloned once verbatim — realistic dup-family size 2, not a
-    // 20-clique blow-up (naive 20x identical cloning makes every LSH
-    // bucket quadratic in family size: measured 410 s / 1.05M pairs vs
-    // the shape below)
+    // 200k docs, realistic dup-family shape: 20 copies of the sf0.1
+    // corpus with every WORD copy-tagged (cross-copy jaccard ~0 — no
+    // shared shingles), each copy cloned once verbatim → families of 2
     val d0 = Tables.t(spark, "/root/testdata/sf0.1", "documents")
       .select("doc_id", "text")
-    val salted = (0 until factor).map { i =>
-      val salt = (0 until 40).map(j => s"salt${i}x$j").mkString(" ")
+    val tagged = (0 until factor).map { i =>
       d0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        concat(col("text"), lit(" " + salt)).as("text"))
+        array_join(transform(split(col("text"), "\\s+"),
+          w => concat(lit(s"c$i"), w)), " ").as("text"))
     }.reduce(_ unionByName _)
-    val docs = salted.unionByName(salted.select(
+    val docs = tagged.unionByName(tagged.select(
       (col("doc_id") + lit(5000000L)).as("doc_id"), col("text")))
     println(s"docs: ${docs.count()} rows")
     val pairs = time("minhash pairs 200k") {
@@ -93,6 +90,28 @@ object ScratchScaleR6d {
     time("stars CC 200k") {
       val cc = Dedup.connectedComponentsStars(pairs)
       println(s"  labeled: ${cc.count()}")
+    }
+
+    // adversarial shape: 40-token-salted copies leave cross-copy
+    // jaccard ~0.8 — under the 0.9 threshold but inside LSH's
+    // candidate region, so every base doc drags a 40-member borderline
+    // family into the buckets (candidates quadratic in family size:
+    // 1515 s with the exact verify eating all of it). The sig_agree
+    // prefilter drops those candidates against 512 B signatures
+    // before the KiB-scale shingle-set verify join.
+    val salted = (0 until factor).map { i =>
+      val salt = (0 until 40).map(j => s"salt${i}x$j").mkString(" ")
+      d0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(" " + salt)).as("text"))
+    }.reduce(_ unionByName _)
+    val docsB = salted.unionByName(salted.select(
+      (col("doc_id") + lit(5000000L)).as("doc_id"), col("text")))
+    time("minhash borderline+pf") {
+      val p = Dedup.nearDuplicates(docsB, "doc_id", "text",
+        threshold = 0.9, k = 5, numHashes = 64, bands = 16,
+        prefilterMargin = Some(0.15))
+        .select("id_a", "id_b")
+      println(s"  pairs: ${p.count()}")
     }
     spark.stop()
   }
