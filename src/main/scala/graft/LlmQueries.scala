@@ -1,7 +1,7 @@
 package graft
 
-import graft.llm.{Dedup, Mixing, Packing, Retrieval, Similarity, Text}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.llm.{Dedup, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline queries: text analysis, dedup families,
@@ -463,4 +463,56 @@ object LlmQueries {
       .select(col("query_id"), col("nn_id"))
       .orderBy("query_id")
   }
+
+  /** Word trigrams of the alpha-token stream. HOF (interpreted) — fine
+    * here: trigram expansion is a few ops per token, unlike the minhash
+    * chains that earned native expressions; the heavy sketch path runs
+    * post-explode. */
+  private def wordTrigrams(text: Column): Column = {
+    val ws = graft.llm.LangModel.tokens(text)
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+          element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-level set similarity from mergeable MinHash sketches
+    * ([[graft.llm.GroupSimilarity]]): per-language trigram-set Jaccard
+    * estimated from one union sketch per language — no pairwise element
+    * join. The exact intersection/union counts are oracle-checked
+    * against DuckDB; `est_ok` asserts the sketch estimate lands within
+    * 0.1 of exact Jaccard (≥3.7σ at 128 hashes; deterministic — fixed
+    * permutation seed, no RNG at runtime, bound verified at sf0.01 and
+    * sf0.1). */
+  def setJaccardLangs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // the (lang, trigram) universe — distinct once, feeding BOTH the
+    // sketch branch and the exact branch (localCheckpoint: small next
+    // to the corpus, and the trigram explode must not replay twice)
+    val tri = Dedup.spread(d, col("doc_id"))
+      .select(col("lang"), explode(wordTrigrams(col("text"))).as("sh"))
+      .distinct()
+      .localCheckpoint(true)
+    val est = GroupSimilarity.setJaccard(tri, "lang", "sh", numHashes = 128)
+    val ta = tri.select(col("lang").as("group_a"), col("sh"))
+    val tb = tri.select(col("lang").as("group_b"), col("sh"))
+    val inter = ta.join(tb, "sh").filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).cast("bigint").as("n_inter"))
+    inter.join(est, Seq("group_a", "group_b"))
+      .select(col("group_a").as("lang_a"), col("group_b").as("lang_b"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        (abs(col("jaccard_est") - col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+          <= 0.1).as("est_ok"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** Unigram LM surprisal per document ([[graft.llm.LangModel]]) — the
+    * perplexity-filter quality signal, integer-scaled so both engines
+    * aggregate exactly. */
+  def unigramNll(s: SparkSession, dir: String): DataFrame =
+    LangModel.unigramNll(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
 }

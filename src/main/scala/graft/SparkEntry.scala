@@ -112,6 +112,8 @@ object SparkEntry {
     "q_cms_counts"           -> (LlmQueries.cmsEventCounts _),
     "q_dup_clusters"         -> (LlmQueries.dupClusters _),
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
+    "q_set_jaccard"          -> (LlmQueries.setJaccardLangs _),
+    "q_unigram_nll"          -> (LlmQueries.unigramNll _),
     // event analytics (pivot / json / funnel / cohort)
     "q_pivot_daily"          -> (Queries.pivotDaily _),
     "q_json_props"           -> (Queries.jsonProps _),
@@ -1072,6 +1074,43 @@ object SparkEntry {
         |  FROM embeddings q CROSS JOIN embeddings c
         |  WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // exact per-language trigram-set sizes and intersections; est_ok
+    // (the sketch-vs-exact bound) is a Spark-side assertion the oracle
+    // pins to true, like the hll/kll/cms bound columns
+    "q_set_jaccard" ->
+      """WITH w AS (
+        |  SELECT lang, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents),
+        |idx AS (
+        |  SELECT lang, ws, unnest(range(1, greatest(len(ws), 1))) AS i
+        |  FROM w),
+        |tri AS (
+        |  SELECT DISTINCT lang,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM idx WHERE i + 1 < len(ws)),
+        |sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |       FROM tri GROUP BY 1)
+        |SELECT a.lang AS lang_a, b.lang AS lang_b,
+        |  min(sa.n) AS n_a, min(sb.n) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_inter, true AS est_ok
+        |FROM tri a JOIN tri b ON a.sh = b.sh AND a.lang < b.lang
+        |JOIN sz sa ON sa.lang = a.lang JOIN sz sb ON sb.lang = b.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_unigram_nll" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |stats AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS n_total FROM stats)
+        |SELECT tf.doc_id,
+        |  CAST(sum(tf.tf) AS BIGINT) AS n_terms,
+        |  CAST(sum(CAST(tf.tf AS BIGINT) *
+        |    CAST(round(-ln(CAST(s.ctf AS DOUBLE) / t.n_total) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS sum_nll_e6
+        |FROM tf JOIN stats s USING (term), tot t
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
   )
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,
