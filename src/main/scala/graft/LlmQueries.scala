@@ -515,4 +515,13 @@ object LlmQueries {
   def unigramNll(s: SparkSession, dir: String): DataFrame =
     LangModel.unigramNll(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** Deterministic per-source cap ([[graft.llm.Sampling.capPerGroup]]):
+    * at most 15 docs per source by md5-rank of doc_id — the per-domain
+    * cap of corpus curation, reproducible on any engine. */
+  def capPerSource(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.capPerGroup(
+      t(s, dir, "documents").select("source", "doc_id"),
+      "source", "doc_id", n = 15)
+      .orderBy("source", "doc_id")
 }

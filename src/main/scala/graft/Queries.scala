@@ -742,4 +742,21 @@ object Queries {
       .agg(count(lit(1)).cast("bigint").as("n_users"))
       .orderBy("cohort_wk", "wk")
   }
+
+  /** Snapshot diff ([[graft.operators.Diff]]): the documents corpus vs
+    * a deterministically simulated next version — every 13th doc
+    * removed, every 7th edited, every 11th re-added under a new id.
+    * Classifies each key added/removed/changed/same via one full outer
+    * join; the oracle replays it with IS NOT DISTINCT FROM. */
+  def datasetDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select("doc_id", "text")
+    val next = d.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.operators.Diff.snapshotDiff(d, next, Seq("doc_id"), Seq("text"))
+      .orderBy("doc_id")
+  }
 }

@@ -114,6 +114,8 @@ object SparkEntry {
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
     "q_set_jaccard"          -> (LlmQueries.setJaccardLangs _),
     "q_unigram_nll"          -> (LlmQueries.unigramNll _),
+    "q_cap_per_source"       -> (LlmQueries.capPerSource _),
+    "q_dataset_diff"         -> (Queries.datasetDiff _),
     // event analytics (pivot / json / funnel / cohort)
     "q_pivot_daily"          -> (Queries.pivotDaily _),
     "q_json_props"           -> (Queries.jsonProps _),
@@ -1111,6 +1113,30 @@ object SparkEntry {
         |      AS BIGINT)) AS BIGINT) AS sum_nll_e6
         |FROM tf JOIN stats s USING (term), tot t
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q_cap_per_source" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |      CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15 ORDER BY source, doc_id""".stripMargin,
+    "q_dataset_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |new AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 11 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text IS NOT DISTINCT FROM n.text THEN 'same'
+        |       ELSE 'changed' END AS status
+        |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,

@@ -43,4 +43,50 @@ object Sampling {
       .when(bucket256(key) < valUpTo, "val")
       .otherwise("test")
   }
+
+  /** Deterministic per-group cap: keep at most `n` rows per group,
+    * chosen by md5-rank of the key — the per-domain/source cap of
+    * corpus curation ("no more than N docs from any one site"),
+    * reproducible across engines, runs, and cluster sizes, and stable
+    * under re-partitioning (rank depends only on the key).
+    *
+    * Scale shape: a per-partition bounded heap first reduces each
+    * group to ≤ n rows per input partition, so the per-group ranking
+    * window never sees a giant group — the same skew defense as
+    * [[graft.llm.Similarity]]'s localTopK. One keyed shuffle. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  n: Int): DataFrame = {
+    require(n > 0, s"capPerGroup needs n > 0, got $n")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.expressions.Window
+    val withRank = df.withColumn("__mk", md5(col(keyCol).cast("string")))
+    val sch = withRank.schema
+    val gi = sch.fieldIndex(groupCol)
+    val mi = sch.fieldIndex("__mk")
+    // heap head = current WORST (largest md5) = eviction candidate;
+    // ties broken arbitrarily in the pre-pass — safe, because tied
+    // rows share (group, key) and the final window's output columns
+    // cannot distinguish them
+    val byBadness: Ordering[Row] = new Ordering[Row] {
+      override def compare(a: Row, b: Row): Int =
+        a.getString(mi).compareTo(b.getString(mi))
+    }
+    val partial = withRank.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      rows.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(gi),
+          scala.collection.mutable.PriorityQueue.empty[Row](byBadness))
+        if (h.size < n) h.enqueue(r)
+        else if (byBadness.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(RowEncoder.encoderFor(sch))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__mk"), col(keyCol).cast("string"))
+    partial.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn", "__mk")
+  }
 }
