@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text}
+import graft.llm.{Dedup, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -524,4 +524,31 @@ object LlmQueries {
       t(s, dir, "documents").select("source", "doc_id"),
       "source", "doc_id", n = 15)
       .orderBy("source", "doc_id")
+
+  /** Winnowed (MOSS) fingerprints per document
+    * ([[graft.llm.Winnow.fingerprints]], k=3 word-grams, window 4). */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    Winnow.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "fp_pos", "fp_hash")
+
+  /** Document pairs sharing >= 3 rare winnowed fingerprints
+    * ([[graft.llm.Winnow.sharedFingerprintPairs]], doc-freq cap 20) —
+    * local-overlap detection between exact-hash and set-minhash. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame =
+    Winnow.sharedFingerprintPairs(t(s, dir, "documents"), "doc_id", "text",
+      minShared = 3, maxDocFreq = 20)
+      .orderBy("id_a", "id_b")
+
+  /** Edit-distance verification of LSH near-dup candidates on the
+    * cloned corpus ([[graft.llm.Dedup.editDistanceVerify]]): the
+    * order-sensitive precision pass after the set-level recall pass. */
+  def editDistanceNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithClones(s, dir)
+    val pairs = Dedup.nearDuplicates(d, "doc_id", "text",
+      threshold = 0.9, k = 5, numHashes = 64, bands = 16)
+      .select("id_a", "id_b")
+    Dedup.editDistanceVerify(pairs, d, "doc_id", "text")
+      .select("id_a", "id_b", "lev", "lev_sim")
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -25,7 +25,9 @@ object PlanAudit {
       "q_chunk_windows", "q_pack_concat", "q_pack_greedy",
       "q_tfidf_terms", "q_bm25_topk", "q_mixture", "q_hll_users",
       "q_kll_quantiles", "q_cms_counts", "q_ann_ivf",
-      "q_pivot_daily", "q_json_props", "q_funnel", "q_retention")
+      "q_pivot_daily", "q_json_props", "q_funnel", "q_retention",
+      "q_winnow_fp", "q_winnow_pairs", "q_edit_distance",
+      "q_dataset_diff", "q_cap_per_source")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)

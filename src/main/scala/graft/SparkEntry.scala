@@ -116,6 +116,9 @@ object SparkEntry {
     "q_unigram_nll"          -> (LlmQueries.unigramNll _),
     "q_cap_per_source"       -> (LlmQueries.capPerSource _),
     "q_dataset_diff"         -> (Queries.datasetDiff _),
+    "q_winnow_fp"            -> (LlmQueries.winnowFingerprints _),
+    "q_winnow_pairs"         -> (LlmQueries.winnowPairs _),
+    "q_edit_distance"        -> (LlmQueries.editDistanceNearDups _),
     // event analytics (pivot / json / funnel / cohort)
     "q_pivot_daily"          -> (Queries.pivotDaily _),
     "q_json_props"           -> (Queries.jsonProps _),
@@ -1137,7 +1140,97 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // winnowing (Schleimer et al. 2003): word-3-gram 32-bit md5-prefix
+    // hashes, window 4, min-hash-rightmost-pos selection replayed with
+    // the same (hash * 2^20 + (2^20-1-pos)) packing as the Spark side
+    "q_winnow_fp" ->
+      (winnowFpSql + """
+        |SELECT doc_id, fp_pos, fp_hash FROM fp
+        |ORDER BY doc_id, fp_pos, fp_hash""".stripMargin),
+    "q_winnow_pairs" ->
+      (winnowFpSql + """
+        |, f AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+        |hot AS (SELECT fp_hash FROM f GROUP BY fp_hash
+        |        HAVING count(*) > 20),
+        |k AS (SELECT doc_id, fp_hash FROM f
+        |      WHERE fp_hash NOT IN (SELECT fp_hash FROM hot)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM k a JOIN k b
+        |        ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 3
+        |ORDER BY id_a, id_b""".stripMargin),
+    // Levenshtein verify over the exact >= 0.9-Jaccard pair set of the
+    // cloned corpus (same ground truth as q_minhash_near_dups)
+    "q_edit_distance" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 3),
+        |        i -> array_to_string(ws[i:i+4], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM w),
+        |px AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |pairs AS (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
+        |  UNION ALL SELECT ia, ib FROM px
+        |  UNION ALL SELECT ia, ib + 100000 FROM px
+        |  UNION ALL SELECT ib, ia + 100000 FROM px
+        |  UNION ALL SELECT ia + 100000, ib + 100000 FROM px)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+        |  CAST(1.0 AS DOUBLE) - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |    greatest(length(a.text), length(b.text), 1) AS lev_sim
+        |FROM pairs p
+        |JOIN all_docs a ON p.id_a = a.doc_id
+        |JOIN all_docs b ON p.id_b = b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
   )
+
+  /** Shared CTE prefix for the winnowing oracles: normalized word
+    * 3-grams with 0-based positions, 32-bit md5-prefix hashes packed
+    * with rightmost-pos tiebreak, window-4 min selection. */
+  private lazy val winnowFpSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      |      ' ') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(t.i AS BIGINT) - 1 AS pos,
+      |    CASE WHEN len(ws) >= 3 THEN array_to_string(ws[t.i:t.i+2], ' ')
+      |         ELSE array_to_string(ws, ' ') END AS gram
+      |  FROM w, UNNEST(range(1,
+      |    CASE WHEN len(ws) >= 3 THEN len(ws) - 1 ELSE 2 END)) t(i)),
+      |e AS (
+      |  SELECT doc_id, pos,
+      |    ('0x' || substr(md5(gram), 1, 8))::BIGINT * 1048576
+      |      + (1048575 - pos) AS enc,
+      |    count(*) OVER (PARTITION BY doc_id) AS m
+      |  FROM g),
+      |s AS (
+      |  SELECT doc_id, pos, m,
+      |    min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+      |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |  FROM e),
+      |fp AS (
+      |  SELECT DISTINCT doc_id, sel // 1048576 AS fp_hash,
+      |    1048575 - (sel % 1048576) AS fp_pos
+      |  FROM s WHERE pos <= greatest(m - 4, 0))""".stripMargin
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,
     * dim=64, multiprobe Hamming-1, k=1): bucket sign tests are emitted

@@ -226,6 +226,39 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  /** Character-level edit-distance verification for a candidate pair
+    * set: joins ids back to raw text and computes Levenshtein distance
+    * plus the normalized similarity `1 - lev / max(len_a, len_b)`.
+    * The precision pass AFTER a set-level recall pass (LSH shingle
+    * Jaccard ignores word order; edit distance does not) — only ever
+    * run it on candidate pairs, never all-pairs: O(len²) per pair.
+    * With `maxDist` set, pairs whose length difference alone exceeds
+    * the cap are dropped BEFORE the quadratic compare (|len_a −
+    * len_b| is a lower bound on Levenshtein). */
+  def editDistanceVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String,
+                         maxDist: Option[Int] = None): DataFrame = {
+    val txt = reg(docs).select(col(idCol).as("jid"),
+      col(textCol).as("jtxt"))
+    val joined = pairs
+      .join(txt.withColumnRenamed("jid", "id_a")
+        .withColumnRenamed("jtxt", "__t_a"), "id_a")
+      .join(txt.withColumnRenamed("jid", "id_b")
+        .withColumnRenamed("jtxt", "__t_b"), "id_b")
+    val prefiltered = maxDist match {
+      case Some(d) => joined.filter(
+        abs(length(col("__t_a")) - length(col("__t_b"))) <= d)
+      case None => joined
+    }
+    val lev = levenshtein(col("__t_a"), col("__t_b"))
+    val out = prefiltered
+      .withColumn("lev", lev.cast("bigint"))
+      .withColumn("lev_sim", lit(1.0) - col("lev").cast("double") /
+        greatest(length(col("__t_a")), length(col("__t_b")), lit(1)))
+      .drop("__t_a", "__t_b")
+    maxDist.fold(out)(d => out.filter(col("lev") <= d))
+  }
+
   /** Near-dup pairs above a Jaccard threshold: LSH candidates verified
     * with exact shingle Jaccard. The shingle frame feeds three plan
     * branches (signature + both sides of the verify join), so it is
