@@ -1,0 +1,61 @@
+package graft
+
+import graft.llm.{Dedup, Winnow}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale sanity for winnowing + edit-distance verify: the sf0.1
+  * documents table cloned 20x (100k docs). The 2-word salt keeps the
+  * copies from being byte-identical but long docs stay above 0.9
+  * shingle-Jaccard, so LSH emits full 20-clone families (~190 pairs
+  * each, ~690k total) — deliberately the quadratic-family worst case
+  * from NOTES_r06, which the verify path must absorb. Run:
+  * sbt "Test/runMain graft.ScratchScaleR6e". */
+object ScratchScaleR6e {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s"); r
+    }
+
+    val factor = 20
+    val d0 = Tables.t(spark, "/root/testdata/sf0.1", "documents")
+      .select("doc_id", "text")
+    // per-copy salt: copies are not byte-identical, but the shared
+    // middle keeps cross-copy Jaccard >= 0.9 on long docs (full
+    // families) and shared winnow fingerprints survive
+    val docs = (0 until factor).map(i =>
+      d0.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat(lit(s"salt$i "), col("text"), lit(s" tail$i")).as("text")))
+      .reduce(_ unionByName _).persist()
+    println(s"docs: ${docs.count()} rows")
+
+    val fp = time("winnow fingerprints") {
+      val f = Winnow.fingerprints(docs, "doc_id", "text").persist()
+      println(s"  fingerprints: ${f.count()}")
+      f
+    }
+    time("winnow pairs") {
+      val n = Winnow.sharedFingerprintPairs(docs, "doc_id", "text",
+        minShared = 3, maxDocFreq = 50).count()
+      println(s"  pairs: $n")
+    }
+    fp.unpersist()
+    time("edit-distance verify") {
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+        threshold = 0.9, k = 5, numHashes = 64, bands = 16)
+        .select("id_a", "id_b")
+      val n = Dedup.editDistanceVerify(pairs, docs, "doc_id", "text").count()
+      println(s"  verified pairs: $n")
+    }
+    spark.stop()
+  }
+}
