@@ -556,24 +556,7 @@ object SparkEntry {
     // the LSH banding (16 bands x 4 rows) has >1-1e-7 collision
     // probability at J>=0.9, so LSH output equals the exact answer)
     "q_minhash_near_dups" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-        |      ' ') AS ws
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(ws) >= 5 THEN
-        |      list_distinct(list_transform(range(1, len(ws) - 3),
-        |        i -> array_to_string(ws[i:i+4], ' ')))
-        |    ELSE [array_to_string(ws, ' ')] END AS sh
-        |  FROM w),
-        |pj AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |px AS (SELECT ia, ib, j FROM pj WHERE j >= 0.9)
+      (cloneJaccardSql + """
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
         |    CAST(1.0 AS DOUBLE) AS jaccard FROM documents
@@ -581,7 +564,7 @@ object SparkEntry {
         |  UNION ALL SELECT ia, ib + 100000, j FROM px
         |  UNION ALL SELECT ib, ia + 100000, j FROM px
         |  UNION ALL SELECT ia + 100000, ib + 100000, j FROM px)
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
     "q_clean_corpus" ->
       """WITH base AS (
         |  SELECT doc_id, lang, text FROM documents
@@ -1162,29 +1145,14 @@ object SparkEntry {
         |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 3
         |ORDER BY id_a, id_b""".stripMargin),
     // Levenshtein verify over the exact >= 0.9-Jaccard pair set of the
-    // cloned corpus (same ground truth as q_minhash_near_dups)
+    // cloned corpus (same ground truth as q_minhash_near_dups — the
+    // shared cloneJaccardSql prefix IS the single definition)
     "q_edit_distance" ->
-      """WITH all_docs AS (
+      (cloneJaccardSql + """
+        |, all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 100000, text FROM documents),
-        |w AS (
-        |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
-        |      ' ') AS ws
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(ws) >= 5 THEN
-        |      list_distinct(list_transform(range(1, len(ws) - 3),
-        |        i -> array_to_string(ws[i:i+4], ' ')))
-        |    ELSE [array_to_string(ws, ' ')] END AS sh
-        |  FROM w),
-        |px AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
         |pairs AS (
         |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents
         |  UNION ALL SELECT ia, ib FROM px
@@ -1198,8 +1166,33 @@ object SparkEntry {
         |FROM pairs p
         |JOIN all_docs a ON p.id_a = a.doc_id
         |JOIN all_docs b ON p.id_b = b.doc_id
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin),
   )
+
+  /** Shared CTE prefix defining the exact >= 0.9-Jaccard ground truth
+    * of the cloned corpus (normalized words → distinct 5-shingles →
+    * all-pairs exact Jaccard → `px(ia, ib, j)`) — the ONE definition
+    * behind both q_minhash_near_dups and q_edit_distance, so the two
+    * oracles can never drift apart. */
+  private lazy val cloneJaccardSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      |      ' ') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ws) >= 5 THEN
+      |      list_distinct(list_transform(range(1, len(ws) - 3),
+      |        i -> array_to_string(ws[i:i+4], ' ')))
+      |    ELSE [array_to_string(ws, ' ')] END AS sh
+      |  FROM w),
+      |pj AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |px AS (SELECT ia, ib, j FROM pj WHERE j >= 0.9)""".stripMargin
 
   /** Shared CTE prefix for the winnowing oracles: normalized word
     * 3-grams with 0-based positions, 32-bit md5-prefix hashes packed
@@ -1214,8 +1207,9 @@ object SparkEntry {
       |  SELECT doc_id, CAST(t.i AS BIGINT) - 1 AS pos,
       |    CASE WHEN len(ws) >= 3 THEN array_to_string(ws[t.i:t.i+2], ' ')
       |         ELSE array_to_string(ws, ' ') END AS gram
-      |  FROM w, UNNEST(range(1,
-      |    CASE WHEN len(ws) >= 3 THEN len(ws) - 1 ELSE 2 END)) t(i)),
+      |  FROM w, UNNEST(range(1, least(
+      |    CASE WHEN len(ws) >= 3 THEN len(ws) - 1 ELSE 2 END,
+      |    1048577))) t(i)),
       |e AS (
       |  SELECT doc_id, pos,
       |    ('0x' || substr(md5(gram), 1, 8))::BIGINT * 1048576

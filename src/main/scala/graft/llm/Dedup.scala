@@ -132,7 +132,7 @@ object Dedup {
 
   /** Pairwise (i&lt;j) combinations of a sorted bucket-member array —
     * per-row HOF, no join. Members are `struct(id, payload)`. */
-  private def bucketPairs(members: Column,
+  private[graft] def bucketPairs(members: Column,
                           pair: (Column, Column) => Column): Column =
     flatten(transform(members, (x, i) =>
       transform(slice(members, i + 2, size(members)), y => pair(x, y))))

@@ -15,21 +15,28 @@ import org.apache.spark.sql.functions._
   * minhash (set-level): detects partial overlap / local copying.
   *
   * Scale shape: fingerprint selection is one shuffle keyed by doc id
-  * (the gram explosion is projected down to `(id, pos, encoded)` —
-  * 24 bytes a row — before the exchange; the two window functions
-  * share the partitioning). Fingerprint density is ~2/(w+1), so the
-  * output is a small fraction of the gram count. The pair join is
-  * keyed by fingerprint hash with a broadcast hot-hash blocklist
-  * (doc-frequency cap), so boilerplate shared by thousands of docs
-  * can never create a quadratic bucket.
+  * carrying the exploded `(id, pos, word)` rows — the corpus words
+  * ride the exchange once, and the gram build (lead windows), hashing
+  * and min-selection windows all share that single partitioning.
+  * Fingerprint density is ~2/(w+1), so the output is a small fraction
+  * of the gram count. The pair report collects per-hash buckets
+  * (bounded by the doc-frequency cap, so boilerplate shared by
+  * thousands of docs can never create a quadratic bucket) and explodes
+  * in-bucket pairs at pinned width — byte-tiny but CPU-quadratic
+  * stages are exactly what AQE's byte-based coalescing folds onto 1-3
+  * cores (see [[Dedup.pinWidth]]).
   */
 object Winnow {
 
   /** Positions are packed with the hash into one BIGINT
     * (`hash * PosCap + (PosCap - 1 - pos)`), so a single `min` window
-    * aggregate selects (min hash, rightmost pos). Caps grams per doc
-    * at 2^20; hash is 32 bits, so the encoding stays under 2^52 —
-    * exact in BIGINT and in any engine's DOUBLE fallback. */
+    * aggregate selects (min hash, rightmost pos). Grams per doc are
+    * CAPPED at 2^20 (enforced below — a position past the cap would
+    * borrow from the hash field and silently corrupt selection):
+    * docs longer than ~1M words fingerprint only their first 2^20
+    * grams, where the winnowing guarantee holds intact. Hash is 32
+    * bits, so the encoding stays under 2^52 — exact in BIGINT and in
+    * any engine's DOUBLE fallback. */
   val PosCap: Long = 1L << 20
 
   /** Per-doc winnowed fingerprints: one row per selected
@@ -38,7 +45,30 @@ object Winnow {
     * shorter than `k` words contribute their whole text as a single
     * gram at position 0. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, w: Int = 4): DataFrame = {
+                   k: Int = 3, w: Int = 4): DataFrame =
+    selected(docs, idCol, textCol, k, w)
+      .select(col(idCol),
+        (lit(PosCap - 1) - pmod(col("sel"), lit(PosCap))).as("fp_pos"),
+        floor(col("sel") / PosCap).cast("long").as("fp_hash"))
+      .distinct()
+
+  /** Distinct `(id, fp_hash)` — what the pair report needs. Skips the
+    * position decode and deduplicates on `(id, hash)` directly, so the
+    * whole thing stays ONE doc-keyed shuffle ([[fingerprints]] feeding
+    * a caller-side re-distinct on `(id, hash)` paid a second full
+    * exchange of the fingerprint set just to drop `fp_pos`). */
+  private[graft] def fingerprintHashes(docs: DataFrame, idCol: String,
+                                       textCol: String,
+                                       k: Int, w: Int): DataFrame =
+    selected(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("fid"),
+        floor(col("sel") / PosCap).cast("long").as("fp_hash"))
+      .distinct()
+
+  /** Shared selection pipeline: `(id, sel)` rows, one per window
+    * start, `sel` the packed (hash, pos) winner of that window. */
+  private def selected(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow needs k >= 1 and w >= 1, got k=$k w=$w")
     // Grams via lead() windows over exploded words, NOT a transform()
     // HOF: slice-of-outer-array inside a lambda re-evaluates the split
@@ -47,9 +77,13 @@ object Winnow {
     // concat_ws skips the null leads past the end, so a doc shorter
     // than k words yields its whole text as the single pos-0 gram —
     // the same fallback as [[fingerprintsHof]].
+    // Words past PosCap + k - 1 are dropped up front: every surviving
+    // gram START stays < PosCap (the packing precondition) while grams
+    // starting just under the cap still see their full k words.
     val exploded = docs.select(col(idCol),
       posexplode(Text.words(Text.normalize(col(textCol))))
         .as(Seq("pos", "word")))
+      .filter(col("pos") < lit(PosCap + k - 1))
     val byDoc = Window.partitionBy(col(idCol))
     val ordered = byDoc.orderBy(col("pos"))
     val gram = concat_ws(" ",
@@ -66,10 +100,7 @@ object Winnow {
       .withColumn("sel", min(col("enc")).over(frame))
       // window STARTS only; when mg < w the single pos-0 window truncates
       .filter(col("pos") <= greatest(col("mg") - w, lit(0)))
-      .select(col(idCol),
-        (lit(PosCap - 1) - pmod(col("sel"), lit(PosCap))).as("fp_pos"),
-        floor(col("sel") / PosCap).cast("long").as("fp_hash"))
-      .distinct()
+      .select(col(idCol), col("sel"))
   }
 
   /** Declarative HOF twin of [[fingerprints]] (spec reference only):
@@ -78,8 +109,9 @@ object Winnow {
                                      textCol: String,
                                      k: Int = 3, w: Int = 4): DataFrame = {
     val ws = Text.words(Text.normalize(col(textCol)))
+    // same 2^20 gram-start cap as [[selected]] (packing precondition)
     val grams = when(size(ws) >= k,
-        transform(sequence(lit(0), size(ws) - k),
+        transform(sequence(lit(0), least(size(ws) - k, lit(PosCap - 1))),
           i => array_join(slice(ws, i + 1, lit(k)), " ")))
       .otherwise(array(array_join(ws, " ")))
     val hash32 = conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
@@ -101,24 +133,30 @@ object Winnow {
   }
 
   /** Document pairs sharing at least `minShared` distinct winnowed
-    * fingerprint hashes — the MOSS match report. Fingerprints present
-    * in more than `maxDocFreq` documents (boilerplate) are dropped via
-    * a broadcast blocklist before the pair join, which bounds every
-    * join bucket at `maxDocFreq` rows. */
+    * fingerprint hashes — the MOSS match report. Per-hash doc buckets
+    * larger than `maxDocFreq` (boilerplate shared by many documents)
+    * are dropped whole, which bounds every pair explosion at
+    * `maxDocFreq²/2` and keeps the report from going quadratic on
+    * license headers / templates.
+    *
+    * Shape: ONE shuffle keys the distinct `(id, hash)` set by hash
+    * into sorted member buckets (the df cap is the bucket-size
+    * filter), then in-bucket pairs explode at pinned width — the
+    * byte-tiny/CPU-quadratic stage AQE would otherwise coalesce onto
+    * 1-3 cores — and one final shuffle counts shared hashes per pair.
+    * Same plan skeleton as [[Dedup.candidatesFromSignatures]]. */
   def sharedFingerprintPairs(docs: DataFrame, idCol: String, textCol: String,
                              k: Int = 3, w: Int = 4, minShared: Int = 2,
                              maxDocFreq: Int = 100): DataFrame = {
-    val fp = fingerprints(docs, idCol, textCol, k, w)
-      .select(col(idCol).as("fid"), col("fp_hash")).distinct()
-      .localCheckpoint(true)
-    val hot = fp.groupBy("fp_hash")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("fp_hash")
-    val kept = fp.join(broadcast(hot), Seq("fp_hash"), "left_anti")
-    kept.select(col("fp_hash"), col("fid").as("id_a"))
-      .join(kept.select(col("fp_hash"), col("fid").as("id_b")), "fp_hash")
-      .filter(col("id_a") < col("id_b"))
+    val buckets = Dedup.pinWidth(
+      fingerprintHashes(docs, idCol, textCol, k, w)
+        .groupBy("fp_hash")
+        .agg(sort_array(collect_list(col("fid"))).as("members"))
+        .filter(size(col("members")).between(2, maxDocFreq)))
+    buckets
+      .select(explode(Dedup.bucketPairs(col("members"),
+        (x, y) => struct(x.as("id_a"), y.as("id_b")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).cast("bigint").as("n_shared"))
       .filter(col("n_shared") >= minShared)

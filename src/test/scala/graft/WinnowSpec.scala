@@ -88,4 +88,36 @@ class WinnowSpec extends SparkSuite {
       .as[Long].head()
     assert(h == 2416005272L)
   }
+
+  test("gram positions past 2^20 are truncated, never corrupt the packing") {
+    // A doc longer than PosCap words: positions >= PosCap would make
+    // (PosCap-1-pos) negative and borrow from the hash field (fp_hash
+    // off by one, fp_pos aliased mod 2^20). The cap must clamp gram
+    // starts at PosCap-1 and leave everything below bit-identical to
+    // the same prefix as its own document.
+    val n = Winnow.PosCap.toInt + 50
+    val longText = (0 until n).map(i => words(i % words.size)).mkString(" ")
+    val prefixText = (0 until 5000).map(i => words(i % words.size)).mkString(" ")
+    val docs = Seq((1L, longText), (2L, prefixText)).toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(docs, "doc_id", "text").cache()
+    val longFp = fp.filter($"doc_id" === 1L)
+      .select("fp_pos", "fp_hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(longFp.nonEmpty)
+    assert(longFp.forall { case (pos, hash) =>
+      pos >= 0 && pos < Winnow.PosCap && hash >= 0 && hash <= 0xFFFFFFFFL },
+      "all positions in [0, PosCap), all hashes 32-bit — no field borrow")
+    // the 5000-word prefix doc is a prefix of the long doc: every
+    // fingerprint it selects strictly inside its windows (pos safely
+    // below its own tail region) must appear identically in the long
+    // doc's set — selection below the cap is unaffected by the tail
+    val longSet = longFp.toSet
+    val prefixInner = fp.filter($"doc_id" === 2L)
+      .select("fp_pos", "fp_hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 < 5000 - 10)
+    assert(prefixInner.nonEmpty && prefixInner.forall(longSet.contains),
+      "sub-cap selection must be byte-identical to the shared prefix")
+    fp.unpersist()
+  }
 }
