@@ -539,6 +539,28 @@ object LlmQueries {
       minShared = 3, maxDocFreq = 20)
       .orderBy("id_a", "id_b")
 
+  /** Incremental batch-vs-catalog near-dup detection
+    * ([[graft.llm.Dedup.nearDuplicatesAgainstCatalog]]): a simulated
+    * incoming batch — clones of every 7th==0 doc (must be flagged
+    * against their source) plus word-reversed every 7th==3 docs (same
+    * vocabulary, disjoint 5-shingles — must match nothing) — dedups
+    * against the corpus via its [[graft.llm.Dedup.signatureCatalog]];
+    * the corpus is only touched for candidate verification. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val batch = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(reverse(graft.llm.Text.words(
+            graft.llm.Text.normalize(col("text")))), " ").as("text")))
+    val catSigs = Dedup.signatureCatalog(d, "doc_id", "text",
+      k = 5, numHashes = 64)
+    Dedup.nearDuplicatesAgainstCatalog(batch, "doc_id", "text",
+      catSigs, d, threshold = 0.9, k = 5, numHashes = 64, bands = 16)
+      .orderBy("id_new", "id_cat")
+  }
+
   /** Edit-distance verification of LSH near-dup candidates on the
     * cloned corpus ([[graft.llm.Dedup.editDistanceVerify]]): the
     * order-sensitive precision pass after the set-level recall pass. */

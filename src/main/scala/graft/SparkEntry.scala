@@ -119,6 +119,7 @@ object SparkEntry {
     "q_winnow_fp"            -> (LlmQueries.winnowFingerprints _),
     "q_winnow_pairs"         -> (LlmQueries.winnowPairs _),
     "q_edit_distance"        -> (LlmQueries.editDistanceNearDups _),
+    "q_dedup_incremental"    -> (LlmQueries.dedupIncremental _),
     // event analytics (pivot / json / funnel / cohort)
     "q_pivot_daily"          -> (Queries.pivotDaily _),
     "q_json_props"           -> (Queries.jsonProps _),
@@ -1144,6 +1145,50 @@ object SparkEntry {
         |      GROUP BY 1, 2)
         |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 3
         |ORDER BY id_a, id_b""".stripMargin),
+    // incremental batch-vs-catalog dedup: exact >= 0.9 Jaccard between
+    // the simulated batch (clones of %7==0 docs + word-reversed %7==3
+    // docs) and the full corpus, replayed all-pairs
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |batch AS (
+        |  SELECT doc_id + 200000 AS doc_id, text FROM d WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    array_to_string(list_reverse(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')),
+        |      ' ') AS text
+        |  FROM d WHERE doc_id % 7 = 3),
+        |wb AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM batch),
+        |wc AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM d),
+        |sb AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 3),
+        |        i -> array_to_string(ws[i:i+4], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM wb),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 3),
+        |        i -> array_to_string(ws[i:i+4], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM wc),
+        |pj AS (
+        |  SELECT b.doc_id AS id_new, c.doc_id AS id_cat,
+        |    CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(b.sh, c.sh))) AS jaccard
+        |  FROM sb b, sc c)
+        |SELECT id_new, id_cat, jaccard FROM pj WHERE jaccard >= 0.9
+        |ORDER BY id_new, id_cat""".stripMargin,
     // Levenshtein verify over the exact >= 0.9-Jaccard pair set of the
     // cloned corpus (same ground truth as q_minhash_near_dups — the
     // shared cloneJaccardSql prefix IS the single definition)

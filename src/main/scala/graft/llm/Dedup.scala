@@ -317,6 +317,96 @@ object Dedup {
     } finally sh.unpersist()
   }
 
+  /** Persistable MinHash signature catalog: one `(doc_id, sig)` row
+    * per document, `sig` an `array<long>` column that parquet stores
+    * losslessly. Write this ONCE per corpus version; every future
+    * incoming batch dedups against the stored signatures via
+    * [[nearDuplicatesAgainstCatalog]] — the 100 TB corpus is never
+    * re-shingled, re-hashed, or even re-read for candidate
+    * generation. */
+  def signatureCatalog(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, numHashes: Int = 128): DataFrame =
+    spread(reg(docs), col(idCol)).select(col(idCol).as("doc_id"),
+      minhashSignature(shingleHashes(col(textCol), k), numHashes).as("sig"))
+
+  /** Candidate `(id_new, id_cat)` pairs whose signatures share an LSH
+    * band — the cross-set half of [[candidatesFromSignatures]]. Both
+    * sides reduce to per-(band, bucket) sorted member lists (buckets
+    * larger than `maxBucketSize` on EITHER side are dropped whole, so
+    * a boilerplate bucket can never cross-product), the bucket join is
+    * keyed by (band, bucket), and the cross explosion runs at pinned
+    * width (AQE byte-coalescing would fold the byte-tiny/CPU-quadratic
+    * stage onto 1-3 cores). */
+  def crossCandidates(newSigs: DataFrame, catalogSigs: DataFrame,
+                      numHashes: Int, bands: Int,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val bandKeys = explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk")
+    def buckets(df: DataFrame, out: String) =
+      df.select(col("doc_id"), bandKeys)
+        .select(col("doc_id"),
+          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        .groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("doc_id"))).as(out))
+        .filter(size(col(out)) <= maxBucketSize)
+    pinWidth(buckets(newSigs, "mn").join(buckets(catalogSigs, "mc"),
+        Seq("band", "bucket")))
+      .select(explode(flatten(transform(col("mn"), x =>
+        transform(col("mc"), y =>
+          struct(x.as("id_new"), y.as("id_cat")))))).as("p"))
+      .select(col("p.id_new").as("id_new"), col("p.id_cat").as("id_cat"))
+      .distinct()
+  }
+
+  /** Incremental near-dup detection: flag documents in `batch` whose
+    * exact shingle Jaccard against some corpus document reaches
+    * `threshold`, using a persisted [[signatureCatalog]] for candidate
+    * generation. Only the batch is shingled up front; the corpus text
+    * is touched once, column-pruned, and shingled ONLY for the
+    * candidate ids (semi-join prune) — the verify cost scales with the
+    * candidate count, not the corpus. Returns
+    * `(id_new, id_cat, jaccard)`. */
+  def nearDuplicatesAgainstCatalog(batch: DataFrame, idCol: String,
+                                   textCol: String,
+                                   catalogSigs: DataFrame,
+                                   corpus: DataFrame,
+                                   threshold: Double = 0.9, k: Int = 5,
+                                   numHashes: Int = 128, bands: Int = 32,
+                                   maxBucketSize: Int = 1000): DataFrame = {
+    val bsh = spread(reg(batch), col(idCol)).select(col(idCol).as("jid"),
+      shingleHashes(col(textCol), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bsig = bsh.select(col("jid").as("doc_id"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
+      // checkpoint: the candidate set is small and feeds BOTH the
+      // semi-join prune and the verify join — without it the whole
+      // LSH pipeline would run twice
+      val cand = crossCandidates(bsig, catalogSigs, numHashes, bands,
+        maxBucketSize).localCheckpoint(true)
+      val needed = cand.select(col("id_cat").as(idCol)).distinct()
+      // explicit repartition, not spread(): spread's width probe
+      // executes the NON-adaptive sparkPlan, which for a join still
+      // lacks EnsureRequirements' broadcast exchanges (that rule runs
+      // in executedPlan) and dies in doExecuteBroadcast. The pruned
+      // frame is candidate-sized, so the fixed-width shuffle is cheap
+      // and decouples the shingle chain from the semi-join's width.
+      val csh = reg(corpus).join(needed, Seq(idCol), "left_semi")
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+          col(idCol))
+        .select(col(idCol).as("cid"), shingleHashes(col(textCol), k).as("csh"))
+      cand
+        .join(bsh.select(col("jid").as("id_new"), col("sh").as("sh_new")),
+          "id_new")
+        .join(csh.select(col("cid").as("id_cat"), col("csh").as("sh_cat")),
+          "id_cat")
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_new"), col("sh_cat"))).cast("double") /
+          size(array_union(col("sh_new"), col("sh_cat"))))
+        .filter(col("jaccard") >= threshold)
+        .select("id_new", "id_cat", "jaccard")
+    } finally bsh.unpersist()
+  }
+
   /** Greedy near-dup removal policy: from each near-dup pair
     * (id_a < id_b), the higher id is dropped. Deterministic, no
     * clustering pass — the standard cheap keep-first policy for
