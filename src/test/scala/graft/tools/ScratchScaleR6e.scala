@@ -49,6 +49,26 @@ object ScratchScaleR6e {
       println(s"  pairs: $n")
     }
     fp.unpersist()
+    time("incremental dedup") {
+      // catalog = the 100k-doc corpus; batch = 5k salted clones +
+      // 5k word-reversed non-dups. Catalog signatures computed once
+      // here (in prod: read from parquet).
+      val catSigs = Dedup.signatureCatalog(docs, "doc_id", "text",
+        k = 5, numHashes = 64).persist()
+      println(s"  catalog sigs: ${catSigs.count()}")
+      val base = docs.filter(col("doc_id") < 10000000L)
+      val batch = base.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(lit("inc "), col("text")).as("text"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(20)) === 3)
+          .select((col("doc_id") + 910000000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      val n = Dedup.nearDuplicatesAgainstCatalog(batch, "doc_id", "text",
+        catSigs, docs, threshold = 0.9, k = 5, numHashes = 64,
+        bands = 16).count()
+      println(s"  flagged pairs: $n")
+      catSigs.unpersist()
+    }
     time("edit-distance verify") {
       val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
         threshold = 0.9, k = 5, numHashes = 64, bands = 16)
