@@ -116,4 +116,55 @@ object StreamingNearDup {
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout)(fn)(stateEnc, enc)
   }
+
+  /** Catalog band-bucket table for [[flagAgainstCatalog]]: one row per
+    * (band, bucket) key of each catalog signature. Precompute this
+    * ONCE from a persisted [[graft.llm.Dedup.signatureCatalog]] (and
+    * persist it too if the stream is long-lived) — the static side of
+    * the stream-static join below. */
+  def catalogBuckets(catalogSigs: DataFrame, numHashes: Int = 64,
+                     bands: Int = 16): DataFrame =
+    catalogSigs.select(col("doc_id").as("cat_id"),
+        col("sig").as("cat_sig"),
+        explode(Dedup.lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("cat_id"), col("cat_sig"))
+
+  /** Flag arriving documents that are near-dups of a FROZEN corpus
+    * catalog: per-row signature (stateless, same native expressions as
+    * the batch path) → explode band keys → stream-static equi-join on
+    * (band, bucket) against [[catalogBuckets]] → signature-agreement
+    * estimate ≥ `threshold`. The streaming twin of
+    * [[graft.llm.Dedup.nearDuplicatesAgainstCatalog]]: no keyed state
+    * at all — the catalog is the state, and Spark re-plans the static
+    * side per micro-batch (a catalog swap on the same path is picked
+    * up without restarting the query).
+    *
+    * Emits one row `(id, cat_id, est, bucket)` per agreeing band
+    * collision, like [[candidates]] — dedup downstream by (id,
+    * cat_id) where exactly-one matters (streaming `dropDuplicates`
+    * needs a watermark; in batch `groupBy(id, cat_id).agg(max(est))`).
+    * The estimator is approximate: run the batch exact-Jaccard
+    * verifier over flagged ids when exactness matters. */
+  def flagAgainstCatalog(stream: DataFrame, idCol: String, textCol: String,
+                         buckets: DataFrame,
+                         threshold: Double = 0.7, k: Int = 5,
+                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, s"bands $bands must divide $numHashes")
+    graft.GraftFunctions.register(stream.sparkSession)
+    stream.select(col(idCol).cast("string").as("id"),
+        Dedup.minhashSignature(
+          Dedup.shingleHashes(col(textCol), k), numHashes).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(Dedup.lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("id"), col("sig"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .join(buckets, Seq("band", "bucket"))
+      .withColumn("est",
+        call_function("sig_agree", col("sig"), col("cat_sig"))
+          .cast("double") / numHashes)
+      .filter(col("est") >= threshold)
+      .select(col("id"), col("cat_id"), col("est"),
+        concat_ws(":", col("band"), col("bucket")).as("bucket"))
+  }
 }

@@ -91,4 +91,51 @@ class StreamingNearDupSpec extends SparkSuite {
     assert(covered >= (truePairs.length * 0.9).toInt,
       s"covered $covered of ${truePairs.length} true pairs")
   }
+
+  test("stream-static: arriving docs flagged against a frozen catalog " +
+    "across micro-batches; fresh docs pass") {
+    import graft.llm.Dedup
+    val corpus = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val buckets = StreamingNearDup.catalogBuckets(
+      Dedup.signatureCatalog(corpus, "doc_id", "text",
+        k = 5, numHashes = 64)).localCheckpoint(true)
+    val inDir = Files.createTempDirectory("scd-in").toString
+    val ckpt = Files.createTempDirectory("scd-ckpt").toString
+    val fresh = "an entirely new essay on mountain weather patterns " +
+      "glacier melt rates alpine meadows and the quiet economics of " +
+      "high altitude farming with terraces irrigation channels yaks"
+    Seq(
+      "b1.json" -> s"""{"doc_id":"hit","text":"$nearDup"}""",
+      "b2.json" -> s"""{"doc_id":"miss","text":"$fresh"}""")
+      .zipWithIndex.foreach { case ((name, content), i) =>
+        val p = java.nio.file.Paths.get(inDir, name)
+        Files.writeString(p, content)
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(2000000L + i * 60000))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(inDir)
+    val flagged = StreamingNearDup.flagAgainstCatalog(
+      stream, "doc_id", "text", buckets)
+    val q = flagged.writeStream
+      .format("memory").queryName("scd_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "query did not finish in time")
+    finally q.stop()
+    val rows = spark.sql("SELECT DISTINCT id, cat_id FROM scd_out")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("hit", 1L)),
+      s"only the near-dup may flag, against catalog doc 1; got ${rows.toSeq}")
+    val est = spark.sql("SELECT max(est) FROM scd_out")
+      .collect().head.getDouble(0)
+    assert(est >= 0.7 && est <= 1.0)
+  }
 }
