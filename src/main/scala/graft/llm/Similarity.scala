@@ -161,8 +161,24 @@ object Similarity {
               nCentroids: Int = 16, nProbe: Int = 4,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val (cells, codebook) = ivfIndex(corpus, nCentroids, idCol, vecCol)
+    ivfSearch(cells, codebook, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** Persistable IVF index: `(cells, codebook)` DataFrames.
+    * `cells` is one row per corpus vector `(nn_id, nn_vec, cell)` —
+    * write it as parquet PARTITIONED BY cell so probed search reads
+    * only nProbe/nCentroids of the data from disk; `codebook` is the
+    * tiny `(cid, centroid)` table. Build ONCE per corpus version
+    * (train on a sample at 100 TB scale), search many times with
+    * [[ivfSearch]] — the index is data, not a live model object. */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int = 16,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c0 = corpus.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
       .withColumn("fv", array_to_vector(col("nn_vec")))
@@ -170,14 +186,29 @@ object Similarity {
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(c0.select("fv"))
     val cells = model.transform(c0).drop("fv")
-    // codebook as a literal: array<struct<cid, centroid>>
-    val codebook = typedlit(model.clusterCenters.toSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) })
+    val codebook = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }
+      .toDF("cid", "centroid")
+    (cells, codebook)
+  }
+
+  /** Probed search over a prebuilt [[ivfIndex]] (freshly built or read
+    * back from parquet). The codebook — nCentroids × dim doubles, KB
+    * to low MB — is collected to a driver literal so probe selection
+    * is a per-row expression, never a join. */
+  def ivfSearch(cells: DataFrame, codebook: DataFrame,
+                queries: DataFrame, k: Int, nProbe: Int = 4,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val cb = codebook.select(col("cid"), asDouble(col("centroid")))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    val cbLit = typedlit(cb)
     val q0 = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("q_vec"))
     // nProbe nearest cells per query (negative dot = proxy distance
     // for normalized embeddings; exact cosine re-ranks inside cells)
-    val scoredCells = transform(codebook, e => struct(
+    val scoredCells = transform(cbLit, e => struct(
       (lit(0.0) - dot(col("q_vec"), e.getField("_2"))).as("d"),
       e.getField("_1").as("cid")))
     val probes = slice(array_sort(scoredCells), 1, nProbe)

@@ -95,6 +95,26 @@ class LlmSpec extends SparkSuite {
     assert(recall >= 0.8, s"IVF top-1 recall $recall")
   }
 
+  test("IVF index round-trips through cell-partitioned parquet; " +
+    "search over the stored index equals the one-shot path") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val direct = Similarity.ivfTopK(e, q, k = 2, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    val (cells, codebook) = Similarity.ivfIndex(e, nCentroids = 8)
+    cells.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/cells")
+    codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    val stored = Similarity.ivfSearch(
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codebook"),
+      q, k = 2, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == direct,
+      s"stored-index search must equal one-shot: ${stored.diff(direct)} / ${direct.diff(stored)}")
+  }
+
   test("cosine of a vector with itself is ~1; orthogonal is 0") {
     val df = Seq((Seq(1.0f, 0f, 2f), Seq(1.0f, 0f, 2f), Seq(0f, 3f, 0f)))
       .toDF("a", "b", "c")
