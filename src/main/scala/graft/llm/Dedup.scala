@@ -195,13 +195,9 @@ object Dedup {
           col("p.jaccard_est").as("jaccard_est"))
         .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
     } else {
-      val banded = withSig
-        .select(col("doc_id"), bandKeys)
-        .select(col("doc_id"),
-          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      val buckets = atFullWidth(banded.groupBy("band", "bucket")
-        .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-        .filter(size(col("members")).between(2, maxBucketSize)))
+      val buckets = atFullWidth(
+        bandedIdBuckets(withSig, numHashes, bands, "members",
+          minSize = 2, maxBucketSize = maxBucketSize))
       buckets
         .select(explode(bucketPairs(col("members"), (x, y) => struct(
           x.as("id_a"), y.as("id_b")))).as("p"))
@@ -209,6 +205,23 @@ object Dedup {
         .distinct()
     }
   }
+
+  /** Shared per-side bucket builder for the ids-only paths: band-key
+    * explode → (band, bucket) groupBy → sorted member list, with the
+    * size-cap filter that keeps a boilerplate bucket from ever going
+    * quadratic (or cross-producting, on the cross-set path). ONE
+    * definition so the cap semantics can't drift between
+    * [[candidatesFromSignatures]] and [[crossCandidates]]. */
+  private def bandedIdBuckets(sigs: DataFrame, numHashes: Int, bands: Int,
+                              out: String, minSize: Int,
+                              maxBucketSize: Int): DataFrame =
+    sigs.select(col("doc_id"),
+        explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
+      .select(col("doc_id"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("doc_id"))).as(out))
+      .filter(size(col(out)).between(minSize, maxBucketSize))
 
   /** Exact n-gram Jaccard for a candidate pair set: joins candidate ids
     * back to shingle sets (equi-join on id) and computes
@@ -340,14 +353,9 @@ object Dedup {
   def crossCandidates(newSigs: DataFrame, catalogSigs: DataFrame,
                       numHashes: Int, bands: Int,
                       maxBucketSize: Int = 1000): DataFrame = {
-    val bandKeys = explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk")
     def buckets(df: DataFrame, out: String) =
-      df.select(col("doc_id"), bandKeys)
-        .select(col("doc_id"),
-          col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-        .groupBy("band", "bucket")
-        .agg(sort_array(collect_list(col("doc_id"))).as(out))
-        .filter(size(col(out)) <= maxBucketSize)
+      bandedIdBuckets(df, numHashes, bands, out,
+        minSize = 1, maxBucketSize = maxBucketSize)
     pinWidth(buckets(newSigs, "mn").join(buckets(catalogSigs, "mc"),
         Seq("band", "bucket")))
       .select(explode(flatten(transform(col("mn"), x =>
@@ -372,39 +380,41 @@ object Dedup {
                                    threshold: Double = 0.9, k: Int = 5,
                                    numHashes: Int = 128, bands: Int = 32,
                                    maxBucketSize: Int = 1000): DataFrame = {
+    // both checkpoints are eager and BATCH-sized (the increment, not
+    // the corpus): bsh feeds the signature path AND the verify join,
+    // cand feeds the semi-join prune AND the verify join — without
+    // them every caller action would re-run the shingle/LSH pipeline.
+    // The returned frame stays lazy (its plan — incl. the semi-join
+    // prune — stays inspectable); only the candidate-sized corpus
+    // shingle tail recomputes per action.
     val bsh = spread(reg(batch), col(idCol)).select(col(idCol).as("jid"),
       shingleHashes(col(textCol), k).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val bsig = bsh.select(col("jid").as("doc_id"),
-        minhashSignature(col("sh"), numHashes).as("sig"))
-      // checkpoint: the candidate set is small and feeds BOTH the
-      // semi-join prune and the verify join — without it the whole
-      // LSH pipeline would run twice
-      val cand = crossCandidates(bsig, catalogSigs, numHashes, bands,
-        maxBucketSize).localCheckpoint(true)
-      val needed = cand.select(col("id_cat").as(idCol)).distinct()
-      // explicit repartition, not spread(): spread's width probe
-      // executes the NON-adaptive sparkPlan, which for a join still
-      // lacks EnsureRequirements' broadcast exchanges (that rule runs
-      // in executedPlan) and dies in doExecuteBroadcast. The pruned
-      // frame is candidate-sized, so the fixed-width shuffle is cheap
-      // and decouples the shingle chain from the semi-join's width.
-      val csh = reg(corpus).join(needed, Seq(idCol), "left_semi")
-        .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
-          col(idCol))
-        .select(col(idCol).as("cid"), shingleHashes(col(textCol), k).as("csh"))
-      cand
-        .join(bsh.select(col("jid").as("id_new"), col("sh").as("sh_new")),
-          "id_new")
-        .join(csh.select(col("cid").as("id_cat"), col("csh").as("sh_cat")),
-          "id_cat")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_new"), col("sh_cat"))).cast("double") /
-          size(array_union(col("sh_new"), col("sh_cat"))))
-        .filter(col("jaccard") >= threshold)
-        .select("id_new", "id_cat", "jaccard")
-    } finally bsh.unpersist()
+      .localCheckpoint(true)
+    val bsig = bsh.select(col("jid").as("doc_id"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    val cand = crossCandidates(bsig, catalogSigs, numHashes, bands,
+      maxBucketSize).localCheckpoint(true)
+    val needed = cand.select(col("id_cat").as(idCol)).distinct()
+    // explicit repartition, not spread(): spread's width probe
+    // executes the NON-adaptive sparkPlan, which for a join still
+    // lacks EnsureRequirements' broadcast exchanges (that rule runs
+    // in executedPlan) and dies in doExecuteBroadcast. The pruned
+    // frame is candidate-sized, so the fixed-width shuffle is cheap
+    // and decouples the shingle chain from the semi-join's width.
+    val csh = reg(corpus).join(needed, Seq(idCol), "left_semi")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol).as("cid"), shingleHashes(col(textCol), k).as("csh"))
+    cand
+      .join(bsh.select(col("jid").as("id_new"), col("sh").as("sh_new")),
+        "id_new")
+      .join(csh.select(col("cid").as("id_cat"), col("csh").as("sh_cat")),
+        "id_cat")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_new"), col("sh_cat"))).cast("double") /
+        size(array_union(col("sh_new"), col("sh_cat"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_cat", "jaccard")
   }
 
   /** Greedy near-dup removal policy: from each near-dup pair

@@ -121,14 +121,23 @@ object StreamingNearDup {
     * (band, bucket) key of each catalog signature. Precompute this
     * ONCE from a persisted [[graft.llm.Dedup.signatureCatalog]] (and
     * persist it too if the stream is long-lived) — the static side of
-    * the stream-static join below. */
+    * the stream-static join below. Buckets holding more than
+    * `maxBucketSize` catalog docs (boilerplate families) are dropped
+    * whole, the same cap as every other LSH path — without it a hot
+    * bucket cross-products against every arriving doc and micro-batch
+    * latency grows with the family size. */
   def catalogBuckets(catalogSigs: DataFrame, numHashes: Int = 64,
-                     bands: Int = 16): DataFrame =
+                     bands: Int = 16, maxBucketSize: Int = 1000): DataFrame =
     catalogSigs.select(col("doc_id").as("cat_id"),
         col("sig").as("cat_sig"),
         explode(Dedup.lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
         col("cat_id"), col("cat_sig"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
 
   /** Flag arriving documents that are near-dups of a FROZEN corpus
     * catalog: per-row signature (stateless, same native expressions as
@@ -145,13 +154,42 @@ object StreamingNearDup {
     * cat_id) where exactly-one matters (streaming `dropDuplicates`
     * needs a watermark; in batch `groupBy(id, cat_id).agg(max(est))`).
     * The estimator is approximate: run the batch exact-Jaccard
-    * verifier over flagged ids when exactness matters. */
+    * verifier over flagged ids when exactness matters.
+    *
+    * `numHashes` and `bands` are READ FROM the stored catalog (one
+    * tiny driver probe of the static frame at plan time), never
+    * passed by the caller: a caller-side mismatch against the
+    * persisted signatures would cap `sig_agree` at the shorter length
+    * and silently flag NOTHING — every true dup would pass as est <=
+    * catalogLen/callerLen. Derived parameters make that class of
+    * silent recall collapse unrepresentable. */
   def flagAgainstCatalog(stream: DataFrame, idCol: String, textCol: String,
                          buckets: DataFrame,
-                         threshold: Double = 0.7, k: Int = 5,
-                         numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, s"bands $bands must divide $numHashes")
+                         threshold: Double = 0.7, k: Int = 5): DataFrame = {
     graft.GraftFunctions.register(stream.sparkSession)
+    // driver probe of the STATIC side (never the stream): signature
+    // width must be uniform, band count = max band index + 1
+    val hdr = buckets.agg(
+      min(size(col("cat_sig"))), max(size(col("cat_sig"))),
+      max(col("band"))).head()
+    if (hdr.isNullAt(0)) {
+      // empty catalog: nothing can flag; any consistent plan shape works
+      return flagWith(stream, idCol, textCol, buckets, threshold, k,
+        numHashes = 64, bands = 16)
+    }
+    val (nhMin, nhMax, bands) =
+      (hdr.getInt(0), hdr.getInt(1), hdr.getInt(2) + 1)
+    require(nhMin == nhMax,
+      s"catalog signatures have mixed widths $nhMin..$nhMax — " +
+        "rebuild the catalog with one numHashes")
+    require(nhMin % bands == 0,
+      s"catalog width $nhMin not divisible by its band count $bands")
+    flagWith(stream, idCol, textCol, buckets, threshold, k, nhMin, bands)
+  }
+
+  private def flagWith(stream: DataFrame, idCol: String, textCol: String,
+                       buckets: DataFrame, threshold: Double, k: Int,
+                       numHashes: Int, bands: Int): DataFrame =
     stream.select(col(idCol).cast("string").as("id"),
         Dedup.minhashSignature(
           Dedup.shingleHashes(col(textCol), k), numHashes).as("sig"))
@@ -166,5 +204,4 @@ object StreamingNearDup {
       .filter(col("est") >= threshold)
       .select(col("id"), col("cat_id"), col("est"),
         concat_ws(":", col("band"), col("bucket")).as("bucket"))
-  }
 }

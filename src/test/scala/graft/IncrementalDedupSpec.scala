@@ -39,15 +39,32 @@ class IncrementalDedupSpec extends SparkSuite {
   }
 
   test("crossCandidates never pairs within a side, and caps buckets") {
-    val sigs = Dedup.signatureCatalog(corpus, "doc_id", "text",
+    // DISJOINT id ranges so within-side leakage is observable: the
+    // right side re-publishes every left text under id+1000, and the
+    // left side contains exact dup pairs (1,2) and (3,4) that must
+    // NOT surface — output pairs are (new, cat) only, by construction
+    val leftDocs = (1L to 25L).map(i =>
+      (i, if (i == 2L) sentence(1) else if (i == 4L) sentence(3)
+          else sentence(i.toInt))).toDF("doc_id", "text")
+    val rightDocs = (1L to 25L).map(i => (i + 1000L, sentence(i.toInt)))
+      .toDF("doc_id", "text")
+    val ls = Dedup.signatureCatalog(leftDocs, "doc_id", "text",
       k = 5, numHashes = 64)
-    // catalog vs itself: every doc is its own exact dup, so with no
-    // cap each id must appear paired with itself
-    val self = Dedup.crossCandidates(sigs, sigs, numHashes = 64,
-      bands = 16).collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(self.count { case (a, b) => a == b } == 50)
+    val rs = Dedup.signatureCatalog(rightDocs, "doc_id", "text",
+      k = 5, numHashes = 64)
+    val pairs = Dedup.crossCandidates(ls, rs, numHashes = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (n, c) => n <= 25L && c > 1000L },
+      s"every pair must cross new->catalog; got ${pairs.toSeq}")
+    assert(!pairs.contains((1L, 2L)) && !pairs.contains((3L, 4L)),
+      "within-side exact dups must never pair")
+    // every left doc's text exists on the right: all 25 must hit
+    val hits = pairs.filter { case (n, c) =>
+      c == n + 1000L || (n == 2L && c == 1001L) || (n == 4L && c == 1003L) }
+    assert(hits.map(_._1).distinct.length == 25,
+      s"all 25 cross-set exact dups must surface; got ${pairs.toSeq}")
     // maxBucketSize = 0 drops every bucket: no candidates at all
-    val none = Dedup.crossCandidates(sigs, sigs, numHashes = 64,
+    val none = Dedup.crossCandidates(ls, rs, numHashes = 64,
       bands = 16, maxBucketSize = 0).count()
     assert(none == 0L)
   }
