@@ -50,4 +50,27 @@ class PlanSpec extends SparkSuite {
       p.contains("CartesianProduct")) // cross join is intentional here
     assert(p.contains("BuildRight") || p.contains("Broadcast"), p.take(400))
   }
+
+  test("full sweep: no query grows an unplanned cartesian/nested-loop join") {
+    // Every entry here is a vetted non-equi join of a deliberately
+    // tiny side — a 1-row corpus-stats/merged-sketch aggregate crossed
+    // back over the data (bm25/tfidf/unigram idf totals, hll/kll/cms
+    // merged-sketch scalars, set-ops counts), the intentional
+    // brute-force ANN baseline, or the |groups|² sketch-pair compare.
+    // A nested-loop against a SINGLE-ROW build is O(n) work, not
+    // quadratic; anything NOT on this list joining non-equi is a
+    // scale regression and must fail here.
+    val vetted = Set("q_ann_top1", "q_bm25_topk", "q_cms_counts",
+      "q_hll_users", "q_kll_quantiles", "q_set_jaccard",
+      "q_tfidf_terms", "q_u_set_ops", "q_unigram_nll")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = planOf(name)
+      if ((p.contains("CartesianProduct") ||
+          p.contains("BroadcastNestedLoopJoin")) && !vetted(name))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unvetted cartesian/nested-loop joins in: $offenders")
+  }
 }
