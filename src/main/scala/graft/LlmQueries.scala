@@ -561,6 +561,27 @@ object LlmQueries {
       .orderBy("id_new", "id_cat")
   }
 
+  /** Incremental winnow match ([[graft.llm.Winnow.matchAgainstCatalog]]):
+    * the q_dedup_incremental batch (clones + word-reversed docs)
+    * matched against the corpus's build-time-capped
+    * [[graft.llm.Winnow.fingerprintCatalog]] — winnow grams are
+    * order-sensitive, so reversed docs share nothing while clones
+    * share every fingerprint. */
+  def winnowIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val batch = d.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+      .unionByName(d.filter(pmod(col("doc_id"), lit(7)) === 3)
+        .select((col("doc_id") + 300000L).as("doc_id"),
+          array_join(reverse(graft.llm.Text.words(
+            graft.llm.Text.normalize(col("text")))), " ").as("text")))
+    val catalog = Winnow.fingerprintCatalog(d, "doc_id", "text",
+      maxDocFreq = 20)
+    Winnow.matchAgainstCatalog(batch, "doc_id", "text", catalog,
+      minShared = 3)
+      .orderBy("id_new", "id_cat")
+  }
+
   /** Edit-distance verification of LSH near-dup candidates on the
     * cloned corpus ([[graft.llm.Dedup.editDistanceVerify]]): the
     * order-sensitive precision pass after the set-level recall pass. */

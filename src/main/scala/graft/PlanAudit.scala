@@ -27,7 +27,8 @@ object PlanAudit {
       "q_kll_quantiles", "q_cms_counts", "q_ann_ivf",
       "q_pivot_daily", "q_json_props", "q_funnel", "q_retention",
       "q_winnow_fp", "q_winnow_pairs", "q_edit_distance",
-      "q_dataset_diff", "q_cap_per_source", "q_dedup_incremental")
+      "q_dataset_diff", "q_cap_per_source", "q_dedup_incremental",
+      "q_winnow_incremental")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)

@@ -120,6 +120,7 @@ object SparkEntry {
     "q_winnow_pairs"         -> (LlmQueries.winnowPairs _),
     "q_edit_distance"        -> (LlmQueries.editDistanceNearDups _),
     "q_dedup_incremental"    -> (LlmQueries.dedupIncremental _),
+    "q_winnow_incremental"   -> (LlmQueries.winnowIncremental _),
     // event analytics (pivot / json / funnel / cohort)
     "q_pivot_daily"          -> (Queries.pivotDaily _),
     "q_json_props"           -> (Queries.jsonProps _),
@@ -1189,6 +1190,36 @@ object SparkEntry {
         |  FROM sb b, sc c)
         |SELECT id_new, id_cat, jaccard FROM pj WHERE jaccard >= 0.9
         |ORDER BY id_new, id_cat""".stripMargin,
+    // incremental winnow match: corpus fp catalog (df cap 20 at build)
+    // vs the same simulated batch as q_dedup_incremental; the shared
+    // winnowCtes builder is instantiated for corpus AND batch
+    "q_winnow_incremental" ->
+      ("""WITH batch AS (
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id,
+        |    array_to_string(list_reverse(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')),
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |""".stripMargin +
+        winnowCtes("documents", "c") + ",\n" +
+        winnowCtes("batch", "b") + """
+        |, fc AS (SELECT DISTINCT doc_id, fp_hash FROM fpc),
+        |kc AS (
+        |  SELECT doc_id, fp_hash FROM (
+        |    SELECT doc_id, fp_hash,
+        |      count(*) OVER (PARTITION BY fp_hash) AS df
+        |    FROM fc) WHERE df <= 20),
+        |fb AS (SELECT DISTINCT doc_id, fp_hash FROM fpb),
+        |p AS (
+        |  SELECT b.doc_id AS id_new, c.doc_id AS id_cat,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fb b JOIN kc c USING (fp_hash)
+        |  GROUP BY 1, 2)
+        |SELECT id_new, id_cat, n_shared FROM p WHERE n_shared >= 3
+        |ORDER BY id_new, id_cat""".stripMargin),
     // Levenshtein verify over the exact >= 0.9-Jaccard pair set of the
     // cloned corpus (same ground truth as q_minhash_near_dups — the
     // shared cloneJaccardSql prefix IS the single definition)
@@ -1242,34 +1273,42 @@ object SparkEntry {
   /** Shared CTE prefix for the winnowing oracles: normalized word
     * 3-grams with 0-based positions, 32-bit md5-prefix hashes packed
     * with rightmost-pos tiebreak, window-4 min selection. */
-  private lazy val winnowFpSql: String =
-    """WITH w AS (
+  /** CTE chain replaying winnow fingerprint selection over table/CTE
+    * `src`, emitting `fp$sfx(doc_id, fp_hash, fp_pos)` — suffixed so
+    * the incremental oracle can instantiate it for corpus AND batch
+    * in one statement. The single definition behind every winnow
+    * oracle. */
+  private def winnowCtes(src: String, sfx: String): String =
+    s"""w$sfx AS (
       |  SELECT doc_id,
-      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
       |      ' ') AS ws
-      |  FROM documents),
-      |g AS (
+      |  FROM $src),
+      |g$sfx AS (
       |  SELECT doc_id, CAST(t.i AS BIGINT) - 1 AS pos,
       |    CASE WHEN len(ws) >= 3 THEN array_to_string(ws[t.i:t.i+2], ' ')
       |         ELSE array_to_string(ws, ' ') END AS gram
-      |  FROM w, UNNEST(range(1, least(
+      |  FROM w$sfx, UNNEST(range(1, least(
       |    CASE WHEN len(ws) >= 3 THEN len(ws) - 1 ELSE 2 END,
       |    1048577))) t(i)),
-      |e AS (
+      |e$sfx AS (
       |  SELECT doc_id, pos,
       |    ('0x' || substr(md5(gram), 1, 8))::BIGINT * 1048576
       |      + (1048575 - pos) AS enc,
       |    count(*) OVER (PARTITION BY doc_id) AS m
-      |  FROM g),
-      |s AS (
+      |  FROM g$sfx),
+      |s$sfx AS (
       |  SELECT doc_id, pos, m,
       |    min(enc) OVER (PARTITION BY doc_id ORDER BY pos
       |                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
-      |  FROM e),
-      |fp AS (
+      |  FROM e$sfx),
+      |fp$sfx AS (
       |  SELECT DISTINCT doc_id, sel // 1048576 AS fp_hash,
       |    1048575 - (sel % 1048576) AS fp_pos
-      |  FROM s WHERE pos <= greatest(m - 4, 0))""".stripMargin
+      |  FROM s$sfx WHERE pos <= greatest(m - 4, 0))""".stripMargin
+
+  private lazy val winnowFpSql: String =
+    "WITH " + winnowCtes("documents", "")
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,
     * dim=64, multiprobe Hamming-1, k=1): bucket sign tests are emitted

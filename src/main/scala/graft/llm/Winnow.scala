@@ -132,6 +132,41 @@ object Winnow {
       .distinct()
   }
 
+  /** Persistable winnow fingerprint catalog: the corpus's distinct
+    * `(doc_id, fp_hash)` set with boilerplate hashes (document
+    * frequency above `maxDocFreq`) dropped AT BUILD TIME — write once
+    * per corpus version, then match every incoming batch with
+    * [[matchAgainstCatalog]] without ever re-fingerprinting (or
+    * re-reading) the corpus. The df cap living in the catalog also
+    * bounds the per-hash fan-out of every future match join. */
+  def fingerprintCatalog(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4,
+                         maxDocFreq: Int = 100): DataFrame =
+    fingerprintHashes(docs, idCol, textCol, k, w)
+      .withColumn("__df", count(lit(1)).over(
+        Window.partitionBy(col("fp_hash"))))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("fid").as("doc_id"), col("fp_hash"))
+
+  /** Local-overlap match of an incoming batch against a persisted
+    * [[fingerprintCatalog]]: `(id_new, id_cat, n_shared)` for batch
+    * docs sharing at least `minShared` fingerprint hashes with a
+    * catalog doc — the incremental twin of
+    * [[sharedFingerprintPairs]]. Only the batch is fingerprinted; the
+    * join is keyed by fp_hash with per-hash fan-out bounded by the
+    * catalog's build-time df cap. Use k/w matching the catalog build
+    * (a mismatch yields disjoint hash spaces — nothing matches). */
+  def matchAgainstCatalog(batch: DataFrame, idCol: String, textCol: String,
+                          catalog: DataFrame, minShared: Int = 2,
+                          k: Int = 3, w: Int = 4): DataFrame =
+    fingerprintHashes(batch, idCol, textCol, k, w)
+      .select(col("fid").as("id_new"), col("fp_hash"))
+      .join(catalog.select(col("doc_id").as("id_cat"), col("fp_hash")),
+        "fp_hash")
+      .groupBy("id_new", "id_cat")
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   /** Document pairs sharing at least `minShared` distinct winnowed
     * fingerprint hashes — the MOSS match report. Per-hash doc buckets
     * larger than `maxDocFreq` (boilerplate shared by many documents)

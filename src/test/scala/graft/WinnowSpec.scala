@@ -89,6 +89,34 @@ class WinnowSpec extends SparkSuite {
     assert(h == 2416005272L)
   }
 
+  test("fingerprint catalog round-trips parquet; batch match finds the " +
+    "clone, reversed text matches nothing, boilerplate capped at build") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (1L to 30L).map { i =>
+      (i, Seq.fill(40)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fpcat").toString
+    Winnow.fingerprintCatalog(corpus, "doc_id", "text", maxDocFreq = 5)
+      .write.mode("overwrite").parquet(dir)
+    val catalog = spark.read.parquet(dir)
+    val cloneText = corpus.filter($"doc_id" === 3L)
+      .select("text").as[String].head()
+    val reversedText = cloneText.split(" ").reverse.mkString(" ")
+    val batch = Seq((101L, cloneText), (102L, reversedText))
+      .toDF("doc_id", "text")
+    val out = Winnow.matchAgainstCatalog(batch, "doc_id", "text",
+      catalog, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.exists(t => t._1 == 101L && t._2 == 3L && t._3 >= 3L),
+      s"clone must match doc 3 on >= 3 fingerprints; got ${out.toSeq}")
+    assert(!out.exists(_._1 == 102L),
+      s"order-sensitive grams: reversed text must match nothing; got ${out.toSeq}")
+    // boilerplate: a hash in > maxDocFreq docs is absent from the catalog
+    val dfBound = catalog.groupBy("fp_hash").count()
+      .agg(max("count")).head().getLong(0)
+    assert(dfBound <= 5L, s"catalog df cap violated: $dfBound")
+  }
+
   test("gram positions past 2^20 are truncated, never corrupt the packing") {
     // A doc longer than PosCap words: positions >= PosCap would make
     // (PosCap-1-pos) negative and borrow from the hash field (fp_hash
