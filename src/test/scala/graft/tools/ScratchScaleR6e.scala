@@ -69,6 +69,18 @@ object ScratchScaleR6e {
       println(s"  flagged pairs: $n")
       catSigs.unpersist()
     }
+    time("winnow incremental") {
+      val base = docs.filter(col("doc_id") < 10000000L)
+      val batch = base.filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select((col("doc_id") + 920000000L).as("doc_id"), col("text"))
+      val catalog = Winnow.fingerprintCatalog(docs, "doc_id", "text",
+        maxDocFreq = 50).persist()
+      println(s"  catalog fps: ${catalog.count()}")
+      val n = Winnow.matchAgainstCatalog(batch, "doc_id", "text",
+        catalog, minShared = 3).count()
+      println(s"  matches: $n")
+      catalog.unpersist()
+    }
     time("edit-distance verify") {
       val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
         threshold = 0.9, k = 5, numHashes = 64, bands = 16)
