@@ -759,4 +759,24 @@ object Queries {
     graft.operators.Diff.snapshotDiff(d, next, Seq("doc_id"), Seq("text"))
       .orderBy("doc_id")
   }
+
+  /** PageRank ([[graft.graph.PageRank]]) over the customer↔supplier
+    * trade graph (distinct cust→supp pairs from orders⋈lineitem, both
+    * directions so no node dangles). Ranks are scaled integers
+    * (1e-12 units) so the 5-iteration power iteration is bit-exact
+    * across partitionings and engines — the oracle unrolls the same
+    * integer algebra as five chained CTEs. */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("cnode"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("snode"))
+      .distinct()
+    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
+      .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+    graft.graph.PageRank.run(edges, iterations = 5)
+      .select(col("node"), col("rank").as("rank_e12"))
+      .orderBy("node")
+  }
 }

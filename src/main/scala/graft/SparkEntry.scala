@@ -129,6 +129,8 @@ object SparkEntry {
     // raster / array-file header scans (fixture-pinned)
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
+    // graph analytics
+    "q_pagerank"             -> (Queries.pageRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1243,7 +1245,48 @@ object SparkEntry {
         |JOIN all_docs a ON p.id_a = a.doc_id
         |JOIN all_docs b ON p.id_b = b.doc_id
         |ORDER BY id_a, id_b""".stripMargin),
+
+    "q_pagerank" -> pageRankOracleSql,
   )
+
+  /** DuckDB replay of [[graft.graph.PageRank]]: the 5-iteration power
+    * iteration unrolled as chained CTEs. Ranks are scaled integers
+    * (1e-12 units) and every step is integer arithmetic (`//` floors,
+    * Spark's `div` truncates — all terms positive, so they agree), so
+    * the two engines are bit-exact with no float-summation-order risk. */
+  private def pageRankOracleSql: String = {
+    val base =
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS cnode,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS snode
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (
+        |  SELECT cnode AS src, snode AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT snode AS src, cnode AS dst FROM pairs),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (
+        |  SELECT node,
+        |    CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rnk
+        |  FROM nodes)""".stripMargin
+    val iters = (1 to 5).map { k =>
+      val prev = if (k == 1) "r0" else s"it${k - 1}"
+      s""",
+         |it$k AS (
+         |  SELECT n.node,
+         |    CAST((3000000000000 // (20 * (SELECT n FROM nn))) +
+         |         (17 * COALESCE(m.in_mass, 0)) // 20 AS BIGINT) AS rnk
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r.rnk // d.outdeg) AS in_mass
+         |    FROM edges e
+         |    JOIN $prev r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) m ON m.node = n.node)""".stripMargin
+    }.mkString
+    base + iters + "\nSELECT node, rnk AS rank_e12 FROM it5 ORDER BY node"
+  }
 
   /** Shared CTE prefix defining the exact >= 0.9-Jaccard ground truth
     * of the cloned corpus (normalized words → distinct 5-shingles →

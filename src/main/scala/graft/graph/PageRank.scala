@@ -1,0 +1,81 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank by power iteration — the canonical iterative
+  * graph computation (page/domain authority scoring is a standard
+  * quality signal in web-scale training-data curation, alongside the
+  * dedup and retrieval families in `graft.llm`).
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   - one edge table, shuffled ONCE per iteration on `src` (the
+  *     contribution join) and once on `dst` (the aggregation) — no
+  *     driver-side adjacency, no collect, state is O(|V|) rows;
+  *   - out-degrees are computed once and joined back, never recomputed;
+  *   - every iteration ends in `localCheckpoint(eager = true)` so the
+  *     lineage does not grow linearly with iterations (the same
+  *     plan-growth trap `Dedup.connectedComponentsStars` handles);
+  *   - rank state is a compact (node, rank) pair — 16-24 B/row through
+  *     each shuffle.
+  *
+  * Determinism: ranks are SCALED INTEGERS (units of 1e-12) and every
+  * step is integer arithmetic — `div` (truncating integral divide),
+  * `sum` of longs, multiply by constants. Floating-point summation is
+  * order-dependent under partitioning; integer summation is not, so the
+  * result is bit-identical across runs, cluster sizes, AND engines
+  * (the DuckDB oracle replays the same algebra). With damping d=0.85:
+  *
+  *   r0(v)   = SCALE div N
+  *   rK+1(v) = (3*SCALE) div (20*N)  +  (17 * sum_{(u,v)∈E} (rK(u) div outdeg(u))) div 20
+  *
+  * Dangling nodes (no out-edges) contribute nothing — their mass leaks,
+  * which is the documented semantics here (callers wanting strict
+  * stochastic PageRank should add self-loops or a sink node). All
+  * terms stay positive so truncating vs flooring division agree.
+  */
+object PageRank {
+  val Scale = 1000000000000L // 1e-12 rank units
+
+  /** @param edges directed edges with string/long columns `src`, `dst`
+    *              (duplicate edges count once if the caller distincts;
+    *              this operator takes the table as given — parallel
+    *              edges weight the contribution, matching the oracle)
+    * @return (node, rank) with rank in 1e-12 units, one row per node
+    *         appearing as src or dst */
+  def run(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    val e = edges.select(col("src"), col("dst"))
+    // node universe + out-degrees: computed once, checkpointed — every
+    // iteration reads these materialized blocks instead of re-scanning
+    // the (at scale, huge) edge input.
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val degEdges = e.join(outDeg, "src").localCheckpoint(true)
+
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0L))
+
+    var ranks = nodes.withColumn("rank", lit(Scale / n)).localCheckpoint(true)
+    val teleport = (3L * Scale) / (20L * n)
+    var iter = 0
+    while (iter < iterations) {
+      val contrib = degEdges
+        .join(ranks, degEdges("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      ranks = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr("17 * coalesce(in_mass, 0L) div 20")).as("rank"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    ranks
+  }
+}
