@@ -11,10 +11,15 @@ import org.apache.spark.sql.functions._
   * and is only converted to double at the very end (after rounding).
   */
 object Tables {
-  /** Load one synthetic table (see /root/repo/TESTDATA.md). The events
-    * table stores TIMESTAMP(NANOS) which Spark reads as a nanos long
-    * (spark.sql.legacy.parquet.nanosAsLong) — convert back to a
-    * microsecond timestamp with exact integer arithmetic. */
+  /** Load one synthetic table (see /root/repo/TESTDATA.md), normalizing
+    * timestamp physical types across testdata generations: a
+    * TIMESTAMP(NANOS) events.ts arrives as a nanos long
+    * (spark.sql.legacy.parquet.nanosAsLong) and is rebuilt with exact
+    * integer arithmetic; a tz-less TIMESTAMP(MICROS) arrives as
+    * TIMESTAMP_NTZ and is cast to TIMESTAMP (the session timezone is
+    * pinned UTC everywhere, so the cast maps wall time to the same
+    * epoch micros DuckDB sees — and keeps every downstream operator on
+    * one timestamp type). */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     GraftFunctions.register(s) // graft SQL functions ride along everywhere
     val df = s.read.parquet(s"$dir/$name.parquet")
@@ -22,6 +27,9 @@ object Tables {
       case (acc, f) if f.dataType == org.apache.spark.sql.types.LongType &&
           (f.name == "ts" || f.name.endsWith("_ts")) && name == "events" =>
         acc.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+      case (acc, f)
+          if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        acc.withColumn(f.name, col(f.name).cast("timestamp"))
       case (acc, _) => acc
     }
   }

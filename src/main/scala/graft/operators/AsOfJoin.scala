@@ -88,7 +88,9 @@ object AsOfJoin {
     val l2 = left.select(
       kCol.as("_k"),
       kOk.as("_kok"),
-      unix_micros(col(leftTime)).as("_t"),
+      // cast is identity for TIMESTAMP; maps TIMESTAMP_NTZ through the
+      // (UTC-pinned) session timezone so both types join consistently
+      unix_micros(col(leftTime).cast("timestamp")).as("_t"),
       lit(1).as("_side"),
       struct(left.columns.map(col): _*).as("_l"),
       lit(null).cast(rStruct).as("_r"))
@@ -100,7 +102,7 @@ object AsOfJoin {
       .select(
         kCol.as("_k"),
         lit(true).as("_kok"),
-        unix_micros(col(rightTime)).as("_t"),
+        unix_micros(col(rightTime).cast("timestamp")).as("_t"),
         lit(0).as("_side"),
         lit(null).cast(lStruct).as("_l"),
         struct(right.columns.map(col): _*).as("_r"))

@@ -31,14 +31,20 @@ object RangeJoin {
     s"(($micros) div $binMicros) - " +
       s"(CASE WHEN ($micros) % $binMicros < 0 THEN 1 ELSE 0 END)"
 
+  /** Epoch micros tolerant of TIMESTAMP_NTZ inputs: unix_micros only
+    * accepts TIMESTAMP, and the cast is an identity for it (for NTZ it
+    * resolves through the session timezone — pinned UTC engine-wide). */
+  private def microsOf(tsCol: String): String =
+    s"unix_micros(CAST($tsCol AS TIMESTAMP))"
+
   /** Drop empty/inverted intervals and explode each survivor to every
     * bin `[st, en)` overlaps. */
   private def explodeBins(df: DataFrame, st: String, en: String,
                           binMicros: Long): DataFrame =
     df.filter(col(en) > col(st))
       .withColumn("_bin", explode(sequence(
-        expr(binOf(s"unix_micros($st)", binMicros)),
-        expr(binOf(s"unix_micros($en) - 1", binMicros)))))
+        expr(binOf(microsOf(st), binMicros)),
+        expr(binOf(microsOf(en) + " - 1", binMicros)))))
 
   private def requireDisjoint(left: DataFrame, rightOut: Seq[String],
                               what: String): Unit = {
@@ -68,7 +74,7 @@ object RangeJoin {
     requireDisjoint(points, ivOut, "interval")
     val p = points
       .withColumn("_bin",
-        expr(binOf(s"unix_micros($pointTime)", binMicros)))
+        expr(binOf(microsOf(pointTime), binMicros)))
       .as("p")
     val i = explodeBins(intervals, startCol, endCol, binMicros).as("i")
     val cond = (keyCols.map(k => col(s"p.$k") === col(s"i.$k")) :+
@@ -95,7 +101,7 @@ object RangeJoin {
     val a = explodeBins(left, aStart, aEnd, binMicros).as("a")
     val b = explodeBins(right, bStart, bEnd, binMicros).as("b")
     val anchor = expr(binOf(
-      s"greatest(unix_micros(a.$aStart), unix_micros(b.$bStart))",
+      s"greatest(${microsOf(s"a.$aStart")}, ${microsOf(s"b.$bStart")})",
       binMicros))
     val cond = (keyCols.map(k => col(s"a.$k") === col(s"b.$k")) :+
       (col("a._bin") === col("b._bin")) :+

@@ -52,7 +52,7 @@ object StreamingAsOf {
       reference.schema.fields.map(_.copy(nullable = true)))
     val tagged = events.select(
       col(keyCol).cast("string").as("_k"),
-      unix_micros(col(timeCol)).as("_t"),
+      unix_micros(col(timeCol).cast("timestamp")).as("_t"),
       lit(1).as("_side"),
       struct(events.columns.map(col): _*).as("_e"),
       lit(null).cast(rStruct).as("_r"))
@@ -60,7 +60,7 @@ object StreamingAsOf {
         .filter(col(timeCol).isNotNull)
         .select(
           col(keyCol).cast("string").as("_k"),
-          unix_micros(col(timeCol)).as("_t"),
+          unix_micros(col(timeCol).cast("timestamp")).as("_t"),
           lit(0).as("_side"),
           lit(null).cast(eStruct).as("_e"),
           struct(reference.columns.map(col): _*).as("_r")))
