@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
+import graft.llm.{Classifier, Dedup, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -508,6 +508,17 @@ object LlmQueries {
           <= 0.1).as("est_ok"))
       .orderBy("lang_a", "lang_b")
   }
+
+  /** Naive-Bayes quality classifier trained and applied in-corpus
+    * ([[graft.llm.Classifier]]): English docs are the "high-quality"
+    * reference class, everything else the background — the
+    * model-based filtering stage of corpus curation, scored in exact
+    * integer micro-nats so both engines agree bit-for-bit. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    Classifier.nbTrainScore(
+      t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+      "doc_id", "text", "is_en")
+      .orderBy("doc_id")
 
   /** Unigram LM surprisal per document ([[graft.llm.LangModel]]) — the
     * perplexity-filter quality signal, integer-scaled so both engines

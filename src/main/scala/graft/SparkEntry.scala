@@ -114,6 +114,7 @@ object SparkEntry {
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
     "q_set_jaccard"          -> (LlmQueries.setJaccardLangs _),
     "q_unigram_nll"          -> (LlmQueries.unigramNll _),
+    "q_quality_classifier"   -> (LlmQueries.qualityClassifier _),
     "q_cap_per_source"       -> (LlmQueries.capPerSource _),
     "q_dataset_diff"         -> (Queries.datasetDiff _),
     "q_winnow_fp"            -> (LlmQueries.winnowFingerprints _),
@@ -1103,6 +1104,38 @@ object SparkEntry {
         |      AS BIGINT)) AS BIGINT) AS sum_nll_e6
         |FROM tf JOIN stats s USING (term), tot t
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q_quality_classifier" ->
+      """WITH terms AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, pos, term, count(*) AS tf
+        |       FROM terms GROUP BY 1, 2, 3),
+        |st AS (SELECT term,
+        |    sum(CASE WHEN pos THEN tf ELSE 0 END) AS tfp,
+        |    sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS tfn
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tfp) AS BIGINT) AS np,
+        |    CAST(sum(tfn) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS v FROM st),
+        |pr AS (SELECT CAST(round((
+        |    ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE))
+        |    - ln(CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+        |        AS DOUBLE))) * 1000000.0) AS BIGINT) AS prior_e6
+        |  FROM documents),
+        |w AS (SELECT term, CAST(round((
+        |    ln(CAST(tfp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+        |    - ln(CAST(tfn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS w_e6
+        |  FROM st, tot),
+        |sc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_terms,
+        |    CAST(sum(tf.tf * w.w_e6) AS BIGINT) AS sum_w_e6
+        |  FROM tf JOIN w USING (term) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(sc.n_terms, 0) AS n_terms,
+        |  COALESCE(sc.sum_w_e6, 0) + pr.prior_e6 AS score_e6,
+        |  (COALESCE(sc.sum_w_e6, 0) + pr.prior_e6) > 0 AS pred
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, pr
+        |ORDER BY d.doc_id""".stripMargin,
     "q_cap_per_source" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (

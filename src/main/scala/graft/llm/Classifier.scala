@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the classifier stage of web-corpus
+  * curation (GPT-3/CCNet-style: train a cheap linear classifier on a
+  * small "high-quality" reference set, score the whole corpus, keep
+  * what scores above a cut). The model is multinomial Naive Bayes in
+  * log-odds form: per-term weight
+  * `w(t) = ln P(t|pos) − ln P(t|neg)` with add-one smoothing, document
+  * score `prior + Σ_tokens w(t)` — exactly a linear text classifier
+  * whose weights happen to be trainable in two aggregations, with no
+  * iterative solver, driver-side math, or RNG.
+  *
+  * Reproducibility: weights are quantized to integer micro-nats
+  * (`round(ln-odds · 1e6)` as BIGINT) BEFORE any per-document sum, so
+  * scoring is exact integer arithmetic — identical on any engine,
+  * partitioning, or summation order (the [[LangModel]] lesson).
+  *
+  * Scale shape: ONE tokenize pass builds the (doc, term) tf table
+  * (map-side-combinable keyed shuffle, checkpointed so the stats
+  * branch and the scoring join share it); class-conditional term
+  * stats reduce to a vocab-sized table that joins back by term (AQE
+  * broadcasts it when small); the 1-row constants (priors, OOV
+  * weight, smoothing denominators) ride a broadcast cross join. The
+  * model is two plain DataFrames — persist them as parquet and score
+  * tomorrow's corpus without retraining (OOV terms get the smoothed
+  * unseen-term weight, so scoring a fresh corpus is well-defined).
+  */
+object Classifier {
+
+  /** Same tokenizer as the tfidf/bm25/LM family. */
+  def tokens(text: Column): Column = LangModel.tokens(text)
+
+  /** Train: `(weights, consts)`.
+    * `weights` = (term, w_e6) — one row per training-vocab term;
+    * `consts`  = 1 row (prior_e6, oov_e6) — class-prior log odds and
+    * the weight for terms unseen at training time.
+    * `labelCol` must be a boolean column on `docs`; both classes must
+    * be non-empty (a one-class "corpus" has no odds to learn).
+    *
+    * Add-one smoothing: `P(t|c) = (tf_c(t)+1) / (N_c+V)` with V =
+    * training vocab size, so every weight is finite and OOV terms get
+    * `ln(1/(N_pos+V)) − ln(1/(N_neg+V))`. */
+  def nbTrain(docs: DataFrame, idCol: String, textCol: String,
+              labelCol: String): (DataFrame, DataFrame) =
+    trainFromTf(termFrequencies(docs, idCol, textCol, Some(labelCol)),
+      docs, labelCol)
+
+  private def trainFromTf(tf: DataFrame, docs: DataFrame,
+                          labelCol: String): (DataFrame, DataFrame) = {
+    val st = tf.groupBy("term").agg(
+      sum(when(col("pos"), col("tf")).otherwise(0L)).as("tfp"),
+      sum(when(!col("pos"), col("tf")).otherwise(0L)).as("tfn"))
+    val tot = st.agg(
+      sum(col("tfp")).cast("bigint").as("np"),
+      sum(col("tfn")).cast("bigint").as("nn"),
+      count(lit(1)).cast("bigint").as("v"))
+    val weights = st.crossJoin(broadcast(tot))
+      .select(col("term"), microNats(
+        log((col("tfp") + 1).cast("double") / (col("np") + col("v")).cast("double")) -
+        log((col("tfn") + 1).cast("double") / (col("nn") + col("v")).cast("double")))
+        .as("w_e6"))
+    val priors = docs.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("dp"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("dn"))
+    val consts = priors.crossJoin(tot)
+      .select(
+        microNats(log(col("dp").cast("double")) -
+          log(col("dn").cast("double"))).as("prior_e6"),
+        microNats(
+          log(lit(1.0) / (col("np") + col("v")).cast("double")) -
+          log(lit(1.0) / (col("nn") + col("v")).cast("double"))).as("oov_e6"))
+    (weights, consts)
+  }
+
+  /** Score every document under a trained (possibly parquet-read)
+    * model: `(id, n_terms, score_e6, pred)`. Every input doc gets a
+    * row — a token-less doc scores the bare prior (the classifier's
+    * honest answer, not a dropped row). One keyed shuffle for tf, one
+    * term join (vocab side broadcast-able), one per-doc aggregation. */
+  def nbScore(docs: DataFrame, weights: DataFrame, consts: DataFrame,
+              idCol: String, textCol: String): DataFrame =
+    scoreFromTf(termFrequencies(docs, idCol, textCol, None),
+      weights, consts, docs, idCol)
+
+  private def scoreFromTf(tf: DataFrame, weights: DataFrame,
+                          consts: DataFrame, docs: DataFrame,
+                          idCol: String): DataFrame = {
+    val perDoc = tf
+      .join(weights, Seq("term"), "left")
+      .crossJoin(broadcast(consts.select(col("oov_e6"))))
+      .select(col("doc_id"), col("tf"),
+        (col("tf") * coalesce(col("w_e6"), col("oov_e6"))).as("tw_e6"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("bigint").as("n_terms"),
+        sum(col("tw_e6")).cast("bigint").as("sum_w_e6"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(consts.select(col("prior_e6"))))
+      .select(col("doc_id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        (coalesce(col("sum_w_e6"), lit(0L)) + col("prior_e6"))
+          .as("score_e6"))
+      .withColumn("pred", col("score_e6") > 0)
+  }
+
+  /** Train on `docs` and score the same corpus — the in-corpus
+    * self-scoring shape (every scored term in-vocabulary). ONE
+    * tokenize pass: the checkpointed tf table feeds both the stats
+    * branch and the scoring join. */
+  def nbTrainScore(docs: DataFrame, idCol: String, textCol: String,
+                   labelCol: String): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol, Some(labelCol))
+    val (weights, consts) = trainFromTf(tf, docs, labelCol)
+    scoreFromTf(tf.drop("pos"), weights, consts, docs, idCol)
+  }
+
+  /** round(x·1e6) as BIGINT — integer micro-nats. */
+  private def microNats(x: Column): Column =
+    round(x * lit(1000000.0)).cast("bigint")
+
+  /** (doc_id[, pos], term, tf) — the one tokenize pass. Checkpointed:
+    * callers fan it into a stats branch and a scoring join, and the
+    * explode must not replay per consumer. */
+  private def termFrequencies(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              labelCol: Option[String]): DataFrame = {
+    val base = Dedup.spread(docs, col(idCol))
+    val cols = col(idCol).as("doc_id") +:
+      labelCol.map(l => col(l).as("pos")).toSeq :+
+      explode(tokens(col(textCol))).as("term")
+    val keys = "doc_id" +: labelCol.map(_ => "pos").toSeq :+ "term"
+    base.select(cols: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+  }
+}
