@@ -188,6 +188,41 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-document shared-span report ([[Dedup.crossDocSpans]]):
+    * maximal word spans covered by 5-grams occurring in 2+ documents —
+    * the exact-substring dedup signal at word-gram granularity. The
+    * corpus has ~1k naturally repeated 5-grams, so the report is
+    * non-trivial without any constructed clones. */
+  def crossDocSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossDocSpans(t(s, dir, "documents"), "doc_id", "text",
+      k = 5, maxDocFreq = 1000)
+      .orderBy("doc_id", "span_start")
+
+  /** SemDeDup-style semantic dedup ([[Similarity.semanticDedup]]) on a
+    * constructed corpus: every vector gets an exact clone (cosine 1)
+    * and every 3rd additionally a first-element-perturbed near-clone
+    * (cosine ≥ 0.9998 for unit vectors — comfortably above the 0.999
+    * cut, while unrelated pairs stay ≤ ~0.55). Clusters of 2 and 3
+    * must resolve by connected components inside KMeans cells; the
+    * DuckDB oracle replays exact all-pairs cosine + a recursive-CTE
+    * closure, so cell assignment (assignTop=2), in-cell pair
+    * generation, and the stars loop are all gated end to end. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val near = e.filter(pmod(col("vec_id"), lit(3)) === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.02f)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    val all = e
+      .unionByName(e.select((col("vec_id") + CloneOffset).as("vec_id"),
+        col("embedding")))
+      .unionByName(near)
+    Similarity.semanticDedup(all, threshold = 0.999,
+      nCentroids = 16, assignTop = 2)
+      .orderBy("vec_id")
+  }
+
   /** PII redaction audit: deterministic PII synthesized onto each doc
     * (email + IPv4 + phone), then redacted; the oracle replays the
     * same RE2-compatible patterns. */

@@ -111,6 +111,8 @@ object SparkEntry {
     "q_kll_quantiles"        -> (LlmQueries.kllQuantiles _),
     "q_cms_counts"           -> (LlmQueries.cmsEventCounts _),
     "q_dup_clusters"         -> (LlmQueries.dupClusters _),
+    "q_semdedup"             -> (LlmQueries.semDedup _),
+    "q_crossdoc_spans"       -> (LlmQueries.crossDocSpans _),
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
     "q_set_jaccard"          -> (LlmQueries.setJaccardLangs _),
     "q_unigram_nll"          -> (LlmQueries.unigramNll _),
@@ -1058,6 +1060,66 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q_crossdoc_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+        |      'g'), ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(range(0, greatest(len(ws) - 4, 0)))
+        |    AS pos, ws
+        |  FROM w),
+        |h AS (SELECT doc_id, pos,
+        |    array_to_string(ws[pos+1:pos+5], ' ') AS gram FROM g),
+        |df AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM h GROUP BY 1)
+        |  WHERE df BETWEEN 2 AND 1000),
+        |cov AS (SELECT h.doc_id, h.pos FROM h JOIN df USING (gram)),
+        |lg AS (
+        |  SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER (
+        |      PARTITION BY doc_id ORDER BY pos) + 5 THEN 1 ELSE 0 END
+        |    AS brk
+        |  FROM cov),
+        |isl AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+        |  FROM lg)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, span
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "q_semdedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, embedding FROM embeddings),
+        |all_v AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM base
+        |  UNION ALL SELECT vec_id + 200000,
+        |    list_concat([embedding[1] + CAST(0.02 AS FLOAT)],
+        |      embedding[2:]) AS embedding
+        |  FROM base WHERE vec_id % 3 = 0),
+        |px AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        |    >= 0.999),
+        |sym AS (SELECT ia AS a, ib AS b FROM px
+        |        UNION SELECT ib AS a, ia AS b FROM px),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+        |  WHERE e.b <> r.a),
+        |lab AS (
+        |  SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a)
+        |SELECT v.vec_id,
+        |  COALESCE(l.cluster_id, v.vec_id) AS cluster_id,
+        |  COALESCE(l.cluster_id, v.vec_id) = v.vec_id AS keep
+        |FROM all_v v LEFT JOIN lab l USING (vec_id)
+        |ORDER BY v.vec_id""".stripMargin,
     "q_ann_ivf" ->
       """SELECT query_id, nn_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -270,6 +271,65 @@ object Dedup {
         greatest(length(col("__t_a")), length(col("__t_b")), lit(1)))
       .drop("__t_a", "__t_b")
     maxDist.fold(out)(d => out.filter(col("lev") <= d))
+  }
+
+  /** Cross-document shared-span report — the word-gram approximation
+    * of exact-substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": remove verbatim text that
+    * repeats across documents). For every document, the maximal word
+    * spans covered by `k`-grams that also occur in at least one OTHER
+    * document: `(doc_id, span_start, span_end, n_grams)`, positions
+    * word-based and inclusive. Overlapping/adjacent covered grams
+    * merge into one span (gap-and-islands), so a verbatim copied
+    * passage reports as a single interval to cut, not per-gram
+    * confetti. Grams whose document frequency exceeds `maxDocFreq`
+    * are ignored — boilerplate shared by thousands of docs is a
+    * filtering problem, not a span-removal one, and the cap also
+    * bounds the df-join fan-out. Docs shorter than `k` words produce
+    * no grams (whole-short-doc copies are [[exactDupGroups]]' job).
+    *
+    * Scale shape: ONE doc-keyed exchange carries the exploded words;
+    * the gram build (lead windows — the measured lesson: a slice HOF
+    * is O(words²) interpreted) rides it. Doc frequency is a map-side-
+    * combinable agg on the 32-bit gram hash; the qualifying hash set
+    * semi-joins back (shuffle on hash), and the island windows re-use
+    * the doc keying. No driver state, no quadratic stage anywhere —
+    * cost is linear in corpus words at every step. */
+  def crossDocSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, maxDocFreq: Long = 1000): DataFrame = {
+    require(k >= 1, s"crossDocSpans needs k >= 1, got $k")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val byDoc = Window.partitionBy(col(idCol))
+    val ordered = byDoc.orderBy(col("pos"))
+    val gram = concat_ws(" ",
+      col("word") +: (1 until k).map(j => lead(col("word"), j).over(ordered)): _*)
+    val hash32 = conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+    val grams = spread(docs, col(idCol))
+      .select(col(idCol), posexplode(Text.words(Text.normalize(col(textCol))))
+        .as(Seq("pos", "word")))
+      .select(col(idCol), col("pos"), gram.as("gram"),
+        count(lit(1)).over(byDoc).as("nw"))
+      .filter(col("pos") <= col("nw") - k) // full grams only
+      .select(col(idCol), col("pos"), hash32.as("h"))
+    val sharedHashes = grams.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df").between(2, maxDocFreq))
+      .select("h")
+    val covered = grams.join(sharedHashes, "h")
+    // merge intervals [pos, pos+k-1]: a gram extends the current span
+    // when it starts within (previous start + k) — overlap or
+    // adjacency. First gram of a doc: lag is null → when() falls to 0,
+    // which still opens island 0 (span ids only need to be distinct).
+    val newSpan = when(col("pos") >
+      lag(col("pos"), 1).over(ordered) + k, 1).otherwise(0)
+    covered
+      .withColumn("span", sum(newSpan).over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("span"))
+      .agg(min(col("pos")).cast("bigint").as("span_start"),
+        (max(col("pos")) + k - 1).cast("bigint").as("span_end"),
+        count(lit(1)).cast("bigint").as("n_grams"))
+      .drop("span")
   }
 
   /** Near-dup pairs above a Jaccard threshold: LSH candidates verified

@@ -221,6 +221,71 @@ object Similarity {
     localTopK(scored, k)
   }
 
+  /** SemDeDup-style semantic deduplication: KMeans cells partition the
+    * corpus, near-dup pairs are found by exact cosine WITHIN cells
+    * only, resolved into clusters (connected components, min-id
+    * label), and each cluster keeps its min-id member. Output:
+    * `(vec_id, cluster_id, keep)` — one row per corpus vector,
+    * singletons keep themselves.
+    *
+    * Scale shape: the quadratic compare never crosses cell
+    * boundaries — per-cell work is (n/k)², so `nCentroids` is chosen
+    * to make cells fit an executor (tens of thousands of cells at
+    * 100 TB; the codebook trains on a sample and assignment is one
+    * map pass against a broadcast literal). Pair generation is a
+    * cell-keyed self-join — row-based, so a giant cell becomes a big
+    * join group, never a single collected array row — and cell count
+    * IS the parallelism of that stage. `assignTop > 1` assigns each
+    * vector to its `assignTop` nearest cells (pairs meet if their
+    * cell sets intersect) — the recall knob for near-dups straddling
+    * a Voronoi boundary, at `assignTop×` candidate cost. Component
+    * resolution is the alternating-stars loop — O(log n) rounds on
+    * the (tiny) edge set. */
+  def semanticDedup(corpus: DataFrame, threshold: Double,
+                    nCentroids: Int = 16, assignTop: Int = 1,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(assignTop >= 1 && assignTop <= nCentroids,
+      s"assignTop must be in [1, $nCentroids], got $assignTop")
+    val c0 = corpus.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("vec"))
+    val model = new KMeans().setK(nCentroids).setSeed(42)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(c0.withColumn("fv", array_to_vector(col("vec"))).select("fv"))
+    val cb = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.toSeq) }
+    val cbLit = typedlit(cb)
+    // nearest-assignTop cells per vector, against the broadcast-literal
+    // codebook (distance proxy: −dot is exact for unit vectors; ties
+    // broken by cell id for determinism)
+    val scoredCells = transform(cbLit, e => struct(
+      (lit(0.0) - dot(col("vec"), e.getField("_2"))).as("d"),
+      e.getField("_1").as("cid")))
+    val assigned = c0.select(col("id"), col("vec"),
+      explode(transform(slice(array_sort(scoredCells), 1, assignTop),
+        _.getField("cid"))).as("cell"))
+    val a = assigned.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    val edges = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select("id_a", "id_b")
+      .distinct() // multi-assigned pairs meet in up to assignTop cells
+    val comps = Dedup.connectedComponentsStars(edges)
+    corpus.select(col(idCol).as("vec_id"))
+      .join(comps.withColumnRenamed("id", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * buckets (near-identical vectors collide in all-bit buckets with
     * high probability). */
