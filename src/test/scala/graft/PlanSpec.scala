@@ -62,7 +62,11 @@ class PlanSpec extends SparkSuite {
     // scale regression and must fail here.
     val vetted = Set("q_ann_top1", "q_bm25_topk", "q_cms_counts",
       "q_hll_users", "q_kll_quantiles", "q_set_jaccard",
-      "q_tfidf_terms", "q_u_set_ops", "q_unigram_nll")
+      "q_tfidf_terms", "q_u_set_ops", "q_unigram_nll",
+      // 1-row model constants (priors/OOV weight) crossed over the
+      // scored corpus — the same single-row-build shape as the stats
+      // scalars above
+      "q_quality_classifier")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       if ((p.contains("CartesianProduct") ||
