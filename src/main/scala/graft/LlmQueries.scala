@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Classifier, Dedup, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
+import graft.llm.{Classifier, Curate, Dedup, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -187,6 +187,18 @@ object LlmQueries {
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")
   }
+
+  /** End-to-end curation pipeline ([[graft.llm.Curate.pipeline]]):
+    * quality gate → exact dedup → in-corpus NB classifier → 300-token
+    * per-source budget (best-scored first) → hash split. The whole
+    * composed chain is gated against one DuckDB oracle replaying
+    * every stage. */
+  def curatePipeline(s: SparkSession, dir: String): DataFrame =
+    Curate.pipeline(
+      t(s, dir, "documents").withColumn("is_en", col("lang") === "en"),
+      "doc_id", "text", "source", "is_en",
+      minTokens = 5, maxTokens = 1000000, budgetPerSource = 300L)
+      .orderBy("doc_id")
 
   /** Cross-document shared-span report ([[Dedup.crossDocSpans]]):
     * maximal word spans covered by 5-grams occurring in 2+ documents —

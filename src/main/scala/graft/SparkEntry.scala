@@ -113,6 +113,7 @@ object SparkEntry {
     "q_dup_clusters"         -> (LlmQueries.dupClusters _),
     "q_semdedup"             -> (LlmQueries.semDedup _),
     "q_crossdoc_spans"       -> (LlmQueries.crossDocSpans _),
+    "q_curate_pipeline"      -> (LlmQueries.curatePipeline _),
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
     "q_set_jaccard"          -> (LlmQueries.setJaccardLangs _),
     "q_unigram_nll"          -> (LlmQueries.unigramNll _),
@@ -1060,6 +1061,57 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q_curate_pipeline" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang, text,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |q AS (SELECT * FROM toks WHERE n_tokens BETWEEN 5 AND 1000000),
+        |ex AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rn FROM q),
+        |corpus AS (SELECT doc_id, source, lang, text, n_tokens
+        |  FROM ex WHERE rn = 1),
+        |terms AS (SELECT doc_id, lang = 'en' AS pos,
+        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM corpus),
+        |tf AS (SELECT doc_id, pos, term, count(*) AS tf
+        |  FROM terms GROUP BY 1, 2, 3),
+        |st AS (SELECT term,
+        |    sum(CASE WHEN pos THEN tf ELSE 0 END) AS tfp,
+        |    sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS tfn
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tfp) AS BIGINT) AS np,
+        |    CAST(sum(tfn) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS v FROM st),
+        |pr AS (SELECT CAST(round((
+        |    ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS DOUBLE))
+        |    - ln(CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+        |      AS DOUBLE))) * 1000000.0) AS BIGINT) AS prior_e6
+        |  FROM corpus),
+        |w AS (SELECT term, CAST(round((
+        |    ln(CAST(tfp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+        |    - ln(CAST(tfn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE)))
+        |    * 1000000.0) AS BIGINT) AS w_e6
+        |  FROM st, tot),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(sum(tf.tf * w.w_e6) AS BIGINT) AS sum_w_e6
+        |  FROM tf JOIN w USING (term) GROUP BY 1),
+        |scored AS (SELECT c.doc_id, c.source, c.n_tokens,
+        |    COALESCE(sc.sum_w_e6, 0) + pr.prior_e6 AS score_e6
+        |  FROM corpus c LEFT JOIN sc ON c.doc_id = sc.doc_id, pr),
+        |bud AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY score_e6 DESC, doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS cum
+        |  FROM scored WHERE score_e6 > 0)
+        |SELECT doc_id, source, n_tokens, score_e6,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 2)) AS INT) < 230 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 2)) AS INT) < 243 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM bud WHERE cum <= 300 ORDER BY doc_id""".stripMargin,
     "q_crossdoc_spans" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -1,0 +1,61 @@
+package graft
+
+import graft.llm.Curate
+import org.apache.spark.sql.functions._
+
+class CurateSpec extends SparkSuite {
+  import spark.implicits._
+
+  // src A: two identical good docs (exact dedup keeps id 1), one spam;
+  // src B: good docs that overflow a tiny budget; one doc under
+  // minTokens that must fall at the quality gate
+  private val docs = Seq(
+    (1L, "good clean prose text here", "A", true),
+    (2L, "good clean prose text here", "A", true),   // exact dup of 1
+    (3L, "spam junk spam junk buy buy", "A", false),
+    (4L, "good prose text words here again", "B", true),
+    (5L, "good clean text words prose print", "B", true),
+    (6L, "tiny doc", "B", true)                      // 2 tokens < 5
+  ).toDF("doc_id", "text", "source", "is_en")
+
+  test("every stage bites: gate, dedup, classifier, budget, split") {
+    val out = Curate.pipeline(docs, "doc_id", "text", "source", "is_en",
+      minTokens = 5, maxTokens = 100, budgetPerSource = 6)
+      .orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    // 2 (exact dup), 3 (negative score), 6 (too short) are gone;
+    // src B's budget of 6 tokens admits only its best-scoring doc
+    assert(ids.intersect(Seq(2L, 3L, 6L)).isEmpty)
+    assert(ids.contains(1L))
+    assert(out.count(_.getString(1) == "B") == 1)
+    // split is the deterministic md5 bucket — recompute and compare
+    for (r <- out) {
+      val b = Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(r.getLong(0).toString).substring(0, 2), 16)
+      val expect = if (b < 230) "train" else if (b < 243) "val" else "test"
+      assert(r.getString(4) == expect)
+    }
+  }
+
+  test("budget admits by score order, not id order") {
+    // make doc 11 clearly better-scoring than doc 10 (more positive
+    // vocabulary mass); with a budget fitting only one, 11 must win
+    val d = Seq(
+      (10L, "good prose junk spam buy sell", "S", true),
+      (11L, "good prose clean text nice words", "S", true),
+      (12L, "spam junk buy sell trash waste", "S", false)
+    ).toDF("doc_id", "text", "source", "is_en")
+    val out = Curate.pipeline(d, "doc_id", "text", "source", "is_en",
+      minTokens = 1, maxTokens = 100, budgetPerSource = 6)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
+  test("pipeline is partitioning-independent") {
+    val a = Curate.pipeline(docs, "doc_id", "text", "source", "is_en")
+      .orderBy("doc_id").collect().toSeq
+    val b = Curate.pipeline(docs.repartition(7), "doc_id", "text",
+      "source", "is_en").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
