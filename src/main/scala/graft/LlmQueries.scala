@@ -188,6 +188,16 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic weighted sampling without replacement
+    * ([[graft.llm.Sampling.weightedSample]]): 100 docs biased by
+    * n_chars — the reproducible importance-sampling primitive. The
+    * DuckDB oracle computes the identical hash-derived rank keys. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Sampling.weightedSample(
+      t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      col("doc_id"), col("n_chars"), n = 100)
+      .orderBy("doc_id")
+
   /** End-to-end curation pipeline ([[graft.llm.Curate.pipeline]]):
     * quality gate → exact dedup → in-corpus NB classifier → 300-token
     * per-source budget (best-scored first) → hash split. The whole

@@ -114,6 +114,7 @@ object SparkEntry {
     "q_semdedup"             -> (LlmQueries.semDedup _),
     "q_crossdoc_spans"       -> (LlmQueries.crossDocSpans _),
     "q_curate_pipeline"      -> (LlmQueries.curatePipeline _),
+    "q_weighted_sample"      -> (LlmQueries.weightedSample _),
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
     "q_set_jaccard"          -> (LlmQueries.setJaccardLangs _),
     "q_unigram_nll"          -> (LlmQueries.unigramNll _),
@@ -1061,6 +1062,15 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) + 0.5) / 4294967296.0)
+        |      / CAST(n_chars AS DOUBLE) AS wk
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY wk DESC, CAST(doc_id AS VARCHAR) LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     "q_curate_pipeline" ->
       """WITH toks AS (
         |  SELECT doc_id, source, lang, text,

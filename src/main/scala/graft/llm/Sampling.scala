@@ -44,6 +44,32 @@ object Sampling {
       .otherwise("test")
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-Res): each row gets rank key
+    * `ln(u) / w` with `u` a hash-derived uniform in (0, 1), and the
+    * `n` largest keys win — every row's selection probability is
+    * proportional to its weight, with NO RNG state: the same rows win
+    * on every engine, run, and cluster size. The importance-sampling
+    * primitive of corpus curation ("sample 10M docs biased by quality
+    * score").
+    *
+    * Scale shape: the key is a per-row expression; global top-n is
+    * TakeOrderedAndProject (per-partition heaps, no full sort, no
+    * shuffle of the corpus). Rows with non-positive weight never
+    * qualify (dropped up front, matching w→0 probability). */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     n: Int): DataFrame = {
+    require(n > 0, s"weightedSample needs n > 0, got $n")
+    // uniform from the first 8 md5 hex digits, offset to avoid ln(0)
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    df.filter(weight > 0)
+      .withColumn("__wk", log(u) / weight.cast("double"))
+      .orderBy(col("__wk").desc, key.cast("string"))
+      .limit(n)
+      .drop("__wk")
+  }
+
   /** Deterministic per-group cap: keep at most `n` rows per group,
     * chosen by md5-rank of the key — the per-domain/source cap of
     * corpus curation ("no more than N docs from any one site"),
