@@ -228,7 +228,14 @@ object LlmQueries {
     * must resolve by connected components inside KMeans cells; the
     * DuckDB oracle replays exact all-pairs cosine + a recursive-CTE
     * closure, so cell assignment (assignTop=2), in-cell pair
-    * generation, and the stars loop are all gated end to end. */
+    * generation, and the stars loop are all gated end to end.
+    *
+    * Parity honesty: exact-clone pairs co-cell by construction
+    * (identical vectors, identical assignment), so their edges can
+    * never be missed; near-clone pairs could in principle straddle a
+    * Voronoi boundary into disjoint top-2 cell sets — that recall gap
+    * is inherent to cluster-partitioned dedup (the reason assignTop
+    * exists) and is empirically zero on this frozen corpus. */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
     val near = e.filter(pmod(col("vec_id"), lit(3)) === 0)

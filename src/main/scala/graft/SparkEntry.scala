@@ -1072,7 +1072,7 @@ object SparkEntry {
         |  ORDER BY wk DESC, CAST(doc_id AS VARCHAR) LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
     "q_curate_pipeline" ->
-      """WITH toks AS (
+      ("""WITH toks AS (
         |  SELECT doc_id, source, lang, text,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
         |      AS n_tokens
@@ -1082,32 +1082,7 @@ object SparkEntry {
         |    ORDER BY doc_id) AS rn FROM q),
         |corpus AS (SELECT doc_id, source, lang, text, n_tokens
         |  FROM ex WHERE rn = 1),
-        |terms AS (SELECT doc_id, lang = 'en' AS pos,
-        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
-        |  FROM corpus),
-        |tf AS (SELECT doc_id, pos, term, count(*) AS tf
-        |  FROM terms GROUP BY 1, 2, 3),
-        |st AS (SELECT term,
-        |    sum(CASE WHEN pos THEN tf ELSE 0 END) AS tfp,
-        |    sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS tfn
-        |  FROM tf GROUP BY 1),
-        |tot AS (SELECT CAST(sum(tfp) AS BIGINT) AS np,
-        |    CAST(sum(tfn) AS BIGINT) AS nn,
-        |    CAST(count(*) AS BIGINT) AS v FROM st),
-        |pr AS (SELECT CAST(round((
-        |    ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-        |      AS DOUBLE))
-        |    - ln(CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
-        |      AS DOUBLE))) * 1000000.0) AS BIGINT) AS prior_e6
-        |  FROM corpus),
-        |w AS (SELECT term, CAST(round((
-        |    ln(CAST(tfp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
-        |    - ln(CAST(tfn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE)))
-        |    * 1000000.0) AS BIGINT) AS w_e6
-        |  FROM st, tot),
-        |sc AS (SELECT tf.doc_id,
-        |    CAST(sum(tf.tf * w.w_e6) AS BIGINT) AS sum_w_e6
-        |  FROM tf JOIN w USING (term) GROUP BY 1),
+        |""".stripMargin + nbClassifierCtes("corpus") + """,
         |scored AS (SELECT c.doc_id, c.source, c.n_tokens,
         |    COALESCE(sc.sum_w_e6, 0) + pr.prior_e6 AS score_e6
         |  FROM corpus c LEFT JOIN sc ON c.doc_id = sc.doc_id, pr),
@@ -1121,7 +1096,7 @@ object SparkEntry {
         |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
         |      1, 2)) AS INT) < 243 THEN 'val'
         |    ELSE 'test' END AS split
-        |FROM bud WHERE cum <= 300 ORDER BY doc_id""".stripMargin,
+        |FROM bud WHERE cum <= 300 ORDER BY doc_id""".stripMargin),
     "q_crossdoc_spans" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -1229,37 +1204,12 @@ object SparkEntry {
         |FROM tf JOIN stats s USING (term), tot t
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
     "q_quality_classifier" ->
-      """WITH terms AS (
-        |  SELECT doc_id, lang = 'en' AS pos,
-        |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, pos, term, count(*) AS tf
-        |       FROM terms GROUP BY 1, 2, 3),
-        |st AS (SELECT term,
-        |    sum(CASE WHEN pos THEN tf ELSE 0 END) AS tfp,
-        |    sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS tfn
-        |  FROM tf GROUP BY 1),
-        |tot AS (SELECT CAST(sum(tfp) AS BIGINT) AS np,
-        |    CAST(sum(tfn) AS BIGINT) AS nn,
-        |    CAST(count(*) AS BIGINT) AS v FROM st),
-        |pr AS (SELECT CAST(round((
-        |    ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE))
-        |    - ln(CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
-        |        AS DOUBLE))) * 1000000.0) AS BIGINT) AS prior_e6
-        |  FROM documents),
-        |w AS (SELECT term, CAST(round((
-        |    ln(CAST(tfp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
-        |    - ln(CAST(tfn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE)))
-        |    * 1000000.0) AS BIGINT) AS w_e6
-        |  FROM st, tot),
-        |sc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_terms,
-        |    CAST(sum(tf.tf * w.w_e6) AS BIGINT) AS sum_w_e6
-        |  FROM tf JOIN w USING (term) GROUP BY 1)
+      ("WITH " + nbClassifierCtes("documents") + """
         |SELECT d.doc_id, COALESCE(sc.n_terms, 0) AS n_terms,
         |  COALESCE(sc.sum_w_e6, 0) + pr.prior_e6 AS score_e6,
         |  (COALESCE(sc.sum_w_e6, 0) + pr.prior_e6) > 0 AS pred
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, pr
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id""".stripMargin),
     "q_cap_per_source" ->
       """SELECT source, doc_id FROM (
         |  SELECT source, doc_id, row_number() OVER (
@@ -1469,6 +1419,40 @@ object SparkEntry {
       |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
       |px AS (SELECT ia, ib, j FROM pj WHERE j >= 0.9)""".stripMargin
+
+  /** CTE chain replaying the NB quality classifier over table/CTE
+    * `src` (needs doc_id, lang, text): class-conditional term stats,
+    * add-one-smoothed micro-nat weights, per-doc score sums. ONE
+    * definition behind the q_quality_classifier and q_curate_pipeline
+    * oracles so the two can never drift. Emits `pr(prior_e6)` and
+    * `sc(doc_id, n_terms, sum_w_e6)`. */
+  private def nbClassifierCtes(src: String): String =
+    s"""terms AS (SELECT doc_id, lang = 'en' AS pos,
+      |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+      |  FROM $src),
+      |tf AS (SELECT doc_id, pos, term, count(*) AS tf
+      |  FROM terms GROUP BY 1, 2, 3),
+      |st AS (SELECT term,
+      |    sum(CASE WHEN pos THEN tf ELSE 0 END) AS tfp,
+      |    sum(CASE WHEN NOT pos THEN tf ELSE 0 END) AS tfn
+      |  FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(tfp) AS BIGINT) AS np,
+      |    CAST(sum(tfn) AS BIGINT) AS nn,
+      |    CAST(count(*) AS BIGINT) AS v FROM st),
+      |pr AS (SELECT CAST(round((
+      |    ln(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+      |      AS DOUBLE))
+      |    - ln(CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+      |      AS DOUBLE))) * 1000000.0) AS BIGINT) AS prior_e6
+      |  FROM $src),
+      |w AS (SELECT term, CAST(round((
+      |    ln(CAST(tfp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE))
+      |    - ln(CAST(tfn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE)))
+      |    * 1000000.0) AS BIGINT) AS w_e6
+      |  FROM st, tot),
+      |sc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_terms,
+      |    CAST(sum(tf.tf * w.w_e6) AS BIGINT) AS sum_w_e6
+      |  FROM tf JOIN w USING (term) GROUP BY 1)""".stripMargin
 
   /** Shared CTE prefix for the winnowing oracles: normalized word
     * 3-grams with 0-based positions, 32-bit md5-prefix hashes packed

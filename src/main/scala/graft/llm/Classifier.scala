@@ -45,7 +45,9 @@ object Classifier {
     * `ln(1/(N_pos+V)) − ln(1/(N_neg+V))`. */
   def nbTrain(docs: DataFrame, idCol: String, textCol: String,
               labelCol: String): (DataFrame, DataFrame) =
-    trainFromTf(termFrequencies(docs, idCol, textCol, Some(labelCol)),
+    trainFromTf(
+      termFrequencies(docs, idCol, textCol, Some(labelCol),
+        checkpoint = false),
       docs, labelCol)
 
   private def trainFromTf(tf: DataFrame, docs: DataFrame,
@@ -67,8 +69,15 @@ object Classifier {
       sum(when(!col(labelCol), 1L).otherwise(0L)).as("dn"))
     val consts = priors.crossJoin(tot)
       .select(
-        microNats(log(col("dp").cast("double")) -
-          log(col("dn").cast("double"))).as("prior_e6"),
+        // a one-class "corpus" has no odds to learn: fail loudly
+        // instead of log(0) → NULL prior → silently-null scores
+        when(col("dp") > 0 && col("dn") > 0,
+          microNats(log(col("dp").cast("double")) -
+            log(col("dn").cast("double"))))
+          .otherwise(raise_error(concat(
+            lit("Classifier.nbTrain needs both classes non-empty, got "),
+            col("dp"), lit(" positive / "), col("dn"), lit(" negative"))))
+          .as("prior_e6"),
         microNats(
           log(lit(1.0) / (col("np") + col("v")).cast("double")) -
           log(lit(1.0) / (col("nn") + col("v")).cast("double"))).as("oov_e6"))
@@ -82,7 +91,8 @@ object Classifier {
     * term join (vocab side broadcast-able), one per-doc aggregation. */
   def nbScore(docs: DataFrame, weights: DataFrame, consts: DataFrame,
               idCol: String, textCol: String): DataFrame =
-    scoreFromTf(termFrequencies(docs, idCol, textCol, None),
+    scoreFromTf(
+      termFrequencies(docs, idCol, textCol, None, checkpoint = false),
       weights, consts, docs, idCol)
 
   private def scoreFromTf(tf: DataFrame, weights: DataFrame,
@@ -112,7 +122,8 @@ object Classifier {
     * branch and the scoring join. */
   def nbTrainScore(docs: DataFrame, idCol: String, textCol: String,
                    labelCol: String): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol, Some(labelCol))
+    val tf = termFrequencies(docs, idCol, textCol, Some(labelCol),
+      checkpoint = true) // fans into the stats branch AND scoring join
     val (weights, consts) = trainFromTf(tf, docs, labelCol)
     scoreFromTf(tf.drop("pos"), weights, consts, docs, idCol)
   }
@@ -121,20 +132,22 @@ object Classifier {
   private def microNats(x: Column): Column =
     round(x * lit(1000000.0)).cast("bigint")
 
-  /** (doc_id[, pos], term, tf) — the one tokenize pass. Checkpointed:
-    * callers fan it into a stats branch and a scoring join, and the
-    * explode must not replay per consumer. */
+  /** (doc_id[, pos], term, tf) — the one tokenize pass. `checkpoint`
+    * only when the caller fans it into MULTIPLE consumers (the
+    * train+score path): an eager materialization on a single-consumer
+    * path would run a job at DataFrame-construction time and block
+    * pushdown into the scan for nothing. */
   private def termFrequencies(docs: DataFrame, idCol: String,
-                              textCol: String,
-                              labelCol: Option[String]): DataFrame = {
+                              textCol: String, labelCol: Option[String],
+                              checkpoint: Boolean): DataFrame = {
     val base = Dedup.spread(docs, col(idCol))
     val cols = col(idCol).as("doc_id") +:
       labelCol.map(l => col(l).as("pos")).toSeq :+
       explode(tokens(col(textCol))).as("term")
     val keys = "doc_id" +: labelCol.map(_ => "pos").toSeq :+ "term"
-    base.select(cols: _*)
+    val tf = base.select(cols: _*)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    if (checkpoint) tf.localCheckpoint(true) else tf
   }
 }

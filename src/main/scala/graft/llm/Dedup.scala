@@ -303,14 +303,18 @@ object Dedup {
     val ordered = byDoc.orderBy(col("pos"))
     val gram = concat_ws(" ",
       col("word") +: (1 until k).map(j => lead(col("word"), j).over(ordered)): _*)
-    val hash32 = conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+    // 64-bit gram identity: the hash only keys the df-agg and the
+    // semi-join (the oracle compares gram STRINGS), so it needs
+    // collision resistance, not cross-engine equality — a 32-bit hash
+    // would produce ~n²/2^33 false "shared" grams (hundreds at 1M
+    // grams, certain garbage past 2^32)
     val grams = spread(docs, col(idCol))
       .select(col(idCol), posexplode(Text.words(Text.normalize(col(textCol))))
         .as(Seq("pos", "word")))
       .select(col(idCol), col("pos"), gram.as("gram"),
         count(lit(1)).over(byDoc).as("nw"))
       .filter(col("pos") <= col("nw") - k) // full grams only
-      .select(col(idCol), col("pos"), hash32.as("h"))
+      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("h"))
     val sharedHashes = grams.groupBy("h")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df").between(2, maxDocFreq))

@@ -259,9 +259,12 @@ object Similarity {
     val cb = model.clusterCenters.toSeq.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }
     val cbLit = typedlit(cb)
-    // nearest-assignTop cells per vector, against the broadcast-literal
-    // codebook (distance proxy: −dot is exact for unit vectors; ties
-    // broken by cell id for determinism)
+    // assignTop cells per vector by −dot against the broadcast-literal
+    // codebook (ties broken by cell id). NOTE: centroids are NOT
+    // unit-norm (means of unit vectors sit inside the ball), so −dot
+    // ranking is a deterministic assignment proxy, not exactly
+    // KMeans-Euclidean-nearest — candidate generation only needs the
+    // assignment to be consistent across the corpus, which it is.
     val scoredCells = transform(cbLit, e => struct(
       (lit(0.0) - dot(col("vec"), e.getField("_2"))).as("d"),
       e.getField("_1").as("cid")))

@@ -66,7 +66,7 @@ class PlanSpec extends SparkSuite {
       // 1-row model constants (priors/OOV weight) crossed over the
       // scored corpus — the same single-row-build shape as the stats
       // scalars above
-      "q_quality_classifier")
+      "q_quality_classifier", "q_curate_pipeline")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       if ((p.contains("CartesianProduct") ||
