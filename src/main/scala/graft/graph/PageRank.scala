@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   * dedup and retrieval families in `graft.llm`).
   *
   * Scale shape (the part that must survive 100 TB):
-  *   - one edge table, shuffled ONCE per iteration on `src` (the
-  *     contribution join) and once on `dst` (the aggregation) — no
-  *     driver-side adjacency, no collect, state is O(|V|) rows;
+  *   - the edge table is shuffled ONCE, at build: `degEdges` is
+  *     hash-partitioned by `src` before its checkpoint, and each
+  *     iteration's rank state comes out of a join keyed by `node`
+  *     with the same partition count — localCheckpoint preserves
+  *     outputPartitioning, so the per-iteration contribution join
+  *     needs NO exchange of the (at scale, huge) edge side; only the
+  *     per-edge contributions (map-side combined to ≤|V| rows per
+  *     partition) and the rank state move per iteration;
   *   - out-degrees are computed once and joined back, never recomputed;
   *   - every iteration ends in `localCheckpoint(eager = true)` so the
   *     lineage does not grow linearly with iterations (the same
@@ -45,17 +50,27 @@ object PageRank {
     *         appearing as src or dst */
   def run(edges: DataFrame, iterations: Int = 5): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
-    val e = edges.select(col("src"), col("dst"))
-    // node universe + out-degrees: computed once, checkpointed — every
-    // iteration reads these materialized blocks instead of re-scanning
-    // the (at scale, huge) edge input.
+    // Materialize the edge table ONCE: nodes, out-degrees, and
+    // degEdges all derive from it, and without this checkpoint each
+    // of their eager materializations would re-run the caller's whole
+    // edge-construction pipeline (scan + joins + distinct) from
+    // scratch — measured 3x the build cost of q_pagerank.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // distinct() already leaves nodes hash-partitioned by `node`
+    // (its grouping key) — an explicit repartition would be a second
+    // exchange of the same layout
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
-    val degEdges = e.join(outDeg, "src").localCheckpoint(true)
+    // partitioned by src ON PURPOSE: the per-iteration contribution
+    // join reuses this layout against the node-keyed rank state
+    val degEdges = e.join(outDeg, "src")
+      .repartition(par, col("src"))
+      .localCheckpoint(true)
 
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("rank", lit(0L))
@@ -73,7 +88,12 @@ object PageRank {
         .select(col("node"),
           (lit(teleport) +
             expr("17 * coalesce(in_mass, 0L) div 20")).as("rank"))
-        .localCheckpoint(true)
+        // LAZY checkpoint: still truncates lineage (materialized on
+        // first use, i.e. inside the NEXT iteration's job), but does
+        // not spend a whole scheduled job per iteration — measured
+        // ~40% of q_pagerank wall at sf0.1 was the 5 eager
+        // materialization jobs
+        .localCheckpoint(false)
       iter += 1
     }
     ranks
