@@ -52,36 +52,13 @@ object Classifier {
 
   private def trainFromTf(tf: DataFrame, docs: DataFrame,
                           labelCol: String): (DataFrame, DataFrame) = {
-    val st = tf.groupBy("term").agg(
+    val stats = tf.groupBy("term").agg(
       sum(when(col("pos"), col("tf")).otherwise(0L)).as("tfp"),
       sum(when(!col("pos"), col("tf")).otherwise(0L)).as("tfn"))
-    val tot = st.agg(
-      sum(col("tfp")).cast("bigint").as("np"),
-      sum(col("tfn")).cast("bigint").as("nn"),
-      count(lit(1)).cast("bigint").as("v"))
-    val weights = st.crossJoin(broadcast(tot))
-      .select(col("term"), microNats(
-        log((col("tfp") + 1).cast("double") / (col("np") + col("v")).cast("double")) -
-        log((col("tfn") + 1).cast("double") / (col("nn") + col("v")).cast("double")))
-        .as("w_e6"))
-    val priors = docs.agg(
+    val docStats = docs.agg(
       sum(when(col(labelCol), 1L).otherwise(0L)).as("dp"),
       sum(when(!col(labelCol), 1L).otherwise(0L)).as("dn"))
-    val consts = priors.crossJoin(tot)
-      .select(
-        // a one-class "corpus" has no odds to learn: fail loudly
-        // instead of log(0) → NULL prior → silently-null scores
-        when(col("dp") > 0 && col("dn") > 0,
-          microNats(log(col("dp").cast("double")) -
-            log(col("dn").cast("double"))))
-          .otherwise(raise_error(concat(
-            lit("Classifier.nbTrain needs both classes non-empty, got "),
-            col("dp"), lit(" positive / "), col("dn"), lit(" negative"))))
-          .as("prior_e6"),
-        microNats(
-          log(lit(1.0) / (col("np") + col("v")).cast("double")) -
-          log(lit(1.0) / (col("nn") + col("v")).cast("double"))).as("oov_e6"))
-    (weights, consts)
+    weightsFromStats(stats, docStats)
   }
 
   /** Score every document under a trained (possibly parquet-read)
@@ -126,6 +103,74 @@ object Classifier {
       checkpoint = true) // fans into the stats branch AND scoring join
     val (weights, consts) = trainFromTf(tf, docs, labelCol)
     scoreFromTf(tf.drop("pos"), weights, consts, docs, idCol)
+  }
+
+  /** Count-form model: `(stats, docStats)` — per-term class counts
+    * `(term, tfp, tfn)` plus a 1-row `(dp, dn)` doc-count table. The
+    * MERGEABLE representation of the same classifier: counts are
+    * sums, so shard-trained stats combine by addition
+    * ([[mergeStats]]) into exactly the whole-corpus model — the
+    * HLL/KLL/CMS persist-partials pattern applied to model training
+    * (train today's increment, merge with yesterday's stats, never
+    * re-tokenize the history). Derive scorable weights with
+    * [[weightsFromStats]] (bit-identical to [[nbTrain]] on the same
+    * corpus). */
+  def nbTrainStats(docs: DataFrame, idCol: String, textCol: String,
+                   labelCol: String): (DataFrame, DataFrame) = {
+    val tf = termFrequencies(docs, idCol, textCol, Some(labelCol),
+      checkpoint = false)
+    val stats = tf.groupBy("term").agg(
+      sum(when(col("pos"), col("tf")).otherwise(0L)).as("tfp"),
+      sum(when(!col("pos"), col("tf")).otherwise(0L)).as("tfn"))
+    val docStats = docs.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("dp"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("dn"))
+    (stats, docStats)
+  }
+
+  /** Merge count-form models (any number of shards/increments): term
+    * counts add per term, doc counts add. Commutative and
+    * associative — merge order, sharding, and partitioning cannot
+    * change the result. */
+  def mergeStats(models: Seq[(DataFrame, DataFrame)])
+      : (DataFrame, DataFrame) = {
+    require(models.nonEmpty, "mergeStats needs at least one model")
+    val stats = models.map(_._1).reduce(_ unionByName _)
+      .groupBy("term").agg(sum(col("tfp")).as("tfp"),
+        sum(col("tfn")).as("tfn"))
+    val docStats = models.map(_._2).reduce(_ unionByName _)
+      .agg(sum(col("dp")).as("dp"), sum(col("dn")).as("dn"))
+    (stats, docStats)
+  }
+
+  /** Derive the scorable `(weights, consts)` pair from count-form
+    * stats — the same smoothing/quantization algebra as [[nbTrain]],
+    * so `weightsFromStats(nbTrainStats(docs))` ==
+    * `nbTrain(docs)` bit for bit. */
+  def weightsFromStats(stats: DataFrame, docStats: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val tot = stats.agg(
+      sum(col("tfp")).cast("bigint").as("np"),
+      sum(col("tfn")).cast("bigint").as("nn"),
+      count(lit(1)).cast("bigint").as("v"))
+    val weights = stats.crossJoin(broadcast(tot))
+      .select(col("term"), microNats(
+        log((col("tfp") + 1).cast("double") / (col("np") + col("v")).cast("double")) -
+        log((col("tfn") + 1).cast("double") / (col("nn") + col("v")).cast("double")))
+        .as("w_e6"))
+    val consts = docStats.crossJoin(tot)
+      .select(
+        when(col("dp") > 0 && col("dn") > 0,
+          microNats(log(col("dp").cast("double")) -
+            log(col("dn").cast("double"))))
+          .otherwise(raise_error(concat(
+            lit("Classifier needs both classes non-empty, got "),
+            col("dp"), lit(" positive / "), col("dn"), lit(" negative"))))
+          .as("prior_e6"),
+        microNats(
+          log(lit(1.0) / (col("np") + col("v")).cast("double")) -
+          log(lit(1.0) / (col("nn") + col("v")).cast("double"))).as("oov_e6"))
+    (weights, consts)
   }
 
   /** round(x·1e6) as BIGINT — integer micro-nats. */

@@ -52,6 +52,42 @@ class ClassifierSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("shard-trained count models merge into exactly the whole-corpus model") {
+    val shardA = docs.filter($"id" <= 3)
+    val shardB = docs.filter($"id" > 3)
+    val merged = Classifier.mergeStats(Seq(
+      Classifier.nbTrainStats(shardA, "id", "txt", "pos"),
+      Classifier.nbTrainStats(shardB, "id", "txt", "pos")))
+    val (wM, cM) = Classifier.weightsFromStats(merged._1, merged._2)
+    val (wW, cW) = Classifier.nbTrain(docs, "id", "txt", "pos")
+    assert(wM.orderBy("term").collect().toSeq ==
+      wW.orderBy("term").collect().toSeq)
+    assert(cM.collect().toSeq == cW.collect().toSeq)
+    // and the derived path matches direct training on one shard too
+    val statsA = Classifier.nbTrainStats(shardA, "id", "txt", "pos")
+    val (wA, cA) = Classifier.weightsFromStats(statsA._1, statsA._2)
+    val (wA2, cA2) = Classifier.nbTrain(shardA, "id", "txt", "pos")
+    assert(wA.orderBy("term").collect().toSeq ==
+      wA2.orderBy("term").collect().toSeq)
+    assert(cA.collect().toSeq == cA2.collect().toSeq)
+  }
+
+  test("count-form model round-trips parquet and keeps merging") {
+    val dir = java.nio.file.Files.createTempDirectory("nbstats").toString
+    val (st, ds) = Classifier.nbTrainStats(docs.filter($"id" <= 3),
+      "id", "txt", "pos")
+    st.write.parquet(s"$dir/stats"); ds.write.parquet(s"$dir/docstats")
+    val merged = Classifier.mergeStats(Seq(
+      (spark.read.parquet(s"$dir/stats"),
+        spark.read.parquet(s"$dir/docstats")),
+      Classifier.nbTrainStats(docs.filter($"id" > 3), "id", "txt", "pos")))
+    val (wM, cM) = Classifier.weightsFromStats(merged._1, merged._2)
+    val (wW, cW) = Classifier.nbTrain(docs, "id", "txt", "pos")
+    assert(wM.orderBy("term").collect().toSeq ==
+      wW.orderBy("term").collect().toSeq)
+    assert(cM.collect().toSeq == cW.collect().toSeq)
+  }
+
   test("train once, persist, score later — parquet round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
     val (weights, consts) = Classifier.nbTrain(docs, "id", "txt", "pos")
