@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Classifier, Curate, Dedup, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
+import graft.llm.{Classifier, Curate, Dedup, Pq, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -524,6 +524,29 @@ object LlmQueries {
     val e = t(s, dir, "embeddings")
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 25), k = 1,
       nCentroids = 16, nProbe = 12)
+      .select(col("query_id"), col("nn_id"))
+      .orderBy("query_id")
+  }
+
+  /** PQ-compressed ANN ([[graft.llm.Pq]]): 16× code compression
+    * (64 floats → 8 nibble codes), ADC shortlist of 64, exact rerank —
+    * must recover the true cosine top-1 for all 25 queries against
+    * the same independent exact-NN oracle as q_ann_ivf. Train → encode
+    * → search all inside the query (codebooks are KB-scale driver
+    * literals, the ivfSearch pattern). */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    // m=16 (4-dim subspaces): these embeddings are near-uniform on the
+    // sphere — PQ's adversarial case (no per-subspace cluster
+    // structure, tiny cosine margins between candidates), so recall
+    // needs quantization resolution, not shortlist depth (m=8 missed
+    // the true top-1 even at a 192-deep shortlist). iters=3: codebook
+    // quality only shapes the ADC shortlist (rerank is exact) and each
+    // Lloyd round pays a fresh Janino compile of the assignment chain
+    val cb = Pq.train(e, dim = 64, m = 16, k = 16, iters = 3)
+    val codes = Pq.encode(e, cb)
+    Pq.searchTopK(codes, e, e.filter(col("vec_id") < 25), cb,
+      kTop = 1, shortlist = 128)
       .select(col("query_id"), col("nn_id"))
       .orderBy("query_id")
   }

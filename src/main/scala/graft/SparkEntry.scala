@@ -116,6 +116,7 @@ object SparkEntry {
     "q_curate_pipeline"      -> (LlmQueries.curatePipeline _),
     "q_weighted_sample"      -> (LlmQueries.weightedSample _),
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
+    "q_ann_pq"               -> (LlmQueries.annPq _),
     "q_set_jaccard"          -> (LlmQueries.setJaccardLangs _),
     "q_unigram_nll"          -> (LlmQueries.unigramNll _),
     "q_quality_classifier"   -> (LlmQueries.qualityClassifier _),
@@ -1157,15 +1158,10 @@ object SparkEntry {
         |  COALESCE(l.cluster_id, v.vec_id) = v.vec_id AS keep
         |FROM all_v v LEFT JOIN lab l USING (vec_id)
         |ORDER BY v.vec_id""".stripMargin,
-    "q_ann_ivf" ->
-      """SELECT query_id, nn_id FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-        |        c.vec_id) AS rn
-        |  FROM embeddings q CROSS JOIN embeddings c
-        |  WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
-        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "q_ann_ivf" -> exactNnTop1Sql,
+    // PQ must recover the same exact answer — the oracle is
+    // identical by construction (one definition, two ANN paths gated)
+    "q_ann_pq" -> exactNnTop1Sql,
     // exact per-language trigram-set sizes and intersections; est_ok
     // (the sketch-vs-exact bound) is a Spark-side assertion the oracle
     // pins to true, like the hll/kll/cms bound columns
@@ -1419,6 +1415,18 @@ object SparkEntry {
       |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
       |px AS (SELECT ia, ib, j FROM pj WHERE j >= 0.9)""".stripMargin
+
+  /** Independent exact cosine top-1 for queries vec_id < 25 — the
+    * ground truth both ANN paths (IVF cells, PQ codes) must recover. */
+  private val exactNnTop1Sql: String =
+    """SELECT query_id, nn_id FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+      |        c.vec_id) AS rn
+      |  FROM embeddings q CROSS JOIN embeddings c
+      |  WHERE q.vec_id < 25 AND c.vec_id <> q.vec_id)
+      |WHERE rn = 1 ORDER BY query_id""".stripMargin
 
   /** CTE chain replaying the NB quality classifier over table/CTE
     * `src` (needs doc_id, lang, text): class-conditional term stats,
