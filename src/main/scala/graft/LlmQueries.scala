@@ -230,8 +230,9 @@ object LlmQueries {
     * closure, so cell assignment (assignTop=2), in-cell pair
     * generation, and the stars loop are all gated end to end.
     *
-    * Parity honesty: exact-clone pairs co-cell by construction
-    * (identical vectors, identical assignment), so their edges can
+    * Parity honesty: the codebook is deterministic (sample-trained
+    * driver-side Lloyd's — bit-identical under any partitioning), and
+    * exact-clone pairs co-cell by construction, so their edges can
     * never be missed; near-clone pairs could in principle straddle a
     * Voronoi boundary into disjoint top-2 cell sets — that recall gap
     * is inherent to cluster-partitioned dedup (the reason assignTop

@@ -245,19 +245,19 @@ object Similarity {
                     nCentroids: Int = 16, assignTop: Int = 1,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-    import spark.implicits._
     require(assignTop >= 1 && assignTop <= nCentroids,
       s"assignTop must be in [1, $nCentroids], got $assignTop")
     val c0 = corpus.select(col(idCol).as("id"),
       asDouble(col(vecCol)).as("vec"))
-    val model = new KMeans().setK(nCentroids).setSeed(42)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(c0.withColumn("fv", array_to_vector(col("vec"))).select("fv"))
-    val cb = model.clusterCenters.toSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }
+    // cells from the deterministic sample-trained Lloyd's (Pq.train
+    // with one subspace spanning the full vector): bit-identical
+    // codebook under any partitioning — Spark ML's k-means|| samples
+    // per-partition, which made cell assignment (and thus the
+    // candidate set) partitioning-dependent
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val cb = Pq.train(corpus, dim, m = 1, k = nCentroids, iters = 5,
+      idCol = idCol, vecCol = vecCol).head
+      .zipWithIndex.map { case (v, i) => (i, v) }
     val cbLit = typedlit(cb)
     // assignTop cells per vector by −dot against the broadcast-literal
     // codebook (ties broken by cell id). NOTE: centroids are NOT
