@@ -529,12 +529,12 @@ object LlmQueries {
       .orderBy("query_id")
   }
 
-  /** PQ-compressed ANN ([[graft.llm.Pq]]): 16× code compression
-    * (64 floats → 8 nibble codes), ADC shortlist of 64, exact rerank —
-    * must recover the true cosine top-1 for all 25 queries against
-    * the same independent exact-NN oracle as q_ann_ivf. Train → encode
-    * → search all inside the query (codebooks are KB-scale driver
-    * literals, the ivfSearch pattern). */
+  /** PQ-compressed ANN ([[graft.llm.Pq]]): 16 nibble codes per vector
+    * (32× smaller than the 64 floats), ADC shortlist of 128, exact
+    * rerank — must recover the true cosine top-1 for all 25 queries
+    * against the same independent exact-NN oracle as q_ann_ivf.
+    * Train → encode → search all inside the query (codebooks are
+    * KB-scale driver literals, the ivfSearch pattern). */
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     // m=16 (4-dim subspaces): these embeddings are near-uniform on the

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *     per-edge contributions (map-side combined to ≤|V| rows per
   *     partition) and the rank state move per iteration;
   *   - out-degrees are computed once and joined back, never recomputed;
-  *   - every iteration ends in `localCheckpoint(eager = true)` so the
-  *     lineage does not grow linearly with iterations (the same
-  *     plan-growth trap `Dedup.connectedComponentsStars` handles);
+  *   - every iteration ends in a LAZY `localCheckpoint` so the lineage
+  *     does not grow linearly with iterations (the plan-growth trap
+  *     `Dedup.connectedComponentsStars` handles) without spending a
+  *     scheduled materialization job per iteration;
   *   - rank state is a compact (node, rank) pair — 16-24 B/row through
   *     each shuffle.
   *
@@ -56,7 +57,11 @@ object PageRank {
     // edge-construction pipeline (scan + joins + distinct) from
     // scratch — measured 3x the build cost of q_pagerank.
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val par = edges.sparkSession.sparkContext.defaultParallelism
+    // the rank state comes out of shuffles at numShufflePartitions —
+    // degEdges must sit at the SAME count or EnsureRequirements
+    // re-shuffles the edge side inside every iteration (on a default
+    // cluster defaultParallelism=cores != shuffle.partitions=200)
+    val par = edges.sparkSession.sessionState.conf.numShufflePartitions
     // distinct() already leaves nodes hash-partitioned by `node`
     // (its grouping key) — an explicit repartition would be a second
     // exchange of the same layout

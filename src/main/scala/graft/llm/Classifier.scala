@@ -52,13 +52,22 @@ object Classifier {
 
   private def trainFromTf(tf: DataFrame, docs: DataFrame,
                           labelCol: String): (DataFrame, DataFrame) = {
+    val (stats, docStats) = statsFromTf(tf, docs, labelCol)
+    weightsFromStats(stats, docStats)
+  }
+
+  /** The ONE definition of the count aggregation — both the direct
+    * and the mergeable training paths route through it, so they
+    * cannot de-synchronize. */
+  private def statsFromTf(tf: DataFrame, docs: DataFrame,
+                          labelCol: String): (DataFrame, DataFrame) = {
     val stats = tf.groupBy("term").agg(
       sum(when(col("pos"), col("tf")).otherwise(0L)).as("tfp"),
       sum(when(!col("pos"), col("tf")).otherwise(0L)).as("tfn"))
     val docStats = docs.agg(
       sum(when(col(labelCol), 1L).otherwise(0L)).as("dp"),
       sum(when(!col(labelCol), 1L).otherwise(0L)).as("dn"))
-    weightsFromStats(stats, docStats)
+    (stats, docStats)
   }
 
   /** Score every document under a trained (possibly parquet-read)
@@ -116,17 +125,9 @@ object Classifier {
     * [[weightsFromStats]] (bit-identical to [[nbTrain]] on the same
     * corpus). */
   def nbTrainStats(docs: DataFrame, idCol: String, textCol: String,
-                   labelCol: String): (DataFrame, DataFrame) = {
-    val tf = termFrequencies(docs, idCol, textCol, Some(labelCol),
-      checkpoint = false)
-    val stats = tf.groupBy("term").agg(
-      sum(when(col("pos"), col("tf")).otherwise(0L)).as("tfp"),
-      sum(when(!col("pos"), col("tf")).otherwise(0L)).as("tfn"))
-    val docStats = docs.agg(
-      sum(when(col(labelCol), 1L).otherwise(0L)).as("dp"),
-      sum(when(!col(labelCol), 1L).otherwise(0L)).as("dn"))
-    (stats, docStats)
-  }
+                   labelCol: String): (DataFrame, DataFrame) =
+    statsFromTf(termFrequencies(docs, idCol, textCol, Some(labelCol),
+      checkpoint = false), docs, labelCol)
 
   /** Merge count-form models (any number of shards/increments): term
     * counts add per term, doc counts add. Commutative and

@@ -50,14 +50,12 @@ object Pq {
     * once (a cluster-side Lloyd's would pay a fresh Janino compile of
     * the m×k-dot assignment chain per iteration: measured 3 s/round
     * of pure compile at m=16). `dim` must be divisible by `m`. */
-  def train(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+  def train(corpus: DataFrame, dim: Int = 0, m: Int = 8, k: Int = 16,
             iters: Int = 5, sampleSize: Int = 2048,
             idCol: String = "vec_id",
             vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
-    require(dim % m == 0, s"dim $dim not divisible by m $m")
     require(k >= 1 && iters >= 0, s"bad k=$k iters=$iters")
     require(sampleSize >= k, s"sampleSize $sampleSize < k $k")
-    val dsub = dim / m
     // deterministic sample: lowest-md5(id) rows, stable under any
     // partitioning (TakeOrdered, never a full sort)
     val sample = corpus
@@ -67,6 +65,10 @@ object Pq {
       .collect().map(_.getSeq[Double](1).toArray)
     require(sample.length >= k,
       s"corpus has ${sample.length} rows < k = $k")
+    // dim <= 0 → infer from the data (no extra driver job for callers)
+    val d = if (dim > 0) dim else sample.head.length
+    require(d % m == 0, s"dim $d not divisible by m $m")
+    val dsub = d / m
     Seq.tabulate(m) { s =>
       val xs = sample.map(v => java.util.Arrays.copyOfRange(
         v, s * dsub, (s + 1) * dsub))
@@ -143,12 +145,16 @@ object Pq {
                  cb: Seq[Seq[Seq[Double]]], kTop: Int,
                  shortlist: Int = 32, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
+    // self-contained for the persist-codes / fresh-session path, like
+    // encode (the rerank uses native cosine_sim)
+    graft.GraftFunctions.register(codes.sparkSession)
     val m = cb.length
     val dsub = cb.head.head.length
     // per-query tables: dot(q_sub, centroid) for every (sub, code) —
     // |queries| × m × k doubles, collected to ONE literal (the
     // ivfSearch codebook-literal pattern)
-    val q = queries.select(col(idCol).as("qid"),
+    // integral id contract (cast, not getLong: int/short ids survive)
+    val q = queries.select(col(idCol).cast("long").as("qid"),
       transform(col(vecCol), _.cast("double")).as("qv")).collect()
     val tables = q.map { r =>
       val qid = r.getLong(0)

@@ -250,12 +250,14 @@ object Similarity {
     val c0 = corpus.select(col(idCol).as("id"),
       asDouble(col(vecCol)).as("vec"))
     // cells from the deterministic sample-trained Lloyd's (Pq.train
-    // with one subspace spanning the full vector): bit-identical
-    // codebook under any partitioning — Spark ML's k-means|| samples
-    // per-partition, which made cell assignment (and thus the
-    // candidate set) partitioning-dependent
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val cb = Pq.train(corpus, dim, m = 1, k = nCentroids, iters = 5,
+    // with one subspace spanning the full vector, dim inferred from
+    // the sample): bit-identical codebook under any partitioning —
+    // Spark ML's k-means|| samples per-partition, which made cell
+    // assignment (and thus the candidate set) partitioning-dependent.
+    // The sample scales with the cell count (≥32 points per centroid)
+    // so "tens of thousands of cells at 100 TB" stays reachable.
+    val cb = Pq.train(corpus, m = 1, k = nCentroids, iters = 5,
+      sampleSize = math.max(2048, 32 * nCentroids),
       idCol = idCol, vecCol = vecCol).head
       .zipWithIndex.map { case (v, i) => (i, v) }
     val cbLit = typedlit(cb)

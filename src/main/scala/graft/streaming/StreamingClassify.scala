@@ -20,22 +20,28 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
   * so there is nothing to checkpoint beyond source offsets. */
 object StreamingClassify {
 
-  /** Writer that appends `(doc_id, n_terms, score_e6, pred)` parquet
-    * per micro-batch under `outDir`, scoring against the model at
-    * `modelDir` (written by [[persistModel]]). */
+  /** Writer that lands `(doc_id, n_terms, score_e6, pred)` parquet
+    * per micro-batch under `outDir/batch=<id>`, scoring against the
+    * model at `modelDir` (written by [[persistModel]]). Read results
+    * with `spark.read.parquet(outDir)` (partition discovery adds a
+    * `batch` column). IDEMPOTENT under micro-batch replay: each batch
+    * OVERWRITES its own batch-id directory, so a crash between the
+    * write and the offset commit re-lands identical files instead of
+    * appending duplicates — exactly-once output from an
+    * at-least-once re-execution. */
   def scoreTo(stream: DataFrame, idCol: String, textCol: String,
               modelDir: String, outDir: String)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     require(stream.isStreaming, "scoreTo needs a streaming DataFrame")
     stream.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         Classifier.nbScore(batch,
             s.read.parquet(s"$modelDir/weights"),
             s.read.parquet(s"$modelDir/consts"),
             idCol, textCol)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
   }

@@ -48,8 +48,12 @@ class StreamingClassifySpec extends SparkSuite {
       .toDF("id", "txt")
     val expect = Classifier.nbScore(fresh, w, c, "id", "txt")
       .orderBy("doc_id").collect().toSeq
-    val got = spark.read.parquet(outDir).orderBy("doc_id")
-      .collect().toSeq
+    val got = spark.read.parquet(outDir)
+      .select("doc_id", "n_terms", "score_e6", "pred") // drop batch col
+      .orderBy("doc_id").collect().toSeq
     assert(got == expect)
+    // idempotent layout: two micro-batches, each in its own batch dir
+    assert(spark.read.parquet(outDir).select("batch").distinct()
+      .count() == 2)
   }
 }
