@@ -61,7 +61,42 @@ object ListingSource {
          StringContains("path", _) => true
     case _ => false
   }
+
+  /** Supported pushed aggregate shapes over the listing columns. */
+  def toListingAgg(f: org.apache.spark.sql.connector.expressions
+      .aggregate.AggregateFunc): Option[ListingAgg] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    f match {
+      case _: CountStar => Some(ListingAgg("count", ""))
+      case m: Min => fieldOf(m.column)
+        .filter(c => c == "length" || c == "modificationTime")
+        .map(ListingAgg("min", _))
+      case m: Max => fieldOf(m.column)
+        .filter(c => c == "length" || c == "modificationTime")
+        .map(ListingAgg("max", _))
+      case s: Sum => fieldOf(s.column).filter(_ == "length")
+        .map(ListingAgg("sum", _))
+      case _ => None
+    }
+  }
+
+  def aggField(a: ListingAgg): StructField = a match {
+    case ListingAgg("count", _) => StructField("count", LongType, false)
+    case ListingAgg(op, "modificationTime") =>
+      StructField(s"$op(modificationTime)", TimestampType, true)
+    case ListingAgg(op, c) => StructField(s"$op($c)", LongType, true)
+  }
 }
+
+/** One pushed aggregate: `op` ∈ count/min/max/sum over a listing col. */
+case class ListingAgg(op: String, colName: String)
 
 class ListingTable(root: String) extends Table with SupportsRead {
   override def name(): String = s"graft-listing($root)"
@@ -73,9 +108,11 @@ class ListingTable(root: String) extends Table with SupportsRead {
 }
 
 class ListingScanBuilder(root: String)
-  extends ScanBuilder with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
+  private var aggSpec: Seq[ListingAgg] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition(ListingSource.isPushable)
@@ -85,7 +122,26 @@ class ListingScanBuilder(root: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ListingScan(root, pushed)
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays
+    * false): each input partition answers count/sum/min/max from the
+    * file statuses it was going to enumerate anyway — one row per
+    * subtree instead of one per object — and Spark's final
+    * aggregation merges the partials, so multi-partition semantics
+    * are exact. All-or-nothing: one unsupported function rejects the
+    * whole aggregation (Spark then aggregates scan rows normally). */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val specs = aggregation.aggregateExpressions.toSeq
+      .map(ListingSource.toListingAgg)
+    if (specs.exists(_.isEmpty)) false
+    else { aggSpec = specs.flatten; true }
+  }
+
+  override def build(): Scan =
+    if (aggSpec.nonEmpty) new ListingAggScan(root, pushed, aggSpec)
+    else new ListingScan(root, pushed)
 }
 
 case class ListingPartition(dir: String, recursive: Boolean)
@@ -116,6 +172,79 @@ class ListingScan(root: String, pushed: Array[Filter])
     new ListingReaderFactory(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
       pushed)
+  }
+}
+
+/** Aggregate-pushdown scan: same partition planning as [[ListingScan]],
+  * but each partition emits ONE partial-aggregate row computed while
+  * streaming its file statuses — a bucket-wide `count(*)`/`sum(length)`
+  * ships one row per subtree to the driver-side final merge instead of
+  * one row per object. */
+class ListingAggScan(root: String, pushed: Array[Filter],
+                     aggs: Seq[ListingAgg]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggs.map(ListingSource.aggField))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-listing root=$root PushedFilters=[${pushed.mkString(", ")}] " +
+      s"PushedAggregates=[${aggs.map(a => s"${a.op}(${a.colName})")
+        .mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    new ListingScan(root, pushed).planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new ListingAggReaderFactory(
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      pushed, aggs)
+  }
+}
+
+class ListingAggReaderFactory(conf: SerializableConfiguration,
+                              pushed: Array[Filter],
+                              aggs: Seq[ListingAgg])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val inner = new ListingReader(partition.asInstanceOf[ListingPartition],
+      conf, ListingSource.matcher(pushed))
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (done) return false
+        var n = 0L; var sum = 0L
+        var minLen = Long.MaxValue; var maxLen = Long.MinValue
+        var minMod = Long.MaxValue; var maxMod = Long.MinValue
+        while (inner.next()) {
+          val r = inner.get()
+          val len = r.getLong(1); val mod = r.getLong(2)
+          n += 1; sum += len
+          if (len < minLen) minLen = len
+          if (len > maxLen) maxLen = len
+          if (mod < minMod) minMod = mod
+          if (mod > maxMod) maxMod = mod
+        }
+        // empty partition: count 0, everything else SQL-null so the
+        // final merge keeps exact aggregate semantics
+        val vs: Seq[Any] = aggs.map {
+          case ListingAgg("count", _) => n
+          case _ if n == 0 => null
+          case ListingAgg("sum", _) => sum
+          case ListingAgg("min", "length") => minLen
+          case ListingAgg("max", "length") => maxLen
+          case ListingAgg("min", "modificationTime") => minMod
+          case ListingAgg("max", "modificationTime") => maxMod
+          case a => throw new IllegalStateException(s"unexpected $a")
+        }
+        row = InternalRow.fromSeq(vs)
+        done = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = inner.close()
+    }
   }
 }
 
