@@ -28,7 +28,10 @@ object PlanAudit {
       "q_pivot_daily", "q_json_props", "q_funnel", "q_retention",
       "q_winnow_fp", "q_winnow_pairs", "q_edit_distance",
       "q_dataset_diff", "q_cap_per_source", "q_dedup_incremental",
-      "q_winnow_incremental")
+      "q_winnow_incremental",
+      "q_quality_classifier", "q_curate_pipeline", "q_semdedup",
+      "q_crossdoc_spans", "q_weighted_sample", "q_ann_pq",
+      "q_pagerank")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)

@@ -308,6 +308,10 @@ object Dedup {
     // collision resistance, not cross-engine equality — a 32-bit hash
     // would produce ~n²/2^33 false "shared" grams (hundreds at 1M
     // grams, certain garbage past 2^32)
+    // checkpointed: the compact (id, pos, hash) table — ~20 B/word —
+    // feeds BOTH the doc-frequency branch and the coverage join;
+    // without it the whole explode + window + hash chain replays per
+    // consumer (two full corpus scans — the bm25 tf-table lesson)
     val grams = spread(docs, col(idCol))
       .select(col(idCol), posexplode(Text.words(Text.normalize(col(textCol))))
         .as(Seq("pos", "word")))
@@ -315,6 +319,7 @@ object Dedup {
         count(lit(1)).over(byDoc).as("nw"))
       .filter(col("pos") <= col("nw") - k) // full grams only
       .select(col(idCol), col("pos"), xxhash64(col("gram")).as("h"))
+      .localCheckpoint(true)
     val sharedHashes = grams.groupBy("h")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df").between(2, maxDocFreq))
