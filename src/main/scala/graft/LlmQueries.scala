@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Classifier, Curate, Dedup, Pq, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
+import graft.llm.{Classifier, Curate, Dedup, IvfPq, Pq, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -548,6 +548,23 @@ object LlmQueries {
     val codes = Pq.encode(e, cb)
     Pq.searchTopK(codes, e, e.filter(col("vec_id") < 25), cb,
       kTop = 1, shortlist = 128)
+      .select(col("query_id"), col("nn_id"))
+      .orderBy("query_id")
+  }
+
+  /** IVF-PQ composed ANN ([[graft.llm.IvfPq]]): coarse cells + PQ
+    * residual codes — probes 14/16 cells (near-uniform vectors
+    * put several true NNs in far cells at cosine ~0.3 — the honest
+    * hard case, like q_ann_ivf's 12/16), ADC shortlist 192, exact
+    * rerank; must recover the exact top-1
+    * for all 25 queries against the shared oracle. */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (coarse, rcb) = IvfPq.train(e, nCells = 16, m = 16, k = 16,
+      iters = 3)
+    val codes = IvfPq.encode(e, coarse, rcb)
+    IvfPq.searchTopK(codes, e, e.filter(col("vec_id") < 25), coarse,
+      rcb, kTop = 1, nProbe = 14, shortlist = 192)
       .select(col("query_id"), col("nn_id"))
       .orderBy("query_id")
   }

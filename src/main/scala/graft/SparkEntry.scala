@@ -117,6 +117,7 @@ object SparkEntry {
     "q_weighted_sample"      -> (LlmQueries.weightedSample _),
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
     "q_ann_pq"               -> (LlmQueries.annPq _),
+    "q_ann_ivfpq"            -> (LlmQueries.annIvfPq _),
     "q_set_jaccard"          -> (LlmQueries.setJaccardLangs _),
     "q_unigram_nll"          -> (LlmQueries.unigramNll _),
     "q_quality_classifier"   -> (LlmQueries.qualityClassifier _),
@@ -1162,6 +1163,7 @@ object SparkEntry {
     // PQ must recover the same exact answer — the oracle is
     // identical by construction (one definition, two ANN paths gated)
     "q_ann_pq" -> exactNnTop1Sql,
+    "q_ann_ivfpq" -> exactNnTop1Sql,
     // exact per-language trigram-set sizes and intersections; est_ok
     // (the sketch-vs-exact bound) is a Spark-side assertion the oracle
     // pins to true, like the hll/kll/cms bound columns
