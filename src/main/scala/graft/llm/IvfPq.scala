@@ -38,30 +38,19 @@ object IvfPq {
             k: Int = 16, iters: Int = 5, sampleSize: Int = 2048,
             idCol: String = "vec_id", vecCol: String = "embedding")
       : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
-    val coarse = Pq.train(corpus, m = 1, k = nCells, iters = iters,
-      sampleSize = math.max(sampleSize, 32 * nCells),
-      idCol = idCol, vecCol = vecCol).head
-    // residuals of the sample, driver-side (the sample is already
-    // bounded; re-collect it the same deterministic way)
-    val sample = corpus
-      .select(col(idCol).cast("string").as("sid"),
-        transform(col(vecCol), _.cast("double")).as("v"))
-      .orderBy(md5(col("sid")), col("sid")).limit(sampleSize)
-      .collect().map(_.getSeq[Double](1).toArray)
+    // ONE sample collection (one TakeOrdered pass over the corpus)
+    // trains BOTH layers — sized for whichever layer needs more
+    val eff = math.max(math.max(sampleSize, 32 * nCells), k)
+    val sample = Pq.sampleVectors(corpus, eff, idCol, vecCol)
+    val coarse =
+      Pq.trainOnSample(sample, dim = 0, m = 1, k = nCells, iters).head
     val residuals = sample.map { v =>
       val g = nearestCell(v, coarse)
-      v.indices.map(i => v(i) - coarse(g)(i))
+      Array.tabulate(v.length)(i => v(i) - coarse(g)(i))
     }
     val dim = sample.head.length
-    require(dim % m == 0, s"dim $dim not divisible by m $m")
-    val dsub = dim / m
-    // Lloyd's per subspace over sample residuals (same algorithm as
-    // Pq.train's inner loop, on the residual matrix)
-    val residualCb = Seq.tabulate(m) { s =>
-      val xs = residuals.map(r =>
-        r.slice(s * dsub, (s + 1) * dsub).toArray)
-      lloyd(xs, k, iters, dsub)
-    }
+    val residualCb =
+      Pq.trainOnSample(residuals, dim, m, k, iters)
     (coarse, residualCb)
   }
 
@@ -77,31 +66,6 @@ object IvfPq {
       g += 1
     }
     best
-  }
-
-  private def lloyd(xs: Array[Array[Double]], k: Int, iters: Int,
-                    dsub: Int): Seq[Seq[Double]] = {
-    require(xs.length >= k, s"sample ${xs.length} rows < k = $k")
-    var cents = Array.tabulate(k)(i => xs(i).clone())
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](dsub))
-      val counts = new Array[Long](k)
-      xs.foreach { x =>
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < k) {
-          var d = 0.0; var i = 0
-          while (i < dsub) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        var i = 0
-        while (i < dsub) { sums(best)(i) += x(i); i += 1 }
-        counts(best) += 1
-      }
-      cents = Array.tabulate(k)(c =>
-        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
-    }
-    cents.map(_.toSeq).toSeq
   }
 
   /** Encode: `(vec_id, cell, codes)` — one map pass. Write PARTITIONED
@@ -137,12 +101,8 @@ object IvfPq {
       array(codes: _*).as("codes"))
   }
 
-  /** Linear-size argmin over score columns (first-wins ties) — the
-    * 2^k when/otherwise trap documented in [[Pq]]. */
-  private def argminScores(scores: Seq[Column]): Column = {
-    val arr = array(scores: _*)
-    (array_position(arr, array_min(arr)) - 1).cast("int")
-  }
+  private def argminScores(scores: Seq[Column]): Column =
+    Pq.argminScores(scores)
 
   /** Probed ADC top-k + exact rerank: each query probes its `nProbe`
     * nearest cells, the code table is joined ON CELL (touching
@@ -159,26 +119,32 @@ object IvfPq {
     val dsub = residualCb.head.head.length
     val q = queries.select(col(idCol).cast("long").as("qid"),
       transform(col(vecCol), _.cast("double")).as("qv")).collect()
-    // per query: probed cells (by exact dot to centroids), the
-    // per-cell q·u constants, and the shared residual ADC table
+    // per query: probed cells (by exact dot to centroids) with their
+    // q·u constants, and the shared residual ADC table ONCE per query
+    // (duplicating the m×k table into every probe row would inflate
+    // the broadcast nProbe-fold)
+    val spark = codes.sparkSession
+    import spark.implicits._
     val probes = q.flatMap { r =>
       val qid = r.getLong(0)
       val qv = r.getSeq[Double](1)
-      val byDot = coarse.zipWithIndex.map { case (u, g) =>
+      coarse.zipWithIndex.map { case (u, g) =>
         (u.iterator.zip(qv.iterator).map { case (a, b) => a * b }.sum, g)
       }.sortBy { case (d, g) => (-d, g) }.take(nProbe)
-      val tbl = residualCb.zipWithIndex.map { case (cents, s) =>
+        .map { case (centDot, g) => (qid, g, centDot) }
+    }.toSeq
+    val tables = q.map { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1)
+      (qid, residualCb.zipWithIndex.map { case (cents, s) =>
         val qs = qv.slice(s * dsub, (s + 1) * dsub)
         cents.map(c => c.iterator.zip(qs.iterator).map {
           case (a, b) => a * b }.sum)
-      }
-      byDot.map { case (centDot, g) => (qid, g, centDot, tbl) }
+      })
     }.toSeq
-    val spark = codes.sparkSession
-    import spark.implicits._
-    val probeDf = broadcast(probes
-      .toDF("query_id", "cell", "cent_dot", "tbl"))
-    val scored = codes.join(probeDf, "cell")
+    val probeDf = broadcast(probes.toDF("query_id", "cell", "cent_dot"))
+    val tblDf = broadcast(tables.toDF("query_id", "tbl"))
+    val scored = codes.join(probeDf, "cell").join(tblDf, "query_id")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("nn_id"),
         ((0 until m).map { s =>

@@ -56,47 +56,72 @@ object Pq {
             vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
     require(k >= 1 && iters >= 0, s"bad k=$k iters=$iters")
     require(sampleSize >= k, s"sampleSize $sampleSize < k $k")
-    // deterministic sample: lowest-md5(id) rows, stable under any
-    // partitioning (TakeOrdered, never a full sort)
-    val sample = corpus
-      .select(col(idCol).cast("string").as("sid"),
-        transform(col(vecCol), _.cast("double")).as("v"))
-      .orderBy(md5(col("sid")), col("sid")).limit(sampleSize)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val sample = sampleVectors(corpus, sampleSize, idCol, vecCol)
     require(sample.length >= k,
       s"corpus has ${sample.length} rows < k = $k")
+    trainOnSample(sample, dim, m, k, iters)
+  }
+
+  /** Codebooks from an already-collected sample (shared with
+    * [[IvfPq]], which trains both layers off ONE sample collection). */
+  private[llm] def trainOnSample(sample: Array[Array[Double]], dim: Int,
+                                 m: Int, k: Int, iters: Int)
+      : Seq[Seq[Seq[Double]]] = {
     // dim <= 0 → infer from the data (no extra driver job for callers)
     val d = if (dim > 0) dim else sample.head.length
     require(d % m == 0, s"dim $d not divisible by m $m")
     val dsub = d / m
     Seq.tabulate(m) { s =>
-      val xs = sample.map(v => java.util.Arrays.copyOfRange(
-        v, s * dsub, (s + 1) * dsub))
-      var cents = Array.tabulate(k)(i => xs(i).clone()) // first k seeds
-      for (_ <- 0 until iters) {
-        val sums = Array.fill(k)(new Array[Double](dsub))
-        val counts = new Array[Long](k)
-        xs.foreach { x =>
-          var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < k) {
-            var d = 0.0; var i = 0
-            while (i < dsub) {
-              val t = x(i) - cents(c)(i); d += t * t; i += 1
-            }
-            if (d < bestD) { bestD = d; best = c } // first-wins ties
-            c += 1
-          }
-          var i = 0
-          while (i < dsub) { sums(best)(i) += x(i); i += 1 }
-          counts(best) += 1
-        }
-        cents = Array.tabulate(k) { c =>
-          if (counts(c) == 0) cents(c) // empty cluster keeps its center
-          else sums(c).map(_ / counts(c))
-        }
-      }
-      cents.map(_.toSeq).toSeq
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(
+        v, s * dsub, (s + 1) * dsub)), k, iters, dsub)
     }
+  }
+
+  /** Deterministic sample: lowest-md5(id) rows, stable under any
+    * partitioning (TakeOrdered, never a full sort). */
+  private[llm] def sampleVectors(corpus: DataFrame, sampleSize: Int,
+                                 idCol: String, vecCol: String)
+      : Array[Array[Double]] =
+    corpus
+      .select(col(idCol).cast("string").as("sid"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .orderBy(md5(col("sid")), col("sid")).limit(sampleSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Driver-side Lloyd's with FIXED iteration order, first-k seeds,
+    * first-wins ties, empty clusters keeping their center — the ONE
+    * kernel behind every sample-trained codebook in the engine. */
+  private[llm] def lloyd(xs: Array[Array[Double]], k: Int, iters: Int,
+                         dsub: Int): Seq[Seq[Double]] = {
+    require(xs.length >= k, s"sample ${xs.length} rows < k = $k")
+    var cents = Array.tabulate(k)(i => xs(i).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dsub))
+      val counts = new Array[Long](k)
+      xs.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dsub) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dsub) { sums(best)(i) += x(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+    }
+    cents.map(_.toSeq).toSeq
+  }
+
+  /** Linear-size argmin over score columns (first-wins ties) — a
+    * when/otherwise fold duplicates the accumulator subtree per
+    * codeword (2^k expression nodes). */
+  private[llm] def argminScores(scores: Seq[Column]): Column = {
+    val arr = array(scores: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
   /** Nearest-codeword id for a subvector against ONE subspace's
@@ -107,16 +132,9 @@ object Pq {
     * repo's measured 3-10× lesson) and made the first cut of this
     * operator minutes-slow. */
   private def assignCode(sv: Column, cents: Seq[Seq[Double]]): Column = {
-    val score = cents.map { c =>
+    argminScores(cents.map { c =>
       lit(c.map(x => x * x).sum / 2) - Similarity.dot(sv, typedlit(c))
-    }
-    // argmin as array_position(min) — a when().otherwise(acc) fold
-    // would duplicate the accumulator subtree PER CODEWORD (2^k
-    // expression nodes: the first cut of this operator hung the
-    // analyzer at k=16); this stays linear in k, and array_position
-    // returns the FIRST match, which IS the lower-code tie-break
-    val arr = array(score: _*)
-    (array_position(arr, array_min(arr)) - 1).cast("int")
+    })
   }
 
   /** Encode the corpus: `(vec_id, codes array<int> of length m)` —
