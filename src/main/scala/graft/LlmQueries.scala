@@ -188,6 +188,23 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic shuffle-and-shard plan
+    * ([[graft.operators.Layout.shuffledShards]]): every doc's shard
+    * and within-shard position, reproducible on any engine — the
+    * write-the-training-corpus stage. The oracle recomputes the hash
+    * shard and md5-order rank exactly. */
+  def shardPlan(s: SparkSession, dir: String): DataFrame = {
+    val sharded = graft.operators.Layout.shuffledShards(
+      t(s, dir, "documents").select("doc_id"), col("doc_id"), 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard")
+      .orderBy(md5(col("doc_id").cast("string")),
+        col("doc_id").cast("string"))
+    sharded.withColumn("pos",
+        row_number().over(w).cast("bigint"))
+      .orderBy("shard", "pos")
+  }
+
   /** Deterministic weighted sampling without replacement
     * ([[graft.llm.Sampling.weightedSample]]): 100 docs biased by
     * n_chars — the reproducible importance-sampling primitive. The

@@ -115,6 +115,7 @@ object SparkEntry {
     "q_crossdoc_spans"       -> (LlmQueries.crossDocSpans _),
     "q_curate_pipeline"      -> (LlmQueries.curatePipeline _),
     "q_weighted_sample"      -> (LlmQueries.weightedSample _),
+    "q_shard_plan"           -> (LlmQueries.shardPlan _),
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
     "q_ann_pq"               -> (LlmQueries.annPq _),
     "q_ann_ivfpq"            -> (LlmQueries.annIvfPq _),
@@ -1064,6 +1065,18 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q_shard_plan" ->
+      """SELECT shard, doc_id, pos FROM (
+        |  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 8 AS INT) AS shard, doc_id,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(CAST(('0x' ||
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        % 8 AS INT)
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |        CAST(doc_id AS VARCHAR)) AS pos
+        |  FROM documents)
+        |ORDER BY shard, pos""".stripMargin,
     "q_weighted_sample" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,

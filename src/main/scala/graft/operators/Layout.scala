@@ -44,6 +44,30 @@ object Layout {
   /** Rewrite `inDir` (parquet) into `outDir` targeting `targetBytes`
     * per file. No shuffle: the scan packs small files into
     * target-sized partitions and each partition writes one file. */
+  /** Deterministic shuffle-and-shard — the training-output stage:
+    * assign every row a shard by key hash and a pseudorandom-but-
+    * reproducible position WITHIN its shard (md5 order), so "shuffle
+    * the corpus and write N shards" produces byte-identical shards on
+    * every engine, run, and cluster size — no RNG, no seed state, and
+    * a grown corpus only APPENDS within shards (a row's shard and
+    * relative order never depend on other rows).
+    *
+    * Scale shape: one hash repartition on the shard id (each task
+    * owns whole shards) + an in-partition sort — no global sort, no
+    * driver state. Write with
+    * `.write.partitionBy("shard")` for one directory per shard. */
+  def shuffledShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = md5(key.cast("string"))
+    val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong)).cast("int")
+    df.withColumn("shard", shard)
+      .withColumn("__h", h)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), key.cast("string"))
+      .drop("__h")
+  }
+
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long): CompactStats = {
     require(targetBytes > 0)

@@ -92,4 +92,30 @@ class LayoutSpec extends SparkSuite {
     assert(r.columns.toSeq === Seq("user_id", "value"))
     assert(r.count() === 0)
   }
+
+  test("shuffledShards: deterministic shards, md5 physical order, " +
+    "whole shards per partition") {
+    val docs = (1L to 300L).toDF("id")
+    val a = Layout.shuffledShards(docs, col("id"), 8)
+    val b = Layout.shuffledShards(docs.repartition(7), col("id"), 8)
+    assert(a.orderBy("shard", "id").collect().toSeq ==
+      b.orderBy("shard", "id").collect().toSeq)
+    // every row present exactly once, shards in [0, 8)
+    assert(a.count() == 300)
+    assert(a.select("shard").distinct().collect()
+      .map(_.getInt(0)).forall(s => s >= 0 && s < 8))
+    // physical within-partition order: (shard, md5(id)) nondecreasing,
+    // and a shard never splits across partitions
+    val parts = a.select(col("shard"),
+        md5(col("id").cast("string")).as("h"))
+      .rdd.mapPartitions { it =>
+        val rows = it.map(r => (r.getInt(0), r.getString(1))).toVector
+        Iterator((rows, rows.sortBy(identity) == rows))
+      }.collect()
+    assert(parts.forall(_._2), "rows not sorted within a partition")
+    val shardToParts = parts.zipWithIndex.flatMap { case ((rows, _), i) =>
+      rows.map(_._1 -> i)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length)
+    assert(shardToParts.values.forall(_ == 1), "a shard split partitions")
+  }
 }
