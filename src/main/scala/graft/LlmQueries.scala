@@ -188,6 +188,28 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Corpus card — the dataset-documentation summary per source in
+    * ONE aggregation pass: volume (docs, tokens), exact-dup rate
+    * (distinct text hashes), length distribution (exact median), and
+    * language mix. The "datasheet for the dataset" every corpus
+    * release ships; each stat is an existing verified primitive
+    * (tokenCount, exactKey, percentile) composed into one shuffle. */
+  def corpusCard(s: SparkSession, dir: String): DataFrame = {
+    val nTok = Text.tokenCount(col("text")).cast("bigint")
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"), nTok.as("n_tokens"),
+        Dedup.exactKey(col("text")).as("th"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+        countDistinct(col("th")).cast("bigint").as("n_distinct_texts"),
+        round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L))
+          .cast("bigint").as("n_en"))
+      .orderBy("source")
+  }
+
   /** Deterministic shuffle-and-shard plan
     * ([[graft.operators.Layout.shuffledShards]]): every doc's shard
     * and within-shard position, reproducible on any engine — the

@@ -116,6 +116,7 @@ object SparkEntry {
     "q_curate_pipeline"      -> (LlmQueries.curatePipeline _),
     "q_weighted_sample"      -> (LlmQueries.weightedSample _),
     "q_shard_plan"           -> (LlmQueries.shardPlan _),
+    "q_corpus_card"          -> (LlmQueries.corpusCard _),
     "q_ann_ivf"              -> (LlmQueries.annIvf _),
     "q_ann_pq"               -> (LlmQueries.annPq _),
     "q_ann_ivfpq"            -> (LlmQueries.annIvfPq _),
@@ -1065,6 +1066,21 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q_corpus_card" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+        |  round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.5), 6)
+        |    AS p50_tokens,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_en
+        |FROM (
+        |  SELECT source, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    md5(text) AS th
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_shard_plan" ->
       """SELECT shard, doc_id, pos FROM (
         |  SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
