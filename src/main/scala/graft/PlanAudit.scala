@@ -31,7 +31,7 @@ object PlanAudit {
       "q_winnow_incremental",
       "q_quality_classifier", "q_curate_pipeline", "q_semdedup",
       "q_crossdoc_spans", "q_weighted_sample", "q_ann_pq",
-      "q_ann_ivfpq", "q_pagerank", "q_shard_plan")
+      "q_ann_ivfpq", "q_pagerank", "q_shard_plan", "q_corpus_card")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)

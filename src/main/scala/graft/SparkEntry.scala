@@ -1076,8 +1076,9 @@ object SparkEntry {
         |    AS n_en
         |FROM (
         |  SELECT source, lang,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens,
         |    md5(text) AS th
         |  FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,

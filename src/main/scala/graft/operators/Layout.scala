@@ -41,16 +41,18 @@ object Layout {
         !s.getPath.getName.startsWith("."))
   }
 
-  /** Rewrite `inDir` (parquet) into `outDir` targeting `targetBytes`
-    * per file. No shuffle: the scan packs small files into
-    * target-sized partitions and each partition writes one file. */
   /** Deterministic shuffle-and-shard — the training-output stage:
     * assign every row a shard by key hash and a pseudorandom-but-
     * reproducible position WITHIN its shard (md5 order), so "shuffle
-    * the corpus and write N shards" produces byte-identical shards on
-    * every engine, run, and cluster size — no RNG, no seed state, and
-    * a grown corpus only APPENDS within shards (a row's shard and
-    * relative order never depend on other rows).
+    * the corpus and write N shards" produces identical shard contents
+    * on every engine, run, and cluster size — no RNG, no seed state.
+    * The determinism contract requires `key` to be UNIQUE per row (a
+    * doc id): the sort key is (shard, md5(key), key), so duplicate
+    * keys leave their relative order to Spark's unstable sort. Under
+    * corpus growth the RELATIVE order of existing rows within a shard
+    * is preserved (a row's shard and sort key never depend on other
+    * rows) — new rows interleave at their md5 positions, so this is
+    * order stability, not byte-level file append stability.
     *
     * Scale shape: one hash repartition on the shard id (each task
     * owns whole shards) + an in-partition sort — no global sort, no
@@ -58,6 +60,9 @@ object Layout {
     * `.write.partitionBy("shard")` for one directory per shard. */
   def shuffledShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(!df.columns.contains("shard") && !df.columns.contains("__h"),
+      "shuffledShards adds 'shard' (and a temp '__h') — rename the " +
+        "input's conflicting column first instead of losing it silently")
     val h = md5(key.cast("string"))
     val shard = pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
       lit(nShards.toLong)).cast("int")
@@ -68,6 +73,9 @@ object Layout {
       .drop("__h")
   }
 
+  /** Rewrite `inDir` (parquet) into `outDir` targeting `targetBytes`
+    * per file. No shuffle: the scan packs small files into
+    * target-sized partitions and each partition writes one file. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long): CompactStats = {
     require(targetBytes > 0)
