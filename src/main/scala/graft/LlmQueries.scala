@@ -749,4 +749,28 @@ object LlmQueries {
       .select("id_a", "id_b", "lev", "lev_sim")
       .orderBy("id_a", "id_b")
   }
+
+  /** HTML boilerplate removal ([[graft.llm.Html]]): documents wrapped
+    * in deterministic page chrome (title/style/comment, a nav anchor,
+    * every 3rd doc a script block) must come back out as clean text —
+    * tag/script/comment strip, entity decode, whitespace collapse —
+    * plus the link-density drop signal. Pure codegen'd per-row regex
+    * chains; the oracle replays the identical RE2-safe patterns. */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Html
+    val html = concat(
+      lit("<html><head><title>Doc</title><style>p{color:red}</style></head>"),
+      lit("<body><!-- hdr --><p>"), substring(col("text"), 1, 200),
+      lit(" &amp; more</p>"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        lit("<script>var x = 1 < 2;</script>")).otherwise(lit("")),
+      lit("<a href=\"/nav\">next page</a></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), html.as("_h"))
+      .select(col("doc_id"),
+        Html.extractText(col("_h")).as("clean"),
+        length(Html.extractText(col("_h"))).as("clean_len"),
+        round(Html.linkDensity(col("_h")), 6).as("link_density"))
+      .orderBy("doc_id")
+  }
 }

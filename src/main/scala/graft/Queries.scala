@@ -779,4 +779,137 @@ object Queries {
       .select(col("node"), col("rank").as("rank_e12"))
       .orderBy("node")
   }
+
+  /** CDC latest-wins apply ([[graft.operators.Cdc]]): orders snapshot +
+    * a deterministically simulated changelog — every 5th key updated
+    * (+10.00) at t1, every 7th deleted at t2, every 14th re-upserted at
+    * t3 with doubled price (so delete→re-insert resurrection is
+    * exercised). One keyed shuffle; the oracle replays it with a
+    * ts-desc window over base ∪ changelog. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(15,2)").as("o_totalprice"))
+    def at(day: String) = lit(day).cast("timestamp")
+    val upd = base.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), lit("upsert").as("op"), at("2025-01-01").as("ts"),
+        col("o_orderkey").as("seq"), col("o_orderstatus"),
+        (col("o_totalprice") + lit(10)).cast("decimal(15,2)").as("o_totalprice"))
+    val del = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"), lit("delete").as("op"), at("2025-01-02").as("ts"),
+        col("o_orderkey").as("seq"), lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("decimal(15,2)").as("o_totalprice"))
+    val re = base.filter(pmod(col("o_orderkey"), lit(14)) === 0)
+      .select(col("o_orderkey"), lit("upsert").as("op"), at("2025-01-03").as("ts"),
+        col("o_orderkey").as("seq"), lit("R").as("o_orderstatus"),
+        (col("o_totalprice") * lit(2)).cast("decimal(15,2)").as("o_totalprice"))
+    graft.operators.Cdc.applyChangelog(
+        base, upd.unionByName(del).unionByName(re), Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** One-pass constraint suite ([[graft.operators.Validate]]) over
+    * events: six Deequ-style checks (completeness, uniqueness, range,
+    * domain, regex shape) computed in a single wide aggregation — never
+    * a scan per constraint. */
+  def validateEvents(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Validate._
+    run(t(s, dir, "events"), Seq(
+      completeness("user_id"),
+      completeness("value"),
+      uniqueness("event_id"),
+      between("value", 0.0, 1000.0),
+      isIn("event_type", Seq("click", "view", "purchase", "signup", "error")),
+      matches("props", "^\\{.*\\}$")))
+      .orderBy("constraint")
+  }
+
+  /** Daily resample + forward fill ([[graft.operators.Resample]]) of
+    * per-user event values (users < 40 keep the dense grid readable):
+    * gaps between a user's first and last active day are filled with
+    * the last observed value. Oracle: generate_series grid + IGNORE
+    * NULLS window in DuckDB. */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.ffill(
+        t(s, dir, "events").filter(col("user_id") < 40),
+        keyCol = "user_id", tsCol = "ts", valCol = "value",
+        stepSec = 86400L, tieCol = "event_id")
+      .orderBy("user_id", "bucket")
+
+  /** 7-day rolling distinct users (the DAU/WAU engagement metric):
+    * distinct (day, user) pairs explode to the ≤7 window days they
+    * serve (bounded row-local generate — never a per-day self-join or
+    * a sliding COUNT DISTINCT window, which Spark cannot do exactly),
+    * then one count-distinct per day, semi-joined back to days that
+    * actually occur. */
+  def rollingDau(s: SparkSession, dir: String): DataFrame = {
+    val dayUser = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val served = dayUser.select(
+      explode(sequence(lit(0), lit(6))).as("off"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+    val realDays = dayUser.select("day").distinct()
+    served.join(realDays, Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .orderBy("day")
+  }
+
+  /** CUBE over (event_type, day-of-week): all four grouping sets in one
+    * pass with '(all)' markers — the OLAP cross-total companion of
+    * q_rollup. */
+  def cubeTotals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"), col("value"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), Tables.moneySum(col("value")).as("total"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("dow").cast("string"), lit("(all)")).as("dow"),
+        col("n"), col("total"))
+      .orderBy("event_type", "dow")
+
+  /** Z-score outlier flagging: values snap to integer cents, so the
+    * per-type (n, Σv, Σv²) stats are EXACT longs (Σv² < 2⁵³ through
+    * sf0.1, so the double conversion is lossless) — the subsequent
+    * double math runs on identical inputs in every engine and
+    * partitioning, making the z-scores and the >2.5σ flags
+    * reproducible (a naive double sum would be order-dependent).
+    * z is scale-invariant, so cents vs units cancels. Stats rows are
+    * |types|-sized and broadcast back over the events. */
+  def zscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("vc")).cast("double").as("sv"),
+      sum(col("vc") * col("vc")).cast("double").as("svv"))
+    val mean = col("sv") / col("n")
+    val variance = (col("svv") - col("sv") * col("sv") / col("n")) /
+      (col("n") - lit(1.0))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("vc").cast("double") - mean) / sqrt(variance))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), round(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** Salted equi-join ([[graft.operators.Skew]].saltedJoin) through a
+    * manufactured hot key: every 4th lineitem collapses onto suppkey 0
+    * (~25% of the probe side on one key — the shape where a sort-merge
+    * task funnels). The salted path must reproduce the plain join's
+    * aggregate exactly. */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val probe = t(s, dir, "lineitem")
+      .select(when(pmod(col("l_orderkey"), lit(4)) === 0, lit(0L))
+          .otherwise(col("l_suppkey")).as("k"),
+        col("l_quantity"))
+    val build = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("k"), col("s_name").as("name"))
+      .unionByName(s.range(1).select(lit(0L).as("k"), lit("HOT").as("name")))
+    graft.operators.Skew.saltedJoin(probe, build, Seq("k"), salts = 16)
+      .groupBy("name")
+      .agg(count(lit(1)).as("n"), Tables.moneySum(col("l_quantity")).as("qty"))
+      .orderBy("name")
+  }
 }

@@ -140,6 +140,15 @@ object SparkEntry {
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
     // graph analytics
     "q_pagerank"             -> (Queries.pageRank _),
+    // table maintenance / data quality / time series
+    "q_cdc_apply"            -> (Queries.cdcApply _),
+    "q_validate"             -> (Queries.validateEvents _),
+    "q_resample_ffill"       -> (Queries.resampleFfill _),
+    "q_rolling_dau"          -> (Queries.rollingDau _),
+    "q_cube"                 -> (Queries.cubeTotals _),
+    "q_outliers"             -> (Queries.zscoreOutliers _),
+    "q_skew_salted_join"     -> (Queries.skewSaltedJoin _),
+    "q_html_extract"         -> (LlmQueries.htmlExtract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1382,6 +1391,161 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin),
 
     "q_pagerank" -> pageRankOracleSql,
+    "q_cdc_apply" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(15,2)) AS o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, 'upsert' AS op, TIMESTAMP '2025-01-01' AS ts,
+        |    o_orderkey AS seq, o_orderstatus,
+        |    CAST(o_totalprice + 10 AS DECIMAL(15,2)) AS o_totalprice
+        |  FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'delete', TIMESTAMP '2025-01-02', o_orderkey,
+        |    NULL, NULL
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'upsert', TIMESTAMP '2025-01-03', o_orderkey, 'R',
+        |    CAST(o_totalprice * 2 AS DECIMAL(15,2))
+        |  FROM base WHERE o_orderkey % 14 = 0),
+        |unioned AS (
+        |  SELECT o_orderkey, CAST(NULL AS TIMESTAMP) AS ts, 0 AS seq,
+        |    'upsert' AS op, o_orderstatus, o_totalprice FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, ts, seq, op, o_orderstatus, o_totalprice FROM chg),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY ts DESC NULLS LAST, seq DESC) AS rn FROM unioned)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM ranked WHERE rn = 1 AND op <> 'delete'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_validate" ->
+      """WITH agg AS (
+        |  SELECT
+        |    round(CAST(sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS m_cu,
+        |    round(CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS m_cv,
+        |    round(CAST(count(DISTINCT event_id) AS DOUBLE) / count(*), 6)
+        |      AS m_ue,
+        |    round(CAST(sum(CASE WHEN value IS NOT NULL AND value >= 0.0
+        |      AND value <= 1000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |      AS m_bv,
+        |    round(CAST(sum(CASE WHEN event_type IN
+        |      ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS m_it,
+        |    round(CAST(sum(CASE WHEN regexp_matches(props, '^\{.*\}$')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m_mp
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'completeness(user_id)' AS "constraint", m_cu AS metric,
+        |    m_cu >= 1.0 AS passed FROM agg
+        |  UNION ALL SELECT 'completeness(value)', m_cv, m_cv >= 1.0 FROM agg
+        |  UNION ALL SELECT 'uniqueness(event_id)', m_ue, m_ue >= 1.0 FROM agg
+        |  UNION ALL SELECT 'between(value,0.0,1000.0)', m_bv, m_bv >= 1.0
+        |    FROM agg
+        |  UNION ALL SELECT 'is_in(event_type)', m_it, m_it >= 1.0 FROM agg
+        |  UNION ALL SELECT 'matches(props)', m_mp, m_mp >= 1.0 FROM agg)
+        |ORDER BY "constraint"""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id < 40),
+        |obs AS (
+        |  SELECT user_id, b, value AS v FROM (
+        |    SELECT user_id, (epoch_us(ts) // 86400000000) * 86400 AS b, value,
+        |      row_number() OVER (PARTITION BY user_id,
+        |        (epoch_us(ts) // 86400000000)
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |span AS (
+        |  SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS b
+        |  FROM span)
+        |SELECT g.user_id, make_timestamp(g.b * 1000000) AS bucket,
+        |  last_value(o.v IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.b) AS value,
+        |  o.v IS NOT NULL AS observed
+        |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b
+        |ORDER BY g.user_id, bucket""".stripMargin,
+    "q_rolling_dau" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day, count(DISTINCT e.user_id) AS wau
+        |FROM days d JOIN du e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
+    "q_cube" ->
+      s"""SELECT coalesce(event_type, '(all)') AS event_type,
+        |  coalesce(CAST(dow AS VARCHAR), '(all)') AS dow,
+        |  count(*) AS n, ${Tables.moneySumSql("value")} AS total
+        |FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events)
+        |GROUP BY CUBE (event_type, dow)
+        |ORDER BY event_type, dow""".stripMargin,
+    "q_outliers" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(vc) AS DOUBLE) AS sv,
+        |    CAST(sum(vc * vc) AS DOUBLE) AS svv
+        |  FROM c GROUP BY event_type)
+        |SELECT event_id, event_type,
+        |  round((CAST(vc AS DOUBLE) - sv / n) /
+        |    sqrt((svv - sv * sv / n) / (n - 1.0)), 4) AS z
+        |FROM c JOIN st USING (event_type)
+        |WHERE abs((CAST(vc AS DOUBLE) - sv / n) /
+        |  sqrt((svv - sv * sv / n) / (n - 1.0))) > 2.5
+        |ORDER BY event_id""".stripMargin,
+    "q_skew_salted_join" ->
+      s"""WITH probe AS (
+        |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_suppkey END AS k,
+        |    l_quantity FROM lineitem),
+        |build AS (
+        |  SELECT s_suppkey AS k, s_name AS name FROM supplier
+        |  UNION ALL SELECT 0, 'HOT')
+        |SELECT name, count(*) AS n, ${Tables.moneySumSql("l_quantity")} AS qty
+        |FROM probe JOIN build USING (k)
+        |GROUP BY name ORDER BY name""".stripMargin,
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc</title><style>p{color:red}</style></head>'
+        |    || '<body><!-- hdr --><p>' || substr(text, 1, 200)
+        |    || ' &amp; more</p>'
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN '<script>var x = 1 < 2;</script>' ELSE '' END
+        |    || '<a href="/nav">next page</a></body></html>' AS html
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |      '(?s)<!--.*?-->', ' ', 'g') AS nb
+        |  FROM h),
+        |txt AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(nb, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(array_to_string(
+        |          regexp_extract_all(nb, '(?is)<a\b[^>]*>(.*?)</a>', 1), ' '),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS link_txt
+        |  FROM blocks)
+        |SELECT doc_id, clean, CAST(length(clean) AS INT) AS clean_len,
+        |  round(CASE WHEN length(clean) = 0 THEN 0.0
+        |    ELSE CAST(length(link_txt) AS DOUBLE) / length(clean) END, 6)
+        |    AS link_density
+        |FROM txt ORDER BY doc_id""".stripMargin,
   )
 
   /** DuckDB replay of [[graft.graph.PageRank]]: the 5-iteration power

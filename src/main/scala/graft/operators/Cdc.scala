@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application: fold a keyed changelog of
+  * upserts/deletes onto a base snapshot to produce the current table
+  * version — the nightly-compaction primitive behind any incrementally
+  * maintained 100 TB table (the batch analog of a Delta/Hudi MERGE).
+  *
+  * Scale shape: base and changelog are unioned and aggregated with ONE
+  * keyed shuffle — `max_by(payload, version)` picks the latest row per
+  * key with map-side partial aggregation, so a key with a million
+  * changelog entries reduces inside each input partition before
+  * anything moves. Never a per-version self-join (version-count
+  * shuffles) and never a global window sort. Deletes survive to the
+  * aggregate (a delete must be able to beat an earlier upsert) and are
+  * dropped after it.
+  */
+object Cdc {
+
+  /** Latest-wins fold of `changelog` over `base`.
+    *
+    * @param base      current snapshot; one row per key (not enforced —
+    *                  duplicate base keys fold like version-0 changelog
+    *                  entries with their `seqCol` as tie-break)
+    * @param changelog change rows carrying the same value columns as
+    *                  `base` plus `opCol` ∈ {upsert, delete} (delete
+    *                  rows may carry null values), `tsCol` the change
+    *                  time, and `seqCol` a within-timestamp tie-break
+    *                  (e.g. a log offset). Later (ts, seq) wins.
+    * @param keyCols   join key column names (present in both inputs)
+    * @param tsCol     change-time column in `changelog`
+    * @param seqCol    deterministic tie-break column in `changelog`
+    * @param opCol     operation column in `changelog`
+    * @return one row per surviving key with `base`'s columns
+    */
+  def applyChangelog(
+      base: DataFrame,
+      changelog: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangelog needs at least one key column")
+    val valueCols = base.columns.filterNot(keyCols.contains).toSeq
+    val key = keyCols.map(col)
+
+    // Base rows are version (-inf): any changelog entry beats them.
+    // Encoding: version = struct(ts, seq) with base ts = null sorts
+    // FIRST under Spark's null-first struct ordering, so max_by never
+    // prefers a base row over a change. Payload carries op + values.
+    def payload(op: Column, vals: Seq[Column]): Column =
+      struct(op.as("op") +: vals.zip(valueCols).map { case (c, n) => c.as(n) }: _*)
+
+    val baseRows = base.select(
+      key :+
+        lit(null).cast(changelog.schema(tsCol).dataType).as("_ver_ts") :+
+        lit(0L).as("_ver_seq") :+
+        payload(lit("upsert"), valueCols.map(col)).as("_payload"): _*)
+    val changeRows = changelog.select(
+      key :+
+        col(tsCol).as("_ver_ts") :+
+        col(seqCol).cast("long").as("_ver_seq") :+
+        payload(col(opCol), valueCols.map(col)).as("_payload"): _*)
+
+    baseRows
+      .unionByName(changeRows)
+      .groupBy(key: _*)
+      .agg(max_by(col("_payload"), struct(col("_ver_ts"), col("_ver_seq")))
+        .as("_latest"))
+      .where(col("_latest.op") =!= lit("delete"))
+      .select(key ++ valueCols.map(n => col(s"_latest.$n").as(n)): _*)
+  }
+}

@@ -43,4 +43,26 @@ object Skew {
       .groupBy(col("key"))
       .agg(sort_array(array_distinct(flatten(collect_list("__partial"))))
         .as("values"))
+
+  /** Salted equi-join for a hot probe key that AQE cannot fix (AQE
+    * splits skewed SHUFFLE partitions, but a broadcast-ineligible build
+    * side or a sort-merge on one mega-key still funnels every probe row
+    * of that key through the tasks holding it). The probe side gets a
+    * deterministic per-row salt (hash of the whole row — no RNG, stable
+    * across retries); the build side replicates `salts`× (a bounded
+    * row-local explode — keep the build side the small one); the join
+    * runs on (key, salt), spreading each hot key over `salts` reducers.
+    * Result == `probe.join(build, keys)` exactly (inner), with build
+    * columns resolved by name.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 salts: Int = 32): DataFrame = {
+    require(keys.nonEmpty, "saltedJoin needs at least one key column")
+    require(salts > 0, s"salts must be positive, got $salts")
+    val p = probe.withColumn("__salt",
+      pmod(xxhash64(probe.columns.map(col).toSeq: _*), lit(salts)).cast("int"))
+    val b = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    p.join(b, keys :+ "__salt").drop("__salt")
+  }
 }

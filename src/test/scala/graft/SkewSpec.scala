@@ -42,4 +42,25 @@ class SkewSpec extends SparkSuite {
       .toMap
     assert(salted == direct)
   }
+
+  test("saltedJoin == plain inner join, duplicates included") {
+    val build = Seq(("hot", "H"), ("cold1", "C1"), ("cold3", "C3"),
+      ("absent", "X")).toDF("k", "name")
+    val direct = skewed.join(build, Seq("k"))
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(skewed, build, Seq("k"), salts = 8)
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct && direct.nonEmpty)
+  }
+
+  test("saltedJoin spreads a hot key over multiple salt values") {
+    val probe = skewed.filter(col("k") === "hot")
+    val salts = probe
+      .withColumn("__salt",
+        pmod(xxhash64(probe.columns.map(col).toSeq: _*), lit(8)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts > 4, s"expected the hot key's rows on >4 of 8 salts, got $salts")
+  }
 }
