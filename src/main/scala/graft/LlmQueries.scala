@@ -750,6 +750,25 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** PMI phrase mining ([[graft.llm.Phrases]]): top adjacent bigrams
+    * by count with their pointwise-mutual-information scores — exact
+    * integer counts, PMI double computed from them identically in both
+    * engines. */
+  def pmiBigrams(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Phrases.pmiBigrams(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 5L)
+      .orderBy(desc("n_ab"), col("a"), col("b"))
+      .limit(100)
+
+  /** Inverted-index build ([[graft.llm.Retrieval.invertedIndex]]):
+    * the 50 highest-df terms with exact df/total_tf and their capped
+    * deterministic posting lists (tf desc, doc asc) as strings. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    Retrieval.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 5)
+      .orderBy(desc("df"), col("term"))
+      .limit(50)
+
   /** HTML boilerplate removal ([[graft.llm.Html]]): documents wrapped
     * in deterministic page chrome (title/style/comment, a nav anchor,
     * every 3rd doc a script block) must come back out as clean text —

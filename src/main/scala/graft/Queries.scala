@@ -894,6 +894,77 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Spatial point-in-box join ([[graft.operators.SpatialJoin]]):
+    * deterministic synthetic points (from customer keys) against
+    * synthetic boxes (from part keys), grid-binned at 8° cells — the
+    * equi-join shape for footprint-contains-point queries that a naive
+    * plan writes as a quadratic nested loop over four inequalities.
+    * All coordinates are integer-derived doubles (+0.5), so
+    * containment comparisons are exact in both engines. */
+  def spatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(
+      col("c_custkey").as("point_id"),
+      (pmod(col("c_custkey") * 37, lit(360)) - 180 + lit(0.5)).as("px"),
+      (pmod(col("c_custkey") * 53, lit(170)) - 85 + lit(0.5)).as("py"))
+    val boxes = t(s, dir, "part").select(
+      col("p_partkey").as("box_id"),
+      (pmod(col("p_partkey") * 41, lit(340)) - 170).cast("double").as("xmin"),
+      (pmod(col("p_partkey") * 59, lit(150)) - 75).cast("double").as("ymin"))
+      .withColumn("xmax", col("xmin") + 1 + pmod(col("box_id"), lit(7)))
+      .withColumn("ymax", col("ymin") + 1 + pmod(col("box_id"), lit(5)))
+    graft.operators.SpatialJoin.pointInBox(pts, boxes,
+        "px", "py", "xmin", "ymin", "xmax", "ymax", cellSize = 8.0)
+      .groupBy("box_id")
+      .agg(count(lit(1)).as("n_points"), min(col("point_id")).as("min_point"))
+      .orderBy("box_id")
+  }
+
+  /** Triangle counting ([[graft.graph.Triangles]]) on a deterministic
+    * 500-node circulant graph (edges to +1, +2, and 7k+3 neighbors) —
+    * the oracle replays the count with an a<b<c three-way self-join,
+    * gating the degree-oriented distributed algorithm end to end. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "customer")
+      .select(pmod(col("c_custkey"), lit(500)).as("node")).distinct()
+    val raw = ids.select(col("node").as("src"),
+        pmod(col("node") + 1, lit(500)).as("dst"))
+      .unionAll(ids.select(col("node").as("src"),
+        pmod(col("node") + 2, lit(500)).as("dst")))
+      .unionAll(ids.select(col("node").as("src"),
+        pmod(col("node") * 7 + 3, lit(500)).as("dst")))
+    graft.graph.Triangles.count(raw)
+  }
+
+  /** Rank-based winsorization stats: per event type, the 5%/95% clip
+    * bounds selected as EXACT ranked elements (never interpolated —
+    * rank arithmetic is pure integers, so both engines pick the
+    * identical row), plus clipped-tail counts and the winsorized sum.
+    * Everything runs in integer cents — the whole result is exact. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"), col("event_id"),
+      round(col("value") * 100).cast("long").as("vc"))
+    val wOrd = Window.partitionBy("event_type").orderBy("vc", "event_id")
+    val wAll = Window.partitionBy("event_type")
+    val ranked = e
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val kLo = greatest(floor(col("n") / 20).cast("long"), lit(1L))
+    val kHi = col("n") - floor(col("n") / 20).cast("long")
+    val bounds = ranked.groupBy("event_type").agg(
+      min(when(col("rn") === kLo, col("vc"))).as("lo_cents"),
+      min(when(col("rn") === kHi, col("vc"))).as("hi_cents"))
+    e.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min(col("lo_cents")).as("lo_cents"),
+        min(col("hi_cents")).as("hi_cents"),
+        sum(when(col("vc") < col("lo_cents"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("vc") > col("hi_cents"), 1L).otherwise(0L)).as("n_hi"),
+        sum(greatest(col("lo_cents"), least(col("hi_cents"), col("vc"))))
+          .as("wsum_cents"))
+      .orderBy("event_type")
+  }
+
   /** Salted equi-join ([[graft.operators.Skew]].saltedJoin) through a
     * manufactured hot key: every 4th lineitem collapses onto suppkey 0
     * (~25% of the probe side on one key — the shape where a sort-merge

@@ -149,6 +149,11 @@ object SparkEntry {
     "q_outliers"             -> (Queries.zscoreOutliers _),
     "q_skew_salted_join"     -> (Queries.skewSaltedJoin _),
     "q_html_extract"         -> (LlmQueries.htmlExtract _),
+    "q_spatial_join"         -> (Queries.spatialJoin _),
+    "q_triangles"            -> (Queries.triangleCount _),
+    "q_winsorize"            -> (Queries.winsorize _),
+    "q_pmi_bigrams"          -> (LlmQueries.pmiBigrams _),
+    "q_inverted_index"       -> (LlmQueries.invertedIndex _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1546,6 +1551,104 @@ object SparkEntry {
         |    ELSE CAST(length(link_txt) AS DOUBLE) / length(clean) END, 6)
         |    AS link_density
         |FROM txt ORDER BY doc_id""".stripMargin,
+    "q_spatial_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS point_id,
+        |    (c_custkey * 37) % 360 - 180 + 0.5 AS px,
+        |    (c_custkey * 53) % 170 - 85 + 0.5 AS py
+        |  FROM customer),
+        |box AS (
+        |  SELECT p_partkey AS box_id,
+        |    CAST((p_partkey * 41) % 340 - 170 AS DOUBLE) AS xmin,
+        |    CAST((p_partkey * 59) % 150 - 75 AS DOUBLE) AS ymin,
+        |    CAST((p_partkey * 41) % 340 - 170 + 1 + p_partkey % 7 AS DOUBLE)
+        |      AS xmax,
+        |    CAST((p_partkey * 59) % 150 - 75 + 1 + p_partkey % 5 AS DOUBLE)
+        |      AS ymax
+        |  FROM part)
+        |SELECT box_id, count(*) AS n_points, min(point_id) AS min_point
+        |FROM box JOIN pts
+        |  ON px >= xmin AND px <= xmax AND py >= ymin AND py <= ymax
+        |GROUP BY box_id ORDER BY box_id""".stripMargin,
+    "q_triangles" ->
+      """WITH ids AS (SELECT DISTINCT c_custkey % 500 AS node FROM customer),
+        |raw AS (
+        |  SELECT node AS src, (node + 1) % 500 AS dst FROM ids
+        |  UNION ALL SELECT node, (node + 2) % 500 FROM ids
+        |  UNION ALL SELECT node, (node * 7 + 3) % 500 FROM ids),
+        |e AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""".stripMargin,
+    "q_winsorize" ->
+      """WITH c AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |r AS (
+        |  SELECT event_type, vc,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY vc, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |b AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rn = greatest(n // 20, 1) THEN vc END) AS lo_cents,
+        |    min(CASE WHEN rn = n - n // 20 THEN vc END) AS hi_cents
+        |  FROM r GROUP BY event_type)
+        |SELECT c.event_type, count(*) AS n,
+        |  min(lo_cents) AS lo_cents, min(hi_cents) AS hi_cents,
+        |  CAST(sum(CASE WHEN vc < lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(sum(CASE WHEN vc > hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  CAST(sum(greatest(lo_cents, least(hi_cents, vc))) AS BIGINT)
+        |    AS wsum_cents
+        |FROM c JOIN b USING (event_type)
+        |GROUP BY c.event_type ORDER BY event_type""".stripMargin,
+    "q_pmi_bigrams" ->
+      """WITH ws AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (SELECT doc_id, unnest(w) AS w FROM ws),
+        |uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uni),
+        |bi AS (
+        |  SELECT a, b, count(*) AS n_ab FROM (
+        |    SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+        |    FROM ws)
+        |  GROUP BY a, b HAVING count(*) >= 5)
+        |SELECT a, b, n_ab,
+        |  round(ln((CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+        |    (CAST(ua.n_w AS DOUBLE) * CAST(ub.n_w AS DOUBLE))), 6) AS pmi
+        |FROM bi JOIN uni ua ON ua.w = bi.a JOIN uni ub ON ub.w = bi.b
+        |CROSS JOIN tot
+        |ORDER BY n_ab DESC, a, b LIMIT 100""".stripMargin,
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc, count(*) AS tf FROM toks GROUP BY term, doc),
+        |stats AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY term),
+        |top AS (
+        |  SELECT term, string_agg(doc || ':' || tf, ',' ORDER BY rn)
+        |    AS postings
+        |  FROM (
+        |    SELECT term, doc, tf, row_number() OVER (PARTITION BY term
+        |      ORDER BY tf DESC, doc) AS rn
+        |    FROM tf)
+        |  WHERE rn <= 5 GROUP BY term)
+        |SELECT s.term, df, total_tf, postings
+        |FROM stats s JOIN top USING (term)
+        |ORDER BY df DESC, s.term LIMIT 50""".stripMargin,
   )
 
   /** DuckDB replay of [[graft.graph.PageRank]]: the 5-iteration power

@@ -71,4 +71,45 @@ object Retrieval {
       .limit(k)
       .withColumnRenamed("id", idCol)
   }
+
+  /** Materialized inverted index: one row per term with document
+    * frequency, total term frequency, and a capped posting list —
+    * the build-once/search-many artifact behind retrieval-based
+    * curation (persist as parquet, equi-join query terms against it
+    * instead of re-tokenizing the corpus per query).
+    *
+    * Scale shape: one tokenize pass → one (term, doc) keyed
+    * aggregation for tf → one term-keyed aggregation folding postings.
+    * The posting cap bounds the per-term row (a stopword's full
+    * posting list would be |corpus|-sized); df/total_tf stay exact
+    * over ALL postings, only the stored list is capped. Postings order
+    * is deterministic: tf desc, doc asc.
+    *
+    * @return (term, df, total_tf, postings) — postings a
+    *         "doc:tf,doc:tf,…" string of the top-`maxPostings`
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 10): DataFrame = {
+    require(maxPostings > 0, s"maxPostings must be positive, got $maxPostings")
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    // cap BEFORE collecting: a stopword term must never materialize a
+    // |corpus|-sized array — the window drops to maxPostings rows per
+    // term first, and shares the term-hash exchange with the collect
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("tf"), asc("doc"))
+    val top = tf
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPostings)
+      .groupBy("term")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rn").as("rn"),
+          col("doc").as("doc"), col("tf").as("tf")))),
+        e => concat(e.getField("doc").cast("string"), lit(":"),
+          e.getField("tf").cast("string"))), ",").as("postings"))
+    stats.join(top, "term")
+  }
 }

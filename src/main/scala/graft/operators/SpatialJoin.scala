@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spatial point-in-box join via fixed grid binning — the 2D
+  * generalization of [[RangeJoin]] (point-in-interval), and the
+  * equi-join answer to "which granule footprints contain which query
+  * points" that a naive engine writes as a quadratic
+  * BroadcastNestedLoop over 4 inequality conjuncts.
+  *
+  * Scale shape: a point lands in exactly ONE grid cell
+  * (floor-division binning); a box explodes row-locally to every cell
+  * its extent overlaps (bounded by area/cell², pick `cellSize` near the
+  * typical box size); the join is a hash equi-join on (cx, cy) with the
+  * exact containment predicate as a residual filter. Because the
+  * point's cell is unique, every matching pair meets in exactly one
+  * cell — no dedup shuffle. Hot cells are ordinary hash-join skew,
+  * which AQE splits.
+  */
+object SpatialJoin {
+
+  /** Inner join of points to the boxes containing them (inclusive
+    * bounds on all four edges).
+    *
+    * @param points   frame with `px`, `py` coordinate columns
+    * @param boxes    frame with `xmin`, `ymin`, `xmax`, `ymax`
+    * @param cellSize grid cell width in coordinate units
+    * @return points ⋈ boxes rows (all columns of both inputs)
+    */
+  def pointInBox(
+      points: DataFrame,
+      boxes: DataFrame,
+      px: String, py: String,
+      xmin: String, ymin: String, xmax: String, ymax: String,
+      cellSize: Double): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    val cell = lit(cellSize)
+    val p = points
+      .withColumn("__cx", floor(col(px) / cell))
+      .withColumn("__cy", floor(col(py) / cell))
+    // inverted boxes can match nothing: drop them BEFORE the explode
+    // (sequence(a, b) with a > b would count DOWN, not produce empty)
+    val b = boxes
+      .where(col(xmin) <= col(xmax) && col(ymin) <= col(ymax))
+      .withColumn("__cx",
+        explode(sequence(floor(col(xmin) / cell), floor(col(xmax) / cell))))
+      .withColumn("__cy",
+        explode(sequence(floor(col(ymin) / cell), floor(col(ymax) / cell))))
+    p.join(b, Seq("__cx", "__cy"))
+      .where(col(px) >= col(xmin) && col(px) <= col(xmax) &&
+        col(py) >= col(ymin) && col(py) <= col(ymax))
+      .drop("__cx", "__cy")
+  }
+}

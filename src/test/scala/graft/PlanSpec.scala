@@ -63,6 +63,9 @@ class PlanSpec extends SparkSuite {
     val vetted = Set("q_ann_top1", "q_bm25_topk", "q_cms_counts",
       "q_hll_users", "q_kll_quantiles", "q_set_jaccard",
       "q_tfidf_terms", "q_u_set_ops", "q_unigram_nll",
+      // 1-row corpus-token-total crossed over the bigram table for
+      // the PMI denominator — the same single-row-build shape
+      "q_pmi_bigrams",
       // 1-row model constants (priors/OOV weight) crossed over the
       // scored corpus — the same single-row-build shape as the stats
       // scalars above
