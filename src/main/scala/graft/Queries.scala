@@ -820,7 +820,7 @@ object Queries {
       uniqueness("event_id"),
       between("value", 0.0, 1000.0),
       isIn("event_type", Seq("click", "view", "purchase", "signup", "error")),
-      matches("props", "^\\{.*\\}$")))
+      matches("props", "^\\{.*\\}\\z")))
       .orderBy("constraint")
   }
 
@@ -941,8 +941,13 @@ object Queries {
     * identical row), plus clipped-tail counts and the winsorized sum.
     * Everything runs in integer cents — the whole result is exact. */
   def winsorize(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events").select(col("event_type"), col("event_id"),
-      round(col("value") * 100).cast("long").as("vc"))
+    // null values are excluded up front: Spark's ASC default is
+    // NULLS FIRST, DuckDB's is NULLS LAST — ranking nulls would pick
+    // different clip rows per engine the moment a null value appears
+    val e = t(s, dir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
     val wOrd = Window.partitionBy("event_type").orderBy("vc", "event_id")
     val wAll = Window.partitionBy("event_type")
     val ranked = e
@@ -971,13 +976,16 @@ object Queries {
     * task funnels). The salted path must reproduce the plain join's
     * aggregate exactly. */
   def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    // hot key -1 sits OUTSIDE the supplier key range (suppkeys are
+    // 0-based here), so the injected HOT build row can never collide
+    // with a real supplier and double-emit the hot probe rows
     val probe = t(s, dir, "lineitem")
-      .select(when(pmod(col("l_orderkey"), lit(4)) === 0, lit(0L))
+      .select(when(pmod(col("l_orderkey"), lit(4)) === 0, lit(-1L))
           .otherwise(col("l_suppkey")).as("k"),
         col("l_quantity"))
     val build = t(s, dir, "supplier")
       .select(col("s_suppkey").as("k"), col("s_name").as("name"))
-      .unionByName(s.range(1).select(lit(0L).as("k"), lit("HOT").as("name")))
+      .unionByName(s.range(1).select(lit(-1L).as("k"), lit("HOT").as("name")))
     graft.operators.Skew.saltedJoin(probe, build, Seq("k"), salts = 16)
       .groupBy("name")
       .agg(count(lit(1)).as("n"), Tables.moneySum(col("l_quantity")).as("qty"))

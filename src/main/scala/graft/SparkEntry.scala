@@ -1439,7 +1439,7 @@ object SparkEntry {
         |    round(CAST(sum(CASE WHEN event_type IN
         |      ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)
         |      AS DOUBLE) / count(*), 6) AS m_it,
-        |    round(CAST(sum(CASE WHEN regexp_matches(props, '^\{.*\}$')
+        |    round(CAST(sum(CASE WHEN regexp_matches(props, '^\{.*\}\z')
         |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m_mp
         |  FROM events)
         |SELECT * FROM (
@@ -1504,11 +1504,11 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q_skew_salted_join" ->
       s"""WITH probe AS (
-        |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN 0 ELSE l_suppkey END AS k,
+        |  SELECT CASE WHEN l_orderkey % 4 = 0 THEN -1 ELSE l_suppkey END AS k,
         |    l_quantity FROM lineitem),
         |build AS (
         |  SELECT s_suppkey AS k, s_name AS name FROM supplier
-        |  UNION ALL SELECT 0, 'HOT')
+        |  UNION ALL SELECT -1, 'HOT')
         |SELECT name, count(*) AS n, ${Tables.moneySumSql("l_quantity")} AS qty
         |FROM probe JOIN build USING (k)
         |GROUP BY name ORDER BY name""".stripMargin,
@@ -1586,7 +1586,8 @@ object SparkEntry {
     "q_winsorize" ->
       """WITH c AS (
         |  SELECT event_type, event_id,
-        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events
+        |  WHERE value IS NOT NULL),
         |r AS (
         |  SELECT event_type, vc,
         |    row_number() OVER (PARTITION BY event_type

@@ -22,8 +22,9 @@ object Cdc {
   /** Latest-wins fold of `changelog` over `base`.
     *
     * @param base      current snapshot; one row per key (not enforced —
-    *                  duplicate base keys fold like version-0 changelog
-    *                  entries with their `seqCol` as tie-break)
+    *                  duplicate base keys share version (-inf) and fold
+    *                  deterministically by greatest payload struct
+    *                  order, the final tie-break below)
     * @param changelog change rows carrying the same value columns as
     *                  `base` plus `opCol` ∈ {upsert, delete} (delete
     *                  rows may carry null values), `tsCol` the change
@@ -64,10 +65,14 @@ object Cdc {
         col(seqCol).cast("long").as("_ver_seq") :+
         payload(col(opCol), valueCols.map(col)).as("_payload"): _*)
 
+    // the payload itself is the final tie-break component, so rows
+    // sharing (ts, seq) — e.g. duplicate base keys — still resolve
+    // deterministically on any partitioning
     baseRows
       .unionByName(changeRows)
       .groupBy(key: _*)
-      .agg(max_by(col("_payload"), struct(col("_ver_ts"), col("_ver_seq")))
+      .agg(max_by(col("_payload"),
+        struct(col("_ver_ts"), col("_ver_seq"), col("_payload")))
         .as("_latest"))
       .where(col("_latest.op") =!= lit("delete"))
       .select(key ++ valueCols.map(n => col(s"_latest.$n").as(n)): _*)

@@ -46,7 +46,11 @@ object Validate {
     Check(s"between($c,$lo,$hi)",
       fraction(col(c).isNotNull && col(c) >= lo && col(c) <= hi), 1.0)
 
-  /** Fraction of values fully matching the (RE2-safe) regex. */
+  /** Fraction of values matching the regex. Keep patterns in the
+    * RE2-compatible subset AND anchor ends with `\z`, not `$`: Java's
+    * `$` matches before a final trailing newline while RE2's does not,
+    * so a `$`-anchored suite silently disagrees with the DuckDB oracle
+    * on values ending in `\n`. `\z` means end-of-text in both. */
   def matches(c: String, regex: String): Check =
     Check(s"matches($c)", fraction(col(c).rlike(regex)), 1.0)
 

@@ -70,4 +70,15 @@ class CdcSpec extends SparkSuite {
     val out = Cdc.applyChangelog(base, changelog, Seq("k"))
     assert(out.count() == out.select("k").distinct().count())
   }
+
+  test("duplicate base keys resolve deterministically (greatest payload)") {
+    val emptyChg = changelog.limit(0)
+    for (rows <- Seq(Seq((1L, "a", 1.0), (1L, "b", 2.0)),
+                     Seq((1L, "b", 2.0), (1L, "a", 1.0)))) {
+      val dupBase = rows.toDF("k", "status", "price").repartition(3)
+      val out = Cdc.applyChangelog(dupBase, emptyChg, Seq("k")).collect()
+      assert(out.length == 1 && out.head.getString(1) == "b",
+        s"expected the greatest payload ('b') to win, got ${out.toSeq}")
+    }
+  }
 }

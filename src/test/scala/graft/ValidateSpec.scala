@@ -39,7 +39,14 @@ class ValidateSpec extends SparkSuite {
 
   test("matches applies an anchored regex") {
     val m = metrics(Seq(matches("email", "^[a-z]+@[a-z.]+$")))
-    assert(m("matches(email)")._1 == 0.5) // one null + one 'nope'... nope matches? no '@'
+    assert(m("matches(email)")._1 == 0.5) // null fails, 'nope' has no '@'
+  }
+
+  test("\\z end anchor rejects a trailing newline (the RE2-parity form)") {
+    val d = Seq("{\"a\":1}", "{\"a\":1}\n").toDF("props")
+    val m = Validate.run(d, Seq(matches("props", "^\\{.*\\}\\z")))
+      .collect().head.getDouble(1)
+    assert(m == 0.5, s"only the newline-free value should match, got $m")
   }
 
   test("suite runs as ONE aggregation job (single stack row source)") {
