@@ -31,7 +31,11 @@ object PlanAudit {
       "q_winnow_incremental",
       "q_quality_classifier", "q_curate_pipeline", "q_semdedup",
       "q_crossdoc_spans", "q_weighted_sample", "q_ann_pq",
-      "q_ann_ivfpq", "q_pagerank", "q_shard_plan", "q_corpus_card")
+      "q_ann_ivfpq", "q_pagerank", "q_shard_plan", "q_corpus_card",
+      "q_cdc_apply", "q_validate", "q_resample_ffill", "q_rolling_dau",
+      "q_outliers", "q_skew_salted_join", "q_html_extract",
+      "q_spatial_join", "q_triangles", "q_pmi_bigrams",
+      "q_inverted_index", "q_winsorize")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)
