@@ -20,6 +20,11 @@ object Bench {
       // default 30min periodic GC they accumulate across the run and
       // late queries pay the memory pressure as GC thrash
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // the generated-class cache defaults to 100 entries; a 120+-query
+      // session thrashes it and big methods (ADC/encode, PageRank
+      // iterations) pay repeated Janino compiles — fixed overhead that
+      // does not exist on a real cluster running few query shapes
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/classloading + parquet reader init are session

@@ -22,8 +22,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long and
       // convert in Tables.t (Spark has no nanos timestamp type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // reap localCheckpoint/broadcast blocks across the 80-query run
+      // reap localCheckpoint/broadcast blocks across the 120-query run
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // avoid generated-class cache thrash across 120+ query shapes
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
