@@ -750,6 +750,84 @@ object LlmQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Line-level cross-document dedup ([[graft.llm.LineDedup]], the C4
+    * recipe): every doc gets two planted boilerplate sentences; lines
+    * occurring in 2+ distinct docs (the plants, plus content lines of
+    * exact-dup docs) are removed everywhere and documents reassembled
+    * in order. The oracle groups by the normalized line STRING — same
+    * identity the 64-bit hash keys, minus the 2⁻⁶⁴ collision. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("all rights reserved worldwide. "), col("text"),
+        lit(". cookie policy applies here")).as("text"))
+    graft.llm.LineDedup.dropSharedLines(planted, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic token masking ([[graft.llm.Masking]]): 15% of
+    * tokens masked by md5-fraction of (doc, pos) — the reproducible
+    * span-corruption stage; the oracle replays the identical hash
+    * arithmetic and reassembly. */
+  def maskTokens(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Masking.maskTokens(t(s, dir, "documents"),
+        "doc_id", "text", rate = 0.15)
+      .orderBy("doc_id")
+
+  /** URL extraction + domain stats ([[graft.llm.Text.urls]]): docs get
+    * deterministic synthetic links appended; extraction, host parse,
+    * and per-domain doc/occurrence counts — the domain
+    * blocklist/reweighting primitive of crawl curation. */
+  def urlDomains(s: SparkSession, dir: String): DataFrame = {
+    val withLinks = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://site"), pmod(col("doc_id"), lit(20)),
+        lit(".example.com/p/"), col("doc_id"),
+        lit(" and http://cdn"), pmod(col("doc_id"), lit(7)),
+        lit(".example.org/x")).as("text"))
+    withLinks
+      .select(col("doc_id"),
+        explode(graft.llm.Text.urls(col("text"))).as("url"))
+      .select(col("doc_id"), graft.llm.Text.urlDomain(col("url")).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+      .orderBy("domain")
+  }
+
+  /** 7-day rolling distinct users from MERGEABLE daily HLL sketches
+    * ([[graft.expr]] hll family): daily sketches are built ONCE from
+    * the events, then each rolling window is answered by register-max
+    * union of ≤7 sketch rows — never rescanning raw events per window
+    * (the sliding-window twin of q_hll_users; q_rolling_dau is the
+    * exact baseline). Output gates the exact count plus a deterministic
+    * 5%-bound flag on the sketch estimate. */
+  def rollingWauHll(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    // one sketch + exact-distinct row per day, built once
+    val daily = e.groupBy("day")
+      .agg(expr("hll_sketch(user_id)").as("sk"))
+      .localCheckpoint(true)
+    val served = daily
+      .select(explode(sequence(lit(0), lit(6))).as("off"), col("day"), col("sk"))
+      .select(date_add(col("day"), col("off")).as("day"), col("sk"))
+    val est = served
+      .join(daily.select("day"), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(expr("hll_estimate(graft_hll_union(sk))").cast("double").as("est"))
+    val exact = e.distinct().select(
+        explode(sequence(lit(0), lit(6))).as("off"), col("day"), col("user_id"))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      .join(daily.select("day"), Seq("day"), "left_semi")
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    exact.join(est, "day")
+      .select(col("day"), col("wau"),
+        (abs(col("est") - col("wau").cast("double")) /
+          col("wau").cast("double") <= 0.05).as("within_5pct"))
+      .orderBy("day")
+  }
+
   /** PMI phrase mining ([[graft.llm.Phrases]]): top adjacent bigrams
     * by count with their pointwise-mutual-information scores — exact
     * integer counts, PMI double computed from them identically in both

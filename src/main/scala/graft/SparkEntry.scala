@@ -154,6 +154,10 @@ object SparkEntry {
     "q_winsorize"            -> (Queries.winsorize _),
     "q_pmi_bigrams"          -> (LlmQueries.pmiBigrams _),
     "q_inverted_index"       -> (LlmQueries.invertedIndex _),
+    "q_line_dedup"           -> (LlmQueries.lineDedup _),
+    "q_mask_tokens"          -> (LlmQueries.maskTokens _),
+    "q_url_domains"          -> (LlmQueries.urlDomains _),
+    "q_rolling_wau_hll"      -> (LlmQueries.rollingWauHll _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1650,6 +1654,84 @@ object SparkEntry {
         |SELECT s.term, df, total_tf, postings
         |FROM stats s JOIN top USING (term)
         |ORDER BY df DESC, s.term LIMIT 50""".stripMargin,
+    "q_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'all rights reserved worldwide. ' || text ||
+        |    '. cookie policy applies here' AS t
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(t, '\.\s+')) AS line,
+        |    unnest(generate_series(0, len(string_split_regex(t, '\.\s+')) - 1))
+        |      AS pos
+        |  FROM d),
+        |ne AS (
+        |  SELECT doc_id, pos, line,
+        |    regexp_replace(lower(trim(line)), '\s+', ' ', 'g') AS norm
+        |  FROM seg WHERE length(trim(line)) > 0),
+        |sh AS (
+        |  SELECT norm FROM (
+        |    SELECT norm, count(DISTINCT doc_id) AS df FROM ne GROUP BY norm)
+        |  WHERE df >= 2),
+        |k AS (
+        |  SELECT ne.doc_id, ne.pos, ne.line, sh.norm IS NOT NULL AS dropped
+        |  FROM ne LEFT JOIN sh ON ne.norm = sh.norm),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dropped,
+        |    coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+        |      '. ' ORDER BY pos), '') AS text
+        |  FROM k GROUP BY doc_id)
+        |SELECT d0.doc_id, coalesce(agg.text, '') AS text,
+        |  coalesce(agg.n_lines, 0) AS n_lines,
+        |  coalesce(agg.n_dropped, 0) AS n_dropped
+        |FROM documents d0 LEFT JOIN agg ON d0.doc_id = agg.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
+    "q_mask_tokens" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tok AS (
+        |  SELECT doc_id, unnest(ws) AS w,
+        |    unnest(generate_series(0, len(ws) - 1)) AS pos, len(ws) AS n
+        |  FROM d),
+        |fl AS (
+        |  SELECT doc_id, w, pos, n,
+        |    (CAST(('0x' || substr(md5(doc_id || ':' || pos), 1, 8)) AS BIGINT)
+        |      / 4294967296.0) < 0.15 AS f
+        |  FROM tok)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN f THEN '<mask>' ELSE w END, ' ' ORDER BY pos)
+        |    AS masked,
+        |  coalesce(string_agg(CASE WHEN f THEN w END, ' ' ORDER BY pos), '')
+        |    AS targets,
+        |  CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_url_domains" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' see https://site' || (doc_id % 20) ||
+        |    '.example.com/p/' || doc_id || ' and http://cdn' ||
+        |    (doc_id % 7) || '.example.org/x' AS t
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, 'https?://([^/\s]+)', 1)) AS domain
+        |  FROM (SELECT doc_id,
+        |    unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS url FROM d))
+        |SELECT domain, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_urls
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    "q_rolling_wau_hll" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du)
+        |SELECT d.day, count(DISTINCT e.user_id) AS wau, true AS within_5pct
+        |FROM days d JOIN du e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
   )
 
   /** DuckDB replay of [[graft.graph.PageRank]]: the 5-iteration power

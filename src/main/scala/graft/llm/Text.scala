@@ -149,4 +149,14 @@ object Text {
       .otherwise(lit(1.0) -
         size(array_distinct(ws)).cast("double") / size(ws))
   }
+
+  /** All http(s) URLs in the text (RE2-safe pattern — the oracle runs
+    * the identical regex). The domain blocklist/stat primitive of
+    * crawl curation. */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+
+  /** Lowercased host of a URL ('' when the pattern misses). */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, "https?://([^/\\s]+)", 1))
 }
