@@ -815,12 +815,8 @@ object LlmQueries {
       .join(daily.select("day"), Seq("day"), "left_semi")
       .groupBy("day")
       .agg(expr("hll_estimate(graft_hll_union(sk))").cast("double").as("est"))
-    val exact = e.distinct().select(
-        explode(sequence(lit(0), lit(6))).as("off"), col("day"), col("user_id"))
-      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
-      .join(daily.select("day"), Seq("day"), "left_semi")
-      .groupBy("day")
-      .agg(countDistinct(col("user_id")).as("wau"))
+    // exact baseline = the q_rolling_dau pipeline, reused not re-derived
+    val exact = Queries.rollingDau(s, dir)
     exact.join(est, "day")
       .select(col("day"), col("wau"),
         (abs(col("est") - col("wau").cast("double")) /

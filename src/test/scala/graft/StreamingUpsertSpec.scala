@@ -65,20 +65,43 @@ class StreamingUpsertSpec extends SparkSuite {
       ("k3", "upsert", 30.0)).sorted)
   }
 
-  test("batch-mode fold agrees with the batch Cdc operator") {
+  test("batch-mode fold agrees with the batch Cdc operator, " +
+    "including full-version ties broken on the payload") {
     import spark.implicits._
-    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "st", "v")
+    val ts1 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2025-01-02 00:00:00")
+    // key 4: two upserts with IDENTICAL (ts, seq) but different
+    // payloads — both operators must pick the greater payload ("zz")
     val chg = Seq(
-      (1L, "upsert", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
-        1L, Some("a2"), Some(11.0)),
-      (2L, "delete", java.sql.Timestamp.valueOf("2025-01-01 00:00:00"),
-        2L, None, None),
-      (3L, "upsert", java.sql.Timestamp.valueOf("2025-01-02 00:00:00"),
-        3L, Some("c"), Some(30.0))
+      (1L, "upsert", ts1, 1L, Some("a2"), Some(11.0)),
+      (2L, "delete", ts1, 2L, None, None),
+      (3L, "upsert", ts2, 3L, Some("c"), Some(30.0)),
+      (4L, "upsert", ts1, 7L, Some("aa"), Some(1.0)),
+      (4L, "upsert", ts1, 7L, Some("zz"), Some(2.0))
     ).toDF("k", "op", "ts", "seq", "st", "v")
-    val batch = graft.operators.Cdc.applyChangelog(base, chg, Seq("k"))
-      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
-      .toMap
-    assert(batch == Map(1L -> (("a2", 11.0)), 3L -> (("c", 30.0))))
+
+    for (parts <- Seq(1, 5)) {
+      val c = chg.repartition(parts)
+      // streaming operator run in BATCH mode (state starts empty, one
+      // invocation per key): emits the folded current row per key
+      val stream = StreamingUpsert.currentView(c, keyCol = "k")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3))))
+        .toMap
+      val emptyBase = Seq.empty[(Long, String, Double)].toDF("k", "st", "v")
+      val batch = graft.operators.Cdc.applyChangelog(emptyBase, c, Seq("k"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+        .toMap
+      // surviving keys agree on values; deleted keys are tombstones
+      assert(batch == Map(1L -> (("a2", 11.0)), 3L -> (("c", 30.0)),
+        4L -> (("zz", 2.0))))
+      assert(stream(1L) == (("upsert", "a2", 11.0)))
+      assert(stream(2L) == (("delete", null, -1.0)))
+      assert(stream(3L) == (("upsert", "c", 30.0)))
+      assert(stream(4L) == (("upsert", "zz", 2.0)), s"parts=$parts")
+    }
   }
 }
