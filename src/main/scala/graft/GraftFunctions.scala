@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr}
+import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr, VecSumAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -90,6 +90,12 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.size == 1, "minhash_union expects 1 argument")
         MinhashUnionAgg(exprs.head).toAggregateExpression()
+      }),
+    (FunctionIdentifier("vec_sum_micros"),
+      new ExpressionInfo(classOf[VecSumAgg].getName, "vec_sum_micros"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "vec_sum_micros expects 1 argument")
+        VecSumAgg(exprs.head).toAggregateExpression()
       }),
     (FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),

@@ -824,6 +824,24 @@ object LlmQueries {
       .orderBy("day")
   }
 
+  /** Per-label embedding centroids via the [[graft.expr.VecSumAgg]]
+    * `vec_sum_micros` aggregate: element-wise sums in exact integer
+    * micro-units (order-free longs — a double sum would be
+    * partitioning-dependent), map-side combined like any sketch, ONE
+    * long[dim] row per group per partition through the shuffle —
+    * never the 64× posexplode shuffle amplification. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        expr("vec_sum_micros(embedding)").as("sm"))
+      .select(col("label"), col("n"),
+        posexplode(col("sm")).as(Seq("dim", "sum_micros")))
+      .select(col("label"), col("dim"), col("n"), col("sum_micros"),
+        round((col("sum_micros").cast("double") / col("n").cast("double")) /
+          1000000.0, 6).as("centroid"))
+      .orderBy("label", "dim")
+
   /** PMI phrase mining ([[graft.llm.Phrases]]): top adjacent bigrams
     * by count with their pointwise-mutual-information scores — exact
     * integer counts, PMI double computed from them identically in both

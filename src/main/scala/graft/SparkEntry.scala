@@ -158,6 +158,7 @@ object SparkEntry {
     "q_mask_tokens"          -> (LlmQueries.maskTokens _),
     "q_url_domains"          -> (LlmQueries.urlDomains _),
     "q_rolling_wau_hll"      -> (LlmQueries.rollingWauHll _),
+    "q_label_centroids"      -> (LlmQueries.labelCentroids _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1732,6 +1733,21 @@ object SparkEntry {
         |SELECT d.day, count(DISTINCT e.user_id) AS wau, true AS within_5pct
         |FROM days d JOIN du e ON e.day BETWEEN d.day - 6 AND d.day
         |GROUP BY d.day ORDER BY d.day""".stripMargin,
+    "q_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label, unnest(embedding) AS v,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT label, dim,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS sum_micros
+        |  FROM x GROUP BY label, dim)
+        |SELECT label, CAST(dim AS INT) AS dim, n, sum_micros,
+        |  round((CAST(sum_micros AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / 1000000.0, 6) AS centroid
+        |FROM a ORDER BY label, dim""".stripMargin,
   )
 
   /** DuckDB replay of [[graft.graph.PageRank]]: the 5-iteration power
