@@ -833,7 +833,9 @@ object LlmQueries {
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .groupBy("label")
-      .agg(count(lit(1)).as("n"),
+      // count the VECTORS summed, not all rows: vec_sum_micros skips
+      // null embeddings, so a null row must not deflate the centroid
+      .agg(count(col("embedding")).as("n"),
         expr("vec_sum_micros(embedding)").as("sm"))
       .select(col("label"), col("n"),
         posexplode(col("sm")).as(Seq("dim", "sum_micros")))

@@ -862,9 +862,19 @@ object Queries {
     t(s, dir, "events")
       .select(col("event_type"), dayofweek(col("ts")).as("dow"), col("value"))
       .cube(col("event_type"), col("dow"))
-      .agg(count(lit(1)).as("n"), Tables.moneySum(col("value")).as("total"))
-      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
-        coalesce(col("dow").cast("string"), lit("(all)")).as("dow"),
+      // grouping() distinguishes a CUBE subtotal from a genuine null
+      // group — coalesce alone would merge both into '(all)' and leave
+      // duplicate keys whose order is engine-dependent. (It is only
+      // valid inside the aggregate list, hence the _g columns.)
+      .agg(count(lit(1)).as("n"), Tables.moneySum(col("value")).as("total"),
+        grouping(col("event_type")).as("_ge"), grouping(col("dow")).as("_gd"))
+      .select(
+        when(col("_ge") === 1, lit("(all)"))
+          .otherwise(coalesce(col("event_type"), lit("(null)")))
+          .as("event_type"),
+        when(col("_gd") === 1, lit("(all)"))
+          .otherwise(coalesce(col("dow").cast("string"), lit("(null)")))
+          .as("dow"),
         col("n"), col("total"))
       .orderBy("event_type", "dow")
 

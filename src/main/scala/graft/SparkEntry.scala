@@ -1432,30 +1432,33 @@ object SparkEntry {
     "q_validate" ->
       """WITH agg AS (
         |  SELECT
-        |    round(CAST(sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS DOUBLE) / count(*), 6) AS m_cu,
-        |    round(CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS DOUBLE) / count(*), 6) AS m_cv,
-        |    round(CAST(count(DISTINCT event_id) AS DOUBLE) / count(*), 6)
-        |      AS m_ue,
-        |    round(CAST(sum(CASE WHEN value IS NOT NULL AND value >= 0.0
-        |      AND value <= 1000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+        |    CAST(sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) AS m_cu,
+        |    CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) AS m_cv,
+        |    CAST(count(DISTINCT event_id) AS DOUBLE) / count(*) AS m_ue,
+        |    CAST(sum(CASE WHEN value IS NOT NULL AND value >= 0.0
+        |      AND value <= 1000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
         |      AS m_bv,
-        |    round(CAST(sum(CASE WHEN event_type IN
+        |    CAST(sum(CASE WHEN event_type IN
         |      ('click','view','purchase','signup','error') THEN 1 ELSE 0 END)
-        |      AS DOUBLE) / count(*), 6) AS m_it,
-        |    round(CAST(sum(CASE WHEN regexp_matches(props, '^\{.*\}\z')
-        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m_mp
+        |      AS DOUBLE) / count(*) AS m_it,
+        |    CAST(sum(CASE WHEN regexp_matches(props, '^\{.*\}\z')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS m_mp
         |  FROM events)
         |SELECT * FROM (
-        |  SELECT 'completeness(user_id)' AS "constraint", m_cu AS metric,
-        |    m_cu >= 1.0 AS passed FROM agg
-        |  UNION ALL SELECT 'completeness(value)', m_cv, m_cv >= 1.0 FROM agg
-        |  UNION ALL SELECT 'uniqueness(event_id)', m_ue, m_ue >= 1.0 FROM agg
-        |  UNION ALL SELECT 'between(value,0.0,1000.0)', m_bv, m_bv >= 1.0
-        |    FROM agg
-        |  UNION ALL SELECT 'is_in(event_type)', m_it, m_it >= 1.0 FROM agg
-        |  UNION ALL SELECT 'matches(props)', m_mp, m_mp >= 1.0 FROM agg)
+        |  SELECT 'completeness(user_id)' AS "constraint",
+        |    round(m_cu, 6) AS metric, m_cu >= 1.0 AS passed FROM agg
+        |  UNION ALL SELECT 'completeness(value)', round(m_cv, 6),
+        |    m_cv >= 1.0 FROM agg
+        |  UNION ALL SELECT 'uniqueness(event_id)', round(m_ue, 6),
+        |    m_ue >= 1.0 FROM agg
+        |  UNION ALL SELECT 'between(value,0.0,1000.0)', round(m_bv, 6),
+        |    m_bv >= 1.0 FROM agg
+        |  UNION ALL SELECT 'is_in(event_type)', round(m_it, 6),
+        |    m_it >= 1.0 FROM agg
+        |  UNION ALL SELECT 'matches(props)', round(m_mp, 6),
+        |    m_mp >= 1.0 FROM agg)
         |ORDER BY "constraint"""".stripMargin,
     "q_resample_ffill" ->
       """WITH e AS (SELECT * FROM events WHERE user_id < 40),
@@ -1485,8 +1488,11 @@ object SparkEntry {
         |FROM days d JOIN du e ON e.day BETWEEN d.day - 6 AND d.day
         |GROUP BY d.day ORDER BY d.day""".stripMargin,
     "q_cube" ->
-      s"""SELECT coalesce(event_type, '(all)') AS event_type,
-        |  coalesce(CAST(dow AS VARCHAR), '(all)') AS dow,
+      s"""SELECT
+        |  CASE WHEN GROUPING(event_type) = 1 THEN '(all)'
+        |    ELSE coalesce(event_type, '(null)') END AS event_type,
+        |  CASE WHEN GROUPING(dow) = 1 THEN '(all)'
+        |    ELSE coalesce(CAST(dow AS VARCHAR), '(null)') END AS dow,
         |  count(*) AS n, ${Tables.moneySumSql("value")} AS total
         |FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, value FROM events)
         |GROUP BY CUBE (event_type, dow)

@@ -63,21 +63,21 @@ object Validate {
 
   /** Run the suite: one row per check with columns
     * (constraint STRING, metric DOUBLE rounded 6dp, passed BOOLEAN).
-    * `passed` = metric >= passAt (metrics here are all "fraction
-    * satisfying", so thresholds are lower bounds). */
+    * `passed` compares the UNROUNDED metric to the threshold (metrics
+    * are "fraction satisfying", thresholds lower bounds): rounding
+    * first would report a 10M-row table with 4 violations as passed
+    * (0.9999996 → 1.0) — the verdict must see every violation, the
+    * display may round. */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty constraint suite")
-    val aggs = checks.zipWithIndex.map { case (c, i) =>
-      round(c.metric, 6).as(s"_m$i")
-    }
+    val aggs = checks.zipWithIndex.map { case (c, i) => c.metric.as(s"_m$i") }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = checks.zipWithIndex.flatMap { case (c, i) =>
-      Seq(lit(c.name), col(s"_m$i"), lit(c.passAt))
+      Seq(lit(c.name), round(col(s"_m$i"), 6),
+        (col(s"_m$i") >= lit(c.passAt)).as(s"_p$i"))
     }
     one
       .select(stack((lit(checks.size) +: stackArgs): _*)
-        .as(Seq("constraint", "metric", "threshold")))
-      .select(col("constraint"), col("metric"),
-        (col("metric") >= col("threshold")).as("passed"))
+        .as(Seq("constraint", "metric", "passed")))
   }
 }

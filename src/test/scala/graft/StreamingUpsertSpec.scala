@@ -104,4 +104,34 @@ class StreamingUpsertSpec extends SparkSuite {
       assert(stream(4L) == (("upsert", "zz", 2.0)), s"parts=$parts")
     }
   }
+
+  test("null op folds as a tombstone instead of poisoning the stream") {
+    import spark.implicits._
+    val ts1 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2025-01-02 00:00:00")
+    val chg = Seq(
+      (1L, Some("upsert"), ts1, 1L, Some(1.0)),
+      (1L, None, ts2, 2L, Some(2.0)), // later null op wins -> tombstone
+      (2L, Some("upsert"), ts1, 3L, Some(3.0))
+    ).toDF("k", "op", "ts", "seq", "v")
+    val out = StreamingUpsert.currentView(chg, keyCol = "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "delete", 2L -> "upsert"))
+  }
+
+  test("array-valued payloads break full-version ties deterministically") {
+    import spark.implicits._
+    val ts1 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+    val chg = Seq(
+      (1L, "upsert", ts1, 1L, Seq(1.0f, 9.0f)),
+      (1L, "upsert", ts1, 1L, Seq(2.0f, 0.0f)) // greater first element wins
+    ).toDF("k", "op", "ts", "seq", "emb")
+    for (parts <- Seq(1, 4)) {
+      val out = StreamingUpsert.currentView(chg.repartition(parts), "k")
+        .collect()
+      assert(out.length == 1 &&
+        out.head.getAs[scala.collection.Seq[Float]](2).head == 2.0f,
+        s"parts=$parts")
+    }
+  }
 }

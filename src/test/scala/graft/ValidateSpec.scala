@@ -68,4 +68,12 @@ class ValidateSpec extends SparkSuite {
   test("empty suite is rejected") {
     intercept[IllegalArgumentException](Validate.run(df, Seq.empty))
   }
+
+  test("verdict sees the unrounded metric (display may round to 1.0)") {
+    // a 4-per-10M violation rate: displays as 1.0 but must NOT pass
+    val check = Check("t", org.apache.spark.sql.functions.lit(0.9999996), 1.0)
+    val row = Validate.run(df, Seq(check)).collect().head
+    assert(row.getDouble(1) == 1.0 && !row.getBoolean(2),
+      s"metric ${row.getDouble(1)} passed ${row.getBoolean(2)}")
+  }
 }

@@ -68,10 +68,14 @@ object ScratchScaleR6h {
     time("triangles 10k nodes") {
       val n = 10000
       val ids = spark.range(n).select(col("id").as("node"))
-      val raw = Seq(1, 2, 7).map(k =>
+      // same topology family as q_triangles: +1, +2, and 7k+3 edges
+      val raw = Seq(
         ids.select(col("node").as("src"),
-          pmod(col("node") * (if (k == 7) 7 else 1) + k, lit(n.toLong))
-            .as("dst")))
+          pmod(col("node") + 1, lit(n.toLong)).as("dst")),
+        ids.select(col("node").as("src"),
+          pmod(col("node") + 2, lit(n.toLong)).as("dst")),
+        ids.select(col("node").as("src"),
+          pmod(col("node") * 7 + 3, lit(n.toLong)).as("dst")))
         .reduce(_ unionAll _)
       println(s"  triangles: ${
         graft.graph.Triangles.count(raw).collect().head.getLong(0)}")
