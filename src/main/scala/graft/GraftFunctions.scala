@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr, VecSumAgg}
+import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsJoinSizeExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr, VecSumAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -161,6 +161,9 @@ object GraftFunctions {
     (FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimateExpr].getName, "cms_estimate"),
       arity2("cms_estimate", CmsEstimateExpr.apply)),
+    (FunctionIdentifier("cms_join_size"),
+      new ExpressionInfo(classOf[CmsJoinSizeExpr].getName, "cms_join_size"),
+      arity2("cms_join_size", CmsJoinSizeExpr.apply)),
     // Spark's own Bloom expressions (used internally by runtime row
     // filtering) surfaced as callable functions: whole-stage-codegen
     // membership probes instead of a Scala UDF (Transfer J3 prefilter).

@@ -824,6 +824,36 @@ object LlmQueries {
       .orderBy("day")
   }
 
+  /** Join-cardinality estimation from CMS sketches
+    * ([[graft.expr.CmsJoinSizeExpr]]): sketch the join keys of two
+    * event slices in ONE scan (conditional sketch aggregates), then
+    * estimate |A ⋈ B| = Σ_k f_A(k)·f_B(k) by counter-row inner
+    * product — the planner primitive that sizes a prospective join
+    * from persisted per-slice sketches without touching either table.
+    * Gated: the estimate can never undercount (one-sided), and must
+    * sit within 3× the expected collision mass of the exact value
+    * (deterministic for the fixed seeds — holds at sf0.01 and sf0.1). */
+  def cmsJoinSize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), pmod(col("event_id"), lit(2)).as("par"))
+    val sk = e.agg(
+      expr("cms_sketch(CASE WHEN par = 0 THEN user_id END)").as("ska"),
+      expr("cms_sketch(CASE WHEN par = 1 THEN user_id END)").as("skb"),
+      sum(when(col("par") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("par") === 1, 1L).otherwise(0L)).as("nb"))
+    val exact = e.groupBy("user_id").agg(
+        sum(when(col("par") === 0, 1L).otherwise(0L)).as("fa"),
+        sum(when(col("par") === 1, 1L).otherwise(0L)).as("fb"))
+      .agg(sum(col("fa") * col("fb")).as("exact_join_size"))
+    sk.crossJoin(exact)
+      .select(col("exact_join_size"),
+        (expr("cms_join_size(ska, skb)") >= col("exact_join_size"))
+          .as("est_at_least_exact"),
+        (expr("cms_join_size(ska, skb)") <= col("exact_join_size") +
+          lit(3L) * col("na") * col("nb") / lit(2048L))
+          .as("est_within_bound"))
+  }
+
   /** Per-label embedding centroids via the [[graft.expr.VecSumAgg]]
     * `vec_sum_micros` aggregate: element-wise sums in exact integer
     * micro-units (order-free longs — a double sum would be

@@ -159,6 +159,7 @@ object SparkEntry {
     "q_url_domains"          -> (LlmQueries.urlDomains _),
     "q_rolling_wau_hll"      -> (LlmQueries.rollingWauHll _),
     "q_label_centroids"      -> (LlmQueries.labelCentroids _),
+    "q_cms_join_size"        -> (LlmQueries.cmsJoinSize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1754,6 +1755,17 @@ object SparkEntry {
         |  round((CAST(sum_micros AS DOUBLE) / CAST(n AS DOUBLE))
         |    / 1000000.0, 6) AS centroid
         |FROM a ORDER BY label, dim""".stripMargin,
+    "q_cms_join_size" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id % 2 AS par FROM events),
+        |f AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS fa,
+        |    sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS fb
+        |  FROM p GROUP BY user_id)
+        |SELECT CAST(sum(fa * fb) AS BIGINT) AS exact_join_size,
+        |  true AS est_at_least_exact, true AS est_within_bound
+        |FROM f""".stripMargin,
   )
 
   /** DuckDB replay of [[graft.graph.PageRank]]: the 5-iteration power

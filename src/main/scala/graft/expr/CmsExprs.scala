@@ -135,6 +135,28 @@ object Cms {
       s"cms: corrupt header (${out(0)}x${out(1)} for ${out.length - 2} cells)")
     out
   }
+
+  /** Inner-product join-size estimate over two same-shape sketches:
+    * min over depth rows of the counter-row dot product. One-sided —
+    * never below the true Σ_k f_A(k)·f_B(k) (same seeds put matching
+    * keys in matching cells; hash collisions only add). */
+  def joinSizeBytes(a: Array[Byte], b: Array[Byte]): Long = {
+    val sa = deserialize(a); val sb = deserialize(b)
+    require(sa(0) == sb(0) && sa(1) == sb(1),
+      s"cms_join_size: shape mismatch (${sa(0)}x${sa(1)} vs ${sb(0)}x${sb(1)})")
+    val depth = sa(0).toInt; val width = sa(1).toInt
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var dot = 0L
+      var w = 0
+      val base = 2 + r * width
+      while (w < width) { dot += sa(base + w) * sb(base + w); w += 1 }
+      if (dot < min) min = dot
+      r += 1
+    }
+    min
+  }
 }
 
 abstract class CmsAggBase extends TypedImperativeAggregate[Array[Long]] {
@@ -237,6 +259,36 @@ case class CmsEstimateExpr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(sk: Any, item: Any): Any =
     Cms.estimateBytes(sk.asInstanceOf[Array[Byte]], item)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `cms_join_size(sketchA, sketchB)` — inner-product join-cardinality
+  * estimate (Alon–Matias–Szegedy / Cormode–Muthukrishnan): for two
+  * CMS sketches of the join-key columns of A and B (same depth/width/
+  * seeds — the defaults guarantee this), `min over rows r of
+  * Σ_w a[r][w]·b[r][w]` estimates `|A ⋈ B| = Σ_k f_A(k)·f_B(k)`,
+  * NEVER undercounting (every true pair lands in matching cells;
+  * collisions only add). The planner primitive: persist per-slice
+  * key sketches once, size any prospective join later WITHOUT
+  * touching either table.
+  */
+case class CmsJoinSizeExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cms_join_size expects two binary sketches, got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Cms.joinSizeBytes(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -1,6 +1,7 @@
 package graft
 
 import graft.expr.Cms
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.functions._
 
 /** Count-min sketch aggregate: exactness on small key sets, the
@@ -84,5 +85,34 @@ class CmsSpec extends SparkSuite {
     val viaSql = Seq(Some(7L), None, Some(7L)).toDF("v")
       .agg(expr("cms_estimate(cms_sketch(v), 7)")).head().getLong(0)
     assert(viaSql == 2L)
+  }
+
+  test("join-size inner product: one-sided, exact on collision-free keys") {
+    // A = {a:2, b:1}, B = {a:3, c:5} → true join size 2*3 = 6
+    val a = Cms.empty(Cms.DefaultDepth, Cms.DefaultWidth)
+    Seq("a", "a", "b").foreach(v => Cms.add(a, UTF8String.fromString(v)))
+    val b = Cms.empty(Cms.DefaultDepth, Cms.DefaultWidth)
+    (Seq.fill(3)("a") ++ Seq.fill(5)("c"))
+      .foreach(v => Cms.add(b, UTF8String.fromString(v)))
+    val est = Cms.joinSizeBytes(Cms.serialize(a), Cms.serialize(b))
+    assert(est >= 6L && est <= 6L + 3L, s"est $est") // 3 keys, width 2048
+    // disjoint key sets estimate ~0
+    val d = Cms.empty(Cms.DefaultDepth, Cms.DefaultWidth)
+    Cms.add(d, UTF8String.fromString("zzz"))
+    assert(Cms.joinSizeBytes(Cms.serialize(a), Cms.serialize(d)) <= 1L)
+  }
+
+  test("join-size rejects shape mismatch; SQL surface works end to end") {
+    val a = Cms.empty(5, 2048); val b = Cms.empty(5, 1024)
+    intercept[IllegalArgumentException] {
+      Cms.joinSizeBytes(Cms.serialize(a), Cms.serialize(b))
+    }
+    val est = Seq((1L, 0), (1L, 1), (1L, 1), (2L, 0)).toDF("k", "side")
+      .agg(expr(
+        "cms_join_size(cms_sketch(CASE WHEN side = 0 THEN k END)," +
+          " cms_sketch(CASE WHEN side = 1 THEN k END))"))
+      .head().getLong(0)
+    // side0 = {1,2}, side1 = {1,1} → true 1*2 = 2
+    assert(est >= 2L && est <= 3L, s"est $est")
   }
 }

@@ -66,6 +66,8 @@ class PlanSpec extends SparkSuite {
       // 1-row corpus-token-total crossed over the bigram table for
       // the PMI denominator — the same single-row-build shape
       "q_pmi_bigrams",
+      // two 1-row aggregates (sketch pair × exact scalar) crossed
+      "q_cms_join_size",
       // 1-row model constants (priors/OOV weight) crossed over the
       // scored corpus — the same single-row-build shape as the stats
       // scalars above
