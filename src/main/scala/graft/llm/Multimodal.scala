@@ -264,4 +264,85 @@ object Multimodal {
         explode(sequence(lit(0), greatest(col("nFrames") - 1, lit(0)),
           lit(everyN))))
       .select(col("path"), col("mediaType"), col("frame_idx"))
+
+  /** 64-bit average hash (aHash): mean luminance over an 8×8 grid,
+    * each cell thresholded by the grid's own mean — bit i set iff
+    * cell i is brighter than average. Integer-summed luminance (no
+    * float accumulation), so the hash is fully deterministic.
+    * Robust to resize/re-encode/brightness-preserving noise; hamming
+    * distance between hashes is the image-similarity signal. */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // integer milli-luminance (BT.601 weights, like the strips)
+        val lum = ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L +
+          (rgb & 0xFF) * 114L
+        val cell = gy * 8 + math.min(7, x * 8 / w)
+        sums(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // cell means and grid mean in exact rationals: compare
+    // cellSum*totalCount*64 vs totalSum*cellCount*64 — avoided by
+    // comparing cellSum*total vs gridSum*cellCount (cross-multiplied)
+    val gridSum = sums.sum
+    val total = counts.sum
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0 &&
+        sums(i) * total > gridSum * counts(i)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Perceptual hashes for every decodable image in a binaryFile
+    * frame: (path, ahash) — undecodable/non-image rows are dropped.
+    * One decode pass, partition-parallel, nothing on the driver. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        decodeImage(bytes).map(img => (path, aHash64(img)))
+      })
+      .toDF("path", "ahash")
+  }
+
+  /** Near-duplicate image pairs by banded hamming over aHash64 — the
+    * simhash recipe applied to pixels: 4 bands of 16 bits; a pair
+    * whose hashes agree on ANY band becomes a candidate (hamming ≤
+    * `maxDist` < 16 guarantees at least one clean band by pigeonhole
+    * when maxDist ≤ 3); candidates verify by exact popcount. Scale
+    * shape: band equi-join on 8-byte keys, distinct candidate pairs,
+    * then the cheap XOR verify — never all-pairs. */
+  def nearDuplicateImages(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 16,
+      s"maxDist must be in [0, 16) for 4x16 banding, got $maxDist")
+    val banded = hashes.select(col("path"), col("ahash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv",
+        expr("shiftrightunsigned(ahash, band * 16)").bitwiseAND(lit(0xFFFFL)))
+    val a = banded.select(col("band"), col("bv"),
+      col("path").as("path_a"), col("ahash").as("ha"))
+    val b = banded.select(col("band"), col("bv"),
+      col("path").as("path_b"), col("ahash").as("hb"))
+    a.join(b, Seq("band", "bv"))
+      .where(col("path_a") < col("path_b"))
+      .select("path_a", "path_b", "ha", "hb").distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxDist)
+      .select("path_a", "path_b", "hamming")
+  }
 }
