@@ -320,14 +320,50 @@ object Multimodal {
       .toDF("path", "ahash")
   }
 
-  /** Near-duplicate image pairs by banded hamming over aHash64 — the
+  /** 64-bit audio fingerprint: the aHash idea on PCM — RMS energy
+    * over 64 equal time strips, each thresholded by the mean strip
+    * energy. Invariant to uniform gain (threshold scales with the
+    * signal) and to resampling that preserves the envelope; hamming
+    * distance is the similarity signal. Deterministic (double math on
+    * a fixed strip partition of a decoded sample array). */
+  def audioHash64(mono: Array[Double]): Long = {
+    val strips = rmsStripFeature(mono, 64)
+    val mean = strips.sum / 64.0
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (strips(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Fingerprints for every decodable WAV in a binaryFile frame:
+    * (path, ahash) — same output shape as [[imageHashes]], so
+    * [[nearDuplicateMedia]]'s banded matcher serves both
+    * modalities. */
+  def audioHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        decodeWav(bytes).map { case (_, _, _, mono) =>
+          (path, audioHash64(mono))
+        }
+      })
+      .toDF("path", "ahash")
+  }
+
+  /** Near-duplicate media pairs by banded hamming over a 64-bit
+    * perceptual hash (aHash64 for images, audioHash64 for WAVs) — the
     * simhash recipe applied to pixels: 4 bands of 16 bits; a pair
     * whose hashes agree on ANY band becomes a candidate (hamming ≤
     * `maxDist` < 16 guarantees at least one clean band by pigeonhole
     * when maxDist ≤ 3); candidates verify by exact popcount. Scale
     * shape: band equi-join on 8-byte keys, distinct candidate pairs,
     * then the cheap XOR verify — never all-pairs. */
-  def nearDuplicateImages(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+  def nearDuplicateMedia(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 16,
       s"maxDist must be in [0, 16) for 4x16 banding, got $maxDist")
     val banded = hashes.select(col("path"), col("ahash"),

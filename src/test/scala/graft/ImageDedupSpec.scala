@@ -4,7 +4,7 @@ import graft.llm.Multimodal
 import java.awt.image.BufferedImage
 
 /** Perceptual image hashing + banded near-dup ([[graft.llm.Multimodal]]
-  * aHash64 / imageHashes / nearDuplicateImages). */
+  * aHash64 / imageHashes / nearDuplicateMedia). */
 class ImageDedupSpec extends SparkSuite {
 
   /** Deterministic gradient-with-square test pattern. */
@@ -69,7 +69,7 @@ class ImageDedupSpec extends SparkSuite {
     val hashes = Multimodal.imageHashes(
       Multimodal.readMedia(spark, dir.toString, "*.png"))
     assert(hashes.count() == 3) // corrupt file dropped
-    val pairs = Multimodal.nearDuplicateImages(hashes, maxDist = 4)
+    val pairs = Multimodal.nearDuplicateMedia(hashes, maxDist = 4)
       .collect()
       .map(r => (r.getString(0).split('/').last,
         r.getString(1).split('/').last))
@@ -81,6 +81,6 @@ class ImageDedupSpec extends SparkSuite {
     import spark.implicits._
     val hashes = Seq(("p", 0L)).toDF("path", "ahash")
     intercept[IllegalArgumentException](
-      Multimodal.nearDuplicateImages(hashes, maxDist = 16))
+      Multimodal.nearDuplicateMedia(hashes, maxDist = 16))
   }
 }
