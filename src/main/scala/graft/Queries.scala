@@ -786,7 +786,11 @@ object Queries {
     * t3 with doubled price (so delete→re-insert resurrection is
     * exercised). One keyed shuffle; the oracle replays it with a
     * ts-desc window over base ∪ changelog. */
-  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+  /** Shared CDC fixture: orders snapshot + the deterministic changelog
+    * (every 5th key updated at t1, 7th deleted at t2, 14th re-upserted
+    * at t3) — q_cdc_apply folds it, q_scd2 builds history from it. */
+  private def cdcFixture(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame) = {
     val base = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(15,2)").as("o_totalprice"))
@@ -803,9 +807,23 @@ object Queries {
       .select(col("o_orderkey"), lit("upsert").as("op"), at("2025-01-03").as("ts"),
         col("o_orderkey").as("seq"), lit("R").as("o_orderstatus"),
         (col("o_totalprice") * lit(2)).cast("decimal(15,2)").as("o_totalprice"))
-    graft.operators.Cdc.applyChangelog(
-        base, upd.unionByName(del).unionByName(re), Seq("o_orderkey"))
+    (base, upd.unionByName(del).unionByName(re))
+  }
+
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val (base, chg) = cdcFixture(s, dir)
+    graft.operators.Cdc.applyChangelog(base, chg, Seq("o_orderkey"))
       .orderBy("o_orderkey")
+  }
+
+  /** SCD type-2 history ([[graft.operators.Cdc.scd2History]]) from the
+    * same changelog: validity intervals per version — deletes close
+    * the prior version, the 14th-key re-upsert opens a new current
+    * one. ONE keyed window, no self-join. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val (_, chg) = cdcFixture(s, dir)
+    graft.operators.Cdc.scd2History(chg, Seq("o_orderkey"))
+      .orderBy("o_orderkey", "valid_from")
   }
 
   /** One-pass constraint suite ([[graft.operators.Validate]]) over

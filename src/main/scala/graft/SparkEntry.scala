@@ -160,6 +160,7 @@ object SparkEntry {
     "q_rolling_wau_hll"      -> (LlmQueries.rollingWauHll _),
     "q_label_centroids"      -> (LlmQueries.labelCentroids _),
     "q_cms_join_size"        -> (LlmQueries.cmsJoinSize _),
+    "q_scd2"                 -> (Queries.scd2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1766,6 +1767,31 @@ object SparkEntry {
         |SELECT CAST(sum(fa * fb) AS BIGINT) AS exact_join_size,
         |  true AS est_at_least_exact, true AS est_within_bound
         |FROM f""".stripMargin,
+    "q_scd2" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(15,2)) AS o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, 'upsert' AS op, TIMESTAMP '2025-01-01' AS ts,
+        |    o_orderkey AS seq, o_orderstatus,
+        |    CAST(o_totalprice + 10 AS DECIMAL(15,2)) AS o_totalprice
+        |  FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'delete', TIMESTAMP '2025-01-02', o_orderkey,
+        |    NULL, NULL
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'upsert', TIMESTAMP '2025-01-03', o_orderkey, 'R',
+        |    CAST(o_totalprice * 2 AS DECIMAL(15,2))
+        |  FROM base WHERE o_orderkey % 14 = 0),
+        |win AS (
+        |  SELECT *, lead(ts) OVER (PARTITION BY o_orderkey
+        |    ORDER BY ts, seq) AS nt
+        |  FROM chg)
+        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  ts AS valid_from, nt AS valid_to, nt IS NULL AS is_current
+        |FROM win WHERE op <> 'delete'
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
   )
 
   /** DuckDB replay of [[graft.graph.PageRank]]: the 5-iteration power

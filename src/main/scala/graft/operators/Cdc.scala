@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture application: fold a keyed changelog of
@@ -76,5 +77,35 @@ object Cdc {
         .as("_latest"))
       .where(col("_latest.op") =!= lit("delete"))
       .select(key ++ valueCols.map(n => col(s"_latest.$n").as(n)): _*)
+  }
+
+  /** Slowly-changing-dimension type-2 history from a changelog: one
+    * validity interval per surviving version — `valid_from` = the
+    * change time, `valid_to` = the NEXT change time for the key (any
+    * op — a delete closes the previous version without opening one),
+    * null `valid_to` = current, plus an `is_current` flag.
+    *
+    * Scale shape: ONE key-partitioned window (lead over (ts, seq))
+    * on the changelog — no self-join, no per-version shuffle; the
+    * window's sort is within key partitions only. The warehouse-table
+    * builder that pairs with [[applyChangelog]] (which materializes
+    * only the head).
+    */
+  def scd2History(
+      changelog: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "scd2History needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(seqCol))
+    changelog
+      .withColumn("_next_ts", lead(col(tsCol), 1).over(w))
+      .where(col(opCol) =!= lit("delete"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", col("_next_ts"))
+      .withColumn("is_current", col("_next_ts").isNull)
+      .drop("_next_ts", tsCol, seqCol, opCol)
   }
 }

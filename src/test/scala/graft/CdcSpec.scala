@@ -71,6 +71,25 @@ class CdcSpec extends SparkSuite {
     assert(out.count() == out.select("k").distinct().count())
   }
 
+  test("scd2History: intervals chain, deletes close, re-upserts reopen") {
+    val chg = Seq(
+      (1L, "upsert", ts("2025-01-01 00:00:00"), 1L, Some("v1"), Some(1.0)),
+      (1L, "upsert", ts("2025-01-02 00:00:00"), 2L, Some("v2"), Some(2.0)),
+      (2L, "upsert", ts("2025-01-01 00:00:00"), 3L, Some("x1"), Some(9.0)),
+      (2L, "delete", ts("2025-01-02 00:00:00"), 4L, None, None),
+      (2L, "upsert", ts("2025-01-03 00:00:00"), 5L, Some("x2"), Some(8.0))
+    ).toDF("k", "op", "ts", "seq", "status", "price")
+    val out = Cdc.scd2History(chg, Seq("k"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getTimestamp(4)).map(_.toString).orNull, r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, "v1", "2025-01-02 00:00:00.0", false),
+      (1L, "v2", null, true),
+      (2L, "x1", "2025-01-02 00:00:00.0", false), // closed by the delete
+      (2L, "x2", null, true)))
+  }
+
   test("duplicate base keys resolve deterministically (greatest payload)") {
     val emptyChg = changelog.limit(0)
     for (rows <- Seq(Seq((1L, "a", 1.0), (1L, "b", 2.0)),
