@@ -846,11 +846,11 @@ object LlmQueries {
         sum(when(col("par") === 1, 1L).otherwise(0L)).as("fb"))
       .agg(sum(col("fa") * col("fb")).as("exact_join_size"))
     sk.crossJoin(exact)
+      .withColumn("_est", expr("cms_join_size(ska, skb)"))
       .select(col("exact_join_size"),
-        (expr("cms_join_size(ska, skb)") >= col("exact_join_size"))
-          .as("est_at_least_exact"),
-        (expr("cms_join_size(ska, skb)") <= col("exact_join_size") +
-          lit(3L) * col("na") * col("nb") / lit(2048L))
+        (col("_est") >= col("exact_join_size")).as("est_at_least_exact"),
+        (col("_est") <= col("exact_join_size") + lit(3L) * col("na") *
+          col("nb") / lit(graft.expr.Cms.DefaultWidth.toLong))
           .as("est_within_bound"))
   }
 

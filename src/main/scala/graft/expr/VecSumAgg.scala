@@ -32,6 +32,18 @@ case class VecSumAgg(
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // analysis-time rejection, like the sibling sketch expressions —
+  // never a per-task runtime surprise
+  override def checkInputDataTypes()
+  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_sum_micros expects array<float|double>, got $other")
+    }
+
   private lazy val elemType: DataType = child.dataType match {
     case ArrayType(et @ (FloatType | DoubleType), _) => et
     case other => throw new IllegalArgumentException(
@@ -54,6 +66,9 @@ case class VecSumAgg(
     else {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      // a zero-length vector would alias the 'no input yet' empty
+      // buffer and silently skip the mismatch guard — fail loud
+      require(n > 0, "vec_sum_micros: empty vector")
       val out = if (buffer.isEmpty) new Array[Long](n) else buffer
       require(out.length == n,
         s"vec_sum_micros: dimension mismatch (${out.length} vs $n)")

@@ -271,7 +271,15 @@ object Multimodal {
     * float accumulation), so the hash is fully deterministic.
     * Robust to resize/re-encode/brightness-preserving noise; hamming
     * distance between hashes is the image-similarity signal. */
-  def aHash64(img: java.awt.image.BufferedImage): Long = {
+  def aHash64(img0: java.awt.image.BufferedImage): Long = {
+    // bound the integer sums: above ~4 MP the cross-multiplied
+    // threshold compare below could overflow Long (gridSum·counts ≤
+    // 255000·total² must stay < 2⁶³) — and an 8×8 mean grid gains
+    // nothing from more pixels anyway
+    val img =
+      if (img0.getWidth.toLong * img0.getHeight > (1L << 22))
+        resizeImage(img0, 2048, 2048)
+      else img0
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Long](64)
     val counts = new Array[Long](64)
@@ -357,22 +365,33 @@ object Multimodal {
 
   /** Near-duplicate media pairs by banded hamming over a 64-bit
     * perceptual hash (aHash64 for images, audioHash64 for WAVs) — the
-    * simhash recipe applied to pixels: 4 bands of 16 bits; a pair
-    * whose hashes agree on ANY band becomes a candidate (hamming ≤
-    * `maxDist` < 16 guarantees at least one clean band by pigeonhole
-    * when maxDist ≤ 3); candidates verify by exact popcount. Scale
-    * shape: band equi-join on 8-byte keys, distinct candidate pairs,
-    * then the cheap XOR verify — never all-pairs. */
-  def nearDuplicateMedia(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
-    require(maxDist >= 0 && maxDist < 16,
-      s"maxDist must be in [0, 16) for 4x16 banding, got $maxDist")
+    * simhash recipe applied to perceptual bits: 8 bands of 8 bits; a
+    * pair with hamming ≤ `maxDist` ≤ 7 differs in at most 7 bands, so
+    * by pigeonhole it AGREES on at least one band and becomes a
+    * candidate (full recall — hence the hard `maxDist ≤ 7` limit,
+    * beyond which banding would silently drop true pairs). Candidates
+    * verify by exact popcount. Scale shape: band equi-join on small
+    * keys with a per-bucket size cap (the [[Dedup]] maxBucketSize
+    * guard: a degenerate corpus of near-identical hashes must not go
+    * quadratic — capped buckets drop whole, trading recall ONLY on
+    * boilerplate-like clusters), distinct candidate pairs, cheap XOR
+    * verify — never all-pairs. */
+  def nearDuplicateMedia(hashes: DataFrame, maxDist: Int = 3,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist must be in [0, 7] for 8x8 banding recall, got $maxDist")
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
     val banded = hashes.select(col("path"), col("ahash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
+      explode(sequence(lit(0), lit(7))).as("band"))
       .withColumn("bv",
-        expr("shiftrightunsigned(ahash, band * 16)").bitwiseAND(lit(0xFFFFL)))
-    val a = banded.select(col("band"), col("bv"),
+        expr("shiftrightunsigned(ahash, band * 8)").bitwiseAND(lit(0xFFL)))
+    val capped = banded.join(
+      banded.groupBy("band", "bv").agg(count(lit(1)).as("_bn"))
+        .where(col("_bn") <= maxBucketSize),
+      Seq("band", "bv"), "left_semi")
+    val a = capped.select(col("band"), col("bv"),
       col("path").as("path_a"), col("ahash").as("ha"))
-    val b = banded.select(col("band"), col("bv"),
+    val b = capped.select(col("band"), col("bv"),
       col("path").as("path_b"), col("ahash").as("hb"))
     a.join(b, Seq("band", "bv"))
       .where(col("path_a") < col("path_b"))

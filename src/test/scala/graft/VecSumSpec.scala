@@ -59,4 +59,17 @@ class VecSumSpec extends SparkSuite {
     val d = Seq(("a", Seq(0.25, -0.25))).toDF("g", "v")
     assert(sums(d)("a") == Seq(250000L, -250000L))
   }
+
+  test("empty vectors fail loudly (never alias the empty buffer)") {
+    val d = Seq(("a", Seq.empty[Float]), ("a", Seq(1.0f))).toDF("g", "v")
+    val e = intercept[Exception](sums(d))
+    assert(e.getMessage != null)
+  }
+
+  test("wrong input type is rejected at analysis time") {
+    val d = Seq(("a", Seq(1, 2))).toDF("g", "v") // array<int>
+    intercept[org.apache.spark.sql.AnalysisException] {
+      d.groupBy("g").agg(expr("vec_sum_micros(v)")).queryExecution.analyzed
+    }
+  }
 }
