@@ -587,6 +587,23 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Broadcast as-of join ([[graft.operators.AsOfJoin.broadcastJoin]]):
+    * the q_asof_join query through the zero-shuffle path — clicks
+    * collect/broadcast as per-user sorted arrays and every purchase
+    * binary-searches them; the fact side is never repartitioned.
+    * Same DuckDB ASOF oracle as the merge-path query. */
+  def asofBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    graft.operators.AsOfJoin.broadcastJoin(purchases, clicks,
+        keys = Seq("user_id"), leftTime = "ts", rightTime = "click_ts")
+      .orderBy("event_id")
+  }
+
   /** Forward as-of join: each purchase matched to the same user's
     * EARLIEST click at-or-after it (the "next event" direction). */
   def asofJoinForward(s: SparkSession, dir: String): DataFrame = {

@@ -38,6 +38,7 @@ object SparkEntry {
     "q_j2_broadcast_dims"    -> (Queries.j2BroadcastDims _),
     "q_j3_anti_join"         -> (Queries.j3AntiJoin _),
     "q_asof_join"            -> (Queries.asofJoin _),
+    "q_asof_broadcast"       -> (Queries.asofBroadcast _),
     "q_asof_fwd"             -> (Queries.asofJoinForward _),
     "q_asof_tol"             -> (Queries.asofJoinTolerance _),
     "q_ntile"                -> (Queries.ntileQuartiles _),
@@ -271,6 +272,16 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id,
+        |             ts AS click_ts FROM events
+        |           WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_ts
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_asof_broadcast" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events
         |           WHERE event_type = 'purchase'),
         |     c AS (SELECT event_id AS click_id, user_id,

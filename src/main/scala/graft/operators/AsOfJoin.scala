@@ -163,4 +163,149 @@ object AsOfJoin {
       lStruct.fieldNames.map(n => col(s"_l.$n").as(n)) ++
         rightOut.map(n => col(s"_r.$n").as(n)): _*)
   }
+
+  /** Broadcast as-of join for a SMALL right side: the reference rows
+    * collect to the driver once, group into per-key time-sorted
+    * arrays, broadcast, and each left partition binary-searches them —
+    * the left (fact) side is NEVER shuffled or sorted. This is the
+    * 100 TB shape for "enrich every event with the dimension value in
+    * effect at its time": [[join]]'s keyed repartition of the fact
+    * table is the dominant cost there, and a KB–MB dimension history
+    * doesn't warrant it. Semantics (direction, tolerance, null keys /
+    * times, equal-time tie-breaks) match [[join]] exactly — spec-pinned
+    * against it.
+    *
+    * @param maxRightRows hard cap on collected reference rows (the
+    *                     driver-memory guard); exceeding it throws
+    *                     rather than silently OOMing — use [[join]]
+    *                     for big reference sides.
+    */
+  def broadcastJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    direction: String = "backward",
+                    toleranceMicros: Option[Long] = None,
+                    maxRightRows: Int = 1000000): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    require(keys.nonEmpty, "at least one key column")
+    val rightOut = right.columns.filterNot(keys.contains)
+    val collisions = left.columns.toSet.intersect(rightOut.toSet)
+    require(collisions.isEmpty,
+      s"rename right columns colliding with left: ${collisions.mkString(",")}")
+    val backward = direction == "backward"
+
+    val kOkR = keys.map(col(_).isNotNull).reduce(_ && _)
+    val collected = right
+      .filter(col(rightTime).isNotNull && kOkR)
+      .select((keys.map(col) :+
+        unix_micros(col(rightTime).cast("timestamp")).as("_t")) ++
+        rightOut.map(col): _*)
+      .limit(maxRightRows + 1)
+      .collect()
+    require(collected.length <= maxRightRows,
+      s"broadcastJoin: right side exceeds maxRightRows=$maxRightRows — " +
+        "use AsOfJoin.join for large reference sides")
+
+    val nk = keys.length
+    // per key: (time, payload) sorted by (time asc, payload asc) — the
+    // LAST entry at-or-before wins backward (greatest struct at equal
+    // time), the FIRST at-or-after wins forward (least struct): the
+    // same equal-time winners as join()'s merge-sort carry
+    val grouped: Map[List[Any], Array[(Long, Array[Any])]] = collected
+      .groupBy(r => List.tabulate(nk)(r.get))
+      .map { case (k, rows) =>
+        k -> rows.map { r =>
+          (r.getLong(nk), Array.tabulate(rightOut.length)(i => r.get(nk + 1 + i)))
+        }.sortWith((a, b) =>
+          a._1 < b._1 || (a._1 == b._1 && cmpVals(a._2, b._2) < 0)).toArray
+      }
+    val bc = left.sparkSession.sparkContext.broadcast(grouped)
+
+    val lStruct = StructType(left.schema.fields)
+    val outSchema = StructType(lStruct.fields ++
+      right.schema.fields.filter(f => rightOut.contains(f.name))
+        .map(_.copy(nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val kOkL = keys.map(col(_).isNotNull).reduce(_ && _)
+    val prepped = left.select(
+      struct(left.columns.map(col): _*).as("_l"),
+      unix_micros(col(leftTime).cast("timestamp")).as("_t"),
+      kOkL.as("_kok"),
+      struct(keys.map(col): _*).as("_k"))
+
+    prepped.mapPartitions { it =>
+      val m = bc.value
+      val nulls = Seq.fill(rightOut.length)(null)
+      it.map { row =>
+        val l = row.getStruct(0)
+        val matched: Seq[Any] =
+          if (row.isNullAt(1) || !row.getBoolean(2)) nulls
+          else {
+            val k = List.tabulate(nk)(i => row.getStruct(3).get(i))
+            m.get(k) match {
+              case None => nulls
+              case Some(arr) =>
+                val t = row.getLong(1)
+                val idx = search(arr, t, backward)
+                if (idx < 0) nulls
+                else {
+                  val (rt, payload) = arr(idx)
+                  if (toleranceMicros.forall(tol => math.abs(t - rt) <= tol))
+                    payload.toSeq
+                  else nulls
+                }
+            }
+          }
+        Row.fromSeq(l.toSeq ++ matched)
+      }
+    }(enc)
+  }
+
+  /** Greatest index with t ≤ target (backward) / least with t ≥ target
+    * (forward); -1 when none qualifies. */
+  private def search(arr: Array[(Long, Array[Any])], target: Long,
+                     backward: Boolean): Int = {
+    var lo = 0; var hi = arr.length - 1
+    if (backward) {
+      var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid)._1 <= target) { ans = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
+      ans
+    } else {
+      var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid)._1 >= target) { ans = mid; hi = mid - 1 }
+        else lo = mid + 1
+      }
+      ans
+    }
+  }
+
+  /** Field-by-field natural-order compare of external-type payload
+    * rows, nulls first; unorderable values (maps) compare equal --
+    * mirroring [[join]]'s struct-tiebreak semantics (within a tie
+    * group the key and time fields are already equal, so comparing
+    * the remaining fields in column order matches the full-struct
+    * order the merge path uses). */
+  private def cmpVals(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val c = (a(i), b(i)) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (x: Comparable[_], y) =>
+          try x.asInstanceOf[Comparable[Any]].compareTo(y)
+          catch { case _: ClassCastException => 0 }
+        case _ => 0
+      }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
 }

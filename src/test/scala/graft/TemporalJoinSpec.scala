@@ -199,4 +199,58 @@ class TemporalJoinSpec extends SparkSuite {
     assert(!plan.contains("NestedLoop"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("broadcastJoin matches join() on a randomized fixture — both " +
+    "directions, with and without tolerance, nulls included") {
+    val rnd = new scala.util.Random(42)
+    val l = left((1 to 200).map(i =>
+      (i.toLong, f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00",
+        (i % 7).toLong)): _*)
+      // null key and null time rows must behave identically
+      .unionByName(left((900L, "2024-01-01 12:00:00", 7L))
+        .select(col("lid"), col("lt"), lit(null).cast("long").as("k")))
+    val r = right((1 to 60).map(i =>
+      (100L + i, f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00",
+        (i % 7).toLong)): _*)
+    for (dir <- Seq("backward", "forward");
+         tol <- Seq(None, Some(3600L * 1000000L))) {
+      val viaMerge = AsOfJoin.join(l, r, Seq("k"), "lt", "rt", dir, tol)
+        .collect().map(_.toSeq).toSet
+      val viaBroadcast = AsOfJoin.broadcastJoin(l, r, Seq("k"), "lt", "rt",
+        dir, tol)
+        .collect().map(_.toSeq).toSet
+      assert(viaBroadcast == viaMerge, s"dir=$dir tol=$tol")
+    }
+  }
+
+  test("broadcastJoin never shuffles the fact side") {
+    val l = left((1L, "2024-01-01 10:00:00", 7L))
+    val r = right((10L, "2024-01-01 09:30:00", 7L))
+    val plan = AsOfJoin.broadcastJoin(l, r, Seq("k"), "lt", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("broadcastJoin equal-time ties pick join()'s winner") {
+    val l = left((1L, "2024-01-01 10:00:00", 7L))
+    val r = right((10L, "2024-01-01 10:00:00", 7L),
+      (11L, "2024-01-01 10:00:00", 7L))
+    for (dir <- Seq("backward", "forward")) {
+      val m = AsOfJoin.join(l, r, Seq("k"), "lt", "rt", dir, None)
+        .collect().head.getLong(3)
+      val b = AsOfJoin.broadcastJoin(l, r, Seq("k"), "lt", "rt", dir, None)
+        .collect().head.getLong(3)
+      assert(b == m, s"dir=$dir: broadcast picked $b, merge picked $m")
+    }
+  }
+
+  test("broadcastJoin refuses an oversized right side") {
+    val l = left((1L, "2024-01-01 10:00:00", 7L))
+    val r = right((1 to 50).map(i =>
+      (i.toLong, "2024-01-01 09:00:00", 7L)): _*)
+    intercept[IllegalArgumentException] {
+      AsOfJoin.broadcastJoin(l, r, Seq("k"), "lt", "rt",
+        maxRightRows = 10)
+    }
+  }
 }
