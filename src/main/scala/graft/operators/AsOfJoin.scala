@@ -194,15 +194,20 @@ object AsOfJoin {
       s"rename right columns colliding with left: ${collisions.mkString(",")}")
     val backward = direction == "backward"
 
+    // NOTE: the right side collects EAGERLY, at construction time —
+    // building this DataFrame runs a Spark job (like the engine's
+    // other materialize-then-broadcast operators); the broadcast is
+    // reaped by the driver's periodic GC once the result frame dies.
     val kOkR = keys.map(col(_).isNotNull).reduce(_ && _)
+    val cap = math.min(maxRightRows, Int.MaxValue - 1) // +1 must not wrap
     val collected = right
       .filter(col(rightTime).isNotNull && kOkR)
       .select((keys.map(col) :+
         unix_micros(col(rightTime).cast("timestamp")).as("_t")) ++
         rightOut.map(col): _*)
-      .limit(maxRightRows + 1)
+      .limit(cap + 1)
       .collect()
-    require(collected.length <= maxRightRows,
+    require(collected.length <= cap,
       s"broadcastJoin: right side exceeds maxRightRows=$maxRightRows — " +
         "use AsOfJoin.join for large reference sides")
 
@@ -210,9 +215,11 @@ object AsOfJoin {
     // per key: (time, payload) sorted by (time asc, payload asc) — the
     // LAST entry at-or-before wins backward (greatest struct at equal
     // time), the FIRST at-or-after wins forward (least struct): the
-    // same equal-time winners as join()'s merge-sort carry
+    // same equal-time winners as join()'s merge-sort carry. Binary key
+    // components wrap to value-equality Seqs (a raw Array[Byte] map
+    // key would compare by reference and silently never match).
     val grouped: Map[List[Any], Array[(Long, Array[Any])]] = collected
-      .groupBy(r => List.tabulate(nk)(r.get))
+      .groupBy(r => List.tabulate(nk)(i => normKey(r.get(i))))
       .map { case (k, rows) =>
         k -> rows.map { r =>
           (r.getLong(nk), Array.tabulate(rightOut.length)(i => r.get(nk + 1 + i)))
@@ -241,7 +248,7 @@ object AsOfJoin {
         val matched: Seq[Any] =
           if (row.isNullAt(1) || !row.getBoolean(2)) nulls
           else {
-            val k = List.tabulate(nk)(i => row.getStruct(3).get(i))
+            val k = List.tabulate(nk)(i => normKey(row.getStruct(3).get(i)))
             m.get(k) match {
               case None => nulls
               case Some(arr) =>
@@ -285,27 +292,55 @@ object AsOfJoin {
     }
   }
 
-  /** Field-by-field natural-order compare of external-type payload
-    * rows, nulls first; unorderable values (maps) compare equal --
-    * mirroring [[join]]'s struct-tiebreak semantics (within a tie
-    * group the key and time fields are already equal, so comparing
-    * the remaining fields in column order matches the full-struct
-    * order the merge path uses). */
+  /** Map keys must compare by VALUE: binary key components wrap to
+    * Seq[Byte] (Array[Byte] equals/hashCode are reference-based and
+    * would silently never match a probe). */
+  private def normKey(v: Any): Any = v match {
+    case b: Array[Byte] => b.toSeq
+    case x => x
+  }
+
+  /** Field-by-field compare of external-type payload rows mirroring
+    * Catalyst's struct ordering, so equal-time tie winners match
+    * [[join]]'s merge path exactly: nulls first; strings by UTF-8
+    * byte order (Java's compareTo is UTF-16 code-unit order, which
+    * disagrees on supplementary characters); binary unsigned
+    * lexicographic; arrays elementwise then by length; nested structs
+    * recursively; maps (Catalyst-unorderable) compare equal — the
+    * merge path skips its struct tiebreak for those too. */
   private def cmpVals(a: Array[Any], b: Array[Any]): Int = {
     var i = 0
     while (i < a.length) {
-      val c = (a(i), b(i)) match {
-        case (null, null) => 0
-        case (null, _) => -1
-        case (_, null) => 1
-        case (x: Comparable[_], y) =>
-          try x.asInstanceOf[Comparable[Any]].compareTo(y)
-          catch { case _: ClassCastException => 0 }
-        case _ => 0
-      }
+      val c = cmpVal(a(i), b(i))
       if (c != 0) return c
       i += 1
     }
     0
+  }
+
+  private def cmpVal(x0: Any, y0: Any): Int = (x0, y0) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case (x: Array[Byte], y: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(x, y)
+    case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
+      val it = x.iterator.zip(y.iterator)
+      while (it.hasNext) {
+        val (xe, ye) = it.next()
+        val c = cmpVal(xe, ye)
+        if (c != 0) return c
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    case (x: Row, y: Row) =>
+      cmpVals(Array.tabulate(x.length)(x.get), Array.tabulate(y.length)(y.get))
+    case (x: Comparable[_], y) =>
+      try x.asInstanceOf[Comparable[Any]].compareTo(y)
+      catch { case _: ClassCastException => 0 }
+    case _ => 0
   }
 }

@@ -206,9 +206,12 @@ class TemporalJoinSpec extends SparkSuite {
     val l = left((1 to 200).map(i =>
       (i.toLong, f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00",
         (i % 7).toLong)): _*)
-      // null key and null time rows must behave identically
+      // null key AND null time rows must behave identically (left
+      // join keeps them, nothing matches)
       .unionByName(left((900L, "2024-01-01 12:00:00", 7L))
         .select(col("lid"), col("lt"), lit(null).cast("long").as("k")))
+      .unionByName(left((901L, "2024-01-01 12:00:00", 5L))
+        .select(col("lid"), lit(null).cast("timestamp").as("lt"), col("k")))
     val r = right((1 to 60).map(i =>
       (100L + i, f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00",
         (i % 7).toLong)): _*)

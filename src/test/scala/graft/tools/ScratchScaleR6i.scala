@@ -68,7 +68,8 @@ object ScratchScaleR6i {
       .reduce(_ unionByName _).persist()
     println(s"events: ${events.count()}")
     time("broadcast as-of 2M facts") {
-      // small reference: one row per (user, day) from the base slice
+      // reference = ALL base-slice clicks (~50k rows at sf0.1 — well
+      // under the maxRightRows guard); the fact side is 20x
       val ref = e0.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("ref_ts"),
           col("event_id").as("ref_id"))
