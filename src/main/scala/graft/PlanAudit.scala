@@ -35,7 +35,10 @@ object PlanAudit {
       "q_cdc_apply", "q_validate", "q_resample_ffill", "q_rolling_dau",
       "q_outliers", "q_skew_salted_join", "q_html_extract",
       "q_spatial_join", "q_triangles", "q_pmi_bigrams",
-      "q_inverted_index", "q_winsorize")
+      "q_inverted_index", "q_winsorize",
+      "q_line_dedup", "q_mask_tokens", "q_url_domains",
+      "q_rolling_wau_hll", "q_label_centroids", "q_cms_join_size",
+      "q_scd2", "q_asof_broadcast")
     targets.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, dir)
