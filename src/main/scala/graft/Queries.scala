@@ -1015,6 +1015,37 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Declarative MERGE INTO ([[graft.operators.Merge]]): the orders
+    * snapshot reconciled with one batch carrying updates (every 5th
+    * key, +10.00), inserts (every 11th key re-keyed +1M), deletes
+    * (every 7th-not-5th key), and a delete for an ABSENT key (no-op,
+    * like SQL MERGE) — one full-outer join, source wins where
+    * present. */
+  def mergeInto(s: SparkSession, dir: String): DataFrame = {
+    val tgt = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(15,2)").as("o_totalprice"))
+    val upd = tgt.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") + lit(10)).cast("decimal(15,2)")
+          .as("o_totalprice"), lit("upsert").as("op"))
+    val ins = tgt.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+      .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("o_totalprice"),
+        lit("upsert").as("op"))
+    val del = tgt.filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
+        pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        lit("delete").as("op"))
+    val delAbsent = tgt.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+      .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"), lit("delete").as("op"))
+    graft.operators.Merge.mergeInto(tgt,
+        upd.unionByName(ins).unionByName(del).unionByName(delAbsent),
+        Seq("o_orderkey"), deleteWhen = Some(col("op") === "delete"))
+      .orderBy("o_orderkey")
+  }
+
   /** Salted equi-join ([[graft.operators.Skew]].saltedJoin) through a
     * manufactured hot key: every 4th lineitem collapses onto suppkey 0
     * (~25% of the probe side on one key — the shape where a sort-merge

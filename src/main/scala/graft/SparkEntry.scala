@@ -162,6 +162,7 @@ object SparkEntry {
     "q_label_centroids"      -> (LlmQueries.labelCentroids _),
     "q_cms_join_size"        -> (LlmQueries.cmsJoinSize _),
     "q_scd2"                 -> (Queries.scd2 _),
+    "q_merge_into"           -> (Queries.mergeInto _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1803,6 +1804,32 @@ object SparkEntry {
         |  ts AS valid_from, nt AS valid_to, nt IS NULL AS is_current
         |FROM win WHERE op <> 'delete'
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+    "q_merge_into" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(15,2)) AS o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice + 10 AS DECIMAL(15,2)) AS o_totalprice,
+        |    'upsert' AS op
+        |  FROM tgt WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, 'N', o_totalprice, 'upsert'
+        |  FROM tgt WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+        |  FROM tgt WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000, o_orderstatus, o_totalprice, 'delete'
+        |  FROM tgt WHERE o_orderkey % 13 = 0)
+        |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |    ELSE t.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |    ELSE t.o_totalprice END AS o_totalprice
+        |FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+        |WHERE NOT coalesce(s.op = 'delete', false)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   /** DuckDB replay of [[graft.graph.PageRank]]: the 5-iteration power
