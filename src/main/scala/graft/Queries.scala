@@ -1025,12 +1025,16 @@ object Queries {
     val tgt = t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(15,2)").as("o_totalprice"))
+    // synthetic-key offsets derive from the ACTUAL key range so the
+    // insert/absent-delete branches can never collide with real keys
+    // (or each other) at any SF — a fixed +1M would collide at sf1
+    val off = tgt.agg(max(col("o_orderkey"))).head().getLong(0) + 1
     val upd = tgt.filter(pmod(col("o_orderkey"), lit(5)) === 0)
       .select(col("o_orderkey"), col("o_orderstatus"),
         (col("o_totalprice") + lit(10)).cast("decimal(15,2)")
           .as("o_totalprice"), lit("upsert").as("op"))
     val ins = tgt.filter(pmod(col("o_orderkey"), lit(11)) === 0)
-      .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + off).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("o_totalprice"),
         lit("upsert").as("op"))
     val del = tgt.filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
@@ -1038,7 +1042,7 @@ object Queries {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
         lit("delete").as("op"))
     val delAbsent = tgt.filter(pmod(col("o_orderkey"), lit(13)) === 0)
-      .select((col("o_orderkey") + 5000000L).as("o_orderkey"),
+      .select((col("o_orderkey") + 2 * off).as("o_orderkey"),
         col("o_orderstatus"), col("o_totalprice"), lit("delete").as("op"))
     graft.operators.Merge.mergeInto(tgt,
         upd.unionByName(ins).unionByName(del).unionByName(delAbsent),

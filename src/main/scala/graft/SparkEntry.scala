@@ -1808,19 +1808,22 @@ object SparkEntry {
       """WITH tgt AS (
         |  SELECT o_orderkey, o_orderstatus,
         |    CAST(o_totalprice AS DECIMAL(15,2)) AS o_totalprice FROM orders),
+        |off AS (SELECT max(o_orderkey) + 1 AS o FROM tgt),
         |src AS (
         |  SELECT o_orderkey, o_orderstatus,
         |    CAST(o_totalprice + 10 AS DECIMAL(15,2)) AS o_totalprice,
         |    'upsert' AS op
         |  FROM tgt WHERE o_orderkey % 5 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 1000000, 'N', o_totalprice, 'upsert'
+        |  SELECT o_orderkey + (SELECT o FROM off), 'N', o_totalprice,
+        |    'upsert'
         |  FROM tgt WHERE o_orderkey % 11 = 0
         |  UNION ALL
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
         |  FROM tgt WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 5000000, o_orderstatus, o_totalprice, 'delete'
+        |  SELECT o_orderkey + 2 * (SELECT o FROM off), o_orderstatus,
+        |    o_totalprice, 'delete'
         |  FROM tgt WHERE o_orderkey % 13 = 0)
         |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
         |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus

@@ -41,9 +41,18 @@ object Merge {
       deleteWhen: Option[Column] = None): DataFrame = {
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val outCols = target.columns.toSeq
-    require(outCols.forall(source.columns.contains),
+    // containment check honors the session's column-resolution case
+    // sensitivity — a case-insensitive session resolves 'Price'
+    // against 'price', so the guard must too
+    val caseSensitive =
+      target.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+        .toBoolean
+    def has(c: String): Boolean =
+      if (caseSensitive) source.columns.contains(c)
+      else source.columns.exists(_.equalsIgnoreCase(c))
+    require(outCols.forall(has),
       s"source is missing target columns: " +
-        outCols.filterNot(source.columns.contains).mkString(","))
+        outCols.filterNot(has).mkString(","))
 
     val t = target.select(keys.map(col) :+
       struct(outCols.map(col): _*).as("_t"): _*)

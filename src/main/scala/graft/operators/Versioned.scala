@@ -68,8 +68,22 @@ object Versioned {
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val ptr = new Path(root, "_latest")
-    if (f.exists(ptr)) f.delete(ptr, false)
-    require(f.rename(tmp, ptr), s"pointer swap failed for $root v$v")
+    // rename OVER the old pointer in one step (the Incremental
+    // watermark's primitive): delete-then-rename would open a window
+    // where a crash loses the pointer entirely — after which
+    // latestVersion()=0 and a vacuum would treat EVERY published
+    // version as an orphan
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no FileContext for this scheme: accept the tiny window
+        // rather than failing the publish
+        if (f.exists(ptr)) f.delete(ptr, false)
+        require(f.rename(tmp, ptr), s"pointer swap failed for $root v$v")
+    }
     v
   }
 
@@ -105,15 +119,25 @@ object Versioned {
   }
 
   /** Drop versions beyond the newest `keep` (never the current
-    * pointer target) plus any orphaned directory ABOVE the pointer
-    * (a crashed publish that never swapped) — bounded storage for
-    * daily publishes. */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    * pointer target) plus orphaned directories ABOVE the pointer —
+    * but an orphan only counts as a CRASHED publish once it is older
+    * than `orphanMinAgeMs`: a directory above the pointer that is
+    * younger than that is an IN-FLIGHT publish whose pointer swap
+    * hasn't happened yet, and deleting it would race the writer
+    * (Delta's retention-window idea, sized for a publish, not a
+    * query). Bounded storage for daily publishes. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             orphanMinAgeMs: Long = 6L * 3600 * 1000): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val f = fs(spark, root)
     val current = latestVersion(spark, root)
-    val (orphans, published) =
+    val now = System.currentTimeMillis()
+    val (above, published) =
       versions(spark, root).partition(_ > current)
+    val orphans = above.filter { v =>
+      val dir = versionDir(root, v)
+      now - f.getFileStatus(dir).getModificationTime >= orphanMinAgeMs
+    }
     val old = published.filter(_ != current)
       .dropRight(math.max(0, keep - 1))
     (orphans ++ old).foreach(v => f.delete(versionDir(root, v), true))

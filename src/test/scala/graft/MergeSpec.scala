@@ -57,11 +57,21 @@ class MergeSpec extends SparkSuite {
     }
   }
 
-  test("one shuffle: the plan has a single join and no window/extra agg") {
+  test("one shuffle: exactly one join in the plan, no window, no extra agg") {
     val plan = Merge.mergeInto(target, source, Seq("k"),
       deleteWhen = Some(col("op") === "delete"))
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"),
-      plan)
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(plan).length
+    assert(joins == 1, s"expected exactly 1 join, got $joins:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct") &&
+      !plan.contains("Aggregate"), plan)
+  }
+
+  test("case-insensitive sessions resolve differently-cased columns") {
+    val srcCased = source.withColumnRenamed("price", "PRICE")
+    val out = Merge.mergeInto(target, srcCased, Seq("k"),
+      deleteWhen = Some(col("op") === "delete"))
+    assert(out.count() == 3) // same merge result as the exact-case source
   }
 }

@@ -41,12 +41,16 @@ class VersionedSpec extends SparkSuite {
       .collect().map(_.getInt(0)).toSet == Set(2))
   }
 
-  test("vacuum keeps the newest versions and removes orphans") {
+  test("vacuum keeps the newest versions and removes aged orphans") {
     val r = root()
     (1 to 4).foreach(i => Versioned.publish(Seq(i).toDF("x"), r))
     // orphan above the pointer
     Seq(99).toDF("x").write.parquet(r + "/v00000009")
+    // a FRESH orphan is an in-flight publish: default vacuum keeps it
     Versioned.vacuum(spark, r, keep = 2)
+    assert(Versioned.versions(spark, r) == Seq(3L, 4L, 9L))
+    // aged out (threshold 0 for the test): the crashed publish goes
+    Versioned.vacuum(spark, r, keep = 2, orphanMinAgeMs = 0L)
     assert(Versioned.versions(spark, r) == Seq(3L, 4L))
     assert(Versioned.readLatest(spark, r)
       .collect().map(_.getInt(0)).toSet == Set(4))
