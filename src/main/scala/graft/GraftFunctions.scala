@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsJoinSizeExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr, VecSumAgg}
+import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsJoinSizeExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, DeflateRatioExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr, VecSumAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -164,6 +164,12 @@ object GraftFunctions {
     (FunctionIdentifier("cms_join_size"),
       new ExpressionInfo(classOf[CmsJoinSizeExpr].getName, "cms_join_size"),
       arity2("cms_join_size", CmsJoinSizeExpr.apply)),
+    (FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatioExpr].getName, "deflate_ratio"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "deflate_ratio expects 1 argument")
+        DeflateRatioExpr(exprs.head)
+      }),
     // Spark's own Bloom expressions (used internally by runtime row
     // filtering) surfaced as callable functions: whole-stage-codegen
     // membership probes instead of a Scala UDF (Transfer J3 prefilter).
