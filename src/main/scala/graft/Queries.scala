@@ -642,7 +642,8 @@ object Queries {
       .orderBy(col("value"), col("event_id"))
     t(s, dir, "events")
       .select(col("event_id"), col("event_type"),
-        ntile(4).over(w).as("quartile"))
+        // BIGINT to match DuckDB's ntile return type (Spark emits INT)
+        ntile(4).over(w).cast("long").as("quartile"))
       .orderBy("event_id")
   }
 
@@ -830,6 +831,10 @@ object Queries {
   def cdcApply(s: SparkSession, dir: String): DataFrame = {
     val (base, chg) = cdcFixture(s, dir)
     graft.operators.Cdc.applyChangelog(base, chg, Seq("o_orderkey"))
+      // exact decimal arithmetic inside; canonical rounded-double out,
+      // per the repo-wide money convention (Tables.moneySum)
+      .withColumn("o_totalprice",
+        round(col("o_totalprice"), 2).cast("double"))
       .orderBy("o_orderkey")
   }
 
@@ -840,6 +845,8 @@ object Queries {
   def scd2(s: SparkSession, dir: String): DataFrame = {
     val (_, chg) = cdcFixture(s, dir)
     graft.operators.Cdc.scd2History(chg, Seq("o_orderkey"))
+      .withColumn("o_totalprice",
+        round(col("o_totalprice"), 2).cast("double"))
       .orderBy("o_orderkey", "valid_from")
   }
 
@@ -1047,6 +1054,8 @@ object Queries {
     graft.operators.Merge.mergeInto(tgt,
         upd.unionByName(ins).unionByName(del).unionByName(delAbsent),
         Seq("o_orderkey"), deleteWhen = Some(col("op") === "delete"))
+      .withColumn("o_totalprice",
+        round(col("o_totalprice"), 2).cast("double"))
       .orderBy("o_orderkey")
   }
 

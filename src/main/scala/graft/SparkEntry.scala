@@ -903,7 +903,8 @@ object SparkEntry {
         |    (n_tokens > 0 AND (cum - 1) // 200 > (cum - n_tokens) // 200)
         |      AS spans
         |  FROM c)
-        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
         |  CAST(sum(CASE WHEN spans THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_spanning,
@@ -1440,7 +1441,8 @@ object SparkEntry {
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
         |    ORDER BY ts DESC NULLS LAST, seq DESC) AS rn FROM unioned)
-        |SELECT o_orderkey, o_orderstatus, o_totalprice
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice
         |FROM ranked WHERE rn = 1 AND op <> 'delete'
         |ORDER BY o_orderkey""".stripMargin,
     "q_validate" ->
@@ -1800,7 +1802,8 @@ object SparkEntry {
         |  SELECT *, lead(ts) OVER (PARTITION BY o_orderkey
         |    ORDER BY ts, seq) AS nt
         |  FROM chg)
-        |SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |SELECT o_orderkey, o_orderstatus,
+        |  CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice,
         |  ts AS valid_from, nt AS valid_to, nt IS NULL AS is_current
         |FROM win WHERE op <> 'delete'
         |ORDER BY o_orderkey, valid_from""".stripMargin,
@@ -1828,8 +1831,8 @@ object SparkEntry {
         |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
         |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
         |    ELSE t.o_orderstatus END AS o_orderstatus,
-        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
-        |    ELSE t.o_totalprice END AS o_totalprice
+        |  CAST(round(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |    ELSE t.o_totalprice END, 2) AS DOUBLE) AS o_totalprice
         |FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
         |WHERE NOT coalesce(s.op = 'delete', false)
         |ORDER BY o_orderkey""".stripMargin,

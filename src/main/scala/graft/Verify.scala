@@ -22,6 +22,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long and
       // convert in Tables.t (Spark has no nanos timestamp type)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write micros, not INT96 — the driver's pandas/DuckDB readers
+      // canonicalize micros; INT96 round-trips as a different dtype
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // reap localCheckpoint/broadcast blocks across the 120-query run
       .config("spark.cleaner.periodicGC.interval", "30s")
       // avoid generated-class cache thrash across 120+ query shapes
@@ -29,10 +32,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Canonicalize timestamp outputs: session-tz(UTC) instants →
+    // TIMESTAMP_NTZ, so parquet carries naive micros — the same value
+    // and dtype DuckDB produces for the oracle's naive TIMESTAMP
+    // literals/truncs (tz-aware micros would hash-mismatch).
+    def canonTs(df: org.apache.spark.sql.DataFrame)
+    : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.TimestampType
+      df.schema.fields.filter(_.dataType == TimestampType)
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, col(f.name).cast("timestamp_ntz")))
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try canonTs(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -59,6 +59,11 @@ object Skew {
                  salts: Int = 32): DataFrame = {
     require(keys.nonEmpty, "saltedJoin needs at least one key column")
     require(salts > 0, s"salts must be positive, got $salts")
+    // the salt column is joined BY NAME — a pre-existing __salt would
+    // silently produce a wrong (or ambiguous) join, not an error
+    require(!probe.columns.contains("__salt") &&
+        !build.columns.contains("__salt"),
+      "saltedJoin reserves column name __salt; rename it in the inputs")
     val p = probe.withColumn("__salt",
       pmod(xxhash64(probe.columns.map(col).toSeq: _*), lit(salts)).cast("int"))
     val b = build.withColumn("__salt",

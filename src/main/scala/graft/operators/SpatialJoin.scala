@@ -35,6 +35,13 @@ object SpatialJoin {
       xmin: String, ymin: String, xmax: String, ymax: String,
       cellSize: Double): DataFrame = {
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    // cell coordinates are joined BY NAME — pre-existing __cx/__cy
+    // would make the equi-join ambiguous or silently wrong
+    val reserved = Seq("__cx", "__cy")
+    val clash = (points.columns ++ boxes.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"pointInBox reserves columns ${reserved.mkString(",")}; " +
+        s"rename ${clash.distinct.mkString(",")} in the inputs")
     val cell = lit(cellSize)
     val p = points
       .withColumn("__cx", floor(col(px) / cell))

@@ -131,9 +131,30 @@ object Versioned {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val f = fs(spark, root)
     val current = latestVersion(spark, root)
+    val onDisk = versions(spark, root)
+    // pointer lost but versions exist (crash in the non-FileContext
+    // delete-then-rename fallback window): every version would look
+    // like an orphan and an aged vacuum would delete them ALL. Repair
+    // the pointer to the max published version instead of vacuuming.
+    if (current == 0L && onDisk.nonEmpty) {
+      // repair to the newest COMPLETE version (_SUCCESS present) — the
+      // max dir may itself be the half-written crashed publish
+      onDisk.reverse.find(v =>
+          f.exists(new Path(versionDir(root, v), "_SUCCESS")))
+        .foreach { repaired =>
+          val tmp = new Path(root, "_latest.tmp")
+          val out = f.create(tmp, true)
+          try out.write(repaired.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          val ptr = new Path(root, "_latest")
+          require(f.rename(tmp, ptr),
+            s"pointer repair failed for $root v$repaired")
+        }
+      return // never vacuum on a lost pointer — repair (above) or abort
+    }
     val now = System.currentTimeMillis()
-    val (above, published) =
-      versions(spark, root).partition(_ > current)
+    val (above, published) = onDisk.partition(_ > current)
     val orphans = above.filter { v =>
       val dir = versionDir(root, v)
       now - f.getFileStatus(dir).getModificationTime >= orphanMinAgeMs

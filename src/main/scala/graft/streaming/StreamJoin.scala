@@ -35,6 +35,18 @@ object StreamJoin {
   def within(left: DataFrame, right: DataFrame, keyCol: String,
              leftTime: String, rightTime: String,
              watermarkDelay: String, maxDelay: String): DataFrame = {
+    // the join condition references leftTime/rightTime by bare name
+    // across both sides — equal names would resolve ambiguously; and
+    // the key rename must not collide with an existing right column
+    require(leftTime != rightTime,
+      s"leftTime and rightTime must differ (both '$leftTime'); " +
+        "rename one side's event-time column before joining")
+    require(!right.columns.contains(s"${keyCol}_r"),
+      s"right already has a column named '${keyCol}_r' — the key " +
+        "disambiguation rename would collide; rename it first")
+    require(!right.columns.contains(leftTime) &&
+        !left.columns.contains(rightTime),
+      "event-time column names must be unique to their own side")
     val l = left.withWatermark(leftTime, watermarkDelay)
     val r = right.withWatermark(rightTime, watermarkDelay)
       .withColumnRenamed(keyCol, s"${keyCol}_r")

@@ -49,10 +49,17 @@ object StreamingUpsert {
 
     // the original-typed key rides along and is emitted verbatim — no
     // string round-trip back to the key type (and null keys survive)
+    // binary keys hex-encode (a raw UTF-8 cast is lossy — two distinct
+    // byte arrays can collapse to the same replacement-char string);
+    // everything else string-casts injectively within one key type
+    val keyStr = changelog.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.BinaryType => hex(col(keyCol))
+      case _ => col(keyCol).cast("string")
+    }
     val prepped = changelog
       .filter(col(tsCol).isNotNull)
       .select(
-        col(keyCol).cast("string").as("_k"),
+        keyStr.as("_k"),
         unix_micros(col(tsCol).cast("timestamp")).as("_t"),
         col(seqCol).cast("long").as("_s"),
         // null op folds like a delete: in the batch operator a winning
@@ -74,11 +81,14 @@ object StreamingUpsert {
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
 
+    // group key = (isNull, keyString): the null flag is out-of-band, so
+    // no in-band sentinel a genuine key value could collide with
     val out = prepped
-      .groupByKey(r => Option(r.getAs[String]("_k")).getOrElse("\u0000null"))(
-        Encoders.STRING)
+      .groupByKey(r =>
+        (r.isNullAt(0), Option(r.getAs[String]("_k")).getOrElse("")))(
+        Encoders.tuple(Encoders.scalaBoolean, Encoders.STRING))
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
-        (_: String, rows: Iterator[Row], st: GroupState[St]) => {
+        (_: (Boolean, String), rows: Iterator[Row], st: GroupState[St]) => {
           if (st.hasTimedOut) { st.remove(); Iterator.empty }
           else {
             val prev: St = st.getOption.flatten

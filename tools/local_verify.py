@@ -43,8 +43,11 @@ def main(sf_dir: str, out_dir: str) -> int:
         ok_vals = False
         if ok_rows and ok_cols:
             try:
+                # check_dtype=True: the driver's hash canonicalization is
+                # type-sensitive (r6 lesson — DECIMAL/HUGEINT/INT96 drift
+                # passed locally with check_dtype=False, failed the gate)
                 pd.testing.assert_frame_equal(
-                    expect, got, check_dtype=False, check_exact=True)
+                    expect, got, check_dtype=True, check_exact=True)
                 ok_vals = True
             except AssertionError as e:
                 msg = str(e).split("\n")[0]
