@@ -42,6 +42,7 @@ object GeoTiff {
   private val TileLength = 323
   private val TileOffsets = 324
   private val TileByteCounts = 325
+  private val Predictor = 317
   private val SampleFormat = 339
   private val ModelPixelScale = 33550
   private val ModelTiepoint = 33922
@@ -149,10 +150,12 @@ object GeoTiff {
 
   /** Decode the pixel samples of a single-band raster to a row-major
     * float grid — the read half of `cog_translate` for `.tif` inputs
-    * (`cogify/handler.py:233-243`). Supported: compression none (1) or
-    * DEFLATE (8 / legacy 32946), tiled or stripped layout, 8/16-bit
-    * unsigned ints and 32-bit IEEE floats. Anything else →
-    * `Left(reason)` (the quarantine path, never a wrong grid). */
+    * (`cogify/handler.py:233-243`). Supported: compression none (1),
+    * LZW (5), DEFLATE (8 / legacy 32946) or PackBits (32773), with
+    * optional horizontal-differencing predictor (tag 317 = 2) on the
+    * integer sample types; tiled or stripped layout, 8/16-bit unsigned
+    * ints and 32-bit IEEE floats. Anything else → `Left(reason)` (the
+    * quarantine path, never a wrong grid). */
   def readSamples(bytes: Array[Byte])
   : Either[String, (RasterMeta, Array[Float])] = try {
     val r = new TagReader(bytes)
@@ -160,9 +163,14 @@ object GeoTiff {
       if (m.samplesPerPixel != 1)
         return Left(s"unsupported: ${m.samplesPerPixel} samples/pixel")
       val compression = r.scalar(Compression).getOrElse(1L).toInt
-      if (compression != 1 && compression != 8 && compression != 32946)
+      if (!Set(1, 5, 8, 32773, 32946)(compression))
         return Left(s"unsupported compression $compression")
       val fmt = r.scalar(SampleFormat).getOrElse(1L).toInt
+      val predictor = r.scalar(Predictor).getOrElse(1L).toInt
+      if (predictor != 1 && predictor != 2)
+        return Left(s"unsupported predictor $predictor")
+      if (predictor == 2 && fmt == 3)
+        return Left("predictor 2 is only defined for integer samples")
       val sampleBytes = m.bitsPerSample / 8
       val decodeOk = (m.bitsPerSample, fmt) match {
         case (8, 1) | (16, 1) | (32, 3) => true
@@ -194,9 +202,14 @@ object GeoTiff {
       offsets.indices.foreach { s =>
         val raw = bytes.slice(offsets(s).toInt,
           (offsets(s) + counts(s)).toInt)
-        val seg =
-          if (compression == 1) raw
-          else inflate(raw, segW * segH * sampleBytes)
+        val cap = segW * segH * sampleBytes
+        val seg = compression match {
+          case 1     => raw
+          case 5     => lzwDecode(raw, cap)
+          case 32773 => packbitsDecode(raw, cap)
+          case _     => inflate(raw, cap)
+        }
+        if (predictor == 2) undoPredictor(seg, segW, sampleBytes, r.order)
         val sb = ByteBuffer.wrap(seg).order(r.order)
         val x0 = (s % segsAcross) * segW
         val y0 = (s / segsAcross) * segH
@@ -226,6 +239,110 @@ object GeoTiff {
 
   private def inflate(compressed: Array[Byte], maxLen: Int): Array[Byte] =
     GeoTiffWriter.inflateFully(compressed, maxLen)
+
+  /** TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing,
+    * ClearCode=256, EOI=257, 9→12-bit codes with the spec's
+    * early-change convention (width grows when the NEXT table slot is
+    * 2^bits - 1 — one code earlier than classic GIF LZW). */
+  private def lzwDecode(data: Array[Byte], maxLen: Int): Array[Byte] = {
+    val Clear = 256; val Eoi = 257
+    val out = new java.io.ByteArrayOutputStream(math.min(maxLen, 1 << 20))
+    val table = new Array[Array[Byte]](4096)
+    var next = 258
+    var codeBits = 9
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + codeBits > totalBits) return Eoi
+      var v = 0; var i = 0
+      while (i < codeBits) {
+        val p = bitPos + i
+        val bit = (data((p >>> 3).toInt) >>> (7 - (p & 7).toInt)) & 1
+        v = (v << 1) | bit
+        i += 1
+      }
+      bitPos += codeBits
+      v
+    }
+    def entry(c: Int): Array[Byte] =
+      if (c < 256) Array(c.toByte)
+      else if (c >= 258 && table(c) != null) table(c)
+      else throw new IllegalArgumentException(s"corrupt LZW: code $c")
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done && out.size < maxLen) {
+      val code = readCode()
+      if (code == Eoi) done = true
+      else if (code == Clear) { // consecutive Clears are legal no-ops
+        java.util.Arrays.fill(table.asInstanceOf[Array[AnyRef]], null)
+        next = 258; codeBits = 9; prev = null
+      } else {
+        // KwKwK: the code being read IS the entry about to be defined
+        val e =
+          if (code == next && prev != null) prev :+ prev(0)
+          else entry(code)
+        out.write(e)
+        if (prev != null && next < 4096) { table(next) = prev :+ e(0); next += 1 }
+        prev = e
+        if (next == (1 << codeBits) - 1 && codeBits < 12) codeBits += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** PackBits (TIFF 6.0 §9): n>=0 → copy n+1 literals; -127<=n<0 →
+    * repeat next byte 1-n times; -128 → no-op. */
+  private def packbitsDecode(data: Array[Byte], maxLen: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(maxLen, 1 << 20))
+    var i = 0
+    while (i < data.length && out.size < maxLen) {
+      val n = data(i).toInt
+      if (n >= 0) {
+        val cnt = math.min(n + 1, data.length - i - 1)
+        out.write(data, i + 1, cnt)
+        i += 1 + n + 1
+      } else if (n != -128) {
+        if (i + 1 < data.length) {
+          val b = data(i + 1); var k = 0
+          while (k < 1 - n) { out.write(b); k += 1 }
+        }
+        i += 2
+      } else i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Undo horizontal differencing (predictor=2) in place, per segment
+    * row (TIFF pads edge tiles to full segW, so the row stride is
+    * always segW samples). */
+  private def undoPredictor(seg: Array[Byte], segW: Int, sampleBytes: Int,
+                            order: ByteOrder): Unit = {
+    val rowBytes = segW * sampleBytes
+    val rows = seg.length / rowBytes
+    if (sampleBytes == 1) {
+      var y = 0
+      while (y < rows) {
+        val base = y * rowBytes; var x = 1
+        while (x < segW) {
+          seg(base + x) = (seg(base + x) + seg(base + x - 1)).toByte
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val bb = ByteBuffer.wrap(seg).order(order)
+      var y = 0
+      while (y < rows) {
+        val base = y * rowBytes; var x = 1
+        while (x < segW) {
+          val i = base + x * 2
+          bb.putShort(i, (bb.getShort(i) + bb.getShort(i - 2)).toShort)
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
 
   /** One scanned row: path + either metadata or the fallback reason. */
   case class ScanResult(path: String, ok: Boolean, error: String,

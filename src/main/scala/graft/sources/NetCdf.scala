@@ -32,15 +32,26 @@ object NetCdf {
   /** One attribute: numeric values or a string (NC_CHAR / HDF5 string). */
   case class Attr(name: String, str: Option[String], nums: Seq[Double])
 
+  /** Chunked-storage locator (HDF5 layout v3 class 2): the v1 B-tree
+    * of raw-data chunks plus the filter pipeline to undo per chunk.
+    * `chunkDims` excludes the trailing element-size dimension. */
+  case class ChunkInfo(btree: Long, chunkDims: Seq[Long], elemSize: Int,
+                       /** pipeline order as written (applied in
+                         * REVERSE on read): 1=deflate, 2=shuffle,
+                         * 3=fletcher32 */
+                       filters: Seq[Int])
+
   /** One variable/dataset: `path` is "var" or "group/var". `begin` is
-    * the file offset of the raw data (classic always; HDF5 only for
-    * contiguous layout — chunked data is not decoded). */
+    * the file offset of the raw data (classic always; HDF5 for
+    * contiguous layout). Chunked HDF5 datasets carry `chunks`
+    * instead and are assembled chunk-by-chunk on read. */
   case class VarMeta(path: String, shape: Seq[Long], typeName: String,
                      fillValue: Option[Double], attrs: Seq[Attr],
                      begin: Option[Long] = None,
                      /** data byte order: classic is big-endian; HDF5
                        * reports it in the datatype bit field */
-                     littleEndian: Boolean = false)
+                     littleEndian: Boolean = false,
+                     chunks: Option[ChunkInfo] = None)
 
   case class FileMeta(format: String, dims: Seq[(String, Long)],
                       vars: Seq[VarMeta], globalAttrs: Seq[Attr])
@@ -163,20 +174,30 @@ object NetCdf {
       throw new IllegalArgumentException(s"unreadable type $other")
   }
 
+  /** Raw data section of a variable: the file slice at `begin` for
+    * contiguous/classic layouts, or the chunk-assembled row-major
+    * buffer for chunked HDF5 (v1 B-tree walk + per-chunk filter
+    * reversal). None when neither is decodable. */
+  private def dataSection(bytes: Array[Byte], v: VarMeta)
+  : Option[(Array[Byte], Long)] =
+    v.begin.map(b => (bytes, b)).orElse(
+      v.chunks.flatMap(ci => readChunked(bytes, v.shape, ci))
+        .map(arr => (arr, 0L)))
+
   /** min/max of a 1-D fixed-size coordinate variable, read from the
     * data at the header's offset (exactly the values
     * `src[x_variable][:].min()/.max()` sees, `handler.py:114-117`) —
-    * classic data sections and contiguous HDF5 datasets alike. None
-    * for record/multi-dim/absent/chunked variables. */
+    * classic data sections and contiguous or chunked HDF5 datasets
+    * alike. None for record/multi-dim/absent variables. */
   def coordExtent(bytes: Array[Byte], meta: FileMeta, varName: String)
   : Option[(Double, Double)] =
     meta.vars.find(_.path == varName).flatMap { v =>
       if (v.shape.size != 1 || v.shape.head == 0) None
-      else v.begin.flatMap { b =>
+      else dataSection(bytes, v).flatMap { case (data, b) =>
         val n = v.shape.head.toInt
-        val buf = ByteBuffer.wrap(bytes).order(dataOrder(v))
+        val buf = ByteBuffer.wrap(data).order(dataOrder(v))
         val vals =
-          try (0 until n).map(i => readValue(bytes, buf, v, b, i))
+          try (0 until n).map(i => readValue(data, buf, v, b, i))
           catch { case _: IllegalArgumentException => return None }
         if (vals.isEmpty) None else Some((vals.min, vals.max))
       }
@@ -184,18 +205,19 @@ object NetCdf {
 
   /** Row-major data of a fixed-size variable of any rank — the array
     * `hdf5_to_cog` reads into memory (`handler.py:100-105`). Classic
-    * data sections and contiguous HDF5 datasets; None for chunked. */
+    * data sections and contiguous or chunked (gzip/shuffle/fletcher32)
+    * HDF5 datasets. */
   def readGridRaw(bytes: Array[Byte], meta: FileMeta, varPath: String)
   : Option[Array[Float]] =
     meta.vars.find(_.path == varPath).flatMap { v =>
       if (v.shape.isEmpty || v.shape.exists(_ == 0)) None
-      else v.begin.map { b =>
+      else dataSection(bytes, v).map { case (data, b) =>
         val n = v.shape.product.toInt
-        val buf = ByteBuffer.wrap(bytes).order(dataOrder(v))
+        val buf = ByteBuffer.wrap(data).order(dataOrder(v))
         val out = new Array[Float](n)
         var i = 0
         while (i < n) {
-          out(i) = readValue(bytes, buf, v, b, i).toFloat
+          out(i) = readValue(data, buf, v, b, i).toFloat
           i += 1
         }
         out
@@ -317,6 +339,8 @@ object NetCdf {
     var fillBytes: Option[Array[Byte]] = None
     var group: Option[(Long, Long)] = None
     var contiguousAddr: Option[Long] = None
+    var chunkInfo: Option[ChunkInfo] = None
+    var filters: Seq[Int] = Nil
 
     // messages start after prefix(12) + alignment padding(4); a
     // continuation message (0x0010) moves the cursor elsewhere
@@ -360,13 +384,46 @@ object NetCdf {
                 fillBytes = Some(bytes.slice(body + 6, body + 6 + sz))
             }
           }
-        case 0x0008 => // data layout: contiguous (v3 class 1) is
-          // directly readable; chunked (class 2) is not decoded
+        case 0x0008 => // data layout v3: contiguous (class 1) reads
+          // directly; chunked (class 2) records its B-tree + chunk
+          // shape (the netCDF-4/HDF-EOS default layout)
           val ver = bytes(body) & 0xFF
           if (ver == 3 && (bytes(body + 1) & 0xFF) == 1) {
             val addr = buf.getLong(body + 2)
             if (addr != -1L) contiguousAddr = Some(addr)
+          } else if (ver == 3 && (bytes(body + 1) & 0xFF) == 2) {
+            // dimensionality(1) counts data dims + the element-size
+            // dim; then B-tree address(8), then u32 chunk dims
+            val nd = bytes(body + 2) & 0xFF
+            val bt = buf.getLong(body + 3)
+            val cdims = (0 until nd - 1).map(i =>
+              buf.getInt(body + 11 + i * 4) & 0xFFFFFFFFL)
+            val es = buf.getInt(body + 11 + (nd - 1) * 4)
+            if (bt != -1L && nd >= 2)
+              chunkInfo = Some(ChunkInfo(bt, cdims, es, Nil))
           }
+        case 0x000B => // filter pipeline (what to undo per chunk)
+          val ver = bytes(body) & 0xFF
+          val nf = bytes(body + 1) & 0xFF
+          var q = if (ver == 1) body + 8 else body + 2
+          val ids = ArrayBuffer.empty[Int]
+          (0 until nf).foreach { _ =>
+            val id = buf.getShort(q) & 0xFFFF
+            if (ver == 1) {
+              val nameLen = buf.getShort(q + 2) & 0xFFFF
+              val ncv = buf.getShort(q + 6) & 0xFFFF
+              val namePad = (nameLen + 7) / 8 * 8
+              q += 8 + namePad + ncv * 4 + (if (ncv % 2 == 1) 4 else 0)
+            } else { // v2: name only present for ids >= 256; no padding
+              val hasName = id >= 256
+              val nameLen = if (hasName) buf.getShort(q + 2) & 0xFFFF else 0
+              val flagsAt = if (hasName) q + 4 else q + 2
+              val ncv = buf.getShort(flagsAt + 2) & 0xFFFF
+              q = flagsAt + 4 + nameLen + ncv * 4
+            }
+            ids += id
+          }
+          filters = ids.toSeq
         case 0x0011 => // symbol table: this object is a group
           group = Some((buf.getLong(body), buf.getLong(body + 8)))
         case 0x0010 => // continuation: jump to the linked block
@@ -403,8 +460,132 @@ object NetCdf {
           }
         }
         out += VarMeta(path, shape.getOrElse(Nil), typeName, fill, Nil,
-          begin = contiguousAddr, littleEndian = typeLittleEndian)
+          begin = contiguousAddr, littleEndian = typeLittleEndian,
+          chunks = chunkInfo.map(_.copy(filters = filters)))
     }
+  }
+
+  // ---------------------------------------------------------------
+  // Chunked-storage assembly: v1 B-tree (node type 1) chunk index +
+  // per-chunk filter reversal — the layout real HDF-EOS granules use
+  // (netCDF4 writes chunked + shuffle + deflate by default,
+  // `cogify/handler.py:96-120` reads it through the C library)
+  // ---------------------------------------------------------------
+
+  /** Assemble a chunked dataset's raw row-major bytes, or None when a
+    * filter/size is unsupported (callers fall back to quarantine). */
+  private def readChunked(bytes: Array[Byte], shape: Seq[Long],
+                          ci: ChunkInfo): Option[Array[Byte]] = try {
+    val rank = shape.size
+    if (rank == 0 || ci.chunkDims.size != rank) return None
+    val es = ci.elemSize
+    val dims = shape.map(_.toInt).toArray
+    val cdims = ci.chunkDims.map(_.toInt).toArray
+    val totalBytes = shape.product * es
+    if (totalBytes <= 0 || totalBytes > Int.MaxValue - 8) return None
+    val out = new Array[Byte](totalBytes.toInt)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val chunks = ArrayBuffer.empty[(Array[Long], Int, Long, Int)]
+    walkChunkBtree(bytes, buf, ci.btree, rank + 1, depth = 0, chunks)
+
+    // dataset element strides (row-major)
+    val dstr = new Array[Long](rank)
+    dstr(rank - 1) = 1
+    var d = rank - 2
+    while (d >= 0) { dstr(d) = dstr(d + 1) * dims(d + 1); d -= 1 }
+    val chunkElems = cdims.map(_.toLong).product
+    val nominal = chunkElems * es
+    if (nominal > Int.MaxValue - 8) return None
+
+    chunks.foreach { case (offs, size, addr, mask) =>
+      var raw = bytes.slice(addr.toInt, addr.toInt + size)
+      // undo the pipeline in reverse; a set mask bit i means filter i
+      // was SKIPPED for this chunk
+      ci.filters.zipWithIndex.reverse.foreach { case (fid, idx) =>
+        if ((mask & (1 << idx)) == 0) raw = fid match {
+          case 1 => GeoTiffWriter.inflateFully(raw, nominal.toInt)
+          case 2 => unshuffle(raw, es)
+          case 3 => raw.dropRight(4) // fletcher32: strip the checksum
+          case other => throw new IllegalArgumentException(
+            s"unsupported HDF5 filter $other")
+        }
+      }
+      // copy runs along the last axis; edge chunks are stored padded
+      // to the full chunk shape, so the in-chunk stride is always
+      // cdims — only the copy extent clips to the dataset bounds
+      val lastC = cdims(rank - 1)
+      val nOuter = if (rank == 1) 1
+        else cdims.dropRight(1).map(_.toLong).product.toInt
+      var oi = 0
+      while (oi < nOuter) {
+        var rem = oi; var inBounds = true; var dstBase = 0L
+        var k = rank - 2
+        while (k >= 0) {
+          val c = rem % cdims(k); rem /= cdims(k)
+          val ds = offs(k) + c
+          if (ds >= dims(k)) inBounds = false
+          dstBase += ds * dstr(k)
+          k -= 1
+        }
+        if (inBounds) {
+          val x0 = offs(rank - 1)
+          val runLen = math.min(lastC.toLong, dims(rank - 1) - x0)
+          if (runLen > 0) {
+            val src = oi.toLong * lastC * es
+            val dst = (dstBase + x0) * es
+            if (src + runLen * es <= raw.length)
+              System.arraycopy(raw, src.toInt, out, dst.toInt,
+                (runLen * es).toInt)
+          }
+        }
+        oi += 1
+      }
+    }
+    Some(out)
+  } catch { case _: Exception => None }
+
+  /** Walk a v1 chunk B-tree (node type 1): keys carry (size, filter
+    * mask, element offsets); leaf children are chunk data addresses. */
+  private def walkChunkBtree(bytes: Array[Byte], buf: ByteBuffer,
+                             addr: Long, nd: Int, depth: Int,
+                             out: ArrayBuffer[(Array[Long], Int, Long, Int)])
+  : Unit = {
+    require(depth <= 12, "chunk B-tree too deep")
+    val a = addr.toInt
+    val sig = new String(bytes, a, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(sig == "TREE", s"bad chunk B-tree signature '$sig'")
+    require((bytes(a + 4) & 0xFF) == 1, "not a raw-data chunk B-tree")
+    val level = bytes(a + 5) & 0xFF
+    val n = buf.getShort(a + 6) & 0xFFFF
+    val keySize = 8 + 8 * nd
+    var p = a + 24
+    (0 until n).foreach { _ =>
+      val size = buf.getInt(p)
+      val mask = buf.getInt(p + 4)
+      val offs = Array.tabulate(nd - 1)(j => buf.getLong(p + 8 + j * 8))
+      val child = buf.getLong(p + keySize)
+      if (level > 0) walkChunkBtree(bytes, buf, child, nd, depth + 1, out)
+      else out += ((offs, size, child, mask))
+      p += keySize + 8
+    }
+  }
+
+  /** Undo the HDF5 shuffle filter: de-interleave byte planes back to
+    * whole elements (trailing non-multiple bytes pass through). */
+  private def unshuffle(in: Array[Byte], es: Int): Array[Byte] = {
+    if (es <= 1) return in
+    val count = in.length / es
+    val out = new Array[Byte](in.length)
+    var j = 0
+    while (j < es) {
+      var i = 0
+      while (i < count) { out(i * es + j) = in(j * count + i); i += 1 }
+      j += 1
+    }
+    val rem = in.length % es
+    if (rem > 0)
+      System.arraycopy(in, in.length - rem, out, out.length - rem, rem)
+    out
   }
 
   // ---------------------------------------------------------------

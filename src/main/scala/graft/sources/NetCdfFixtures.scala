@@ -267,4 +267,259 @@ object NetCdfFixtures {
 
     buf.array()
   }
+
+  /** HDF5 with CHUNKED datasets — the layout netCDF-4/HDF-EOS writers
+    * actually emit (`nc.createVariable(..., zlib=True, shuffle=True)`
+    * defaults): `precip` float32[5][7] chunked 3x4 behind a
+    * shuffle+deflate pipeline, `precip_contig` the SAME grid stored
+    * contiguous (the two reads must agree bit-for-bit), `lon`
+    * float64[7] chunked 4 deflate-only, `lat` float64[3] chunked 2
+    * behind deflate+fletcher32. Every chunk is stored PADDED to the
+    * full chunk shape, as the HDF5 library does for edge chunks. */
+  def hdf5Chunked(): Array[Byte] = {
+    val fill = -9999f
+    def precipAt(i: Int, j: Int): Float = (i * 10 + j).toFloat
+    val lonVals = Array(-150.0, -100.0, -50.0, 0.0, 50.0, 100.0, 150.0)
+    val latVals = Array(-10.0, 0.0, 10.0)
+
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new Array[Byte](raw.length * 2 + 64)
+      val n = d.deflate(out); d.end()
+      out.take(n)
+    }
+    def shuffle(in: Array[Byte], es: Int): Array[Byte] = {
+      val count = in.length / es
+      val out = new Array[Byte](in.length)
+      for (i <- 0 until count; j <- 0 until es)
+        out(j * count + i) = in(i * es + j)
+      out
+    }
+    // precip chunks (3x4 grid cells, row-major, padded with fill)
+    def precipChunk(oy: Int, ox: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(3 * 4 * 4).order(ByteOrder.LITTLE_ENDIAN)
+      for (cy <- 0 until 3; cx <- 0 until 4) {
+        val y = oy + cy; val x = ox + cx
+        b.putFloat(if (y < 5 && x < 7) precipAt(y, x) else fill)
+      }
+      deflate(shuffle(b.array(), 4))
+    }
+    def lonChunk(o: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      for (c <- 0 until 4)
+        b.putDouble(if (o + c < 7) lonVals(o + c) else 0.0)
+      deflate(b.array())
+    }
+    def latChunk(o: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(2 * 8).order(ByteOrder.LITTLE_ENDIAN)
+      for (c <- 0 until 2)
+        b.putDouble(if (o + c < 3) latVals(o + c) else 0.0)
+      // fletcher32 appends a 4-byte checksum AFTER deflate in this
+      // pipeline ordering; the reader strips it unverified
+      deflate(b.array()) ++ Array[Byte](0, 0, 0, 0)
+    }
+    val precipChunks = Seq((0, 0), (0, 4), (3, 0), (3, 4))
+      .map { case (oy, ox) => (Seq(oy.toLong, ox.toLong), precipChunk(oy, ox)) }
+    val lonChunks = Seq(0, 4).map(o => (Seq(o.toLong), lonChunk(o)))
+    val latChunks = Seq(0, 2).map(o => (Seq(o.toLong), latChunk(o)))
+
+    // ---- static layout ----
+    val heapAddr = 96L; val heapData = 128L
+    val btreeAddr = 256L; val snodAddr = 320L
+    val lonHdr = 512L; val precipHdr = 768L
+    val pcontigHdr = 1088L; val latHdr = 1280L
+    val lonBt = 1536L; val precipBt = 1792L; val latBt = 2112L
+    val pcontigData = 2304L // 5*7*4 = 140 bytes
+    var dataOff = 2560L
+    def alloc(n: Int): Long = { val o = dataOff; dataOff += n; o }
+    val precipAddrs = precipChunks.map { case (_, p) => alloc(p.length) }
+    val lonAddrs = lonChunks.map { case (_, p) => alloc(p.length) }
+    val latAddrs = latChunks.map { case (_, p) => alloc(p.length) }
+
+    val buf = ByteBuffer.allocate(dataOff.toInt + 64)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    buf.put(8, 0.toByte)
+    buf.put(13, 8.toByte); buf.put(14, 8.toByte)
+    buf.putShort(16, 4); buf.putShort(18, 16)
+    buf.putLong(24, 0L)
+    buf.putLong(40, dataOff + 64)
+    buf.putLong(56, 0L); buf.putLong(64, 0L); buf.putInt(72, 1)
+    buf.putLong(80, btreeAddr); buf.putLong(88, heapAddr)
+
+    def localHeap(at: Long, dataAt: Long, names: Seq[(Long, String)]): Unit = {
+      buf.position(at.toInt)
+      buf.put("HEAP".getBytes)
+      buf.putLong(at.toInt + 8, 96L)
+      buf.putLong(at.toInt + 16, 0L)
+      buf.putLong(at.toInt + 24, dataAt)
+      names.foreach { case (off, s) =>
+        buf.position((dataAt + off).toInt)
+        buf.put(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        buf.put(0.toByte)
+      }
+    }
+    def groupBtree(at: Long, snod: Long): Unit = {
+      buf.position(at.toInt)
+      buf.put("TREE".getBytes); buf.put(0.toByte); buf.put(0.toByte)
+      buf.putShort(at.toInt + 6, 1)
+      buf.putLong(at.toInt + 8, -1L); buf.putLong(at.toInt + 16, -1L)
+      buf.putLong(at.toInt + 24, 0L)
+      buf.putLong(at.toInt + 32, snod)
+      buf.putLong(at.toInt + 40, 8L)
+    }
+    def snod(at: Long, entries: Seq[(Long, Long)]): Unit = {
+      buf.position(at.toInt)
+      buf.put("SNOD".getBytes); buf.put(1.toByte); buf.put(0.toByte)
+      buf.putShort(at.toInt + 6, entries.size.toShort)
+      entries.zipWithIndex.foreach { case ((nameOff, hdr), i) =>
+        val e = at.toInt + 8 + i * 40
+        buf.putLong(e, nameOff); buf.putLong(e + 8, hdr)
+        buf.putInt(e + 16, 0)
+      }
+    }
+    def objHeader(at: Long, msgs: Seq[(Int, Array[Byte])]): Unit = {
+      buf.position(at.toInt)
+      buf.put(1.toByte); buf.put(0.toByte)
+      buf.putShort(at.toInt + 2, msgs.size.toShort)
+      buf.putInt(at.toInt + 4, 1)
+      buf.putInt(at.toInt + 8, msgs.map(_._2.length + 8).sum)
+      var p = at.toInt + 16
+      msgs.foreach { case (typ, body) =>
+        require(body.length % 8 == 0, "message body must be 8-aligned")
+        buf.putShort(p, typ.toShort)
+        buf.putShort(p + 2, body.length.toShort)
+        buf.put(p + 4, 0.toByte)
+        buf.position(p + 8); buf.put(body)
+        p += 8 + body.length
+      }
+    }
+    def dataspace(dims: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + dims.size * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(dims.size.toByte); b.put(0.toByte)
+      b.position(8); dims.foreach(b.putLong)
+      b.array()
+    }
+    def datatype(clazz: Int, size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(((1 << 4) | clazz).toByte)
+      b.position(4); b.putInt(size)
+      b.array()
+    }
+    def fillValueMsg(f: Float): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(1.toByte); b.put(2.toByte); b.put(1.toByte)
+      b.putInt(4, 4); b.putFloat(8, f)
+      b.array()
+    }
+    def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(1.toByte)
+      b.putLong(2, addr); b.putLong(10, size)
+      b.array()
+    }
+    /** v3 class-2 chunked layout: dimensionality counts the data dims
+      * PLUS the trailing element-size dim. */
+    def layoutChunked(bt: Long, cdims: Seq[Int], es: Int): Array[Byte] = {
+      val nd = cdims.size + 1
+      val len = 3 + 8 + nd * 4
+      val b = ByteBuffer.allocate((len + 7) / 8 * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(2.toByte); b.put(nd.toByte)
+      b.putLong(bt)
+      cdims.foreach(b.putInt); b.putInt(es)
+      b.array()
+    }
+    /** v1 filter pipeline; (filterId, clientData) in WRITE order. */
+    def filterPipeline(fs: Seq[(Int, Seq[Int])]): Array[Byte] = {
+      val bodies = fs.map { case (id, cd) =>
+        val pad = if (cd.size % 2 == 1) 1 else 0
+        val b = ByteBuffer.allocate(8 + (cd.size + pad) * 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.putShort(id.toShort); b.putShort(0.toShort)
+        b.putShort(0.toShort); b.putShort(cd.size.toShort)
+        cd.foreach(b.putInt)
+        b.array()
+      }
+      val b = ByteBuffer.allocate(8 + bodies.map(_.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(fs.size.toByte)
+      b.position(8); bodies.foreach(b.put)
+      b.array()
+    }
+    /** Leaf v1 chunk B-tree (node type 1): keys = (nbytes, mask,
+      * offsets ++ 0), children = chunk data addresses. */
+    def chunkBtree(at: Long, rank: Int,
+                   entries: Seq[(Seq[Long], Int, Long)]): Unit = {
+      val nd = rank + 1
+      buf.position(at.toInt)
+      buf.put("TREE".getBytes); buf.put(1.toByte); buf.put(0.toByte)
+      buf.putShort(at.toInt + 6, entries.size.toShort)
+      buf.putLong(at.toInt + 8, -1L); buf.putLong(at.toInt + 16, -1L)
+      val keySize = 8 + 8 * nd
+      var p = at.toInt + 24
+      entries.foreach { case (offs, size, addr) =>
+        buf.putInt(p, size); buf.putInt(p + 4, 0)
+        offs.zipWithIndex.foreach { case (o, j) =>
+          buf.putLong(p + 8 + j * 8, o)
+        }
+        buf.putLong(p + 8 + rank * 8, 0L)
+        buf.putLong(p + keySize, addr)
+        p += keySize + 8
+      }
+    }
+
+    localHeap(heapAddr, heapData,
+      Seq(8L -> "lon", 16L -> "precip", 24L -> "precip_contig", 40L -> "lat"))
+    groupBtree(btreeAddr, snodAddr)
+    snod(snodAddr,
+      Seq(8L -> lonHdr, 16L -> precipHdr, 24L -> pcontigHdr, 40L -> latHdr))
+
+    objHeader(lonHdr, Seq(
+      0x0001 -> dataspace(Seq(7L)),
+      0x0003 -> datatype(clazz = 1, size = 8),
+      0x000B -> filterPipeline(Seq(1 -> Seq(6))),
+      0x0008 -> layoutChunked(lonBt, Seq(4), es = 8)))
+    objHeader(precipHdr, Seq(
+      0x0001 -> dataspace(Seq(5L, 7L)),
+      0x0003 -> datatype(clazz = 1, size = 4),
+      0x0005 -> fillValueMsg(fill),
+      // netCDF4 default: shuffle runs BEFORE deflate on write
+      0x000B -> filterPipeline(Seq(2 -> Seq(4), 1 -> Seq(6))),
+      0x0008 -> layoutChunked(precipBt, Seq(3, 4), es = 4)))
+    objHeader(pcontigHdr, Seq(
+      0x0001 -> dataspace(Seq(5L, 7L)),
+      0x0003 -> datatype(clazz = 1, size = 4),
+      0x0005 -> fillValueMsg(fill),
+      0x0008 -> layoutContiguous(pcontigData, 5 * 7 * 4)))
+    objHeader(latHdr, Seq(
+      0x0001 -> dataspace(Seq(3L)),
+      0x0003 -> datatype(clazz = 1, size = 8),
+      0x000B -> filterPipeline(Seq(1 -> Seq(6), 3 -> Nil)),
+      0x0008 -> layoutChunked(latBt, Seq(2), es = 8)))
+
+    chunkBtree(precipBt, rank = 2,
+      precipChunks.zip(precipAddrs).map { case ((offs, p), a) =>
+        (offs, p.length, a)
+      })
+    chunkBtree(lonBt, rank = 1,
+      lonChunks.zip(lonAddrs).map { case ((offs, p), a) =>
+        (offs, p.length, a)
+      })
+    chunkBtree(latBt, rank = 1,
+      latChunks.zip(latAddrs).map { case ((offs, p), a) =>
+        (offs, p.length, a)
+      })
+
+    buf.position(pcontigData.toInt)
+    for (i <- 0 until 5; j <- 0 until 7) buf.putFloat(precipAt(i, j))
+    (precipChunks.map(_._2) ++ lonChunks.map(_._2) ++ latChunks.map(_._2))
+      .zip(precipAddrs ++ lonAddrs ++ latAddrs)
+      .foreach { case (p, a) =>
+        buf.position(a.toInt); buf.put(p)
+      }
+    buf.array()
+  }
 }

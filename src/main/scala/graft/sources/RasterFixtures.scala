@@ -107,4 +107,76 @@ object RasterFixtures {
     }
     buf.array()
   }
+
+  /** Stripped uint8 TIFF whose strip payloads pass through `encode`
+    * (deflate, LZW, PackBits…), with optional horizontal-differencing
+    * predictor applied to the raw rows BEFORE encoding — fabricates
+    * the compressed layouts `GeoTiff.readSamples` must undo. */
+  def stripTiffEncoded(width: Int, height: Int, values: Seq[Int],
+                       rowsPerStrip: Int, compression: Int,
+                       encode: Array[Byte] => Array[Byte],
+                       predictor: Int = 1): Array[Byte] = {
+    require(values.size == width * height)
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val payloads = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+      val raw = Array.tabulate(rows * width)(i =>
+        values((s * rowsPerStrip + i / width) * width + i % width).toByte)
+      if (predictor == 2) {
+        var y = 0
+        while (y < rows) { // difference right-to-left so lefts stay raw
+          var x = width - 1
+          while (x > 0) {
+            raw(y * width + x) =
+              (raw(y * width + x) - raw(y * width + x - 1)).toByte
+            x -= 1
+          }
+          y += 1
+        }
+      }
+      encode(raw)
+    }
+    val entryCount = if (predictor != 1) 10 else 9
+    val ifdSize = 2 + entryCount * 12 + 4
+    var dataOff = 8 + ifdSize
+    def alloc(n: Int): Int = { val o = dataOff; dataOff += n; o }
+    val offsOff = if (nStrips > 1) alloc(nStrips * 4) else 0
+    val cntsOff = if (nStrips > 1) alloc(nStrips * 4) else 0
+    val stripStarts = payloads.map(_.length).scanLeft(dataOff)(_ + _)
+
+    val buf = ByteBuffer.allocate(stripStarts.last)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte); buf.put('I'.toByte)
+    buf.putShort(2, 42); buf.putInt(4, 8)
+    buf.putShort(8, entryCount.toShort)
+    var e = 10
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(e, tag.toShort); buf.putShort(e + 2, typ.toShort)
+      buf.putInt(e + 4, cnt)
+      if (typ == 3 && cnt == 1) buf.putShort(e + 8, value.toShort)
+      else buf.putInt(e + 8, value.toInt)
+      e += 12
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, 1)
+    entry(273, 4, nStrips,
+      if (nStrips == 1) stripStarts.head else offsOff)
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, rowsPerStrip)
+    entry(279, 4, nStrips,
+      if (nStrips == 1) payloads.head.length else cntsOff)
+    if (predictor != 1) entry(317, 3, 1, predictor)
+    buf.putInt(e, 0)
+    if (nStrips > 1) (0 until nStrips).foreach { s =>
+      buf.putInt(offsOff + s * 4, stripStarts(s))
+      buf.putInt(cntsOff + s * 4, payloads(s).length)
+    }
+    payloads.zipWithIndex.foreach { case (p, s) =>
+      System.arraycopy(p, 0, buf.array(), stripStarts(s), p.length)
+    }
+    buf.array()
+  }
 }

@@ -160,9 +160,92 @@ class CogWriterSpec extends SparkSuite {
     val (m, decoded) = GeoTiff.readSamples(tiff).fold(e => fail(e), identity)
     assert(m.width == 5 && m.height == 4)
     assert(decoded.toSeq == vals.map(_.toFloat))
-    // unsupported compression (LZW) -> quarantine Left, not bad data
-    val lzw = RasterFixtures.stripTiff(5, 4, vals, compression = 5)
-    assert(GeoTiff.readSamples(lzw).left.exists(_.contains("compression")))
+    // unsupported compression (JPEG) -> quarantine Left, not bad data
+    val jpeg = RasterFixtures.stripTiff(5, 4, vals, compression = 7)
+    assert(GeoTiff.readSamples(jpeg).left.exists(_.contains("compression")))
+    // compression=5 tag over NON-LZW strip bytes -> corrupt-stream
+    // Left (quarantine), never a silently wrong grid
+    val badLzw = RasterFixtures.stripTiff(5, 4, vals, compression = 5)
+    assert(GeoTiff.readSamples(badLzw).isLeft)
+  }
+
+  /** Independent LZW/PackBits encoder: the JDK's ImageIO TIFF writer
+    * (present since Java 9) — agreement between its compressor and
+    * this parser's decoder pins both against TIFF 6.0. */
+  private def imageioTiff(px: Seq[Int], w: Int, h: Int,
+                          compression: String,
+                          sixteenBit: Boolean = false): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h,
+      if (sixteenBit) BufferedImage.TYPE_USHORT_GRAY
+      else BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    for (y <- 0 until h; x <- 0 until w)
+      raster.setSample(x, y, 0, px(y * w + x))
+    val writer = ImageIO.getImageWritersByFormatName("TIFF").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType(compression)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("LZW strips (JDK-encoded) decode; round-trip to a deflate COG") {
+    val w = 37; val h = 23 // odd sizes: exercise partial strips
+    val px = Seq.tabulate(w * h)(i => (i * 7 + i / w * 3) % 256)
+    val tiff = imageioTiff(px, w, h, "LZW")
+    val (m, decoded) = GeoTiff.readSamples(tiff).fold(e => fail(e), identity)
+    assert(m.width == w && m.height == h)
+    assert(decoded.toSeq == px.map(_.toFloat))
+    // decode → deflate-COG write → independent re-parse
+    val cog = Cogify.tiffToCog(tiff).fold(e => fail(e), identity)
+    val (mc, again) = GeoTiff.readSamples(cog).fold(e => fail(e), identity)
+    assert(mc.tileWidth.contains(256L))
+    assert(again.toSeq == px.map(_.toFloat))
+  }
+
+  test("LZW 16-bit strips decode (dictionary growth past 9-bit codes)") {
+    val w = 96; val h = 64 // enough data to push the code width up
+    val px = Seq.tabulate(w * h)(i => (i * 257) % 65536)
+    val tiff = imageioTiff(px, w, h, "LZW", sixteenBit = true)
+    val (m, decoded) = GeoTiff.readSamples(tiff).fold(e => fail(e), identity)
+    assert(m.bitsPerSample == 16)
+    assert(decoded.toSeq == px.map(_.toFloat))
+  }
+
+  test("PackBits strips (JDK-encoded) decode exactly") {
+    val w = 41; val h = 17
+    // long runs + literal stretches: both PackBits opcodes
+    val px = Seq.tabulate(w * h)(i => if ((i / w) % 2 == 0) 200 else i % 256)
+    val tiff = imageioTiff(px, w, h, "PackBits")
+    val (_, decoded) = GeoTiff.readSamples(tiff).fold(e => fail(e), identity)
+    assert(decoded.toSeq == px.map(_.toFloat))
+  }
+
+  test("deflate + horizontal predictor (tag 317=2) strips decode") {
+    import graft.sources.RasterFixtures
+    val w = 19; val h = 7
+    val vals = Seq.tabulate(w * h)(i => (i * 13 + 5) % 256)
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new Array[Byte](raw.length * 2 + 64)
+      val n = d.deflate(out); d.end()
+      out.take(n)
+    }
+    val tiff = RasterFixtures.stripTiffEncoded(w, h, vals,
+      rowsPerStrip = 3, compression = 8, deflate, predictor = 2)
+    val (_, decoded) = GeoTiff.readSamples(tiff).fold(e => fail(e), identity)
+    assert(decoded.toSeq == vals.map(_.toFloat))
+    // predictor on a float grid is undefined -> quarantine
+    val badPred = RasterFixtures.stripTiffEncoded(w, h, vals,
+      rowsPerStrip = 3, compression = 8, deflate, predictor = 3)
+    assert(GeoTiff.readSamples(badPred).left.exists(_.contains("predictor")))
   }
 
   test("tiffToCog re-tiles a plain TIFF into a deflate COG (.tif branch)") {

@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Cogify
 import graft.sources.{NetCdf, NetCdfFixtures}
 import java.nio.file.Files
 
@@ -121,5 +122,75 @@ class NetCdfSpec extends SparkSuite {
     val precipRows = scanned.filter(r => r.ok && r.varPath == "precip")
     assert(precipRows.map(_.format).toSet ==
       Set("netcdf-classic CDF-1", "hdf5 superblock-v0"))
+  }
+
+  test("hdf5 chunked: shuffle+deflate grid equals the contiguous copy") {
+    val bytes = NetCdfFixtures.hdf5Chunked()
+    val m = NetCdf.parse(bytes).fold(e => fail(e), identity)
+    val precip = m.vars.find(_.path == "precip").get
+    assert(precip.begin.isEmpty && precip.chunks.isDefined)
+    assert(precip.chunks.get.chunkDims == Seq(3L, 4L))
+    assert(precip.chunks.get.filters == Seq(2, 1)) // shuffle, deflate
+    assert(precip.fillValue.contains(-9999.0))
+    val chunked = NetCdf.readGridRaw(bytes, m, "precip")
+      .getOrElse(fail("chunked grid unreadable"))
+    val contig = NetCdf.readGridRaw(bytes, m, "precip_contig")
+      .getOrElse(fail("contiguous grid unreadable"))
+    assert(chunked.toSeq == contig.toSeq)
+    assert(chunked(0) == 0f && chunked(6) == 6f && chunked(34) == 46f)
+  }
+
+  test("hdf5 chunked: 1-D coordinate extents (gzip, gzip+fletcher32)") {
+    val bytes = NetCdfFixtures.hdf5Chunked()
+    val m = NetCdf.parse(bytes).fold(e => fail(e), identity)
+    assert(NetCdf.coordExtent(bytes, m, "lon").contains((-150.0, 150.0)))
+    assert(NetCdf.coordExtent(bytes, m, "lat").contains((-10.0, 10.0)))
+    // gridInfo wires the chunked coords through to the cogify envelope
+    val g = NetCdf.gridInfo(bytes, "precip",
+      xVariable = Some("lon"), yVariable = Some("lat"))
+      .fold(e => fail(e), identity)
+    assert(g.height == 5 && g.width == 7)
+    assert(g.xmin == -150.0 && g.xmax == 150.0)
+    assert(g.ymin == -10.0 && g.ymax == 10.0)
+    assert(g.fillValue.contains(-9999.0))
+  }
+
+  test("hdf5 chunked: cogify converts a chunked granule end to end") {
+    val bytes = NetCdfFixtures.hdf5Chunked()
+    val cfg = Cogify.CollectionConfig(variableName = Some("precip"),
+      xVariable = Some("lon"), yVariable = Some("lat"))
+    val cog = Cogify.classicNetcdfToCog(bytes, cfg)
+      .fold(e => fail(e), identity)
+    val m = graft.sources.GeoTiff.parse(cog).fold(e => fail(e), identity)
+    assert(m.width == 7 && m.height == 5)
+    val (_, decoded) = graft.sources.GeoTiff.readSamples(cog)
+      .fold(e => fail(e), identity)
+    // chunk-assembled values survive the COG write bit-exactly
+    assert(decoded(0) == 0f && decoded(6) == 6f && decoded(34) == 46f)
+  }
+
+  test("hdf5 chunked: unknown filter id quarantines, never a wrong grid") {
+    // corrupt the precip pipeline's deflate id (1 -> 250): the read
+    // must fail closed (None), not return garbage
+    val bytes = NetCdfFixtures.hdf5Chunked()
+    val m = NetCdf.parse(bytes).fold(e => fail(e), identity)
+    val mangled = bytes.clone()
+    // find the filter-pipeline message bytes for [shuffle, deflate]:
+    // v1 filter entries are (id, 0, 0, ncv) shorts — locate id=1
+    // following id=2 in the precip object header region
+    var hit = -1
+    var i = 0
+    while (hit < 0 && i < mangled.length - 24) {
+      if (mangled(i) == 2 && mangled(i + 1) == 0 && mangled(i + 6) == 1 &&
+          mangled(i + 16) == 1 && mangled(i + 17) == 0 &&
+          mangled(i + 22) == 1) hit = i + 16
+      i += 1
+    }
+    assert(hit > 0, "could not locate the deflate filter entry")
+    mangled(hit) = 250.toByte
+    val m2 = NetCdf.parse(mangled).fold(e => fail(e), identity)
+    assert(m2.vars.find(_.path == "precip").get.chunks.get.filters
+      == Seq(2, 250))
+    assert(NetCdf.readGridRaw(mangled, m2, "precip").isEmpty)
   }
 }
