@@ -122,11 +122,21 @@ object Transfer {
     definitelyNew.unionByName(skipExisting(maybe, existingKeys))
   }
 
+  /** Earthdata-URS credentials: basic auth presented ONLY to
+    * `authHost` during the 302 redirect-cookie flow (the reference's
+    * `requests.Session` dance, `cogify/handler.py:64-86`). `authHost`
+    * is "host" or "host:port". */
+  case class UrsAuth(username: String, password: String,
+                     authHost: String = "urs.earthdata.nasa.gov")
+    extends Serializable
+
   /** S7 — auth for http(s) sources: a bearer token (Earthdata token
-    * auth) or basic credentials (the reference's username/password
-    * session, `cogify/handler.py:68-77`). */
+    * auth), direct basic credentials (the reference's
+    * username/password session, `cogify/handler.py:68-77`), or the
+    * URS redirect flow (`urs`, which wins when set). */
   case class HttpAuth(bearerToken: Option[String] = None,
-                      basic: Option[(String, String)] = None)
+                      basic: Option[(String, String)] = None,
+                      urs: Option[UrsAuth] = None)
     extends Serializable {
     def headers: Map[String, String] =
       bearerToken.map(t => Map("Authorization" -> s"Bearer $t"))
@@ -171,8 +181,15 @@ object Transfer {
             // skipExisting re-run would see a completed copy
             val tmp = dst.suffix("._COPYING_")
             try {
-              graft.sources.dsv2.HttpPages.download(srcUrl,
-                httpAuth.headers, () => dstFs.create(tmp, true))
+              httpAuth.urs match {
+                case Some(u) =>
+                  graft.sources.dsv2.HttpPages.downloadUrs(srcUrl,
+                    u.username, u.password, u.authHost,
+                    () => dstFs.create(tmp, true))
+                case None =>
+                  graft.sources.dsv2.HttpPages.download(srcUrl,
+                    httpAuth.headers, () => dstFs.create(tmp, true))
+              }
               dstFs.delete(dst, false)
               if (!dstFs.rename(tmp, dst))
                 throw new java.io.IOException(s"rename $tmp -> $dst failed")

@@ -21,8 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * The pointer swap is rename-based (`_latest.tmp` → `_latest`), the
   * same atomic-visibility primitive [[Incremental]] uses for its
-  * watermark. Writers: one at a time (last pointer swap wins — this
-  * is a publish pointer, not a transaction log). Old versions stay
+  * watermark. Concurrent writers each claim a distinct version via an
+  * atomic create-no-overwrite claim file (`vNNNNNNNN._claim`) before
+  * writing data, and the pointer swap is monotonic (a slower writer
+  * finishing an OLDER version never moves the pointer backwards) —
+  * this is a publish pointer, not a transaction log. Old versions stay
   * readable until [[vacuum]].
   */
 object Versioned {
@@ -32,6 +35,9 @@ object Versioned {
 
   private def versionDir(root: String, v: Long) =
     new Path(root, f"v$v%08d")
+
+  private def claimPath(root: String, v: Long) =
+    new Path(root, f"v$v%08d._claim")
 
   /** Current version number, 0 when never published. */
   def latestVersion(spark: SparkSession, root: String): Long = {
@@ -54,35 +60,53 @@ object Versioned {
   def publish(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
-    // next = above BOTH the pointer and any on-disk directory: a crash
-    // after the data write but before the pointer swap leaves an
-    // orphaned higher directory, which must never block the next
-    // publish (errorifexists) — it gets skipped and later vacuumed
-    val v = math.max(latestVersion(spark, root),
-      versions(spark, root).lastOption.getOrElse(0L)) + 1
-    df.write.mode("errorifexists")
-      .parquet(versionDir(root, v).toString)
-    val tmp = new Path(root, "_latest.tmp")
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    f.mkdirs(new Path(root))
+    // claim a version number ATOMICALLY (create-no-overwrite): a bare
+    // errorifexists parquet write has a check-then-write window in
+    // which two concurrent publishers both claim the same directory
+    // and silently merge their files. Start above BOTH the pointer and
+    // anything on disk (a crashed publish leaves an orphaned higher
+    // dir that must never block the next publish).
+    var v = math.max(latestVersion(spark, root),
+      versions(spark, root).lastOption.getOrElse(0L))
+    var claimed = false
+    var attempts = 0
+    while (!claimed) {
+      require(attempts < 10000, s"cannot claim a version under $root")
+      attempts += 1
+      v += 1
+      if (!f.exists(claimPath(root, v)) && !f.exists(versionDir(root, v)))
+        try { f.create(claimPath(root, v), false).close(); claimed = true }
+        catch { case _: java.io.IOException => () } // lost the race
+    }
+    // overwrite is safe INSIDE the claim (and makes a retried job
+    // re-runnable); the claim guarantees no other writer shares the dir
+    df.write.mode("overwrite").parquet(versionDir(root, v).toString)
     val ptr = new Path(root, "_latest")
-    // rename OVER the old pointer in one step (the Incremental
-    // watermark's primitive): delete-then-rename would open a window
-    // where a crash loses the pointer entirely — after which
-    // latestVersion()=0 and a vacuum would treat EVERY published
-    // version as an orphan
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        ptr.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        // no FileContext for this scheme: accept the tiny window
-        // rather than failing the publish
-        if (f.exists(ptr)) f.delete(ptr, false)
-        require(f.rename(tmp, ptr), s"pointer swap failed for $root v$v")
+    // monotonic swap: a slower writer finishing an older version must
+    // not move the pointer backwards past a newer completed publish
+    if (latestVersion(spark, root) < v) {
+      val tmp = new Path(root, f"_latest.tmp.v$v%08d")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // rename OVER the old pointer in one step (the Incremental
+      // watermark's primitive): delete-then-rename would open a window
+      // where a crash loses the pointer entirely — after which
+      // latestVersion()=0 and a vacuum would treat EVERY published
+      // version as an orphan
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          ptr.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no FileContext for this scheme: accept the tiny window
+          // rather than failing the publish
+          if (f.exists(ptr)) f.delete(ptr, false)
+          require(f.rename(tmp, ptr), s"pointer swap failed for $root v$v")
+      }
     }
     v
   }
@@ -161,6 +185,18 @@ object Versioned {
     }
     val old = published.filter(_ != current)
       .dropRight(math.max(0, keep - 1))
-    (orphans ++ old).foreach(v => f.delete(versionDir(root, v), true))
+    (orphans ++ old).foreach { v =>
+      f.delete(versionDir(root, v), true)
+      f.delete(claimPath(root, v), false)
+    }
+    // aged claim files with no data directory (a crash between claim
+    // and write): reclaimable like any orphan
+    f.listStatus(new Path(root)).toSeq
+      .filter(s => s.getPath.getName.matches("v\\d{8}\\._claim"))
+      .filter(s => now - s.getModificationTime >= orphanMinAgeMs)
+      .map(_.getPath)
+      .filter(p => !f.exists(new Path(root,
+        p.getName.stripSuffix("._claim"))))
+      .foreach(p => f.delete(p, false))
   }
 }

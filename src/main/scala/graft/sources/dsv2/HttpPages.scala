@@ -164,6 +164,105 @@ object HttpPages extends Serializable {
     conn
   }
 
+  /** Earthdata-URS redirect-flow download (the reference's
+    * `requests.Session` + basic-auth dance, `cogify/handler.py:64-86`):
+    * the data host 302-redirects to the auth host, which validates
+    * Basic credentials, hands back a session cookie, and redirects to
+    * the data host where the cookie authorizes the download.
+    *
+    * Security contract: the Basic Authorization header is presented
+    * ONLY to `authHost` ("host" or "host:port") — never to the data
+    * host or any other hop — and cookies are replayed only to the host
+    * that set them. Redirect chains are capped at `maxHops`. The sink
+    * opens only on a final HTTP 200 (same atomicity contract as
+    * [[download]]). */
+  def downloadUrs(url: String, username: String, password: String,
+                  authHost: String,
+                  openOut: () => java.io.OutputStream,
+                  connectTimeoutMs: Int = 10000,
+                  readTimeoutMs: Int = 120000,
+                  retries: Int = 2, maxHops: Int = 8): Long = {
+    val basic = "Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"$username:$password".getBytes(StandardCharsets.UTF_8))
+    def hostKey(u: URL): String = {
+      val p = if (u.getPort >= 0) u.getPort else u.getDefaultPort
+      s"${u.getHost}:$p"
+    }
+    def isAuthHost(u: URL): Boolean =
+      if (authHost.contains(":")) hostKey(u) == authHost
+      else u.getHost == authHost
+    val (status, copied) = withRetries(s"GET $url", retries)(() => {
+      // cookie jar scoped to one attempt: host:port -> name -> value
+      val jar = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.Map[String, String]]
+      var cur = new URL(url)
+      var hops = 0
+      var result: Option[(Int, Long)] = None
+      while (result.isEmpty) {
+        if (hops > maxHops)
+          throw new java.io.IOException(
+            s"redirect chain exceeded $maxHops hops from $url")
+        val hdrs = scala.collection.mutable.Map.empty[String, String]
+        jar.get(hostKey(cur)).filter(_.nonEmpty).foreach { cs =>
+          hdrs += "Cookie" -> cs.map { case (k, v) => s"$k=$v" }
+            .mkString("; ")
+        }
+        if (isAuthHost(cur)) hdrs += "Authorization" -> basic
+        val conn = open(cur.toString, "GET", hdrs.toMap,
+          connectTimeoutMs, readTimeoutMs)
+        conn.setInstanceFollowRedirects(false)
+        try {
+          val status = conn.getResponseCode
+          // bank Set-Cookie for THIS host before deciding what's next
+          // (header-name case varies by server: match insensitively)
+          import scala.jdk.CollectionConverters._
+          conn.getHeaderFields.asScala.foreach { case (k, vs) =>
+            if (k != null && k.equalsIgnoreCase("Set-Cookie"))
+              vs.asScala.foreach { sc =>
+                val nv = sc.split(";", 2)(0).split("=", 2)
+                if (nv.length == 2)
+                  jar.getOrElseUpdate(hostKey(cur),
+                    scala.collection.mutable.Map.empty)
+                    .update(nv(0).trim, nv(1).trim)
+              }
+          }
+          if (status == 301 || status == 302 || status == 303 ||
+              status == 307 || status == 308) {
+            val loc = Option(conn.getHeaderField("Location")).getOrElse(
+              throw new java.io.IOException(
+                s"HTTP $status without Location from $cur"))
+            cur = new URL(cur, loc) // resolves relative redirects
+            hops += 1
+          } else if (status == 200) {
+            val in = conn.getInputStream
+            val out = openOut()
+            try {
+              val chunk = new Array[Byte](1 << 16)
+              var total = 0L
+              var n = in.read(chunk)
+              while (n >= 0) {
+                out.write(chunk, 0, n); total += n; n = in.read(chunk)
+              }
+              val expected = conn.getContentLengthLong
+              if (expected >= 0 && total != expected)
+                throw new java.io.IOException(
+                  s"truncated body: $total of $expected bytes from $cur")
+              result = Some((status, total))
+            } finally {
+              try in.close() finally out.close()
+            }
+          } else {
+            result = Some((status, 0L))
+          }
+        } finally conn.disconnect()
+      }
+      result.get
+    })
+    if (status != 200)
+      throw new java.io.IOException(s"HTTP $status from $url")
+    copied
+  }
+
   /** Append pagination params, preserving any query already present
     * (the reference builds `...&page_size={limit}&page_num={page}`,
     * handler.py:128-131). */

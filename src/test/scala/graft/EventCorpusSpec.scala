@@ -60,6 +60,102 @@ class EventCorpusSpec extends SparkSuite {
     assert(evs.exists(_.dataFileRegex.isDefined), "no multi-asset config")
   }
 
+  test("cogify-enabled configs run discover -> cogify -> STAC with bytes") {
+    // The §3.1 lifecycle with REAL raster IO for the reference's
+    // cogify-enabled configs (the four ESACCI year variants): fixture
+    // GeoTIFFs on disk, inventory discovery from the real config's
+    // shape, the JVM COG writer doing the conversion, and the emitted
+    // items' proj/raster fields cross-checked against the independent
+    // S5 parser reading the produced COG bytes.
+    assume(Files.isDirectory(corpusDir), "reference corpus not present")
+    import graft.operators.Cogify
+    import graft.pipeline.Runner
+    import graft.sources.{GeoTiff, GeoTiffWriter}
+    import org.apache.spark.sql.functions.col
+
+    for (year <- Seq("2017", "2020")) {
+      val cfgFile = corpusDir.resolve(
+        s"ESACCI_Biomass_L4_AGB_V4_100m_$year.json")
+      val base = EventJson.parseAll(Files.readString(cfgFile)).head
+      assert(base.cogify && base.discovery == "inventory")
+
+      // prefix carries NO digits: the date cascade scans the whole
+      // remote_fileurl, and a temp-dir digit run reads as a bad date
+      val dir = Files.createTempDirectory("ccie2e")
+      val grids = Map(
+        s"S50W070_BIOMASS-100m-$year-fv4.0" ->
+          ((300, 200, Seq(-70.0, 0.1, 0.0, -50.0, 0.0, -0.1))),
+        s"N00E010_BIOMASS-100m-$year-fv4.0" ->
+          ((280, 140, Seq(10.0, 0.05, 0.0, 0.0, 0.0, -0.05))))
+      val sourceData = grids.map { case (stem, (w, h, transform)) =>
+        val data = Array.tabulate(w * h)(i => ((i * 13) % 997).toFloat)
+        // source tiles are 64px: the cogify stage must RE-tile to 256
+        Files.write(dir.resolve(s"$stem.tif"), GeoTiffWriter.write(
+          w, h, data, GeoTiffWriter.Geo(transform, 4326),
+          fill = Some(-9999.0), tileSize = 64))
+        stem -> data
+      }
+      val csv = dir.resolve("inventory.csv")
+      Files.writeString(csv, "s3_path\n" +
+        grids.keys.toSeq.sorted.map(s => s"$dir/$s.tif\n").mkString)
+
+      // the real config, pointed at local fixtures; upload=false keeps
+      // the COG path local so the bytes can be independently re-read
+      val ev = base.copy(inventoryUrl = Some(csv.toString),
+        upload = false)
+      val r = Runner.run(spark, ev,
+        Runner.RunContext(cogifyTransform = new Cogify.RasterCogTransform()))
+      assert(r.quarantined.isEmpty, s"$year: quarantined rows")
+      val items = r.items.collect()
+      assert(items.length == 2, s"$year: expected 2 items")
+
+      items.foreach { item =>
+        val id = item.getString(item.fieldIndex("id"))
+        val (w, h, transform) = grids(id)
+        val assets = item.getMap[String, org.apache.spark.sql.Row](
+          item.fieldIndex("assets"))
+        assert(assets.keySet == Set(base.assetName.getOrElse("tif")))
+        val cogPath = assets.values.head.getAs[String]("href")
+        val cogBytes = Files.readAllBytes(Paths.get(cogPath))
+        // independent S5 re-parse of the produced COG
+        val m = GeoTiff.parse(cogBytes).fold(e => fail(s"$id: $e"), identity)
+        assert(m.width == w && m.height == h)
+        assert(m.tileWidth.contains(256L) && m.tileHeight.contains(256L))
+        assert(m.epsg.contains(4326))
+        assert(m.transform.contains(transform))
+        assert(m.nodata.contains(-9999.0))
+        // pixel data survives the re-tile bit-exactly
+        val (_, decoded) = GeoTiff.readSamples(cogBytes)
+          .fold(e => fail(s"$id: $e"), identity)
+        assert(decoded.toSeq == sourceData(id).toSeq)
+        // filename year -> single datetime (the cascade's exact-year
+        // branch), like the reference's extract_dates
+        assert(item.getTimestamp(item.fieldIndex("datetime"))
+          .toString.startsWith(s"$year-01-01"))
+      }
+
+      // STAC enrichment carries the S5-parsed proj fields into items
+      // (binaryFile paths are file:-prefixed; hrefs are plain local)
+      import spark.implicits._
+      val media = graft.llm.Multimodal.readMedia(spark, s"file://$dir",
+        glob = "*.tif")
+      val scans = GeoTiff.scanMetadata(media)
+        .map(s => s.copy(path = s.path.stripPrefix("file:")))
+      val enriched = graft.operators.StacBuilder.enrichWithRaster(
+        r.items, scans)
+      val byId = enriched.select(col("id"), col("properties")).collect()
+        .map(x => x.getString(0) -> x.getMap[String, String](1)).toMap
+      grids.foreach { case (stem, (w, h, transform)) =>
+        val p = byId(stem)
+        assert(p("proj:epsg") == "4326")
+        assert(p("proj:shape") == s"$h,$w")
+        assert(p("proj:transform") ==
+          transform.map(_.toString).mkString(","))
+        assert(p("raster:bits_per_sample") == "32")
+      }
+    }
+  }
+
   test("all reference collection docs load, validate, and broadcast-join") {
     val dir = Paths.get("/root/reference/data/collections")
     assume(Files.isDirectory(dir), "reference corpus not present")

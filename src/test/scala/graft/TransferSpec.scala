@@ -79,6 +79,92 @@ class TransferSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("URS redirect-flow auth: cookies per host, creds only to URS") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dst = Files.createTempDirectory("xfer-urs-dst")
+    val data = (0 until 2048).map(i => ((i * 17 + 3) % 256).toByte).toArray
+    val dataHostAuth =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val goodBasic = "Basic " + java.util.Base64.getEncoder
+      .encodeToString("edluser:edlpass".getBytes("UTF-8"))
+
+    // auth server (the URS stand-in): Basic creds -> token redirect
+    val auth = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    auth.createContext("/login", (x: HttpExchange) => {
+      val got = Option(
+        x.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      val back = x.getRequestURI.getQuery.stripPrefix("back=")
+      if (got != goodBasic) { x.sendResponseHeaders(401, -1); x.close() }
+      else {
+        x.getResponseHeaders.add("Location", s"$back?token=tok42")
+        x.sendResponseHeaders(302, -1); x.close()
+      }
+    })
+    auth.start()
+    val authPort = auth.getAddress.getPort
+
+    // data server: unauthenticated -> redirect to URS; token redirect
+    // -> set own session cookie and bounce to the clean URL; cookie ->
+    // serve. Mirrors the Earthdata data-host side of the URS dance.
+    val dataSrv = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    dataSrv.createContext("/urs/granule.bin", (x: HttpExchange) => {
+      dataHostAuth.add(Option(
+        x.getRequestHeaders.getFirst("Authorization")).getOrElse(""))
+      val query = Option(x.getRequestURI.getQuery).getOrElse("")
+      val cookie = Option(
+        x.getRequestHeaders.getFirst("Cookie")).getOrElse("")
+      val selfUrl = s"http://127.0.0.1:${dataSrv.getAddress.getPort}" +
+        "/urs/granule.bin"
+      if (cookie.contains("session=abc")) {
+        x.sendResponseHeaders(200, data.length)
+        val os = x.getResponseBody; os.write(data); os.close()
+      } else if (query.contains("token=tok42")) {
+        x.getResponseHeaders.add("Set-Cookie",
+          "session=abc; Path=/; HttpOnly")
+        x.getResponseHeaders.add("Location", selfUrl)
+        x.sendResponseHeaders(302, -1); x.close()
+      } else {
+        x.getResponseHeaders.add("Location",
+          s"http://127.0.0.1:$authPort/login?back=$selfUrl")
+        x.sendResponseHeaders(302, -1); x.close()
+      }
+    })
+    dataSrv.start()
+    try {
+      val url = s"http://127.0.0.1:${dataSrv.getAddress.getPort}" +
+        "/urs/granule.bin"
+      def planOne() = Transfer.plan(
+        Seq(1).toDF("i").select(
+          lit("c").as("collection"), lit(url).as("remote_fileurl"),
+          lit(true).as("upload"), lit(false).as("user_shared"),
+          lit(false).as("cogify"),
+          map(lit("directory"), lit("")).as("extra")),
+        s"file://$dst")
+      val urs = Transfer.UrsAuth("edluser", "edlpass",
+        authHost = s"127.0.0.1:$authPort")
+      val out = Transfer.execute(planOne(),
+        Transfer.HttpAuth(urs = Some(urs))).collect().head
+      assert(out.getString(out.fieldIndex("remote_fileurl")) ==
+        s"file://$dst/c/granule.bin")
+      assert(Files.readAllBytes(
+        Paths.get(s"$dst/c/granule.bin")).toSeq == data.toSeq)
+      // the data host never saw the credentials — only URS did
+      import scala.jdk.CollectionConverters._
+      assert(dataHostAuth.asScala.nonEmpty &&
+        dataHostAuth.asScala.forall(_ == ""))
+
+      // wrong password: 401 at URS -> failure, and no target file
+      Files.delete(Paths.get(s"$dst/c/granule.bin"))
+      intercept[org.apache.spark.SparkException] {
+        Transfer.execute(planOne(), Transfer.HttpAuth(
+          urs = Some(urs.copy(password = "wrong")))).collect()
+      }
+      assert(Files.notExists(Paths.get(s"$dst/c/granule.bin")))
+    } finally { dataSrv.stop(0); auth.stop(0) }
+  }
+
   test("http failures leave NO file at the target (atomicity for re-runs)") {
     val dst = Files.createTempDirectory("xfer-http-fail")
     val hits = new java.util.concurrent.atomic.AtomicInteger()
