@@ -558,6 +558,63 @@ object Queries {
       .orderBy("fname", "var_path")
   }
 
+  /** S5/K3 — COMPRESSED GeoTIFF sample decode over spec-built fixture
+    * bytes: LZW (width-growth exercised by the naive literal-code
+    * encoder), PackBits, deflate + horizontal predictor, and junk
+    * hitting the quarantine row. Distributed decode (mapPartitions
+    * over (path, content)), literal-VALUES oracle on the grid stats. */
+  def s5Compressed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.RasterFixtures._
+    val w = 19; val h = 7
+    val vals = Seq.tabulate(w * h)(i => (i * 13 + 5) % 256)
+    val files = Seq(
+      ("lzw.tif",
+        stripTiffEncoded(w, h, vals, 3, 5, lzwEncodeNaive)),
+      ("packbits.tif",
+        stripTiffEncoded(w, h, vals, 3, 32773, packBitsEncode)),
+      ("deflate_pred.tif",
+        stripTiffEncoded(w, h, vals, 3, 8, deflate, predictor = 2)),
+      ("junk.tif", "not a raster".getBytes)).toDF("path", "content")
+    files.as[(String, Array[Byte])].map { case (fname, bytes) =>
+      graft.sources.GeoTiff.readSamples(bytes) match {
+        case Right((_, grid)) =>
+          (fname, true, grid.length.toLong,
+            grid.map(_.toDouble).sum, grid.min.toDouble, grid.max.toDouble)
+        case Left(_) => (fname, false, 0L, 0.0, 0.0, 0.0)
+      }
+    }.toDF("fname", "ok", "n_samples", "sum_val", "min_val", "max_val")
+      .orderBy("fname")
+  }
+
+  /** S6 — CHUNKED HDF5 data decode over the spec-built fixture: the
+    * shuffle+deflate 2-D grid must equal its contiguous twin and the
+    * deflate / deflate+fletcher32 1-D coordinates must read exactly —
+    * all through the distributed scan path, literal-VALUES oracle. */
+  def s6Chunked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Seq(
+      ("chunked.h5", graft.sources.NetCdfFixtures.hdf5Chunked()))
+      .toDF("path", "content")
+    files.as[(String, Array[Byte])].flatMap { case (fname, bytes) =>
+      val meta = graft.sources.NetCdf.parse(bytes)
+        .getOrElse(graft.sources.NetCdf.FileMeta("unparsed", Nil, Nil, Nil))
+      meta.vars.map { v =>
+        val grid = graft.sources.NetCdf.readGridRaw(bytes, meta, v.path)
+        val storage =
+          if (v.begin.isDefined) "contiguous"
+          else if (v.chunks.isDefined) "chunked" else "none"
+        grid match {
+          case Some(g) => (fname, v.path, storage, true, g.length.toLong,
+            g.map(_.toDouble).sum, g.min.toDouble, g.max.toDouble)
+          case None => (fname, v.path, storage, false, 0L, 0.0, 0.0, 0.0)
+        }
+      }
+    }.toDF("fname", "var_path", "storage", "ok", "n_vals",
+        "sum_val", "min_val", "max_val")
+      .orderBy("fname", "var_path")
+  }
+
   /** Data profiling: per-column null/distinct/min/max in ONE scan
     * ([[graft.operators.Profile]]). Long/string columns only in the
     * oracle — double/timestamp→string rendering differs between

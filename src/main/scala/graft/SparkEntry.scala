@@ -138,7 +138,9 @@ object SparkEntry {
     "q_retention"            -> (Queries.cohortRetention _),
     // raster / array-file header scans (fixture-pinned)
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
+    "q_s5_compressed"        -> (Queries.s5Compressed _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
+    "q_s6_chunked"           -> (Queries.s6Chunked _),
     // graph analytics
     "q_pagerank"             -> (Queries.pageRank _),
     // table maintenance / data quality / time series
@@ -826,6 +828,37 @@ object SparkEntry {
         |) AS t(fname, ok, width, height, bits, spp, epsg,
         |       gt_x0, gt_xres, gt_y0, gt_yres)
         |ORDER BY fname""".stripMargin,
+    "q_s5_compressed" ->
+      """SELECT * FROM (VALUES
+        |  ('deflate_pred.tif', true, CAST(133 AS BIGINT),
+        |   CAST(16475.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |   CAST(255.0 AS DOUBLE)),
+        |  ('junk.tif', false, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+        |   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+        |  ('lzw.tif', true, CAST(133 AS BIGINT), CAST(16475.0 AS DOUBLE),
+        |   CAST(0.0 AS DOUBLE), CAST(255.0 AS DOUBLE)),
+        |  ('packbits.tif', true, CAST(133 AS BIGINT),
+        |   CAST(16475.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |   CAST(255.0 AS DOUBLE))
+        |) AS t(fname, ok, n_samples, sum_val, min_val, max_val)
+        |ORDER BY fname""".stripMargin,
+    "q_s6_chunked" ->
+      """SELECT * FROM (VALUES
+        |  ('chunked.h5', 'lat', 'chunked', true, CAST(3 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(-10.0 AS DOUBLE),
+        |   CAST(10.0 AS DOUBLE)),
+        |  ('chunked.h5', 'lon', 'chunked', true, CAST(7 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(-150.0 AS DOUBLE),
+        |   CAST(150.0 AS DOUBLE)),
+        |  ('chunked.h5', 'precip', 'chunked', true, CAST(35 AS BIGINT),
+        |   CAST(805.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |   CAST(46.0 AS DOUBLE)),
+        |  ('chunked.h5', 'precip_contig', 'contiguous', true,
+        |   CAST(35 AS BIGINT), CAST(805.0 AS DOUBLE),
+        |   CAST(0.0 AS DOUBLE), CAST(46.0 AS DOUBLE))
+        |) AS t(fname, var_path, storage, ok, n_vals, sum_val,
+        |       min_val, max_val)
+        |ORDER BY fname, var_path""".stripMargin,
     "q_s6_netcdf" ->
       """SELECT * FROM (VALUES
         |  ('grid.nc', true, 'netcdf-classic CDF-1', 'lat',

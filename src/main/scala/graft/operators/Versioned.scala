@@ -57,16 +57,70 @@ object Versioned {
     * pointer moves, so a crash mid-write leaves the previous version
     * live and the half-written directory unreferenced. Returns the
     * published version number. */
+  /** True when `p` names a local (file:) path — the scheme whose
+    * Hadoop create/rename primitives are check-then-act and need the
+    * java.nio atomic equivalents under concurrency. */
+  private def isLocal(f: org.apache.hadoop.fs.FileSystem): Boolean =
+    f.getScheme == "file"
+
+  private def nio(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
+
+  /** Atomic create-no-overwrite: O_EXCL via nio on local disk (Hadoop
+    * RawLocalFileSystem.create(false) is exists-then-create, NOT
+    * atomic); HDFS-style filesystems enforce it server-side. */
+  private def atomicClaim(f: org.apache.hadoop.fs.FileSystem,
+                          p: Path): Boolean =
+    if (isLocal(f))
+      try { java.nio.file.Files.createFile(nio(p)); true }
+      catch { case _: java.io.IOException => false }
+    else
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+
+  /** Atomic rename-over: rename(2) via nio on local disk (FileContext
+    * OVERWRITE is delete-then-rename locally — a crash or a racing
+    * writer in that window loses the pointer); FileContext on
+    * HDFS-style schemes where the overwrite rename IS atomic. */
+  private def atomicRename(spark: SparkSession,
+                           f: org.apache.hadoop.fs.FileSystem,
+                           src: Path, dst: Path): Unit =
+    if (isLocal(f))
+      java.nio.file.Files.move(nio(src), nio(dst),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    else
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no FileContext for this scheme: accept the tiny window
+          // rather than failing the publish
+          if (f.exists(dst)) f.delete(dst, false)
+          require(f.rename(src, dst), s"pointer swap $src -> $dst failed")
+      }
+
+  /** Newest version whose directory carries the `_SUCCESS` marker —
+    * the "complete" set the pointer is allowed to land on. */
+  private def maxComplete(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    versions(spark, root).reverse
+      .find(v => f.exists(new Path(versionDir(root, v), "_SUCCESS")))
+      .getOrElse(0L)
+  }
+
   def publish(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     f.mkdirs(new Path(root))
-    // claim a version number ATOMICALLY (create-no-overwrite): a bare
-    // errorifexists parquet write has a check-then-write window in
-    // which two concurrent publishers both claim the same directory
-    // and silently merge their files. Start above BOTH the pointer and
-    // anything on disk (a crashed publish leaves an orphaned higher
-    // dir that must never block the next publish).
+    // claim a version number ATOMICALLY: a bare errorifexists parquet
+    // write has a check-then-write window in which two concurrent
+    // publishers both claim the same directory and silently merge
+    // their files. Start above BOTH the pointer and anything on disk
+    // (a crashed publish leaves an orphaned higher dir that must
+    // never block the next publish).
     var v = math.max(latestVersion(spark, root),
       versions(spark, root).lastOption.getOrElse(0L))
     var claimed = false
@@ -76,36 +130,35 @@ object Versioned {
       attempts += 1
       v += 1
       if (!f.exists(claimPath(root, v)) && !f.exists(versionDir(root, v)))
-        try { f.create(claimPath(root, v), false).close(); claimed = true }
-        catch { case _: java.io.IOException => () } // lost the race
+        claimed = atomicClaim(f, claimPath(root, v))
     }
     // overwrite is safe INSIDE the claim (and makes a retried job
     // re-runnable); the claim guarantees no other writer shares the dir
     df.write.mode("overwrite").parquet(versionDir(root, v).toString)
+    // monotonic pointer: converge on max(own, newest COMPLETE version)
+    // rather than swap-and-exit — a slower writer finishing an older
+    // version would otherwise land its swap AFTER a newer one and
+    // regress the pointer past completed data
     val ptr = new Path(root, "_latest")
-    // monotonic swap: a slower writer finishing an older version must
-    // not move the pointer backwards past a newer completed publish
-    if (latestVersion(spark, root) < v) {
-      val tmp = new Path(root, f"_latest.tmp.v$v%08d")
-      val out = f.create(tmp, true)
-      try out.write(v.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // rename OVER the old pointer in one step (the Incremental
-      // watermark's primitive): delete-then-rename would open a window
-      // where a crash loses the pointer entirely — after which
-      // latestVersion()=0 and a vacuum would treat EVERY published
-      // version as an orphan
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          ptr.toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          // no FileContext for this scheme: accept the tiny window
-          // rather than failing the publish
-          if (f.exists(ptr)) f.delete(ptr, false)
-          require(f.rename(tmp, ptr), s"pointer swap failed for $root v$v")
+    var settled = false
+    var tries = 0
+    while (!settled) {
+      require(tries < 1000, s"pointer did not settle under $root")
+      tries += 1
+      val target = math.max(v, maxComplete(spark, root))
+      if (latestVersion(spark, root) >= target) settled = true
+      else try {
+        // tmp is keyed by OUR claimed version (unique per writer):
+        // converging writers must never share a tmp file, or one's
+        // atomic move yanks it from under the other's write
+        val tmp = new Path(root, f"_latest.tmp.w$v%08d")
+        val out = f.create(tmp, true)
+        try out.write(target.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        atomicRename(spark, f, tmp, ptr)
+      } catch { // lost a concurrent swap: re-check and retry
+        case scala.util.control.NonFatal(_) => Thread.sleep(5L)
       }
     }
     v
@@ -163,18 +216,15 @@ object Versioned {
     if (current == 0L && onDisk.nonEmpty) {
       // repair to the newest COMPLETE version (_SUCCESS present) — the
       // max dir may itself be the half-written crashed publish
-      onDisk.reverse.find(v =>
-          f.exists(new Path(versionDir(root, v), "_SUCCESS")))
-        .foreach { repaired =>
-          val tmp = new Path(root, "_latest.tmp")
-          val out = f.create(tmp, true)
-          try out.write(repaired.toString.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          val ptr = new Path(root, "_latest")
-          require(f.rename(tmp, ptr),
-            s"pointer repair failed for $root v$repaired")
-        }
+      val repaired = maxComplete(spark, root)
+      if (repaired > 0L) {
+        val tmp = new Path(root, "_latest.tmp")
+        val out = f.create(tmp, true)
+        try out.write(repaired.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        atomicRename(spark, f, tmp, new Path(root, "_latest"))
+      }
       return // never vacuum on a lost pointer — repair (above) or abort
     }
     val now = System.currentTimeMillis()
@@ -190,13 +240,15 @@ object Versioned {
       f.delete(claimPath(root, v), false)
     }
     // aged claim files with no data directory (a crash between claim
-    // and write): reclaimable like any orphan
+    // and write) and aged pointer tmp files (a lost swap race):
+    // reclaimable like any orphan
     f.listStatus(new Path(root)).toSeq
-      .filter(s => s.getPath.getName.matches("v\\d{8}\\._claim"))
       .filter(s => now - s.getModificationTime >= orphanMinAgeMs)
       .map(_.getPath)
-      .filter(p => !f.exists(new Path(root,
-        p.getName.stripSuffix("._claim"))))
+      .filter(p =>
+        (p.getName.matches("v\\d{8}\\._claim") &&
+          !f.exists(new Path(root, p.getName.stripSuffix("._claim")))) ||
+        p.getName.startsWith("_latest.tmp."))
       .foreach(p => f.delete(p, false))
   }
 }

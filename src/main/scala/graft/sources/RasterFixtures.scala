@@ -108,6 +108,63 @@ object RasterFixtures {
     buf.array()
   }
 
+  /** zlib-deflate a strip payload (the compression the COG writer
+    * emits; here a fixture encoder for compressed-input TIFFs). */
+  def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(out); d.end()
+    out.take(n)
+  }
+
+  /** NAIVE but spec-valid PackBits (TIFF 6.0 §9) fixture encoder:
+    * literal runs only, ≤128 bytes each — expands, never errs. */
+  def packBitsEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var i = 0
+    while (i < raw.length) {
+      val n = math.min(128, raw.length - i)
+      out += (n - 1).toByte
+      out ++= raw.slice(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /** NAIVE but spec-valid TIFF-LZW fixture encoder: emits ONLY
+    * literal byte codes (never dictionary hits), while tracking the
+    * table growth a conforming decoder performs so the 9→12-bit
+    * early-change width bumps line up exactly (TIFF 6.0 §13). The
+    * stream is longer than the input but exercises every width. */
+  def lzwEncodeNaive(raw: Array[Byte]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var acc = 0L; var nbits = 0
+    def write(v: Int, w: Int): Unit = {
+      acc = (acc << w) | v; nbits += w
+      while (nbits >= 8) {
+        out += ((acc >>> (nbits - 8)) & 0xFF).toByte; nbits -= 8
+      }
+    }
+    var width = 9
+    var next = 258
+    write(256, width) // Clear
+    var i = 0
+    while (i < raw.length) {
+      write(raw(i) & 0xFF, width)
+      // from the 2nd symbol on, the decoder defines a table entry and
+      // widens when the NEXT slot is 2^width - 1 (early change)
+      if (i > 0 && next < 4096) {
+        next += 1
+        if (next == (1 << width) - 1 && width < 12) width += 1
+      }
+      i += 1
+    }
+    write(257, width) // EOI
+    if (nbits > 0) out += ((acc << (8 - nbits)) & 0xFF).toByte
+    out.toArray
+  }
+
   /** Stripped uint8 TIFF whose strip payloads pass through `encode`
     * (deflate, LZW, PackBits…), with optional horizontal-differencing
     * predictor applied to the raw rows BEFORE encoding — fabricates
