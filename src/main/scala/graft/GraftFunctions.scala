@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsJoinSizeExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, DeflateRatioExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr, VecSumAgg}
+import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsJoinSizeExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, DeflateRatioExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, PqEncodeExpr, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr, VecSumAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -84,6 +84,12 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.size == 3, "lsh_bucket expects 3 arguments")
         LshBucketExpr(exprs(0), exprs(1), exprs(2))
+      }),
+    (FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 4, "pq_encode expects 4 arguments")
+        PqEncodeExpr(exprs(0), exprs(1), exprs(2), exprs(3))
       }),
     (FunctionIdentifier("minhash_union"),
       new ExpressionInfo(classOf[MinhashUnionAgg].getName, "minhash_union"),

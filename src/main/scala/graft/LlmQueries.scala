@@ -555,15 +555,18 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  /** IVF ANN vs the exact answer: the KMeans-cell inverted-file search
-    * ([[Similarity.ivfTopK]]) must recover the true cosine top-1 for
-    * every query — the DuckDB oracle computes the exact neighbor
-    * independently, so this gates the whole codebook/probe/rank path,
-    * not a self-comparison. */
+  /** IVF ANN vs the exact answer: the sample-trained-Lloyd cell
+    * inverted-file search ([[Similarity.ivfTopK]]) must recover the
+    * true cosine top-1 for every query — the DuckDB oracle computes
+    * the exact neighbor independently, so this gates the whole
+    * codebook/assign/probe/rank path, not a self-comparison.
+    * assignTop=2 (soft assignment): near-uniform vectors put several
+    * true NNs right on cell boundaries — the FAISS-style recall knob,
+    * 2× index size instead of probing yet more cells. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.ivfTopK(e, e.filter(col("vec_id") < 25), k = 1,
-      nCentroids = 16, nProbe = 12)
+      nCentroids = 16, nProbe = 12, assignTop = 2)
       .select(col("query_id"), col("nn_id"))
       .orderBy("query_id")
   }

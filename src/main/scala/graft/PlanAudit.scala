@@ -32,7 +32,8 @@ object PlanAudit {
       "q_quality_classifier", "q_curate_pipeline", "q_semdedup",
       "q_crossdoc_spans", "q_weighted_sample", "q_ann_pq",
       "q_ann_ivfpq", "q_pagerank", "q_shard_plan", "q_corpus_card",
-      "q_cdc_apply", "q_validate", "q_resample_ffill", "q_rolling_dau",
+      "q_cdc_apply", "q_scd2", "q_merge_into", "q_dup_clusters",
+      "q_validate", "q_resample_ffill", "q_rolling_dau",
       "q_outliers", "q_skew_salted_join", "q_html_extract",
       "q_spatial_join", "q_triangles", "q_pmi_bigrams",
       "q_inverted_index", "q_winsorize",

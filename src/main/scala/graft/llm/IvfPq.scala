@@ -68,12 +68,53 @@ object IvfPq {
     best
   }
 
-  /** Encode: `(vec_id, cell, codes)` — one map pass. Write PARTITIONED
-    * BY cell for probed-read locality. */
+  /** The IVF-PQ bias tensor for [[graft.expr.PqEncodeExpr]]:
+    * `bias(cell)(s)(c) = ‖c‖²/2 + u_cell,s·c` — the residual identity
+    * folded into plan-time constants. */
+  private[llm] def residualBias(coarse: Seq[Seq[Double]],
+                                residualCb: Seq[Seq[Seq[Double]]])
+  : Seq[Seq[Seq[Double]]] = {
+    val dsub = residualCb.head.head.length
+    coarse.map { u =>
+      residualCb.zipWithIndex.map { case (codes, s) =>
+        val us = u.slice(s * dsub, (s + 1) * dsub)
+        codes.map { c =>
+          c.map(x => x * x).sum / 2 +
+            us.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum
+        }
+      }
+    }
+  }
+
+  /** Encode: `(vec_id, cell, codes)` — one map pass, two native
+    * codegen'd [[graft.expr.PqEncodeExpr]] calls (cell assign = a
+    * 1-subspace encode over the coarse centroids; residual codes =
+    * an m-subspace encode biased per cell). The declarative twin
+    * below is the NativeExprSpec parity contract. */
   def encode(corpus: DataFrame, coarse: Seq[Seq[Double]],
              residualCb: Seq[Seq[Seq[Double]]],
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val v = col(vecCol)
+    val cellCol = element_at(
+      call_function("pq_encode", v, typedlit(Seq(coarse)),
+        typedlit(Pq.plainBias(Seq(coarse))), lit(0)), 1)
+    corpus.select(col(idCol).as("vec_id"), v.as("v"),
+        cellCol.as("cell"))
+      .select(col("vec_id"), col("cell"),
+        call_function("pq_encode", col("v"), typedlit(residualCb),
+          typedlit(residualBias(coarse, residualCb)), col("cell"))
+          .as("codes"))
+  }
+
+  /** Declarative twin of [[encode]] — same (cell, codes) bit-for-bit
+    * through m×k dot expressions; kept as the readable semantics and
+    * the parity oracle. */
+  def encodeDeclarative(corpus: DataFrame, coarse: Seq[Seq[Double]],
+                        residualCb: Seq[Seq[Seq[Double]]],
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
     val m = residualCb.length
     val dsub = residualCb.head.head.length

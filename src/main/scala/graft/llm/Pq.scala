@@ -137,12 +137,32 @@ object Pq {
     })
   }
 
+  /** The plain-PQ bias tensor for [[graft.expr.PqEncodeExpr]]: one
+    * "cell" of `‖c‖²/2` per (sub, code). */
+  private[llm] def plainBias(cb: Seq[Seq[Seq[Double]]])
+  : Seq[Seq[Seq[Double]]] =
+    Seq(cb.map(_.map(c => c.map(x => x * x).sum / 2)))
+
   /** Encode the corpus: `(vec_id, codes array<int> of length m)` —
     * persist this next to (or instead of) the raw vectors; it is the
-    * 8-bytes-per-vector search structure. */
+    * 8-bytes-per-vector search structure. One native codegen'd
+    * expression ([[graft.expr.PqEncodeExpr]]) — the declarative twin
+    * below stays as the NativeExprSpec parity contract. */
   def encode(corpus: DataFrame, cb: Seq[Seq[Seq[Double]]],
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("vec_id"),
+      call_function("pq_encode", col(vecCol), typedlit(cb),
+        typedlit(plainBias(cb)), lit(0)).as("codes"))
+  }
+
+  /** Declarative twin of [[encode]] (m×k dot-product expressions +
+    * argmin scaffolding): same codes bit-for-bit, kept as the
+    * readable spec of the semantics and the parity oracle. */
+  def encodeDeclarative(corpus: DataFrame, cb: Seq[Seq[Seq[Double]]],
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
     graft.GraftFunctions.register(corpus.sparkSession)
     val m = cb.length
     val dsub = cb.head.head.length

@@ -159,9 +159,11 @@ object Similarity {
     * explode, rank by exact cosine inside probed cells. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
+              assignTop: Int = 1,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val (cells, codebook) = ivfIndex(corpus, nCentroids, idCol, vecCol)
+    val (cells, codebook) =
+      ivfIndex(corpus, nCentroids, assignTop, idCol, vecCol)
     ivfSearch(cells, codebook, queries, k, nProbe, idCol, vecCol)
   }
 
@@ -173,21 +175,48 @@ object Similarity {
     * (train on a sample at 100 TB scale), search many times with
     * [[ivfSearch]] — the index is data, not a live model object. */
   def ivfIndex(corpus: DataFrame, nCentroids: Int = 16,
+               assignTop: Int = 1,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    require(assignTop >= 1 && assignTop <= nCentroids,
+      s"assignTop must be in [1, $nCentroids], got $assignTop")
     val spark = corpus.sparkSession
     import spark.implicits._
+    graft.GraftFunctions.register(spark)
+    // centroids from the engine's deterministic sample-trained Lloyd
+    // kernel (the [[semanticDedup]] lesson applied here too): Spark
+    // ML's k-means|| pays ~20 scheduler-bound jobs and samples
+    // per-partition (partitioning-dependent cells); the driver kernel
+    // is bit-deterministic, and at 100 TB the sample bound is the
+    // difference between one TakeOrdered pass and 20 full scans
+    val cents = Pq.train(corpus, m = 1, k = nCentroids, iters = 25,
+      sampleSize = math.max(8192, 32 * nCentroids),
+      idCol = idCol, vecCol = vecCol).head
     val c0 = corpus.select(col(idCol).as("nn_id"),
       asDouble(col(vecCol)).as("nn_vec"))
-      .withColumn("fv", array_to_vector(col("nn_vec")))
-    val model = new KMeans().setK(nCentroids).setSeed(42)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(c0.select("fv"))
-    val cells = model.transform(c0).drop("fv")
-    val codebook = model.clusterCenters.toSeq.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.toSeq) }
+    val cbLit = typedlit(cents.zipWithIndex.map { case (v, i) => (i, v) })
+    // max-dot (spherical) assignment: cosine search lives in the dot
+    // metric, so assigning AND probing by dot keeps a query's
+    // neighbors in the cells it probes first. assignTop > 1 files
+    // each vector under its assignTop nearest cells (FAISS-style
+    // soft assignment) — the recall knob for true neighbors sitting
+    // just across a cell boundary, at assignTop× index size.
+    val cells =
+      if (assignTop == 1) {
+        val zeroBias = Seq(Seq(cents.map(_ => 0.0)))
+        c0.withColumn("cell", element_at(
+          call_function("pq_encode", col("nn_vec"), typedlit(Seq(cents)),
+            typedlit(zeroBias), lit(0)), 1))
+      } else {
+        val scoredCells = transform(cbLit, e => struct(
+          (lit(0.0) - dot(col("nn_vec"), e.getField("_2"))).as("d"),
+          e.getField("_1").as("cid")))
+        c0.withColumn("cell",
+          explode(transform(slice(array_sort(scoredCells), 1, assignTop),
+            _.getField("cid"))))
+      }
+    val codebook = cents.zipWithIndex
+      .map { case (v, i) => (i, v) }
       .toDF("cid", "centroid")
     (cells, codebook)
   }
@@ -203,11 +232,12 @@ object Similarity {
     val cb = codebook.select(col("cid"), asDouble(col("centroid")))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
       .sortBy(_._1)
+    // probe ranking uses the SAME max-dot metric the index assigns
+    // cells by — a metric mismatch between assignment and probing
+    // sends queries to cells their neighbors were never filed under
     val cbLit = typedlit(cb)
     val q0 = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("q_vec"))
-    // nProbe nearest cells per query (negative dot = proxy distance
-    // for normalized embeddings; exact cosine re-ranks inside cells)
     val scoredCells = transform(cbLit, e => struct(
       (lit(0.0) - dot(col("q_vec"), e.getField("_2"))).as("d"),
       e.getField("_1").as("cid")))
@@ -216,6 +246,11 @@ object Similarity {
       explode(transform(probes, _.getField("cid"))).as("cell"))
     val scored = cells.join(q, Seq("cell"))
       .filter(col("nn_id") =!= col("query_id"))
+      // an assignTop>1 index files a vector in several cells, so a
+      // (query, candidate) pair can meet more than once — dedup
+      // BEFORE top-k or duplicates would occupy top-k slots
+      .groupBy("query_id", "nn_id")
+      .agg(first("q_vec").as("q_vec"), first("nn_vec").as("nn_vec"))
       .select(col("query_id"), col("nn_id"),
         cosine(col("q_vec"), col("nn_vec")).as("sim"))
     localTopK(scored, k)

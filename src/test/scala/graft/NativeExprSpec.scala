@@ -187,6 +187,33 @@ class NativeExprSpec extends SparkSuite {
     }
   }
 
+  test("pq_encode matches the declarative PQ / IVF-PQ twins exactly") {
+    import graft.llm.{IvfPq, Pq}
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    // plain PQ: codes must agree row-by-row
+    val cb = Pq.train(e, m = 8, k = 16, iters = 3)
+    val nat = Pq.encode(e, cb).orderBy("vec_id").collect()
+    val dec = Pq.encodeDeclarative(e, cb).orderBy("vec_id").collect()
+    assert(nat.length == dec.length && nat.length > 0)
+    nat.zip(dec).foreach { case (n, d) =>
+      assert(n.getLong(0) == d.getLong(0))
+      assert(n.getSeq[Int](1) == d.getSeq[Int](1),
+        s"PQ codes mismatch for vec ${n.getLong(0)}")
+    }
+    // IVF-PQ: cell AND residual codes must agree
+    val (coarse, rcb) = IvfPq.train(e, nCells = 8, m = 8, k = 16, iters = 3)
+    val natI = IvfPq.encode(e, coarse, rcb).orderBy("vec_id").collect()
+    val decI = IvfPq.encodeDeclarative(e, coarse, rcb)
+      .orderBy("vec_id").collect()
+    assert(natI.length == decI.length && natI.length > 0)
+    natI.zip(decI).foreach { case (n, d) =>
+      assert(n.getInt(1) == d.getInt(1),
+        s"cell mismatch for vec ${n.getLong(0)}")
+      assert(n.getSeq[Int](2) == d.getSeq[Int](2),
+        s"IVF-PQ codes mismatch for vec ${n.getLong(0)}")
+    }
+  }
+
   test("extract_dates native matches the declarative cascade") {
     val names = Seq(
       "s3://d/file_2020-01-15.tif", "s3://d/f_20200115_x.tif",
