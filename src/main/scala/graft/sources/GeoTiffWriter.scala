@@ -107,7 +107,18 @@ object GeoTiffWriter {
       Entry(42113, 2, b.length,
         nodataOff.map(_.toLong).getOrElse(0L))) // GDAL_NODATA
 
-    val out = ByteBuffer.allocate(tileDataStart + tiles.map(_.length).sum)
+    // classic TIFF carries 32-bit offsets; this writer additionally
+    // assembles in one byte array, so fail with a CLEAR message well
+    // before an Int wrap turns into a cryptic allocation error (a
+    // 100 TB pipeline writes many granule-sized COGs, not one mosaic
+    // this large — BigTIFF would be the format for that)
+    val totalBytes = tileDataStart.toLong +
+      tiles.map(_.length.toLong).sum
+    require(totalBytes <= Int.MaxValue - 8,
+      s"COG would be $totalBytes bytes — beyond the classic-TIFF " +
+        "32-bit offset envelope of this writer; tile the output into " +
+        "multiple granule-sized COGs")
+    val out = ByteBuffer.allocate(totalBytes.toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     out.put('I'.toByte); out.put('I'.toByte)
     out.putShort(2, 42)
