@@ -549,7 +549,18 @@ object Dedup {
     * are kept canonical (hi, lo). Same interface: pairs in,
     * (id, component=min reachable id) out, ids restricted to those
     * appearing in some pair. */
-  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 25)
+  /** @param driverMaxEdges near-dup edge sets are orders smaller than
+    *   the corpus (LSH pairs, not documents); at or below this bound
+    *   the components resolve with an exact driver union-find — one
+    *   collect of (u,v) keys, O(E α(E)), zero per-round scheduler
+    *   jobs — the same bounded-collect contract as
+    *   [[graft.operators.AsOfJoin.broadcastJoin]]. Above it, the
+    *   distributed alternating-stars loop below is the path (a
+    *   100 TB web corpus can carry billions of near-dup edges). Both
+    *   paths label every node with its component MINIMUM, so results
+    *   are identical — spec-pinned against each other. */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 25,
+                               driverMaxEdges: Long = 4000000L)
   : DataFrame = {
     def canonical(e: DataFrame): DataFrame =
       e.select(greatest(col("u"), col("v")).as("u"),
@@ -583,6 +594,8 @@ object Dedup {
     var edges = canonical(pairs.select(col("id_a").as("u"),
       col("id_b").as("v")))
       .localCheckpoint(true)
+    if (edges.count() <= driverMaxEdges)
+      return driverComponents(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -596,6 +609,46 @@ object Dedup {
     edges.select(col("u").as("id"), col("v").as("component"))
       .unionByName(edges.select(col("v").as("id"), col("v").as("component")))
       .distinct()
+  }
+
+  /** Exact driver union-find over a bounded, collected edge set:
+    * union-by-minimum keeps each component's least id as its root (the
+    * order-independent label the distributed loop converges to), path
+    * compression keeps finds near-O(1). */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema("u").dataType
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = { // x is always present (putIfAbsent below)
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { // path compression
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    def less(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    edges.collect().foreach { r =>
+      val u = r.get(0); val v = r.get(1)
+      parent.putIfAbsent(u, u)
+      parent.putIfAbsent(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (less(ru, rv)) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rows = parent.keySet().asScala.toSeq.map(n => Row(n, find(n)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          rows.size / 1000 + 1))),
+      StructType(Seq(StructField("id", idType, nullable = false),
+        StructField("component", idType, nullable = false))))
   }
 
   /** Exact repeated-span detection — the substring-level dedup of

@@ -11,7 +11,9 @@ object SoloBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet("/root/testdata/sf0.1/region.parquet").count()
-    for (name <- Seq("q_pagerank", "q_set_jaccard", "q_clean_corpus")) {
+    for (name <- Seq("q_semdedup", "q_clean_corpus", "q_dup_clusters",
+      "q_curate_pipeline", "q_dedup_incremental", "q_winnow_pairs",
+      "q_edit_distance", "q_pagerank")) {
       for (i <- 1 to 2) {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
