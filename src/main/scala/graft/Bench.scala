@@ -58,7 +58,11 @@ object Bench {
     // for 60+ queries; full-precision doubles pushed it past the driver's
     // stdout tail capture and the line arrived truncated (unparseable)
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // SLOWEST first: downstream consumers tail-truncate this line at
+    // ~2000 chars, so the queries that carry the signal must come
+    // before the long tail of sub-100ms entries
+    val qs = results.toSeq.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"failed":[${failed.mkString(",")}],"queries":$qs,"sf":"$sfDir"}""")
