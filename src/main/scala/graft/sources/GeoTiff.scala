@@ -53,7 +53,11 @@ object GeoTiff {
   private val ProjectedCSTypeGeoKey = 3072
 
   /** Parsed IFD tag table with typed accessors (shared by the
-    * metadata parse and the sample reader). */
+    * metadata parse and the sample reader). Handles classic TIFF
+    * (magic 42: 12-byte entries, u32 counts/offsets, 4-byte inline
+    * slot) and BigTIFF (magic 43: 20-byte entries, u64, 8-byte slot)
+    * through one parametric layout — GDAL auto-promotes large rasters
+    * to BigTIFF, so reference-shaped inputs arrive in both. */
   private class TagReader(bytes: Array[Byte]) {
     val order: ByteOrder = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -63,53 +67,90 @@ object GeoTiff {
           "not recognized as a supported file format")
     }
     val buf: ByteBuffer = ByteBuffer.wrap(bytes).order(order)
-    require((buf.getShort(2) & 0xFFFF) == 42, "bad TIFF magic")
-    private val ifdOffset = (buf.getInt(4) & 0xFFFFFFFFL).toInt
-    private val nEntries = buf.getShort(ifdOffset) & 0xFFFF
+    private val magic = buf.getShort(2) & 0xFFFF
+    require(magic == 42 || magic == 43, "bad TIFF magic")
+    val big: Boolean = magic == 43
+    if (big) require((buf.getShort(4) & 0xFFFF) == 8 &&
+      buf.getShort(6) == 0, "bad BigTIFF offset size")
+    private val ifdOffset =
+      (if (big) buf.getLong(8) else buf.getInt(4) & 0xFFFFFFFFL).toInt
+    private val nEntries =
+      (if (big) buf.getLong(ifdOffset)
+       else (buf.getShort(ifdOffset) & 0xFFFF).toLong).toInt
+    private val entriesStart = ifdOffset + (if (big) 8 else 2)
+    private val entrySize = if (big) 20 else 12
+    private val slotAt = if (big) 12 else 8 // value slot within entry
+    private def cntAt(e: Int): Long =
+      if (big) buf.getLong(e + 4) else buf.getInt(e + 4) & 0xFFFFFFFFL
+    private def slotVal(e: Int): Long =
+      if (big) buf.getLong(e + slotAt)
+      else buf.getInt(e + slotAt) & 0xFFFFFFFFL
+    private val slotBytes = if (big) 8 else 4
+
     val tags: Map[Int, (Int, Long, Long)] = // tag -> (type, cnt, valueOrOff)
       (0 until nEntries).map { i =>
-        val e = ifdOffset + 2 + i * 12
+        val e = entriesStart + i * entrySize
         (buf.getShort(e) & 0xFFFF) -> ((buf.getShort(e + 2) & 0xFFFF,
-          buf.getInt(e + 4) & 0xFFFFFFFFL, buf.getInt(e + 8) & 0xFFFFFFFFL))
+          cntAt(e), slotVal(e)))
       }.toMap
 
     private def entryOffset(tag: Int): Int = {
       val idx = (0 until nEntries)
-        .find(i => (buf.getShort(ifdOffset + 2 + i * 12) & 0xFFFF) == tag).get
-      ifdOffset + 2 + idx * 12
+        .find(i =>
+          (buf.getShort(entriesStart + i * entrySize) & 0xFFFF) == tag).get
+      entriesStart + idx * entrySize
     }
+    /** Byte width of one element of a TIFF type. */
+    private def typeWidth(t: Int): Int = t match {
+      case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEFINED
+      case 3 | 8 => 2         // SHORT/SSHORT
+      case 4 | 9 | 11 => 4    // LONG/SLONG/FLOAT
+      case 5 | 10 | 12 | 16 | 17 | 18 => 8 // RATIONAL/DOUBLE/LONG8/IFD8
+      case _ => 0
+    }
+    /** Start of a tag's element data: inline in the value slot when it
+      * fits, else at the recorded offset. */
+    private def dataStart(tag: Int, typ: Int, cnt: Long, off: Long): Int =
+      if (typeWidth(typ) * cnt <= slotBytes) entryOffset(tag) + slotAt
+      else off.toInt
+
     def scalar(tag: Int): Option[Long] = tags.get(tag).map {
       case (3, 1, _) =>
         // SHORT inline value sits in the first 2 bytes of the slot
-        (buf.getShort(entryOffset(tag) + 8) & 0xFFFF).toLong
+        (buf.getShort(entryOffset(tag) + slotAt) & 0xFFFF).toLong
+      case (4, 1, v) if big => v & 0xFFFFFFFFL // u32 in an 8-byte slot
       case (_, _, v) => v
     }
     def doubles(tag: Int): Option[Seq[Double]] = tags.get(tag).collect {
       case (12, cnt, off) =>
-        (0 until cnt.toInt).map(i => buf.getDouble(off.toInt + i * 8))
+        val s = dataStart(tag, 12, cnt, off)
+        (0 until cnt.toInt).map(i => buf.getDouble(s + i * 8))
     }
     def shorts(tag: Int): Option[Seq[Int]] = tags.get(tag).collect {
-      case (3, cnt, off) if cnt > 2 =>
-        (0 until cnt.toInt).map(i => buf.getShort(off.toInt + i * 2) & 0xFFFF)
+      case (3, cnt, off) =>
+        val s = dataStart(tag, 3, cnt, off)
+        (0 until cnt.toInt).map(i => buf.getShort(s + i * 2) & 0xFFFF)
     }
-    /** ASCII value (inline when count <= 4, per TIFF 6.0). */
+    /** ASCII value (inline when it fits the value slot). */
     def ascii(tag: Int): Option[String] = tags.get(tag).collect {
       case (2, cnt, off) =>
-        val start = if (cnt <= 4) entryOffset(tag) + 8 else off.toInt
+        val start = dataStart(tag, 2, cnt, off)
         val raw = bytes.slice(start, start + cnt.toInt)
         new String(raw.takeWhile(_ != 0),
           java.nio.charset.StandardCharsets.US_ASCII).trim
     }
-    /** SHORT/LONG value array (inline when it fits the 4-byte slot). */
+    /** SHORT/LONG/LONG8 value array (inline when it fits the slot). */
     def longArray(tag: Int): Option[Seq[Long]] = tags.get(tag).map {
-      case (4, 1, v) => Seq(v)
+      case (4, 1, v) => Seq(if (big) v & 0xFFFFFFFFL else v)
       case (4, cnt, off) =>
-        (0 until cnt.toInt).map(i => buf.getInt(off.toInt + i * 4) & 0xFFFFFFFFL)
-      case (3, cnt, _) if cnt <= 2 =>
-        val e = entryOffset(tag)
-        (0 until cnt.toInt).map(i => (buf.getShort(e + 8 + i * 2) & 0xFFFF).toLong)
+        val s = dataStart(tag, 4, cnt, off)
+        (0 until cnt.toInt).map(i => buf.getInt(s + i * 4) & 0xFFFFFFFFL)
+      case (16, cnt, off) => // BigTIFF LONG8
+        val s = dataStart(tag, 16, cnt, off)
+        (0 until cnt.toInt).map(i => buf.getLong(s + i * 8))
       case (3, cnt, off) =>
-        (0 until cnt.toInt).map(i => (buf.getShort(off.toInt + i * 2) & 0xFFFF).toLong)
+        val s = dataStart(tag, 3, cnt, off)
+        (0 until cnt.toInt).map(i => (buf.getShort(s + i * 2) & 0xFFFF).toLong)
       case (t, _, _) =>
         throw new IllegalArgumentException(s"tag $tag: unexpected type $t")
     }
