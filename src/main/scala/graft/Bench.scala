@@ -40,9 +40,11 @@ object Bench {
     // measures the steady-state cost that actually scales with data.
     // The run count is reported in the output line.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    // per query: fastest SUCCESSFUL run; a query with zero successful
-    // runs reports -1 and lands in "failed" — a fast failure must
-    // never masquerade as a fast result
+    // per query: fastest SUCCESSFUL run (warm/steady-state) plus the
+    // FIRST run (cold: Catalyst analysis + Janino codegen included) so
+    // codegen-bound regressions stay visible between rounds; a query
+    // with zero successful runs reports -1 and lands in "failed" — a
+    // fast failure must never masquerade as a fast result
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -51,21 +53,32 @@ object Bench {
           Some((System.nanoTime() - t0) / 1e9)
         } catch { case _: Throwable => None }
       }
-      name -> times.minOption.getOrElse(-1.0)
+      name -> (times.minOption.getOrElse(-1.0), times.headOption.getOrElse(-1.0))
     }
-    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
-    // 3-decimal (ms) precision keeps the one-line JSON under ~1500 chars
-    // for 60+ queries; full-precision doubles pushed it past the driver's
+    val failed = results.collect { case (k, (v, _)) if v < 0 => s"\"$k\"" }
+    // 3-decimal (ms) precision keeps the one-line JSON compact for 130+
+    // queries; full-precision doubles pushed it past the driver's
     // stdout tail capture and the line arrived truncated (unparseable)
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // SLOWEST first: downstream consumers tail-truncate this line at
-    // ~2000 chars, so the queries that carry the signal must come
-    // before the long tail of sub-100ms entries
-    val qs = results.toSeq.sortBy { case (k, v) => (-v, k) }
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // ASCENDING (cheap first): downstream consumers TAIL-truncate this
+    // line at ~2000 chars, so the expensive queries that carry the
+    // signal must sit at the END of the line, slowest last. (r7 sorted
+    // descending and the truncated artifact kept only the cheap tail.)
+    val warmAsc = results.toSeq.sortBy { case (k, (v, _)) => (v, k) }
+    val qs = warmAsc
+      .map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"failed":[${failed.mkString(",")}],"queries":$qs,"sf":"$sfDir"}""")
+    // cold (first-run) times for the heaviest queries only — a full
+    // 132-entry second map would push the warm map's tail out of the
+    // capture window; the heavy head is where cold/warm divergence
+    // (plan-size / codegen cost) matters
+    val cold = warmAsc.takeRight(15)
+      .map { case (k, (_, c)) => "\"" + k + "\":" + fmt(c) }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).filter(_ >= 0).sum
+    // total duplicated at the END of the line ("total_sec") so the
+    // tail capture retains it even when the head is cut off
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs_per_query":$runs,"sf":"$sfDir","failed":[${failed.mkString(",")}],"queries":$qs,"cold":$cold,"total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }

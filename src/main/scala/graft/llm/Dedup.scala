@@ -540,6 +540,16 @@ object Dedup {
     labels
   }
 
+  /** Default edge-count bound for the driver union-find fast path in
+    * [[connectedComponentsStars]]. Heap envelope at the bound (64-bit
+    * ids): the HashMap holds ≤2·E entries of boxed key/value + node ≈
+    * 48 B/entry → ~400 MB at 4M edges plus the ~100 MB collected Row
+    * batch — comfortably inside the default 1 GiB driver heap's free
+    * space, measured by `graft.tools.CcScaleProbe`. String ids cost
+    * id-length more per entry; tune DOWN for long ids or small-heap
+    * drivers via the `driverMaxEdges` parameter. */
+  val DefaultDriverMaxEdges: Long = 4000000L
+
   /** Connected components via alternating large-star / small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * the extreme-scale path promised by [[connectedComponents]]: each
@@ -560,7 +570,7 @@ object Dedup {
     *   paths label every node with its component MINIMUM, so results
     *   are identical — spec-pinned against each other. */
   def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 25,
-                               driverMaxEdges: Long = 4000000L)
+                               driverMaxEdges: Long = DefaultDriverMaxEdges)
   : DataFrame = {
     def canonical(e: DataFrame): DataFrame =
       e.select(greatest(col("u"), col("v")).as("u"),
@@ -628,8 +638,25 @@ object Dedup {
       }
       r
     }
-    def less(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // Spark orders StringType by UTF-8 BINARY bytes (UTF8String), which
+    // diverges from Java's UTF-16 code-unit order for BMP chars >=
+    // U+E000 vs supplementary characters — compare the same way so the
+    // driver path emits byte-identical labels to the distributed
+    // least/array_min path regardless of which side of driverMaxEdges
+    // an input lands on
+    def less(a: Any, b: Any): Boolean = (a, b) match {
+      case (sa: String, sb: String) =>
+        val ba = sa.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = sb.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(ba.length, bb.length)
+        var i = 0
+        var cmp = 0
+        while (cmp == 0 && i < n) {
+          cmp = (ba(i) & 0xFF) - (bb(i) & 0xFF); i += 1
+        }
+        if (cmp != 0) cmp < 0 else ba.length < bb.length
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     edges.collect().foreach { r =>
       val u = r.get(0); val v = r.get(1)
       parent.putIfAbsent(u, u)

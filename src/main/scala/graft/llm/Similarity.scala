@@ -164,7 +164,8 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val (cells, codebook) =
       ivfIndex(corpus, nCentroids, assignTop, idCol, vecCol)
-    ivfSearch(cells, codebook, queries, k, nProbe, idCol, vecCol)
+    ivfSearch(cells, codebook, queries, k, nProbe, idCol, vecCol,
+      softAssign = assignTop > 1)
   }
 
   /** Persistable IVF index: `(cells, codebook)` DataFrames.
@@ -225,10 +226,17 @@ object Similarity {
     * back from parquet). The codebook — nCentroids × dim doubles, KB
     * to low MB — is collected to a driver literal so probe selection
     * is a per-row expression, never a join. */
+  /** @param softAssign whether the index was built with assignTop > 1
+    *   (each vector filed in several cells). Only then can a (query,
+    *   candidate) pair meet more than once and need the pre-top-k
+    *   dedup shuffle; a hard-assigned index (the common case) skips
+    *   it — the default stays true so an index of unknown provenance
+    *   read back from parquet is deduped rather than over-counted. */
   def ivfSearch(cells: DataFrame, codebook: DataFrame,
                 queries: DataFrame, k: Int, nProbe: Int = 4,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                softAssign: Boolean = true): DataFrame = {
     val cb = codebook.select(col("cid"), asDouble(col("centroid")))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
       .sortBy(_._1)
@@ -244,15 +252,20 @@ object Similarity {
     val probes = slice(array_sort(scoredCells), 1, nProbe)
     val q = q0.select(col("query_id"), col("q_vec"),
       explode(transform(probes, _.getField("cid"))).as("cell"))
-    val scored = cells.join(q, Seq("cell"))
+    val met = cells.join(q, Seq("cell"))
       .filter(col("nn_id") =!= col("query_id"))
-      // an assignTop>1 index files a vector in several cells, so a
-      // (query, candidate) pair can meet more than once — dedup
-      // BEFORE top-k or duplicates would occupy top-k slots
-      .groupBy("query_id", "nn_id")
-      .agg(first("q_vec").as("q_vec"), first("nn_vec").as("nn_vec"))
-      .select(col("query_id"), col("nn_id"),
-        cosine(col("q_vec"), col("nn_vec")).as("sim"))
+    // an assignTop>1 index files a vector in several cells, so a
+    // (query, candidate) pair can meet more than once — dedup BEFORE
+    // top-k or duplicates would occupy top-k slots. A hard-assigned
+    // index cannot produce duplicates, so it skips this full shuffle
+    // of candidate vectors (the hot probe path's dominant cost).
+    val uniq =
+      if (softAssign)
+        met.groupBy("query_id", "nn_id")
+          .agg(first("q_vec").as("q_vec"), first("nn_vec").as("nn_vec"))
+      else met
+    val scored = uniq.select(col("query_id"), col("nn_id"),
+      cosine(col("q_vec"), col("nn_vec")).as("sim"))
     localTopK(scored, k)
   }
 
@@ -276,10 +289,17 @@ object Similarity {
     * a Voronoi boundary, at `assignTop×` candidate cost. Component
     * resolution is the alternating-stars loop — O(log n) rounds on
     * the (tiny) edge set. */
+  /** @param driverMaxEdges forwarded to
+    *   [[Dedup.connectedComponentsStars]]: edge counts at or below it
+    *   resolve with the exact driver union-find, above it the
+    *   distributed alternating-stars loop runs. Tune down on
+    *   small-heap drivers. */
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     nCentroids: Int = 16, assignTop: Int = 1,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    driverMaxEdges: Long = Dedup.DefaultDriverMaxEdges)
+  : DataFrame = {
     require(assignTop >= 1 && assignTop <= nCentroids,
       s"assignTop must be in [1, $nCentroids], got $assignTop")
     val c0 = corpus.select(col(idCol).as("id"),
@@ -317,7 +337,8 @@ object Similarity {
       .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
       .select("id_a", "id_b")
       .distinct() // multi-assigned pairs meet in up to assignTop cells
-    val comps = Dedup.connectedComponentsStars(edges)
+    val comps = Dedup.connectedComponentsStars(edges,
+      driverMaxEdges = driverMaxEdges)
     corpus.select(col(idCol).as("vec_id"))
       .join(comps.withColumnRenamed("id", "vec_id"),
         Seq("vec_id"), "left")

@@ -118,7 +118,13 @@ object GeoTiff {
       case (3, 1, _) =>
         // SHORT inline value sits in the first 2 bytes of the slot
         (buf.getShort(entryOffset(tag) + slotAt) & 0xFFFF).toLong
-      case (4, 1, v) if big => v & 0xFFFFFFFFL // u32 in an 8-byte slot
+      case (4, 1, _) =>
+        // LONG inline value: left-justified in the slot, so a 4-byte
+        // read at the slot start is endian-correct for classic and
+        // BigTIFF in both byte orders (big-endian BigTIFF keeps the
+        // u32 in the HIGH half of the 8-byte slot, so masking the raw
+        // u64 slot value would read the padding instead)
+        buf.getInt(entryOffset(tag) + slotAt) & 0xFFFFFFFFL
       case (_, _, v) => v
     }
     def doubles(tag: Int): Option[Seq[Double]] = tags.get(tag).collect {
@@ -141,7 +147,9 @@ object GeoTiff {
     }
     /** SHORT/LONG/LONG8 value array (inline when it fits the slot). */
     def longArray(tag: Int): Option[Seq[Long]] = tags.get(tag).map {
-      case (4, 1, v) => Seq(if (big) v & 0xFFFFFFFFL else v)
+      // cnt=1 is handled by the generic case: dataStart resolves to the
+      // inline slot and the per-element getInt is endian-correct (see
+      // scalar above for the big-endian BigTIFF left-justification)
       case (4, cnt, off) =>
         val s = dataStart(tag, 4, cnt, off)
         (0 until cnt.toInt).map(i => buf.getInt(s + i * 4) & 0xFFFFFFFFL)

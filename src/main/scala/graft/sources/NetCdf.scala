@@ -39,7 +39,12 @@ object NetCdf {
                        /** pipeline order as written (applied in
                          * REVERSE on read): 1=deflate, 2=shuffle,
                          * 3=fletcher32 */
-                       filters: Seq[Int])
+                       filters: Seq[Int],
+                       /** raw fill-value bytes from the fill-value
+                         * message: regions whose chunks were never
+                         * allocated (netCDF4/HDF-EOS elide all-fill
+                         * chunks) must decode to this, not to 0 */
+                       fillBytes: Option[Array[Byte]] = None)
 
   /** One variable/dataset: `path` is "var" or "group/var". `begin` is
     * the file offset of the raw data (classic always; HDF5 for
@@ -461,7 +466,8 @@ object NetCdf {
         }
         out += VarMeta(path, shape.getOrElse(Nil), typeName, fill, Nil,
           begin = contiguousAddr, littleEndian = typeLittleEndian,
-          chunks = chunkInfo.map(_.copy(filters = filters)))
+          chunks = chunkInfo.map(_.copy(filters = filters,
+            fillBytes = fillBytes)))
     }
   }
 
@@ -484,6 +490,19 @@ object NetCdf {
     val totalBytes = shape.product * es
     if (totalBytes <= 0 || totalBytes > Int.MaxValue - 8) return None
     val out = new Array[Byte](totalBytes.toInt)
+    // pre-fill with the dataset's fill value: writers routinely elide
+    // chunks that are entirely fill, so regions with no allocated
+    // chunk must decode to the fill value, not to zero bytes. No
+    // fill-value message = HDF5's default all-zero fill, which the
+    // fresh array already is; a declared fill of unexpected width is
+    // undecodable → quarantine rather than guess.
+    ci.fillBytes.foreach { fb =>
+      if (fb.length != es) return None
+      if (fb.exists(_ != 0)) {
+        var p = 0
+        while (p < out.length) { System.arraycopy(fb, 0, out, p, es); p += es }
+      }
+    }
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val chunks = ArrayBuffer.empty[(Array[Long], Int, Long, Int)]
     walkChunkBtree(bytes, buf, ci.btree, rank + 1, depth = 0, chunks)

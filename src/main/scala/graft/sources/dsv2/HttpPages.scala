@@ -207,7 +207,20 @@ object HttpPages extends Serializable {
           hdrs += "Cookie" -> cs.map { case (k, v) => s"$k=$v" }
             .mkString("; ")
         }
-        if (isAuthHost(cur)) hdrs += "Authorization" -> basic
+        if (isAuthHost(cur)) {
+          // credentials ride ONLY on TLS: a redirect chain reaching
+          // the auth host over plain http would transmit the Basic
+          // credentials in cleartext — fail the attempt instead
+          // (loopback test fixtures are exempt; there is no TLS
+          // listener in the test harness and localhost never leaves
+          // the machine)
+          val loopback = cur.getHost == "localhost" ||
+            cur.getHost == "127.0.0.1" || cur.getHost == "[::1]"
+          if (cur.getProtocol != "https" && !loopback)
+            throw new java.io.IOException(
+              s"refusing to send credentials to non-https auth host $cur")
+          hdrs += "Authorization" -> basic
+        }
         val conn = open(cur.toString, "GET", hdrs.toMap,
           connectTimeoutMs, readTimeoutMs)
         conn.setInstanceFollowRedirects(false)
