@@ -615,6 +615,35 @@ object Queries {
       .orderBy("fname", "var_path")
   }
 
+  /** S6 — HDF5 superblock-v2 (>= 1.10 / netCDF-4 latest format):
+    * link-message group walk + v4-contiguous data read over the
+    * spec-built v2 fixture, compared row-for-row against its
+    * superblock-v0 twin — same vars, shapes, types, fills, and the
+    * same contiguous `lat` values, only the format string differs.
+    * Literal-VALUES oracle. */
+  def s6V2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Seq(
+      ("v0.h5", graft.sources.NetCdfFixtures.hdf5()),
+      ("v2.h5", graft.sources.NetCdfFixtures.hdf5V2()))
+      .toDF("path", "content")
+    files.as[(String, Array[Byte])].flatMap { case (fname, bytes) =>
+      val meta = graft.sources.NetCdf.parse(bytes)
+        .getOrElse(graft.sources.NetCdf.FileMeta("unparsed", Nil, Nil, Nil))
+      meta.vars.map { v =>
+        graft.sources.NetCdf.readGridRaw(bytes, meta, v.path) match {
+          case Some(g) => (fname, meta.format, v.path, v.typeName,
+            v.fillValue, true, g.length.toLong,
+            g.map(_.toDouble).sum, g.min.toDouble, g.max.toDouble)
+          case None => (fname, meta.format, v.path, v.typeName,
+            v.fillValue, false, 0L, 0.0, 0.0, 0.0)
+        }
+      }
+    }.toDF("fname", "format", "var_path", "type_name", "fill_value",
+        "has_data", "n_vals", "sum_val", "min_val", "max_val")
+      .orderBy("fname", "var_path")
+  }
+
   /** Data profiling: per-column null/distinct/min/max in ONE scan
     * ([[graft.operators.Profile]]). Long/string columns only in the
     * oracle — double/timestamp→string rendering differs between

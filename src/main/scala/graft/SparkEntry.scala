@@ -141,6 +141,7 @@ object SparkEntry {
     "q_s5_compressed"        -> (Queries.s5Compressed _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
     "q_s6_chunked"           -> (Queries.s6Chunked _),
+    "q_s6_v2"                -> (Queries.s6V2 _),
     // graph analytics
     "q_pagerank"             -> (Queries.pageRank _),
     // table maintenance / data quality / time series
@@ -858,6 +859,35 @@ object SparkEntry {
         |   CAST(0.0 AS DOUBLE), CAST(46.0 AS DOUBLE))
         |) AS t(fname, var_path, storage, ok, n_vals, sum_val,
         |       min_val, max_val)
+        |ORDER BY fname, var_path""".stripMargin,
+    "q_s6_v2" ->
+      """SELECT * FROM (VALUES
+        |  ('v0.h5', 'hdf5 superblock-v0', 'lat', 'double',
+        |   CAST(NULL AS DOUBLE), true, CAST(3 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(-10.0 AS DOUBLE),
+        |   CAST(10.0 AS DOUBLE)),
+        |  ('v0.h5', 'hdf5 superblock-v0', 'precip', 'float',
+        |   CAST(-9999.0 AS DOUBLE), false, CAST(0 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |   CAST(0.0 AS DOUBLE)),
+        |  ('v0.h5', 'hdf5 superblock-v0', 'science/temp', 'double',
+        |   CAST(NULL AS DOUBLE), false, CAST(0 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |   CAST(0.0 AS DOUBLE)),
+        |  ('v2.h5', 'hdf5 superblock-v2', 'lat', 'double',
+        |   CAST(NULL AS DOUBLE), true, CAST(3 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(-10.0 AS DOUBLE),
+        |   CAST(10.0 AS DOUBLE)),
+        |  ('v2.h5', 'hdf5 superblock-v2', 'precip', 'float',
+        |   CAST(-9999.0 AS DOUBLE), false, CAST(0 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |   CAST(0.0 AS DOUBLE)),
+        |  ('v2.h5', 'hdf5 superblock-v2', 'science/temp', 'double',
+        |   CAST(NULL AS DOUBLE), false, CAST(0 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |   CAST(0.0 AS DOUBLE))
+        |) AS t(fname, format, var_path, type_name, fill_value,
+        |       has_data, n_vals, sum_val, min_val, max_val)
         |ORDER BY fname, var_path""".stripMargin,
     "q_s6_netcdf" ->
       """SELECT * FROM (VALUES

@@ -258,8 +258,23 @@ object NetCdf {
     val sb = findHdf5Superblock(bytes).get
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sbVersion = bytes(sb + 8) & 0xFF
-    if (sbVersion > 1)
+    if (sbVersion > 3)
       return Left(s"unsupported HDF5 superblock version $sbVersion")
+    if (sbVersion >= 2) {
+      // superblock v2/v3 (HDF5 >= 1.10 and netCDF-4 "latest format"):
+      // fixed 48-byte layout — sizes at +9/+10, root group OBJECT
+      // HEADER address at +36 (no root symbol-table entry; groups are
+      // link-message based, walked by parseObjectHeader's v2 path)
+      val offSize = bytes(sb + 9) & 0xFF
+      val lenSize = bytes(sb + 10) & 0xFF
+      if (offSize != 8 || lenSize != 8)
+        return Left(s"unsupported HDF5 offset/length size $offSize/$lenSize")
+      val rootHdr = buf.getLong(sb + 36)
+      val out = ArrayBuffer.empty[VarMeta]
+      parseObjectHeader(bytes, buf, rootHdr, path = "", depth = 0, out)
+      return Right(FileMeta(s"hdf5 superblock-v$sbVersion", Nil,
+        out.toSeq, Nil))
+    }
     val offSize = bytes(sb + 13) & 0xFF
     val lenSize = bytes(sb + 14) & 0xFF
     if (offSize != 8 || lenSize != 8)
@@ -331,12 +346,17 @@ object NetCdf {
     }
   }
 
+  /** Parse one object header (dataset or group). Dispatches on the
+    * header version: v1 (count-prefixed messages, symbol-table
+    * groups — the HDF5 1.8 line) and v2 ("OHDR" signature, length-
+    * bounded message chunks + "OCHK" continuations, link-message
+    * groups — HDF5 >= 1.10 / netCDF-4 latest format). Both feed the
+    * same message handler; only the walk differs. */
   private def parseObjectHeader(bytes: Array[Byte], buf: ByteBuffer,
                                 addr: Long, path: String, depth: Int,
                                 out: ArrayBuffer[VarMeta]): Unit = {
     val a = addr.toInt
-    require((bytes(a) & 0xFF) == 1, s"unsupported object header version")
-    val nMsgs = buf.getShort(a + 2) & 0xFFFF
+    require(depth <= 6, "group nesting too deep")
     var shape: Option[Seq[Long]] = None
     var typeClass = -1
     var typeSize = 0
@@ -346,16 +366,10 @@ object NetCdf {
     var contiguousAddr: Option[Long] = None
     var chunkInfo: Option[ChunkInfo] = None
     var filters: Seq[Int] = Nil
+    // compact (in-header) link messages: v2-format group membership
+    val links = ArrayBuffer.empty[(String, Long)]
 
-    // messages start after prefix(12) + alignment padding(4); a
-    // continuation message (0x0010) moves the cursor elsewhere
-    var p = a + 16
-    var remaining = nMsgs
-    while (remaining > 0) {
-      val typ = buf.getShort(p) & 0xFFFF
-      val size = buf.getShort(p + 2) & 0xFFFF
-      val body = p + 8
-      typ match {
+    def handleMessage(typ: Int, body: Int): Unit = typ match {
         case 0x0001 => // dataspace
           val ver = bytes(body) & 0xFF
           val rank = bytes(body + 1) & 0xFF
@@ -389,13 +403,20 @@ object NetCdf {
                 fillBytes = Some(bytes.slice(body + 6, body + 6 + sz))
             }
           }
-        case 0x0008 => // data layout v3: contiguous (class 1) reads
-          // directly; chunked (class 2) records its B-tree + chunk
-          // shape (the netCDF-4/HDF-EOS default layout)
+        case 0x0008 => // data layout v3/v4: contiguous (class 1) reads
+          // directly; v3 chunked (class 2) records its B-tree + chunk
+          // shape (the netCDF-4/HDF-EOS default layout). v4 chunked
+          // (the >= 1.10 "latest" chunk indexes: single/implicit/
+          // fixed-array/extensible-array/v2-btree) is NOT parsed —
+          // fall through to quarantine rather than misread.
           val ver = bytes(body) & 0xFF
-          if (ver == 3 && (bytes(body + 1) & 0xFF) == 1) {
+          // v4 contiguous is field-compatible with v3 contiguous
+          if ((ver == 3 || ver == 4) && (bytes(body + 1) & 0xFF) == 1) {
             val addr = buf.getLong(body + 2)
             if (addr != -1L) contiguousAddr = Some(addr)
+          } else if (ver == 4 && (bytes(body + 1) & 0xFF) == 2) {
+            throw new IllegalArgumentException(
+              "unsupported HDF5 layout v4 chunk index")
           } else if (ver == 3 && (bytes(body + 1) & 0xFF) == 2) {
             // dimensionality(1) counts data dims + the element-size
             // dim; then B-tree address(8), then u32 chunk dims
@@ -431,17 +452,114 @@ object NetCdf {
           filters = ids.toSeq
         case 0x0011 => // symbol table: this object is a group
           group = Some((buf.getLong(body), buf.getLong(body + 8)))
-        case 0x0010 => // continuation: jump to the linked block
-          p = buf.getLong(body).toInt - 8 // -8: loop advance below
+        case 0x0002 => // link info: compact links arrive as 0x0006
+          // messages in this same header; a DEFINED fractal-heap
+          // address means dense link storage (written past the
+          // compact limit, default 8 links) — not parsed, fail
+          // closed so the caller quarantines instead of seeing a
+          // silently empty group
+          val flags = bytes(body + 1) & 0xFF
+          val heapAt = body + 2 + (if ((flags & 0x01) != 0) 8 else 0)
+          if (buf.getLong(heapAt) != -1L)
+            throw new IllegalArgumentException(
+              "unsupported HDF5 dense link storage (fractal heap)")
+        case 0x0006 => // link message: one compact group member
+          val ver = bytes(body) & 0xFF
+          require(ver == 1, s"unsupported link message version $ver")
+          val flags = bytes(body + 1) & 0xFF
+          var q = body + 2
+          val linkType =
+            if ((flags & 0x08) != 0) { val t = bytes(q) & 0xFF; q += 1; t }
+            else 0 // no type field = hard link
+          if ((flags & 0x04) != 0) q += 8 // creation order
+          if ((flags & 0x10) != 0) q += 1 // link-name charset
+          val lenSz = 1 << (flags & 0x03)
+          val nameLen = (lenSz match {
+            case 1 => (bytes(q) & 0xFF).toLong
+            case 2 => (buf.getShort(q) & 0xFFFF).toLong
+            case 4 => buf.getInt(q) & 0xFFFFFFFFL
+            case _ => buf.getLong(q)
+          }).toInt
+          q += lenSz
+          val name = new String(bytes, q, nameLen,
+            java.nio.charset.StandardCharsets.UTF_8)
+          q += nameLen
+          // hard links only: soft/external links point outside the
+          // object graph this parser walks
+          if (linkType == 0) links += name -> buf.getLong(q)
         case _ => ()
+    }
+
+    val hdrVersion = bytes(a) & 0xFF
+    if (hdrVersion == 1) {
+      // v1: count-prefixed 8-aligned messages after prefix(12)+pad(4);
+      // a continuation message (0x0010) moves the cursor elsewhere
+      val nMsgs = buf.getShort(a + 2) & 0xFFFF
+      var p = a + 16
+      var remaining = nMsgs
+      while (remaining > 0) {
+        val typ = buf.getShort(p) & 0xFFFF
+        val size = buf.getShort(p + 2) & 0xFFFF
+        val body = p + 8
+        if (typ == 0x0010) p = buf.getLong(body).toInt
+        else { handleMessage(typ, body); p += 8 + size }
+        remaining -= 1
       }
-      if (typ != 0x0010) p += 8 + size else p += 8
-      remaining -= 1
+    } else {
+      // v2: "OHDR" signature; messages fill a length-bounded chunk 0
+      // (no count, no alignment), continuations are "OCHK" blocks of
+      // (signature, messages, checksum). Optional per-flags fields:
+      // bit5 = 4 timestamps, bit4 = phase-change limits, bit2 =
+      // 2-byte creation order per message, bits0-1 = chunk-0 size
+      // field width. Checksums are not verified (read-only parse).
+      val sig = new String(bytes, a, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(sig == "OHDR" && (bytes(a + 4) & 0xFF) == 2,
+        s"unsupported object header version")
+      val hflags = bytes(a + 5) & 0xFF
+      var p = a + 6
+      if ((hflags & 0x20) != 0) p += 16 // access/mod/change/birth times
+      if ((hflags & 0x10) != 0) p += 4  // phase-change limits
+      val szBytes = 1 << (hflags & 0x03)
+      val chunk0 = (szBytes match {
+        case 1 => (bytes(p) & 0xFF).toLong
+        case 2 => (buf.getShort(p) & 0xFFFF).toLong
+        case 4 => buf.getInt(p) & 0xFFFFFFFFL
+        case _ => buf.getLong(p)
+      }).toInt
+      p += szBytes
+      val hdrSz = if ((hflags & 0x04) != 0) 6 else 4
+      val regions = scala.collection.mutable.Queue((p, p + chunk0))
+      while (regions.nonEmpty) {
+        var (q, end) = regions.dequeue()
+        // trailing gaps are < one message prefix, so the bound check
+        // terminates each region cleanly
+        while (q + hdrSz <= end) {
+          val typ = bytes(q) & 0xFF
+          val size = buf.getShort(q + 1) & 0xFFFF
+          val body = q + hdrSz
+          if (typ == 0x10) {
+            val off = buf.getLong(body).toInt
+            val len = buf.getLong(body + 8).toInt
+            val csig = new String(bytes, off, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            require(csig == "OCHK", s"bad continuation block '$csig'")
+            regions.enqueue((off + 4, off + len - 4)) // len incl sig+cksum
+          } else if (typ != 0) handleMessage(typ, body)
+          q += hdrSz + size
+        }
+      }
     }
 
     group match {
       case Some((bt, hp)) =>
         walkGroup(bytes, buf, bt, hp, path + "/", depth + 1, out)
+      case None if links.nonEmpty || (typeClass < 0 && shape.isEmpty) =>
+        // link-message group (or an empty/linkless group header, e.g.
+        // a v2 root with no members): recurse into each hard link
+        val pre = if (path.isEmpty) "" else path + "/"
+        links.foreach { case (nm, hdr) =>
+          parseObjectHeader(bytes, buf, hdr, pre + nm, depth + 1, out) }
       case None =>
         val typeName = (typeClass, typeSize) match {
           case (0, 1) => "byte"

@@ -522,4 +522,162 @@ object NetCdfFixtures {
       }
     buf.array()
   }
+
+  // ---------------- HDF5 superblock-v2 fixture ----------------
+
+  /** The [[hdf5]] file re-written in the HDF5 >= 1.10 / netCDF-4
+    * "latest format" layout: superblock v2 (root object header
+    * address, no symbol-table entry), version-2 object headers
+    * ("OHDR" chunks + "OCHK" continuation), and compact link-message
+    * groups. Same logical content as [[hdf5]] — {lat: float64[3]
+    * contiguous (-10, 0, 10), precip: float32[10][20] fill=-9999,
+    * science/ {temp: float64[5][7]}} — so the two parses must agree
+    * on everything but the format string. Deliberate coverage
+    * variations: the root header stores timestamps + per-message
+    * creation order and pushes its last link through an OCHK
+    * continuation; one link message carries explicit link-type and
+    * charset fields; one header uses a 2-byte chunk-0 size field. */
+  def hdf5V2(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(2048).order(ByteOrder.LITTLE_ENDIAN)
+
+    val rootHdr = 64L
+    val ochkAddr = 256L
+    val latHdr = 320L; val precipHdr = 448L
+    val scienceHdr = 576L; val tempHdr = 704L
+    val latData = 832L
+
+    // superblock v2: magic, ver, offSize, lenSize, flags, base,
+    // extension, EOF, root OBJECT HEADER address, checksum (unread)
+    buf.position(0)
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    buf.put(8, 2.toByte)                    // superblock version
+    buf.put(9, 8.toByte); buf.put(10, 8.toByte) // offset/length sizes
+    buf.put(11, 0.toByte)                   // consistency flags
+    buf.putLong(12, 0L)                     // base address
+    buf.putLong(20, -1L)                    // superblock extension
+    buf.putLong(28, 2048L)                  // EOF
+    buf.putLong(36, rootHdr)                // root group object header
+
+    /** v2 object header: flags bit5 = timestamps, bit2 = 2-byte
+      * creation order per message, bits0-1 = chunk-0 size width. */
+    def ohdr2(at: Long, flags: Int, msgs: Seq[(Int, Array[Byte])]): Unit = {
+      var p = at.toInt
+      buf.position(p); buf.put("OHDR".getBytes)
+      buf.put(2.toByte); buf.put(flags.toByte)
+      p += 6
+      if ((flags & 0x20) != 0) { // 4 unread timestamps
+        (0 until 4).foreach(i => buf.putInt(p + i * 4, 0)); p += 16
+      }
+      val hdrSz = if ((flags & 0x04) != 0) 6 else 4
+      val chunk0 = msgs.map(_._2.length + hdrSz).sum
+      (flags & 0x03) match {
+        case 0 => buf.put(p, chunk0.toByte); p += 1
+        case 1 => buf.putShort(p, chunk0.toShort); p += 2
+        case _ => buf.putInt(p, chunk0); p += 4
+      }
+      msgs.zipWithIndex.foreach { case ((typ, body), i) =>
+        buf.put(p, typ.toByte)
+        buf.putShort(p + 1, body.length.toShort)
+        buf.put(p + 3, 0.toByte) // message flags
+        if (hdrSz == 6) buf.putShort(p + 4, i.toShort) // creation order
+        buf.position(p + hdrSz); buf.put(body)
+        p += hdrSz + body.length
+      }
+      buf.putInt(p, 0) // chunk checksum (parser does not verify)
+    }
+    /** Hard-link message; `full` adds the optional link-type and
+      * charset fields real writers emit for UTF-8 names. */
+    def link(name: String, hdr: Long, full: Boolean = false): Array[Byte] = {
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = ByteBuffer.allocate(2 + (if (full) 2 else 0) + 1 + nb.length + 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte)                         // version
+      b.put((if (full) 0x18 else 0x00).toByte) // flags: 1-byte name len
+      if (full) { b.put(0.toByte); b.put(1.toByte) } // hard, UTF-8
+      b.put(nb.length.toByte); b.put(nb)
+      b.putLong(hdr)
+      b.array()
+    }
+    /** Link-info with UNDEFINED fractal heap (compact storage). */
+    def linkInfo(): Array[Byte] = {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0.toByte); b.put(0.toByte)
+      b.putLong(-1L); b.putLong(-1L) // fractal heap, name-index B-tree
+      b.array()
+    }
+    def continuation(off: Long, len: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(off); b.putLong(len)
+      b.array()
+    }
+    def dataspace(dims: Seq[Long]): Array[Byte] = {
+      // v2 dataspace: version, rank, flags, type, then dims
+      val b = ByteBuffer.allocate(4 + dims.size * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(dims.size.toByte)
+      b.put(0.toByte); b.put(1.toByte) // simple dataspace
+      dims.foreach(b.putLong)
+      b.array()
+    }
+    def datatype(clazz: Int, size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(((1 << 4) | clazz).toByte)
+      b.position(4); b.putInt(size)
+      b.array()
+    }
+    def fillValue(f: Float): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(1.toByte); b.put(2.toByte); b.put(1.toByte)
+      b.putInt(4, 4); b.putFloat(8, f)
+      b.array()
+    }
+    def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
+      // layout v4 contiguous — field-compatible with v3, written as
+      // v4 here to pin the parser's (ver 3 || 4) acceptance
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(4.toByte); b.put(1.toByte)
+      b.putLong(2, addr); b.putLong(10, size)
+      b.array()
+    }
+
+    // OCHK continuation block carrying root's third link ("science"):
+    // signature + messages (root's hdrSz = 6: creation order) + cksum
+    val sciLink = link("science", scienceHdr)
+    val ochkLen = 4 + (6 + sciLink.length) + 4
+    buf.position(ochkAddr.toInt); buf.put("OCHK".getBytes)
+    buf.put(ochkAddr.toInt + 4, 0x06.toByte)
+    buf.putShort(ochkAddr.toInt + 5, sciLink.length.toShort)
+    buf.put(ochkAddr.toInt + 7, 0.toByte)
+    buf.putShort(ochkAddr.toInt + 8, 2) // creation order
+    buf.position(ochkAddr.toInt + 10); buf.put(sciLink)
+    buf.putInt(ochkAddr.toInt + 10 + sciLink.length, 0) // checksum
+
+    // root: timestamps + creation order (0x24), links to lat/precip
+    // in chunk 0, science via the continuation
+    ohdr2(rootHdr, flags = 0x24, Seq(
+      0x0002 -> linkInfo(),
+      0x0006 -> link("lat", latHdr),
+      0x0006 -> link("precip", precipHdr, full = true),
+      0x0010 -> continuation(ochkAddr, ochkLen)))
+    ohdr2(latHdr, flags = 0x00, Seq(
+      0x0001 -> dataspace(Seq(3L)),
+      0x0003 -> datatype(clazz = 1, size = 8),
+      0x0008 -> layoutContiguous(latData, 24)))
+    // 2-byte chunk-0 size field variant
+    ohdr2(precipHdr, flags = 0x01, Seq(
+      0x0001 -> dataspace(Seq(10L, 20L)),
+      0x0003 -> datatype(clazz = 1, size = 4),
+      0x0005 -> fillValue(-9999f)))
+    ohdr2(scienceHdr, flags = 0x00, Seq(
+      0x0002 -> linkInfo(),
+      0x0006 -> link("temp", tempHdr)))
+    ohdr2(tempHdr, flags = 0x00, Seq(
+      0x0001 -> dataspace(Seq(5L, 7L)),
+      0x0003 -> datatype(clazz = 1, size = 8)))
+
+    buf.putDouble(latData.toInt, -10.0)
+    buf.putDouble(latData.toInt + 8, 0.0)
+    buf.putDouble(latData.toInt + 16, 10.0)
+    buf.array()
+  }
 }

@@ -193,4 +193,50 @@ class NetCdfSpec extends SparkSuite {
       == Seq(2, 250))
     assert(NetCdf.readGridRaw(mangled, m2, "precip").isEmpty)
   }
+
+  test("hdf5 superblock v2: link-message groups parse to the v0 twin") {
+    val v0 = NetCdf.parse(NetCdfFixtures.hdf5()).fold(e => fail(e), identity)
+    val v2 = NetCdf.parse(NetCdfFixtures.hdf5V2())
+      .fold(e => fail(e), identity)
+    assert(v2.format == "hdf5 superblock-v2")
+    // identical logical content: same vars (incl. the OCHK-continued
+    // "science" group), shapes, types, fills — only the format differs
+    def key(m: graft.sources.NetCdf.FileMeta) =
+      m.vars.map(v => (v.path, v.shape, v.typeName, v.fillValue))
+        .sortBy(_._1)
+    assert(key(v2) == key(v0))
+  }
+
+  test("hdf5 superblock v2: contiguous data reads through v4 layout") {
+    val bytes = NetCdfFixtures.hdf5V2()
+    val m = NetCdf.parse(bytes).toOption.get
+    // same values the v0 twin's contiguous read sees
+    assert(NetCdf.coordExtent(bytes, m, "lat").contains((-10.0, 10.0)))
+    assert(NetCdf.coordExtent(NetCdfFixtures.hdf5(),
+      NetCdf.parse(NetCdfFixtures.hdf5()).toOption.get, "lat")
+      .contains((-10.0, 10.0)))
+  }
+
+  test("hdf5 superblock v2: dense link storage quarantines, not empty") {
+    // set the root link-info fractal-heap address to a defined value:
+    // the parser must fail closed (Left), never report a silently
+    // empty group
+    val bytes = NetCdfFixtures.hdf5V2()
+    val m = NetCdf.parse(bytes)
+    assert(m.isRight)
+    val mangled = bytes.clone()
+    // root linkInfo body: version(0) flags(0) heap(-1) btree(-1) —
+    // locate the first 8 consecutive 0xFF at the root header region
+    var hit = -1
+    var i = 64
+    while (hit < 0 && i < 256) {
+      if ((0 until 16).forall(j => mangled(i + j) == -1) &&
+          mangled(i - 2) == 0 && mangled(i - 1) == 0) hit = i
+      i += 1
+    }
+    assert(hit > 0, "could not locate the link-info heap address")
+    java.nio.ByteBuffer.wrap(mangled)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(hit, 4096L)
+    assert(NetCdf.parse(mangled).isLeft)
+  }
 }
