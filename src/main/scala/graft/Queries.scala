@@ -587,6 +587,37 @@ object Queries {
       .orderBy("fname")
   }
 
+  /** S5/K3 — JPEG-in-TIFF (compression 7) decode through the
+    * distributed scan path: shared-JPEGTables and self-contained
+    * interchange strip layouts over the same smooth gradient, plus a
+    * quarantine row. JPEG is lossy, so the oracle gates on
+    * decoder-stable properties — decode success, sample count, and a
+    * max-error-within-tolerance boolean — not on exact sums. */
+  def s5Jpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 40; val h = 25
+    val px = Seq.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2
+    }
+    val files = Seq(
+      ("jpeg_shared.tif", graft.sources.RasterFixtures
+        .stripTiffJpeg(w, h, px, rowsPerStrip = 8, sharedTables = true)),
+      ("jpeg_plain.tif", graft.sources.RasterFixtures
+        .stripTiffJpeg(w, h, px, rowsPerStrip = 8, sharedTables = false)),
+      ("junk.tif", "not a raster".getBytes)).toDF("path", "content")
+    files.as[(String, Array[Byte])].map { case (fname, bytes) =>
+      graft.sources.GeoTiff.readSamples(bytes) match {
+        case Right((_, grid)) =>
+          val maxErr = grid.toSeq.zip(px)
+            .map { case (d, p) => math.abs(d - p) }.max
+          (fname, true, grid.length.toLong, maxErr <= 3.0f)
+        case Left(_) => (fname, false, 0L, false)
+      }
+    }.toDF("fname", "ok", "n_samples", "within_tol")
+      .orderBy("fname")
+  }
+
   /** S6 — CHUNKED HDF5 data decode over the spec-built fixture: the
     * shuffle+deflate 2-D grid must equal its contiguous twin and the
     * deflate / deflate+fletcher32 1-D coordinates must read exactly —

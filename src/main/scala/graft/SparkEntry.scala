@@ -139,6 +139,7 @@ object SparkEntry {
     // raster / array-file header scans (fixture-pinned)
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
     "q_s5_compressed"        -> (Queries.s5Compressed _),
+    "q_s5_jpeg"              -> (Queries.s5Jpeg _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
     "q_s6_chunked"           -> (Queries.s6Chunked _),
     "q_s6_v2"                -> (Queries.s6V2 _),
@@ -828,6 +829,13 @@ object SparkEntry {
         |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
         |) AS t(fname, ok, width, height, bits, spp, epsg,
         |       gt_x0, gt_xres, gt_y0, gt_yres)
+        |ORDER BY fname""".stripMargin,
+    "q_s5_jpeg" ->
+      """SELECT * FROM (VALUES
+        |  ('jpeg_plain.tif', true, CAST(1000 AS BIGINT), true),
+        |  ('jpeg_shared.tif', true, CAST(1000 AS BIGINT), true),
+        |  ('junk.tif', false, CAST(0 AS BIGINT), false)
+        |) AS t(fname, ok, n_samples, within_tol)
         |ORDER BY fname""".stripMargin,
     "q_s5_compressed" ->
       """SELECT * FROM (VALUES

@@ -44,6 +44,7 @@ object GeoTiff {
   private val TileByteCounts = 325
   private val Predictor = 317
   private val SampleFormat = 339
+  private val JpegTables = 347
   private val ModelPixelScale = 33550
   private val ModelTiepoint = 33922
   private val GeoKeyDirectory = 34735
@@ -145,6 +146,12 @@ object GeoTiff {
         new String(raw.takeWhile(_ != 0),
           java.nio.charset.StandardCharsets.US_ASCII).trim
     }
+    /** Raw bytes of an UNDEFINED/BYTE-typed tag (JPEGTables et al). */
+    def rawBytes(tag: Int): Option[Array[Byte]] = tags.get(tag).collect {
+      case (typ, cnt, off) if typ == 7 || typ == 1 =>
+        val s = dataStart(tag, typ, cnt, off)
+        bytes.slice(s, s + cnt.toInt)
+    }
     /** SHORT/LONG/LONG8 value array (inline when it fits the slot). */
     def longArray(tag: Int): Option[Seq[Long]] = tags.get(tag).map {
       // cnt=1 is handled by the generic case: dataStart resolves to the
@@ -200,11 +207,12 @@ object GeoTiff {
   /** Decode the pixel samples of a single-band raster to a row-major
     * float grid — the read half of `cog_translate` for `.tif` inputs
     * (`cogify/handler.py:233-243`). Supported: compression none (1),
-    * LZW (5), DEFLATE (8 / legacy 32946) or PackBits (32773), with
-    * optional horizontal-differencing predictor (tag 317 = 2) on the
-    * integer sample types; tiled or stripped layout, 8/16-bit unsigned
-    * ints and 32-bit IEEE floats. Anything else → `Left(reason)` (the
-    * quarantine path, never a wrong grid). */
+    * LZW (5), new-style JPEG (7, grayscale 8-bit, shared-tables or
+    * interchange streams), DEFLATE (8 / legacy 32946) or PackBits
+    * (32773), with optional horizontal-differencing predictor (tag
+    * 317 = 2) on the integer sample types; tiled or stripped layout,
+    * 8/16-bit unsigned ints and 32-bit IEEE floats. Anything else →
+    * `Left(reason)` (the quarantine path, never a wrong grid). */
   def readSamples(bytes: Array[Byte])
   : Either[String, (RasterMeta, Array[Float])] = try {
     val r = new TagReader(bytes)
@@ -212,7 +220,7 @@ object GeoTiff {
       if (m.samplesPerPixel != 1)
         return Left(s"unsupported: ${m.samplesPerPixel} samples/pixel")
       val compression = r.scalar(Compression).getOrElse(1L).toInt
-      if (!Set(1, 5, 8, 32773, 32946)(compression))
+      if (!Set(1, 5, 7, 8, 32773, 32946)(compression))
         return Left(s"unsupported compression $compression")
       val fmt = r.scalar(SampleFormat).getOrElse(1L).toInt
       val predictor = r.scalar(Predictor).getOrElse(1L).toInt
@@ -228,6 +236,18 @@ object GeoTiff {
       if (!decodeOk)
         return Left(
           s"unsupported sample type: ${m.bitsPerSample}-bit format $fmt")
+      // new-style JPEG (7): each segment is its own JPEG stream,
+      // grayscale 8-bit only here (browse imagery; the reference's
+      // GDAL path ingests these before re-writing deflate COGs,
+      // `cogify/handler.py:151-220`). DQT/DHT may live once in the
+      // JPEGTables tag — merged per segment before handing to the
+      // JDK decoder. Predictors are not defined for JPEG.
+      if (compression == 7 && (m.bitsPerSample != 8 || fmt != 1))
+        return Left(
+          s"unsupported JPEG sample type: ${m.bitsPerSample}-bit format $fmt")
+      if (compression == 7 && predictor != 1)
+        return Left("predictor is not defined for JPEG compression")
+      val jpegTables = r.rawBytes(JpegTables)
 
       val w = m.width.toInt; val h = m.height.toInt
       val out = new Array[Float](w * h)
@@ -255,6 +275,7 @@ object GeoTiff {
         val seg = compression match {
           case 1     => raw
           case 5     => lzwDecode(raw, cap)
+          case 7     => jpegDecode(raw, jpegTables, segW, segH)
           case 32773 => packbitsDecode(raw, cap)
           case _     => inflate(raw, cap)
         }
@@ -288,6 +309,54 @@ object GeoTiff {
 
   private def inflate(compressed: Array[Byte], maxLen: Int): Array[Byte] =
     GeoTiffWriter.inflateFully(compressed, maxLen)
+
+  /** Decode one new-style-JPEG segment to row-major 8-bit samples in
+    * a segW×segH buffer (edge segments leave the pad at 0 and the
+    * caller's copy loop clips to the raster bounds anyway). When the
+    * strip is an abbreviated stream, its DQT/DHT arrive separately in
+    * the JPEGTables tag (TIFF TechNote 2): both streams are SOI..EOI
+    * framed, so the merged stream is SOI + tables' segments + the
+    * strip's segments — which the JDK ImageIO decoder reads as a
+    * plain interchange JPEG. */
+  private def jpegDecode(raw: Array[Byte], tables: Option[Array[Byte]],
+                         segW: Int, segH: Int): Array[Byte] = {
+    require(raw.length >= 4 && (raw(0) & 0xFF) == 0xFF &&
+      (raw(1) & 0xFF) == 0xD8, "JPEG segment does not start with SOI")
+    val stream = tables match {
+      case Some(t) if t.length >= 4 =>
+        require((t(0) & 0xFF) == 0xFF && (t(1) & 0xFF) == 0xD8,
+          "JPEGTables does not start with SOI")
+        // SOI + tables minus its SOI/EOI + strip minus its SOI
+        val tBody = t.slice(2, t.length -
+          (if ((t(t.length - 2) & 0xFF) == 0xFF &&
+               (t(t.length - 1) & 0xFF) == 0xD9) 2 else 0))
+        val out = new Array[Byte](2 + tBody.length + (raw.length - 2))
+        out(0) = 0xFF.toByte; out(1) = 0xD8.toByte
+        System.arraycopy(tBody, 0, out, 2, tBody.length)
+        System.arraycopy(raw, 2, out, 2 + tBody.length, raw.length - 2)
+        out
+      case _ => raw
+    }
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(stream))
+    require(img != null, "JPEG segment did not decode")
+    require(img.getRaster.getNumBands == 1,
+      s"unsupported JPEG band count ${img.getRaster.getNumBands}")
+    val out = new Array[Byte](segW * segH)
+    val ras = img.getRaster
+    val ih = math.min(img.getHeight, segH)
+    val iw = math.min(img.getWidth, segW)
+    var y = 0
+    while (y < ih) {
+      var x = 0
+      while (x < iw) {
+        out(y * segW + x) = ras.getSample(x, y, 0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   /** TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing,
     * ClearCode=256, EOI=257, 9→12-bit codes with the spec's

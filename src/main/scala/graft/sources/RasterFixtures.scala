@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Deterministic in-memory GeoTIFF builder — fixture source for the
@@ -231,6 +232,125 @@ object RasterFixtures {
       buf.putInt(offsOff + s * 4, stripStarts(s))
       buf.putInt(cntsOff + s * 4, payloads(s).length)
     }
+    payloads.zipWithIndex.foreach { case (p, s) =>
+      System.arraycopy(p, 0, buf.array(), stripStarts(s), p.length)
+    }
+    buf.array()
+  }
+
+  /** Encode a grayscale byte image as a JPEG interchange stream (JDK
+    * ImageIO writer, max quality — the encoder half the container
+    * lacks GDAL for). */
+  def jpegEncode(width: Int, height: Int, raw: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < raw.length) {
+      img.getRaster.setSample(i % width, i / width, 0, raw(i) & 0xFF)
+      i += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** Split an interchange JPEG into the TIFF TechNote 2 pair:
+    * (tables stream = SOI + DQT/DHT + EOI, abbreviated stream =
+    * SOI + everything else). Rebuilding by concatenation must give a
+    * decodable stream — pinned by the GeoTiff reader spec. */
+  def jpegSplit(jpeg: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val tables = new ByteArrayOutputStream()
+    val rest = new ByteArrayOutputStream()
+    tables.write(0xFF); tables.write(0xD8)
+    rest.write(0xFF); rest.write(0xD8)
+    var p = 2
+    var done = false
+    while (!done && p + 4 <= jpeg.length) {
+      val marker = jpeg(p + 1) & 0xFF
+      require((jpeg(p) & 0xFF) == 0xFF, "bad JPEG segment marker")
+      if (marker == 0xDA) { // SOS: entropy data through EOI
+        rest.write(jpeg, p, jpeg.length - p)
+        done = true
+      } else {
+        val len = 2 + (((jpeg(p + 2) & 0xFF) << 8) | (jpeg(p + 3) & 0xFF))
+        val dst = if (marker == 0xDB || marker == 0xC4) tables else rest
+        dst.write(jpeg, p, len)
+        p += len
+      }
+    }
+    tables.write(0xFF); tables.write(0xD9)
+    (tables.toByteArray, rest.toByteArray)
+  }
+
+  /** JPEG-in-TIFF (compression 7) builder: per-strip JPEG streams,
+    * either self-contained interchange streams or abbreviated streams
+    * with the DQT/DHT shared once through the JPEGTables tag (347) —
+    * the two layouts real writers emit. */
+  def stripTiffJpeg(width: Int, height: Int, values: Seq[Int],
+                    rowsPerStrip: Int,
+                    sharedTables: Boolean): Array[Byte] = {
+    require(values.size == width * height)
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val fullJpegs = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+      val raw = Array.tabulate(rows * width)(i =>
+        values((s * rowsPerStrip + i / width) * width + i % width).toByte)
+      jpegEncode(width, rows, raw)
+    }
+    // ImageIO emits identical (standard, non-optimized) DQT/DHT at a
+    // fixed quality, so the first strip's tables serve every strip
+    val (tables, _) = jpegSplit(fullJpegs.head)
+    val payloads =
+      if (sharedTables) fullJpegs.map(j => jpegSplit(j)._2) else fullJpegs
+
+    val entryCount = if (sharedTables) 10 else 9
+    val ifdSize = 2 + entryCount * 12 + 4
+    var dataOff = 8 + ifdSize
+    def alloc(n: Int): Int = { val o = dataOff; dataOff += n; o }
+    val offsOff = if (nStrips > 1) alloc(nStrips * 4) else 0
+    val cntsOff = if (nStrips > 1) alloc(nStrips * 4) else 0
+    val tablesOff = if (sharedTables) alloc(tables.length) else 0
+    val stripStarts = payloads.map(_.length).scanLeft(dataOff)(_ + _)
+
+    val buf = ByteBuffer.allocate(stripStarts.last)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte); buf.put('I'.toByte)
+    buf.putShort(2, 42); buf.putInt(4, 8)
+    buf.putShort(8, entryCount.toShort)
+    var e = 10
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(e, tag.toShort); buf.putShort(e + 2, typ.toShort)
+      buf.putInt(e + 4, cnt)
+      if (typ == 3 && cnt == 1) buf.putShort(e + 8, value.toShort)
+      else buf.putInt(e + 8, value.toInt)
+      e += 12
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, 7)
+    entry(262, 3, 1, 1)
+    entry(273, 4, nStrips,
+      if (nStrips == 1) stripStarts.head else offsOff)
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, rowsPerStrip)
+    entry(279, 4, nStrips,
+      if (nStrips == 1) payloads.head.length else cntsOff)
+    if (sharedTables) entry(347, 7, tables.length, tablesOff)
+    buf.putInt(e, 0)
+    if (nStrips > 1) (0 until nStrips).foreach { s =>
+      buf.putInt(offsOff + s * 4, stripStarts(s))
+      buf.putInt(cntsOff + s * 4, payloads(s).length)
+    }
+    if (sharedTables)
+      System.arraycopy(tables, 0, buf.array(), tablesOff, tables.length)
     payloads.zipWithIndex.foreach { case (p, s) =>
       System.arraycopy(p, 0, buf.array(), stripStarts(s), p.length)
     }

@@ -160,9 +160,13 @@ class CogWriterSpec extends SparkSuite {
     val (m, decoded) = GeoTiff.readSamples(tiff).fold(e => fail(e), identity)
     assert(m.width == 5 && m.height == 4)
     assert(decoded.toSeq == vals.map(_.toFloat))
-    // unsupported compression (JPEG) -> quarantine Left, not bad data
+    // compression=7 tag over NON-JPEG strip bytes -> corrupt-stream
+    // Left (quarantine), never a silently wrong grid
     val jpeg = RasterFixtures.stripTiff(5, 4, vals, compression = 7)
-    assert(GeoTiff.readSamples(jpeg).left.exists(_.contains("compression")))
+    assert(GeoTiff.readSamples(jpeg).isLeft)
+    // a still-unsupported compression id quarantines by tag alone
+    val ccitt = RasterFixtures.stripTiff(5, 4, vals, compression = 4)
+    assert(GeoTiff.readSamples(ccitt).left.exists(_.contains("compression")))
     // compression=5 tag over NON-LZW strip bytes -> corrupt-stream
     // Left (quarantine), never a silently wrong grid
     val badLzw = RasterFixtures.stripTiff(5, 4, vals, compression = 5)
@@ -225,6 +229,61 @@ class CogWriterSpec extends SparkSuite {
     val tiff = imageioTiff(px, w, h, "PackBits")
     val (_, decoded) = GeoTiff.readSamples(tiff).fold(e => fail(e), identity)
     assert(decoded.toSeq == px.map(_.toFloat))
+  }
+
+  test("JPEG strips (shared JPEGTables) decode; round-trip to deflate COG") {
+    val w = 40; val h = 25 // multi-strip with a partial edge strip
+    // smooth gradient: max-quality grayscale JPEG stays within a few
+    // counts of the source (JPEG is lossy — tolerance, not equality)
+    val px = Seq.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2
+    }
+    val tiff = graft.sources.RasterFixtures.stripTiffJpeg(
+      w, h, px, rowsPerStrip = 8, sharedTables = true)
+    val (m, decoded) = GeoTiff.readSamples(tiff).fold(e => fail(e), identity)
+    assert(m.width == w && m.height == h)
+    val maxErr = decoded.toSeq.zip(px).map { case (d, p) =>
+      math.abs(d - p) }.max
+    assert(maxErr <= 3.0f, s"JPEG error $maxErr exceeds tolerance")
+    // decode → deflate-COG write → independent re-parse: the COG is
+    // lossless over the decoded samples, so this leg is bit-exact
+    val cog = Cogify.tiffToCog(tiff).fold(e => fail(e), identity)
+    val (mc, again) = GeoTiff.readSamples(cog).fold(e => fail(e), identity)
+    assert(mc.tileWidth.contains(256L))
+    assert(again.toSeq == decoded.toSeq)
+  }
+
+  test("JPEG interchange strips decode identically to shared-tables") {
+    val w = 31; val h = 19
+    val px = Seq.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2
+    }
+    val shared = GeoTiff.readSamples(graft.sources.RasterFixtures
+      .stripTiffJpeg(w, h, px, rowsPerStrip = 7, sharedTables = true))
+      .fold(e => fail(e), identity)._2
+    val plain = GeoTiff.readSamples(graft.sources.RasterFixtures
+      .stripTiffJpeg(w, h, px, rowsPerStrip = 7, sharedTables = false))
+      .fold(e => fail(e), identity)._2
+    // same pixels through both layouts: the tables-merge path must be
+    // byte-equivalent to decoding the self-contained streams
+    assert(shared.toSeq == plain.toSeq)
+  }
+
+  test("JPEG with unsupported sample type quarantines") {
+    // compression 7 claimed over 16-bit samples: reject, never decode
+    val w = 8; val h = 4
+    val px = Seq.tabulate(w * h)(identity)
+    val tiff = graft.sources.RasterFixtures.stripTiffJpeg(
+      w, h, px, rowsPerStrip = 4, sharedTables = false)
+    // patch BitsPerSample (tag 258, third IFD entry) from 8 to 16
+    val buf = java.nio.ByteBuffer.wrap(tiff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val e258 = 10 + 2 * 12
+    assert((buf.getShort(e258) & 0xFFFF) == 258)
+    buf.putShort(e258 + 8, 16)
+    assert(GeoTiff.readSamples(tiff).isLeft)
   }
 
   test("deflate + horizontal predictor (tag 317=2) strips decode") {
