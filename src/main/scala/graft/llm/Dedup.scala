@@ -541,13 +541,15 @@ object Dedup {
   }
 
   /** Default edge-count bound for the driver union-find fast path in
-    * [[connectedComponentsStars]]. Heap envelope at the bound (64-bit
-    * ids): the HashMap holds ≤2·E entries of boxed key/value + node ≈
-    * 48 B/entry → ~400 MB at 4M edges plus the ~100 MB collected Row
-    * batch — comfortably inside the default 1 GiB driver heap's free
-    * space, measured by `graft.tools.CcScaleProbe`. String ids cost
-    * id-length more per entry; tune DOWN for long ids or small-heap
-    * drivers via the `driverMaxEdges` parameter. */
+    * [[connectedComponentsStars]]. Measured envelope at the bound
+    * (`graft.tools.CcScaleProbe`, 16-char string ids — the expensive
+    * case): ~740 MB of driver heap for the 4M-edge HashMap + collected
+    * rows. That fits comfortable multi-GB driver heaps (this engine's
+    * target) but would crowd a default 1 GiB driver — tune DOWN via
+    * the `driverMaxEdges` parameter on small-heap drivers or for ids
+    * longer than ~20 chars; 64-bit ids cost roughly half. Above the
+    * bound the distributed alternating-stars loop runs instead, so a
+    * too-small value only costs speed, never correctness. */
   val DefaultDriverMaxEdges: Long = 4000000L
 
   /** Connected components via alternating large-star / small-star

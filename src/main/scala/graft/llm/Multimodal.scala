@@ -29,7 +29,29 @@ object Multimodal {
     * (the batch shape a downstream embedding model consumes). */
   case class MediaFeatures(path: String, mediaType: String, width: Int,
                            height: Int, nFrames: Int,
-                           feature: Array[Double])
+                           feature: Array[Double],
+                           /** "decoded" (real decode), "stubbed"
+                             * (deterministic fake), or "quarantined"
+                             * (a claiming decoder rejected the
+                             * bytes — routed out, never fake data) */
+                           status: String = "decoded")
+
+  /** Pluggable compressed-codec decoder — the seam production fills
+    * with an ffmpeg-backed implementation (mp3/mp4 codecs are not in
+    * the JDK or this container). The instance is closure-serialized
+    * into the `mapPartitions` stage, so implementations must be
+    * `Serializable` and construct any native handles lazily
+    * per-executor (e.g. in a transient lazy val), exactly like a
+    * Pandas-UDF decoder would. */
+  trait MediaDecoder extends Serializable {
+    /** Whether this decoder handles the media type ("audio/mpeg"…). */
+    def claims(mediaType: String): Boolean
+    /** Decode to (width-or-rate, height-or-channels, frames, mono
+      * samples), or None for bytes this codec rejects — those rows
+      * route to `status = "quarantined"`, never to fake data. */
+    def decode(mediaType: String, bytes: Array[Byte])
+    : Option[(Int, Int, Int, Array[Double])]
+  }
 
   /** Media-type dispatch by extension (P7 pattern). */
   val mediaTypes: Map[String, String] = Map(
@@ -190,7 +212,8 @@ object Multimodal {
   /** Decode + feature-extract, partition-parallel. The per-partition
     * iterator lets real decoders reuse native contexts across files
     * (the `mapInPandas` batch-shape analog). */
-  def extractFeatures(media: DataFrame, featureDim: Int = 8)
+  def extractFeatures(media: DataFrame, featureDim: Int = 8,
+                      decoder: Option[MediaDecoder] = None)
   : Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -216,6 +239,18 @@ object Multimodal {
               // the one schema serves all modalities
               MediaFeatures(path, mt, rate.toInt, channels, frames.toInt,
                 rmsStripFeature(mono, featureDim))
+            case _ if decoder.exists(_.claims(mt)) =>
+              // plugged compressed-codec decoder (the production
+              // seam): real decode, or quarantine when the codec
+              // rejects the bytes — never fake data for a claimed type
+              decoder.get.decode(mt, bytes) match {
+                case Some((w, h, frames, mono)) =>
+                  MediaFeatures(path, mt, w, h, frames,
+                    rmsStripFeature(mono, featureDim))
+                case None =>
+                  MediaFeatures(path, mt, 0, 0, 0,
+                    Array.empty[Double], status = "quarantined")
+              }
             case _ =>
               val (w, h, frames) = decodeStub(mt, bytes)
               // STUB feature for compressed/undecodable bytes
@@ -224,7 +259,8 @@ object Multimodal {
                   else bytes(math.floorMod(i * 37, bytes.length)).toLong
                 (slice + i).toDouble / 256.0
               }
-              MediaFeatures(path, mt, w, h, frames, feat)
+              MediaFeatures(path, mt, w, h, frames, feat,
+                status = "stubbed")
           }
         }
       }

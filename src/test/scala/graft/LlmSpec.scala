@@ -309,6 +309,50 @@ class LlmSpec extends SparkSuite {
     assert(Multimodal.decodeWav("RIFFgarbage".getBytes).isEmpty)
   }
 
+  test("multimodal: plugged codec decoder — decode + quarantine routing") {
+    // a fake mp3 codec through the production seam: bytes "FAKEmp3:"
+    // followed by 8-bit samples decode; anything else is rejected
+    object FakeMp3Decoder extends Multimodal.MediaDecoder {
+      private val magic = "FAKEmp3:".getBytes
+      def claims(mediaType: String): Boolean = mediaType == "audio/mpeg"
+      def decode(mediaType: String, bytes: Array[Byte])
+      : Option[(Int, Int, Int, Array[Double])] =
+        if (bytes.length > magic.length &&
+            bytes.take(magic.length).sameElements(magic)) {
+          val samples = bytes.drop(magic.length)
+            .map(b => (b & 0xFF).toDouble / 255.0)
+          Some((44100, 1, samples.length, samples))
+        } else None
+    }
+    val dir = java.nio.file.Files.createTempDirectory("media-seam")
+    java.nio.file.Files.write(dir.resolve("good.mp3"),
+      "FAKEmp3:".getBytes ++ Array.tabulate(64)(i => (i * 4).toByte))
+    java.nio.file.Files.write(dir.resolve("corrupt.mp3"),
+      "ID3garbage-not-our-format".getBytes)
+    java.nio.file.Files.write(dir.resolve("clip.mp4"),
+      Array.tabulate(128)(i => (i * 3).toByte))
+    val media = Multimodal.readMedia(spark, s"file://$dir")
+    val rows = Multimodal.extractFeatures(media, featureDim = 4,
+      decoder = Some(FakeMp3Decoder)).collect()
+      .map(f => f.path.split('/').last -> f).toMap
+    // claimed + decodable: REAL decode through the seam (rate/
+    // channels/frames from the codec, RMS feature over its samples)
+    val good = rows("good.mp3")
+    assert(good.status == "decoded")
+    assert(good.width == 44100 && good.height == 1 && good.nFrames == 64)
+    assert(good.feature.length == 4 && good.feature.forall(_ > 0.0))
+    // claimed + rejected: quarantined, never fake data
+    val bad = rows("corrupt.mp3")
+    assert(bad.status == "quarantined")
+    assert(bad.feature.isEmpty && bad.nFrames == 0)
+    // unclaimed type: still the labeled deterministic stub
+    assert(rows("clip.mp4").status == "stubbed")
+    // without a registered decoder both mp3s fall to the stub
+    val unplugged = Multimodal.extractFeatures(media, featureDim = 4)
+      .collect()
+    assert(unplugged.count(_.status == "stubbed") == 3)
+  }
+
   test("multimodal plumbing: binaryFile read -> features -> frame sampling") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     java.nio.file.Files.write(dir.resolve("a.jpg"),

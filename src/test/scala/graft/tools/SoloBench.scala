@@ -1,23 +1,45 @@
-package graft
+package graft.tools
+
 import org.apache.spark.sql.SparkSession
+
+/** One-command re-verification of the bench's expensive head:
+  * `sbt "Test/runMain graft.tools.SoloBench [query...]"` runs the
+  * heavy queries (default: the judge's heavy-head list + the ANN
+  * family) twice each — cold then warm — against
+  * `SPARK_GRAFT_SF_DIR` (default sf0.1), printing per-run seconds.
+  * Pass query names to restrict. Lives in test scope so production
+  * source stays exactly the engine. */
 object SoloBench {
+  private val HeavyHead = Seq(
+    "q_pagerank", "q_semdedup", "q_dup_clusters", "q_clean_corpus",
+    "q_dedup_incremental", "q_curate_pipeline", "q_winnow_pairs",
+    "q_edit_distance", "q_triangles", "q_quality_classifier",
+    "q_dedup_keep",
+    // ANN family: plan-size/codegen regressions show up here first
+    "q_ann_top1", "q_ann_lsh", "q_ann_pq", "q_ann_ivf", "q_ann_ivfpq")
+
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.read.parquet("/root/testdata/sf0.1/region.parquet").count()
-    for (name <- Seq("q_semdedup", "q_clean_corpus", "q_dup_clusters",
-      "q_curate_pipeline", "q_dedup_incremental", "q_winnow_pairs",
-      "q_edit_distance", "q_pagerank")) {
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    val names = if (args.nonEmpty) args.toSeq else HeavyHead
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    for (name <- names) {
       for (i <- 1 to 2) {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, "/root/testdata/sf0.1").count()
-        println(f"$name run$i ${(System.nanoTime()-t0)/1e9}%.2f s")
+        graft.SparkEntry.queries(name)(spark, sfDir).count()
+        val label = if (i == 1) "cold" else "warm"
+        println(f"$name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }
     spark.stop()
