@@ -156,6 +156,141 @@ class EventCorpusSpec extends SparkSuite {
     }
   }
 
+  test("corpus sweep: every shipped config runs end-to-end on fixtures") {
+    // Each of the 28 production configs through the FULL Runner with
+    // per-config fixture data (the reference's de-facto integration
+    // suite, SURVEY §5): inventory configs get a CSV of date-carrying
+    // paths; cmr configs get a granule catalog whose filenames satisfy
+    // the config's data_file_regex. Asserted per config: zero
+    // quarantine, exact item count, and the required STAC fields.
+    assume(Files.isDirectory(corpusDir), "reference corpus not present")
+    import graft.pipeline.Runner
+    import graft.sources.Cmr
+    import org.apache.spark.sql.functions.col
+
+    // multi-asset configs: a stem matching the config's
+    // data_file_regex + suffixes with exactly ONE data_file row
+    val multiAsset: Map[String, (String, Seq[String])] = Map(
+      "ABoVE_UAVSAR_PALSAR" ->
+        (("padelE_12043_16008_140_160225_L090_CX_01",
+          Seq("_hgt.tif", ".ann", ".kmz"))),
+      "AfriSAR_UAVSAR_Coreg_SLC" ->
+        (("uavsar_AfriSAR_v1_SLC-topo_14043_16008_140_160225_L090",
+          Seq("_coreg_HH.slc", ".vrt"))),
+      "AfriSAR_UAVSAR_Geocoded_Covariance" ->
+        (("uavsar_AfriSAR_v1-geo_14043_16008_140_009_160225",
+          Seq("_cov_1-1.hdr", "_cov_1-1.bin"))),
+      "AfriSAR_UAVSAR_Geocoded_SLC" ->
+        (("uavsar_AfriSAR_v1_topo_14043_16008_140_160225",
+          Seq("_L090HH_CX_01_mag_geo.hdr", ".bin"))),
+      "AfriSAR_UAVSAR_KZ" ->
+        (("uavsar_AfriSAR_v1-coreg_14043_16008_140_009_160225_kz",
+          Seq(".hdr", ".bin", ".vrt"))),
+      "AfriSAR_UAVSAR_Ungeocoded_Covariance" ->
+        (("uavsar_AfriSAR_v1-ungeo_14043_16008_140_009_160225",
+          Seq("_cov_1-1.hdr", "_cov_1-1.bin"))),
+      "AfriSAR_UAVSAR_Normalization_Area" ->
+        (("uavsar_AfriSAR_v1-normFactor_a41_r9",
+          Seq(".hdr", ".bin"))))
+
+    def checkItems(src: String, items: Array[org.apache.spark.sql.Row],
+                   expected: Int, collection: String): Unit = {
+      assert(items.length == expected,
+        s"$src: ${items.length} items, expected $expected")
+      items.foreach { it =>
+        assert(it.getString(it.fieldIndex("id")).nonEmpty, s"$src: empty id")
+        assert(it.getString(it.fieldIndex("collection")) == collection,
+          s"$src: wrong collection")
+        assert(!it.isNullAt(it.fieldIndex("datetime")) ||
+          !it.isNullAt(it.fieldIndex("start_datetime")),
+          s"$src: no datetime")
+        assert(!it.isNullAt(it.fieldIndex("assets")) &&
+          it.getMap[String, Any](it.fieldIndex("assets")).nonEmpty,
+          s"$src: empty assets")
+      }
+    }
+
+    def runInventory(src: String, ev: graft.model.PipelineEvent): Unit = {
+      val dir = Files.createTempDirectory("corpusinv")
+      // ESACCI-shaped names for the cogify configs (proved by the
+      // dedicated bytes test above); ISO-dated names elsewhere so the
+      // extract_dates cascade lands on its first strategy
+      val names =
+        if (ev.cogify)
+          Seq("S50W070_BIOMASS-100m-2017-fv4.0.tif",
+            "N00E010_BIOMASS-100m-2017-fv4.0.tif")
+        else Seq("tileA_2019-06-15.tif", "tileB_2019-07-15.tif")
+      val metaCol = ev.metadataFileUrlKey
+      val header = (Seq(ev.fileUrlKey) ++ metaCol).mkString(",")
+      val rows = names.map { n =>
+        (Seq(s"$dir/$n") ++
+          metaCol.map(_ => s"$dir/$n.meta")).mkString(",")
+      }
+      val csv = dir.resolve("inventory.csv")
+      Files.writeString(csv, header + "\n" + rows.mkString("\n") + "\n")
+      val r = Runner.run(spark,
+        ev.copy(inventoryUrl = Some(csv.toString), upload = false))
+      assert(r.quarantined.isEmpty, s"$src: quarantined rows")
+      val items = r.items.collect()
+      checkItems(src, items, names.size, ev.collection)
+      // configured metadata columns surface as a typed asset
+      metaCol.foreach { _ =>
+        val t = ev.metadataType.get
+        items.foreach(it => assert(
+          it.getMap[String, Any](it.fieldIndex("assets")).contains(t),
+          s"$src: missing '$t' metadata asset"))
+      }
+    }
+
+    def runCmr(src: String, ev: graft.model.PipelineEvent): Unit = {
+      val (files, expected) = multiAsset.get(src) match {
+        case Some((stem, sufs)) => (sufs.map(stem + _), 1)
+        case None => (Seq("granuleA.tif", "granuleB.tif"), 2)
+      }
+      val granuleJson = files.zipWithIndex.map { case (f, i) =>
+        s"""{"id": "G$i-$src", "title": "$f",
+           |"time_start": "2020-01-15T00:00:00.000Z",
+           |"time_end": "2020-01-15T23:59:59.000Z",
+           |"updated": "2020-02-01T00:00:00.000Z",
+           |"dataset_id": "$src", "data_center": "TEST",
+           |"collection_concept_id": "C0-TEST",
+           |"boxes": ["-2.0 9.1 0.6 11.8"],
+           |"links": [{"rel": "http://esipfed.org/ns/fedsearch/1.1/s3#",
+           |"href": "s3://data/corpus/$f", "hreflang": "en-US"}]}"""
+          .stripMargin
+      }.mkString("[", ",\n", "]")
+      val gf = Files.createTempFile("granules", ".json")
+      Files.writeString(gf, granuleJson)
+      val granules = Cmr.granulesFromJson(spark, gf.toString)
+      val r = Runner.run(spark, ev,
+        Runner.RunContext(granules = Some(granules)))
+      assert(r.quarantined.isEmpty, s"$src: quarantined rows")
+      val items = r.items.collect()
+      checkItems(src, items, expected, ev.collection)
+      // granule time drives datetime on the cmr path
+      items.foreach(it => assert(
+        it.getTimestamp(it.fieldIndex("datetime"))
+          .toString.startsWith("2020-01-15"), s"$src: wrong datetime"))
+      // bbox carried from the granule boxes
+      items.foreach(it => assert(!it.isNullAt(it.fieldIndex("bbox")),
+        s"$src: no bbox"))
+    }
+
+    val files = Files.list(corpusDir).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    assert(files.size == 28)
+    files.foreach { f =>
+      val src = f.getFileName.toString.stripSuffix(".json")
+      EventJson.parseAll(Files.readString(f)).foreach { ev =>
+        ev.discovery match {
+          case "inventory" => runInventory(src, ev)
+          case "cmr" => runCmr(src, ev)
+          case other => fail(s"$src: unexpected discovery $other")
+        }
+      }
+    }
+  }
+
   test("all reference collection docs load, validate, and broadcast-join") {
     val dir = Paths.get("/root/reference/data/collections")
     assume(Files.isDirectory(dir), "reference corpus not present")
