@@ -646,6 +646,35 @@ object Queries {
       .orderBy("fname", "var_path")
   }
 
+  /** S6 — LAYOUT-V4 chunk indexes (HDF5 >= 1.10 "latest format"
+    * chunked storage) through the distributed scan: fixed-array
+    * shuffle+deflate grid with an elided all-fill chunk, a filtered
+    * single-chunk coordinate, an implicit-index coordinate, and the
+    * contiguous twin the grid must equal. Literal-VALUES oracle. */
+  def s6V4Chunked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Seq(
+      ("v4chunked.h5", graft.sources.NetCdfFixtures.hdf5V2Chunked()))
+      .toDF("path", "content")
+    files.as[(String, Array[Byte])].flatMap { case (fname, bytes) =>
+      val meta = graft.sources.NetCdf.parse(bytes)
+        .getOrElse(graft.sources.NetCdf.FileMeta("unparsed", Nil, Nil, Nil))
+      meta.vars.map { v =>
+        val grid = graft.sources.NetCdf.readGridRaw(bytes, meta, v.path)
+        val storage =
+          if (v.begin.isDefined) "contiguous"
+          else if (v.chunks.isDefined) "chunked" else "none"
+        grid match {
+          case Some(g) => (fname, v.path, storage, true, g.length.toLong,
+            g.map(_.toDouble).sum, g.min.toDouble, g.max.toDouble)
+          case None => (fname, v.path, storage, false, 0L, 0.0, 0.0, 0.0)
+        }
+      }
+    }.toDF("fname", "var_path", "storage", "ok", "n_vals",
+        "sum_val", "min_val", "max_val")
+      .orderBy("fname", "var_path")
+  }
+
   /** S6 — HDF5 superblock-v2 (>= 1.10 / netCDF-4 latest format):
     * link-message group walk + v4-contiguous data read over the
     * spec-built v2 fixture, compared row-for-row against its

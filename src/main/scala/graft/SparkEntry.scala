@@ -143,6 +143,7 @@ object SparkEntry {
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
     "q_s6_chunked"           -> (Queries.s6Chunked _),
     "q_s6_v2"                -> (Queries.s6V2 _),
+    "q_s6_v4chunked"         -> (Queries.s6V4Chunked _),
     // graph analytics
     "q_pagerank"             -> (Queries.pageRank _),
     // table maintenance / data quality / time series
@@ -865,6 +866,23 @@ object SparkEntry {
         |  ('chunked.h5', 'precip_contig', 'contiguous', true,
         |   CAST(35 AS BIGINT), CAST(805.0 AS DOUBLE),
         |   CAST(0.0 AS DOUBLE), CAST(46.0 AS DOUBLE))
+        |) AS t(fname, var_path, storage, ok, n_vals, sum_val,
+        |       min_val, max_val)
+        |ORDER BY fname, var_path""".stripMargin,
+    "q_s6_v4chunked" ->
+      """SELECT * FROM (VALUES
+        |  ('v4chunked.h5', 'lat', 'chunked', true, CAST(3 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(-10.0 AS DOUBLE),
+        |   CAST(10.0 AS DOUBLE)),
+        |  ('v4chunked.h5', 'lon', 'chunked', true, CAST(7 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(-150.0 AS DOUBLE),
+        |   CAST(150.0 AS DOUBLE)),
+        |  ('v4chunked.h5', 'precip', 'chunked', true,
+        |   CAST(35 AS BIGINT), CAST(-59429.0 AS DOUBLE),
+        |   CAST(-9999.0 AS DOUBLE), CAST(43.0 AS DOUBLE)),
+        |  ('v4chunked.h5', 'precip_contig', 'contiguous', true,
+        |   CAST(35 AS BIGINT), CAST(-59429.0 AS DOUBLE),
+        |   CAST(-9999.0 AS DOUBLE), CAST(43.0 AS DOUBLE))
         |) AS t(fname, var_path, storage, ok, n_vals, sum_val,
         |       min_val, max_val)
         |ORDER BY fname, var_path""".stripMargin,

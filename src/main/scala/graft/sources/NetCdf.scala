@@ -32,10 +32,20 @@ object NetCdf {
   /** One attribute: numeric values or a string (NC_CHAR / HDF5 string). */
   case class Attr(name: String, str: Option[String], nums: Seq[Double])
 
-  /** Chunked-storage locator (HDF5 layout v3 class 2): the v1 B-tree
-    * of raw-data chunks plus the filter pipeline to undo per chunk.
-    * `chunkDims` excludes the trailing element-size dimension. */
-  case class ChunkInfo(btree: Long, chunkDims: Seq[Long], elemSize: Int,
+  /** Chunk index types a [[ChunkInfo]] can carry. */
+  object ChunkIndex {
+    val BtreeV1 = 0     // layout v3: v1 B-tree of raw chunks
+    val Single = 1      // layout v4: one chunk covers the dataset
+    val Implicit = 2    // layout v4: unfiltered chunks, row-major
+    val FixedArray = 3  // layout v4: FAHD/FADB address array
+  }
+
+  /** Chunked-storage locator (HDF5 layout v3 class 2 and the v4
+    * "latest format" chunk indexes): `addr` is the index address (v1
+    * B-tree root, fixed-array header, or the chunk itself for
+    * single/implicit), plus the filter pipeline to undo per chunk.
+    * `chunkDims` excludes the element-size dimension. */
+  case class ChunkInfo(addr: Long, chunkDims: Seq[Long], elemSize: Int,
                        /** pipeline order as written (applied in
                          * REVERSE on read): 1=deflate, 2=shuffle,
                          * 3=fletcher32 */
@@ -44,7 +54,13 @@ object NetCdf {
                          * message: regions whose chunks were never
                          * allocated (netCDF4/HDF-EOS elide all-fill
                          * chunks) must decode to this, not to 0 */
-                       fillBytes: Option[Array[Byte]] = None)
+                       fillBytes: Option[Array[Byte]] = None,
+                       /** one of [[ChunkIndex]] */
+                       indexType: Int = ChunkIndex.BtreeV1,
+                       /** single-chunk index: stored (filtered) byte
+                         * size + filter mask from the layout message */
+                       singleSize: Option[Long] = None,
+                       singleMask: Int = 0)
 
   /** One variable/dataset: `path` is "var" or "group/var". `begin` is
     * the file offset of the raw data (classic always; HDF5 for
@@ -415,8 +431,46 @@ object NetCdf {
             val addr = buf.getLong(body + 2)
             if (addr != -1L) contiguousAddr = Some(addr)
           } else if (ver == 4 && (bytes(body + 1) & 0xFF) == 2) {
-            throw new IllegalArgumentException(
-              "unsupported HDF5 layout v4 chunk index")
+            // v4 chunked ("latest format"): flags(1), rank(1), dim-
+            // size width(1), chunk dims (rank × width, element units,
+            // NO trailing element-size dim), index type(1), index-
+            // specific fields, index address. Element size comes from
+            // the datatype message (filled in below). Extensible-
+            // array and v2-btree indexes fail closed → quarantine.
+            val lflags = bytes(body + 2) & 0xFF
+            val nd = bytes(body + 3) & 0xFF
+            val encLen = bytes(body + 4) & 0xFF
+            def dimAt(p: Int): Long = encLen match {
+              case 1 => (bytes(p) & 0xFF).toLong
+              case 2 => (buf.getShort(p) & 0xFFFF).toLong
+              case 4 => buf.getInt(p) & 0xFFFFFFFFL
+              case _ => buf.getLong(p)
+            }
+            val cdims = (0 until nd).map(i => dimAt(body + 5 + i * encLen))
+            var q = body + 5 + nd * encLen
+            val idxType = bytes(q) & 0xFF; q += 1
+            var singleSize: Option[Long] = None
+            var singleMask = 0
+            val mapped = idxType match {
+              case 1 =>
+                if ((lflags & 0x02) != 0) { // filtered single chunk
+                  singleSize = Some(buf.getLong(q)); q += 8
+                  singleMask = buf.getInt(q); q += 4
+                }
+                Some(ChunkIndex.Single)
+              case 2 => Some(ChunkIndex.Implicit)
+              case 3 => q += 1 // page bits (paged arrays fail on read)
+                Some(ChunkIndex.FixedArray)
+              case _ => None // extensible array / v2 btree: metadata
+                             // parses, data read quarantines
+            }
+            val addr = buf.getLong(q)
+            mapped.foreach { it =>
+              if (addr != -1L && nd >= 1)
+                chunkInfo = Some(ChunkInfo(addr, cdims, elemSize = 0,
+                  Nil, indexType = it, singleSize = singleSize,
+                  singleMask = singleMask))
+            }
           } else if (ver == 3 && (bytes(body + 1) & 0xFF) == 2) {
             // dimensionality(1) counts data dims + the element-size
             // dim; then B-tree address(8), then u32 chunk dims
@@ -584,8 +638,11 @@ object NetCdf {
         }
         out += VarMeta(path, shape.getOrElse(Nil), typeName, fill, Nil,
           begin = contiguousAddr, littleEndian = typeLittleEndian,
-          chunks = chunkInfo.map(_.copy(filters = filters,
-            fillBytes = fillBytes)))
+          chunks = chunkInfo.map(ci => ci.copy(filters = filters,
+            fillBytes = fillBytes,
+            // v4 layout carries no element-size dim — the datatype
+            // message's size applies
+            elemSize = if (ci.elemSize == 0) typeSize else ci.elemSize)))
     }
   }
 
@@ -622,8 +679,6 @@ object NetCdf {
       }
     }
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val chunks = ArrayBuffer.empty[(Array[Long], Int, Long, Int)]
-    walkChunkBtree(bytes, buf, ci.btree, rank + 1, depth = 0, chunks)
 
     // dataset element strides (row-major)
     val dstr = new Array[Long](rank)
@@ -633,6 +688,48 @@ object NetCdf {
     val chunkElems = cdims.map(_.toLong).product
     val nominal = chunkElems * es
     if (nominal > Int.MaxValue - 8) return None
+
+    // chunk grid in row-major chunk order — the layout-v4 indexes
+    // address chunks by this linearization
+    val gridDims = Array.tabulate(rank)(k =>
+      (dims(k) + cdims(k) - 1) / cdims(k))
+    val nChunks = gridDims.map(_.toLong).product
+    def chunkOffs(idx: Long): Array[Long] = {
+      val o = new Array[Long](rank)
+      var rem = idx
+      var k = rank - 1
+      while (k >= 0) {
+        o(k) = (rem % gridDims(k)) * cdims(k); rem /= gridDims(k); k -= 1
+      }
+      o
+    }
+
+    val chunks = ArrayBuffer.empty[(Array[Long], Int, Long, Int)]
+    ci.indexType match {
+      case ChunkIndex.BtreeV1 =>
+        walkChunkBtree(bytes, buf, ci.addr, rank + 1, depth = 0, chunks)
+      case ChunkIndex.Single =>
+        // one chunk covers the whole (padded) dataset; a filtered
+        // single chunk must carry its stored size in the message
+        if (nChunks != 1L) return None
+        if (ci.filters.nonEmpty && ci.singleSize.isEmpty) return None
+        val sz = ci.singleSize.getOrElse(nominal)
+        chunks += ((new Array[Long](rank), sz.toInt, ci.addr,
+          ci.singleMask))
+      case ChunkIndex.Implicit =>
+        // unfiltered chunks packed row-major from the base address
+        if (ci.filters.nonEmpty || nChunks > 65536L) return None
+        var i = 0L
+        while (i < nChunks) {
+          chunks += ((chunkOffs(i), nominal.toInt,
+            ci.addr + i * nominal, 0))
+          i += 1
+        }
+      case ChunkIndex.FixedArray =>
+        if (!readFixedArray(bytes, buf, ci, nominal.toInt, nChunks,
+          chunkOffs, chunks)) return None
+      case _ => return None
+    }
 
     chunks.foreach { case (offs, size, addr, mask) =>
       var raw = bytes.slice(addr.toInt, addr.toInt + size)
@@ -709,6 +806,58 @@ object NetCdf {
 
   /** Undo the HDF5 shuffle filter: de-interleave byte planes back to
     * whole elements (trailing non-multiple bytes pass through). */
+  /** Fixed-array chunk index ("FAHD" header + "FADB" data block, the
+    * layout-v4 default for fixed-shape datasets): entries are chunk
+    * records in row-major chunk-grid order — client 0 is a bare
+    * address per chunk, client 1 appends the stored size + filter
+    * mask. Returns false (→ quarantine) on paged data blocks, entry-
+    * count mismatches, or unknown client ids — never a wrong grid. */
+  private def readFixedArray(bytes: Array[Byte], buf: ByteBuffer,
+                             ci: ChunkInfo, nominal: Int, nChunks: Long,
+                             chunkOffs: Long => Array[Long],
+                             chunks: ArrayBuffer[(Array[Long], Int, Long, Int)])
+  : Boolean = {
+    val h = ci.addr.toInt
+    if (new String(bytes, h, 4,
+        java.nio.charset.StandardCharsets.US_ASCII) != "FAHD") return false
+    val clientId = bytes(h + 5) & 0xFF
+    val entrySize = bytes(h + 6) & 0xFF
+    val pageBits = bytes(h + 7) & 0xFF
+    val maxEntries = buf.getLong(h + 8)
+    val dblk = buf.getLong(h + 16)
+    if (maxEntries != nChunks) return false
+    if (maxEntries > (1L << pageBits)) return false // paged: not parsed
+    if (dblk == -1L) return true // nothing allocated: all fill value
+    val dPos = dblk.toInt
+    if (new String(bytes, dPos, 4,
+        java.nio.charset.StandardCharsets.US_ASCII) != "FADB") return false
+    var p = dPos + 6 + 8 // sig(4) version(1) clientId(1) headerAddr(8)
+    var i = 0L
+    while (i < maxEntries) {
+      clientId match {
+        case 0 => // non-filtered: chunk address only
+          val addr = buf.getLong(p)
+          if (addr != -1L) chunks += ((chunkOffs(i), nominal, addr, 0))
+        case 1 => // filtered: address + size(entrySize-12) + mask(4)
+          val addr = buf.getLong(p)
+          val szW = entrySize - 12
+          val sz = szW match {
+            case 1 => (bytes(p + 8) & 0xFF).toLong
+            case 2 => (buf.getShort(p + 8) & 0xFFFF).toLong
+            case 4 => buf.getInt(p + 8) & 0xFFFFFFFFL
+            case _ => buf.getLong(p + 8)
+          }
+          val mask = buf.getInt(p + 8 + szW)
+          if (addr != -1L)
+            chunks += ((chunkOffs(i), sz.toInt, addr, mask))
+        case _ => return false
+      }
+      p += entrySize
+      i += 1
+    }
+    true
+  }
+
   private def unshuffle(in: Array[Byte], es: Int): Array[Byte] = {
     if (es <= 1) return in
     val count = in.length / es

@@ -680,4 +680,236 @@ object NetCdfFixtures {
     buf.putDouble(latData.toInt + 16, 10.0)
     buf.array()
   }
+
+  /** Superblock-v2 file with LAYOUT-V4 chunk indexes — the storage
+    * HDF5 >= 1.10 "latest format" writes for chunked data: `precip`
+    * float32[5][7] chunked 3x4 behind shuffle+deflate through a
+    * FIXED-ARRAY index (FAHD/FADB, filtered client-1 entries, one
+    * elided all-fill chunk), `precip_contig` the same grid contiguous
+    * (must agree bit-for-bit where chunks exist), `lon` float64[7] as
+    * a deflate-filtered SINGLE-CHUNK index, `lat` float64[3] chunked
+    * 2 through an IMPLICIT index (unfiltered, packed row-major). */
+  def hdf5V2Chunked(): Array[Byte] = {
+    val fill = -9999f
+    def precipAt(i: Int, j: Int): Float = (i * 10 + j).toFloat
+    val lonVals = Array(-150.0, -100.0, -50.0, 0.0, 50.0, 100.0, 150.0)
+    val latVals = Array(-10.0, 0.0, 10.0)
+
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end(); out.toByteArray
+    }
+    def shuffle(in: Array[Byte], es: Int): Array[Byte] = {
+      val n = in.length / es
+      val out = new Array[Byte](in.length)
+      for (i <- 0 until n; b <- 0 until es)
+        out(b * n + i) = in(i * es + b)
+      out
+    }
+    // precip chunks: 2x3 chunk grid over 5x7, padded to 3x4; the LAST
+    // grid cell (rows 3-4 x cols 4-6 -> offs (3,4)) is ELIDED (all
+    // fill) to pin the fill-value pre-fill through the v4 path
+    def precipChunk(oy: Int, ox: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(3 * 4 * 4).order(ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until 3; j <- 0 until 4) {
+        val y = oy + i; val x = ox + j
+        b.putFloat(if (y < 5 && x < 7) precipAt(y, x) else fill)
+      }
+      deflate(shuffle(b.array(), 4))
+    }
+    val chunkGrid = for (oy <- Seq(0, 3); ox <- Seq(0, 4))
+      yield (oy, ox) // row-major chunk order: (0,0) (0,4) (3,0) (3,4)
+    val precipPayloads = chunkGrid.map { case (oy, ox) =>
+      if (oy == 3 && ox == 4) None else Some(precipChunk(oy, ox))
+    }
+    val lonRaw = ByteBuffer.allocate(7 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    lonVals.foreach(lonRaw.putDouble)
+    val lonPayload = deflate(lonRaw.array())
+
+    val buf = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
+    val rootHdr = 64L
+    val lonHdr = 192L; val precipHdr = 320L
+    val pcontigHdr = 480L; val latHdr = 624L
+    val fahd = 736L; val fadb = 776L
+    var dataOff = 912
+    def alloc(n: Int): Long = { val o = dataOff; dataOff += n; o.toLong }
+
+    // superblock v2
+    buf.position(0)
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    buf.put(8, 2.toByte)
+    buf.put(9, 8.toByte); buf.put(10, 8.toByte)
+    buf.putLong(12, 0L); buf.putLong(20, -1L)
+    buf.putLong(28, 4096L); buf.putLong(36, rootHdr)
+
+    def ohdr2(at: Long, msgs: Seq[(Int, Array[Byte])]): Unit = {
+      var p = at.toInt
+      buf.position(p); buf.put("OHDR".getBytes)
+      buf.put(2.toByte); buf.put(0.toByte) // flags: 1-byte size field
+      p += 6
+      val chunk0 = msgs.map(_._2.length + 4).sum
+      buf.put(p, chunk0.toByte); p += 1
+      msgs.foreach { case (typ, body) =>
+        buf.put(p, typ.toByte)
+        buf.putShort(p + 1, body.length.toShort)
+        buf.put(p + 3, 0.toByte)
+        buf.position(p + 4); buf.put(body)
+        p += 4 + body.length
+      }
+      buf.putInt(p, 0) // checksum (unverified)
+    }
+    def link(name: String, hdr: Long): Array[Byte] = {
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = ByteBuffer.allocate(3 + nb.length + 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(0.toByte)
+      b.put(nb.length.toByte); b.put(nb); b.putLong(hdr)
+      b.array()
+    }
+    def dataspace(dims: Seq[Long]): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 + dims.size * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(dims.size.toByte)
+      b.put(0.toByte); b.put(1.toByte)
+      dims.foreach(b.putLong)
+      b.array()
+    }
+    def datatype(clazz: Int, size: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(((1 << 4) | clazz).toByte)
+      b.position(4); b.putInt(size)
+      b.array()
+    }
+    def fillValueMsg(f: Float): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(2.toByte); b.put(1.toByte); b.put(2.toByte); b.put(1.toByte)
+      b.putInt(4, 4); b.putFloat(8, f)
+      b.array()
+    }
+    /** v1 filter-pipeline message (valid in v2 headers too). */
+    def filterPipeline(ids: Seq[(Int, Seq[Int])]): Array[Byte] = {
+      val entries = ids.map { case (id, cvs) =>
+        val pad = if (cvs.size % 2 == 1) 1 else 0
+        val b = ByteBuffer.allocate(8 + (cvs.size + pad) * 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.putShort(id.toShort); b.putShort(0); b.putShort(1)
+        b.putShort(cvs.size.toShort)
+        cvs.foreach(b.putInt)
+        b.array()
+      }
+      val total = 8 + entries.map(_.length).sum
+      val pad8 = (8 - total % 8) % 8
+      val b = ByteBuffer.allocate(total + pad8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(ids.size.toByte)
+      b.position(8); entries.foreach(b.put)
+      b.array()
+    }
+    def layoutContiguousV4(addr: Long, size: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(4.toByte); b.put(1.toByte)
+      b.putLong(2, addr); b.putLong(10, size)
+      b.array()
+    }
+    /** layout v4 class-2 chunked: u32-encoded chunk dims (ELEMENT
+      * units, no element-size dim), one of the three parsed indexes. */
+    def layoutChunkedV4(cdims: Seq[Int], idxType: Int, addr: Long,
+                        flags: Int = 0,
+                        singleSize: Option[Long] = None): Array[Byte] = {
+      val extra = idxType match {
+        case 1 => if ((flags & 0x02) != 0) 12 else 0
+        case 3 => 1
+        case _ => 0
+      }
+      val b = ByteBuffer.allocate(5 + cdims.size * 4 + 1 + extra + 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(4.toByte); b.put(2.toByte); b.put(flags.toByte)
+      b.put(cdims.size.toByte); b.put(4.toByte) // u32 dim encoding
+      cdims.foreach(b.putInt)
+      b.put(idxType.toByte)
+      idxType match {
+        case 1 if (flags & 0x02) != 0 =>
+          b.putLong(singleSize.get); b.putInt(0) // size + filter mask
+        case 3 => b.put(10.toByte)               // page bits (unpaged)
+        case _ => ()
+      }
+      b.putLong(addr)
+      b.array()
+    }
+
+    // data placement
+    val precipAddrs = precipPayloads.map(_.map(p => alloc(p.length)))
+    val pcontigData = alloc(5 * 7 * 4)
+    val lonData = alloc(lonPayload.length)
+    // implicit lat: two 2-element chunks packed at the base (second
+    // chunk padded to full shape)
+    val latData = alloc(2 * 2 * 8)
+
+    // fixed array for precip: FAHD + FADB, client 1 (filtered),
+    // entry = addr(8) + size(4) + mask(4); the elided chunk's entry
+    // carries the undefined address
+    buf.position(fahd.toInt); buf.put("FAHD".getBytes)
+    buf.put(0.toByte); buf.put(1.toByte)  // version, client id 1
+    buf.put(16.toByte); buf.put(10.toByte) // entry size, page bits
+    buf.putLong(fahd.toInt + 8, 4L)        // max entries = chunk count
+    buf.putLong(fahd.toInt + 16, fadb)
+    buf.putInt(fahd.toInt + 24, 0)         // checksum
+    buf.position(fadb.toInt); buf.put("FADB".getBytes)
+    buf.put(0.toByte); buf.put(1.toByte)
+    buf.putLong(fadb.toInt + 6, fahd)
+    precipPayloads.zip(precipAddrs).zipWithIndex.foreach {
+      case ((pay, addr), i) =>
+        val e = fadb.toInt + 14 + i * 16
+        buf.putLong(e, addr.getOrElse(-1L))
+        buf.putInt(e + 8, pay.map(_.length).getOrElse(0))
+        buf.putInt(e + 12, 0) // filter mask: all filters applied
+    }
+    buf.putInt(fadb.toInt + 14 + 4 * 16, 0) // checksum
+
+    // object headers
+    ohdr2(rootHdr, Seq(
+      0x0006 -> link("lon", lonHdr),
+      0x0006 -> link("precip", precipHdr),
+      0x0006 -> link("precip_contig", pcontigHdr),
+      0x0006 -> link("lat", latHdr)))
+    ohdr2(lonHdr, Seq(
+      0x0001 -> dataspace(Seq(7L)),
+      0x0003 -> datatype(clazz = 1, size = 8),
+      0x000B -> filterPipeline(Seq(1 -> Seq(6))),
+      0x0008 -> layoutChunkedV4(Seq(7), idxType = 1, lonData,
+        flags = 0x02, singleSize = Some(lonPayload.length.toLong))))
+    ohdr2(precipHdr, Seq(
+      0x0001 -> dataspace(Seq(5L, 7L)),
+      0x0003 -> datatype(clazz = 1, size = 4),
+      0x0005 -> fillValueMsg(fill),
+      0x000B -> filterPipeline(Seq(2 -> Seq(4), 1 -> Seq(6))),
+      0x0008 -> layoutChunkedV4(Seq(3, 4), idxType = 3, fahd)))
+    ohdr2(pcontigHdr, Seq(
+      0x0001 -> dataspace(Seq(5L, 7L)),
+      0x0003 -> datatype(clazz = 1, size = 4),
+      0x0005 -> fillValueMsg(fill),
+      0x0008 -> layoutContiguousV4(pcontigData, 5 * 7 * 4)))
+    ohdr2(latHdr, Seq(
+      0x0001 -> dataspace(Seq(3L)),
+      0x0003 -> datatype(clazz = 1, size = 8),
+      0x0008 -> layoutChunkedV4(Seq(2), idxType = 2, latData)))
+
+    // raw data
+    precipPayloads.zip(precipAddrs).foreach {
+      case (Some(p), Some(a)) => buf.position(a.toInt); buf.put(p)
+      case _ => ()
+    }
+    buf.position(pcontigData.toInt)
+    for (i <- 0 until 5; j <- 0 until 7)
+      buf.putFloat(if (i >= 3 && j >= 4) fill else precipAt(i, j))
+    buf.position(lonData.toInt); buf.put(lonPayload)
+    buf.position(latData.toInt)
+    buf.putDouble(latVals(0)); buf.putDouble(latVals(1))
+    buf.putDouble(latVals(2)); buf.putDouble(0.0) // pad of chunk 2
+    buf.array()
+  }
 }

@@ -238,6 +238,34 @@ object RasterFixtures {
     buf.array()
   }
 
+  /** Minimal BigTIFF (magic 43, 20-byte entries, 8-byte value slots)
+    * in either byte order. The LONG count-1 entries are the
+    * regression surface: inline values are LEFT-justified in the
+    * 8-byte slot, so big-endian files keep the u32 in the HIGH half —
+    * masking the raw slot u64 reads padding. */
+  def bigTiff(order: ByteOrder): Array[Byte] = {
+    val buf = ByteBuffer.allocate(128).order(order)
+    val bc = (if (order == ByteOrder.BIG_ENDIAN) 'M' else 'I').toByte
+    buf.put(0, bc); buf.put(1, bc)
+    buf.putShort(2, 43)
+    buf.putShort(4, 8); buf.putShort(6, 0)
+    buf.putLong(8, 16L) // first IFD offset
+    buf.putLong(16, 4L) // entry count
+    var e = 24
+    def entry(tag: Int, typ: Int, cnt: Long)(writeVal: Int => Unit): Unit = {
+      buf.putShort(e, tag.toShort); buf.putShort(e + 2, typ.toShort)
+      buf.putLong(e + 4, cnt)
+      writeVal(e + 12) // value slot: data left-justified
+      e += 20
+    }
+    entry(256, 4, 1)(at => buf.putInt(at, 777))    // ImageWidth LONG
+    entry(257, 4, 1)(at => buf.putInt(at, 333))    // ImageLength LONG
+    entry(258, 3, 1)(at => buf.putShort(at, 16))   // BitsPerSample SHORT
+    entry(322, 16, 1)(at => buf.putLong(at, 256L)) // TileWidth LONG8
+    buf.putLong(e, 0L) // no next IFD
+    buf.array()
+  }
+
   /** Encode a grayscale byte image as a JPEG interchange stream (JDK
     * ImageIO writer, max quality — the encoder half the container
     * lacks GDAL for). */

@@ -23,6 +23,19 @@ class GeoTiffSpec extends SparkSuite {
     }
   }
 
+  test("BigTIFF inline LONG values parse in both byte orders") {
+    // big-endian BigTIFF keeps count-1 LONG values in the HIGH half
+    // of the 8-byte slot (left-justified) — both orders must yield
+    // identical metadata
+    for (order <- Seq(ByteOrder.LITTLE_ENDIAN, ByteOrder.BIG_ENDIAN)) {
+      val m = GeoTiff.parse(graft.sources.RasterFixtures.bigTiff(order))
+        .fold(e => fail(s"$order: $e"), identity)
+      assert(m.width == 777 && m.height == 333, s"$order: $m")
+      assert(m.bitsPerSample == 16)
+      assert(m.tileWidth.contains(256L)) // LONG8 slot path
+    }
+  }
+
   test("non-TIFF bytes hit the metadata-only fallback (stac.py:88-93)") {
     assert(GeoTiff.parse("not a tiff at all".getBytes).isLeft)
     assert(GeoTiff.parse(Array[Byte]()).isLeft)

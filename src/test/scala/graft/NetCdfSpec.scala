@@ -217,6 +217,48 @@ class NetCdfSpec extends SparkSuite {
       .contains((-10.0, 10.0)))
   }
 
+  test("hdf5 v2 + layout v4: fixed-array, single-chunk and implicit " +
+    "indexes decode; elided chunks read as FILL") {
+    val bytes = NetCdfFixtures.hdf5V2Chunked()
+    val m = NetCdf.parse(bytes).fold(e => fail(e), identity)
+    assert(m.format == "hdf5 superblock-v2")
+    // fixed-array shuffle+deflate grid equals its contiguous twin,
+    // INCLUDING the elided (never-written) chunk region = fill value
+    val precip = NetCdf.readGridRaw(bytes, m, "precip")
+      .getOrElse(fail("precip did not decode"))
+    val contig = NetCdf.readGridRaw(bytes, m, "precip_contig")
+      .getOrElse(fail("precip_contig did not decode"))
+    assert(precip.toSeq == contig.toSeq)
+    assert(precip(4 * 7 + 6) == -9999f) // elided chunk -> fill, not 0
+    assert(precip(4 * 7 + 3) == 43f)    // last written cell
+    // single-chunk (deflate-filtered) and implicit indexes
+    assert(NetCdf.coordExtent(bytes, m, "lon").contains((-150.0, 150.0)))
+    assert(NetCdf.coordExtent(bytes, m, "lat").contains((-10.0, 10.0)))
+  }
+
+  test("hdf5 v4 chunked: unparsed index types quarantine the read") {
+    // patch precip's layout index type 3 (fixed array) -> 4
+    // (extensible array): metadata still parses, the data read fails
+    // closed instead of misreading
+    val bytes = NetCdfFixtures.hdf5V2Chunked()
+    val sig = Array[Byte](4, 2, 0, 2, 4, 3, 0, 0, 0, 4, 0, 0, 0, 3)
+    var hit = -1
+    var i = 0
+    while (hit < 0 && i < bytes.length - sig.length) {
+      if ((0 until sig.length).forall(j => bytes(i + j) == sig(j)))
+        hit = i + sig.length - 1 // the index-type byte
+      i += 1
+    }
+    assert(hit > 0, "could not locate the v4 chunked layout message")
+    val mangled = bytes.clone()
+    mangled(hit) = 4
+    val m = NetCdf.parse(mangled).fold(e => fail(e), identity)
+    // index type 4 is recorded as unreadable: no chunks, no begin
+    val v = m.vars.find(_.path == "precip").get
+    assert(v.chunks.isEmpty && v.begin.isEmpty)
+    assert(NetCdf.readGridRaw(mangled, m, "precip").isEmpty)
+  }
+
   test("hdf5 superblock v2: dense link storage quarantines, not empty") {
     // set the root link-info fractal-heap address to a defined value:
     // the parser must fail closed (Left), never report a silently

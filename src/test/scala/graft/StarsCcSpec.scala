@@ -57,4 +57,24 @@ class StarsCcSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(uf == st)
   }
+
+  test("string ids where UTF-8 and UTF-16 orders disagree: paths agree") {
+    // U+E000 (UTF-16 unit 0xE000; UTF-8 EE 80 80) vs U+10000 (UTF-16
+    // surrogate 0xD800...; UTF-8 F0 90 80 80): Java's Comparable puts
+    // the supplementary char FIRST, Spark's binary UTF8String puts
+    // U+E000 first. The component label must not depend on which side
+    // of driverMaxEdges the input lands on — both paths must emit
+    // Spark's (UTF-8 byte) minimum.
+    val bmp = "doc-"
+    val supp = "doc-𐀀"
+    assert(bmp.compareTo(supp) > 0) // Java order: supp < bmp
+    val df = Seq((bmp, supp), (supp, "zz-tail")).toDF("id_a", "id_b")
+    def labels(driverMax: Long): Map[String, String] =
+      Dedup.connectedComponentsStars(df, driverMaxEdges = driverMax)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val driver = labels(1000L)
+    val stars = labels(-1L)
+    assert(driver == stars, s"driver=$driver stars=$stars")
+    assert(driver.values.toSet == Set(bmp)) // UTF-8 byte minimum
+  }
 }

@@ -165,6 +165,23 @@ class TransferSpec extends SparkSuite {
     } finally { dataSrv.stop(0); auth.stop(0) }
   }
 
+  test("URS creds never ride plain http to a non-loopback auth host") {
+    // the redirect chain would reach the auth host over http:// — the
+    // client must refuse BEFORE opening a connection (no DNS, no
+    // socket, no cleartext Authorization header). Loopback fixtures
+    // (above) are exempt; a routable host is not.
+    val ex = intercept[java.io.IOException] {
+      graft.sources.dsv2.HttpPages.downloadUrs(
+        "http://auth.invalid/login", "u", "p",
+        authHost = "auth.invalid",
+        openOut = () => new java.io.ByteArrayOutputStream(),
+        retries = 0)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("refusing to send credentials"), msgs)
+  }
+
   test("http failures leave NO file at the target (atomicity for re-runs)") {
     val dst = Files.createTempDirectory("xfer-http-fail")
     val hits = new java.util.concurrent.atomic.AtomicInteger()
