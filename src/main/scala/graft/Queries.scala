@@ -646,6 +646,33 @@ object Queries {
       .orderBy("fname", "var_path")
   }
 
+  /** S6 — DENSE link storage (fractal-heap groups, written past the
+    * compact limit): both heap shapes (direct root, one-level
+    * indirect root) must list all 10 members and read their
+    * contiguous data through the distributed scan. Literal-VALUES
+    * oracle over per-file aggregates. */
+  def s6Dense(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Seq(
+      ("dense_direct.h5", graft.sources.NetCdfFixtures.hdf5V2Dense()),
+      ("dense_indirect.h5",
+        graft.sources.NetCdfFixtures.hdf5V2Dense(indirect = true)))
+      .toDF("path", "content")
+    files.as[(String, Array[Byte])].map { case (fname, bytes) =>
+      val meta = graft.sources.NetCdf.parse(bytes)
+        .getOrElse(graft.sources.NetCdf.FileMeta("unparsed", Nil, Nil, Nil))
+      val names = meta.vars.map(_.path).sorted
+      val total = meta.vars.flatMap(v =>
+        graft.sources.NetCdf.readGridRaw(bytes, meta, v.path)
+          .toSeq.flatMap(_.map(_.toDouble))).sum
+      (fname, meta.format, names.size.toLong,
+        names.headOption.getOrElse(""), names.lastOption.getOrElse(""),
+        total)
+    }.toDF("fname", "format", "n_vars", "first_var", "last_var",
+        "total_sum")
+      .orderBy("fname")
+  }
+
   /** S6 — LAYOUT-V4 chunk indexes (HDF5 >= 1.10 "latest format"
     * chunked storage) through the distributed scan: fixed-array
     * shuffle+deflate grid with an elided all-fill chunk, a filtered

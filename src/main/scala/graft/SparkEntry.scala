@@ -144,6 +144,7 @@ object SparkEntry {
     "q_s6_chunked"           -> (Queries.s6Chunked _),
     "q_s6_v2"                -> (Queries.s6V2 _),
     "q_s6_v4chunked"         -> (Queries.s6V4Chunked _),
+    "q_s6_dense"             -> (Queries.s6Dense _),
     // graph analytics
     "q_pagerank"             -> (Queries.pageRank _),
     // table maintenance / data quality / time series
@@ -869,6 +870,14 @@ object SparkEntry {
         |) AS t(fname, var_path, storage, ok, n_vals, sum_val,
         |       min_val, max_val)
         |ORDER BY fname, var_path""".stripMargin,
+    "q_s6_dense" ->
+      """SELECT * FROM (VALUES
+        |  ('dense_direct.h5', 'hdf5 superblock-v2', CAST(10 AS BIGINT),
+        |   'v00', 'v09', CAST(150.0 AS DOUBLE)),
+        |  ('dense_indirect.h5', 'hdf5 superblock-v2',
+        |   CAST(10 AS BIGINT), 'v00', 'v09', CAST(150.0 AS DOUBLE))
+        |) AS t(fname, format, n_vars, first_var, last_var, total_sum)
+        |ORDER BY fname""".stripMargin,
     "q_s6_v4chunked" ->
       """SELECT * FROM (VALUES
         |  ('v4chunked.h5', 'lat', 'chunked', true, CAST(3 AS BIGINT),

@@ -384,6 +384,8 @@ object NetCdf {
     var filters: Seq[Int] = Nil
     // compact (in-header) link messages: v2-format group membership
     val links = ArrayBuffer.empty[(String, Long)]
+    // dense link storage: the link-info message's fractal heap
+    var denseHeap: Option[Long] = None
 
     def handleMessage(typ: Int, body: Int): Unit = typ match {
         case 0x0001 => // dataspace
@@ -508,39 +510,16 @@ object NetCdf {
           group = Some((buf.getLong(body), buf.getLong(body + 8)))
         case 0x0002 => // link info: compact links arrive as 0x0006
           // messages in this same header; a DEFINED fractal-heap
-          // address means dense link storage (written past the
-          // compact limit, default 8 links) — not parsed, fail
-          // closed so the caller quarantines instead of seeing a
-          // silently empty group
+          // address means DENSE link storage (written past the
+          // compact limit, default 8 links) — the heap is scanned
+          // after the message walk (parse failures there throw →
+          // quarantine, never a silently empty group)
           val flags = bytes(body + 1) & 0xFF
           val heapAt = body + 2 + (if ((flags & 0x01) != 0) 8 else 0)
-          if (buf.getLong(heapAt) != -1L)
-            throw new IllegalArgumentException(
-              "unsupported HDF5 dense link storage (fractal heap)")
+          val heap = buf.getLong(heapAt)
+          if (heap != -1L) denseHeap = Some(heap)
         case 0x0006 => // link message: one compact group member
-          val ver = bytes(body) & 0xFF
-          require(ver == 1, s"unsupported link message version $ver")
-          val flags = bytes(body + 1) & 0xFF
-          var q = body + 2
-          val linkType =
-            if ((flags & 0x08) != 0) { val t = bytes(q) & 0xFF; q += 1; t }
-            else 0 // no type field = hard link
-          if ((flags & 0x04) != 0) q += 8 // creation order
-          if ((flags & 0x10) != 0) q += 1 // link-name charset
-          val lenSz = 1 << (flags & 0x03)
-          val nameLen = (lenSz match {
-            case 1 => (bytes(q) & 0xFF).toLong
-            case 2 => (buf.getShort(q) & 0xFFFF).toLong
-            case 4 => buf.getInt(q) & 0xFFFFFFFFL
-            case _ => buf.getLong(q)
-          }).toInt
-          q += lenSz
-          val name = new String(bytes, q, nameLen,
-            java.nio.charset.StandardCharsets.UTF_8)
-          q += nameLen
-          // hard links only: soft/external links point outside the
-          // object graph this parser walks
-          if (linkType == 0) links += name -> buf.getLong(q)
+          parseLinkMessage(bytes, buf, body)._1.foreach(links += _)
         case _ => ()
     }
 
@@ -605,6 +584,12 @@ object NetCdf {
       }
     }
 
+    // dense link storage: links live as link messages inside the
+    // fractal heap instead of the header (parse failures throw →
+    // the caller's quarantine)
+    if (links.isEmpty) denseHeap.foreach(h =>
+      denseLinks(bytes, buf, h, links))
+
     group match {
       case Some((bt, hp)) =>
         walkGroup(bytes, buf, bt, hp, path + "/", depth + 1, out)
@@ -644,6 +629,120 @@ object NetCdf {
             // message's size applies
             elemSize = if (ci.elemSize == 0) typeSize else ci.elemSize)))
     }
+  }
+
+  /** Parse one link message at `body`: returns the hard link (name →
+    * object header address), or None for soft/external links, plus
+    * the end offset of the message — the same bytes whether the
+    * message sits in an object header (compact) or a fractal-heap
+    * block (dense). */
+  private def parseLinkMessage(bytes: Array[Byte], buf: ByteBuffer,
+                               body: Int): (Option[(String, Long)], Int) = {
+    val ver = bytes(body) & 0xFF
+    require(ver == 1, s"unsupported link message version $ver")
+    val flags = bytes(body + 1) & 0xFF
+    var q = body + 2
+    val linkType =
+      if ((flags & 0x08) != 0) { val t = bytes(q) & 0xFF; q += 1; t }
+      else 0 // no type field = hard link
+    if ((flags & 0x04) != 0) q += 8 // creation order
+    if ((flags & 0x10) != 0) q += 1 // link-name charset
+    val lenSz = 1 << (flags & 0x03)
+    val nameLen = (lenSz match {
+      case 1 => (bytes(q) & 0xFF).toLong
+      case 2 => (buf.getShort(q) & 0xFFFF).toLong
+      case 4 => buf.getInt(q) & 0xFFFFFFFFL
+      case _ => buf.getLong(q)
+    }).toInt
+    q += lenSz
+    val name = new String(bytes, q, nameLen,
+      java.nio.charset.StandardCharsets.UTF_8)
+    q += nameLen
+    linkType match {
+      case 0 => (Some(name -> buf.getLong(q)), q + 8) // hard
+      case 1 | 64 => // soft/external: length-prefixed payload, skipped
+        val sz = buf.getShort(q) & 0xFFFF
+        (None, q + 2 + sz)
+      case other =>
+        throw new IllegalArgumentException(s"unknown link type $other")
+    }
+  }
+
+  /** Dense link storage (fractal heap "FRHP"): the subset real
+    * netCDF-4/HDF5 groups use — an unfiltered managed heap whose root
+    * is either a single direct block or a one-level indirect block of
+    * direct blocks. Link messages are packed sequentially in each
+    * block's data area, so the group's links are recovered by a
+    * sequential scan (`nManaged` is the stop condition; the name-index
+    * v2 B-tree is a lookup accelerator this full-listing walk does
+    * not need). Unexpected shapes (filtered heaps, huge/tiny objects,
+    * nested indirect blocks, short scans) throw → quarantine. */
+  private def denseLinks(bytes: Array[Byte], buf: ByteBuffer,
+                         heapAddr: Long,
+                         links: ArrayBuffer[(String, Long)]): Unit = {
+    val h = heapAddr.toInt
+    val sig = new String(bytes, h, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    require(sig == "FRHP", s"bad fractal heap signature '$sig'")
+    val ioFilterLen = buf.getShort(h + 7) & 0xFFFF
+    require(ioFilterLen == 0, "filtered fractal heap not supported")
+    val flags = bytes(h + 9) & 0xFF
+    val nHuge = buf.getLong(h + 14)
+    require(nHuge == 0L, "huge fractal-heap objects not supported")
+    val nManaged = buf.getLong(h + 70)
+    val tableWidth = buf.getShort(h + 78) & 0xFFFF
+    val startBlock = buf.getLong(h + 80)
+    val maxDirect = buf.getLong(h + 88)
+    val maxHeapBits = buf.getShort(h + 96) & 0xFFFF
+    val rootAddr = buf.getLong(h + 100)
+    val currRows = buf.getShort(h + 108) & 0xFFFF
+    val offSz = (maxHeapBits + 7) / 8
+    if (rootAddr == -1L || nManaged == 0L) return
+    // direct blocks in heap-offset order: the root IS a direct block
+    // (currRows = 0), or a one-level indirect block whose children
+    // are direct blocks with the doubling-table row sizes
+    val blocks: Seq[(Long, Long)] =
+      if (currRows == 0) Seq((rootAddr, startBlock))
+      else {
+        val ib = rootAddr.toInt
+        val isig = new String(bytes, ib, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        require(isig == "FHIB", s"bad indirect block signature '$isig'")
+        var p = ib + 4 + 1 + 8 + offSz
+        (0 until currRows).flatMap { r =>
+          val bs = if (r < 2) startBlock else startBlock << (r - 1)
+          require(bs <= maxDirect,
+            "nested indirect fractal-heap blocks not supported")
+          (0 until tableWidth).map { _ =>
+            val a = buf.getLong(p); p += 8; (a, bs)
+          }
+        }.filter(_._1 != -1L)
+      }
+    val headerSize = 4 + 1 + 8 + offSz +
+      (if ((flags & 0x02) != 0) 4 else 0) // per-block checksum
+    var remaining = nManaged
+    blocks.foreach { case (addr, size) =>
+      if (remaining > 0) {
+        val a = addr.toInt
+        val dsig = new String(bytes, a, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        require(dsig == "FHDB", s"bad direct block signature '$dsig'")
+        var p = a + headerSize
+        val end = a + size.toInt
+        var blockDone = false
+        while (remaining > 0 && !blockDone && p + 4 <= end) {
+          if ((bytes(p) & 0xFF) != 1) blockDone = true // tail free space
+          else {
+            val (link, next) = parseLinkMessage(bytes, buf, p)
+            link.foreach(links += _)
+            remaining -= 1
+            p = next
+          }
+        }
+      }
+    }
+    require(remaining == 0L,
+      s"fractal heap scan found ${nManaged - remaining} of $nManaged links")
   }
 
   // ---------------------------------------------------------------

@@ -681,6 +681,135 @@ object NetCdfFixtures {
     buf.array()
   }
 
+  /** Superblock-v2 file whose root group uses DENSE link storage —
+    * the layout HDF5 writes once a group grows past the compact limit
+    * (default 8 links): a fractal heap ("FRHP") holding the link
+    * messages, scanned sequentially by the parser. Ten float64[3]
+    * contiguous datasets `v00`..`v09` with values (i, i+0.5, i+1).
+    * `indirect = true` roots the heap in a one-level "FHIB" indirect
+    * block spreading the links over two 512-byte direct blocks (with
+    * two undefined slots) — the other parsed heap shape. */
+  def hdf5V2Dense(indirect: Boolean = false): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
+    val rootHdr = 64L
+    val frhp = 160L
+    val fhib = 288L
+    val block0 = 512L; val block1 = 1024L
+    val dsBase = 1536L; val dsStride = 96
+    val dataBase = 2560L
+
+    buf.position(0)
+    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
+    buf.put(8, 2.toByte)
+    buf.put(9, 8.toByte); buf.put(10, 8.toByte)
+    buf.putLong(12, 0L); buf.putLong(20, -1L)
+    buf.putLong(28, 4096L); buf.putLong(36, rootHdr)
+
+    def ohdr2(at: Long, msgs: Seq[(Int, Array[Byte])]): Unit = {
+      var p = at.toInt
+      buf.position(p); buf.put("OHDR".getBytes)
+      buf.put(2.toByte); buf.put(0.toByte)
+      p += 6
+      buf.put(p, msgs.map(_._2.length + 4).sum.toByte); p += 1
+      msgs.foreach { case (typ, body) =>
+        buf.put(p, typ.toByte)
+        buf.putShort(p + 1, body.length.toShort)
+        buf.put(p + 3, 0.toByte)
+        buf.position(p + 4); buf.put(body)
+        p += 4 + body.length
+      }
+      buf.putInt(p, 0)
+    }
+    def linkMsg(name: String, hdr: Long): Array[Byte] = {
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = ByteBuffer.allocate(3 + nb.length + 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(0.toByte)
+      b.put(nb.length.toByte); b.put(nb); b.putLong(hdr)
+      b.array()
+    }
+    // link info pointing at the fractal heap (dense storage)
+    val linkInfo = {
+      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0.toByte); b.put(0.toByte)
+      b.putLong(frhp); b.putLong(-1L) // heap, name-index B-tree
+      b.array()
+    }
+    ohdr2(rootHdr, Seq(0x0002 -> linkInfo))
+
+    // ten datasets
+    val names = (0 until 10).map(i => f"v$i%02d")
+    names.zipWithIndex.foreach { case (nm, i) =>
+      val ds = dsBase + i * dsStride
+      val data = dataBase + i * 24
+      val space = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      space.put(2.toByte); space.put(1.toByte)
+      space.put(0.toByte); space.put(1.toByte); space.putLong(3L)
+      val dtype = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      dtype.put(((1 << 4) | 1).toByte); dtype.position(4); dtype.putInt(8)
+      val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      layout.put(4.toByte); layout.put(1.toByte)
+      layout.putLong(2, data); layout.putLong(10, 24L)
+      ohdr2(ds, Seq(0x0001 -> space.array(), 0x0003 -> dtype.array(),
+        0x0008 -> layout.array()))
+      buf.putDouble(data.toInt, i.toDouble)
+      buf.putDouble(data.toInt + 8, i + 0.5)
+      buf.putDouble(data.toInt + 16, i + 1.0)
+    }
+
+    // fractal heap header: unfiltered, 32-bit heap offsets (offSz 4),
+    // no block checksums (flags 0)
+    buf.position(frhp.toInt); buf.put("FRHP".getBytes)
+    buf.put(0.toByte)                     // version
+    buf.putShort(frhp.toInt + 5, 7)       // heap id length
+    buf.putShort(frhp.toInt + 7, 0)       // io filter length
+    buf.put(frhp.toInt + 9, 0.toByte)     // flags
+    buf.putInt(frhp.toInt + 10, 4096)     // max managed object size
+    buf.putLong(frhp.toInt + 14, 0L)      // next huge id (none)
+    buf.putLong(frhp.toInt + 22, -1L)     // huge-object B-tree
+    buf.putLong(frhp.toInt + 30, 0L)      // free space
+    buf.putLong(frhp.toInt + 38, -1L)     // free-space manager
+    buf.putLong(frhp.toInt + 46, 512L)    // managed space
+    buf.putLong(frhp.toInt + 54, 512L)    // allocated space
+    buf.putLong(frhp.toInt + 62, 0L)      // iterator offset
+    buf.putLong(frhp.toInt + 70, names.size.toLong) // managed objects
+    buf.putShort(frhp.toInt + 78, 4)      // table width
+    buf.putLong(frhp.toInt + 80, 512L)    // starting block size
+    buf.putLong(frhp.toInt + 88, 4096L)   // max direct block size
+    buf.putShort(frhp.toInt + 96, 32)     // max heap size (bits)
+    buf.putShort(frhp.toInt + 98, 1)      // starting # rows
+    buf.putLong(frhp.toInt + 100, if (indirect) fhib else block0)
+    buf.putShort(frhp.toInt + 108, if (indirect) 1 else 0) // curr rows
+    buf.putInt(frhp.toInt + 110, 0)       // checksum
+
+    def directBlock(at: Long, offset: Int,
+                    links: Seq[Array[Byte]]): Unit = {
+      buf.position(at.toInt); buf.put("FHDB".getBytes)
+      buf.put(0.toByte); buf.putLong(frhp)
+      buf.putInt(at.toInt + 13, offset) // 4-byte heap block offset
+      buf.position(at.toInt + 17)
+      links.foreach(buf.put)
+    }
+    val linkBodies = names.zipWithIndex.map { case (nm, i) =>
+      linkMsg(nm, dsBase + i * dsStride)
+    }
+    if (indirect) {
+      // one-level indirect root: row 0 of 4 children, two defined
+      buf.position(fhib.toInt); buf.put("FHIB".getBytes)
+      buf.put(0.toByte); buf.putLong(frhp)
+      buf.putInt(fhib.toInt + 13, 0) // heap offset of the block
+      val e = fhib.toInt + 17
+      buf.putLong(e, block0); buf.putLong(e + 8, block1)
+      buf.putLong(e + 16, -1L); buf.putLong(e + 24, -1L)
+      buf.putInt(e + 32, 0) // checksum
+      directBlock(block0, 0, linkBodies.take(6))
+      directBlock(block1, 512, linkBodies.drop(6))
+    } else {
+      directBlock(block0, 0, linkBodies)
+    }
+    buf.array()
+  }
+
   /** Superblock-v2 file with LAYOUT-V4 chunk indexes — the storage
     * HDF5 >= 1.10 "latest format" writes for chunked data: `precip`
     * float32[5][7] chunked 3x4 behind shuffle+deflate through a

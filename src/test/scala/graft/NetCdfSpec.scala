@@ -259,26 +259,62 @@ class NetCdfSpec extends SparkSuite {
     assert(NetCdf.readGridRaw(mangled, m, "precip").isEmpty)
   }
 
-  test("hdf5 superblock v2: dense link storage quarantines, not empty") {
-    // set the root link-info fractal-heap address to a defined value:
-    // the parser must fail closed (Left), never report a silently
-    // empty group
-    val bytes = NetCdfFixtures.hdf5V2()
-    val m = NetCdf.parse(bytes)
-    assert(m.isRight)
-    val mangled = bytes.clone()
-    // root linkInfo body: version(0) flags(0) heap(-1) btree(-1) —
-    // locate the first 8 consecutive 0xFF at the root header region
-    var hit = -1
-    var i = 64
-    while (hit < 0 && i < 256) {
-      if ((0 until 16).forall(j => mangled(i + j) == -1) &&
-          mangled(i - 2) == 0 && mangled(i - 1) == 0) hit = i
+  test("hdf5 v2 dense links: fractal-heap groups list all members") {
+    for (indirect <- Seq(false, true)) {
+      val bytes = NetCdfFixtures.hdf5V2Dense(indirect)
+      val m = NetCdf.parse(bytes)
+        .fold(e => fail(s"indirect=$indirect: $e"), identity)
+      // all 10 links recovered (past the compact limit of 8), through
+      // a direct-root heap and a one-level indirect-root heap alike
+      assert(m.vars.map(_.path).sorted ==
+        (0 until 10).map(i => f"v$i%02d"), s"indirect=$indirect")
+      // contiguous data reads through the dense-linked headers
+      assert(NetCdf.coordExtent(bytes, m, "v03").contains((3.0, 4.0)))
+      assert(NetCdf.coordExtent(bytes, m, "v09").contains((9.0, 10.0)))
+    }
+  }
+
+  test("hdf5 v2 dense links: short or filtered heaps quarantine") {
+    val bytes = NetCdfFixtures.hdf5V2Dense()
+    // (a) nManaged larger than the heap holds -> short-scan failure
+    val m1 = bytes.clone()
+    var frhp = -1
+    var i = 0
+    while (frhp < 0 && i < m1.length - 4) {
+      if (m1(i) == 'F' && m1(i + 1) == 'R' && m1(i + 2) == 'H' &&
+          m1(i + 3) == 'P') frhp = i
       i += 1
     }
-    assert(hit > 0, "could not locate the link-info heap address")
-    java.nio.ByteBuffer.wrap(mangled)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(hit, 4096L)
+    assert(frhp > 0)
+    java.nio.ByteBuffer.wrap(m1).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(frhp + 70, 50L)
+    assert(NetCdf.parse(m1).isLeft)
+    // (b) an io-filtered heap is not parsed -> quarantine
+    val m2 = bytes.clone()
+    java.nio.ByteBuffer.wrap(m2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(frhp + 7, 8)
+    assert(NetCdf.parse(m2).isLeft)
+  }
+
+  test("hdf5 v2: compact links take precedence over a defined heap; " +
+    "a bogus heap with no compact links quarantines") {
+    // hdf5V2's root carries compact link messages, so even a garbage
+    // heap address in link-info must not be consulted
+    val compact = NetCdfFixtures.hdf5V2()
+    assert(NetCdf.parse(compact).isRight)
+    // a dense file whose heap signature is corrupted: no compact
+    // links to fall back on -> fail closed (Left), never an empty
+    // group
+    val mangled = NetCdfFixtures.hdf5V2Dense()
+    var frhp = -1
+    var i = 0
+    while (frhp < 0 && i < mangled.length - 4) {
+      if (mangled(i) == 'F' && mangled(i + 1) == 'R' &&
+          mangled(i + 2) == 'H' && mangled(i + 3) == 'P') frhp = i
+      i += 1
+    }
+    assert(frhp > 0)
+    mangled(frhp) = 'X'
     assert(NetCdf.parse(mangled).isLeft)
   }
 }
