@@ -906,7 +906,7 @@ object SparkEntry {
         |   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
         |   CAST(0.0 AS DOUBLE)),
         |  ('v0.h5', 'hdf5 superblock-v0', 'science/temp', 'double',
-        |   CAST(NULL AS DOUBLE), false, CAST(0 AS BIGINT),
+        |   CAST(-7777.0 AS DOUBLE), false, CAST(0 AS BIGINT),
         |   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
         |   CAST(0.0 AS DOUBLE)),
         |  ('v2.h5', 'hdf5 superblock-v2', 'lat', 'double',
@@ -918,7 +918,7 @@ object SparkEntry {
         |   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
         |   CAST(0.0 AS DOUBLE)),
         |  ('v2.h5', 'hdf5 superblock-v2', 'science/temp', 'double',
-        |   CAST(NULL AS DOUBLE), false, CAST(0 AS BIGINT),
+        |   CAST(-7777.0 AS DOUBLE), false, CAST(0 AS BIGINT),
         |   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
         |   CAST(0.0 AS DOUBLE))
         |) AS t(fname, format, var_path, type_name, fill_value,
@@ -946,7 +946,7 @@ object SparkEntry {
         |   CAST(-9999.0 AS DOUBLE)),
         |  ('nested.h5', true, 'hdf5 superblock-v0', 'science/temp',
         |   CAST(5 AS BIGINT), CAST(7 AS BIGINT), 'double',
-        |   CAST(NULL AS DOUBLE))
+        |   CAST(-7777.0 AS DOUBLE))
         |) AS t(fname, ok, format, var_path, dim0, dim1, type_name,
         |       fill_value)
         |ORDER BY fname, var_path""".stripMargin,

@@ -386,6 +386,7 @@ object NetCdf {
     val links = ArrayBuffer.empty[(String, Long)]
     // dense link storage: the link-info message's fractal heap
     var denseHeap: Option[Long] = None
+    val attrs = ArrayBuffer.empty[Attr]
 
     def handleMessage(typ: Int, body: Int): Unit = typ match {
         case 0x0001 => // dataspace
@@ -520,6 +521,11 @@ object NetCdf {
           if (heap != -1L) denseHeap = Some(heap)
         case 0x0006 => // link message: one compact group member
           parseLinkMessage(bytes, buf, body)._1.foreach(links += _)
+        case 0x000C => // attribute (name + embedded datatype/dataspace
+          // + value): netCDF-4 carries units/scale_factor/_FillValue
+          // here — the `variable._FillValue` the reference reads
+          // (`cogify/handler.py:105`)
+          parseAttribute(bytes, buf, body).foreach(attrs += _)
         case _ => ()
     }
 
@@ -621,7 +627,13 @@ object NetCdf {
             case _ => Double.NaN
           }
         }
-        out += VarMeta(path, shape.getOrElse(Nil), typeName, fill, Nil,
+        // fill precedence: the fill-value message, else the
+        // `_FillValue` attribute (netCDF-4 writes both; some writers
+        // only the attribute — the one the reference reads)
+        val fillAttr = attrs.find(_.name == "_FillValue")
+          .flatMap(_.nums.headOption)
+        out += VarMeta(path, shape.getOrElse(Nil), typeName,
+          fill.orElse(fillAttr), attrs.toSeq,
           begin = contiguousAddr, littleEndian = typeLittleEndian,
           chunks = chunkInfo.map(ci => ci.copy(filters = filters,
             fillBytes = fillBytes,
@@ -667,6 +679,65 @@ object NetCdf {
         throw new IllegalArgumentException(s"unknown link type $other")
     }
   }
+
+  /** Parse one attribute message (0x000C, versions 1-3): name,
+    * embedded datatype + dataspace, then the value. Numeric scalars /
+    * small 1-D arrays and fixed-size strings decode; anything exotic
+    * (shared/vlen datatypes, big arrays) returns None — attributes
+    * are enrichment, a skipped one must not quarantine the file. */
+  private def parseAttribute(bytes: Array[Byte], buf: ByteBuffer,
+                             body: Int): Option[Attr] = try {
+    val ver = bytes(body) & 0xFF
+    if (ver < 1 || ver > 3) return None
+    if (ver >= 2 && (bytes(body + 1) & 0x03) != 0) return None // shared
+    val nameSize = buf.getShort(body + 2) & 0xFFFF
+    val dtSize = buf.getShort(body + 4) & 0xFFFF
+    val dsSize = buf.getShort(body + 6) & 0xFFFF
+    var p = body + (if (ver == 3) 9 else 8) // v3 adds an encoding byte
+    def advance(n: Int): Unit = // v1 pads each part to 8 bytes
+      p += (if (ver == 1) (n + 7) / 8 * 8 else n)
+    val name = new String(bytes, p,
+      bytes.view.slice(p, p + nameSize).takeWhile(_ != 0).size,
+      java.nio.charset.StandardCharsets.UTF_8)
+    advance(nameSize)
+    // embedded datatype: version<<4|class at byte 0, size at +4
+    val dtClass = bytes(p) & 0x0F
+    val dtLittle = (bytes(p + 1) & 0x01) == 0
+    val elemSize = buf.getInt(p + 4)
+    advance(dtSize)
+    // embedded dataspace: v1 dims at +8, v2 at +4
+    val dsVer = bytes(p) & 0xFF
+    val rank = bytes(p + 1) & 0xFF
+    val dimsAt = if (dsVer == 1) p + 8 else p + 4
+    val nElems = (0 until rank)
+      .map(i => buf.getLong(dimsAt + i * 8)).product.max(1L)
+    advance(dsSize)
+    if (nElems > 1024 || elemSize <= 0 || elemSize > 4096) return None
+    val order = if (dtLittle) ByteOrder.LITTLE_ENDIAN
+      else ByteOrder.BIG_ENDIAN
+    val vbuf = ByteBuffer.wrap(bytes).order(order)
+    dtClass match {
+      case 3 => // fixed-size string
+        val raw = bytes.slice(p, p + elemSize)
+        Some(Attr(name, Some(new String(raw.takeWhile(_ != 0),
+          java.nio.charset.StandardCharsets.UTF_8)), Nil))
+      case 0 | 1 => // fixed-point / float
+        val vals = (0 until nElems.toInt).flatMap { i =>
+          val o = p + i * elemSize
+          (dtClass, elemSize) match {
+            case (0, 1) => Some(bytes(o).toDouble)
+            case (0, 2) => Some(vbuf.getShort(o).toDouble)
+            case (0, 4) => Some(vbuf.getInt(o).toDouble)
+            case (0, 8) => Some(vbuf.getLong(o).toDouble)
+            case (1, 4) => Some(vbuf.getFloat(o).toDouble)
+            case (1, 8) => Some(vbuf.getDouble(o))
+            case _ => None
+          }
+        }
+        if (vals.size == nElems) Some(Attr(name, None, vals)) else None
+      case _ => None
+    }
+  } catch { case _: Exception => None }
 
   /** Dense link storage (fractal heap "FRHP"): the subset real
     * netCDF-4/HDF5 groups use — an unfiltered managed heap whose root

@@ -141,8 +141,8 @@ object NetCdfFixtures {
     val precipHdr = 512L; val scienceHdr = 640L
     val subHeap = 704L; val subHeapData = 736L
     val subBtree = 832L; val subSnod = 896L
-    val tempHdr = 1024L
-    val latHdr = 1152L; val latData = 1280L
+    val tempHdr = 1024L // carries attribute messages: needs ~170 bytes
+    val latHdr = 1280L; val latData = 1440L
 
     def putMagic(at: Int): Unit = {
       buf.position(at)
@@ -239,6 +239,38 @@ object NetCdfFixtures {
       b.putLong(2, addr); b.putLong(10, size)
       b.array()
     }
+    /** v1 attribute message (name/datatype/dataspace/value, each part
+      * padded to 8): scalar double or string. */
+    def attrV1(name: String, value: Either[String, Double]): Array[Byte] = {
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+        Array[Byte](0)
+      val namePad = (nb.length + 7) / 8 * 8
+      val (dtClass, vb) = value match {
+        case Left(s) =>
+          val sb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+            Array[Byte](0)
+          (3, sb)
+        case Right(d) =>
+          val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          b.putDouble(d); (1, b.array())
+      }
+      val valuePad = (vb.length + 7) / 8 * 8
+      val dsSize = 8 // v1 scalar dataspace: rank 0, no dims
+      val b = ByteBuffer.allocate(8 + namePad + 8 + dsSize + valuePad)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(0.toByte)
+      b.putShort(nb.length.toShort)        // name size incl null
+      b.putShort(8)                        // datatype size
+      b.putShort(dsSize.toShort)           // dataspace size
+      b.position(8); b.put(nb)
+      b.position(8 + namePad)
+      b.put(((1 << 4) | dtClass).toByte)   // datatype: ver 1 + class
+      b.position(8 + namePad + 4); b.putInt(vb.length)
+      b.position(8 + namePad + 8)
+      b.put(1.toByte); b.put(0.toByte)     // dataspace v1, rank 0
+      b.position(8 + namePad + 8 + dsSize); b.put(vb)
+      b.array()
+    }
 
     // root group: heap names, btree -> snod -> {lat, precip, science}
     localHeap(heapAddr, heapData,
@@ -263,7 +295,11 @@ object NetCdfFixtures {
     snod(subSnod, Seq(8L -> tempHdr))
     objHeader(tempHdr, Seq(
       0x0001 -> dataspace(Seq(5L, 7L)),
-      0x0003 -> datatype(clazz = 1, size = 8)))
+      0x0003 -> datatype(clazz = 1, size = 8),
+      // attributes, not a fill-value message: the `variable._FillValue`
+      // shape the reference reads (`cogify/handler.py:105`)
+      0x000C -> attrV1("_FillValue", Right(-7777.0)),
+      0x000C -> attrV1("units", Left("K"))))
 
     buf.array()
   }
@@ -543,8 +579,8 @@ object NetCdfFixtures {
     val rootHdr = 64L
     val ochkAddr = 256L
     val latHdr = 320L; val precipHdr = 448L
-    val scienceHdr = 576L; val tempHdr = 704L
-    val latData = 832L
+    val scienceHdr = 576L; val tempHdr = 704L // + attrs: ~130 bytes
+    val latData = 896L
 
     // superblock v2: magic, ver, offSize, lenSize, flags, base,
     // extension, EOF, root OBJECT HEADER address, checksum (unread)
@@ -639,6 +675,34 @@ object NetCdfFixtures {
       b.putLong(2, addr); b.putLong(10, size)
       b.array()
     }
+    /** v3 attribute message (unpadded parts + encoding byte): scalar
+      * double or string — the layout v2 object headers carry. */
+    def attrV3(name: String, value: Either[String, Double]): Array[Byte] = {
+      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+        Array[Byte](0)
+      val (dtClass, vb) = value match {
+        case Left(s) =>
+          val sb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+            Array[Byte](0)
+          (3, sb)
+        case Right(d) =>
+          val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          b.putDouble(d); (1, b.array())
+      }
+      val ds = Array[Byte](2, 0, 0, 0) // v2 dataspace: scalar (rank 0)
+      val b = ByteBuffer.allocate(9 + nb.length + 8 + ds.length + vb.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(3.toByte); b.put(0.toByte)
+      b.putShort(nb.length.toShort)
+      b.putShort(8); b.putShort(ds.length.toShort)
+      b.put(0.toByte) // name character-set encoding (ASCII)
+      b.put(nb)
+      val dtAt = 9 + nb.length
+      b.put(dtAt, ((1 << 4) | dtClass).toByte)
+      b.putInt(dtAt + 4, vb.length)
+      b.position(dtAt + 8); b.put(ds); b.put(vb)
+      b.array()
+    }
 
     // OCHK continuation block carrying root's third link ("science"):
     // signature + messages (root's hdrSz = 6: creation order) + cksum
@@ -673,7 +737,10 @@ object NetCdfFixtures {
       0x0006 -> link("temp", tempHdr)))
     ohdr2(tempHdr, flags = 0x00, Seq(
       0x0001 -> dataspace(Seq(5L, 7L)),
-      0x0003 -> datatype(clazz = 1, size = 8)))
+      0x0003 -> datatype(clazz = 1, size = 8),
+      // v3 attribute twins of the v0 file's v1 attributes
+      0x000C -> attrV3("_FillValue", Right(-7777.0)),
+      0x000C -> attrV3("units", Left("K"))))
 
     buf.putDouble(latData.toInt, -10.0)
     buf.putDouble(latData.toInt + 8, 0.0)

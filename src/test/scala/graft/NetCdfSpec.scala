@@ -61,7 +61,13 @@ class NetCdfSpec extends SparkSuite {
     val temp = m.vars.find(_.path == "science/temp").get
     assert(temp.shape == Seq(5L, 7L))
     assert(temp.typeName == "double")
-    assert(temp.fillValue.isEmpty)
+    // no fill-value MESSAGE, but a `_FillValue` ATTRIBUTE — the
+    // `variable._FillValue` the reference reads (handler.py:105)
+    assert(temp.fillValue.contains(-7777.0))
+    assert(temp.attrs.exists(a =>
+      a.name == "units" && a.str.contains("K")))
+    assert(temp.attrs.exists(a =>
+      a.name == "_FillValue" && a.nums == Seq(-7777.0)))
   }
 
   test("hdf5: contiguous-layout coordinate data reads exactly") {
@@ -202,9 +208,10 @@ class NetCdfSpec extends SparkSuite {
     // identical logical content: same vars (incl. the OCHK-continued
     // "science" group), shapes, types, fills — only the format differs
     def key(m: graft.sources.NetCdf.FileMeta) =
-      m.vars.map(v => (v.path, v.shape, v.typeName, v.fillValue))
+      m.vars.map(v => (v.path, v.shape, v.typeName, v.fillValue,
+        v.attrs.map(a => (a.name, a.str, a.nums)).sortBy(_._1)))
         .sortBy(_._1)
-    assert(key(v2) == key(v0))
+    assert(key(v2) == key(v0)) // incl. v1-vs-v3 attribute messages
   }
 
   test("hdf5 superblock v2: contiguous data reads through v4 layout") {
