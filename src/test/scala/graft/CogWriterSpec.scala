@@ -271,6 +271,24 @@ class CogWriterSpec extends SparkSuite {
     assert(shared.toSeq == plain.toSeq)
   }
 
+  test("JPEG TIFFs from the INDEPENDENT JDK TIFF writer decode") {
+    // the JDK ImageIO TIFF plugin writing compressionType "JPEG"
+    // produces its own new-style-JPEG layout (its choice of strip
+    // geometry and tables placement) — agreement with this parser
+    // pins the reader against an encoder it shares no code with
+    val w = 48; val h = 32
+    val px = Seq.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (x * 255 / (w - 1) + y * 255 / (h - 1)) / 2
+    }
+    val tiff = imageioTiff(px, w, h, "JPEG")
+    val (m, decoded) = GeoTiff.readSamples(tiff).fold(e => fail(e), identity)
+    assert(m.width == w && m.height == h)
+    val maxErr = decoded.toSeq.zip(px).map { case (d, p) =>
+      math.abs(d - p) }.max
+    assert(maxErr <= 3.0f, s"JPEG error $maxErr exceeds tolerance")
+  }
+
   test("JPEG with unsupported sample type quarantines") {
     // compression 7 claimed over 16-bit samples: reject, never decode
     val w = 8; val h = 4
