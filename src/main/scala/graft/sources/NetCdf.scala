@@ -996,14 +996,12 @@ object NetCdf {
     val maxEntries = buf.getLong(h + 8)
     val dblk = buf.getLong(h + 16)
     if (maxEntries != nChunks) return false
-    if (maxEntries > (1L << pageBits)) return false // paged: not parsed
     if (dblk == -1L) return true // nothing allocated: all fill value
     val dPos = dblk.toInt
     if (new String(bytes, dPos, 4,
         java.nio.charset.StandardCharsets.US_ASCII) != "FADB") return false
-    var p = dPos + 6 + 8 // sig(4) version(1) clientId(1) headerAddr(8)
-    var i = 0L
-    while (i < maxEntries) {
+
+    def entryAt(p: Int, i: Long): Boolean = {
       clientId match {
         case 0 => // non-filtered: chunk address only
           val addr = buf.getLong(p)
@@ -1022,8 +1020,45 @@ object NetCdf {
             chunks += ((chunkOffs(i), sz.toInt, addr, mask))
         case _ => return false
       }
-      p += entrySize
-      i += 1
+      true
+    }
+
+    val hdrEnd = dPos + 6 + 8 // sig(4) version(1) clientId(1) headerAddr(8)
+    val pageElems = 1L << pageBits
+    if (maxEntries <= pageElems) {
+      // unpaged: elements packed right after the block header
+      var p = hdrEnd
+      var i = 0L
+      while (i < maxEntries) {
+        if (!entryAt(p, i)) return false
+        p += entrySize
+        i += 1
+      }
+    } else {
+      // paged (large chunk counts): a page bitmap, then fixed-size
+      // pages of elements each followed by its own checksum. Space is
+      // allocated for EVERY page; an uninitialized page (bitmap bit
+      // clear) means none of its chunks were written — fill value.
+      val nPages = ((maxEntries + pageElems - 1) / pageElems).toInt
+      val bitmapBytes = (nPages + 7) / 8
+      var p = hdrEnd + bitmapBytes
+      var pg = 0
+      while (pg < nPages) {
+        val initialized =
+          ((bytes(hdrEnd + pg / 8) >> (pg % 8)) & 1) == 1
+        val first = pg.toLong * pageElems
+        val inPage = math.min(pageElems, maxEntries - first)
+        if (initialized) {
+          var j = 0L
+          while (j < inPage) {
+            if (!entryAt(p + (j * entrySize).toInt, first + j))
+              return false
+            j += 1
+          }
+        }
+        p += (inPage * entrySize).toInt + 4 // + per-page checksum
+        pg += 1
+      }
     }
     true
   }

@@ -885,7 +885,11 @@ object NetCdfFixtures {
     * (must agree bit-for-bit where chunks exist), `lon` float64[7] as
     * a deflate-filtered SINGLE-CHUNK index, `lat` float64[3] chunked
     * 2 through an IMPLICIT index (unfiltered, packed row-major). */
-  def hdf5V2Chunked(): Array[Byte] = {
+  /** @param pagedIndex write the fixed array's data block in the
+    *   PAGED layout (page bitmap + per-page checksums — what large
+    *   chunk counts get): pageBits = 1 → two 2-entry pages for the
+    *   same four chunks, so the grids must decode identically. */
+  def hdf5V2Chunked(pagedIndex: Boolean = false): Array[Byte] = {
     val fill = -9999f
     def precipAt(i: Int, j: Int): Float = (i * 10 + j).toFloat
     val lonVals = Array(-150.0, -100.0, -50.0, 0.0, 50.0, 100.0, 150.0)
@@ -1050,21 +1054,35 @@ object NetCdfFixtures {
     // carries the undefined address
     buf.position(fahd.toInt); buf.put("FAHD".getBytes)
     buf.put(0.toByte); buf.put(1.toByte)  // version, client id 1
-    buf.put(16.toByte); buf.put(10.toByte) // entry size, page bits
+    // entry size 16; page bits: 10 (unpaged, 4 <= 1024) or 1 (paged:
+    // 2-entry pages)
+    buf.put(16.toByte); buf.put((if (pagedIndex) 1 else 10).toByte)
     buf.putLong(fahd.toInt + 8, 4L)        // max entries = chunk count
     buf.putLong(fahd.toInt + 16, fadb)
     buf.putInt(fahd.toInt + 24, 0)         // checksum
     buf.position(fadb.toInt); buf.put("FADB".getBytes)
     buf.put(0.toByte); buf.put(1.toByte)
     buf.putLong(fadb.toInt + 6, fahd)
-    precipPayloads.zip(precipAddrs).zipWithIndex.foreach {
-      case ((pay, addr), i) =>
-        val e = fadb.toInt + 14 + i * 16
-        buf.putLong(e, addr.getOrElse(-1L))
-        buf.putInt(e + 8, pay.map(_.length).getOrElse(0))
-        buf.putInt(e + 12, 0) // filter mask: all filters applied
+    def faEntry(e: Int, i: Int): Unit = {
+      val (pay, addr) = (precipPayloads(i), precipAddrs(i))
+      buf.putLong(e, addr.getOrElse(-1L))
+      buf.putInt(e + 8, pay.map(_.length).getOrElse(0))
+      buf.putInt(e + 12, 0) // filter mask: all filters applied
     }
-    buf.putInt(fadb.toInt + 14 + 4 * 16, 0) // checksum
+    if (pagedIndex) {
+      // page bitmap (both pages initialized), then two 2-entry pages
+      // each with a trailing checksum
+      buf.put(fadb.toInt + 14, 0x03.toByte)
+      val pg0 = fadb.toInt + 15
+      faEntry(pg0, 0); faEntry(pg0 + 16, 1)
+      buf.putInt(pg0 + 32, 0) // page 0 checksum
+      val pg1 = pg0 + 36
+      faEntry(pg1, 2); faEntry(pg1 + 16, 3)
+      buf.putInt(pg1 + 32, 0) // page 1 checksum
+    } else {
+      (0 until 4).foreach(i => faEntry(fadb.toInt + 14 + i * 16, i))
+      buf.putInt(fadb.toInt + 14 + 4 * 16, 0) // checksum
+    }
 
     // object headers
     ohdr2(rootHdr, Seq(

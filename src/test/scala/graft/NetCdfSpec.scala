@@ -243,6 +243,38 @@ class NetCdfSpec extends SparkSuite {
     assert(NetCdf.coordExtent(bytes, m, "lat").contains((-10.0, 10.0)))
   }
 
+  test("hdf5 v4 chunked: PAGED fixed-array data block decodes " +
+    "identically to the unpaged layout") {
+    val unpaged = NetCdfFixtures.hdf5V2Chunked()
+    val paged = NetCdfFixtures.hdf5V2Chunked(pagedIndex = true)
+    val mu = NetCdf.parse(unpaged).fold(e => fail(e), identity)
+    val mp = NetCdf.parse(paged).fold(e => fail(e), identity)
+    val gu = NetCdf.readGridRaw(unpaged, mu, "precip")
+      .getOrElse(fail("unpaged precip did not decode"))
+    val gp = NetCdf.readGridRaw(paged, mp, "precip")
+      .getOrElse(fail("paged precip did not decode"))
+    assert(gp.toSeq == gu.toSeq)
+    // an UNINITIALIZED page (bitmap bit clear) = none of its chunks
+    // written -> those regions read as fill, never garbage
+    val mangled = paged.clone()
+    var fadb = -1
+    var i = 0
+    while (fadb < 0 && i < mangled.length - 4) {
+      if (mangled(i) == 'F' && mangled(i + 1) == 'A' &&
+          mangled(i + 2) == 'D' && mangled(i + 3) == 'B') fadb = i
+      i += 1
+    }
+    assert(fadb > 0)
+    mangled(fadb + 14) = 0x01 // only page 0 initialized
+    val mm = NetCdf.parse(mangled).fold(e => fail(e), identity)
+    val gm = NetCdf.readGridRaw(mangled, mm, "precip")
+      .getOrElse(fail("bitmap-mangled precip did not decode"))
+    // page 1 covered chunks (3,0) and (3,4): rows 3-4 now all fill
+    assert((0 until 3 * 7).map(gm(_)).toSeq ==
+      (0 until 3 * 7).map(gu(_)).toSeq)
+    assert((3 * 7 until 5 * 7).forall(gm(_) == -9999f))
+  }
+
   test("hdf5 v4 chunked: unparsed index types quarantine the read") {
     // patch precip's layout index type 3 (fixed array) -> 4
     // (extensible array): metadata still parses, the data read fails
