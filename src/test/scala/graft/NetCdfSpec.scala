@@ -175,6 +175,24 @@ class NetCdfSpec extends SparkSuite {
     assert(decoded(0) == 0f && decoded(6) == 6f && decoded(34) == 46f)
   }
 
+  test("hdf5 v2/layout-v4 granule: cogify converts end to end") {
+    // the "latest format" storage through the SAME conversion path:
+    // superblock v2, link-message group, fixed-array chunk index —
+    // grid (incl. the elided-chunk fill region) lands in the COG
+    val bytes = NetCdfFixtures.hdf5V2Chunked()
+    val cfg = Cogify.CollectionConfig(variableName = Some("precip"),
+      xVariable = Some("lon"), yVariable = Some("lat"))
+    val cog = Cogify.classicNetcdfToCog(bytes, cfg)
+      .fold(e => fail(e), identity)
+    val m = graft.sources.GeoTiff.parse(cog).fold(e => fail(e), identity)
+    assert(m.width == 7 && m.height == 5)
+    assert(m.nodata.contains(-9999.0)) // fill carried as GDAL_NODATA
+    val (_, decoded) = graft.sources.GeoTiff.readSamples(cog)
+      .fold(e => fail(e), identity)
+    assert(decoded(0) == 0f && decoded(24) == 33f) // (3,3) last written
+    assert(decoded(34) == -9999f)                  // elided chunk cell
+  }
+
   test("hdf5 chunked: unknown filter id quarantines, never a wrong grid") {
     // corrupt the precip pipeline's deflate id (1 -> 250): the read
     // must fail closed (None), not return garbage
