@@ -443,11 +443,17 @@ object NetCdf {
             val lflags = bytes(body + 2) & 0xFF
             val nd = bytes(body + 3) & 0xFF
             val encLen = bytes(body + 4) & 0xFF
-            def dimAt(p: Int): Long = encLen match {
-              case 1 => (bytes(p) & 0xFF).toLong
-              case 2 => (buf.getShort(p) & 0xFFFF).toLong
-              case 4 => buf.getInt(p) & 0xFFFFFFFFL
-              case _ => buf.getLong(p)
+            require(encLen >= 1 && encLen <= 8,
+              s"bad chunk-dim encoded length $encLen")
+            // minimal-byte little-endian integers: HDF5 emits ANY
+            // width 1..8 (H5VM_limit_enc_size), not just 1/2/4/8
+            def dimAt(p: Int): Long = {
+              var v = 0L
+              var k = 0
+              while (k < encLen) {
+                v |= (bytes(p + k) & 0xFFL) << (8 * k); k += 1
+              }
+              v
             }
             val cdims = (0 until nd).map(i => dimAt(body + 5 + i * encLen))
             var q = body + 5 + nd * encLen
@@ -615,8 +621,12 @@ object NetCdf {
           case (1, 8) => "double"
           case _ => s"class$typeClass/$typeSize"
         }
+        // fill-value bytes are stored in the DATASET's byte order
+        // (big-endian-typed datasets exist: numpy '>f4' etc.)
         val fill = fillBytes.map { fb =>
-          val b = ByteBuffer.wrap(fb).order(ByteOrder.LITTLE_ENDIAN)
+          val b = ByteBuffer.wrap(fb).order(
+            if (typeLittleEndian) ByteOrder.LITTLE_ENDIAN
+            else ByteOrder.BIG_ENDIAN)
           (typeClass, fb.length) match {
             case (1, 4) => b.getFloat.toDouble
             case (1, 8) => b.getDouble
@@ -758,15 +768,20 @@ object NetCdf {
     val ioFilterLen = buf.getShort(h + 7) & 0xFFFF
     require(ioFilterLen == 0, "filtered fractal heap not supported")
     val flags = bytes(h + 9) & 0xFF
-    val nHuge = buf.getLong(h + 14)
-    require(nHuge == 0L, "huge fractal-heap objects not supported")
     val nManaged = buf.getLong(h + 70)
-    val tableWidth = buf.getShort(h + 78) & 0xFFFF
-    val startBlock = buf.getLong(h + 80)
-    val maxDirect = buf.getLong(h + 88)
-    val maxHeapBits = buf.getShort(h + 96) & 0xFFFF
-    val rootAddr = buf.getLong(h + 100)
-    val currRows = buf.getShort(h + 108) & 0xFFFF
+    // the four heap statistics fields at +78..109: size/number of
+    // huge objects, size/number of tiny objects (8 bytes each) —
+    // huge/tiny objects are not parsed, so both counts must be zero
+    val nHuge = buf.getLong(h + 86)
+    val nTiny = buf.getLong(h + 102)
+    require(nHuge == 0L && nTiny == 0L,
+      "huge/tiny fractal-heap objects not supported")
+    val tableWidth = buf.getShort(h + 110) & 0xFFFF
+    val startBlock = buf.getLong(h + 112)
+    val maxDirect = buf.getLong(h + 120)
+    val maxHeapBits = buf.getShort(h + 128) & 0xFFFF
+    val rootAddr = buf.getLong(h + 132)
+    val currRows = buf.getShort(h + 140) & 0xFFFF
     val offSz = (maxHeapBits + 7) / 8
     if (rootAddr == -1L || nManaged == 0L) return
     // direct blocks in heap-offset order: the root IS a direct block
@@ -1041,7 +1056,9 @@ object NetCdf {
       // clear) means none of its chunks were written — fill value.
       val nPages = ((maxEntries + pageElems - 1) / pageElems).toInt
       val bitmapBytes = (nPages + 7) / 8
-      var p = hdrEnd + bitmapBytes
+      // the data block's own 4-byte checksum sits between the bitmap
+      // and the first page (each page then carries its own)
+      var p = hdrEnd + bitmapBytes + 4
       var pg = 0
       while (pg < nPages) {
         val initialized =

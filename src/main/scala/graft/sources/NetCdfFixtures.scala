@@ -759,8 +759,8 @@ object NetCdfFixtures {
   def hdf5V2Dense(indirect: Boolean = false): Array[Byte] = {
     val buf = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
     val rootHdr = 64L
-    val frhp = 160L
-    val fhib = 288L
+    val frhp = 160L  // header is 146 bytes (incl. the 4 stats fields)
+    val fhib = 320L
     val block0 = 512L; val block1 = 1024L
     val dsBase = 1536L; val dsStride = 96
     val dataBase = 2560L
@@ -840,14 +840,18 @@ object NetCdfFixtures {
     buf.putLong(frhp.toInt + 54, 512L)    // allocated space
     buf.putLong(frhp.toInt + 62, 0L)      // iterator offset
     buf.putLong(frhp.toInt + 70, names.size.toLong) // managed objects
-    buf.putShort(frhp.toInt + 78, 4)      // table width
-    buf.putLong(frhp.toInt + 80, 512L)    // starting block size
-    buf.putLong(frhp.toInt + 88, 4096L)   // max direct block size
-    buf.putShort(frhp.toInt + 96, 32)     // max heap size (bits)
-    buf.putShort(frhp.toInt + 98, 1)      // starting # rows
-    buf.putLong(frhp.toInt + 100, if (indirect) fhib else block0)
-    buf.putShort(frhp.toInt + 108, if (indirect) 1 else 0) // curr rows
-    buf.putInt(frhp.toInt + 110, 0)       // checksum
+    buf.putLong(frhp.toInt + 78, 0L)      // size of huge objects
+    buf.putLong(frhp.toInt + 86, 0L)      // number of huge objects
+    buf.putLong(frhp.toInt + 94, 0L)      // size of tiny objects
+    buf.putLong(frhp.toInt + 102, 0L)     // number of tiny objects
+    buf.putShort(frhp.toInt + 110, 4)     // table width
+    buf.putLong(frhp.toInt + 112, 512L)   // starting block size
+    buf.putLong(frhp.toInt + 120, 4096L)  // max direct block size
+    buf.putShort(frhp.toInt + 128, 32)    // max heap size (bits)
+    buf.putShort(frhp.toInt + 130, 1)     // starting # rows
+    buf.putLong(frhp.toInt + 132, if (indirect) fhib else block0)
+    buf.putShort(frhp.toInt + 140, if (indirect) 1 else 0) // curr rows
+    buf.putInt(frhp.toInt + 142, 0)       // checksum
 
     def directBlock(at: Long, offset: Int,
                     links: Seq[Array[Byte]]): Unit = {
@@ -1070,10 +1074,11 @@ object NetCdfFixtures {
       buf.putInt(e + 12, 0) // filter mask: all filters applied
     }
     if (pagedIndex) {
-      // page bitmap (both pages initialized), then two 2-entry pages
-      // each with a trailing checksum
+      // page bitmap (both pages initialized), the data block's OWN
+      // checksum, then two 2-entry pages each with a trailing checksum
       buf.put(fadb.toInt + 14, 0x03.toByte)
-      val pg0 = fadb.toInt + 15
+      buf.putInt(fadb.toInt + 15, 0) // data-block checksum
+      val pg0 = fadb.toInt + 19
       faEntry(pg0, 0); faEntry(pg0 + 16, 1)
       buf.putInt(pg0 + 32, 0) // page 0 checksum
       val pg1 = pg0 + 36
