@@ -561,42 +561,29 @@ object NetCdfFixtures {
 
   // ---------------- HDF5 superblock-v2 fixture ----------------
 
-  /** The [[hdf5]] file re-written in the HDF5 >= 1.10 / netCDF-4
-    * "latest format" layout: superblock v2 (root object header
-    * address, no symbol-table entry), version-2 object headers
-    * ("OHDR" chunks + "OCHK" continuation), and compact link-message
-    * groups. Same logical content as [[hdf5]] — {lat: float64[3]
-    * contiguous (-10, 0, 10), precip: float32[10][20] fill=-9999,
-    * science/ {temp: float64[5][7]}} — so the two parses must agree
-    * on everything but the format string. Deliberate coverage
-    * variations: the root header stores timestamps + per-message
-    * creation order and pushes its last link through an OCHK
-    * continuation; one link message carries explicit link-type and
-    * charset fields; one header uses a 2-byte chunk-0 size field. */
-  def hdf5V2(): Array[Byte] = {
-    val buf = ByteBuffer.allocate(2048).order(ByteOrder.LITTLE_ENDIAN)
-
-    val rootHdr = 64L
-    val ochkAddr = 256L
-    val latHdr = 320L; val precipHdr = 448L
-    val scienceHdr = 576L; val tempHdr = 704L // + attrs: ~130 bytes
-    val latData = 896L
-
-    // superblock v2: magic, ver, offSize, lenSize, flags, base,
-    // extension, EOF, root OBJECT HEADER address, checksum (unread)
-    buf.position(0)
-    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
-    buf.put(8, 2.toByte)                    // superblock version
-    buf.put(9, 8.toByte); buf.put(10, 8.toByte) // offset/length sizes
-    buf.put(11, 0.toByte)                   // consistency flags
-    buf.putLong(12, 0L)                     // base address
-    buf.putLong(20, -1L)                    // superblock extension
-    buf.putLong(28, 2048L)                  // EOF
-    buf.putLong(36, rootHdr)                // root group object header
-
+  /** Shared builders for the superblock-v2 fixture family: ONE
+    * encoding of each v2 structure, so a format fix (like the FRHP
+    * statistics-field offsets) lands once instead of drifting across
+    * per-fixture copies. */
+  private object V2 {
+    /** 48-byte superblock v2: magic, version, sizes, base/extension/
+      * EOF, root OBJECT HEADER address, checksum (unread). */
+    def superblock(buf: ByteBuffer, rootHdr: Long, eof: Long): Unit = {
+      buf.position(0)
+      buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
+        0x1A, '\n'))
+      buf.put(8, 2.toByte)
+      buf.put(9, 8.toByte); buf.put(10, 8.toByte)
+      buf.put(11, 0.toByte)
+      buf.putLong(12, 0L)
+      buf.putLong(20, -1L)
+      buf.putLong(28, eof)
+      buf.putLong(36, rootHdr)
+    }
     /** v2 object header: flags bit5 = timestamps, bit2 = 2-byte
       * creation order per message, bits0-1 = chunk-0 size width. */
-    def ohdr2(at: Long, flags: Int, msgs: Seq[(Int, Array[Byte])]): Unit = {
+    def ohdr2(buf: ByteBuffer, at: Long, flags: Int,
+              msgs: Seq[(Int, Array[Byte])]): Unit = {
       var p = at.toInt
       buf.position(p); buf.put("OHDR".getBytes)
       buf.put(2.toByte); buf.put(flags.toByte)
@@ -625,29 +612,25 @@ object NetCdfFixtures {
       * charset fields real writers emit for UTF-8 names. */
     def link(name: String, hdr: Long, full: Boolean = false): Array[Byte] = {
       val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val b = ByteBuffer.allocate(2 + (if (full) 2 else 0) + 1 + nb.length + 8)
+      val b = ByteBuffer
+        .allocate(2 + (if (full) 2 else 0) + 1 + nb.length + 8)
         .order(ByteOrder.LITTLE_ENDIAN)
-      b.put(1.toByte)                         // version
+      b.put(1.toByte)                          // version
       b.put((if (full) 0x18 else 0x00).toByte) // flags: 1-byte name len
       if (full) { b.put(0.toByte); b.put(1.toByte) } // hard, UTF-8
       b.put(nb.length.toByte); b.put(nb)
       b.putLong(hdr)
       b.array()
     }
-    /** Link-info with UNDEFINED fractal heap (compact storage). */
-    def linkInfo(): Array[Byte] = {
+    /** Link-info message; heap = -1 means compact storage. */
+    def linkInfo(heap: Long = -1L): Array[Byte] = {
       val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
       b.put(0.toByte); b.put(0.toByte)
-      b.putLong(-1L); b.putLong(-1L) // fractal heap, name-index B-tree
+      b.putLong(heap); b.putLong(-1L) // fractal heap, name-index B-tree
       b.array()
     }
-    def continuation(off: Long, len: Long): Array[Byte] = {
-      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
-      b.putLong(off); b.putLong(len)
-      b.array()
-    }
+    /** v2 dataspace: version, rank, flags, type, then dims. */
     def dataspace(dims: Seq[Long]): Array[Byte] = {
-      // v2 dataspace: version, rank, flags, type, then dims
       val b = ByteBuffer.allocate(4 + dims.size * 8)
         .order(ByteOrder.LITTLE_ENDIAN)
       b.put(2.toByte); b.put(dims.size.toByte)
@@ -661,18 +644,48 @@ object NetCdfFixtures {
       b.position(4); b.putInt(size)
       b.array()
     }
-    def fillValue(f: Float): Array[Byte] = {
+    def fillValueMsg(f: Float): Array[Byte] = {
       val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
       b.put(2.toByte); b.put(1.toByte); b.put(2.toByte); b.put(1.toByte)
       b.putInt(4, 4); b.putFloat(8, f)
       b.array()
     }
-    def layoutContiguous(addr: Long, size: Long): Array[Byte] = {
-      // layout v4 contiguous — field-compatible with v3, written as
-      // v4 here to pin the parser's (ver 3 || 4) acceptance
+    /** Layout v4 contiguous (field-compatible with v3; written as v4
+      * to pin the parser's (ver 3 || 4) acceptance). */
+    def layoutContiguousV4(addr: Long, size: Long): Array[Byte] = {
       val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
       b.put(4.toByte); b.put(1.toByte)
       b.putLong(2, addr); b.putLong(10, size)
+      b.array()
+    }
+  }
+
+  /** The [[hdf5]] file re-written in the HDF5 >= 1.10 / netCDF-4
+    * "latest format" layout: superblock v2 (root object header
+    * address, no symbol-table entry), version-2 object headers
+    * ("OHDR" chunks + "OCHK" continuation), and compact link-message
+    * groups. Same logical content as [[hdf5]] — {lat: float64[3]
+    * contiguous (-10, 0, 10), precip: float32[10][20] fill=-9999,
+    * science/ {temp: float64[5][7]}} — so the two parses must agree
+    * on everything but the format string. Deliberate coverage
+    * variations: the root header stores timestamps + per-message
+    * creation order and pushes its last link through an OCHK
+    * continuation; one link message carries explicit link-type and
+    * charset fields; one header uses a 2-byte chunk-0 size field. */
+  def hdf5V2(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(2048).order(ByteOrder.LITTLE_ENDIAN)
+
+    val rootHdr = 64L
+    val ochkAddr = 256L
+    val latHdr = 320L; val precipHdr = 448L
+    val scienceHdr = 576L; val tempHdr = 704L // + attrs: ~130 bytes
+    val latData = 896L
+
+    V2.superblock(buf, rootHdr, eof = 2048L)
+
+    def continuation(off: Long, len: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putLong(off); b.putLong(len)
       b.array()
     }
     /** v3 attribute message (unpadded parts + encoding byte): scalar
@@ -706,7 +719,7 @@ object NetCdfFixtures {
 
     // OCHK continuation block carrying root's third link ("science"):
     // signature + messages (root's hdrSz = 6: creation order) + cksum
-    val sciLink = link("science", scienceHdr)
+    val sciLink = V2.link("science", scienceHdr)
     val ochkLen = 4 + (6 + sciLink.length) + 4
     buf.position(ochkAddr.toInt); buf.put("OCHK".getBytes)
     buf.put(ochkAddr.toInt + 4, 0x06.toByte)
@@ -718,26 +731,26 @@ object NetCdfFixtures {
 
     // root: timestamps + creation order (0x24), links to lat/precip
     // in chunk 0, science via the continuation
-    ohdr2(rootHdr, flags = 0x24, Seq(
-      0x0002 -> linkInfo(),
-      0x0006 -> link("lat", latHdr),
-      0x0006 -> link("precip", precipHdr, full = true),
+    V2.ohdr2(buf, rootHdr, flags = 0x24, Seq(
+      0x0002 -> V2.linkInfo(),
+      0x0006 -> V2.link("lat", latHdr),
+      0x0006 -> V2.link("precip", precipHdr, full = true),
       0x0010 -> continuation(ochkAddr, ochkLen)))
-    ohdr2(latHdr, flags = 0x00, Seq(
-      0x0001 -> dataspace(Seq(3L)),
-      0x0003 -> datatype(clazz = 1, size = 8),
-      0x0008 -> layoutContiguous(latData, 24)))
+    V2.ohdr2(buf, latHdr, flags = 0x00, Seq(
+      0x0001 -> V2.dataspace(Seq(3L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 8),
+      0x0008 -> V2.layoutContiguousV4(latData, 24)))
     // 2-byte chunk-0 size field variant
-    ohdr2(precipHdr, flags = 0x01, Seq(
-      0x0001 -> dataspace(Seq(10L, 20L)),
-      0x0003 -> datatype(clazz = 1, size = 4),
-      0x0005 -> fillValue(-9999f)))
-    ohdr2(scienceHdr, flags = 0x00, Seq(
-      0x0002 -> linkInfo(),
-      0x0006 -> link("temp", tempHdr)))
-    ohdr2(tempHdr, flags = 0x00, Seq(
-      0x0001 -> dataspace(Seq(5L, 7L)),
-      0x0003 -> datatype(clazz = 1, size = 8),
+    V2.ohdr2(buf, precipHdr, flags = 0x01, Seq(
+      0x0001 -> V2.dataspace(Seq(10L, 20L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 4),
+      0x0005 -> V2.fillValueMsg(-9999f)))
+    V2.ohdr2(buf, scienceHdr, flags = 0x00, Seq(
+      0x0002 -> V2.linkInfo(),
+      0x0006 -> V2.link("temp", tempHdr)))
+    V2.ohdr2(buf, tempHdr, flags = 0x00, Seq(
+      0x0001 -> V2.dataspace(Seq(5L, 7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 8),
       // v3 attribute twins of the v0 file's v1 attributes
       0x000C -> attrV3("_FillValue", Right(-7777.0)),
       0x000C -> attrV3("units", Left("K"))))
@@ -765,60 +778,20 @@ object NetCdfFixtures {
     val dsBase = 1536L; val dsStride = 96
     val dataBase = 2560L
 
-    buf.position(0)
-    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
-    buf.put(8, 2.toByte)
-    buf.put(9, 8.toByte); buf.put(10, 8.toByte)
-    buf.putLong(12, 0L); buf.putLong(20, -1L)
-    buf.putLong(28, 4096L); buf.putLong(36, rootHdr)
-
-    def ohdr2(at: Long, msgs: Seq[(Int, Array[Byte])]): Unit = {
-      var p = at.toInt
-      buf.position(p); buf.put("OHDR".getBytes)
-      buf.put(2.toByte); buf.put(0.toByte)
-      p += 6
-      buf.put(p, msgs.map(_._2.length + 4).sum.toByte); p += 1
-      msgs.foreach { case (typ, body) =>
-        buf.put(p, typ.toByte)
-        buf.putShort(p + 1, body.length.toShort)
-        buf.put(p + 3, 0.toByte)
-        buf.position(p + 4); buf.put(body)
-        p += 4 + body.length
-      }
-      buf.putInt(p, 0)
-    }
-    def linkMsg(name: String, hdr: Long): Array[Byte] = {
-      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val b = ByteBuffer.allocate(3 + nb.length + 8)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      b.put(1.toByte); b.put(0.toByte)
-      b.put(nb.length.toByte); b.put(nb); b.putLong(hdr)
-      b.array()
-    }
+    V2.superblock(buf, rootHdr, eof = 4096L)
     // link info pointing at the fractal heap (dense storage)
-    val linkInfo = {
-      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
-      b.put(0.toByte); b.put(0.toByte)
-      b.putLong(frhp); b.putLong(-1L) // heap, name-index B-tree
-      b.array()
-    }
-    ohdr2(rootHdr, Seq(0x0002 -> linkInfo))
+    V2.ohdr2(buf, rootHdr, flags = 0,
+      Seq(0x0002 -> V2.linkInfo(heap = frhp)))
 
     // ten datasets
     val names = (0 until 10).map(i => f"v$i%02d")
-    names.zipWithIndex.foreach { case (nm, i) =>
+    names.zipWithIndex.foreach { case (_, i) =>
       val ds = dsBase + i * dsStride
       val data = dataBase + i * 24
-      val space = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-      space.put(2.toByte); space.put(1.toByte)
-      space.put(0.toByte); space.put(1.toByte); space.putLong(3L)
-      val dtype = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      dtype.put(((1 << 4) | 1).toByte); dtype.position(4); dtype.putInt(8)
-      val layout = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
-      layout.put(4.toByte); layout.put(1.toByte)
-      layout.putLong(2, data); layout.putLong(10, 24L)
-      ohdr2(ds, Seq(0x0001 -> space.array(), 0x0003 -> dtype.array(),
-        0x0008 -> layout.array()))
+      V2.ohdr2(buf, ds, flags = 0, Seq(
+        0x0001 -> V2.dataspace(Seq(3L)),
+        0x0003 -> V2.datatype(clazz = 1, size = 8),
+        0x0008 -> V2.layoutContiguousV4(data, 24)))
       buf.putDouble(data.toInt, i.toDouble)
       buf.putDouble(data.toInt + 8, i + 0.5)
       buf.putDouble(data.toInt + 16, i + 1.0)
@@ -862,7 +835,7 @@ object NetCdfFixtures {
       links.foreach(buf.put)
     }
     val linkBodies = names.zipWithIndex.map { case (nm, i) =>
-      linkMsg(nm, dsBase + i * dsStride)
+      V2.link(nm, dsBase + i * dsStride)
     }
     if (indirect) {
       // one-level indirect root: row 0 of 4 children, two defined
@@ -942,58 +915,8 @@ object NetCdfFixtures {
     var dataOff = 912
     def alloc(n: Int): Long = { val o = dataOff; dataOff += n; o.toLong }
 
-    // superblock v2
-    buf.position(0)
-    buf.put(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n'))
-    buf.put(8, 2.toByte)
-    buf.put(9, 8.toByte); buf.put(10, 8.toByte)
-    buf.putLong(12, 0L); buf.putLong(20, -1L)
-    buf.putLong(28, 4096L); buf.putLong(36, rootHdr)
+    V2.superblock(buf, rootHdr, eof = 4096L)
 
-    def ohdr2(at: Long, msgs: Seq[(Int, Array[Byte])]): Unit = {
-      var p = at.toInt
-      buf.position(p); buf.put("OHDR".getBytes)
-      buf.put(2.toByte); buf.put(0.toByte) // flags: 1-byte size field
-      p += 6
-      val chunk0 = msgs.map(_._2.length + 4).sum
-      buf.put(p, chunk0.toByte); p += 1
-      msgs.foreach { case (typ, body) =>
-        buf.put(p, typ.toByte)
-        buf.putShort(p + 1, body.length.toShort)
-        buf.put(p + 3, 0.toByte)
-        buf.position(p + 4); buf.put(body)
-        p += 4 + body.length
-      }
-      buf.putInt(p, 0) // checksum (unverified)
-    }
-    def link(name: String, hdr: Long): Array[Byte] = {
-      val nb = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val b = ByteBuffer.allocate(3 + nb.length + 8)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      b.put(1.toByte); b.put(0.toByte)
-      b.put(nb.length.toByte); b.put(nb); b.putLong(hdr)
-      b.array()
-    }
-    def dataspace(dims: Seq[Long]): Array[Byte] = {
-      val b = ByteBuffer.allocate(4 + dims.size * 8)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      b.put(2.toByte); b.put(dims.size.toByte)
-      b.put(0.toByte); b.put(1.toByte)
-      dims.foreach(b.putLong)
-      b.array()
-    }
-    def datatype(clazz: Int, size: Int): Array[Byte] = {
-      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      b.put(((1 << 4) | clazz).toByte)
-      b.position(4); b.putInt(size)
-      b.array()
-    }
-    def fillValueMsg(f: Float): Array[Byte] = {
-      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
-      b.put(2.toByte); b.put(1.toByte); b.put(2.toByte); b.put(1.toByte)
-      b.putInt(4, 4); b.putFloat(8, f)
-      b.array()
-    }
     /** v1 filter-pipeline message (valid in v2 headers too). */
     def filterPipeline(ids: Seq[(Int, Seq[Int])]): Array[Byte] = {
       val entries = ids.map { case (id, cvs) =>
@@ -1011,12 +934,6 @@ object NetCdfFixtures {
         .order(ByteOrder.LITTLE_ENDIAN)
       b.put(1.toByte); b.put(ids.size.toByte)
       b.position(8); entries.foreach(b.put)
-      b.array()
-    }
-    def layoutContiguousV4(addr: Long, size: Long): Array[Byte] = {
-      val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
-      b.put(4.toByte); b.put(1.toByte)
-      b.putLong(2, addr); b.putLong(10, size)
       b.array()
     }
     /** layout v4 class-2 chunked: u32-encoded chunk dims (ELEMENT
@@ -1090,31 +1007,31 @@ object NetCdfFixtures {
     }
 
     // object headers
-    ohdr2(rootHdr, Seq(
-      0x0006 -> link("lon", lonHdr),
-      0x0006 -> link("precip", precipHdr),
-      0x0006 -> link("precip_contig", pcontigHdr),
-      0x0006 -> link("lat", latHdr)))
-    ohdr2(lonHdr, Seq(
-      0x0001 -> dataspace(Seq(7L)),
-      0x0003 -> datatype(clazz = 1, size = 8),
+    V2.ohdr2(buf, rootHdr, flags = 0, Seq(
+      0x0006 -> V2.link("lon", lonHdr),
+      0x0006 -> V2.link("precip", precipHdr),
+      0x0006 -> V2.link("precip_contig", pcontigHdr),
+      0x0006 -> V2.link("lat", latHdr)))
+    V2.ohdr2(buf, lonHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 8),
       0x000B -> filterPipeline(Seq(1 -> Seq(6))),
       0x0008 -> layoutChunkedV4(Seq(7), idxType = 1, lonData,
         flags = 0x02, singleSize = Some(lonPayload.length.toLong))))
-    ohdr2(precipHdr, Seq(
-      0x0001 -> dataspace(Seq(5L, 7L)),
-      0x0003 -> datatype(clazz = 1, size = 4),
-      0x0005 -> fillValueMsg(fill),
+    V2.ohdr2(buf, precipHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(5L, 7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 4),
+      0x0005 -> V2.fillValueMsg(fill),
       0x000B -> filterPipeline(Seq(2 -> Seq(4), 1 -> Seq(6))),
       0x0008 -> layoutChunkedV4(Seq(3, 4), idxType = 3, fahd)))
-    ohdr2(pcontigHdr, Seq(
-      0x0001 -> dataspace(Seq(5L, 7L)),
-      0x0003 -> datatype(clazz = 1, size = 4),
-      0x0005 -> fillValueMsg(fill),
-      0x0008 -> layoutContiguousV4(pcontigData, 5 * 7 * 4)))
-    ohdr2(latHdr, Seq(
-      0x0001 -> dataspace(Seq(3L)),
-      0x0003 -> datatype(clazz = 1, size = 8),
+    V2.ohdr2(buf, pcontigHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(5L, 7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 4),
+      0x0005 -> V2.fillValueMsg(fill),
+      0x0008 -> V2.layoutContiguousV4(pcontigData, 5 * 7 * 4)))
+    V2.ohdr2(buf, latHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(3L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 8),
       0x0008 -> layoutChunkedV4(Seq(2), idxType = 2, latData)))
 
     // raw data
