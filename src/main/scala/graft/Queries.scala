@@ -702,6 +702,38 @@ object Queries {
       .orderBy("fname", "var_path")
   }
 
+  /** S6 — the remaining layout-v4 chunk indexes (HDF5 >= 1.10 with
+    * unlimited dimensions): extensible-array reads spanning all three
+    * element regions (index-block inline, index-block data blocks, a
+    * real super block) in both filtered (client 1) and unfiltered
+    * (client 0) form, plus a depth-1 version-2 B-tree of
+    * filtered-chunk records — each against the contiguous twin, with
+    * an elided chunk that must decode as fill. Literal-VALUES
+    * oracle. */
+  def s6EaBt2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Seq(
+      ("eabt2.h5", graft.sources.NetCdfFixtures.hdf5V2EaBt2()))
+      .toDF("path", "content")
+    files.as[(String, Array[Byte])].flatMap { case (fname, bytes) =>
+      val meta = graft.sources.NetCdf.parse(bytes)
+        .getOrElse(graft.sources.NetCdf.FileMeta("unparsed", Nil, Nil, Nil))
+      meta.vars.map { v =>
+        val grid = graft.sources.NetCdf.readGridRaw(bytes, meta, v.path)
+        val storage =
+          if (v.begin.isDefined) "contiguous"
+          else if (v.chunks.isDefined) "chunked" else "none"
+        grid match {
+          case Some(g) => (fname, v.path, storage, true, g.length.toLong,
+            g.map(_.toDouble).sum, g.min.toDouble, g.max.toDouble)
+          case None => (fname, v.path, storage, false, 0L, 0.0, 0.0, 0.0)
+        }
+      }
+    }.toDF("fname", "var_path", "storage", "ok", "n_vals",
+        "sum_val", "min_val", "max_val")
+      .orderBy("fname", "var_path")
+  }
+
   /** S6 — HDF5 superblock-v2 (>= 1.10 / netCDF-4 latest format):
     * link-message group walk + v4-contiguous data read over the
     * spec-built v2 fixture, compared row-for-row against its

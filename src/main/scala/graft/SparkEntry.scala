@@ -144,6 +144,7 @@ object SparkEntry {
     "q_s6_chunked"           -> (Queries.s6Chunked _),
     "q_s6_v2"                -> (Queries.s6V2 _),
     "q_s6_v4chunked"         -> (Queries.s6V4Chunked _),
+    "q_s6_eabt2"             -> (Queries.s6EaBt2 _),
     "q_s6_dense"             -> (Queries.s6Dense _),
     // graph analytics
     "q_pagerank"             -> (Queries.pageRank _),
@@ -878,6 +879,23 @@ object SparkEntry {
         |   CAST(10 AS BIGINT), 'v00', 'v09', CAST(150.0 AS DOUBLE))
         |) AS t(fname, format, n_vars, first_var, last_var, total_sum)
         |ORDER BY fname""".stripMargin,
+    "q_s6_eabt2" ->
+      """SELECT * FROM (VALUES
+        |  ('eabt2.h5', 'lat_ea', 'chunked', true, CAST(3 AS BIGINT),
+        |   CAST(0.0 AS DOUBLE), CAST(-10.0 AS DOUBLE),
+        |   CAST(10.0 AS DOUBLE)),
+        |  ('eabt2.h5', 'precip_bt2', 'chunked', true,
+        |   CAST(35 AS BIGINT), CAST(-29327.0 AS DOUBLE),
+        |   CAST(-9999.0 AS DOUBLE), CAST(43.0 AS DOUBLE)),
+        |  ('eabt2.h5', 'precip_contig', 'contiguous', true,
+        |   CAST(35 AS BIGINT), CAST(-29327.0 AS DOUBLE),
+        |   CAST(-9999.0 AS DOUBLE), CAST(43.0 AS DOUBLE)),
+        |  ('eabt2.h5', 'precip_ea', 'chunked', true,
+        |   CAST(35 AS BIGINT), CAST(-29327.0 AS DOUBLE),
+        |   CAST(-9999.0 AS DOUBLE), CAST(43.0 AS DOUBLE))
+        |) AS t(fname, var_path, storage, ok, n_vals, sum_val,
+        |       min_val, max_val)
+        |ORDER BY fname, var_path""".stripMargin,
     "q_s6_v4chunked" ->
       """SELECT * FROM (VALUES
         |  ('v4chunked.h5', 'lat', 'chunked', true, CAST(3 AS BIGINT),

@@ -38,6 +38,8 @@ object NetCdf {
     val Single = 1      // layout v4: one chunk covers the dataset
     val Implicit = 2    // layout v4: unfiltered chunks, row-major
     val FixedArray = 3  // layout v4: FAHD/FADB address array
+    val ExtArray = 4    // layout v4: EAHD/EAIB/EASB/EADB (1 unlim dim)
+    val BtreeV2 = 5     // layout v4: BTHD/BTIN/BTLF (>1 unlim dims)
   }
 
   /** Chunked-storage locator (HDF5 layout v3 class 2 and the v4
@@ -470,8 +472,16 @@ object NetCdf {
               case 2 => Some(ChunkIndex.Implicit)
               case 3 => q += 1 // page bits (paged arrays fail on read)
                 Some(ChunkIndex.FixedArray)
-              case _ => None // extensible array / v2 btree: metadata
-                             // parses, data read quarantines
+              case 4 => q += 5 // EA creation params (max bits, index
+                // elements, min pointers, min elements, page bits) —
+                // the EAHD header repeats all five, so the reader
+                // takes them from the index itself
+                Some(ChunkIndex.ExtArray)
+              case 5 => q += 6 // v2-btree creation params (node size
+                // u32, split %, merge %) — BTHD repeats what's needed
+                Some(ChunkIndex.BtreeV2)
+              case _ => None // unknown index: metadata parses, data
+                             // read quarantines
             }
             val addr = buf.getLong(q)
             mapped.foreach { it =>
@@ -913,6 +923,12 @@ object NetCdf {
       case ChunkIndex.FixedArray =>
         if (!readFixedArray(bytes, buf, ci, nominal.toInt, nChunks,
           chunkOffs, chunks)) return None
+      case ChunkIndex.ExtArray =>
+        if (!readExtensibleArray(bytes, buf, ci, nominal.toInt, nChunks,
+          chunkOffs, chunks)) return None
+      case ChunkIndex.BtreeV2 =>
+        if (!readBtreeV2Chunks(bytes, buf, ci, rank, nominal.toInt,
+          chunks)) return None
       case _ => return None
     }
 
@@ -1016,27 +1032,9 @@ object NetCdf {
     if (new String(bytes, dPos, 4,
         java.nio.charset.StandardCharsets.US_ASCII) != "FADB") return false
 
-    def entryAt(p: Int, i: Long): Boolean = {
-      clientId match {
-        case 0 => // non-filtered: chunk address only
-          val addr = buf.getLong(p)
-          if (addr != -1L) chunks += ((chunkOffs(i), nominal, addr, 0))
-        case 1 => // filtered: address + size(entrySize-12) + mask(4)
-          val addr = buf.getLong(p)
-          val szW = entrySize - 12
-          val sz = szW match {
-            case 1 => (bytes(p + 8) & 0xFF).toLong
-            case 2 => (buf.getShort(p + 8) & 0xFFFF).toLong
-            case 4 => buf.getInt(p + 8) & 0xFFFFFFFFL
-            case _ => buf.getLong(p + 8)
-          }
-          val mask = buf.getInt(p + 8 + szW)
-          if (addr != -1L)
-            chunks += ((chunkOffs(i), sz.toInt, addr, mask))
-        case _ => return false
-      }
-      true
-    }
+    def entryAt(p: Int, i: Long): Boolean =
+      arrayChunkRecord(bytes, buf, p, i, clientId, entrySize, nominal,
+        chunkOffs, chunks)
 
     val hdrEnd = dPos + 6 + 8 // sig(4) version(1) clientId(1) headerAddr(8)
     val pageElems = 1L << pageBits
@@ -1078,6 +1076,243 @@ object NetCdf {
       }
     }
     true
+  }
+
+  /** Decode one fixed/extensible-array chunk record at `p` for
+    * row-major chunk `i`: client 0 is a bare chunk address, client 1
+    * appends the stored (filtered) size in `entrySize - 12` bytes
+    * (minimal little-endian width, 1..8) plus a 4-byte filter mask.
+    * An undefined address is an elided chunk — the region stays at
+    * the pre-filled dataset fill value. */
+  private def arrayChunkRecord(bytes: Array[Byte], buf: ByteBuffer,
+                               p: Int, i: Long, clientId: Int,
+                               entrySize: Int, nominal: Int,
+                               chunkOffs: Long => Array[Long],
+                               chunks: ArrayBuffer[(Array[Long], Int, Long, Int)])
+  : Boolean = clientId match {
+    case 0 => // non-filtered: chunk address only
+      val addr = buf.getLong(p)
+      if (addr != -1L) chunks += ((chunkOffs(i), nominal, addr, 0))
+      true
+    case 1 => // filtered: address + size(entrySize-12) + mask(4)
+      val addr = buf.getLong(p)
+      val szW = entrySize - 12
+      if (szW < 1 || szW > 8) return false
+      var sz = 0L
+      var k = 0
+      while (k < szW) { sz |= (bytes(p + 8 + k) & 0xFFL) << (8 * k); k += 1 }
+      val mask = buf.getInt(p + 8 + szW)
+      if (addr != -1L) chunks += ((chunkOffs(i), sz.toInt, addr, mask))
+      true
+    case _ => false
+  }
+
+  /** Extensible-array chunk index ("EAHD" header → "EAIB" index
+    * block → "EASB" super blocks / "EADB" data blocks): the
+    * layout-v4 index HDF5 >= 1.10 picks for datasets with ONE
+    * unlimited dimension (the netCDF-4 record-dimension shape). The
+    * array maps row-major chunk-grid indexes to chunk records in
+    * three regions — the first `idxBlkElmts` elements inline in the
+    * index block, then data blocks addressed from the index block
+    * (super-block rows 0 .. 2·log2(minPtrs)−1 flattened), then data
+    * blocks addressed from real super blocks; row u holds 2^(u/2)
+    * data blocks of 2^((u+1)/2)·minElmts elements. Undefined
+    * addresses at any level are elided chunks/blocks (fill value).
+    * Fails closed (→ quarantine) on paged data blocks, unknown
+    * clients, or bad signatures — never a wrong grid. */
+  private def readExtensibleArray(bytes: Array[Byte], buf: ByteBuffer,
+                                  ci: ChunkInfo, nominal: Int, nChunks: Long,
+                                  chunkOffs: Long => Array[Long],
+                                  chunks: ArrayBuffer[(Array[Long], Int, Long, Int)])
+  : Boolean = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val h = ci.addr.toInt
+    if (new String(bytes, h, 4, ascii) != "EAHD") return false
+    val clientId = bytes(h + 5) & 0xFF
+    val elemSize = bytes(h + 6) & 0xFF
+    val maxBits = bytes(h + 7) & 0xFF
+    val idxBlkElmts = bytes(h + 8) & 0xFF
+    val minElmts = bytes(h + 9) & 0xFF
+    val minPtrs = bytes(h + 10) & 0xFF
+    val pageBits = bytes(h + 11) & 0xFF
+    if (clientId > 1 || elemSize < 1) return false
+    if (minElmts < 1 || (minElmts & (minElmts - 1)) != 0) return false
+    if (minPtrs < 2 || (minPtrs & (minPtrs - 1)) != 0) return false
+    def log2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+    val hdrNsblks = 1 + maxBits - log2(minElmts) // super-block rows
+    val iblkNsblks = 2 * log2(minPtrs)           // rows inlined in EAIB
+    if (hdrNsblks < iblkNsblks) return false
+    val ndblkAddrs = 2 * (minPtrs - 1) // Σ 2^(u/2), u < iblkNsblks
+    val offSize = (maxBits + 7) / 8    // block-offset field width
+    val pageNelmts = 1L << pageBits
+    // 6 × 8-byte array statistics between the params and the address
+    val iblk = buf.getLong(h + 12 + 48)
+    if (iblk == -1L) return true // nothing allocated: all fill
+    val ib = iblk.toInt
+    if (new String(bytes, ib, 4, ascii) != "EAIB") return false
+
+    def readDataBlock(addr: Long, startIdx: Long, nelmts: Long): Boolean = {
+      if (addr == -1L) return true // unwritten block: all fill
+      if (nelmts > pageNelmts) return false // paged: fail closed
+      val d = addr.toInt
+      if (new String(bytes, d, 4, ascii) != "EADB") return false
+      var q = d + 6 + 8 + offSize // sig+ver+client, header addr, offset
+      var j = 0L
+      while (j < nelmts) {
+        val idx = startIdx + j
+        if (idx < nChunks && !arrayChunkRecord(bytes, buf, q, idx,
+          clientId, elemSize, nominal, chunkOffs, chunks)) return false
+        q += elemSize; j += 1
+      }
+      true
+    }
+
+    // region 1: elements inline in the index block
+    var p = ib + 6 + 8
+    var i = 0L
+    while (i < math.min(idxBlkElmts.toLong, nChunks)) {
+      if (!arrayChunkRecord(bytes, buf, p + (i * elemSize).toInt, i,
+        clientId, elemSize, nominal, chunkOffs, chunks)) return false
+      i += 1
+    }
+    p += idxBlkElmts * elemSize
+    // region 2: data blocks addressed from the index block
+    var startIdx = idxBlkElmts.toLong
+    var u = 0
+    var dp = p
+    while (u < iblkNsblks) {
+      val ndblks = 1L << (u / 2)
+      val dblkNelmts = (1L << ((u + 1) / 2)) * minElmts
+      var b = 0L
+      while (b < ndblks) {
+        if (startIdx < nChunks &&
+          !readDataBlock(buf.getLong(dp), startIdx, dblkNelmts))
+          return false
+        dp += 8; startIdx += dblkNelmts; b += 1
+      }
+      u += 1
+    }
+    // region 3: data blocks addressed from super blocks
+    var sp = p + ndblkAddrs * 8
+    while (u < hdrNsblks && startIdx < nChunks) {
+      val ndblks = 1L << (u / 2)
+      val dblkNelmts = (1L << ((u + 1) / 2)) * minElmts
+      val sAddr = buf.getLong(sp)
+      if (sAddr != -1L) {
+        if (dblkNelmts > pageNelmts) return false // paged data blocks
+        val sb = sAddr.toInt
+        if (new String(bytes, sb, 4, ascii) != "EASB") return false
+        var q = sb + 6 + 8 + offSize
+        var si = startIdx
+        var b = 0L
+        while (b < ndblks) {
+          if (si < nChunks &&
+            !readDataBlock(buf.getLong(q), si, dblkNelmts)) return false
+          q += 8; si += dblkNelmts; b += 1
+        }
+      }
+      sp += 8; startIdx += ndblks * dblkNelmts; u += 1
+    }
+    true
+  }
+
+  /** Version-2 B-tree chunk index ("BTHD" header → "BTIN" internal /
+    * "BTLF" leaf nodes, record types 10 = non-filtered and 11 =
+    * filtered dataset chunks): the layout-v4 index for datasets with
+    * more than one unlimited dimension. Records carry the chunk
+    * address (+ stored size and filter mask for type 11) and the
+    * chunk's SCALED offsets — chunk-grid coordinates, multiplied by
+    * the chunk shape to place the chunk. Child-pointer count-field
+    * widths replicate the library's node-capacity recurrence
+    * (max/cumulative record counts per depth). Elided chunks simply
+    * have no record. Fails closed on unknown record types, capacity
+    * underflow, or bad signatures. */
+  private def readBtreeV2Chunks(bytes: Array[Byte], buf: ByteBuffer,
+                                ci: ChunkInfo, rank: Int, nominal: Int,
+                                chunks: ArrayBuffer[(Array[Long], Int, Long, Int)])
+  : Boolean = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val h = ci.addr.toInt
+    if (new String(bytes, h, 4, ascii) != "BTHD") return false
+    val recType = bytes(h + 5) & 0xFF
+    val nodeSize = buf.getInt(h + 6)
+    val recSize = buf.getShort(h + 10) & 0xFFFF
+    val depth = buf.getShort(h + 12) & 0xFFFF
+    val root = buf.getLong(h + 16)
+    val rootNrec = buf.getShort(h + 24) & 0xFFFF
+    if (recType != 10 && recType != 11) return false
+    val szW = if (recType == 11) recSize - 12 - 8 * rank else 0
+    if (recType == 10 && recSize != 8 + 8 * rank) return false
+    if (recType == 11 && (szW < 1 || szW > 8)) return false
+    if (depth > 12) return false
+    if (root == -1L) return true // empty tree: all fill
+
+    // node-capacity recurrence → child-pointer count-field widths
+    def encSize(v: Long): Int = {
+      var n = 1; var x = v >>> 8
+      while (x != 0) { n += 1; x >>>= 8 }
+      n
+    }
+    val maxNrecLeaf = (nodeSize - 10) / recSize // 10 = sig+ver+type+cksum
+    if (maxNrecLeaf <= 0) return false
+    val maxNrecSize = encSize(maxNrecLeaf.toLong)
+    val cumMax = new Array[Long](depth + 1)
+    val cumSize = new Array[Int](depth + 1)
+    cumMax(0) = maxNrecLeaf.toLong
+    var u = 1
+    while (u <= depth) {
+      val ptrSize = 8 + maxNrecSize + cumSize(u - 1)
+      val maxNrec = (nodeSize - (10 + ptrSize)) / (recSize + ptrSize)
+      if (maxNrec <= 0) return false
+      cumMax(u) = (maxNrec + 1) * cumMax(u - 1) + maxNrec
+      cumSize(u) = encSize(cumMax(u))
+      u += 1
+    }
+    def intAt(p: Int, w: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < w) { v |= (bytes(p + k) & 0xFFL) << (8 * k); k += 1 }
+      v
+    }
+    def record(p: Int): Unit = {
+      val addr = buf.getLong(p)
+      var q = p + 8
+      var size = nominal
+      var mask = 0
+      if (recType == 11) {
+        size = intAt(q, szW).toInt; q += szW
+        mask = buf.getInt(q); q += 4
+      }
+      val offs = Array.tabulate(rank)(k =>
+        buf.getLong(q + k * 8) * ci.chunkDims(k))
+      if (addr != -1L) chunks += ((offs, size, addr, mask))
+    }
+    def walk(addr: Long, d: Int, nrec: Int): Boolean = {
+      if (addr == -1L) return false
+      val a = addr.toInt
+      if ((bytes(a + 5) & 0xFF) != recType) return false
+      if (d == 0) {
+        if (new String(bytes, a, 4, ascii) != "BTLF") return false
+        var p = a + 6
+        (0 until nrec).foreach { _ => record(p); p += recSize }
+        true
+      } else {
+        if (new String(bytes, a, 4, ascii) != "BTIN") return false
+        val ptrSize = 8 + maxNrecSize + cumSize(d - 1)
+        val recBase = a + 6
+        val ptrBase = recBase + nrec * recSize
+        var c = 0
+        while (c <= nrec) {
+          val cp = ptrBase + c * ptrSize
+          if (!walk(buf.getLong(cp), d - 1,
+            intAt(cp + 8, maxNrecSize).toInt)) return false
+          c += 1
+        }
+        var p = recBase
+        (0 until nrec).foreach { _ => record(p); p += recSize }
+        true
+      }
+    }
+    walk(root, depth, rootNrec)
   }
 
   private def unshuffle(in: Array[Byte], es: Int): Array[Byte] = {

@@ -658,6 +658,62 @@ object NetCdfFixtures {
       b.putLong(2, addr); b.putLong(10, size)
       b.array()
     }
+    /** Layout v4 class-2 chunked: u32-encoded chunk dims (ELEMENT
+      * units, no element-size dim) + the index-specific creation
+      * params — single (1, + size/mask when filtered), implicit (2),
+      * fixed array (3, page bits), extensible array (4, five cparam
+      * bytes), v2 B-tree (5, node size + split/merge %). */
+    def layoutChunkedV4(cdims: Seq[Int], idxType: Int, addr: Long,
+                        flags: Int = 0,
+                        singleSize: Option[Long] = None,
+                        faPageBits: Int = 10,
+                        eaParams: Seq[Int] = Seq(8, 2, 2, 2, 10),
+                        bt2NodeSize: Int = 128): Array[Byte] = {
+      val extra = idxType match {
+        case 1 => if ((flags & 0x02) != 0) 12 else 0
+        case 3 => 1
+        case 4 => 5
+        case 5 => 6
+        case _ => 0
+      }
+      val b = ByteBuffer.allocate(5 + cdims.size * 4 + 1 + extra + 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(4.toByte); b.put(2.toByte); b.put(flags.toByte)
+      b.put(cdims.size.toByte); b.put(4.toByte) // u32 dim encoding
+      cdims.foreach(b.putInt)
+      b.put(idxType.toByte)
+      idxType match {
+        case 1 if (flags & 0x02) != 0 =>
+          b.putLong(singleSize.get); b.putInt(0) // size + filter mask
+        case 3 => b.put(faPageBits.toByte)
+        case 4 => // max bits, index elmts, min ptrs, min elmts, page bits
+          eaParams.foreach(v => b.put(v.toByte))
+        case 5 =>
+          b.putInt(bt2NodeSize); b.put(100.toByte); b.put(40.toByte)
+        case _ => ()
+      }
+      b.putLong(addr)
+      b.array()
+    }
+    /** v1 filter-pipeline message (valid in v2 headers too). */
+    def filterPipeline(ids: Seq[(Int, Seq[Int])]): Array[Byte] = {
+      val entries = ids.map { case (id, cvs) =>
+        val pad = if (cvs.size % 2 == 1) 1 else 0
+        val b = ByteBuffer.allocate(8 + (cvs.size + pad) * 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.putShort(id.toShort); b.putShort(0); b.putShort(1)
+        b.putShort(cvs.size.toShort)
+        cvs.foreach(b.putInt)
+        b.array()
+      }
+      val total = 8 + entries.map(_.length).sum
+      val pad8 = (8 - total % 8) % 8
+      val b = ByteBuffer.allocate(total + pad8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.put(ids.size.toByte)
+      b.position(8); entries.foreach(b.put)
+      b.array()
+    }
   }
 
   /** The [[hdf5]] file re-written in the HDF5 >= 1.10 / netCDF-4
@@ -917,50 +973,13 @@ object NetCdfFixtures {
 
     V2.superblock(buf, rootHdr, eof = 4096L)
 
-    /** v1 filter-pipeline message (valid in v2 headers too). */
-    def filterPipeline(ids: Seq[(Int, Seq[Int])]): Array[Byte] = {
-      val entries = ids.map { case (id, cvs) =>
-        val pad = if (cvs.size % 2 == 1) 1 else 0
-        val b = ByteBuffer.allocate(8 + (cvs.size + pad) * 4)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        b.putShort(id.toShort); b.putShort(0); b.putShort(1)
-        b.putShort(cvs.size.toShort)
-        cvs.foreach(b.putInt)
-        b.array()
-      }
-      val total = 8 + entries.map(_.length).sum
-      val pad8 = (8 - total % 8) % 8
-      val b = ByteBuffer.allocate(total + pad8)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      b.put(1.toByte); b.put(ids.size.toByte)
-      b.position(8); entries.foreach(b.put)
-      b.array()
-    }
-    /** layout v4 class-2 chunked: u32-encoded chunk dims (ELEMENT
-      * units, no element-size dim), one of the three parsed indexes. */
+    def filterPipeline(ids: Seq[(Int, Seq[Int])]): Array[Byte] =
+      V2.filterPipeline(ids)
     def layoutChunkedV4(cdims: Seq[Int], idxType: Int, addr: Long,
                         flags: Int = 0,
-                        singleSize: Option[Long] = None): Array[Byte] = {
-      val extra = idxType match {
-        case 1 => if ((flags & 0x02) != 0) 12 else 0
-        case 3 => 1
-        case _ => 0
-      }
-      val b = ByteBuffer.allocate(5 + cdims.size * 4 + 1 + extra + 8)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      b.put(4.toByte); b.put(2.toByte); b.put(flags.toByte)
-      b.put(cdims.size.toByte); b.put(4.toByte) // u32 dim encoding
-      cdims.foreach(b.putInt)
-      b.put(idxType.toByte)
-      idxType match {
-        case 1 if (flags & 0x02) != 0 =>
-          b.putLong(singleSize.get); b.putInt(0) // size + filter mask
-        case 3 => b.put(10.toByte)               // page bits (unpaged)
-        case _ => ()
-      }
-      b.putLong(addr)
-      b.array()
-    }
+                        singleSize: Option[Long] = None): Array[Byte] =
+      V2.layoutChunkedV4(cdims, idxType, addr, flags, singleSize,
+        faPageBits = 10)
 
     // data placement
     val precipAddrs = precipPayloads.map(_.map(p => alloc(p.length)))
@@ -1046,6 +1065,253 @@ object NetCdfFixtures {
     buf.position(latData.toInt)
     buf.putDouble(latVals(0)); buf.putDouble(latVals(1))
     buf.putDouble(latVals(2)); buf.putDouble(0.0) // pad of chunk 2
+    buf.array()
+  }
+
+  /** Superblock-v2 file exercising the remaining layout-v4 chunk
+    * indexes: `precip_ea` (float32[5][7], chunks 1×4, shuffle+deflate)
+    * behind an EXTENSIBLE ARRAY spanning all three element regions —
+    * 2 elements inline in the index block, data blocks addressed from
+    * the index block (super-block rows 0 and 1), and a real super
+    * block ("EASB") with the tail data block; `precip_bt2` (same data)
+    * behind a depth-1 VERSION-2 B-TREE of filtered-chunk records
+    * (type 11: address + 2-byte stored size + mask + scaled offsets);
+    * `lat_ea` (float64[3], chunks of 1) behind an UNFILTERED (client
+    * 0) extensible array; and `precip_contig`, the contiguous twin
+    * the chunked reads must equal bit-for-bit. Chunk (4,4) of both
+    * precip variants is ELIDED — an undefined EA element / no B-tree
+    * record — so row 4, cols 4-6 must decode as the fill value. */
+  def hdf5V2EaBt2(): Array[Byte] = {
+    val fill = -9999f
+    def precipAt(i: Int, j: Int): Float = (i * 10 + j).toFloat
+    val latVals = Array(-10.0, 0.0, 10.0)
+
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end(); out.toByteArray
+    }
+    def shuffle(in: Array[Byte], es: Int): Array[Byte] = {
+      val n = in.length / es
+      val out = new Array[Byte](in.length)
+      for (i <- 0 until n; b <- 0 until es)
+        out(b * n + i) = in(i * es + b)
+      out
+    }
+    // 1×4 chunks over 5×7: row-major chunk grid is 5×2, linear index
+    // i = row*2 + col/4; chunk i=9 (row 4, cols 4-6) is elided
+    def precipChunk(r: Int, cOff: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 * 4).order(ByteOrder.LITTLE_ENDIAN)
+      for (k <- 0 until 4) {
+        val c = cOff + k
+        b.putFloat(if (c < 7) precipAt(r, c) else fill)
+      }
+      deflate(shuffle(b.array(), 4))
+    }
+    val nChunks = 10
+    val payloads = (0 until nChunks).map { i =>
+      if (i == 9) None else Some(precipChunk(i / 2, (i % 2) * 4))
+    }
+
+    val buf = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+    val rootHdr = 64L
+    val eaHdr = 256L; val btHdr = 416L
+    val latHdr = 576L; val contigHdr = 704L
+    var dataOff = 832
+    def alloc(n: Int): Long = { val o = dataOff; dataOff += n; o.toLong }
+
+    V2.superblock(buf, rootHdr, eof = 8192L)
+
+    // placement: chunk payloads, lat chunks, contiguous twin, indexes
+    val chunkAddrs = payloads.map(_.map(p => alloc(p.length)))
+    val latChunks = (0 until 3).map(_ => alloc(8))
+    val contigData = alloc(5 * 7 * 4)
+    val eahd = alloc(72); val eaib = alloc(110)
+    val eadb0 = alloc(47); val eadb1 = alloc(75)
+    val easb = alloc(35); val sdblk0 = alloc(75)
+    val leahd = alloc(72); val leaib = alloc(98); val leadb0 = alloc(35)
+    val bthd = alloc(38); val btin = alloc(97)
+    val btlf = Seq(alloc(100), alloc(70), alloc(70))
+
+    // ---- extensible array for precip (client 1, elemSize 14) ----
+    def eaHeader(at: Long, clientId: Int, elemSize: Int, iblk: Long,
+                 nsblks: Long, ndblks: Long, nelmts: Long): Unit = {
+      val a = at.toInt
+      buf.position(a); buf.put("EAHD".getBytes)
+      buf.put(0.toByte); buf.put(clientId.toByte)
+      buf.put(elemSize.toByte); buf.put(8.toByte)  // max nelmts bits
+      buf.put(2.toByte)                            // index blk elmts
+      buf.put(2.toByte)                            // data blk min elmts
+      buf.put(2.toByte)                            // sblk min data ptrs
+      buf.put(10.toByte)                           // max dblk page bits
+      // array statistics (parser skips; plausible values)
+      buf.putLong(a + 12, nsblks); buf.putLong(a + 20, 35L)
+      buf.putLong(a + 28, ndblks); buf.putLong(a + 36, 232L)
+      buf.putLong(a + 44, nelmts); buf.putLong(a + 52, nelmts)
+      buf.putLong(a + 60, iblk)
+      buf.putInt(a + 68, 0) // checksum
+    }
+    def eaElemFiltered(p: Int, i: Int): Unit = {
+      buf.putLong(p, chunkAddrs(i).getOrElse(-1L))
+      buf.putShort(p + 8,
+        payloads(i).map(_.length).getOrElse(0).toShort)
+      buf.putInt(p + 10, 0) // filter mask
+    }
+    def eaDataBlock(at: Long, hdr: Long, blockOff: Int,
+                    elems: Seq[Int => Unit], elemSize: Int): Unit = {
+      val a = at.toInt
+      buf.position(a); buf.put("EADB".getBytes)
+      buf.put(0.toByte)
+      buf.put((if (hdr == eahd) 1 else 0).toByte) // client id
+      buf.putLong(a + 6, hdr)
+      buf.put(a + 14, blockOff.toByte) // 1-byte block offset (8 bits)
+      elems.zipWithIndex.foreach { case (w, k) =>
+        w(a + 15 + k * elemSize)
+      }
+      buf.putInt(a + 15 + elems.size * elemSize, 0) // checksum
+    }
+    eaHeader(eahd, clientId = 1, elemSize = 14, iblk = eaib,
+      nsblks = 1L, ndblks = 4L, nelmts = 9L)
+    locally { // index block: 2 inline elements, 2 dblk addrs, 6 sblk
+      val a = eaib.toInt
+      buf.position(a); buf.put("EAIB".getBytes)
+      buf.put(0.toByte); buf.put(1.toByte)
+      buf.putLong(a + 6, eahd)
+      eaElemFiltered(a + 14, 0); eaElemFiltered(a + 28, 1)
+      buf.putLong(a + 42, eadb0); buf.putLong(a + 50, eadb1)
+      buf.putLong(a + 58, easb)
+      (1 until 6).foreach(k => buf.putLong(a + 58 + k * 8, -1L))
+      buf.putInt(a + 106, 0) // checksum
+    }
+    eaDataBlock(eadb0, eahd, 2,
+      Seq(p => eaElemFiltered(p, 2), p => eaElemFiltered(p, 3)), 14)
+    eaDataBlock(eadb1, eahd, 4,
+      (4 to 7).map(i => (p: Int) => eaElemFiltered(p, i)), 14)
+    locally { // super block (row u=2): two data-block addresses
+      val a = easb.toInt
+      buf.position(a); buf.put("EASB".getBytes)
+      buf.put(0.toByte); buf.put(1.toByte)
+      buf.putLong(a + 6, eahd)
+      buf.put(a + 14, 8.toByte) // block offset: first element index
+      buf.putLong(a + 15, sdblk0)
+      buf.putLong(a + 23, -1L) // second data block never allocated
+      buf.putInt(a + 31, 0)
+    }
+    eaDataBlock(sdblk0, eahd, 8,
+      (8 to 11).map(i => (p: Int) => (
+        if (i < nChunks) eaElemFiltered(p, i)
+        else { buf.putLong(p, -1L); buf.putShort(p + 8, 0.toShort)
+               buf.putInt(p + 10, 0) })), 14)
+
+    // ---- extensible array for lat (client 0, elemSize 8) ----
+    eaHeader(leahd, clientId = 0, elemSize = 8, iblk = leaib,
+      nsblks = 0L, ndblks = 1L, nelmts = 3L)
+    locally {
+      val a = leaib.toInt
+      buf.position(a); buf.put("EAIB".getBytes)
+      buf.put(0.toByte); buf.put(0.toByte)
+      buf.putLong(a + 6, leahd)
+      buf.putLong(a + 14, latChunks(0)); buf.putLong(a + 22, latChunks(1))
+      buf.putLong(a + 30, leadb0); buf.putLong(a + 38, -1L) // dblk addrs
+      (0 until 6).foreach(k => buf.putLong(a + 46 + k * 8, -1L))
+      buf.putInt(a + 94, 0)
+    }
+    eaDataBlock(leadb0, leahd, 2, Seq(
+      p => buf.putLong(p, latChunks(2)),
+      p => buf.putLong(p, -1L)), 8) // element 3 is past the extent
+
+    // ---- depth-1 v2 B-tree for precip (record type 11) ----
+    // records sorted by scaled offsets = linear chunk order; the 9
+    // live records split leaf0={0,1,2} root-rec 3 leaf1={4,5}
+    // root-rec 6 leaf2={7,8}; node size 128 → max 3 records/leaf,
+    // 1-byte child-count fields
+    def btRecord(p: Int, i: Int): Unit = {
+      buf.putLong(p, chunkAddrs(i).getOrElse(-1L))
+      buf.putShort(p + 8,
+        payloads(i).map(_.length).getOrElse(0).toShort)
+      buf.putInt(p + 10, 0)               // filter mask
+      buf.putLong(p + 14, (i / 2).toLong) // scaled row
+      buf.putLong(p + 22, (i % 2).toLong) // scaled col
+    }
+    locally {
+      val a = bthd.toInt
+      buf.position(a); buf.put("BTHD".getBytes)
+      buf.put(0.toByte); buf.put(11.toByte) // filtered-chunk records
+      buf.putInt(a + 6, 128)                // node size
+      buf.putShort(a + 10, 30.toShort)      // record size (szW = 2)
+      buf.putShort(a + 12, 1.toShort)       // depth
+      buf.put(a + 14, 100.toByte); buf.put(a + 15, 40.toByte)
+      buf.putLong(a + 16, btin)
+      buf.putShort(a + 24, 2.toShort)       // records in root
+      buf.putLong(a + 26, 9L)               // total records
+      buf.putInt(a + 34, 0)
+    }
+    locally {
+      val a = btin.toInt
+      buf.position(a); buf.put("BTIN".getBytes)
+      buf.put(0.toByte); buf.put(11.toByte)
+      btRecord(a + 6, 3); btRecord(a + 36, 6)
+      val ptrBase = a + 66 // child ptr: address(8) + nrec(1)
+      val childNrec = Seq(3, 2, 2)
+      btlf.zip(childNrec).zipWithIndex.foreach { case ((addr, n), k) =>
+        buf.putLong(ptrBase + k * 9, addr)
+        buf.put(ptrBase + k * 9 + 8, n.toByte)
+      }
+      buf.putInt(ptrBase + 27, 0)
+    }
+    def btLeaf(at: Long, recs: Seq[Int]): Unit = {
+      val a = at.toInt
+      buf.position(a); buf.put("BTLF".getBytes)
+      buf.put(0.toByte); buf.put(11.toByte)
+      recs.zipWithIndex.foreach { case (i, k) => btRecord(a + 6 + k * 30, i) }
+      buf.putInt(a + 6 + recs.size * 30, 0)
+    }
+    btLeaf(btlf(0), Seq(0, 1, 2))
+    btLeaf(btlf(1), Seq(4, 5))
+    btLeaf(btlf(2), Seq(7, 8))
+
+    // ---- object headers ----
+    V2.ohdr2(buf, rootHdr, flags = 0, Seq(
+      0x0006 -> V2.link("lat_ea", latHdr),
+      0x0006 -> V2.link("precip_bt2", btHdr),
+      0x0006 -> V2.link("precip_contig", contigHdr),
+      0x0006 -> V2.link("precip_ea", eaHdr)))
+    V2.ohdr2(buf, eaHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(5L, 7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 4),
+      0x0005 -> V2.fillValueMsg(fill),
+      0x000B -> V2.filterPipeline(Seq(2 -> Seq(4), 1 -> Seq(6))),
+      0x0008 -> V2.layoutChunkedV4(Seq(1, 4), idxType = 4, eahd)))
+    V2.ohdr2(buf, btHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(5L, 7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 4),
+      0x0005 -> V2.fillValueMsg(fill),
+      0x000B -> V2.filterPipeline(Seq(2 -> Seq(4), 1 -> Seq(6))),
+      0x0008 -> V2.layoutChunkedV4(Seq(1, 4), idxType = 5, bthd)))
+    V2.ohdr2(buf, latHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(3L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 8),
+      0x0008 -> V2.layoutChunkedV4(Seq(1), idxType = 4, leahd)))
+    V2.ohdr2(buf, contigHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(5L, 7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 4),
+      0x0005 -> V2.fillValueMsg(fill),
+      0x0008 -> V2.layoutContiguousV4(contigData, 5 * 7 * 4)))
+
+    // ---- raw data ----
+    payloads.zip(chunkAddrs).foreach {
+      case (Some(p), Some(a)) => buf.position(a.toInt); buf.put(p)
+      case _ => ()
+    }
+    latChunks.zip(latVals).foreach { case (a, v) =>
+      buf.putDouble(a.toInt, v)
+    }
+    buf.position(contigData.toInt)
+    for (i <- 0 until 5; j <- 0 until 7)
+      buf.putFloat(if (i == 4 && j >= 4) fill else precipAt(i, j))
     buf.array()
   }
 }

@@ -293,10 +293,10 @@ class NetCdfSpec extends SparkSuite {
     assert((3 * 7 until 5 * 7).forall(gm(_) == -9999f))
   }
 
-  test("hdf5 v4 chunked: unparsed index types quarantine the read") {
-    // patch precip's layout index type 3 (fixed array) -> 4
-    // (extensible array): metadata still parses, the data read fails
-    // closed instead of misreading
+  test("hdf5 v4 chunked: unknown index types quarantine the read") {
+    // patch precip's layout index type 3 (fixed array) -> 6 (not a
+    // defined index type): metadata still parses, the data read
+    // fails closed instead of misreading
     val bytes = NetCdfFixtures.hdf5V2Chunked()
     val sig = Array[Byte](4, 2, 0, 2, 4, 3, 0, 0, 0, 4, 0, 0, 0, 3)
     var hit = -1
@@ -308,12 +308,65 @@ class NetCdfSpec extends SparkSuite {
     }
     assert(hit > 0, "could not locate the v4 chunked layout message")
     val mangled = bytes.clone()
-    mangled(hit) = 4
+    mangled(hit) = 6
     val m = NetCdf.parse(mangled).fold(e => fail(e), identity)
-    // index type 4 is recorded as unreadable: no chunks, no begin
+    // index type 6 is recorded as unreadable: no chunks, no begin
     val v = m.vars.find(_.path == "precip").get
     assert(v.chunks.isEmpty && v.begin.isEmpty)
     assert(NetCdf.readGridRaw(mangled, m, "precip").isEmpty)
+  }
+
+  test("hdf5 v4 EA + v2-btree chunk indexes decode equal to the " +
+    "contiguous twin") {
+    val bytes = NetCdfFixtures.hdf5V2EaBt2()
+    val m = NetCdf.parse(bytes).fold(e => fail(e), identity)
+    assert(m.vars.find(_.path == "precip_ea").get.chunks
+      .exists(_.indexType == NetCdf.ChunkIndex.ExtArray))
+    assert(m.vars.find(_.path == "precip_bt2").get.chunks
+      .exists(_.indexType == NetCdf.ChunkIndex.BtreeV2))
+    val ct = NetCdf.readGridRaw(bytes, m, "precip_contig")
+      .getOrElse(fail("contiguous twin did not decode"))
+    for (v <- Seq("precip_ea", "precip_bt2")) {
+      val g = NetCdf.readGridRaw(bytes, m, v)
+        .getOrElse(fail(s"$v did not decode"))
+      assert(g.sameElements(ct), v)
+      // the elided chunk (row 4, cols 4-6) is fill, not zeros
+      assert((32 until 35).forall(g(_) == -9999f), v)
+    }
+    // client-0 (unfiltered) extensible array spanning inline elements
+    // and an index-block data block
+    assert(NetCdf.coordExtent(bytes, m, "lat_ea").contains((-10.0, 10.0)))
+  }
+
+  test("hdf5 v4 EA/v2-btree: mangled indexes quarantine, never a " +
+    "wrong grid") {
+    val base = NetCdfFixtures.hdf5V2EaBt2()
+    def sigPos(sig: String): Int = {
+      val sb = sig.getBytes
+      val i = (0 until base.length - sb.length).indexWhere(p =>
+        sb.indices.forall(j => base(p + j) == sb(j)))
+      assert(i > 0, s"fixture does not contain $sig"); i
+    }
+    def gridOf(bytes: Array[Byte], v: String): Option[Array[Float]] = {
+      val m = NetCdf.parse(bytes).fold(e => fail(e), identity)
+      NetCdf.readGridRaw(bytes, m, v)
+    }
+    // (a) broken EAHD signature -> precip_ea quarantines
+    val a = base.clone(); a(sigPos("EAHD")) = 'X'.toByte
+    assert(gridOf(a, "precip_ea").isEmpty)
+    // (b) page bits 0 makes every data block "paged" -> fail closed
+    // (paged EA data blocks are a documented unparsed envelope);
+    // lat's own index is untouched and still reads
+    val b = base.clone(); b(sigPos("EAHD") + 11) = 0
+    assert(gridOf(b, "precip_ea").isEmpty)
+    assert(gridOf(b, "lat_ea").isDefined)
+    // (c) super-block signature broken -> quarantine (inline and
+    // index-block regions alone never yield a partial grid)
+    val c = base.clone(); c(sigPos("EASB")) = 'X'.toByte
+    assert(gridOf(c, "precip_ea").isEmpty)
+    // (d) unknown v2-btree record type -> quarantine
+    val d = base.clone(); d(sigPos("BTHD") + 5) = 9.toByte
+    assert(gridOf(d, "precip_bt2").isEmpty)
   }
 
   test("hdf5 v2 dense links: fractal-heap groups list all members") {
