@@ -593,6 +593,45 @@ object Queries {
     * quarantine row. JPEG is lossy, so the oracle gates on
     * decoder-stable properties — decode success, sample count, and a
     * max-error-within-tolerance boolean — not on exact sums. */
+  /** S5 — multi-band (RGB / YCbCr-JPEG) raster decode, the browse-
+    * imagery shapes the reference ingests through GDAL
+    * (`cogify/handler.py:151-220`): chunky interleaved bands through
+    * uncompressed, deflate+per-channel-predictor (both exact), and
+    * color JPEG (within JPEG tolerance); non-raster bytes quarantine.
+    * Literal-VALUES oracle over decoder-stable properties. */
+  def s5Rgb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 16; val h = 12
+    val rgb = Seq.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      math.min(255, x * 200 / (w - 1) + y * 55 / (h - 1) + (i % 3) * 10)
+    }
+    val files = Seq(
+      ("rgb_plain.tif", graft.sources.RasterFixtures
+        .stripTiffRgb(w, h, rgb, rowsPerStrip = 5)),
+      ("rgb_pred.tif", graft.sources.RasterFixtures
+        .stripTiffRgb(w, h, rgb, rowsPerStrip = 4, compression = 8,
+          predictor = 2)),
+      ("rgb_jpeg.tif", graft.sources.RasterFixtures
+        .stripTiffJpegRgb(w, h, rgb, rowsPerStrip = 4,
+          sharedTables = true)),
+      ("junk.tif", "not a raster".getBytes)).toDF("path", "content")
+    files.as[(String, Array[Byte])].map { case (fname, bytes) =>
+      graft.sources.GeoTiff.readBands(bytes) match {
+        case Right((_, bands)) =>
+          val maxErr = bands.zipWithIndex.flatMap { case (g, b) =>
+            g.zipWithIndex.map { case (v, i) =>
+              math.abs(v - rgb(i * 3 + b)) }
+          }.max
+          val tol = if (fname.contains("jpeg")) 8.0f else 0.0f
+          (fname, true, bands.length, bands(0).length.toLong,
+            maxErr <= tol)
+        case Left(_) => (fname, false, 0, 0L, false)
+      }
+    }.toDF("fname", "ok", "n_bands", "n_samples", "within_tol")
+      .orderBy("fname")
+  }
+
   def s5Jpeg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = 40; val h = 25

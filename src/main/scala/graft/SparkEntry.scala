@@ -140,6 +140,7 @@ object SparkEntry {
     "q_s5_geotiff"           -> (Queries.s5GeoTiff _),
     "q_s5_compressed"        -> (Queries.s5Compressed _),
     "q_s5_jpeg"              -> (Queries.s5Jpeg _),
+    "q_s5_rgb"               -> (Queries.s5Rgb _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
     "q_s6_chunked"           -> (Queries.s6Chunked _),
     "q_s6_v2"                -> (Queries.s6V2 _),
@@ -832,6 +833,14 @@ object SparkEntry {
         |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
         |) AS t(fname, ok, width, height, bits, spp, epsg,
         |       gt_x0, gt_xres, gt_y0, gt_yres)
+        |ORDER BY fname""".stripMargin,
+    "q_s5_rgb" ->
+      """SELECT * FROM (VALUES
+        |  ('junk.tif', false, 0, CAST(0 AS BIGINT), false),
+        |  ('rgb_jpeg.tif', true, 3, CAST(192 AS BIGINT), true),
+        |  ('rgb_plain.tif', true, 3, CAST(192 AS BIGINT), true),
+        |  ('rgb_pred.tif', true, 3, CAST(192 AS BIGINT), true)
+        |) AS t(fname, ok, n_bands, n_samples, within_tol)
         |ORDER BY fname""".stripMargin,
     "q_s5_jpeg" ->
       """SELECT * FROM (VALUES

@@ -34,8 +34,10 @@ object GeoTiff {
   private val ImageLength = 257
   private val BitsPerSample = 258
   private val Compression = 259
+  private val Photometric = 262
   private val StripOffsets = 273
   private val SamplesPerPixel = 277
+  private val PlanarConfig = 284
   private val RowsPerStrip = 278
   private val StripByteCounts = 279
   private val TileWidth = 322
@@ -174,7 +176,16 @@ object GeoTiff {
   private def metaOf(r: TagReader): Either[String, RasterMeta] = {
     val w = r.scalar(ImageWidth).getOrElse(return Left("no ImageWidth"))
     val h = r.scalar(ImageLength).getOrElse(return Left("no ImageLength"))
-    val bits = r.scalar(BitsPerSample).map(_.toInt).getOrElse(1)
+    // BitsPerSample has SamplesPerPixel entries for multi-band files
+    // (SHORT[3] for RGB — off-slot, so scalar() would return the
+    // OFFSET); read the array and require uniform depth across bands
+    val bits = r.shorts(BitsPerSample) match {
+      case Some(bs) if bs.nonEmpty =>
+        if (bs.distinct.size != 1)
+          return Left(s"mixed BitsPerSample ${bs.mkString(",")}")
+        bs.head
+      case _ => r.scalar(BitsPerSample).map(_.toInt).getOrElse(1)
+    }
     val spp = r.scalar(SamplesPerPixel).map(_.toInt).getOrElse(1)
 
     val epsg = r.shorts(GeoKeyDirectory).flatMap { keys =>
@@ -207,19 +218,49 @@ object GeoTiff {
   /** Decode the pixel samples of a single-band raster to a row-major
     * float grid — the read half of `cog_translate` for `.tif` inputs
     * (`cogify/handler.py:233-243`). Supported: compression none (1),
-    * LZW (5), new-style JPEG (7, grayscale 8-bit, shared-tables or
+    * LZW (5), new-style JPEG (7, 8-bit, shared-tables or
     * interchange streams), DEFLATE (8 / legacy 32946) or PackBits
     * (32773), with optional horizontal-differencing predictor (tag
     * 317 = 2) on the integer sample types; tiled or stripped layout,
     * 8/16-bit unsigned ints and 32-bit IEEE floats. Anything else →
     * `Left(reason)` (the quarantine path, never a wrong grid). */
   def readSamples(bytes: Array[Byte])
-  : Either[String, (RasterMeta, Array[Float])] = try {
+  : Either[String, (RasterMeta, Array[Float])] =
+    readBands(bytes).flatMap { case (m, bands) =>
+      if (bands.length != 1)
+        Left(s"unsupported: ${bands.length} samples/pixel")
+      else Right((m, bands(0)))
+    }
+
+  /** Decode ALL bands of a raster to row-major float grids (band-
+    * major) — the multi-band superset of [[readSamples]] covering the
+    * RGB / YCbCr-JPEG browse imagery the reference's GDAL path
+    * ingests (`cogify/handler.py:151-220`). Multi-band constraints:
+    * chunky interleaving only (PlanarConfiguration 1), 3 samples per
+    * pixel, photometric RGB (2) — or, under JPEG compression, YCbCr
+    * (6) as well, which the JDK decoder returns as RGB (the same
+    * YCbCr→RGB conversion GDAL applies by default). Anything else →
+    * `Left(reason)`, never a wrong grid. */
+  def readBands(bytes: Array[Byte])
+  : Either[String, (RasterMeta, Array[Array[Float]])] = try {
     val r = new TagReader(bytes)
     metaOf(r).flatMap { m =>
-      if (m.samplesPerPixel != 1)
-        return Left(s"unsupported: ${m.samplesPerPixel} samples/pixel")
+      val spp = m.samplesPerPixel
+      if (spp != 1 && spp != 3)
+        return Left(s"unsupported: $spp samples/pixel")
       val compression = r.scalar(Compression).getOrElse(1L).toInt
+      if (spp == 3) {
+        val planar = r.scalar(PlanarConfig).getOrElse(1L).toInt
+        if (planar != 1)
+          return Left(s"unsupported planar configuration $planar")
+        val photometric = r.scalar(Photometric).getOrElse(1L).toInt
+        val okPhoto =
+          if (compression == 7) photometric == 2 || photometric == 6
+          else photometric == 2
+        if (!okPhoto)
+          return Left(s"unsupported photometric $photometric " +
+            s"for 3-band compression $compression")
+      }
       if (!Set(1, 5, 7, 8, 32773, 32946)(compression))
         return Left(s"unsupported compression $compression")
       val fmt = r.scalar(SampleFormat).getOrElse(1L).toInt
@@ -237,7 +278,7 @@ object GeoTiff {
         return Left(
           s"unsupported sample type: ${m.bitsPerSample}-bit format $fmt")
       // new-style JPEG (7): each segment is its own JPEG stream,
-      // grayscale 8-bit only here (browse imagery; the reference's
+      // 8-bit gray or color (browse imagery; the reference's
       // GDAL path ingests these before re-writing deflate COGs,
       // `cogify/handler.py:151-220`). DQT/DHT may live once in the
       // JPEGTables tag — merged per segment before handing to the
@@ -250,7 +291,8 @@ object GeoTiff {
       val jpegTables = r.rawBytes(JpegTables)
 
       val w = m.width.toInt; val h = m.height.toInt
-      val out = new Array[Float](w * h)
+      val pixelBytes = sampleBytes * spp
+      val out = Array.fill(spp)(new Array[Float](w * h))
       // segment geometry: tiles or strips
       val (segW, segH, offsets, counts) = (m.tileWidth, m.tileHeight) match {
         case (Some(tw), Some(th)) =>
@@ -271,15 +313,16 @@ object GeoTiff {
       offsets.indices.foreach { s =>
         val raw = bytes.slice(offsets(s).toInt,
           (offsets(s) + counts(s)).toInt)
-        val cap = segW * segH * sampleBytes
+        val cap = segW * segH * pixelBytes
         val seg = compression match {
           case 1     => raw
           case 5     => lzwDecode(raw, cap)
-          case 7     => jpegDecode(raw, jpegTables, segW, segH)
+          case 7     => jpegDecode(raw, jpegTables, segW, segH, spp)
           case 32773 => packbitsDecode(raw, cap)
           case _     => inflate(raw, cap)
         }
-        if (predictor == 2) undoPredictor(seg, segW, sampleBytes, r.order)
+        if (predictor == 2)
+          undoPredictor(seg, segW, sampleBytes, spp, r.order)
         val sb = ByteBuffer.wrap(seg).order(r.order)
         val x0 = (s % segsAcross) * segW
         val y0 = (s / segsAcross) * segH
@@ -288,13 +331,18 @@ object GeoTiff {
           var x = 0
           while (x < segW) {
             if (x0 + x < w) {
-              val i = (y * segW + x) * sampleBytes
-              if (i + sampleBytes <= seg.length)
-                out((y0 + y) * w + (x0 + x)) = (m.bitsPerSample, fmt) match {
-                  case (8, _) => (seg(i) & 0xFF).toFloat
-                  case (16, _) => (sb.getShort(i) & 0xFFFF).toFloat
-                  case _ => sb.getFloat(i)
-                }
+              var b = 0
+              while (b < spp) {
+                val i = (y * segW + x) * pixelBytes + b * sampleBytes
+                if (i + sampleBytes <= seg.length)
+                  out(b)((y0 + y) * w + (x0 + x)) =
+                    (m.bitsPerSample, fmt) match {
+                      case (8, _) => (seg(i) & 0xFF).toFloat
+                      case (16, _) => (sb.getShort(i) & 0xFFFF).toFloat
+                      case _ => sb.getFloat(i)
+                    }
+                b += 1
+              }
             }
             x += 1
           }
@@ -319,7 +367,7 @@ object GeoTiff {
     * strip's segments — which the JDK ImageIO decoder reads as a
     * plain interchange JPEG. */
   private def jpegDecode(raw: Array[Byte], tables: Option[Array[Byte]],
-                         segW: Int, segH: Int): Array[Byte] = {
+                         segW: Int, segH: Int, spp: Int): Array[Byte] = {
     require(raw.length >= 4 && (raw(0) & 0xFF) == 0xFF &&
       (raw(1) & 0xFF) == 0xD8, "JPEG segment does not start with SOI")
     val stream = tables match {
@@ -340,9 +388,9 @@ object GeoTiff {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(stream))
     require(img != null, "JPEG segment did not decode")
-    require(img.getRaster.getNumBands == 1,
-      s"unsupported JPEG band count ${img.getRaster.getNumBands}")
-    val out = new Array[Byte](segW * segH)
+    require(img.getRaster.getNumBands == spp,
+      s"JPEG band count ${img.getRaster.getNumBands} != $spp declared")
+    val out = new Array[Byte](segW * segH * spp)
     val ras = img.getRaster
     val ih = math.min(img.getHeight, segH)
     val iw = math.min(img.getWidth, segW)
@@ -350,7 +398,11 @@ object GeoTiff {
     while (y < ih) {
       var x = 0
       while (x < iw) {
-        out(y * segW + x) = ras.getSample(x, y, 0).toByte
+        var b = 0
+        while (b < spp) {
+          out((y * segW + x) * spp + b) = ras.getSample(x, y, b).toByte
+          b += 1
+        }
         x += 1
       }
       y += 1
@@ -433,17 +485,20 @@ object GeoTiff {
   /** Undo horizontal differencing (predictor=2) in place, per segment
     * row (TIFF pads edge tiles to full segW, so the row stride is
     * always segW samples). */
+  /** Undo the horizontal-differencing predictor (tag 317 = 2): each
+    * sample is differenced against the SAME CHANNEL of the previous
+    * pixel, so the stride is one pixel (spp samples), per spec. */
   private def undoPredictor(seg: Array[Byte], segW: Int, sampleBytes: Int,
-                            order: ByteOrder): Unit = {
-    val rowBytes = segW * sampleBytes
+                            spp: Int, order: ByteOrder): Unit = {
+    val rowBytes = segW * spp * sampleBytes
     val rows = seg.length / rowBytes
     if (sampleBytes == 1) {
       var y = 0
       while (y < rows) {
-        val base = y * rowBytes; var x = 1
-        while (x < segW) {
-          seg(base + x) = (seg(base + x) + seg(base + x - 1)).toByte
-          x += 1
+        val base = y * rowBytes; var i = spp
+        while (i < segW * spp) {
+          seg(base + i) = (seg(base + i) + seg(base + i - spp)).toByte
+          i += 1
         }
         y += 1
       }
@@ -451,11 +506,11 @@ object GeoTiff {
       val bb = ByteBuffer.wrap(seg).order(order)
       var y = 0
       while (y < rows) {
-        val base = y * rowBytes; var x = 1
-        while (x < segW) {
-          val i = base + x * 2
-          bb.putShort(i, (bb.getShort(i) + bb.getShort(i - 2)).toShort)
-          x += 1
+        val base = y * rowBytes; var i = spp
+        while (i < segW * spp) {
+          val p = base + i * 2
+          bb.putShort(p, (bb.getShort(p) + bb.getShort(p - 2 * spp)).toShort)
+          i += 1
         }
         y += 1
       }

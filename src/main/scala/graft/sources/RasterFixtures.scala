@@ -238,6 +238,179 @@ object RasterFixtures {
     buf.array()
   }
 
+  /** 3-band chunky (interleaved) 8-bit RGB TIFF, stripped; `rgb` is
+    * pixel-interleaved R,G,B bytes. compression 1 (none) or 8
+    * (deflate), optional horizontal-differencing predictor — which
+    * for multi-band differs each sample against the SAME CHANNEL of
+    * the previous pixel (stride = 3 samples). */
+  def stripTiffRgb(width: Int, height: Int, rgb: Seq[Int],
+                   rowsPerStrip: Int, compression: Int = 1,
+                   predictor: Int = 1): Array[Byte] = {
+    require(rgb.size == width * height * 3)
+    val rowB = width * 3
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val payloads = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+      val raw = Array.tabulate(rows * rowB)(i =>
+        rgb((s * rowsPerStrip) * rowB + i).toByte)
+      if (predictor == 2) {
+        var y = 0
+        while (y < rows) { // difference right-to-left, per channel
+          var i = rowB - 1
+          while (i >= 3) {
+            raw(y * rowB + i) =
+              (raw(y * rowB + i) - raw(y * rowB + i - 3)).toByte
+            i -= 1
+          }
+          y += 1
+        }
+      }
+      if (compression == 8) deflate(raw) else raw
+    }
+    val entryCount = (if (predictor != 1) 11 else 10) + 1 // + planar
+    val ifdSize = 2 + entryCount * 12 + 4
+    var dataOff = 8 + ifdSize
+    def alloc(n: Int): Int = { val o = dataOff; dataOff += n; o }
+    val offsOff = if (nStrips > 1) alloc(nStrips * 4) else 0
+    val cntsOff = if (nStrips > 1) alloc(nStrips * 4) else 0
+    val bpsOff = alloc(6) // BitsPerSample SHORT[3] lives off-IFD
+    val stripStarts = payloads.map(_.length).scanLeft(dataOff)(_ + _)
+
+    val buf = ByteBuffer.allocate(stripStarts.last)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte); buf.put('I'.toByte)
+    buf.putShort(2, 42); buf.putInt(4, 8)
+    buf.putShort(8, entryCount.toShort)
+    var e = 10
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(e, tag.toShort); buf.putShort(e + 2, typ.toShort)
+      buf.putInt(e + 4, cnt)
+      if (typ == 3 && cnt == 1) buf.putShort(e + 8, value.toShort)
+      else buf.putInt(e + 8, value.toInt)
+      e += 12
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    entry(258, 3, 3, bpsOff)
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, 2) // photometric RGB
+    entry(273, 4, nStrips,
+      if (nStrips == 1) stripStarts.head else offsOff)
+    entry(277, 3, 1, 3)
+    entry(278, 3, 1, rowsPerStrip)
+    entry(279, 4, nStrips,
+      if (nStrips == 1) payloads.head.length else cntsOff)
+    entry(284, 3, 1, 1) // chunky
+    if (predictor != 1) entry(317, 3, 1, predictor)
+    buf.putInt(e, 0)
+    (0 until 3).foreach(i => buf.putShort(bpsOff + i * 2, 8))
+    if (nStrips > 1) (0 until nStrips).foreach { s =>
+      buf.putInt(offsOff + s * 4, stripStarts(s))
+      buf.putInt(cntsOff + s * 4, payloads(s).length)
+    }
+    payloads.zipWithIndex.foreach { case (p, s) =>
+      System.arraycopy(p, 0, buf.array(), stripStarts(s), p.length)
+    }
+    buf.array()
+  }
+
+  /** Encode a pixel-interleaved RGB image as a JPEG interchange
+    * stream (JDK writer — JFIF YCbCr, the layout color TIFF strips
+    * carry under photometric 6). */
+  def jpegEncodeRgb(width: Int, height: Int, rgb: Array[Byte])
+  : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < width * height) {
+      val r = rgb(i * 3) & 0xFF
+      val g = rgb(i * 3 + 1) & 0xFF
+      val b = rgb(i * 3 + 2) & 0xFF
+      img.setRGB(i % width, i / width, (r << 16) | (g << 8) | b)
+      i += 1
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** Color JPEG-in-TIFF (compression 7, photometric 6 = YCbCr, 3
+    * samples/pixel chunky): per-strip JFIF streams, interchange or
+    * abbreviated with shared DQT/DHT via JPEGTables — the browse-
+    * imagery layout the reference ingests through GDAL. */
+  def stripTiffJpegRgb(width: Int, height: Int, rgb: Seq[Int],
+                       rowsPerStrip: Int,
+                       sharedTables: Boolean): Array[Byte] = {
+    require(rgb.size == width * height * 3)
+    val rowB = width * 3
+    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+    val fullJpegs = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+      val raw = Array.tabulate(rows * rowB)(i =>
+        rgb((s * rowsPerStrip) * rowB + i).toByte)
+      jpegEncodeRgb(width, rows, raw)
+    }
+    val (tables, _) = jpegSplit(fullJpegs.head)
+    val payloads =
+      if (sharedTables) fullJpegs.map(j => jpegSplit(j)._2) else fullJpegs
+
+    val entryCount = (if (sharedTables) 11 else 10) + 1 // + planar
+    val ifdSize = 2 + entryCount * 12 + 4
+    var dataOff = 8 + ifdSize
+    def alloc(n: Int): Int = { val o = dataOff; dataOff += n; o }
+    val offsOff = if (nStrips > 1) alloc(nStrips * 4) else 0
+    val cntsOff = if (nStrips > 1) alloc(nStrips * 4) else 0
+    val bpsOff = alloc(6)
+    val tablesOff = if (sharedTables) alloc(tables.length) else 0
+    val stripStarts = payloads.map(_.length).scanLeft(dataOff)(_ + _)
+
+    val buf = ByteBuffer.allocate(stripStarts.last)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte); buf.put('I'.toByte)
+    buf.putShort(2, 42); buf.putInt(4, 8)
+    buf.putShort(8, entryCount.toShort)
+    var e = 10
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(e, tag.toShort); buf.putShort(e + 2, typ.toShort)
+      buf.putInt(e + 4, cnt)
+      if (typ == 3 && cnt == 1) buf.putShort(e + 8, value.toShort)
+      else buf.putInt(e + 8, value.toInt)
+      e += 12
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    entry(258, 3, 3, bpsOff)
+    entry(259, 3, 1, 7)
+    entry(262, 3, 1, 6) // photometric YCbCr (JPEG-internal)
+    entry(273, 4, nStrips,
+      if (nStrips == 1) stripStarts.head else offsOff)
+    entry(277, 3, 1, 3)
+    entry(278, 3, 1, rowsPerStrip)
+    entry(279, 4, nStrips,
+      if (nStrips == 1) payloads.head.length else cntsOff)
+    entry(284, 3, 1, 1) // chunky
+    if (sharedTables) entry(347, 7, tables.length, tablesOff)
+    buf.putInt(e, 0)
+    (0 until 3).foreach(i => buf.putShort(bpsOff + i * 2, 8))
+    if (nStrips > 1) (0 until nStrips).foreach { s =>
+      buf.putInt(offsOff + s * 4, stripStarts(s))
+      buf.putInt(cntsOff + s * 4, payloads(s).length)
+    }
+    if (sharedTables)
+      System.arraycopy(tables, 0, buf.array(), tablesOff, tables.length)
+    payloads.zipWithIndex.foreach { case (p, s) =>
+      System.arraycopy(p, 0, buf.array(), stripStarts(s), p.length)
+    }
+    buf.array()
+  }
+
   /** Minimal BigTIFF (magic 43, 20-byte entries, 8-byte value slots)
     * in either byte order. The LONG count-1 entries are the
     * regression surface: inline values are LEFT-justified in the

@@ -304,6 +304,130 @@ class CogWriterSpec extends SparkSuite {
     assert(GeoTiff.readSamples(tiff).isLeft)
   }
 
+  /** RGB twin of [[imageioTiff]]: the JDK TIFF writer's own choice of
+    * multi-band layout (chunky, photometric 2 — or YCbCr 6 under
+    * JPEG), an encoder this parser shares no code with. */
+  private def imageioTiffRgb(rgb: Seq[Int], w: Int, h: Int,
+                             compression: String): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      img.setRGB(x, y, (rgb(p) << 16) | (rgb(p + 1) << 8) | rgb(p + 2))
+    }
+    val writer = ImageIO.getImageWritersByFormatName("TIFF").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType(compression)
+    if (compression == "JPEG") param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Smooth RGB gradient (keeps max-quality JPEG loss to a few
+    * counts; exact for the lossless compressions). */
+  private def rgbGradient(w: Int, h: Int): Seq[Int] =
+    Seq.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      val base = (x * 200 / math.max(1, w - 1) +
+        y * 55 / math.max(1, h - 1))
+      math.min(255, base + (i % 3) * 10)
+    }
+
+  test("RGB strips decode band-per-band; deflate + per-channel " +
+    "predictor is exact") {
+    import graft.sources.RasterFixtures
+    val w = 9; val h = 5
+    val rgb = Seq.tabulate(w * h * 3)(i => (i * 7 + (i % 3) * 50) % 256)
+    val plain = RasterFixtures.stripTiffRgb(w, h, rgb, rowsPerStrip = 2)
+    val (m, bands) = GeoTiff.readBands(plain).fold(e => fail(e), identity)
+    assert(m.samplesPerPixel == 3 && m.bitsPerSample == 8)
+    assert(bands.length == 3)
+    for (b <- 0 until 3; i <- 0 until w * h)
+      assert(bands(b)(i) == rgb(i * 3 + b).toFloat, s"band $b px $i")
+    // deflate + predictor 2 (per-CHANNEL differencing) reproduces the
+    // same bands exactly
+    val defl = RasterFixtures.stripTiffRgb(w, h, rgb, rowsPerStrip = 3,
+      compression = 8, predictor = 2)
+    val (_, bands2) = GeoTiff.readBands(defl).fold(e => fail(e), identity)
+    for (b <- 0 until 3)
+      assert(bands2(b).sameElements(bands(b)), s"band $b")
+    // the single-band entry point still refuses multi-band files
+    assert(GeoTiff.readSamples(plain).left.exists(_.contains("samples")))
+  }
+
+  test("RGB TIFFs from the INDEPENDENT JDK writer decode " +
+    "(LZW exact, JPEG within tolerance)") {
+    val w = 24; val h = 16
+    val rgb = rgbGradient(w, h)
+    val lzw = imageioTiffRgb(rgb, w, h, "LZW")
+    val (ml, bandsL) = GeoTiff.readBands(lzw).fold(e => fail(e), identity)
+    assert(ml.samplesPerPixel == 3)
+    for (b <- 0 until 3; i <- 0 until w * h)
+      assert(bandsL(b)(i) == rgb(i * 3 + b).toFloat, s"band $b px $i")
+    // JPEG: the JDK writer emits YCbCr (photometric 6); our decode
+    // returns RGB — compare against ImageIO's own decode of the same
+    // file for DECODER-STABLE exactness, and the source for tolerance
+    val jpg = imageioTiffRgb(rgb, w, h, "JPEG")
+    val (mj, bandsJ) = GeoTiff.readBands(jpg).fold(e => fail(e), identity)
+    assert(mj.samplesPerPixel == 3)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    for (b <- 0 until 3; i <- 0 until w * h) {
+      val ref = img.getRaster.getSample(i % w, i / w, b)
+      assert(bandsJ(b)(i) == ref.toFloat, s"band $b px $i vs ImageIO")
+    }
+    val maxErr = (0 until 3).flatMap(b => (0 until w * h).map(i =>
+      math.abs(bandsJ(b)(i) - rgb(i * 3 + b)))).max
+    assert(maxErr <= 8.0f, s"JPEG RGB error $maxErr exceeds tolerance")
+  }
+
+  test("color JPEG strips: shared JPEGTables and interchange agree") {
+    import graft.sources.RasterFixtures
+    val w = 16; val h = 12
+    val rgb = rgbGradient(w, h)
+    val shared = GeoTiff.readBands(RasterFixtures
+      .stripTiffJpegRgb(w, h, rgb, rowsPerStrip = 4, sharedTables = true))
+      .fold(e => fail(e), identity)._2
+    val plain = GeoTiff.readBands(RasterFixtures
+      .stripTiffJpegRgb(w, h, rgb, rowsPerStrip = 4, sharedTables = false))
+      .fold(e => fail(e), identity)._2
+    for (b <- 0 until 3)
+      assert(shared(b).sameElements(plain(b)), s"band $b")
+    val maxErr = (0 until 3).flatMap(b => (0 until w * h).map(i =>
+      math.abs(plain(b)(i) - rgb(i * 3 + b)))).max
+    assert(maxErr <= 8.0f, s"JPEG RGB error $maxErr exceeds tolerance")
+  }
+
+  test("multi-band oddities quarantine: planar config 2, raw YCbCr") {
+    import graft.sources.RasterFixtures
+    val w = 6; val h = 4
+    val rgb = Seq.tabulate(w * h * 3)(i => i % 256)
+    val base = RasterFixtures.stripTiffRgb(w, h, rgb, rowsPerStrip = 2)
+    def patchShortTag(bytes: Array[Byte], tag: Int, v: Int): Array[Byte] = {
+      val out = bytes.clone()
+      val buf = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = buf.getShort(8) & 0xFFFF
+      val e = (0 until n).map(10 + _ * 12)
+        .find(e => (buf.getShort(e) & 0xFFFF) == tag)
+        .getOrElse(fail(s"tag $tag not in fixture"))
+      buf.putShort(e + 8, v.toShort)
+      out
+    }
+    // planar (band-sequential) storage is not decoded -> quarantine
+    val planar2 = patchShortTag(base, 284, 2)
+    assert(GeoTiff.readBands(planar2).left.exists(_.contains("planar")))
+    // photometric 6 without JPEG compression (raw YCbCr) -> quarantine
+    val rawYcbcr = patchShortTag(base, 262, 6)
+    assert(GeoTiff.readBands(rawYcbcr).left.exists(_.contains("photometric")))
+  }
+
   test("deflate + horizontal predictor (tag 317=2) strips decode") {
     import graft.sources.RasterFixtures
     val w = 19; val h = 7
