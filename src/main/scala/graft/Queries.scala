@@ -657,6 +657,49 @@ object Queries {
       .orderBy("fname")
   }
 
+  /** K3 — the RGB browse-imagery lifecycle: color-JPEG TIFF →
+    * `tiffToCog` → uint8 RGB deflate COG (GDAL preserves the byte
+    * dtype of RGB inputs, `cogify/handler.py:186-220`) → independent
+    * re-decode. The re-tile must be LOSSLESS over the decoded bands
+    * (deflate is), and within JPEG tolerance of the source pixels;
+    * non-raster bytes flow to the quarantine row. */
+  def k3RgbCog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 40; val h = 30
+    val rgb = Seq.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      math.min(255, x * 200 / (w - 1) + y * 55 / (h - 1) + (i % 3) * 10)
+    }
+    val files = Seq(
+      ("browse_jpeg.tif", graft.sources.RasterFixtures
+        .stripTiffJpegRgb(w, h, rgb, rowsPerStrip = 8,
+          sharedTables = true)),
+      ("browse_plain.tif", graft.sources.RasterFixtures
+        .stripTiffRgb(w, h, rgb, rowsPerStrip = 8)),
+      ("junk.tif", "not a raster".getBytes)).toDF("path", "content")
+    files.as[(String, Array[Byte])].map { case (fname, bytes) =>
+      graft.operators.Cogify.tiffToCog(bytes) match {
+        case Right(cog) =>
+          val (m, out) = graft.sources.GeoTiff.readBands(cog)
+            .fold(e => throw new IllegalStateException(e), identity)
+          val (_, src) = graft.sources.GeoTiff.readBands(bytes)
+            .fold(e => throw new IllegalStateException(e), identity)
+          val lossless = (0 until 3).forall(b =>
+            out(b).sameElements(src(b)))
+          val maxErr = out.zipWithIndex.flatMap { case (g, b) =>
+            g.zipWithIndex.map { case (v, i) =>
+              math.abs(v - rgb(i * 3 + b)) }
+          }.max
+          val tol = if (fname.contains("jpeg")) 8.0f else 0.0f
+          (fname, true, m.samplesPerPixel, m.bitsPerSample,
+            m.tileWidth.getOrElse(0L), lossless, maxErr <= tol)
+        case Left(_) => (fname, false, 0, 0, 0L, false, false)
+      }
+    }.toDF("fname", "ok", "n_bands", "bits", "tile_w", "lossless",
+        "within_tol")
+      .orderBy("fname")
+  }
+
   /** S6 — CHUNKED HDF5 data decode over the spec-built fixture: the
     * shuffle+deflate 2-D grid must equal its contiguous twin and the
     * deflate / deflate+fletcher32 1-D coordinates must read exactly —

@@ -141,6 +141,7 @@ object SparkEntry {
     "q_s5_compressed"        -> (Queries.s5Compressed _),
     "q_s5_jpeg"              -> (Queries.s5Jpeg _),
     "q_s5_rgb"               -> (Queries.s5Rgb _),
+    "q_k3_rgb_cog"           -> (Queries.k3RgbCog _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
     "q_s6_chunked"           -> (Queries.s6Chunked _),
     "q_s6_v2"                -> (Queries.s6V2 _),
@@ -833,6 +834,15 @@ object SparkEntry {
         |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
         |) AS t(fname, ok, width, height, bits, spp, epsg,
         |       gt_x0, gt_xres, gt_y0, gt_yres)
+        |ORDER BY fname""".stripMargin,
+    "q_k3_rgb_cog" ->
+      """SELECT * FROM (VALUES
+        |  ('browse_jpeg.tif', true, 3, 8, CAST(256 AS BIGINT),
+        |   true, true),
+        |  ('browse_plain.tif', true, 3, 8, CAST(256 AS BIGINT),
+        |   true, true),
+        |  ('junk.tif', false, 0, 0, CAST(0 AS BIGINT), false, false)
+        |) AS t(fname, ok, n_bands, bits, tile_w, lossless, within_tol)
         |ORDER BY fname""".stripMargin,
     "q_s5_rgb" ->
       """SELECT * FROM (VALUES

@@ -249,18 +249,32 @@ object Cogify {
       }
     }
 
-  /** K3's `.tif` branch: decode a supported single-band GeoTIFF and
-    * re-emit it as a 256-block deflate COG, geo tags carried over —
-    * `cog_translate` without GDAL. Unsupported encodings are a `Left`
+  /** K3's `.tif` branch: decode a supported GeoTIFF and re-emit it as
+    * a 256-block deflate COG, geo tags carried over — `cog_translate`
+    * without GDAL. Single-band rasters re-tile as float32 (the science
+    * profile); 3-band 8-bit rasters (incl. JPEG browse imagery) as
+    * uint8 RGB, preserving the byte dtype like GDAL does
+    * (`handler.py:186-220`). Unsupported encodings are a `Left`
     * (quarantine), never a silently wrong grid. */
   def tiffToCog(bytes: Array[Byte], tileSize: Int = 256)
   : Either[String, Array[Byte]] =
-    graft.sources.GeoTiff.readSamples(bytes).map { case (m, data) =>
+    graft.sources.GeoTiff.readBands(bytes).flatMap { case (m, bands) =>
       val transform = m.transform.getOrElse(
         Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
-      graft.sources.GeoTiffWriter.write(m.width.toInt, m.height.toInt,
-        data, graft.sources.GeoTiffWriter.Geo(transform,
-          m.epsg.getOrElse(4326)), m.nodata, tileSize)
+      val geo = graft.sources.GeoTiffWriter.Geo(transform,
+        m.epsg.getOrElse(4326))
+      bands.length match {
+        case 1 => Right(graft.sources.GeoTiffWriter.write(
+          m.width.toInt, m.height.toInt, bands(0), geo, m.nodata,
+          tileSize))
+        case 3 =>
+          if (m.bitsPerSample != 8)
+            Left(s"unsupported: 3-band ${m.bitsPerSample}-bit re-tile")
+          else Right(graft.sources.GeoTiffWriter.writeRgb(
+            m.width.toInt, m.height.toInt, bands, geo, m.nodata,
+            tileSize))
+        case n => Left(s"unsupported: $n samples/pixel")
+      }
     }
 
   /** [[FileTransform]] doing the real conversion on both reference

@@ -263,7 +263,16 @@ object GeoTiff {
       }
       if (!Set(1, 5, 7, 8, 32773, 32946)(compression))
         return Left(s"unsupported compression $compression")
-      val fmt = r.scalar(SampleFormat).getOrElse(1L).toInt
+      // SampleFormat has SamplesPerPixel entries for multi-band files
+      // (SHORT[3] doesn't fit the classic 4-byte slot, so scalar()
+      // would return the OFFSET) — read the array, require uniform
+      val fmt = r.shorts(SampleFormat) match {
+        case Some(fs) if fs.nonEmpty =>
+          if (fs.distinct.size != 1)
+            return Left(s"mixed SampleFormat ${fs.mkString(",")}")
+          fs.head
+        case _ => r.scalar(SampleFormat).map(_.toInt).getOrElse(1)
+      }
       val predictor = r.scalar(Predictor).getOrElse(1L).toInt
       if (predictor != 1 && predictor != 2)
         return Left(s"unsupported predictor $predictor")

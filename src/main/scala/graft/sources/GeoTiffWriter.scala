@@ -33,7 +33,6 @@ object GeoTiffWriter {
             tileSize: Int = 256): Array[Byte] = {
     require(data.length == width * height,
       s"${data.length} samples for ${width}x$height")
-    require(geo.transform.size == 6, "geotransform needs 6 terms")
     val fillF = fill.getOrElse(0.0).toFloat
 
     // tiles, row-major over the tile grid, edge tiles padded with fill
@@ -59,7 +58,65 @@ object GeoTiffWriter {
       }
       deflate(tb.array())
     }
+    assemble(width, height, spp = 1, bits = 32, fmt = 3, photometric = 1,
+      tiles, geo, fill, tileSize)
+  }
 
+  /** Write a 3-band 8-bit RGB tiled deflate COG (chunky interleaved,
+    * photometric RGB) — the browse-imagery output profile: GDAL's
+    * `cog_translate` preserves the byte dtype of RGB inputs, so a
+    * JPEG/LZW color TIFF re-tiles to uint8, not float32
+    * (`cogify/handler.py:186-220`). Band values are clamp-rounded to
+    * 0..255; edge tiles pad with `fill` (same clamp). */
+  def writeRgb(width: Int, height: Int, bands: Array[Array[Float]],
+               geo: Geo, fill: Option[Double] = None,
+               tileSize: Int = 256): Array[Byte] = {
+    require(bands.length == 3, s"${bands.length} bands (writeRgb is 3)")
+    bands.foreach(b => require(b.length == width * height,
+      s"${b.length} samples for ${width}x$height"))
+    def toByte(v: Float): Byte =
+      math.max(0, math.min(255, math.round(v))).toByte
+    val fillB = toByte(fill.getOrElse(0.0).toFloat)
+
+    val tilesAcross = (width + tileSize - 1) / tileSize
+    val tilesDown = (height + tileSize - 1) / tileSize
+    val tiles = for {
+      ty <- 0 until tilesDown
+      tx <- 0 until tilesAcross
+    } yield {
+      val tb = new Array[Byte](tileSize * tileSize * 3)
+      var y = 0
+      while (y < tileSize) {
+        var x = 0
+        while (x < tileSize) {
+          val gx = tx * tileSize + x
+          val gy = ty * tileSize + y
+          val o = (y * tileSize + x) * 3
+          if (gx < width && gy < height) {
+            val p = gy * width + gx
+            tb(o) = toByte(bands(0)(p))
+            tb(o + 1) = toByte(bands(1)(p))
+            tb(o + 2) = toByte(bands(2)(p))
+          } else { tb(o) = fillB; tb(o + 1) = fillB; tb(o + 2) = fillB }
+          x += 1
+        }
+        y += 1
+      }
+      deflate(tb)
+    }
+    assemble(width, height, spp = 3, bits = 8, fmt = 1, photometric = 2,
+      tiles, geo, fill, tileSize)
+  }
+
+  /** Shared COG assembly: header + IFD + out-of-line tag arrays first,
+    * deflated tile payloads after (metadata-first = range-reader
+    * friendly). Multi-band emits SHORT[spp] BitsPerSample/SampleFormat
+    * arrays (off-slot) and a chunky PlanarConfiguration entry. */
+  private def assemble(width: Int, height: Int, spp: Int, bits: Int,
+                       fmt: Int, photometric: Int,
+                       tiles: Seq[Array[Byte]], geo: Geo,
+                       fill: Option[Double], tileSize: Int): Array[Byte] = {
+    require(geo.transform.size == 6, "geotransform needs 6 terms")
     // IFD entries (ascending tag order)
     val nTiles = tiles.size
     case class Entry(tag: Int, typ: Int, cnt: Int, value: Long)
@@ -68,7 +125,8 @@ object GeoTiffWriter {
     val nodataAscii = fill.map(f =>
       trimmedDouble(f).getBytes("US-ASCII") :+ 0.toByte)
 
-    val entryCount = 14 + nodataAscii.size
+    val multi = spp > 1
+    val entryCount = 14 + nodataAscii.size + (if (multi) 1 else 0)
     val ifdOffset = 8
     val ifdSize = 2 + entryCount * 12 + 4
     var dataOff = ifdOffset + ifdSize
@@ -76,6 +134,9 @@ object GeoTiffWriter {
     def alloc(n: Int): Int = { val o = dataOff; dataOff += n; o }
     val tileOffsetsOff = if (nTiles > 1) alloc(nTiles * 4) else 0
     val tileCountsOff = if (nTiles > 1) alloc(nTiles * 4) else 0
+    // SHORT[spp] arrays exceed the 4-byte slot for spp == 3
+    val bpsOff = if (multi) alloc(spp * 2) else 0
+    val fmtOff = if (multi) alloc(spp * 2) else 0
     val scaleOff = alloc(24)
     val tieOff = alloc(48)
     val geoKeysOff = alloc(16)
@@ -89,17 +150,21 @@ object GeoTiffWriter {
     val entries = Seq(
       Entry(256, 4, 1, width),              // ImageWidth
       Entry(257, 4, 1, height),             // ImageLength
-      Entry(258, 3, 1, 32),                 // BitsPerSample
+      Entry(258, 3, spp,                    // BitsPerSample
+        if (multi) bpsOff else bits),
       Entry(259, 3, 1, 8),                  // Compression: DEFLATE
-      Entry(262, 3, 1, 1),                  // Photometric: BlackIsZero
-      Entry(277, 3, 1, 1),                  // SamplesPerPixel
+      Entry(262, 3, 1, photometric),        // Photometric
+      Entry(277, 3, 1, spp)) ++             // SamplesPerPixel
+      (if (multi) Seq(Entry(284, 3, 1, 1))  // PlanarConfig: chunky
+       else Nil) ++ Seq(
       Entry(322, 3, 1, tileSize),           // TileWidth
       Entry(323, 3, 1, tileSize),           // TileLength
       Entry(324, 4, nTiles,                 // TileOffsets
         if (nTiles == 1) tileOffsets.head else tileOffsetsOff),
       Entry(325, 4, nTiles,                 // TileByteCounts
         if (nTiles == 1) tiles.head.length else tileCountsOff),
-      Entry(339, 3, 1, 3),                  // SampleFormat: IEEE float
+      Entry(339, 3, spp,                    // SampleFormat
+        if (multi) fmtOff else fmt),
       Entry(33550, 12, 3, scaleOff),        // ModelPixelScale
       Entry(33922, 12, 6, tieOff),          // ModelTiepoint
       Entry(34735, 3, 8, geoKeysOff)        // GeoKeyDirectory
@@ -139,6 +204,10 @@ object GeoTiffWriter {
         out.putInt(tileOffsetsOff + i * 4, o.toInt) }
       tiles.zipWithIndex.foreach { case (t, i) =>
         out.putInt(tileCountsOff + i * 4, t.length) }
+    }
+    if (multi) (0 until spp).foreach { i =>
+      out.putShort(bpsOff + i * 2, bits.toShort)
+      out.putShort(fmtOff + i * 2, fmt.toShort)
     }
     // ModelPixelScale (xres, |yres|, 0) + tiepoint (0,0,0 -> x0,y0,0)
     val t = geo.transform

@@ -426,10 +426,10 @@ object NetCdf {
           }
         case 0x0008 => // data layout v3/v4: contiguous (class 1) reads
           // directly; v3 chunked (class 2) records its B-tree + chunk
-          // shape (the netCDF-4/HDF-EOS default layout). v4 chunked
-          // (the >= 1.10 "latest" chunk indexes: single/implicit/
-          // fixed-array/extensible-array/v2-btree) is NOT parsed —
-          // fall through to quarantine rather than misread.
+          // shape (the netCDF-4/HDF-EOS default layout); v4 chunked
+          // covers all five >= 1.10 "latest" chunk indexes (single/
+          // implicit/fixed-array/extensible-array/v2-btree), with
+          // paged array blocks failing closed at read time.
           val ver = bytes(body) & 0xFF
           // v4 contiguous is field-compatible with v3 contiguous
           if ((ver == 3 || ver == 4) && (bytes(body + 1) & 0xFF) == 1) {
@@ -440,8 +440,7 @@ object NetCdf {
             // size width(1), chunk dims (rank × width, element units,
             // NO trailing element-size dim), index type(1), index-
             // specific fields, index address. Element size comes from
-            // the datatype message (filled in below). Extensible-
-            // array and v2-btree indexes fail closed → quarantine.
+            // the datatype message (filled in below).
             val lflags = bytes(body + 2) & 0xFF
             val nd = bytes(body + 3) & 0xFF
             val encLen = bytes(body + 4) & 0xFF
