@@ -700,6 +700,46 @@ object Queries {
       .orderBy("fname")
   }
 
+  /** K3 — overview IFDs in written COGs (rio-cogeo defaults the
+    * reference inherits through `cog_translate`: nearest resampling,
+    * factor 2 per level, levels until the smallest min-dimension fits
+    * the block). One row per IFD of a 300×260 float COG at block 128:
+    * full-res + two overviews, each overview nearest-equal to a
+    * direct 2× reduction of the level above. */
+  def k3Overviews(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 300; val h = 260
+    val data = Array.tabulate(w * h)(i => ((i * 13) % 997).toFloat)
+    val geo = graft.sources.GeoTiffWriter.Geo(
+      Seq(0.0, 0.1, 0.0, 50.0, 0.0, -0.1))
+    Seq(("overviews.tif",
+      graft.sources.GeoTiffWriter.write(w, h, data, geo, tileSize = 128)))
+      .toDF("path", "content")
+      .as[(String, Array[Byte])].flatMap { case (fname, bytes) =>
+        val n = graft.sources.GeoTiff.ifdCount(bytes)
+          .fold(e => throw new IllegalStateException(e), identity)
+        (0 until n).map { i =>
+          val (m, bands) = graft.sources.GeoTiff.readBandsAt(bytes, i)
+            .fold(e => throw new IllegalStateException(e), identity)
+          val nearestOk =
+            if (i == 0) bands(0).sameElements(data)
+            else {
+              val (pm, prev) = graft.sources.GeoTiff
+                .readBandsAt(bytes, i - 1)
+                .fold(e => throw new IllegalStateException(e), identity)
+              val pw = pm.width.toInt; val ph = pm.height.toInt
+              (0 until m.height.toInt).forall(y =>
+                (0 until m.width.toInt).forall(x =>
+                  bands(0)(y * m.width.toInt + x) ==
+                    prev(0)(math.min(2 * y, ph - 1) * pw +
+                      math.min(2 * x, pw - 1))))
+            }
+          (fname, i, m.width, m.height, m.transform.isDefined, nearestOk)
+        }
+      }.toDF("fname", "ifd", "width", "height", "has_geo", "nearest_ok")
+      .orderBy("ifd")
+  }
+
   /** S6 — CHUNKED HDF5 data decode over the spec-built fixture: the
     * shuffle+deflate 2-D grid must equal its contiguous twin and the
     * deflate / deflate+fletcher32 1-D coordinates must read exactly —
@@ -796,6 +836,36 @@ object Queries {
     import s.implicits._
     val files = Seq(
       ("eabt2.h5", graft.sources.NetCdfFixtures.hdf5V2EaBt2()))
+      .toDF("path", "content")
+    files.as[(String, Array[Byte])].flatMap { case (fname, bytes) =>
+      val meta = graft.sources.NetCdf.parse(bytes)
+        .getOrElse(graft.sources.NetCdf.FileMeta("unparsed", Nil, Nil, Nil))
+      meta.vars.map { v =>
+        val grid = graft.sources.NetCdf.readGridRaw(bytes, meta, v.path)
+        val storage =
+          if (v.begin.isDefined) "contiguous"
+          else if (v.chunks.isDefined) "chunked" else "none"
+        grid match {
+          case Some(g) => (fname, v.path, storage, true, g.length.toLong,
+            g.map(_.toDouble).sum, g.min.toDouble, g.max.toDouble)
+          case None => (fname, v.path, storage, false, 0L, 0.0, 0.0, 0.0)
+        }
+      }
+    }.toDF("fname", "var_path", "storage", "ok", "n_vals",
+        "sum_val", "min_val", "max_val")
+      .orderBy("fname", "var_path")
+  }
+
+  /** S6 — PAGED extensible-array data blocks (HDF5 >= 1.10 datasets
+    * with enough chunks that a super-block row exceeds the data-block
+    * page size): per-page checksums, the super block's MSB-first
+    * page-init bitmap, an uninitialized page and an unallocated data
+    * block (both fill), and an elided chunk INSIDE an initialized
+    * page — against the contiguous twin. Literal-VALUES oracle. */
+  def s6EaPaged(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Seq(
+      ("eapaged.h5", graft.sources.NetCdfFixtures.hdf5V2EaPaged()))
       .toDF("path", "content")
     files.as[(String, Array[Byte])].flatMap { case (fname, bytes) =>
       val meta = graft.sources.NetCdf.parse(bytes)

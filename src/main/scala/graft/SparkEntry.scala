@@ -142,10 +142,12 @@ object SparkEntry {
     "q_s5_jpeg"              -> (Queries.s5Jpeg _),
     "q_s5_rgb"               -> (Queries.s5Rgb _),
     "q_k3_rgb_cog"           -> (Queries.k3RgbCog _),
+    "q_k3_overviews"         -> (Queries.k3Overviews _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
     "q_s6_chunked"           -> (Queries.s6Chunked _),
     "q_s6_v2"                -> (Queries.s6V2 _),
     "q_s6_v4chunked"         -> (Queries.s6V4Chunked _),
+    "q_s6_ea_paged"          -> (Queries.s6EaPaged _),
     "q_s6_eabt2"             -> (Queries.s6EaBt2 _),
     "q_s6_dense"             -> (Queries.s6Dense _),
     // graph analytics
@@ -835,6 +837,16 @@ object SparkEntry {
         |) AS t(fname, ok, width, height, bits, spp, epsg,
         |       gt_x0, gt_xres, gt_y0, gt_yres)
         |ORDER BY fname""".stripMargin,
+    "q_k3_overviews" ->
+      """SELECT * FROM (VALUES
+        |  ('overviews.tif', 0, CAST(300 AS BIGINT), CAST(260 AS BIGINT),
+        |   true, true),
+        |  ('overviews.tif', 1, CAST(150 AS BIGINT), CAST(130 AS BIGINT),
+        |   false, true),
+        |  ('overviews.tif', 2, CAST(75 AS BIGINT), CAST(65 AS BIGINT),
+        |   false, true)
+        |) AS t(fname, ifd, width, height, has_geo, nearest_ok)
+        |ORDER BY ifd""".stripMargin,
     "q_k3_rgb_cog" ->
       """SELECT * FROM (VALUES
         |  ('browse_jpeg.tif', true, 3, 8, CAST(256 AS BIGINT),
@@ -912,6 +924,17 @@ object SparkEntry {
         |  ('eabt2.h5', 'precip_ea', 'chunked', true,
         |   CAST(35 AS BIGINT), CAST(-29327.0 AS DOUBLE),
         |   CAST(-9999.0 AS DOUBLE), CAST(43.0 AS DOUBLE))
+        |) AS t(fname, var_path, storage, ok, n_vals, sum_val,
+        |       min_val, max_val)
+        |ORDER BY fname, var_path""".stripMargin,
+    "q_s6_ea_paged" ->
+      """SELECT * FROM (VALUES
+        |  ('eapaged.h5', 'precip_contig', 'contiguous', true,
+        |   CAST(35 AS BIGINT), CAST(-9240.0 AS DOUBLE),
+        |   CAST(-9999.0 AS DOUBLE), CAST(45.0 AS DOUBLE)),
+        |  ('eapaged.h5', 'precip_ea', 'chunked', true,
+        |   CAST(35 AS BIGINT), CAST(-9240.0 AS DOUBLE),
+        |   CAST(-9999.0 AS DOUBLE), CAST(45.0 AS DOUBLE))
         |) AS t(fname, var_path, storage, ok, n_vals, sum_val,
         |       min_val, max_val)
         |ORDER BY fname, var_path""".stripMargin,

@@ -61,7 +61,7 @@ object GeoTiff {
     * slot) and BigTIFF (magic 43: 20-byte entries, u64, 8-byte slot)
     * through one parametric layout — GDAL auto-promotes large rasters
     * to BigTIFF, so reference-shaped inputs arrive in both. */
-  private class TagReader(bytes: Array[Byte]) {
+  private class TagReader(bytes: Array[Byte], ifdIndex: Int = 0) {
     val order: ByteOrder = (bytes(0), bytes(1)) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
       case ('M', 'M') => ByteOrder.BIG_ENDIAN
@@ -75,11 +75,31 @@ object GeoTiff {
     val big: Boolean = magic == 43
     if (big) require((buf.getShort(4) & 0xFFFF) == 8 &&
       buf.getShort(6) == 0, "bad BigTIFF offset size")
-    private val ifdOffset =
-      (if (big) buf.getLong(8) else buf.getInt(4) & 0xFFFFFFFFL).toInt
-    private val nEntries =
-      (if (big) buf.getLong(ifdOffset)
-       else (buf.getShort(ifdOffset) & 0xFFFF).toLong).toInt
+    private def entriesAt(off: Int): Int =
+      (if (big) buf.getLong(off)
+       else (buf.getShort(off) & 0xFFFF).toLong).toInt
+    private def nextIfdAt(off: Int): Long = {
+      val n = entriesAt(off)
+      if (big) buf.getLong(off + 8 + n * 20)
+      else buf.getInt(off + 2 + n * 12) & 0xFFFFFFFFL
+    }
+    /** Walk the IFD chain to `ifdIndex` (overview levels live in
+      * chained IFDs; index 0 is the full-resolution image). */
+    private val ifdOffset = {
+      var off =
+        (if (big) buf.getLong(8) else buf.getInt(4) & 0xFFFFFFFFL).toInt
+      var i = 0
+      while (i < ifdIndex) {
+        val next = nextIfdAt(off)
+        require(next != 0, s"no IFD at index $ifdIndex")
+        off = next.toInt
+        i += 1
+      }
+      off
+    }
+    /** Offset of the IFD after this one; 0 at the chain's end. */
+    def nextIfdOffset: Long = nextIfdAt(ifdOffset)
+    private val nEntries = entriesAt(ifdOffset)
     private val entriesStart = ifdOffset + (if (big) 8 else 2)
     private val entrySize = if (big) 20 else 12
     private val slotAt = if (big) 12 else 8 // value slot within entry
@@ -242,8 +262,32 @@ object GeoTiff {
     * YCbCr→RGB conversion GDAL applies by default). Anything else →
     * `Left(reason)`, never a wrong grid. */
   def readBands(bytes: Array[Byte])
+  : Either[String, (RasterMeta, Array[Array[Float]])] =
+    readBandsAt(bytes, 0)
+
+  /** Number of IFDs in the chain: 1 + overview count (a COG written
+    * with overviews chains one reduced-resolution IFD per level). */
+  def ifdCount(bytes: Array[Byte]): Either[String, Int] = try {
+    var n = 0
+    var more = true
+    while (more) {
+      val r = new TagReader(bytes, n)
+      n += 1
+      more = r.nextIfdOffset != 0
+    }
+    Right(n)
+  } catch {
+    case e @ (_: IllegalArgumentException | _: IndexOutOfBoundsException |
+              _: java.nio.BufferUnderflowException) =>
+      Left(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+  }
+
+  /** [[readBands]] against a specific IFD in the chain — index 0 is
+    * the full-resolution image, 1+ the overview levels. Overview IFDs
+    * carry no geo tags, so their `RasterMeta.transform` is None. */
+  def readBandsAt(bytes: Array[Byte], ifdIndex: Int)
   : Either[String, (RasterMeta, Array[Array[Float]])] = try {
-    val r = new TagReader(bytes)
+    val r = new TagReader(bytes, ifdIndex)
     metaOf(r).flatMap { m =>
       val spp = m.samplesPerPixel
       if (spp != 1 && spp != 3)

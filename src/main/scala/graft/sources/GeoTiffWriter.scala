@@ -8,13 +8,17 @@ import java.util.zip.Deflater
   * [[GeoTiff]]'s parser, replacing the reference's GDAL
   * `cog_translate` profile (`cogify/handler.py:151-220` /
   * rio-cogeo "deflate" profile: tiled 256×256 or 512×512 blocks,
-  * DEFLATE compression, float32 samples, geo tags, nodata).
+  * DEFLATE compression, geo tags, nodata, and reduced-resolution
+  * overview IFDs).
   *
-  * Layout is COG-shaped: header + IFD + tag arrays first, tile data
-  * after, so a range-reader gets the full metadata from the first few
-  * KB. Pure JVM (java.util.zip.Deflater) — no GDAL. Overview levels
-  * are not written (a single-resolution COG is still a valid COG; the
-  * reference relies on rio-cogeo defaults for overviews).
+  * Layout is COG-shaped: header + ALL IFDs + tag arrays first, tile
+  * data after, so a range-reader gets the full metadata (including
+  * every overview's tile index) from the first few KB. Overviews
+  * follow rio-cogeo's defaults: nearest-neighbour resampling, factor
+  * 2 per level, levels until the smallest fits the block size
+  * (`get_maximum_overview_level`), each marked
+  * NewSubfileType=reduced-image. Pure JVM (java.util.zip.Deflater) —
+  * no GDAL.
   */
 object GeoTiffWriter {
 
@@ -23,43 +27,92 @@ object GeoTiffWriter {
       transform: Seq[Double],
       epsg: Int = 4326)
 
+  /** rio-cogeo `get_maximum_overview_level`: overview count such that
+    * the smallest level's min dimension fits the block size. */
+  def overviewLevels(width: Int, height: Int, tileSize: Int): Int = {
+    var level = 0
+    var factor = 1
+    while (math.min(width / factor, height / factor) > tileSize) {
+      factor *= 2
+      level += 1
+    }
+    level
+  }
+
+  /** Nearest-neighbour 2× reduction (rio-cogeo's default overview
+    * resampling), band-independent, `ceil(dim/2)` output dims. */
+  private def halveNearest(data: Array[Float], w: Int, h: Int)
+  : (Array[Float], Int, Int) = {
+    val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+    val out = new Array[Float](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        out(y * w2 + x) = data(math.min(2 * y, h - 1) * w +
+          math.min(2 * x, w - 1))
+        x += 1
+      }
+      y += 1
+    }
+    (out, w2, h2)
+  }
+
+  /** One resolution level ready for assembly: dims + deflated tiles. */
+  private case class Level(width: Int, height: Int,
+                           tiles: Seq[Array[Byte]])
+
   /** Write a single-band float32 tiled GeoTIFF (little-endian).
     *
     * @param data row-major width*height samples
     * @param fill nodata value (GDAL_NODATA tag + edge-tile padding)
+    * @param overviews write reduced-resolution IFDs (rio-cogeo
+    *                  defaults); disable for fixture-sized outputs
     */
   def write(width: Int, height: Int, data: Array[Float],
             geo: Geo, fill: Option[Double] = None,
-            tileSize: Int = 256): Array[Byte] = {
+            tileSize: Int = 256, overviews: Boolean = true): Array[Byte] = {
     require(data.length == width * height,
       s"${data.length} samples for ${width}x$height")
     val fillF = fill.getOrElse(0.0).toFloat
 
-    // tiles, row-major over the tile grid, edge tiles padded with fill
-    val tilesAcross = (width + tileSize - 1) / tileSize
-    val tilesDown = (height + tileSize - 1) / tileSize
-    val tiles = for {
-      ty <- 0 until tilesDown
-      tx <- 0 until tilesAcross
-    } yield {
-      val tb = ByteBuffer.allocate(tileSize * tileSize * 4)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      var y = 0
-      while (y < tileSize) {
-        var x = 0
-        while (x < tileSize) {
-          val gx = tx * tileSize + x
-          val gy = ty * tileSize + y
-          tb.putFloat(
-            if (gx < width && gy < height) data(gy * width + gx) else fillF)
-          x += 1
+    def tilesOf(d: Array[Float], w: Int, h: Int): Seq[Array[Byte]] = {
+      val tilesAcross = (w + tileSize - 1) / tileSize
+      val tilesDown = (h + tileSize - 1) / tileSize
+      for {
+        ty <- 0 until tilesDown
+        tx <- 0 until tilesAcross
+      } yield {
+        val tb = ByteBuffer.allocate(tileSize * tileSize * 4)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        var y = 0
+        while (y < tileSize) {
+          var x = 0
+          while (x < tileSize) {
+            val gx = tx * tileSize + x
+            val gy = ty * tileSize + y
+            tb.putFloat(
+              if (gx < w && gy < h) d(gy * w + gx) else fillF)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        deflate(tb.array())
       }
-      deflate(tb.array())
     }
-    assemble(width, height, spp = 1, bits = 32, fmt = 3, photometric = 1,
-      tiles, geo, fill, tileSize)
+
+    val nLevels = if (overviews) overviewLevels(width, height, tileSize)
+                  else 0
+    val levels = Seq.newBuilder[Level]
+    levels += Level(width, height, tilesOf(data, width, height))
+    var (d, w, h) = (data, width, height)
+    (0 until nLevels).foreach { _ =>
+      val (d2, w2, h2) = halveNearest(d, w, h)
+      d = d2; w = w2; h = h2
+      levels += Level(w, h, tilesOf(d, w, h))
+    }
+    assemble(levels.result(), spp = 1, bits = 32, fmt = 3,
+      photometric = 1, geo, fill, tileSize)
   }
 
   /** Write a 3-band 8-bit RGB tiled deflate COG (chunky interleaved,
@@ -70,7 +123,8 @@ object GeoTiffWriter {
     * 0..255; edge tiles pad with `fill` (same clamp). */
   def writeRgb(width: Int, height: Int, bands: Array[Array[Float]],
                geo: Geo, fill: Option[Double] = None,
-               tileSize: Int = 256): Array[Byte] = {
+               tileSize: Int = 256, overviews: Boolean = true)
+  : Array[Byte] = {
     require(bands.length == 3, s"${bands.length} bands (writeRgb is 3)")
     bands.foreach(b => require(b.length == width * height,
       s"${b.length} samples for ${width}x$height"))
@@ -78,65 +132,96 @@ object GeoTiffWriter {
       math.max(0, math.min(255, math.round(v))).toByte
     val fillB = toByte(fill.getOrElse(0.0).toFloat)
 
-    val tilesAcross = (width + tileSize - 1) / tileSize
-    val tilesDown = (height + tileSize - 1) / tileSize
-    val tiles = for {
-      ty <- 0 until tilesDown
-      tx <- 0 until tilesAcross
-    } yield {
-      val tb = new Array[Byte](tileSize * tileSize * 3)
-      var y = 0
-      while (y < tileSize) {
-        var x = 0
-        while (x < tileSize) {
-          val gx = tx * tileSize + x
-          val gy = ty * tileSize + y
-          val o = (y * tileSize + x) * 3
-          if (gx < width && gy < height) {
-            val p = gy * width + gx
-            tb(o) = toByte(bands(0)(p))
-            tb(o + 1) = toByte(bands(1)(p))
-            tb(o + 2) = toByte(bands(2)(p))
-          } else { tb(o) = fillB; tb(o + 1) = fillB; tb(o + 2) = fillB }
-          x += 1
+    def tilesOf(bs: Array[Array[Float]], w: Int, h: Int)
+    : Seq[Array[Byte]] = {
+      val tilesAcross = (w + tileSize - 1) / tileSize
+      val tilesDown = (h + tileSize - 1) / tileSize
+      for {
+        ty <- 0 until tilesDown
+        tx <- 0 until tilesAcross
+      } yield {
+        val tb = new Array[Byte](tileSize * tileSize * 3)
+        var y = 0
+        while (y < tileSize) {
+          var x = 0
+          while (x < tileSize) {
+            val gx = tx * tileSize + x
+            val gy = ty * tileSize + y
+            val o = (y * tileSize + x) * 3
+            if (gx < w && gy < h) {
+              val p = gy * w + gx
+              tb(o) = toByte(bs(0)(p))
+              tb(o + 1) = toByte(bs(1)(p))
+              tb(o + 2) = toByte(bs(2)(p))
+            } else { tb(o) = fillB; tb(o + 1) = fillB; tb(o + 2) = fillB }
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        deflate(tb)
       }
-      deflate(tb)
     }
-    assemble(width, height, spp = 3, bits = 8, fmt = 1, photometric = 2,
-      tiles, geo, fill, tileSize)
+
+    val nLevels = if (overviews) overviewLevels(width, height, tileSize)
+                  else 0
+    val levels = Seq.newBuilder[Level]
+    levels += Level(width, height, tilesOf(bands, width, height))
+    var (bs, w, h) = (bands, width, height)
+    (0 until nLevels).foreach { _ =>
+      val halved = bs.map(b => halveNearest(b, w, h))
+      bs = halved.map(_._1)
+      w = halved.head._2; h = halved.head._3
+      levels += Level(w, h, tilesOf(bs, w, h))
+    }
+    assemble(levels.result(), spp = 3, bits = 8, fmt = 1,
+      photometric = 2, geo, fill, tileSize)
   }
 
-  /** Shared COG assembly: header + IFD + out-of-line tag arrays first,
-    * deflated tile payloads after (metadata-first = range-reader
-    * friendly). Multi-band emits SHORT[spp] BitsPerSample/SampleFormat
-    * arrays (off-slot) and a chunky PlanarConfiguration entry. */
-  private def assemble(width: Int, height: Int, spp: Int, bits: Int,
-                       fmt: Int, photometric: Int,
-                       tiles: Seq[Array[Byte]], geo: Geo,
+  /** Shared COG assembly over a chain of resolution levels: header +
+    * every IFD + out-of-line tag arrays first, deflated tile payloads
+    * after (metadata-first = range-reader friendly). Level 0 is the
+    * full-resolution image and carries the geo tags + GDAL_NODATA;
+    * levels 1+ are overviews marked NewSubfileType=1. Multi-band
+    * emits SHORT[spp] BitsPerSample/SampleFormat arrays (off-slot)
+    * and a chunky PlanarConfiguration entry. */
+  private def assemble(levels: Seq[Level], spp: Int, bits: Int,
+                       fmt: Int, photometric: Int, geo: Geo,
                        fill: Option[Double], tileSize: Int): Array[Byte] = {
     require(geo.transform.size == 6, "geotransform needs 6 terms")
-    // IFD entries (ascending tag order)
-    val nTiles = tiles.size
     case class Entry(tag: Int, typ: Int, cnt: Int, value: Long)
-    // out-of-line data gets assembled after the IFD; offsets patched
     // GDAL_NODATA is NUL-terminated ASCII; the count includes the NUL
     val nodataAscii = fill.map(f =>
       trimmedDouble(f).getBytes("US-ASCII") :+ 0.toByte)
-
     val multi = spp > 1
-    val entryCount = 14 + nodataAscii.size + (if (multi) 1 else 0)
-    val ifdOffset = 8
-    val ifdSize = 2 + entryCount * 12 + 4
-    var dataOff = ifdOffset + ifdSize
 
+    // ---- pass 1: lay out every IFD + its out-of-line arrays --------
+    // per-level entry counts: every level carries dims(2) bps
+    // compression photometric spp [planar] tiles(4) sampleformat;
+    // level 0 adds the geo block (×3) [+ nodata], overviews add
+    // NewSubfileType instead
+    def nEntries(li: Int): Int =
+      (11 + (if (multi) 1 else 0)
+         + (if (li == 0) 3 + nodataAscii.size else 1))
+
+    val ifdOffsets = new Array[Int](levels.size)
+    var cursor = 8
+    levels.indices.foreach { li =>
+      ifdOffsets(li) = cursor
+      cursor += 2 + nEntries(li) * 12 + 4
+    }
+    var dataOff = cursor
     def alloc(n: Int): Int = { val o = dataOff; dataOff += n; o }
-    val tileOffsetsOff = if (nTiles > 1) alloc(nTiles * 4) else 0
-    val tileCountsOff = if (nTiles > 1) alloc(nTiles * 4) else 0
-    // SHORT[spp] arrays exceed the 4-byte slot for spp == 3
-    val bpsOff = if (multi) alloc(spp * 2) else 0
-    val fmtOff = if (multi) alloc(spp * 2) else 0
+
+    case class LevelLayout(tileOffsetsOff: Int, tileCountsOff: Int,
+                           bpsOff: Int, fmtOff: Int)
+    val layouts = levels.map { lv =>
+      val n = lv.tiles.size
+      LevelLayout(
+        if (n > 1) alloc(n * 4) else 0,
+        if (n > 1) alloc(n * 4) else 0,
+        if (multi) alloc(spp * 2) else 0,
+        if (multi) alloc(spp * 2) else 0)
+    }
     val scaleOff = alloc(24)
     val tieOff = alloc(48)
     val geoKeysOff = alloc(16)
@@ -145,40 +230,22 @@ object GeoTiffWriter {
     val nodataOff = nodataAscii.filter(_.length > 4)
       .map(b => alloc((b.length + 1) / 2 * 2))
     val tileDataStart = dataOff
-    val tileOffsets = tiles.scanLeft(tileDataStart.toLong)(_ + _.length)
-
-    val entries = Seq(
-      Entry(256, 4, 1, width),              // ImageWidth
-      Entry(257, 4, 1, height),             // ImageLength
-      Entry(258, 3, spp,                    // BitsPerSample
-        if (multi) bpsOff else bits),
-      Entry(259, 3, 1, 8),                  // Compression: DEFLATE
-      Entry(262, 3, 1, photometric),        // Photometric
-      Entry(277, 3, 1, spp)) ++             // SamplesPerPixel
-      (if (multi) Seq(Entry(284, 3, 1, 1))  // PlanarConfig: chunky
-       else Nil) ++ Seq(
-      Entry(322, 3, 1, tileSize),           // TileWidth
-      Entry(323, 3, 1, tileSize),           // TileLength
-      Entry(324, 4, nTiles,                 // TileOffsets
-        if (nTiles == 1) tileOffsets.head else tileOffsetsOff),
-      Entry(325, 4, nTiles,                 // TileByteCounts
-        if (nTiles == 1) tiles.head.length else tileCountsOff),
-      Entry(339, 3, spp,                    // SampleFormat
-        if (multi) fmtOff else fmt),
-      Entry(33550, 12, 3, scaleOff),        // ModelPixelScale
-      Entry(33922, 12, 6, tieOff),          // ModelTiepoint
-      Entry(34735, 3, 8, geoKeysOff)        // GeoKeyDirectory
-    ) ++ nodataAscii.map(b =>
-      Entry(42113, 2, b.length,
-        nodataOff.map(_.toLong).getOrElse(0L))) // GDAL_NODATA
+    // tile data in level order; offsets per level
+    val levelTileOffsets = {
+      var off = tileDataStart.toLong
+      levels.map { lv =>
+        val offs = lv.tiles.scanLeft(off)(_ + _.length)
+        off = offs.last
+        offs
+      }
+    }
 
     // classic TIFF carries 32-bit offsets; this writer additionally
     // assembles in one byte array, so fail with a CLEAR message well
     // before an Int wrap turns into a cryptic allocation error (a
     // 100 TB pipeline writes many granule-sized COGs, not one mosaic
     // this large — BigTIFF would be the format for that)
-    val totalBytes = tileDataStart.toLong +
-      tiles.map(_.length.toLong).sum
+    val totalBytes = levelTileOffsets.last.last
     require(totalBytes <= Int.MaxValue - 8,
       s"COG would be $totalBytes bytes — beyond the classic-TIFF " +
         "32-bit offset envelope of this writer; tile the output into " +
@@ -187,28 +254,79 @@ object GeoTiffWriter {
       .order(ByteOrder.LITTLE_ENDIAN)
     out.put('I'.toByte); out.put('I'.toByte)
     out.putShort(2, 42)
-    out.putInt(4, ifdOffset)
-    out.putShort(ifdOffset, entryCount.toShort)
-    entries.zipWithIndex.foreach { case (en, i) =>
-      val e = ifdOffset + 2 + i * 12
-      out.putShort(e, en.tag.toShort)
-      out.putShort(e + 2, en.typ.toShort)
-      out.putInt(e + 4, en.cnt)
-      if (en.typ == 3 && en.cnt == 1) out.putShort(e + 8, en.value.toShort)
-      else out.putInt(e + 8, en.value.toInt)
-    }
-    out.putInt(ifdOffset + 2 + entryCount * 12, 0) // next IFD: none
+    out.putInt(4, ifdOffsets(0))
 
-    if (nTiles > 1) {
-      tileOffsets.init.zipWithIndex.foreach { case (o, i) =>
-        out.putInt(tileOffsetsOff + i * 4, o.toInt) }
-      tiles.zipWithIndex.foreach { case (t, i) =>
-        out.putInt(tileCountsOff + i * 4, t.length) }
+    // ---- pass 2: write each IFD ------------------------------------
+    levels.indices.foreach { li =>
+      val lv = levels(li)
+      val lay = layouts(li)
+      val nTiles = lv.tiles.size
+      val tileOffsets = levelTileOffsets(li)
+      val entries =
+        (if (li > 0) Seq(Entry(254, 4, 1, 1)) // NewSubfileType: reduced
+         else Nil) ++ Seq(
+        Entry(256, 4, 1, lv.width),           // ImageWidth
+        Entry(257, 4, 1, lv.height),          // ImageLength
+        Entry(258, 3, spp,                    // BitsPerSample
+          if (multi) lay.bpsOff else bits),
+        Entry(259, 3, 1, 8),                  // Compression: DEFLATE
+        Entry(262, 3, 1, photometric),        // Photometric
+        Entry(277, 3, 1, spp)) ++             // SamplesPerPixel
+        (if (multi) Seq(Entry(284, 3, 1, 1))  // PlanarConfig: chunky
+         else Nil) ++ Seq(
+        Entry(322, 3, 1, tileSize),           // TileWidth
+        Entry(323, 3, 1, tileSize),           // TileLength
+        Entry(324, 4, nTiles,                 // TileOffsets
+          if (nTiles == 1) tileOffsets.head else lay.tileOffsetsOff),
+        Entry(325, 4, nTiles,                 // TileByteCounts
+          if (nTiles == 1) lv.tiles.head.length else lay.tileCountsOff),
+        Entry(339, 3, spp,                    // SampleFormat
+          if (multi) lay.fmtOff else fmt)) ++
+        (if (li == 0) Seq(
+          Entry(33550, 12, 3, scaleOff),      // ModelPixelScale
+          Entry(33922, 12, 6, tieOff),        // ModelTiepoint
+          Entry(34735, 3, 8, geoKeysOff)      // GeoKeyDirectory
+        ) ++ nodataAscii.map(b =>
+          Entry(42113, 2, b.length,
+            nodataOff.map(_.toLong).getOrElse(0L))) // GDAL_NODATA
+         else Nil)
+      require(entries.size == nEntries(li),
+        s"level $li: ${entries.size} entries, laid out ${nEntries(li)}")
+
+      val ifdOffset = ifdOffsets(li)
+      out.putShort(ifdOffset, entries.size.toShort)
+      entries.zipWithIndex.foreach { case (en, i) =>
+        val e = ifdOffset + 2 + i * 12
+        out.putShort(e, en.tag.toShort)
+        out.putShort(e + 2, en.typ.toShort)
+        out.putInt(e + 4, en.cnt)
+        if (en.typ == 3 && en.cnt == 1) out.putShort(e + 8, en.value.toShort)
+        else out.putInt(e + 8, en.value.toInt)
+      }
+      // next-IFD pointer: chain to the following level, 0 at the end
+      out.putInt(ifdOffset + 2 + entries.size * 12,
+        if (li + 1 < levels.size) ifdOffsets(li + 1) else 0)
+
+      if (nTiles > 1) {
+        tileOffsets.init.zipWithIndex.foreach { case (o, i) =>
+          out.putInt(lay.tileOffsetsOff + i * 4, o.toInt) }
+        lv.tiles.zipWithIndex.foreach { case (t, i) =>
+          out.putInt(lay.tileCountsOff + i * 4, t.length) }
+      }
+      if (multi) (0 until spp).foreach { i =>
+        out.putShort(lay.bpsOff + i * 2, bits.toShort)
+        out.putShort(lay.fmtOff + i * 2, fmt.toShort)
+      }
+      // inline nodata occupies the LAST entry's value slot of IFD 0
+      if (li == 0) nodataAscii.foreach { b =>
+        if (b.length <= 4) {
+          val slot = ifdOffset + 2 + (entries.size - 1) * 12 + 8
+          out.position(slot); out.put(b)
+        } else { out.position(nodataOff.get); out.put(b) }
+      }
     }
-    if (multi) (0 until spp).foreach { i =>
-      out.putShort(bpsOff + i * 2, bits.toShort)
-      out.putShort(fmtOff + i * 2, fmt.toShort)
-    }
+
+    // ---- shared geo arrays -----------------------------------------
     // ModelPixelScale (xres, |yres|, 0) + tiepoint (0,0,0 -> x0,y0,0)
     val t = geo.transform
     Seq(t(1), math.abs(t(5)), 0.0).zipWithIndex.foreach { case (v, i) =>
@@ -219,16 +337,10 @@ object GeoTiffWriter {
     val geoKeyId = if (geo.epsg >= 4000 && geo.epsg <= 4999) 2048 else 3072
     Seq(1, 1, 0, 1, geoKeyId, 0, 1, geo.epsg).zipWithIndex.foreach {
       case (v, i) => out.putShort(geoKeysOff + i * 2, v.toShort) }
-    nodataAscii.foreach { b =>
-      if (b.length <= 4) {
-        // inline: raw ASCII bytes occupy the slot of the LAST entry
-        val slot = ifdOffset + 2 + (entryCount - 1) * 12 + 8
-        out.position(slot); out.put(b)
-      } else { out.position(nodataOff.get); out.put(b) }
-    }
 
+    // ---- tile payloads ---------------------------------------------
     out.position(tileDataStart)
-    tiles.foreach(tb => out.put(tb))
+    levels.foreach(_.tiles.foreach(tb => out.put(tb)))
     out.array()
   }
 

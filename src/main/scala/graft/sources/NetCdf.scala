@@ -1058,8 +1058,10 @@ object NetCdf {
       var p = hdrEnd + bitmapBytes + 4
       var pg = 0
       while (pg < nPages) {
+        // page-init bits are MSB-first: bit offset 0 is the first
+        // byte's HIGH bit (H5VM_bit_get: `1 << (7 - offset % 8)`)
         val initialized =
-          ((bytes(hdrEnd + pg / 8) >> (pg % 8)) & 1) == 1
+          ((bytes(hdrEnd + pg / 8) >> (7 - pg % 8)) & 1) == 1
         val first = pg.toLong * pageElems
         val inPage = math.min(pageElems, maxEntries - first)
         if (initialized) {
@@ -1117,8 +1119,12 @@ object NetCdf {
     * blocks addressed from real super blocks; row u holds 2^(u/2)
     * data blocks of 2^((u+1)/2)·minElmts elements. Undefined
     * addresses at any level are elided chunks/blocks (fill value).
-    * Fails closed (→ quarantine) on paged data blocks, unknown
-    * clients, or bad signatures — never a wrong grid. */
+    * Super-block rows whose data blocks exceed the page size read
+    * through the paged layout (per-page checksums, the super block's
+    * MSB-first page-init bitmap). Fails closed (→ quarantine) on
+    * index-block-addressed paged blocks (the library never pages
+    * those — they have no bitmap to consult), unknown clients, or
+    * bad signatures — never a wrong grid. */
   private def readExtensibleArray(bytes: Array[Byte], buf: ByteBuffer,
                                   ci: ChunkInfo, nominal: Int, nChunks: Long,
                                   chunkOffs: Long => Array[Long],
@@ -1152,7 +1158,8 @@ object NetCdf {
 
     def readDataBlock(addr: Long, startIdx: Long, nelmts: Long): Boolean = {
       if (addr == -1L) return true // unwritten block: all fill
-      if (nelmts > pageNelmts) return false // paged: fail closed
+      if (nelmts > pageNelmts) return false // paged needs an init
+      // bitmap, which only super blocks carry (see readPagedDataBlock)
       val d = addr.toInt
       if (new String(bytes, d, 4, ascii) != "EADB") return false
       var q = d + 6 + 8 + offSize // sig+ver+client, header addr, offset
@@ -1162,6 +1169,41 @@ object NetCdf {
         if (idx < nChunks && !arrayChunkRecord(bytes, buf, q, idx,
           clientId, elemSize, nominal, chunkOffs, chunks)) return false
         q += elemSize; j += 1
+      }
+      true
+    }
+
+    /** Paged data block: the on-disk block is just the prefix
+      * (sig+ver+client, header addr, block offset, own checksum);
+      * fixed-size element pages follow it directly, each with its own
+      * trailing checksum. Which pages are initialized is recorded in
+      * the OWNING super block's page-init bitmap (MSB-first bit
+      * order, H5VM_bit_get) — an uninitialized page means none of its
+      * chunks were written: fill value, never garbage. */
+    def readPagedDataBlock(addr: Long, startIdx: Long, nelmts: Long,
+                           bitmapBase: Int, bitStart: Int): Boolean = {
+      if (addr == -1L) return true // unwritten block: all fill
+      val d = addr.toInt
+      if (new String(bytes, d, 4, ascii) != "EADB") return false
+      val npages = (nelmts / pageNelmts).toInt
+      var pageAddr = d + 6 + 8 + offSize + 4 // prefix incl. checksum
+      var pg = 0
+      while (pg < npages) {
+        val bit = bitStart + pg
+        val initialized =
+          ((bytes(bitmapBase + bit / 8) >> (7 - bit % 8)) & 1) == 1
+        if (initialized) {
+          var k = 0L
+          while (k < pageNelmts) {
+            val idx = startIdx + pg.toLong * pageNelmts + k
+            if (idx < nChunks && !arrayChunkRecord(bytes, buf,
+              pageAddr + (k * elemSize).toInt, idx, clientId, elemSize,
+              nominal, chunkOffs, chunks)) return false
+            k += 1
+          }
+        }
+        pageAddr += (pageNelmts * elemSize).toInt + 4 // + page checksum
+        pg += 1
       }
       true
     }
@@ -1191,22 +1233,33 @@ object NetCdf {
       }
       u += 1
     }
-    // region 3: data blocks addressed from super blocks
+    // region 3: data blocks addressed from super blocks. Rows whose
+    // data blocks exceed the page size store elements in pages; the
+    // super block then carries a page-init bitmap (ndblks × npages
+    // bits, MSB-first) between its block offset and the addresses.
     var sp = p + ndblkAddrs * 8
     while (u < hdrNsblks && startIdx < nChunks) {
       val ndblks = 1L << (u / 2)
       val dblkNelmts = (1L << ((u + 1) / 2)) * minElmts
       val sAddr = buf.getLong(sp)
       if (sAddr != -1L) {
-        if (dblkNelmts > pageNelmts) return false // paged data blocks
         val sb = sAddr.toInt
         if (new String(bytes, sb, 4, ascii) != "EASB") return false
-        var q = sb + 6 + 8 + offSize
+        val paged = dblkNelmts > pageNelmts
+        val npages = if (paged) (dblkNelmts / pageNelmts).toInt else 0
+        val bitmapBase = sb + 6 + 8 + offSize
+        val bitmapBytes =
+          if (paged) ((ndblks * npages).toInt + 7) / 8 else 0
+        var q = bitmapBase + bitmapBytes
         var si = startIdx
         var b = 0L
         while (b < ndblks) {
-          if (si < nChunks &&
-            !readDataBlock(buf.getLong(q), si, dblkNelmts)) return false
+          val ok =
+            if (si >= nChunks) true
+            else if (paged) readPagedDataBlock(buf.getLong(q), si,
+              dblkNelmts, bitmapBase, (b * npages).toInt)
+            else readDataBlock(buf.getLong(q), si, dblkNelmts)
+          if (!ok) return false
           q += 8; si += dblkNelmts; b += 1
         }
       }

@@ -1010,9 +1010,11 @@ object NetCdfFixtures {
       buf.putInt(e + 12, 0) // filter mask: all filters applied
     }
     if (pagedIndex) {
-      // page bitmap (both pages initialized), the data block's OWN
-      // checksum, then two 2-entry pages each with a trailing checksum
-      buf.put(fadb.toInt + 14, 0x03.toByte)
+      // page bitmap (both pages initialized — MSB-first bit order per
+      // H5VM_bit_set, so pages 0,1 are bits 0x80,0x40), the data
+      // block's OWN checksum, then two 2-entry pages each with a
+      // trailing checksum
+      buf.put(fadb.toInt + 14, 0xC0.toByte)
       buf.putInt(fadb.toInt + 15, 0) // data-block checksum
       val pg0 = fadb.toInt + 19
       faEntry(pg0, 0); faEntry(pg0 + 16, 1)
@@ -1312,6 +1314,174 @@ object NetCdfFixtures {
     buf.position(contigData.toInt)
     for (i <- 0 until 5; j <- 0 until 7)
       buf.putFloat(if (i == 4 && j >= 4) fill else precipAt(i, j))
+    buf.array()
+  }
+
+  /** Superblock-v2 file whose extensible array reaches a PAGED
+    * super-block row: `precip_ea` (float32[5][7], chunks 1×2 → a 20-
+    * chunk grid, shuffle+deflate) with EA page size 4 (`max dblk page
+    * bits` = 2), so super-block row u=3's 8-element data blocks split
+    * into two 4-element pages. Chunks 16–19 land in that row's first
+    * data block, page 0 (init bit set, MSB-first); page 1 and the
+    * second data block are never written (bits clear / undefined
+    * address). Chunk 19 is ELIDED inside an initialized page, and
+    * `precip_contig` is the contiguous twin the paged read must
+    * equal bit-for-bit. */
+  def hdf5V2EaPaged(): Array[Byte] = {
+    val fill = -9999f
+    def precipAt(i: Int, j: Int): Float = (i * 10 + j).toFloat
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end(); out.toByteArray
+    }
+    def shuffle(in: Array[Byte], es: Int): Array[Byte] = {
+      val n = in.length / es
+      val out = new Array[Byte](in.length)
+      for (i <- 0 until n; b <- 0 until es)
+        out(b * n + i) = in(i * es + b)
+      out
+    }
+    // 1×2 chunks over 5×7: chunk grid 5×4, linear idx i = r*4 + c;
+    // chunk 19 (r4, col 6 + pad) is elided
+    val nChunks = 20
+    def precipChunk(r: Int, cOff: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(2 * 4).order(ByteOrder.LITTLE_ENDIAN)
+      for (k <- 0 until 2) {
+        val c = cOff + k
+        b.putFloat(if (c < 7) precipAt(r, c) else fill)
+      }
+      deflate(shuffle(b.array(), 4))
+    }
+    val payloads = (0 until nChunks).map { i =>
+      if (i == 19) None else Some(precipChunk(i / 4, (i % 4) * 2))
+    }
+
+    val buf = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+    val rootHdr = 64L
+    val eaHdr = 256L; val contigHdr = 416L
+    var dataOff = 560
+    def alloc(n: Int): Long = { val o = dataOff; dataOff += n; o.toLong }
+
+    V2.superblock(buf, rootHdr, eof = 8192L)
+
+    val chunkAddrs = payloads.map(_.map(p => alloc(p.length)))
+    val contigData = alloc(5 * 7 * 4)
+    val eahd = alloc(72); val eaib = alloc(110)
+    val dblkR0 = alloc(47); val dblkR1 = alloc(75)
+    val dblkR2a = alloc(75); val dblkR2b = alloc(75)
+    val sblk2 = alloc(35); val sblk3 = alloc(36)
+    val dblkR3a = alloc(19 + 2 * (4 * 14 + 4)) // paged: prefix + 2 pages
+
+    // EAHD: params (page bits = 2 → 4-element pages), stats, address
+    locally {
+      val a = eahd.toInt
+      buf.position(a); buf.put("EAHD".getBytes)
+      buf.put(0.toByte); buf.put(1.toByte)  // version, client 1
+      buf.put(14.toByte); buf.put(8.toByte) // elem size, max nelmts bits
+      buf.put(2.toByte)                     // index blk elmts
+      buf.put(2.toByte)                     // data blk min elmts
+      buf.put(2.toByte)                     // sblk min data ptrs
+      buf.put(2.toByte)                     // max dblk page bits → 4
+      buf.putLong(a + 12, 2L); buf.putLong(a + 20, 71L) // stats
+      buf.putLong(a + 28, 5L); buf.putLong(a + 36, 410L)
+      buf.putLong(a + 44, 20L); buf.putLong(a + 52, 20L)
+      buf.putLong(a + 60, eaib)
+      buf.putInt(a + 68, 0)
+    }
+    def eaElem(p: Int, i: Int): Unit = {
+      buf.putLong(p, chunkAddrs(i).getOrElse(-1L))
+      buf.putShort(p + 8,
+        payloads(i).map(_.length).getOrElse(0).toShort)
+      buf.putInt(p + 10, 0) // filter mask
+    }
+    locally { // index block: 2 inline elems, 2 dblk addrs, 6 sblk addrs
+      val a = eaib.toInt
+      buf.position(a); buf.put("EAIB".getBytes)
+      buf.put(0.toByte); buf.put(1.toByte)
+      buf.putLong(a + 6, eahd)
+      eaElem(a + 14, 0); eaElem(a + 28, 1)
+      buf.putLong(a + 42, dblkR0); buf.putLong(a + 50, dblkR1)
+      buf.putLong(a + 58, sblk2); buf.putLong(a + 66, sblk3)
+      (2 until 6).foreach(k => buf.putLong(a + 58 + k * 8, -1L))
+      buf.putInt(a + 106, 0)
+    }
+    def eaDataBlock(at: Long, blockOff: Int, elems: Seq[Int]): Unit = {
+      val a = at.toInt
+      buf.position(a); buf.put("EADB".getBytes)
+      buf.put(0.toByte); buf.put(1.toByte)
+      buf.putLong(a + 6, eahd)
+      buf.put(a + 14, blockOff.toByte)
+      elems.zipWithIndex.foreach { case (i, k) => eaElem(a + 15 + k * 14, i) }
+      buf.putInt(a + 15 + elems.size * 14, 0)
+    }
+    eaDataBlock(dblkR0, 2, Seq(2, 3))
+    eaDataBlock(dblkR1, 4, 4 to 7)
+    eaDataBlock(dblkR2a, 8, 8 to 11)
+    eaDataBlock(dblkR2b, 12, 12 to 15)
+    locally { // super block row u=2 (unpaged 4-elem data blocks)
+      val a = sblk2.toInt
+      buf.position(a); buf.put("EASB".getBytes)
+      buf.put(0.toByte); buf.put(1.toByte)
+      buf.putLong(a + 6, eahd)
+      buf.put(a + 14, 8.toByte)
+      buf.putLong(a + 15, dblkR2a); buf.putLong(a + 23, dblkR2b)
+      buf.putInt(a + 31, 0)
+    }
+    locally { // super block row u=3: PAGED (8 elems > 4/page) — page-
+      // init bitmap (2 dblks × 2 pages, MSB-first: dblk0 page0 = 0x80)
+      // sits between the block offset and the data block addresses
+      val a = sblk3.toInt
+      buf.position(a); buf.put("EASB".getBytes)
+      buf.put(0.toByte); buf.put(1.toByte)
+      buf.putLong(a + 6, eahd)
+      buf.put(a + 14, 16.toByte)
+      buf.put(a + 15, 0x80.toByte) // page bitmap
+      buf.putLong(a + 16, dblkR3a)
+      buf.putLong(a + 24, -1L)     // second data block never allocated
+      buf.putInt(a + 32, 0)
+    }
+    locally { // paged data block: prefix (sig+ver+client, header addr,
+      // block offset, own checksum), then 4-elem pages each with a
+      // trailing checksum; page 1 uninitialized (bitmap bit clear)
+      val a = dblkR3a.toInt
+      buf.position(a); buf.put("EADB".getBytes)
+      buf.put(0.toByte); buf.put(1.toByte)
+      buf.putLong(a + 6, eahd)
+      buf.put(a + 14, 16.toByte)
+      buf.putInt(a + 15, 0)        // data block's own checksum
+      val pg0 = a + 19
+      (16 to 19).zipWithIndex.foreach { case (i, k) =>
+        eaElem(pg0 + k * 14, i) }
+      buf.putInt(pg0 + 56, 0)      // page 0 checksum
+      // page 1 (idx 20-23, past the chunk grid): left uninitialized
+    }
+
+    V2.ohdr2(buf, rootHdr, flags = 0, Seq(
+      0x0006 -> V2.link("precip_contig", contigHdr),
+      0x0006 -> V2.link("precip_ea", eaHdr)))
+    V2.ohdr2(buf, eaHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(5L, 7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 4),
+      0x0005 -> V2.fillValueMsg(fill),
+      0x000B -> V2.filterPipeline(Seq(2 -> Seq(4), 1 -> Seq(6))),
+      0x0008 -> V2.layoutChunkedV4(Seq(1, 2), idxType = 4, eahd)))
+    V2.ohdr2(buf, contigHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(5L, 7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 4),
+      0x0005 -> V2.fillValueMsg(fill),
+      0x0008 -> V2.layoutContiguousV4(contigData, 5 * 7 * 4)))
+
+    payloads.zip(chunkAddrs).foreach {
+      case (Some(p), Some(a)) => buf.position(a.toInt); buf.put(p)
+      case _ => ()
+    }
+    buf.position(contigData.toInt)
+    for (i <- 0 until 5; j <- 0 until 7)
+      buf.putFloat(if (i == 4 && j == 6) fill else precipAt(i, j))
     buf.array()
   }
 }

@@ -428,6 +428,58 @@ class CogWriterSpec extends SparkSuite {
     assert(GeoTiff.readBands(rawYcbcr).left.exists(_.contains("photometric")))
   }
 
+  test("overview IFDs: chained reduced-resolution levels at " +
+    "rio-cogeo defaults (nearest, factor 2, until min dim <= block)") {
+    import graft.sources.GeoTiffWriter
+    val w = 600; val h = 500
+    val data = Array.tabulate(w * h)(i => ((i * 13) % 997).toFloat)
+    val geo = GeoTiffWriter.Geo(Seq(0.0, 0.1, 0.0, 50.0, 0.0, -0.1))
+    // min(600,500)=500 > 128 -> L1 (300x250); 250 > 128 -> L2
+    // (150x125); 125 <= 128 -> stop
+    assert(GeoTiffWriter.overviewLevels(w, h, 128) == 2)
+    val cog = GeoTiffWriter.write(w, h, data, geo, tileSize = 128)
+    assert(GeoTiff.ifdCount(cog) == Right(3))
+    // full-res IFD unchanged: geo tags + exact samples
+    val (m0, full) = GeoTiff.readSamples(cog).fold(e => fail(e), identity)
+    assert(m0.width == w && m0.height == h && m0.transform.isDefined)
+    assert(full.sameElements(data))
+    // level 1: ceil dims, nearest = source at (2y, 2x)
+    val (m1, l1) = GeoTiff.readBandsAt(cog, 1).fold(e => fail(e), identity)
+    assert(m1.width == 300 && m1.height == 250)
+    assert(m1.transform.isEmpty) // overview IFDs carry no geo tags
+    for (y <- 0 until 250; x <- 0 until 300)
+      assert(l1(0)(y * 300 + x) == data(2 * y * w + 2 * x), s"L1 ($x,$y)")
+    // level 2 halves level 1
+    val (m2, l2) = GeoTiff.readBandsAt(cog, 2).fold(e => fail(e), identity)
+    assert(m2.width == 150 && m2.height == 125)
+    for (y <- 0 until 125; x <- 0 until 150)
+      assert(l2(0)(y * 150 + x) == l1(0)(2 * y * 300 + 2 * x), s"L2 ($x,$y)")
+    // overviews off -> single IFD
+    val flat = GeoTiffWriter.write(w, h, data, geo, tileSize = 128,
+      overviews = false)
+    assert(GeoTiff.ifdCount(flat) == Right(1))
+  }
+
+  test("RGB COGs chain overviews too; small rasters get none") {
+    import graft.sources.GeoTiffWriter
+    val w = 300; val h = 270
+    val bands = Array.tabulate(3)(b =>
+      Array.tabulate(w * h)(i => ((i * 7 + b * 31) % 256).toFloat))
+    val geo = GeoTiffWriter.Geo(Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+    val cog = GeoTiffWriter.writeRgb(w, h, bands, geo, tileSize = 256)
+    // min(300,270)=270 > 256 -> one overview level (150x135)
+    assert(GeoTiff.ifdCount(cog) == Right(2))
+    val (m1, l1) = GeoTiff.readBandsAt(cog, 1).fold(e => fail(e), identity)
+    assert(m1.width == 150 && m1.height == 135 && m1.samplesPerPixel == 3)
+    for (b <- 0 until 3; y <- 0 until 135; x <- 0 until 150)
+      assert(l1(b)(y * 150 + x) == bands(b)(2 * y * w + 2 * x),
+        s"band $b ($x,$y)")
+    // below the block size: no overview IFD
+    val small = GeoTiffWriter.writeRgb(100, 80,
+      bands.map(_.take(100 * 80)), geo, tileSize = 256)
+    assert(GeoTiff.ifdCount(small) == Right(1))
+  }
+
   test("writeRgb round-trips an 8-bit RGB COG (multi-tile, geo tags)") {
     import graft.sources.GeoTiffWriter
     val w = 300; val h = 270 // 2x2 tile grid at 256 -> edge padding

@@ -283,7 +283,9 @@ class NetCdfSpec extends SparkSuite {
       i += 1
     }
     assert(fadb > 0)
-    mangled(fadb + 14) = 0x01 // only page 0 initialized
+    // only page 0 initialized — MSB-first bit order (H5VM_bit_get:
+    // bit offset 0 is the first byte's HIGH bit), so 0x80 not 0x01
+    mangled(fadb + 14) = 0x80.toByte
     val mm = NetCdf.parse(mangled).fold(e => fail(e), identity)
     val gm = NetCdf.readGridRaw(mangled, mm, "precip")
       .getOrElse(fail("bitmap-mangled precip did not decode"))
@@ -354,8 +356,10 @@ class NetCdfSpec extends SparkSuite {
     // (a) broken EAHD signature -> precip_ea quarantines
     val a = base.clone(); a(sigPos("EAHD")) = 'X'.toByte
     assert(gridOf(a, "precip_ea").isEmpty)
-    // (b) page bits 0 makes every data block "paged" -> fail closed
-    // (paged EA data blocks are a documented unparsed envelope);
+    // (b) page bits 0 makes every data block "paged" -> fail closed:
+    // index-block-addressed data blocks have no page-init bitmap, so
+    // paging there is unreadable by construction (super-block-row
+    // paging IS parsed — see the hdf5V2EaPaged test);
     // lat's own index is untouched and still reads
     val b = base.clone(); b(sigPos("EAHD") + 11) = 0
     assert(gridOf(b, "precip_ea").isEmpty)
@@ -367,6 +371,45 @@ class NetCdfSpec extends SparkSuite {
     // (d) unknown v2-btree record type -> quarantine
     val d = base.clone(); d(sigPos("BTHD") + 5) = 9.toByte
     assert(gridOf(d, "precip_bt2").isEmpty)
+  }
+
+  test("hdf5 v4 EA: PAGED super-block data blocks decode; the " +
+    "page-init bitmap is MSB-first") {
+    val bytes = NetCdfFixtures.hdf5V2EaPaged()
+    val m = NetCdf.parse(bytes).fold(e => fail(e), identity)
+    val ct = NetCdf.readGridRaw(bytes, m, "precip_contig")
+      .getOrElse(fail("contiguous twin did not decode"))
+    val g = NetCdf.readGridRaw(bytes, m, "precip_ea")
+      .getOrElse(fail("paged precip_ea did not decode"))
+    assert(g.sameElements(ct))
+    assert(g(4 * 7 + 6) == -9999f) // elided chunk INSIDE an init page
+    assert(g(4 * 7 + 5) == 45f)    // last written cell (page 0 data)
+
+    // find the paged super block's bitmap: the second EASB
+    def sigPositions(sig: String): Seq[Int] = {
+      val sb = sig.getBytes
+      (0 until bytes.length - sb.length).filter(p =>
+        sb.indices.forall(j => bytes(p + j) == sb(j)))
+    }
+    val easbs = sigPositions("EASB")
+    assert(easbs.size == 2)
+    val bitmapAt = easbs(1) + 15
+    assert(bytes(bitmapAt) == 0x80.toByte)
+    // clearing the bit -> the whole page reads as FILL, never garbage
+    val cleared = bytes.clone(); cleared(bitmapAt) = 0x00
+    val mc = NetCdf.parse(cleared).fold(e => fail(e), identity)
+    val gc = NetCdf.readGridRaw(cleared, mc, "precip_ea")
+      .getOrElse(fail("cleared-bitmap precip_ea did not decode"))
+    assert((0 until 4 * 7).forall(i => gc(i) == ct(i)))
+    assert((4 * 7 until 5 * 7).forall(gc(_) == -9999f))
+    // 0x01 is bit 7 in MSB-first order (NOT page 0): an LSB-first
+    // reader would see page 0 initialized and return data — pin the
+    // order by requiring fill here too
+    val lsb = bytes.clone(); lsb(bitmapAt) = 0x01
+    val ml = NetCdf.parse(lsb).fold(e => fail(e), identity)
+    val gl = NetCdf.readGridRaw(lsb, ml, "precip_ea")
+      .getOrElse(fail("lsb-bitmap precip_ea did not decode"))
+    assert((4 * 7 until 5 * 7).forall(gl(_) == -9999f))
   }
 
   test("hdf5 v2 dense links: fractal-heap groups list all members") {
