@@ -886,6 +886,36 @@ object Queries {
       .orderBy("fname", "var_path")
   }
 
+  /** S6 — DEPTH-2 version-2 B-tree chunk index: the first depth where
+    * the root's child pointers carry the cumulative-record-count
+    * field, so the node-capacity recurrence (not just the leaf walk)
+    * decides every pointer offset. Four elided chunks — interior and
+    * tail — read as fill; the walk must equal the contiguous twin.
+    * Literal-VALUES oracle. */
+  def s6Bt2Deep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Seq(
+      ("bt2deep.h5", graft.sources.NetCdfFixtures.hdf5V2Bt2Deep()))
+      .toDF("path", "content")
+    files.as[(String, Array[Byte])].flatMap { case (fname, bytes) =>
+      val meta = graft.sources.NetCdf.parse(bytes)
+        .getOrElse(graft.sources.NetCdf.FileMeta("unparsed", Nil, Nil, Nil))
+      meta.vars.map { v =>
+        val grid = graft.sources.NetCdf.readGridRaw(bytes, meta, v.path)
+        val storage =
+          if (v.begin.isDefined) "contiguous"
+          else if (v.chunks.isDefined) "chunked" else "none"
+        grid match {
+          case Some(g) => (fname, v.path, storage, true, g.length.toLong,
+            g.map(_.toDouble).sum, g.min.toDouble, g.max.toDouble)
+          case None => (fname, v.path, storage, false, 0L, 0.0, 0.0, 0.0)
+        }
+      }
+    }.toDF("fname", "var_path", "storage", "ok", "n_vals",
+        "sum_val", "min_val", "max_val")
+      .orderBy("fname", "var_path")
+  }
+
   /** S6 — HDF5 superblock-v2 (>= 1.10 / netCDF-4 latest format):
     * link-message group walk + v4-contiguous data read over the
     * spec-built v2 fixture, compared row-for-row against its

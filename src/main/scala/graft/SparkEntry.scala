@@ -148,6 +148,7 @@ object SparkEntry {
     "q_s6_v2"                -> (Queries.s6V2 _),
     "q_s6_v4chunked"         -> (Queries.s6V4Chunked _),
     "q_s6_ea_paged"          -> (Queries.s6EaPaged _),
+    "q_s6_bt2_deep"          -> (Queries.s6Bt2Deep _),
     "q_s6_eabt2"             -> (Queries.s6EaBt2 _),
     "q_s6_dense"             -> (Queries.s6Dense _),
     // graph analytics
@@ -924,6 +925,17 @@ object SparkEntry {
         |  ('eabt2.h5', 'precip_ea', 'chunked', true,
         |   CAST(35 AS BIGINT), CAST(-29327.0 AS DOUBLE),
         |   CAST(-9999.0 AS DOUBLE), CAST(43.0 AS DOUBLE))
+        |) AS t(fname, var_path, storage, ok, n_vals, sum_val,
+        |       min_val, max_val)
+        |ORDER BY fname, var_path""".stripMargin,
+    "q_s6_bt2_deep" ->
+      """SELECT * FROM (VALUES
+        |  ('bt2deep.h5', 'precip_bt2', 'chunked', true,
+        |   CAST(35 AS BIGINT), CAST(-69393.0 AS DOUBLE),
+        |   CAST(-9999.0 AS DOUBLE), CAST(45.0 AS DOUBLE)),
+        |  ('bt2deep.h5', 'precip_contig', 'contiguous', true,
+        |   CAST(35 AS BIGINT), CAST(-69393.0 AS DOUBLE),
+        |   CAST(-9999.0 AS DOUBLE), CAST(45.0 AS DOUBLE))
         |) AS t(fname, var_path, storage, ok, n_vals, sum_val,
         |       min_val, max_val)
         |ORDER BY fname, var_path""".stripMargin,

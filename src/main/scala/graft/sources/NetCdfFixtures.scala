@@ -1484,4 +1484,165 @@ object NetCdfFixtures {
       buf.putFloat(if (i == 4 && j == 6) fill else precipAt(i, j))
     buf.array()
   }
+
+  /** Superblock-v2 file with a DEPTH-2 version-2 B-tree chunk index —
+    * the first depth where the node-capacity recurrence matters: the
+    * root's child pointers carry a cumulative-record-count field
+    * (cumSize(1) = 1 byte here) that depth-1 pointers don't, so any
+    * width error shifts every pointer. `precip_bt2` is float32[5][7]
+    * in 1×2 chunks (a 5×4 grid, 20 chunks), shuffle+deflate, record
+    * type 11; chunks {5, 10, 17, 19} are ELIDED (no record — interior
+    * AND tail gaps), and `precip_contig` is the contiguous twin the
+    * tree walk must equal bit-for-bit. Node size 128 → 3 records/leaf,
+    * 2/internal; 16 live records span root(1) + two depth-1 subtrees
+    * (10 + 5) in scaled-offset order. */
+  def hdf5V2Bt2Deep(): Array[Byte] = {
+    val fill = -9999f
+    def precipAt(i: Int, j: Int): Float = (i * 10 + j).toFloat
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new ByteArrayOutputStream()
+      val tmp = new Array[Byte](256)
+      while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+      d.end(); out.toByteArray
+    }
+    def shuffle(in: Array[Byte], es: Int): Array[Byte] = {
+      val n = in.length / es
+      val out = new Array[Byte](in.length)
+      for (i <- 0 until n; b <- 0 until es)
+        out(b * n + i) = in(i * es + b)
+      out
+    }
+    val nChunks = 20
+    val elided = Set(5, 10, 17, 19)
+    def precipChunk(r: Int, cOff: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(2 * 4).order(ByteOrder.LITTLE_ENDIAN)
+      for (k <- 0 until 2) {
+        val c = cOff + k
+        b.putFloat(if (c < 7) precipAt(r, c) else fill)
+      }
+      deflate(shuffle(b.array(), 4))
+    }
+    val payloads = (0 until nChunks).map { i =>
+      if (elided(i)) None else Some(precipChunk(i / 4, (i % 4) * 2))
+    }
+    // live chunk indices in scaled-offset (= linear) order, dealt
+    // in-order across the depth-2 tree
+    val live = (0 until nChunks).filterNot(elided).toVector
+    assert(live.size == 16)
+    val Seq(leafA1, recA1, leafA2, recA2, leafA3, rootRec, leafB1,
+      recB1, leafB2) = Seq(
+      live.slice(0, 3), Seq(live(3)), live.slice(4, 7), Seq(live(7)),
+      live.slice(8, 10), Seq(live(10)), live.slice(11, 13),
+      Seq(live(13)), live.slice(14, 16))
+
+    val buf = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+    val rootHdr = 64L
+    val btHdr = 256L; val contigHdr = 416L
+    var dataOff = 560
+    def alloc(n: Int): Long = { val o = dataOff; dataOff += n; o.toLong }
+
+    V2.superblock(buf, rootHdr, eof = 8192L)
+
+    val chunkAddrs = payloads.map(_.map(p => alloc(p.length)))
+    val contigData = alloc(5 * 7 * 4)
+    val bthd = alloc(38)
+    val btRoot = alloc(60)           // BTIN d2: 1 rec, 2 ptrs of 10
+    val btinA = alloc(97)            // BTIN d1: 2 recs, 3 ptrs of 9
+    val btinB = alloc(58)            // BTIN d1: 1 rec, 2 ptrs of 9
+    val lA1 = alloc(100); val lA2 = alloc(100); val lA3 = alloc(70)
+    val lB1 = alloc(70); val lB2 = alloc(70)
+
+    def btRecord(p: Int, i: Int): Unit = {
+      buf.putLong(p, chunkAddrs(i).getOrElse(-1L))
+      buf.putShort(p + 8,
+        payloads(i).map(_.length).getOrElse(0).toShort)
+      buf.putInt(p + 10, 0)               // filter mask
+      buf.putLong(p + 14, (i / 4).toLong) // scaled row
+      buf.putLong(p + 22, (i % 4).toLong) // scaled col
+    }
+    locally {
+      val a = bthd.toInt
+      buf.position(a); buf.put("BTHD".getBytes)
+      buf.put(0.toByte); buf.put(11.toByte) // filtered-chunk records
+      buf.putInt(a + 6, 128)                // node size
+      buf.putShort(a + 10, 30.toShort)      // record size (szW = 2)
+      buf.putShort(a + 12, 2.toShort)       // DEPTH 2
+      buf.put(a + 14, 100.toByte); buf.put(a + 15, 40.toByte)
+      buf.putLong(a + 16, btRoot)
+      buf.putShort(a + 24, 1.toShort)       // records in root
+      buf.putLong(a + 26, 16L)              // total records
+      buf.putInt(a + 34, 0)
+    }
+    locally { // root internal node (depth 2): child pointers carry
+      // address(8) + nrec(1) + TOTAL records in subtree (1 byte —
+      // encSize(cumMax(1) = 11)); a wrong total-field width would
+      // shift the second pointer
+      val a = btRoot.toInt
+      buf.position(a); buf.put("BTIN".getBytes)
+      buf.put(0.toByte); buf.put(11.toByte)
+      btRecord(a + 6, rootRec.head)
+      val ptrBase = a + 36
+      buf.putLong(ptrBase, btinA)
+      buf.put(ptrBase + 8, 2.toByte)        // records in A
+      buf.put(ptrBase + 9, 10.toByte)       // total in A's subtree
+      buf.putLong(ptrBase + 10, btinB)
+      buf.put(ptrBase + 18, 1.toByte)
+      buf.put(ptrBase + 19, 5.toByte)
+      buf.putInt(ptrBase + 20, 0)
+    }
+    def btInternal1(at: Long, recs: Seq[Int],
+                    children: Seq[(Long, Int)]): Unit = {
+      val a = at.toInt
+      buf.position(a); buf.put("BTIN".getBytes)
+      buf.put(0.toByte); buf.put(11.toByte)
+      recs.zipWithIndex.foreach { case (i, k) => btRecord(a + 6 + k * 30, i) }
+      val ptrBase = a + 6 + recs.size * 30  // leaf ptrs: addr(8)+nrec(1)
+      children.zipWithIndex.foreach { case ((addr, n), k) =>
+        buf.putLong(ptrBase + k * 9, addr)
+        buf.put(ptrBase + k * 9 + 8, n.toByte)
+      }
+      buf.putInt(ptrBase + children.size * 9, 0)
+    }
+    btInternal1(btinA, recA1 ++ recA2,
+      Seq((lA1, leafA1.size), (lA2, leafA2.size), (lA3, leafA3.size)))
+    btInternal1(btinB, recB1,
+      Seq((lB1, leafB1.size), (lB2, leafB2.size)))
+    def btLeaf(at: Long, recs: Seq[Int]): Unit = {
+      val a = at.toInt
+      buf.position(a); buf.put("BTLF".getBytes)
+      buf.put(0.toByte); buf.put(11.toByte)
+      recs.zipWithIndex.foreach { case (i, k) => btRecord(a + 6 + k * 30, i) }
+      buf.putInt(a + 6 + recs.size * 30, 0)
+    }
+    btLeaf(lA1, leafA1); btLeaf(lA2, leafA2); btLeaf(lA3, leafA3)
+    btLeaf(lB1, leafB1); btLeaf(lB2, leafB2)
+
+    V2.ohdr2(buf, rootHdr, flags = 0, Seq(
+      0x0006 -> V2.link("precip_bt2", btHdr),
+      0x0006 -> V2.link("precip_contig", contigHdr)))
+    V2.ohdr2(buf, btHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(5L, 7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 4),
+      0x0005 -> V2.fillValueMsg(fill),
+      0x000B -> V2.filterPipeline(Seq(2 -> Seq(4), 1 -> Seq(6))),
+      0x0008 -> V2.layoutChunkedV4(Seq(1, 2), idxType = 5, bthd)))
+    V2.ohdr2(buf, contigHdr, flags = 0, Seq(
+      0x0001 -> V2.dataspace(Seq(5L, 7L)),
+      0x0003 -> V2.datatype(clazz = 1, size = 4),
+      0x0005 -> V2.fillValueMsg(fill),
+      0x0008 -> V2.layoutContiguousV4(contigData, 5 * 7 * 4)))
+
+    payloads.zip(chunkAddrs).foreach {
+      case (Some(p), Some(a)) => buf.position(a.toInt); buf.put(p)
+      case _ => ()
+    }
+    buf.position(contigData.toInt)
+    for (i <- 0 until 5; j <- 0 until 7) {
+      val chunkIdx = i * 4 + j / 2
+      buf.putFloat(if (elided(chunkIdx)) fill else precipAt(i, j))
+    }
+    buf.array()
+  }
 }

@@ -373,6 +373,33 @@ class NetCdfSpec extends SparkSuite {
     assert(gridOf(d, "precip_bt2").isEmpty)
   }
 
+  test("hdf5 v4 v2-btree: DEPTH-2 tree walks both internal levels " +
+    "(cumulative-count pointer widths)") {
+    val bytes = NetCdfFixtures.hdf5V2Bt2Deep()
+    val m = NetCdf.parse(bytes).fold(e => fail(e), identity)
+    val ct = NetCdf.readGridRaw(bytes, m, "precip_contig")
+      .getOrElse(fail("contiguous twin did not decode"))
+    val g = NetCdf.readGridRaw(bytes, m, "precip_bt2")
+      .getOrElse(fail("depth-2 precip_bt2 did not decode"))
+    assert(g.sameElements(ct))
+    // interior elided chunks (5, 10) and tail ones (17, 19) are fill
+    for ((r, c) <- Seq((1, 2), (1, 3), (2, 4), (2, 5), (4, 2), (4, 3),
+      (4, 6)))
+      assert(g(r * 7 + c) == -9999f, s"($r,$c)")
+    assert(g(4 * 7 + 5) == 45f) // last written cell
+    // a broken depth-1 internal signature quarantines the read
+    def sigPositions(sig: String): Seq[Int] = {
+      val sb = sig.getBytes
+      (0 until bytes.length - sb.length).filter(p =>
+        sb.indices.forall(j => bytes(p + j) == sb(j)))
+    }
+    val btins = sigPositions("BTIN")
+    assert(btins.size == 3) // root + two depth-1 nodes
+    val mangled = bytes.clone(); mangled(btins(1)) = 'X'.toByte
+    val mm = NetCdf.parse(mangled).fold(e => fail(e), identity)
+    assert(NetCdf.readGridRaw(mangled, mm, "precip_bt2").isEmpty)
+  }
+
   test("hdf5 v4 EA: PAGED super-block data blocks decode; the " +
     "page-init bitmap is MSB-first") {
     val bytes = NetCdfFixtures.hdf5V2EaPaged()
