@@ -740,6 +740,48 @@ object Queries {
       .orderBy("ifd")
   }
 
+  /** K3 — CF packed-data unpacking through cogify: netCDF4-python's
+    * default auto mask-and-scale (`src[var][:]`, the reference's read
+    * at `cogify/handler.py:101`) unpacks `raw * scale_factor +
+    * add_offset` while masked (fill) cells keep the RAW fill that
+    * becomes the COG's nodata. A packed int16 variable and its
+    * pre-unpacked float twin must cogify to the SAME pixel stats;
+    * literal-VALUES oracle. */
+  def k3Scaled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.NetCdfFixtures.CVar
+    val raws = Seq.tabulate(48)(i => ((i * 7) % 101) - 30.0)
+      .updated(5, -32768.0).updated(23, -32768.0)
+    val unpacked = raws.map(r => if (r == -32768.0) r else r * 0.25 + 100.0)
+    val cfAttrs = Seq[(String, Either[String, Seq[Double]])](
+      "_FillValue" -> Right(Seq(-32768.0)),
+      "scale_factor" -> Right(Seq(0.25)),
+      "add_offset" -> Right(Seq(100.0)))
+    val files = Seq(
+      ("packed.nc", graft.sources.NetCdfFixtures.classic(
+        dims = Seq("y" -> 6, "x" -> 8),
+        vars = Seq(CVar("var", Seq("y", "x"), 3, raws, attrs = cfAttrs)))),
+      ("plain.nc", graft.sources.NetCdfFixtures.classic(
+        dims = Seq("y" -> 6, "x" -> 8),
+        vars = Seq(CVar("var", Seq("y", "x"), 5, unpacked,
+          attrs = Seq("_FillValue" -> Right(Seq(-32768.0))))))))
+      .toDF("path", "content")
+    val cfg = graft.operators.Cogify.CollectionConfig(
+      variableName = Some("var"))
+    files.as[(String, Array[Byte])].map { case (fname, bytes) =>
+      graft.operators.Cogify.classicNetcdfToCog(bytes, cfg) match {
+        case Right(cog) =>
+          val (m, grid) = graft.sources.GeoTiff.readSamples(cog)
+            .fold(e => throw new IllegalStateException(e), identity)
+          (fname, true, m.nodata.getOrElse(Double.NaN), grid.length.toLong,
+            grid.map(_.toDouble).sum, grid.min.toDouble, grid.max.toDouble)
+        case Left(_) => (fname, false, Double.NaN, 0L, 0.0, 0.0, 0.0)
+      }
+    }.toDF("fname", "ok", "nodata", "n_vals", "sum_val", "min_val",
+        "max_val")
+      .orderBy("fname")
+  }
+
   /** S6 — CHUNKED HDF5 data decode over the spec-built fixture: the
     * shuffle+deflate 2-D grid must equal its contiguous twin and the
     * deflate / deflate+fletcher32 1-D coordinates must read exactly —

@@ -143,6 +143,7 @@ object SparkEntry {
     "q_s5_rgb"               -> (Queries.s5Rgb _),
     "q_k3_rgb_cog"           -> (Queries.k3RgbCog _),
     "q_k3_overviews"         -> (Queries.k3Overviews _),
+    "q_k3_scaled"            -> (Queries.k3Scaled _),
     "q_s6_netcdf"            -> (Queries.s6NetCdf _),
     "q_s6_chunked"           -> (Queries.s6Chunked _),
     "q_s6_v2"                -> (Queries.s6V2 _),
@@ -848,6 +849,16 @@ object SparkEntry {
         |   false, true)
         |) AS t(fname, ifd, width, height, has_geo, nearest_ok)
         |ORDER BY ifd""".stripMargin,
+    "q_k3_scaled" ->
+      """SELECT * FROM (VALUES
+        |  ('packed.nc', true, CAST(-32768.0 AS DOUBLE),
+        |   CAST(48 AS BIGINT), CAST(-60744.75 AS DOUBLE),
+        |   CAST(-32768.0 AS DOUBLE), CAST(117.25 AS DOUBLE)),
+        |  ('plain.nc', true, CAST(-32768.0 AS DOUBLE),
+        |   CAST(48 AS BIGINT), CAST(-60744.75 AS DOUBLE),
+        |   CAST(-32768.0 AS DOUBLE), CAST(117.25 AS DOUBLE))
+        |) AS t(fname, ok, nodata, n_vals, sum_val, min_val, max_val)
+        |ORDER BY fname""".stripMargin,
     "q_k3_rgb_cog" ->
       """SELECT * FROM (VALUES
         |  ('browse_jpeg.tif', true, 3, 8, CAST(256 AS BIGINT),

@@ -200,7 +200,11 @@ object Cogify {
         val path = cfg.group.map(gr => s"$gr/$vn").getOrElse(vn)
         meta.vars.find(_.path == path).toRight(s"no variable $path")
           .flatMap { v =>
-            graft.sources.NetCdf.readGridRaw(bytes, meta, path)
+            // scaled = the reference's auto mask-and-scale read
+            // (`src[var][:]`, handler.py:101): CF packed data unpacks
+            // via scale_factor/add_offset, fill cells keep the raw
+            // fill that becomes the COG's nodata
+            graft.sources.NetCdf.readGridScaled(bytes, meta, path)
               .toRight(s"no readable data for $path").flatMap { raw =>
                 // F14 ops first; the grid is sized AFTER them, exactly
                 // like the reference (`variable.shape` read at

@@ -254,6 +254,38 @@ object NetCdf {
       .filter(_.shape.size == 2)
       .flatMap(_ => readGridRaw(bytes, meta, varPath))
 
+  /** [[readGridRaw]] with netCDF4-python's default auto
+    * mask-and-scale applied — parity with the reference's
+    * `src[variable_name][:]` read (`cogify/handler.py:101`, Dataset
+    * opens with `set_auto_maskandscale` on): when the variable
+    * carries a `scale_factor` and/or `add_offset` attribute (the CF
+    * packed-data convention), every value UNPACKS as
+    * `raw * scale_factor + add_offset` — except raw values equal to
+    * the fill, which stay at the RAW fill: netCDF4 masks them first,
+    * the masked array keeps the underlying fill bytes, and rasterio
+    * writes that as the nodata. Variables without the attributes
+    * read unchanged. */
+  def readGridScaled(bytes: Array[Byte], meta: FileMeta, varPath: String)
+  : Option[Array[Float]] =
+    readGridRaw(bytes, meta, varPath).map { raw =>
+      meta.vars.find(_.path == varPath).fold(raw) { v =>
+        def num(name: String): Option[Double] =
+          v.attrs.find(_.name == name).flatMap(_.nums.headOption)
+        val scale = num("scale_factor")
+        val offset = num("add_offset")
+        if (scale.isEmpty && offset.isEmpty) raw
+        else {
+          val s = scale.getOrElse(1.0)
+          val o = offset.getOrElse(0.0)
+          val fill = v.fillValue.map(_.toFloat)
+          raw.map { x =>
+            if (fill.exists(f => f == x)) x
+            else (x * s + o).toFloat
+          }
+        }
+      }
+    }
+
   // ---------------------------------------------------------------
   // HDF5 — superblock v0/v1 + symbol-table groups (the layout the
   // netCDF-4/HDF5 1.8 line writes by default)

@@ -373,6 +373,46 @@ class NetCdfSpec extends SparkSuite {
     assert(gridOf(d, "precip_bt2").isEmpty)
   }
 
+  test("auto mask-and-scale parity: CF packed data unpacks via " +
+    "scale_factor/add_offset, fill cells keep the raw fill") {
+    import graft.sources.NetCdfFixtures.CVar
+    // int16 packed variable, the CF convention netCDF4-python unpacks
+    // by default (the reference's src[var][:] read, handler.py:101)
+    val bytes = NetCdfFixtures.classic(
+      dims = Seq("y" -> 2, "x" -> 3),
+      vars = Seq(
+        CVar("packed", Seq("y", "x"), 3,
+          Seq(0.0, 2.0, -32768.0, 4.0, -6.0, 100.0),
+          attrs = Seq("_FillValue" -> Right(Seq(-32768.0)),
+            "scale_factor" -> Right(Seq(0.5)),
+            "add_offset" -> Right(Seq(10.0)))),
+        CVar("plain", Seq("y", "x"), 3,
+          Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))))
+    val m = NetCdf.parse(bytes).fold(e => fail(e), identity)
+    val raw = NetCdf.readGridRaw(bytes, m, "packed")
+      .getOrElse(fail("raw read failed"))
+    assert(raw.toSeq == Seq(0f, 2f, -32768f, 4f, -6f, 100f))
+    val scaled = NetCdf.readGridScaled(bytes, m, "packed")
+      .getOrElse(fail("scaled read failed"))
+    // raw*0.5 + 10, EXCEPT the fill cell which stays at the raw fill
+    assert(scaled.toSeq == Seq(10f, 11f, -32768f, 12f, 7f, 60f))
+    // no scale attributes -> scaled == raw
+    val plain = NetCdf.readGridScaled(bytes, m, "plain")
+      .getOrElse(fail("plain read failed"))
+    assert(plain.toSeq == Seq(1f, 2f, 3f, 4f, 5f, 6f))
+    // and the cogify conversion carries the UNPACKED values + raw
+    // fill as nodata (the reference writes variable.astype(float32)
+    // of the masked+scaled array, nodata = the raw _FillValue)
+    val cfg = graft.operators.Cogify.CollectionConfig(
+      variableName = Some("packed"))
+    val cog = graft.operators.Cogify.classicNetcdfToCog(bytes, cfg)
+      .fold(e => fail(e), identity)
+    val (cm, data) = graft.sources.GeoTiff.readSamples(cog)
+      .fold(e => fail(e), identity)
+    assert(cm.nodata.contains(-32768.0))
+    assert(data.toSeq == Seq(10f, 11f, -32768f, 12f, 7f, 60f))
+  }
+
   test("hdf5 v4 v2-btree: DEPTH-2 tree walks both internal levels " +
     "(cumulative-count pointer widths)") {
     val bytes = NetCdfFixtures.hdf5V2Bt2Deep()
