@@ -256,10 +256,13 @@ object GeoTiff {
     * major) — the multi-band superset of [[readSamples]] covering the
     * RGB / YCbCr-JPEG browse imagery the reference's GDAL path
     * ingests (`cogify/handler.py:151-220`). Multi-band constraints:
-    * chunky interleaving only (PlanarConfiguration 1), 3 samples per
+    * chunky (PlanarConfiguration 1) or band-sequential planar (2 —
+    * each band's segments stored contiguously, band 0's strips/tiles
+    * first, per TIFF 6.0 §"PlanarConfiguration"), 3 samples per
     * pixel, photometric RGB (2) — or, under JPEG compression, YCbCr
     * (6) as well, which the JDK decoder returns as RGB (the same
-    * YCbCr→RGB conversion GDAL applies by default). Anything else →
+    * YCbCr→RGB conversion GDAL applies by default). Planar JPEG and
+    * raw (non-JPEG) YCbCr stay quarantined. Anything else →
     * `Left(reason)`, never a wrong grid. */
   def readBands(bytes: Array[Byte])
   : Either[String, (RasterMeta, Array[Array[Float]])] =
@@ -293,10 +296,16 @@ object GeoTiff {
       if (spp != 1 && spp != 3)
         return Left(s"unsupported: $spp samples/pixel")
       val compression = r.scalar(Compression).getOrElse(1L).toInt
+      // PlanarConfiguration only matters with >1 sample per pixel
+      val planar =
+        if (spp == 1) 1 else r.scalar(PlanarConfig).getOrElse(1L).toInt
       if (spp == 3) {
-        val planar = r.scalar(PlanarConfig).getOrElse(1L).toInt
-        if (planar != 1)
+        if (planar != 1 && planar != 2)
           return Left(s"unsupported planar configuration $planar")
+        if (planar == 2 && compression == 7)
+          // JPEG always encodes interleaved MCUs; a planar JPEG TIFF
+          // is contradictory enough that GDAL itself warns — refuse
+          return Left("unsupported: planar JPEG")
         val photometric = r.scalar(Photometric).getOrElse(1L).toInt
         val okPhoto =
           if (compression == 7) photometric == 2 || photometric == 6
@@ -344,7 +353,11 @@ object GeoTiff {
       val jpegTables = r.rawBytes(JpegTables)
 
       val w = m.width.toInt; val h = m.height.toInt
-      val pixelBytes = sampleBytes * spp
+      // planar (2): each segment carries ONE band's samples, so the
+      // in-segment pixel stride is a single sample and the predictor
+      // differences one channel per row
+      val bandsPerSeg = if (planar == 2) 1 else spp
+      val pixelBytes = sampleBytes * bandsPerSeg
       val out = Array.fill(spp)(new Array[Float](w * h))
       // segment geometry: tiles or strips
       val (segW, segH, offsets, counts) = (m.tileWidth, m.tileHeight) match {
@@ -363,6 +376,15 @@ object GeoTiff {
               return Left("no StripByteCounts")))
       }
       val segsAcross = (w + segW - 1) / segW
+      // planar: the segment list is band-major — all of band 0's
+      // strips/tiles, then band 1's, then band 2's (TIFF 6.0)
+      val segsPerBand =
+        if (planar == 2) {
+          if (offsets.length % spp != 0)
+            return Left(s"planar segment count ${offsets.length} " +
+              s"not divisible by $spp bands")
+          offsets.length / spp
+        } else offsets.length
       offsets.indices.foreach { s =>
         val raw = bytes.slice(offsets(s).toInt,
           (offsets(s) + counts(s)).toInt)
@@ -375,20 +397,22 @@ object GeoTiff {
           case _     => inflate(raw, cap)
         }
         if (predictor == 2)
-          undoPredictor(seg, segW, sampleBytes, spp, r.order)
+          undoPredictor(seg, segW, sampleBytes, bandsPerSeg, r.order)
         val sb = ByteBuffer.wrap(seg).order(r.order)
-        val x0 = (s % segsAcross) * segW
-        val y0 = (s / segsAcross) * segH
+        val band0 = s / segsPerBand      // 0 for chunky
+        val sPos = s % segsPerBand       // position within the band
+        val x0 = (sPos % segsAcross) * segW
+        val y0 = (sPos / segsAcross) * segH
         var y = 0
         while (y < segH && y0 + y < h) {
           var x = 0
           while (x < segW) {
             if (x0 + x < w) {
               var b = 0
-              while (b < spp) {
+              while (b < bandsPerSeg) {
                 val i = (y * segW + x) * pixelBytes + b * sampleBytes
                 if (i + sampleBytes <= seg.length)
-                  out(b)((y0 + y) * w + (x0 + x)) =
+                  out(band0 + b)((y0 + y) * w + (x0 + x)) =
                     (m.bitsPerSample, fmt) match {
                       case (8, _) => (seg(i) & 0xFF).toFloat
                       case (16, _) => (sb.getShort(i) & 0xFFFF).toFloat

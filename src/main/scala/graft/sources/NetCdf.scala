@@ -260,17 +260,22 @@ object NetCdf {
     * opens with `set_auto_maskandscale` on): when the variable
     * carries a `scale_factor` and/or `add_offset` attribute (the CF
     * packed-data convention), every value UNPACKS as
-    * `raw * scale_factor + add_offset` — except raw values equal to
-    * the fill, which stay at the RAW fill: netCDF4 masks them first,
-    * the masked array keeps the underlying fill bytes, and rasterio
-    * writes that as the nodata. Variables without the attributes
-    * read unchanged. */
+    * `raw * scale_factor + add_offset` — except MASKED cells, which
+    * stay at their RAW value: netCDF4 masks them first, the masked
+    * array keeps the underlying raw bytes, and rasterio writes that
+    * as the nodata. The mask matches netCDF4's `set_auto_mask`
+    * sources, all evaluated in the PACKED (raw) domain per the CF
+    * convention: `_FillValue` equality, `missing_value` equality
+    * (every listed value), and the `valid_range` bounds — or, when
+    * absent, `valid_min`/`valid_max` individually. Variables without
+    * scale/offset read unchanged (masked cells already hold raw). */
   def readGridScaled(bytes: Array[Byte], meta: FileMeta, varPath: String)
   : Option[Array[Float]] =
     readGridRaw(bytes, meta, varPath).map { raw =>
       meta.vars.find(_.path == varPath).fold(raw) { v =>
-        def num(name: String): Option[Double] =
-          v.attrs.find(_.name == name).flatMap(_.nums.headOption)
+        def nums(name: String): Seq[Double] =
+          v.attrs.find(_.name == name).map(_.nums).getOrElse(Nil)
+        def num(name: String): Option[Double] = nums(name).headOption
         val scale = num("scale_factor")
         val offset = num("add_offset")
         if (scale.isEmpty && offset.isEmpty) raw
@@ -278,10 +283,18 @@ object NetCdf {
           val s = scale.getOrElse(1.0)
           val o = offset.getOrElse(0.0)
           val fill = v.fillValue.map(_.toFloat)
-          raw.map { x =>
-            if (fill.exists(f => f == x)) x
-            else (x * s + o).toFloat
+          val missing = nums("missing_value").map(_.toFloat)
+          // CF: valid_range wins over valid_min/valid_max when present
+          val range = nums("valid_range") match {
+            case Seq(lo, hi, _*) => Some((lo.toFloat, hi.toFloat))
+            case _ => None
           }
+          val vmin = range.map(_._1).orElse(num("valid_min").map(_.toFloat))
+          val vmax = range.map(_._2).orElse(num("valid_max").map(_.toFloat))
+          def masked(x: Float): Boolean =
+            fill.exists(_ == x) || missing.exists(_ == x) ||
+              vmin.exists(x < _) || vmax.exists(x > _)
+          raw.map(x => if (masked(x)) x else (x * s + o).toFloat)
         }
       }
     }
@@ -533,27 +546,7 @@ object NetCdf {
               chunkInfo = Some(ChunkInfo(bt, cdims, es, Nil))
           }
         case 0x000B => // filter pipeline (what to undo per chunk)
-          val ver = bytes(body) & 0xFF
-          val nf = bytes(body + 1) & 0xFF
-          var q = if (ver == 1) body + 8 else body + 2
-          val ids = ArrayBuffer.empty[Int]
-          (0 until nf).foreach { _ =>
-            val id = buf.getShort(q) & 0xFFFF
-            if (ver == 1) {
-              val nameLen = buf.getShort(q + 2) & 0xFFFF
-              val ncv = buf.getShort(q + 6) & 0xFFFF
-              val namePad = (nameLen + 7) / 8 * 8
-              q += 8 + namePad + ncv * 4 + (if (ncv % 2 == 1) 4 else 0)
-            } else { // v2: name only present for ids >= 256; no padding
-              val hasName = id >= 256
-              val nameLen = if (hasName) buf.getShort(q + 2) & 0xFFFF else 0
-              val flagsAt = if (hasName) q + 4 else q + 2
-              val ncv = buf.getShort(flagsAt + 2) & 0xFFFF
-              q = flagsAt + 4 + nameLen + ncv * 4
-            }
-            ids += id
-          }
-          filters = ids.toSeq
+          filters = parseFilterIds(bytes, buf, body)
         case 0x0011 => // symbol table: this object is a group
           group = Some((buf.getLong(body), buf.getLong(body + 8)))
         case 0x0002 => // link info: compact links arrive as 0x0006
@@ -790,15 +783,48 @@ object NetCdf {
     }
   } catch { case _: Exception => None }
 
+  /** Parse a filter-pipeline body (object-header message 0x000B, v1
+    * or v2 — the same layout the fractal-heap header embeds as its
+    * "I/O Filter Information") and return the filter ids in order. */
+  private def parseFilterIds(bytes: Array[Byte], buf: ByteBuffer,
+                             body: Int): Seq[Int] = {
+    val ver = bytes(body) & 0xFF
+    val nf = bytes(body + 1) & 0xFF
+    var q = if (ver == 1) body + 8 else body + 2
+    val ids = ArrayBuffer.empty[Int]
+    (0 until nf).foreach { _ =>
+      val id = buf.getShort(q) & 0xFFFF
+      if (ver == 1) {
+        val nameLen = buf.getShort(q + 2) & 0xFFFF
+        val ncv = buf.getShort(q + 6) & 0xFFFF
+        val namePad = (nameLen + 7) / 8 * 8
+        q += 8 + namePad + ncv * 4 + (if (ncv % 2 == 1) 4 else 0)
+      } else { // v2: name only present for ids >= 256; no padding
+        val hasName = id >= 256
+        val nameLen = if (hasName) buf.getShort(q + 2) & 0xFFFF else 0
+        val flagsAt = if (hasName) q + 4 else q + 2
+        val ncv = buf.getShort(flagsAt + 2) & 0xFFFF
+        q = flagsAt + 4 + nameLen + ncv * 4
+      }
+      ids += id
+    }
+    ids.toSeq
+  }
+
   /** Dense link storage (fractal heap "FRHP"): the subset real
-    * netCDF-4/HDF5 groups use — an unfiltered managed heap whose root
-    * is either a single direct block or a one-level indirect block of
-    * direct blocks. Link messages are packed sequentially in each
+    * netCDF-4/HDF5 groups use — a managed heap whose root is either a
+    * single direct block or a one-level indirect block of direct
+    * blocks, unfiltered or deflate-filtered (the heap's I/O filter
+    * pipeline compresses each ENTIRE direct block, header included —
+    * the stored size comes from the heap header for a filtered root
+    * block and from 8-byte-size + 4-byte-mask entries in the indirect
+    * block otherwise). Link messages are packed sequentially in each
     * block's data area, so the group's links are recovered by a
     * sequential scan (`nManaged` is the stop condition; the name-index
     * v2 B-tree is a lookup accelerator this full-listing walk does
-    * not need). Unexpected shapes (filtered heaps, huge/tiny objects,
-    * nested indirect blocks, short scans) throw → quarantine. */
+    * not need). Unexpected shapes (non-deflate heap filters, huge/tiny
+    * objects, nested indirect blocks, short scans) throw →
+    * quarantine. */
   private def denseLinks(bytes: Array[Byte], buf: ByteBuffer,
                          heapAddr: Long,
                          links: ArrayBuffer[(String, Long)]): Unit = {
@@ -807,7 +833,6 @@ object NetCdf {
       java.nio.charset.StandardCharsets.US_ASCII)
     require(sig == "FRHP", s"bad fractal heap signature '$sig'")
     val ioFilterLen = buf.getShort(h + 7) & 0xFFFF
-    require(ioFilterLen == 0, "filtered fractal heap not supported")
     val flags = bytes(h + 9) & 0xFF
     val nManaged = buf.getLong(h + 70)
     // the four heap statistics fields at +78..109: size/number of
@@ -825,11 +850,27 @@ object NetCdf {
     val currRows = buf.getShort(h + 140) & 0xFFFF
     val offSz = (maxHeapBits + 7) / 8
     if (rootAddr == -1L || nManaged == 0L) return
+    // filtered heap: when the root is a DIRECT block its stored
+    // (compressed) size + filter mask precede the filter info; the
+    // info itself is a filter-pipeline body — only deflate-only
+    // pipelines are undone, anything else fails closed
+    val filtered = ioFilterLen > 0
+    val filteredRootSize =
+      if (filtered && currRows == 0) buf.getLong(h + 142) else -1L
+    if (filtered) {
+      val infoAt = h + 142 + (if (currRows == 0) 12 else 0)
+      val ids = parseFilterIds(bytes, buf, infoAt)
+      require(ids.nonEmpty && ids.forall(_ == 1),
+        s"unsupported fractal-heap filter pipeline ${ids.mkString(",")}")
+    }
     // direct blocks in heap-offset order: the root IS a direct block
     // (currRows = 0), or a one-level indirect block whose children
-    // are direct blocks with the doubling-table row sizes
-    val blocks: Seq[(Long, Long)] =
-      if (currRows == 0) Seq((rootAddr, startBlock))
+    // are direct blocks with the doubling-table row sizes; `stored`
+    // is the on-disk byte count (== logical size when unfiltered)
+    val blocks: Seq[(Long, Long, Long)] = // (addr, logicalSize, stored)
+      if (currRows == 0)
+        Seq((rootAddr, startBlock,
+          if (filtered) filteredRootSize else startBlock))
       else {
         val ib = rootAddr.toInt
         val isig = new String(bytes, ib, 4,
@@ -841,26 +882,40 @@ object NetCdf {
           require(bs <= maxDirect,
             "nested indirect fractal-heap blocks not supported")
           (0 until tableWidth).map { _ =>
-            val a = buf.getLong(p); p += 8; (a, bs)
+            val a = buf.getLong(p); p += 8
+            val stored = if (filtered) {
+              val sz = buf.getLong(p); p += 8
+              p += 4 // per-block filter mask (deflate-only: unused)
+              sz
+            } else bs
+            (a, bs, stored)
           }
         }.filter(_._1 != -1L)
       }
     val headerSize = 4 + 1 + 8 + offSz +
       (if ((flags & 0x02) != 0) 4 else 0) // per-block checksum
     var remaining = nManaged
-    blocks.foreach { case (addr, size) =>
+    blocks.foreach { case (addr, size, stored) =>
       if (remaining > 0) {
-        val a = addr.toInt
-        val dsig = new String(bytes, a, 4,
+        val a0 = addr.toInt
+        // a filtered direct block is compressed WHOLE (signature and
+        // header included) — inflate first, then scan like any block
+        val (arr, bbuf, a) =
+          if (filtered) {
+            val raw = GeoTiffWriter.inflateFully(
+              bytes.slice(a0, a0 + stored.toInt), size.toInt)
+            (raw, ByteBuffer.wrap(raw).order(buf.order), 0)
+          } else (bytes, buf, a0)
+        val dsig = new String(arr, a, 4,
           java.nio.charset.StandardCharsets.US_ASCII)
         require(dsig == "FHDB", s"bad direct block signature '$dsig'")
         var p = a + headerSize
         val end = a + size.toInt
         var blockDone = false
         while (remaining > 0 && !blockDone && p + 4 <= end) {
-          if ((bytes(p) & 0xFF) != 1) blockDone = true // tail free space
+          if ((arr(p) & 0xFF) != 1) blockDone = true // tail free space
           else {
-            val (link, next) = parseLinkMessage(bytes, buf, p)
+            val (link, next) = parseLinkMessage(arr, bbuf, p)
             link.foreach(links += _)
             remaining -= 1
             p = next

@@ -824,8 +824,13 @@ object NetCdfFixtures {
     * contiguous datasets `v00`..`v09` with values (i, i+0.5, i+1).
     * `indirect = true` roots the heap in a one-level "FHIB" indirect
     * block spreading the links over two 512-byte direct blocks (with
-    * two undefined slots) — the other parsed heap shape. */
-  def hdf5V2Dense(indirect: Boolean = false): Array[Byte] = {
+    * two undefined slots) — the other parsed heap shape.
+    * `filtered = true` gives the heap a deflate I/O pipeline: each
+    * ENTIRE direct block is compressed (header included), the stored
+    * size living in the heap header (filtered root) or in the
+    * widened 8-byte-size + 4-byte-mask indirect-block entries. */
+  def hdf5V2Dense(indirect: Boolean = false,
+                  filtered: Boolean = false): Array[Byte] = {
     val buf = ByteBuffer.allocate(4096).order(ByteOrder.LITTLE_ENDIAN)
     val rootHdr = 64L
     val frhp = 160L  // header is 146 bytes (incl. the 4 stats fields)
@@ -853,12 +858,32 @@ object NetCdfFixtures {
       buf.putDouble(data.toInt + 16, i + 1.0)
     }
 
-    // fractal heap header: unfiltered, 32-bit heap offsets (offSz 4),
+    // deflate filter-pipeline body (v2, one filter, id 1, one client
+    // value = compression level) — the heap header embeds this when
+    // the heap is filtered
+    val filterInfo: Array[Byte] = if (filtered) {
+      val fi = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      fi.put(2.toByte); fi.put(1.toByte)
+      fi.putShort(1.toShort)  // deflate
+      fi.putShort(0.toShort)  // flags
+      fi.putShort(1.toShort)  // # client values
+      fi.putInt(6)            // level
+      fi.array()
+    } else Array.emptyByteArray
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new Array[Byte](raw.length + 64)
+      val n = d.deflate(out); d.end()
+      out.take(n)
+    }
+
+    // fractal heap header: 32-bit heap offsets (offSz 4),
     // no block checksums (flags 0)
     buf.position(frhp.toInt); buf.put("FRHP".getBytes)
     buf.put(0.toByte)                     // version
     buf.putShort(frhp.toInt + 5, 7)       // heap id length
-    buf.putShort(frhp.toInt + 7, 0)       // io filter length
+    buf.putShort(frhp.toInt + 7, filterInfo.length.toShort)
     buf.put(frhp.toInt + 9, 0.toByte)     // flags
     buf.putInt(frhp.toInt + 10, 4096)     // max managed object size
     buf.putLong(frhp.toInt + 14, 0L)      // next huge id (none)
@@ -880,32 +905,57 @@ object NetCdfFixtures {
     buf.putShort(frhp.toInt + 130, 1)     // starting # rows
     buf.putLong(frhp.toInt + 132, if (indirect) fhib else block0)
     buf.putShort(frhp.toInt + 140, if (indirect) 1 else 0) // curr rows
-    buf.putInt(frhp.toInt + 142, 0)       // checksum
+    // filtered + root-direct-block tail fields land below once the
+    // block's stored size is known; the filter info itself follows
+    if (filtered)
+      (0 until filterInfo.length).foreach { i =>
+        buf.put(frhp.toInt + 142 + (if (indirect) 0 else 12) + i,
+          filterInfo(i))
+      }
+    // (checksum after the tail stays 0 either way)
 
+    // builds the 512-byte LOGICAL block, then stores it as-is or
+    // deflated whole; returns the stored (on-disk) size
     def directBlock(at: Long, offset: Int,
-                    links: Seq[Array[Byte]]): Unit = {
-      buf.position(at.toInt); buf.put("FHDB".getBytes)
-      buf.put(0.toByte); buf.putLong(frhp)
-      buf.putInt(at.toInt + 13, offset) // 4-byte heap block offset
-      buf.position(at.toInt + 17)
-      links.foreach(buf.put)
+                    links: Seq[Array[Byte]]): Int = {
+      val lb = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+      lb.put("FHDB".getBytes)
+      lb.put(0.toByte); lb.putLong(frhp)
+      lb.putInt(13, offset) // 4-byte heap block offset
+      lb.position(17)
+      links.foreach(lb.put)
+      val stored = if (filtered) deflate(lb.array()) else lb.array()
+      buf.position(at.toInt); buf.put(stored)
+      stored.length
     }
     val linkBodies = names.zipWithIndex.map { case (nm, i) =>
       V2.link(nm, dsBase + i * dsStride)
     }
     if (indirect) {
-      // one-level indirect root: row 0 of 4 children, two defined
+      // one-level indirect root: row 0 of 4 children, two defined;
+      // filtered heaps widen each entry to addr + size(8) + mask(4)
+      val s0 = directBlock(block0, 0, linkBodies.take(6))
+      val s1 = directBlock(block1, 512, linkBodies.drop(6))
       buf.position(fhib.toInt); buf.put("FHIB".getBytes)
       buf.put(0.toByte); buf.putLong(frhp)
       buf.putInt(fhib.toInt + 13, 0) // heap offset of the block
-      val e = fhib.toInt + 17
-      buf.putLong(e, block0); buf.putLong(e + 8, block1)
-      buf.putLong(e + 16, -1L); buf.putLong(e + 24, -1L)
-      buf.putInt(e + 32, 0) // checksum
-      directBlock(block0, 0, linkBodies.take(6))
-      directBlock(block1, 512, linkBodies.drop(6))
+      var e = fhib.toInt + 17
+      def entry(addr: Long, size: Int): Unit = {
+        buf.putLong(e, addr); e += 8
+        if (filtered) {
+          buf.putLong(e, size.toLong); e += 8
+          buf.putInt(e, 0); e += 4 // per-block filter mask
+        }
+      }
+      entry(block0, s0); entry(block1, s1)
+      entry(-1L, 0); entry(-1L, 0)
+      buf.putInt(e, 0) // checksum
     } else {
-      directBlock(block0, 0, linkBodies)
+      val s0 = directBlock(block0, 0, linkBodies)
+      if (filtered) {
+        buf.putLong(frhp.toInt + 142, s0.toLong) // stored root size
+        buf.putInt(frhp.toInt + 150, 0)          // root filter mask
+      }
     }
     buf.array()
   }

@@ -314,6 +314,91 @@ object RasterFixtures {
     buf.array()
   }
 
+  /** 3-band PLANAR (band-sequential, PlanarConfiguration 2) 8-bit RGB
+    * TIFF, stripped: each strip carries ONE band's rows, and the strip
+    * list is band-major (all of R's strips, then G's, then B's — TIFF
+    * 6.0 §"PlanarConfiguration"). `rgb` is pixel-interleaved R,G,B
+    * bytes like [[stripTiffRgb]] so the two fixtures are byte-twins.
+    * compression 1 (none), 5 (LZW) or 8 (deflate); predictor 2
+    * differences within the single channel (stride = 1 sample). */
+  def stripTiffRgbPlanar(width: Int, height: Int, rgb: Seq[Int],
+                         rowsPerStrip: Int, compression: Int = 1,
+                         predictor: Int = 1): Array[Byte] = {
+    require(rgb.size == width * height * 3)
+    val stripsPerBand = (height + rowsPerStrip - 1) / rowsPerStrip
+    val nStrips = stripsPerBand * 3
+    val payloads = (0 until 3).flatMap { b =>
+      (0 until stripsPerBand).map { s =>
+        val rows = math.min(rowsPerStrip, height - s * rowsPerStrip)
+        val raw = Array.tabulate(rows * width) { i =>
+          val y = s * rowsPerStrip + i / width
+          val x = i % width
+          rgb((y * width + x) * 3 + b).toByte
+        }
+        if (predictor == 2) {
+          var y = 0
+          while (y < rows) { // difference right-to-left, stride 1
+            var i = width - 1
+            while (i >= 1) {
+              raw(y * width + i) =
+                (raw(y * width + i) - raw(y * width + i - 1)).toByte
+              i -= 1
+            }
+            y += 1
+          }
+        }
+        compression match {
+          case 8 => deflate(raw)
+          case 5 => lzwEncodeNaive(raw)
+          case _ => raw
+        }
+      }
+    }
+    val entryCount = (if (predictor != 1) 11 else 10) + 1
+    val ifdSize = 2 + entryCount * 12 + 4
+    var dataOff = 8 + ifdSize
+    def alloc(n: Int): Int = { val o = dataOff; dataOff += n; o }
+    val offsOff = alloc(nStrips * 4)
+    val cntsOff = alloc(nStrips * 4)
+    val bpsOff = alloc(6)
+    val stripStarts = payloads.map(_.length).scanLeft(dataOff)(_ + _)
+
+    val buf = ByteBuffer.allocate(stripStarts.last)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte); buf.put('I'.toByte)
+    buf.putShort(2, 42); buf.putInt(4, 8)
+    buf.putShort(8, entryCount.toShort)
+    var e = 10
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(e, tag.toShort); buf.putShort(e + 2, typ.toShort)
+      buf.putInt(e + 4, cnt)
+      if (typ == 3 && cnt == 1) buf.putShort(e + 8, value.toShort)
+      else buf.putInt(e + 8, value.toInt)
+      e += 12
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    entry(258, 3, 3, bpsOff)
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, 2) // photometric RGB
+    entry(273, 4, nStrips, offsOff)
+    entry(277, 3, 1, 3)
+    entry(278, 3, 1, rowsPerStrip)
+    entry(279, 4, nStrips, cntsOff)
+    entry(284, 3, 1, 2) // planar (band-sequential)
+    if (predictor != 1) entry(317, 3, 1, predictor)
+    buf.putInt(e, 0)
+    (0 until 3).foreach(i => buf.putShort(bpsOff + i * 2, 8))
+    (0 until nStrips).foreach { s =>
+      buf.putInt(offsOff + s * 4, stripStarts(s))
+      buf.putInt(cntsOff + s * 4, payloads(s).length)
+    }
+    payloads.zipWithIndex.foreach { case (p, s) =>
+      System.arraycopy(p, 0, buf.array(), stripStarts(s), p.length)
+    }
+    buf.array()
+  }
+
   /** Encode a pixel-interleaved RGB image as a JPEG interchange
     * stream (JDK writer — JFIF YCbCr, the layout color TIFF strips
     * carry under photometric 6). */

@@ -420,12 +420,46 @@ class CogWriterSpec extends SparkSuite {
       buf.putShort(e + 8, v.toShort)
       out
     }
-    // planar (band-sequential) storage is not decoded -> quarantine
+    // a chunky file MIS-LABELED planar has the wrong segment count
+    // for 3 band-major planes -> quarantine, never a scrambled grid
     val planar2 = patchShortTag(base, 284, 2)
     assert(GeoTiff.readBands(planar2).left.exists(_.contains("planar")))
+    // planar values beyond the TIFF-defined 1/2 -> quarantine
+    val planar3 = patchShortTag(base, 284, 3)
+    assert(GeoTiff.readBands(planar3).left.exists(_.contains("planar")))
     // photometric 6 without JPEG compression (raw YCbCr) -> quarantine
     val rawYcbcr = patchShortTag(base, 262, 6)
     assert(GeoTiff.readBands(rawYcbcr).left.exists(_.contains("photometric")))
+  }
+
+  test("planar (band-sequential) RGB decodes byte-equal to its " +
+    "chunky twin: uncompressed, LZW + per-band predictor, deflate") {
+    import graft.sources.RasterFixtures
+    val w = 9; val h = 5
+    val rgb = Seq.tabulate(w * h * 3)(i => (i * 7 + (i % 3) * 50) % 256)
+    val (_, chunky) = GeoTiff.readBands(
+      RasterFixtures.stripTiffRgb(w, h, rgb, rowsPerStrip = 2))
+      .fold(e => fail(e), identity)
+    for ((comp, pred) <- Seq((1, 1), (5, 2), (8, 2), (1, 2))) {
+      val planar = RasterFixtures.stripTiffRgbPlanar(w, h, rgb,
+        rowsPerStrip = 2, compression = comp, predictor = pred)
+      val (m, bands) = GeoTiff.readBands(planar)
+        .fold(e => fail(s"comp=$comp pred=$pred: " + e), identity)
+      assert(m.samplesPerPixel == 3 && m.bitsPerSample == 8)
+      for (b <- 0 until 3)
+        assert(bands(b).sameElements(chunky(b)),
+          s"band $b comp=$comp pred=$pred")
+    }
+    // planar JPEG is contradictory (JPEG MCUs interleave) -> quarantine
+    // is pinned above via the mislabeled-chunky case; here pin that a
+    // VALID planar file re-tiles through tiffToCog losslessly too
+    val planarOk = RasterFixtures.stripTiffRgbPlanar(w, h, rgb,
+      rowsPerStrip = 2)
+    val cog = graft.operators.Cogify.tiffToCog(planarOk)
+      .fold(e => fail(e), identity)
+    val (_, out) = GeoTiff.readBands(cog).fold(e => fail(e), identity)
+    for (b <- 0 until 3)
+      assert(out(b).sameElements(chunky(b)), s"cog band $b")
   }
 
   test("overview IFDs: chained reduced-resolution levels at " +

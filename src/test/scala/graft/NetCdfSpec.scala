@@ -413,6 +413,44 @@ class NetCdfSpec extends SparkSuite {
     assert(data.toSeq == Seq(10f, 11f, -32768f, 12f, 7f, 60f))
   }
 
+  test("auto mask-and-scale parity: missing_value and " +
+    "valid_range/valid_min/valid_max mask in the raw domain") {
+    import graft.sources.NetCdfFixtures.CVar
+    // netCDF4's set_auto_mask also masks missing_value matches (every
+    // listed value) and cells outside valid_range / valid_min /
+    // valid_max — all compared against the PACKED values (CF §2.5.1);
+    // masked cells keep the raw value, like the fill path above
+    val bytes = NetCdfFixtures.classic(
+      dims = Seq("y" -> 2, "x" -> 3),
+      vars = Seq(
+        CVar("miss", Seq("y", "x"), 3,
+          Seq(0.0, -99.0, 2.0, -88.0, 4.0, 6.0),
+          attrs = Seq("missing_value" -> Right(Seq(-99.0, -88.0)),
+            "scale_factor" -> Right(Seq(0.5)))),
+        CVar("rng", Seq("y", "x"), 3,
+          Seq(0.0, 50.0, 150.0, -10.0, 100.0, 7.0),
+          attrs = Seq("valid_range" -> Right(Seq(0.0, 100.0)),
+            // valid_range wins: these would otherwise re-admit 150
+            "valid_min" -> Right(Seq(-100.0)),
+            "valid_max" -> Right(Seq(200.0)),
+            "add_offset" -> Right(Seq(1000.0)))),
+        CVar("minmax", Seq("y", "x"), 3,
+          Seq(0.0, 5.0, -1.0, 11.0, 10.0, 3.0),
+          attrs = Seq("valid_min" -> Right(Seq(0.0)),
+            "valid_max" -> Right(Seq(10.0)),
+            "scale_factor" -> Right(Seq(2.0)),
+            "add_offset" -> Right(Seq(1.0))))))
+    val m = NetCdf.parse(bytes).fold(e => fail(e), identity)
+    def scaled(v: String): Seq[Float] =
+      NetCdf.readGridScaled(bytes, m, v).getOrElse(fail(s"$v read")).toSeq
+    // both missing values stay raw; the rest unpack
+    assert(scaled("miss") == Seq(0f, -99f, 1f, -88f, 2f, 3f))
+    // out-of-range 150 and -10 stay raw (valid_range beats min/max)
+    assert(scaled("rng") == Seq(1000f, 1050f, 150f, -10f, 1100f, 1007f))
+    // valid_min/valid_max individually: -1 and 11 stay raw
+    assert(scaled("minmax") == Seq(1f, 11f, -1f, 11f, 21f, 7f))
+  }
+
   test("hdf5 v4 v2-btree: DEPTH-2 tree walks both internal levels " +
     "(cumulative-count pointer widths)") {
     val bytes = NetCdfFixtures.hdf5V2Bt2Deep()
@@ -494,7 +532,37 @@ class NetCdfSpec extends SparkSuite {
     }
   }
 
-  test("hdf5 v2 dense links: short or filtered heaps quarantine") {
+  test("hdf5 v2 dense links: deflate-filtered heaps list the same " +
+    "links as their unfiltered twins") {
+    for (indirect <- Seq(false, true)) {
+      val plain = NetCdfFixtures.hdf5V2Dense(indirect)
+      val filt = NetCdfFixtures.hdf5V2Dense(indirect, filtered = true)
+      val mp = NetCdf.parse(plain)
+        .fold(e => fail(s"plain indirect=$indirect: $e"), identity)
+      val mf = NetCdf.parse(filt)
+        .fold(e => fail(s"filtered indirect=$indirect: $e"), identity)
+      assert(mf.vars.map(_.path).sorted == mp.vars.map(_.path).sorted,
+        s"indirect=$indirect")
+      // data reads bit-identically through the filtered listing
+      assert(NetCdf.coordExtent(filt, mf, "v03").contains((3.0, 4.0)))
+      assert(NetCdf.coordExtent(filt, mf, "v09").contains((9.0, 10.0)))
+      // a non-deflate heap pipeline fails closed: flip the filter id
+      // (deflate=1 -> szip=4) inside the header's filter info
+      val bad = filt.clone()
+      var frhp = -1; var i = 0
+      while (frhp < 0 && i < bad.length - 4) {
+        if (bad(i) == 'F' && bad(i + 1) == 'R' && bad(i + 2) == 'H' &&
+            bad(i + 3) == 'P') frhp = i
+        i += 1
+      }
+      val infoAt = frhp + 142 + (if (indirect) 0 else 12)
+      java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putShort(infoAt + 2, 4.toShort)
+      assert(NetCdf.parse(bad).isLeft, s"szip indirect=$indirect")
+    }
+  }
+
+  test("hdf5 v2 dense links: short or bogus-filter heaps quarantine") {
     val bytes = NetCdfFixtures.hdf5V2Dense()
     // (a) nManaged larger than the heap holds -> short-scan failure
     val m1 = bytes.clone()
@@ -509,7 +577,8 @@ class NetCdfSpec extends SparkSuite {
     java.nio.ByteBuffer.wrap(m1).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putLong(frhp + 70, 50L)
     assert(NetCdf.parse(m1).isLeft)
-    // (b) an io-filtered heap is not parsed -> quarantine
+    // (b) a heap CLAIMING filters whose filter info is garbage (an
+    // empty pipeline here) -> quarantine, never a misread block
     val m2 = bytes.clone()
     java.nio.ByteBuffer.wrap(m2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putShort(frhp + 7, 8)
