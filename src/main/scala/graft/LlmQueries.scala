@@ -615,7 +615,7 @@ object LlmQueries {
     * here: trigram expansion is a few ops per token, unlike the minhash
     * chains that earned native expressions; the heavy sketch path runs
     * post-explode. */
-  private def wordTrigrams(text: Column): Column = {
+  private[graft] def wordTrigrams(text: Column): Column = {
     val ws = graft.llm.LangModel.tokens(text)
     when(size(ws) >= 3,
       transform(sequence(lit(1), size(ws) - 2),
@@ -634,18 +634,31 @@ object LlmQueries {
     * sf0.1). */
   def setJaccardLangs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    // the (lang, trigram) universe — distinct once, feeding BOTH the
-    // sketch branch and the exact branch (localCheckpoint: small next
-    // to the corpus, and the trigram explode must not replay twice)
-    val tri = Dedup.spread(d, col("doc_id"))
+    // ONE trigram-keyed aggregation builds the whole layout both
+    // branches need: per-trigram sorted lang set. That single shuffle
+    // replaces the r8 shape (distinct by (lang,sh) + a second
+    // sh-keyed self-join with its two exchanges and sorts) — the
+    // exact intersection falls out of in-row lang pairs, never an
+    // element join. localCheckpoint: one row per distinct trigram
+    // (small next to the corpus), reused by sketch + exact branches.
+    val bySh = Dedup.spread(d, col("doc_id"))
       .select(col("lang"), explode(wordTrigrams(col("text"))).as("sh"))
-      .distinct()
+      .groupBy("sh")
+      .agg(sort_array(collect_set(col("lang"))).as("langs"))
       .localCheckpoint(true)
+    // (lang, sh) pairs are distinct by construction of collect_set
+    val tri = bySh.select(explode(col("langs")).as("lang"), col("sh"))
     val est = GroupSimilarity.setJaccard(tri, "lang", "sh", numHashes = 128)
-    val ta = tri.select(col("lang").as("group_a"), col("sh"))
-    val tb = tri.select(col("lang").as("group_b"), col("sh"))
-    val inter = ta.join(tb, "sh").filter(col("group_a") < col("group_b"))
-      .groupBy("group_a", "group_b")
+    // exact |A∩B|: every in-row unordered lang pair counts one shared
+    // trigram; pairs per row are bounded by C(|langs|, 2) — a handful
+    // for any real lang column, regardless of corpus size
+    val pairs = flatten(transform(col("langs"), (a, i) =>
+      transform(
+        slice(col("langs"), i + lit(2), size(col("langs")) - i - 1),
+        b => struct(a.as("group_a"), b.as("group_b")))))
+    val inter = bySh.select(explode(pairs).as("p"))
+      .groupBy(col("p.group_a").as("group_a"),
+        col("p.group_b").as("group_b"))
       .agg(count(lit(1)).cast("bigint").as("n_inter"))
     inter.join(est, Seq("group_a", "group_b"))
       .select(col("group_a").as("lang_a"), col("group_b").as("lang_b"),

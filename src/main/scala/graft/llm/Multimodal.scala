@@ -33,7 +33,10 @@ object Multimodal {
                            /** "decoded" (real decode), "stubbed"
                              * (deterministic fake), or "quarantined"
                              * (a claiming decoder rejected the
-                             * bytes — routed out, never fake data) */
+                             * bytes — routed out, never fake data;
+                             * `feature` is a featureDim-length NaN
+                             * sentinel, so batch it only after
+                             * filtering status != "quarantined") */
                            status: String = "decoded")
 
   /** Pluggable compressed-codec decoder — the seam production fills
@@ -248,8 +251,14 @@ object Multimodal {
                   MediaFeatures(path, mt, w, h, frames,
                     rmsStripFeature(mono, featureDim))
                 case None =>
+                  // featureDim-length NaN sentinel: feature batches
+                  // stay rectangular even if a consumer forgets to
+                  // filter status != "quarantined" first — NaN
+                  // poisons any distance/aggregate it leaks into
+                  // instead of contributing plausible values
                   MediaFeatures(path, mt, 0, 0, 0,
-                    Array.empty[Double], status = "quarantined")
+                    Array.fill(featureDim)(Double.NaN),
+                    status = "quarantined")
               }
             case _ =>
               val (w, h, frames) = decodeStub(mt, bytes)

@@ -280,7 +280,11 @@ object Similarity {
     * boundaries — per-cell work is (n/k)², so `nCentroids` is chosen
     * to make cells fit an executor (tens of thousands of cells at
     * 100 TB; the codebook trains on a sample and assignment is one
-    * map pass against a broadcast literal). Pair generation is a
+    * map pass against a broadcast literal). GROW `nCentroids` WITH
+    * THE CORPUS: k ∝ n keeps per-cell density — and with it total
+    * pair work — linear in n (the r9 sf1 probe measured 11.8× for
+    * 10× data at FIXED k, exactly the (n/k)² prediction; scaling k
+    * restores ~linearity). Pair generation is a
     * cell-keyed self-join — row-based, so a giant cell becomes a big
     * join group, never a single collected array row — and cell count
     * IS the parallelism of that stage. `assignTop > 1` assigns each

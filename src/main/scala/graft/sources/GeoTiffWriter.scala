@@ -58,8 +58,11 @@ object GeoTiffWriter {
     (out, w2, h2)
   }
 
-  /** One resolution level ready for assembly: dims + deflated tiles. */
-  private case class Level(width: Int, height: Int,
+  /** One resolution level ready for assembly: dims + block (tile)
+    * size + deflated tiles — overview levels carry their own block
+    * size (the reference profile sets GDAL_TIFF_OVR_BLOCKSIZE=128,
+    * distinct from the 256 data blocks). */
+  private case class Level(width: Int, height: Int, tile: Int,
                            tiles: Seq[Array[Byte]])
 
   /** Write a single-band float32 tiled GeoTIFF (little-endian).
@@ -71,26 +74,28 @@ object GeoTiffWriter {
     */
   def write(width: Int, height: Int, data: Array[Float],
             geo: Geo, fill: Option[Double] = None,
-            tileSize: Int = 256, overviews: Boolean = true): Array[Byte] = {
+            tileSize: Int = 256, overviews: Boolean = true,
+            ovrTileSize: Int = 128): Array[Byte] = {
     require(data.length == width * height,
       s"${data.length} samples for ${width}x$height")
     val fillF = fill.getOrElse(0.0).toFloat
 
-    def tilesOf(d: Array[Float], w: Int, h: Int): Seq[Array[Byte]] = {
-      val tilesAcross = (w + tileSize - 1) / tileSize
-      val tilesDown = (h + tileSize - 1) / tileSize
+    def tilesOf(d: Array[Float], w: Int, h: Int, ts: Int)
+    : Seq[Array[Byte]] = {
+      val tilesAcross = (w + ts - 1) / ts
+      val tilesDown = (h + ts - 1) / ts
       for {
         ty <- 0 until tilesDown
         tx <- 0 until tilesAcross
       } yield {
-        val tb = ByteBuffer.allocate(tileSize * tileSize * 4)
+        val tb = ByteBuffer.allocate(ts * ts * 4)
           .order(ByteOrder.LITTLE_ENDIAN)
         var y = 0
-        while (y < tileSize) {
+        while (y < ts) {
           var x = 0
-          while (x < tileSize) {
-            val gx = tx * tileSize + x
-            val gy = ty * tileSize + y
+          while (x < ts) {
+            val gx = tx * ts + x
+            val gy = ty * ts + y
             tb.putFloat(
               if (gx < w && gy < h) d(gy * w + gx) else fillF)
             x += 1
@@ -104,15 +109,17 @@ object GeoTiffWriter {
     val nLevels = if (overviews) overviewLevels(width, height, tileSize)
                   else 0
     val levels = Seq.newBuilder[Level]
-    levels += Level(width, height, tilesOf(data, width, height))
+    levels += Level(width, height, tileSize,
+      tilesOf(data, width, height, tileSize))
     var (d, w, h) = (data, width, height)
     (0 until nLevels).foreach { _ =>
       val (d2, w2, h2) = halveNearest(d, w, h)
       d = d2; w = w2; h = h2
-      levels += Level(w, h, tilesOf(d, w, h))
+      // overview block geometry follows GDAL_TIFF_OVR_BLOCKSIZE
+      levels += Level(w, h, ovrTileSize, tilesOf(d, w, h, ovrTileSize))
     }
     assemble(levels.result(), spp = 1, bits = 32, fmt = 3,
-      photometric = 1, geo, fill, tileSize)
+      photometric = 1, geo, fill)
   }
 
   /** Write a 3-band 8-bit RGB tiled deflate COG (chunky interleaved,
@@ -123,7 +130,8 @@ object GeoTiffWriter {
     * 0..255; edge tiles pad with `fill` (same clamp). */
   def writeRgb(width: Int, height: Int, bands: Array[Array[Float]],
                geo: Geo, fill: Option[Double] = None,
-               tileSize: Int = 256, overviews: Boolean = true)
+               tileSize: Int = 256, overviews: Boolean = true,
+               ovrTileSize: Int = 128)
   : Array[Byte] = {
     require(bands.length == 3, s"${bands.length} bands (writeRgb is 3)")
     bands.foreach(b => require(b.length == width * height,
@@ -132,22 +140,22 @@ object GeoTiffWriter {
       math.max(0, math.min(255, math.round(v))).toByte
     val fillB = toByte(fill.getOrElse(0.0).toFloat)
 
-    def tilesOf(bs: Array[Array[Float]], w: Int, h: Int)
+    def tilesOf(bs: Array[Array[Float]], w: Int, h: Int, ts: Int)
     : Seq[Array[Byte]] = {
-      val tilesAcross = (w + tileSize - 1) / tileSize
-      val tilesDown = (h + tileSize - 1) / tileSize
+      val tilesAcross = (w + ts - 1) / ts
+      val tilesDown = (h + ts - 1) / ts
       for {
         ty <- 0 until tilesDown
         tx <- 0 until tilesAcross
       } yield {
-        val tb = new Array[Byte](tileSize * tileSize * 3)
+        val tb = new Array[Byte](ts * ts * 3)
         var y = 0
-        while (y < tileSize) {
+        while (y < ts) {
           var x = 0
-          while (x < tileSize) {
-            val gx = tx * tileSize + x
-            val gy = ty * tileSize + y
-            val o = (y * tileSize + x) * 3
+          while (x < ts) {
+            val gx = tx * ts + x
+            val gy = ty * ts + y
+            val o = (y * ts + x) * 3
             if (gx < w && gy < h) {
               val p = gy * w + gx
               tb(o) = toByte(bs(0)(p))
@@ -165,16 +173,17 @@ object GeoTiffWriter {
     val nLevels = if (overviews) overviewLevels(width, height, tileSize)
                   else 0
     val levels = Seq.newBuilder[Level]
-    levels += Level(width, height, tilesOf(bands, width, height))
+    levels += Level(width, height, tileSize,
+      tilesOf(bands, width, height, tileSize))
     var (bs, w, h) = (bands, width, height)
     (0 until nLevels).foreach { _ =>
       val halved = bs.map(b => halveNearest(b, w, h))
       bs = halved.map(_._1)
       w = halved.head._2; h = halved.head._3
-      levels += Level(w, h, tilesOf(bs, w, h))
+      levels += Level(w, h, ovrTileSize, tilesOf(bs, w, h, ovrTileSize))
     }
     assemble(levels.result(), spp = 3, bits = 8, fmt = 1,
-      photometric = 2, geo, fill, tileSize)
+      photometric = 2, geo, fill)
   }
 
   /** Shared COG assembly over a chain of resolution levels: header +
@@ -186,7 +195,7 @@ object GeoTiffWriter {
     * and a chunky PlanarConfiguration entry. */
   private def assemble(levels: Seq[Level], spp: Int, bits: Int,
                        fmt: Int, photometric: Int, geo: Geo,
-                       fill: Option[Double], tileSize: Int): Array[Byte] = {
+                       fill: Option[Double]): Array[Byte] = {
     require(geo.transform.size == 6, "geotransform needs 6 terms")
     case class Entry(tag: Int, typ: Int, cnt: Int, value: Long)
     // GDAL_NODATA is NUL-terminated ASCII; the count includes the NUL
@@ -274,8 +283,8 @@ object GeoTiffWriter {
         Entry(277, 3, 1, spp)) ++             // SamplesPerPixel
         (if (multi) Seq(Entry(284, 3, 1, 1))  // PlanarConfig: chunky
          else Nil) ++ Seq(
-        Entry(322, 3, 1, tileSize),           // TileWidth
-        Entry(323, 3, 1, tileSize),           // TileLength
+        Entry(322, 3, 1, lv.tile),            // TileWidth
+        Entry(323, 3, 1, lv.tile),            // TileLength
         Entry(324, 4, nTiles,                 // TileOffsets
           if (nTiles == 1) tileOffsets.head else lay.tileOffsetsOff),
         Entry(325, 4, nTiles,                 // TileByteCounts

@@ -432,6 +432,35 @@ class CogWriterSpec extends SparkSuite {
     assert(GeoTiff.readBands(rawYcbcr).left.exists(_.contains("photometric")))
   }
 
+  test("JPEG envelope: 12-bit precision and CMYK component counts " +
+    "quarantine, never wrong samples") {
+    import graft.sources.RasterFixtures
+    val w = 16; val h = 12
+    val rgb = rgbGradient(w, h)
+    val base = RasterFixtures.stripTiffJpegRgb(w, h, rgb,
+      rowsPerStrip = 4, sharedTables = false)
+    assert(GeoTiff.readBands(base).isRight) // decodes before mangling
+    // patch every SOF0 (FFC0) in the embedded streams
+    def patchSof(bytes: Array[Byte], at: Int, v: Byte): Array[Byte] = {
+      val out = bytes.clone()
+      var i = 0; var n = 0
+      while (i < out.length - 10) {
+        if ((out(i) & 0xFF) == 0xFF && (out(i + 1) & 0xFF) == 0xC0) {
+          out(i + at) = v; n += 1
+        }
+        i += 1
+      }
+      assert(n > 0, "no SOF0 markers found to mangle")
+      out
+    }
+    // sample precision byte (marker+2len -> +4): 8 -> 12-bit JPEG
+    val twelveBit = patchSof(base, 4, 12.toByte)
+    assert(GeoTiff.readBands(twelveBit).isLeft)
+    // component count (precision+2dims -> +9): 3 -> 4 (CMYK-shaped)
+    val cmyk = patchSof(base, 9, 4.toByte)
+    assert(GeoTiff.readBands(cmyk).isLeft)
+  }
+
   test("planar (band-sequential) RGB decodes byte-equal to its " +
     "chunky twin: uncompressed, LZW + per-band predictor, deflate") {
     import graft.sources.RasterFixtures
@@ -460,6 +489,26 @@ class CogWriterSpec extends SparkSuite {
     val (_, out) = GeoTiff.readBands(cog).fold(e => fail(e), identity)
     for (b <- 0 until 3)
       assert(out(b).sameElements(chunky(b)), s"cog band $b")
+  }
+
+  test("overview IFDs carry GDAL_TIFF_OVR_BLOCKSIZE=128 blocks while " +
+    "the data IFD keeps its 256 tiles (the reference profile)") {
+    import graft.sources.GeoTiffWriter
+    val w = 600; val h = 500
+    val data = Array.tabulate(w * h)(i => ((i * 7) % 991).toFloat)
+    val geo = GeoTiffWriter.Geo(Seq(0.0, 0.1, 0.0, 50.0, 0.0, -0.1))
+    val cog = GeoTiffWriter.write(w, h, data, geo) // defaults: 256/128
+    assert(GeoTiff.ifdCount(cog) == Right(2)) // min(300,250)<=256
+    val (m0, full) = GeoTiff.readBandsAt(cog, 0).fold(e => fail(e), identity)
+    assert(m0.tileWidth.contains(256L) && m0.tileHeight.contains(256L))
+    assert(full(0).sameElements(data))
+    val (m1, l1) = GeoTiff.readBandsAt(cog, 1).fold(e => fail(e), identity)
+    assert(m1.tileWidth.contains(128L) && m1.tileHeight.contains(128L))
+    assert(m1.width == 300 && m1.height == 250)
+    for (y <- 0 until 250; x <- 0 until 300)
+      assert(l1(0)(y * 300 + x) ==
+        data(math.min(2 * y, h - 1) * w + math.min(2 * x, w - 1)),
+        s"($x,$y)")
   }
 
   test("overview IFDs: chained reduced-resolution levels at " +

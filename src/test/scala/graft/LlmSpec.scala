@@ -341,10 +341,13 @@ class LlmSpec extends SparkSuite {
     assert(good.status == "decoded")
     assert(good.width == 44100 && good.height == 1 && good.nFrames == 64)
     assert(good.feature.length == 4 && good.feature.forall(_ > 0.0))
-    // claimed + rejected: quarantined, never fake data
+    // claimed + rejected: quarantined, never fake data — the feature
+    // is a featureDim-length NaN sentinel (rectangular batches, and
+    // NaN poisons any aggregate it leaks into)
     val bad = rows("corrupt.mp3")
     assert(bad.status == "quarantined")
-    assert(bad.feature.isEmpty && bad.nFrames == 0)
+    assert(bad.feature.length == 4 && bad.feature.forall(_.isNaN))
+    assert(bad.nFrames == 0)
     // unclaimed type: still the labeled deterministic stub
     assert(rows("clip.mp4").status == "stubbed")
     // without a registered decoder both mp3s fall to the stub

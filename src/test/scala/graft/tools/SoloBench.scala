@@ -26,7 +26,6 @@ object SoloBench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,13 +33,20 @@ object SoloBench {
     val names = if (args.nonEmpty) args.toSeq else HeavyHead
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    graft.SparkEntry.benchSetup.foreach(f => f(spark, sfDir))
     for (name <- names) {
       for (i <- 1 to 2) {
+        // untimed, same hygiene as Bench: a run must not pay for (or
+        // be GC-poisoned by) the previous run's checkpoint blocks
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir).count()
         val label = if (i == 1) "cold" else "warm"
         println(f"$name $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      System.gc()
     }
     spark.stop()
   }
