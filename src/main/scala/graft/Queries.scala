@@ -871,7 +871,11 @@ object Queries {
       ("dense_direct_deflate.h5",
         graft.sources.NetCdfFixtures.hdf5V2Dense(filtered = true)),
       ("dense_indirect_deflate.h5", graft.sources.NetCdfFixtures
-        .hdf5V2Dense(indirect = true, filtered = true)))
+        .hdf5V2Dense(indirect = true, filtered = true)),
+      ("dense_nested.h5",
+        graft.sources.NetCdfFixtures.hdf5V2DenseNested()),
+      ("dense_nested_deflate.h5",
+        graft.sources.NetCdfFixtures.hdf5V2DenseNested(filtered = true)))
       .toDF("path", "content")
     files.as[(String, Array[Byte])].map { case (fname, bytes) =>
       val meta = graft.sources.NetCdf.parse(bytes)

@@ -941,6 +941,10 @@ object SparkEntry {
         |  ('dense_indirect.h5', 'hdf5 superblock-v2',
         |   CAST(10 AS BIGINT), 'v00', 'v09', CAST(150.0 AS DOUBLE)),
         |  ('dense_indirect_deflate.h5', 'hdf5 superblock-v2',
+        |   CAST(10 AS BIGINT), 'v00', 'v09', CAST(150.0 AS DOUBLE)),
+        |  ('dense_nested.h5', 'hdf5 superblock-v2',
+        |   CAST(10 AS BIGINT), 'v00', 'v09', CAST(150.0 AS DOUBLE)),
+        |  ('dense_nested_deflate.h5', 'hdf5 superblock-v2',
         |   CAST(10 AS BIGINT), 'v00', 'v09', CAST(150.0 AS DOUBLE))
         |) AS t(fname, format, n_vars, first_var, last_var, total_sum)
         |ORDER BY fname""".stripMargin,

@@ -813,18 +813,20 @@ object NetCdf {
 
   /** Dense link storage (fractal heap "FRHP"): the subset real
     * netCDF-4/HDF5 groups use — a managed heap whose root is either a
-    * single direct block or a one-level indirect block of direct
-    * blocks, unfiltered or deflate-filtered (the heap's I/O filter
-    * pipeline compresses each ENTIRE direct block, header included —
-    * the stored size comes from the heap header for a filtered root
-    * block and from 8-byte-size + 4-byte-mask entries in the indirect
-    * block otherwise). Link messages are packed sequentially in each
+    * single direct block or an indirect block tree (doubling-table
+    * rows; rows past maxDirectRows recurse into child indirect
+    * blocks, the shape groups with thousands of links grow into),
+    * unfiltered or deflate-filtered (the heap's I/O filter pipeline
+    * compresses each ENTIRE direct block, header included — the
+    * stored size comes from the heap header for a filtered root
+    * block and from 8-byte-size + 4-byte-mask direct entries in
+    * indirect blocks otherwise; child-indirect entries stay
+    * address-only). Link messages are packed sequentially in each
     * block's data area, so the group's links are recovered by a
     * sequential scan (`nManaged` is the stop condition; the name-index
     * v2 B-tree is a lookup accelerator this full-listing walk does
     * not need). Unexpected shapes (non-deflate heap filters, huge/tiny
-    * objects, nested indirect blocks, short scans) throw →
-    * quarantine. */
+    * objects, short scans) throw → quarantine. */
   private def denseLinks(bytes: Array[Byte], buf: ByteBuffer,
                          heapAddr: Long,
                          links: ArrayBuffer[(String, Long)]): Unit = {
@@ -864,34 +866,49 @@ object NetCdf {
         s"unsupported fractal-heap filter pipeline ${ids.mkString(",")}")
     }
     // direct blocks in heap-offset order: the root IS a direct block
-    // (currRows = 0), or a one-level indirect block whose children
-    // are direct blocks with the doubling-table row sizes; `stored`
-    // is the on-disk byte count (== logical size when unfiltered)
-    val blocks: Seq[(Long, Long, Long)] = // (addr, logicalSize, stored)
-      if (currRows == 0)
-        Seq((rootAddr, startBlock,
-          if (filtered) filteredRootSize else startBlock))
-      else {
-        val ib = rootAddr.toInt
-        val isig = new String(bytes, ib, 4,
-          java.nio.charset.StandardCharsets.US_ASCII)
-        require(isig == "FHIB", s"bad indirect block signature '$isig'")
-        var p = ib + 4 + 1 + 8 + offSz
-        (0 until currRows).flatMap { r =>
-          val bs = if (r < 2) startBlock else startBlock << (r - 1)
-          require(bs <= maxDirect,
-            "nested indirect fractal-heap blocks not supported")
-          (0 until tableWidth).map { _ =>
+    // (currRows = 0) or an indirect block; indirect rows follow the
+    // doubling table — rows below maxDirectRows point at DIRECT
+    // blocks (with per-entry stored-size + filter-mask when the heap
+    // is filtered), rows at/above it point at child INDIRECT blocks
+    // (address-only entries; a child covering S bytes has
+    // log2(S / (startBlock·width)) + 1 rows — the spec's closed
+    // form, which is exactly "capacity == covered size"). `stored`
+    // is the on-disk byte count (== logical size when unfiltered).
+    def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val maxDirectRows = log2(maxDirect) - log2(startBlock) + 2
+    def walkIndirect(at: Long, nrows: Int, depth: Int)
+    : Seq[(Long, Long, Long)] = {
+      require(depth < 8, "fractal-heap indirect nesting too deep")
+      val ib = at.toInt
+      val isig = new String(bytes, ib, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(isig == "FHIB", s"bad indirect block signature '$isig'")
+      var p = ib + 4 + 1 + 8 + offSz
+      (0 until nrows).flatMap { r =>
+        val bs = if (r < 2) startBlock else startBlock << (r - 1)
+        (0 until tableWidth).flatMap { _ =>
+          if (r < maxDirectRows) {
             val a = buf.getLong(p); p += 8
             val stored = if (filtered) {
               val sz = buf.getLong(p); p += 8
               p += 4 // per-block filter mask (deflate-only: unused)
               sz
             } else bs
-            (a, bs, stored)
+            if (a == -1L) Nil else Seq((a, bs, stored))
+          } else {
+            val a = buf.getLong(p); p += 8
+            if (a == -1L) Nil
+            else walkIndirect(a,
+              log2(bs / (startBlock * tableWidth)) + 1, depth + 1)
           }
-        }.filter(_._1 != -1L)
+        }
       }
+    }
+    val blocks: Seq[(Long, Long, Long)] = // (addr, logicalSize, stored)
+      if (currRows == 0)
+        Seq((rootAddr, startBlock,
+          if (filtered) filteredRootSize else startBlock))
+      else walkIndirect(rootAddr, currRows, 0)
     val headerSize = 4 + 1 + 8 + offSz +
       (if ((flags & 0x02) != 0) 4 else 0) // per-block checksum
     var remaining = nManaged

@@ -960,6 +960,138 @@ object NetCdfFixtures {
     buf.array()
   }
 
+  /** Superblock-v2 dense-links file whose fractal heap ROOT indirect
+    * block NESTS: heap params (width 2, start 512, maxDirect 512)
+    * give maxDirectRows = 2, so root row 2 (covering 1024 bytes)
+    * points at a CHILD indirect block — 1 row (log2(1024/(512·2))+1)
+    * of two 512-byte direct blocks. Six direct blocks total over
+    * three root rows, ten `v00`..`v09` links spread 2/2/2/1/2/1.
+    * `filtered = true` deflates every direct block whole (direct
+    * entries widen to addr+size+mask; child-INDIRECT entries stay
+    * address-only — the spec's asymmetry this fixture pins). */
+  def hdf5V2DenseNested(filtered: Boolean = false): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+    val rootHdr = 64L
+    val frhp = 160L
+    val rootIb = 320L
+    val childIb = 448L
+    val b = Seq(512L, 1024L, 1536L, 2048L) // root rows 0-1 directs
+    val c = Seq(2560L, 3072L)              // child row 0 directs
+    val dsBase = 3584L; val dsStride = 96
+    val dataBase = 4608L
+
+    V2.superblock(buf, rootHdr, eof = 8192L)
+    V2.ohdr2(buf, rootHdr, flags = 0,
+      Seq(0x0002 -> V2.linkInfo(heap = frhp)))
+    val names = (0 until 10).map(i => f"v$i%02d")
+    names.zipWithIndex.foreach { case (_, i) =>
+      val ds = dsBase + i * dsStride
+      val data = dataBase + i * 24
+      V2.ohdr2(buf, ds, flags = 0, Seq(
+        0x0001 -> V2.dataspace(Seq(3L)),
+        0x0003 -> V2.datatype(clazz = 1, size = 8),
+        0x0008 -> V2.layoutContiguousV4(data, 24)))
+      buf.putDouble(data.toInt, i.toDouble)
+      buf.putDouble(data.toInt + 8, i + 0.5)
+      buf.putDouble(data.toInt + 16, i + 1.0)
+    }
+
+    val filterInfo: Array[Byte] = if (filtered) {
+      val fi = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      fi.put(2.toByte); fi.put(1.toByte)
+      fi.putShort(1.toShort); fi.putShort(0.toShort)
+      fi.putShort(1.toShort); fi.putInt(6)
+      fi.array()
+    } else Array.emptyByteArray
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new Array[Byte](raw.length + 64)
+      val n = d.deflate(out); d.end()
+      out.take(n)
+    }
+
+    buf.position(frhp.toInt); buf.put("FRHP".getBytes)
+    buf.put(0.toByte)
+    buf.putShort(frhp.toInt + 5, 7)
+    buf.putShort(frhp.toInt + 7, filterInfo.length.toShort)
+    buf.put(frhp.toInt + 9, 0.toByte)
+    buf.putInt(frhp.toInt + 10, 4096)
+    buf.putLong(frhp.toInt + 14, 0L)
+    buf.putLong(frhp.toInt + 22, -1L)
+    buf.putLong(frhp.toInt + 30, 0L)
+    buf.putLong(frhp.toInt + 38, -1L)
+    buf.putLong(frhp.toInt + 46, 3072L)   // managed space (6 × 512)
+    buf.putLong(frhp.toInt + 54, 3072L)
+    buf.putLong(frhp.toInt + 62, 0L)
+    buf.putLong(frhp.toInt + 70, names.size.toLong)
+    buf.putLong(frhp.toInt + 78, 0L)
+    buf.putLong(frhp.toInt + 86, 0L)
+    buf.putLong(frhp.toInt + 94, 0L)
+    buf.putLong(frhp.toInt + 102, 0L)
+    buf.putShort(frhp.toInt + 110, 2)     // table width
+    buf.putLong(frhp.toInt + 112, 512L)   // starting block size
+    buf.putLong(frhp.toInt + 120, 512L)   // max direct block size
+    buf.putShort(frhp.toInt + 128, 32)
+    buf.putShort(frhp.toInt + 130, 1)
+    buf.putLong(frhp.toInt + 132, rootIb)
+    buf.putShort(frhp.toInt + 140, 3)     // curr rows: 2 direct + 1 ind
+    if (filtered)
+      filterInfo.indices.foreach(i =>
+        buf.put(frhp.toInt + 142 + i, filterInfo(i)))
+
+    def directBlock(at: Long, offset: Int,
+                    links: Seq[Array[Byte]]): Int = {
+      val lb = ByteBuffer.allocate(512).order(ByteOrder.LITTLE_ENDIAN)
+      lb.put("FHDB".getBytes)
+      lb.put(0.toByte); lb.putLong(frhp)
+      lb.putInt(13, offset)
+      lb.position(17)
+      links.foreach(lb.put)
+      val stored = if (filtered) deflate(lb.array()) else lb.array()
+      buf.position(at.toInt); buf.put(stored)
+      stored.length
+    }
+    val linkBodies = names.zipWithIndex.map { case (nm, i) =>
+      V2.link(nm, dsBase + i * dsStride)
+    }
+    // 2/2/2/1 across root direct rows, 2/1 in the child
+    val split = Seq(2, 2, 2, 1, 2, 1)
+    val cuts = split.scanLeft(0)(_ + _)
+    val perBlock = split.indices.map(i =>
+      linkBodies.slice(cuts(i), cuts(i + 1)))
+    val bSizes = b.zipWithIndex.map { case (at, i) =>
+      directBlock(at, i * 512, perBlock(i))
+    }
+    val cSizes = c.zipWithIndex.map { case (at, i) =>
+      directBlock(at, 2048 + i * 512, perBlock(4 + i))
+    }
+
+    def writeIndirect(at: Long, heapOff: Int,
+                      entries: Seq[(Long, Int, Boolean)]): Unit = {
+      // (addr, storedSize, isDirect) — filtered DIRECT entries carry
+      // size+mask, indirect entries never do
+      buf.position(at.toInt); buf.put("FHIB".getBytes)
+      buf.put(0.toByte); buf.putLong(frhp)
+      buf.putInt(at.toInt + 13, heapOff)
+      var e = at.toInt + 17
+      entries.foreach { case (addr, size, isDirect) =>
+        buf.putLong(e, addr); e += 8
+        if (filtered && isDirect) {
+          buf.putLong(e, size.toLong); e += 8
+          buf.putInt(e, 0); e += 4
+        }
+      }
+      buf.putInt(e, 0) // checksum
+    }
+    writeIndirect(childIb, 2048,
+      c.zip(cSizes).map { case (a, s) => (a, s, true) })
+    writeIndirect(rootIb, 0,
+      b.zip(bSizes).map { case (a, s) => (a, s, true) } ++
+        Seq((childIb, 0, false), (-1L, 0, false)))
+    buf.array()
+  }
+
   /** Superblock-v2 file with LAYOUT-V4 chunk indexes — the storage
     * HDF5 >= 1.10 "latest format" writes for chunked data: `precip`
     * float32[5][7] chunked 3x4 behind shuffle+deflate through a

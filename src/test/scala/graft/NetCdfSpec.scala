@@ -562,6 +562,35 @@ class NetCdfSpec extends SparkSuite {
     }
   }
 
+  test("hdf5 v2 dense links: NESTED indirect blocks (root row past " +
+    "maxDirectRows -> child indirect) list all members, plain + " +
+    "deflate-filtered") {
+    for (filtered <- Seq(false, true)) {
+      val bytes = NetCdfFixtures.hdf5V2DenseNested(filtered)
+      val m = NetCdf.parse(bytes)
+        .fold(e => fail(s"filtered=$filtered: $e"), identity)
+      assert(m.vars.map(_.path).sorted ==
+        (0 until 10).map(i => f"v$i%02d"), s"filtered=$filtered")
+      // data reads through links recovered from the nested child
+      assert(NetCdf.coordExtent(bytes, m, "v07").contains((7.0, 8.0)))
+      assert(NetCdf.coordExtent(bytes, m, "v09").contains((9.0, 10.0)))
+      // a corrupted CHILD indirect signature fails the whole listing
+      // closed (the group never silently loses its tail links)
+      val bad = bytes.clone()
+      var hits = 0; var i = 0; var second = -1
+      while (i < bad.length - 4) {
+        if (bad(i) == 'F' && bad(i + 1) == 'H' && bad(i + 2) == 'I' &&
+            bad(i + 3) == 'B') { hits += 1; if (hits == 2) second = i }
+        i += 1
+      }
+      // scan order: root FHIB (320) first, child (448) second —
+      // the second hit IS the child
+      assert(hits == 2, s"filtered=$filtered: $hits FHIB blocks")
+      bad(second) = 'X'
+      assert(NetCdf.parse(bad).isLeft, s"filtered=$filtered child")
+    }
+  }
+
   test("hdf5 v2 dense links: short or bogus-filter heaps quarantine") {
     val bytes = NetCdfFixtures.hdf5V2Dense()
     // (a) nManaged larger than the heap holds -> short-scan failure
