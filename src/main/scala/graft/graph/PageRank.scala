@@ -84,12 +84,20 @@ object PageRank {
     val teleport = (3L * Scale) / (20L * n)
     var iter = 0
     while (iter < iterations) {
+      // SHUFFLE_HASH on the rank-state side: both join inputs are
+      // already partitioned on the key, so the hint turns each
+      // iteration's sort-merge join (which re-SORTS all |E| degEdges
+      // rows every iteration — the checkpoint preserves partitioning,
+      // not ordering) into a zero-exchange hash join that builds on
+      // the compact |V|-row side and STREAMS the edges
       val contrib = degEdges
-        .join(ranks, degEdges("src") === ranks("node"))
+        .join(ranks.hint("SHUFFLE_HASH"),
+          degEdges("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
       ranks = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .join(contrib.hint("SHUFFLE_HASH"),
+          nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(teleport) +
             expr("17 * coalesce(in_mass, 0L) div 20")).as("rank"))
