@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Classifier, Curate, Dedup, IvfPq, Pq, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
+import graft.llm.{Classifier, Curate, Dedup, Dsir, IvfPq, Pq, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -667,6 +667,18 @@ object LlmQueries {
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
           <= 0.1).as("est_ok"))
       .orderBy("lang_a", "lang_b")
+  }
+
+  /** DSIR importance scores ([[graft.llm.Dsir]]): every document
+    * scored by the hashed-ngram log ratio between the English subset
+    * (the "target" reference) and the whole corpus — the
+    * label-free data-selection signal, exact in integer micro-nats
+    * so the DuckDB oracle replays it bit-for-bit. */
+  def dsirScores(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dsir.importanceScores(d, d.filter(col("lang") === "en"),
+      "doc_id", "text", nBuckets = 1024)
+      .orderBy("doc_id")
   }
 
   /** Naive-Bayes quality classifier trained and applied in-corpus

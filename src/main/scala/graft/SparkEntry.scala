@@ -184,6 +184,7 @@ object SparkEntry {
     "q_rolling_wau_hll"      -> (LlmQueries.rollingWauHll _),
     "q_label_centroids"      -> (LlmQueries.labelCentroids _),
     "q_cms_join_size"        -> (LlmQueries.cmsJoinSize _),
+    "q_dsir_scores"          -> (LlmQueries.dsirScores _),
     "q_scd2"                 -> (Queries.scd2 _),
     "q_merge_into"           -> (Queries.mergeInto _),
   )
@@ -1843,6 +1844,43 @@ object SparkEntry {
         |    AS wsum_cents
         |FROM c JOIN b USING (event_type)
         |GROUP BY c.event_type ORDER BY event_type""".stripMargin,
+    "q_dsir_scores" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(w) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, a || ' ' || b AS g FROM (
+        |    SELECT doc_id, lang, unnest(w[1:len(w)-1]) AS a,
+        |           unnest(w[2:len(w)]) AS b FROM toks)),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM grams),
+        |cr AS (SELECT bucket, count(*) AS nr FROM bk GROUP BY bucket),
+        |ct AS (SELECT bucket, count(*) AS nt FROM bk
+        |       WHERE lang = 'en' GROUP BY bucket),
+        |tot AS (SELECT
+        |  CAST((SELECT count(*) FROM bk) AS DOUBLE) AS tr,
+        |  CAST((SELECT count(*) FROM bk WHERE lang = 'en') AS DOUBLE)
+        |    AS tt),
+        |wt AS (
+        |  SELECT d.bucket,
+        |    CAST(round(1000000.0 * (ln(COALESCE(ct.nt, 0) + 1)
+        |      - ln(tt + 1024) - ln(COALESCE(cr.nr, 0) + 1)
+        |      + ln(tr + 1024))) AS BIGINT) AS w_e6
+        |  FROM range(0, 1024) AS d(bucket)
+        |  LEFT JOIN cr ON cr.bucket = d.bucket
+        |  LEFT JOIN ct ON ct.bucket = d.bucket
+        |  CROSS JOIN tot)
+        |SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |  CAST(sum(wt.w_e6) AS BIGINT) AS score_e6
+        |FROM bk JOIN wt ON wt.bucket = bk.bucket
+        |GROUP BY bk.doc_id
+        |ORDER BY bk.doc_id""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH ws AS (
         |  SELECT doc_id,

@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance scoring for data selection (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * score every raw-corpus document by how much more likely its hashed
+  * n-gram features are under a TARGET corpus than under the RAW
+  * corpus — `Σ_g ln(p_target(bucket(g)) / p_raw(bucket(g)))` — then
+  * select with the existing deterministic weighted sampler. The
+  * standard cheap proxy for "does this web page look like my
+  * high-quality reference set", one tier above the NB classifier
+  * ([[Classifier]]) because it needs no labels, only the two corpora.
+  *
+  * Features: unigrams + bigrams of the shared alpha tokenizer
+  * ([[LangModel.tokens]]), hashed to `nBuckets` via the md5-prefix
+  * idiom ([[Sampling.bucket256]]'s big sibling) so any engine —
+  * including the DuckDB oracle — replays the identical bucketing.
+  *
+  * Reproducibility: bucket weights are add-one-smoothed log ratios
+  * quantized to integer micro-nats (`round(1e6·lnΔ)` BIGINT) BEFORE
+  * any per-document sum (the [[Classifier]]/[[LangModel]] lesson), so
+  * document scores are exact integer sums — identical on any engine,
+  * partitioning, or summation order.
+  *
+  * Scale shape: one tokenize pass per corpus reduces to a ≤nBuckets
+  * row count table (map-side combinable keyed shuffle); the weight
+  * table is the FULL 0..nBuckets-1 domain (so scoring needs no OOV
+  * branch) and rides a broadcast join; scoring is one explode +
+  * broadcast join + per-doc aggregation — the only per-doc shuffle is
+  * the compact (doc, partial-sum) rows. Nothing here grows with the
+  * corpus except the two linear passes.
+  */
+object Dsir {
+
+  /** Bucket id (0..nBuckets-1) of one n-gram string: first 8 hex
+    * digits of md5, mod nBuckets — engine-replayable, no xxhash. */
+  def bucketOf(ngram: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(ngram), 1, 8), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+
+  /** All hashed n-gram occurrences of a document (unigrams + space-
+    * joined bigrams), row-local. */
+  def ngramBuckets(text: Column, nBuckets: Int): Column = {
+    val ws = LangModel.tokens(text)
+    val unis = transform(ws, w => bucketOf(w, nBuckets))
+    val bis = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1), i =>
+        bucketOf(concat_ws(" ", element_at(ws, i),
+          element_at(ws, i + 1)), nBuckets)))
+      .otherwise(array().cast("array<bigint>"))
+    concat(unis, bis)
+  }
+
+  /** Train bucket weights: one row per bucket in 0..nBuckets-1 with
+    * `w_e6 = round(1e6·(ln(ct+1) − ln(Nt+K) − ln(cr+1) + ln(Nr+K)))`
+    * (add-one smoothing over the K-bucket domain; buckets unseen in
+    * both corpora get the smoothed prior ratio, so the domain is
+    * total and scoring never branches). `raw` should normally contain
+    * the documents being scored; `target` is the reference corpus. */
+  def train(raw: DataFrame, target: DataFrame, textCol: String,
+            nBuckets: Int): DataFrame = {
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(ngramBuckets(col(textCol), nBuckets))
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(name))
+    val cr = counts(raw, "nr")
+    val ct = counts(target, "nt")
+    // 1-row totals crossed onto the K-row domain (vetted
+    // single-row-build shape); domain join keeps every bucket
+    val totals = cr.agg(sum(col("nr")).as("tot_r")).crossJoin(
+      ct.agg(sum(col("nt")).as("tot_t")))
+    val k = lit(nBuckets.toLong)
+    raw.sparkSession.range(nBuckets).toDF("bucket")
+      .join(cr, Seq("bucket"), "left")
+      .join(ct, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(lit(1e6) *
+          (log(coalesce(col("nt"), lit(0L)) + lit(1L)) -
+            log(coalesce(col("tot_t"), lit(0L)).cast("double") + k) -
+            log(coalesce(col("nr"), lit(0L)) + lit(1L)) +
+            log(coalesce(col("tot_r"), lit(0L)).cast("double") + k)))
+          .cast("bigint").as("w_e6"))
+  }
+
+  /** Score every document with ≥1 alpha token: `(id, n_ngrams,
+    * score_e6)` — the exact integer micro-nat sum of its buckets'
+    * weights. Token-less documents produce no row (nothing to
+    * featurize — same convention as [[LangModel.unigramNll]]). */
+  def score(docs: DataFrame, weights: DataFrame, idCol: String,
+            textCol: String, nBuckets: Int): DataFrame =
+    docs.select(col(idCol),
+        explode(ngramBuckets(col(textCol), nBuckets)).as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(col("w_e6")).as("score_e6"))
+
+  /** train + score against the same raw corpus in one call. */
+  def importanceScores(raw: DataFrame, target: DataFrame, idCol: String,
+                       textCol: String, nBuckets: Int = 1024): DataFrame =
+    score(raw, train(raw, target, textCol, nBuckets), idCol, textCol,
+      nBuckets)
+}
