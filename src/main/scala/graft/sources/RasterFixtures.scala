@@ -399,6 +399,76 @@ object RasterFixtures {
     buf.array()
   }
 
+  /** TILED planar RGB twin of [[stripTiffRgbPlanar]]: square tiles,
+    * tile list band-major (all of band 0's tiles row-major, then
+    * band 1's, band 2's — TIFF 6.0 tiled planar ordering), edge
+    * tiles padded with 0 (the decoder clips to the raster bounds).
+    * Uncompressed or deflate. */
+  def tileTiffRgbPlanar(width: Int, height: Int, rgb: Seq[Int],
+                        tileSize: Int, compression: Int = 1)
+  : Array[Byte] = {
+    require(rgb.size == width * height * 3)
+    val ta = (width + tileSize - 1) / tileSize
+    val td = (height + tileSize - 1) / tileSize
+    val tilesPerBand = ta * td
+    val nTiles = tilesPerBand * 3
+    val payloads = (0 until 3).flatMap { b =>
+      for (ty <- 0 until td; tx <- 0 until ta) yield {
+        val raw = new Array[Byte](tileSize * tileSize)
+        for (y <- 0 until tileSize; x <- 0 until tileSize) {
+          val gx = tx * tileSize + x; val gy = ty * tileSize + y
+          if (gx < width && gy < height)
+            raw(y * tileSize + x) =
+              rgb((gy * width + gx) * 3 + b).toByte
+        }
+        if (compression == 8) deflate(raw) else raw
+      }
+    }
+    val entryCount = 11
+    val ifdSize = 2 + entryCount * 12 + 4
+    var dataOff = 8 + ifdSize
+    def alloc(n: Int): Int = { val o = dataOff; dataOff += n; o }
+    val offsOff = alloc(nTiles * 4)
+    val cntsOff = alloc(nTiles * 4)
+    val bpsOff = alloc(6)
+    val tileStarts = payloads.map(_.length).scanLeft(dataOff)(_ + _)
+
+    val buf = ByteBuffer.allocate(tileStarts.last)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte); buf.put('I'.toByte)
+    buf.putShort(2, 42); buf.putInt(4, 8)
+    buf.putShort(8, entryCount.toShort)
+    var e = 10
+    def entry(tag: Int, typ: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(e, tag.toShort); buf.putShort(e + 2, typ.toShort)
+      buf.putInt(e + 4, cnt)
+      if (typ == 3 && cnt == 1) buf.putShort(e + 8, value.toShort)
+      else buf.putInt(e + 8, value.toInt)
+      e += 12
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    entry(258, 3, 3, bpsOff)
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, 2)       // photometric RGB
+    entry(277, 3, 1, 3)
+    entry(284, 3, 1, 2)       // planar
+    entry(322, 3, 1, tileSize) // TileWidth
+    entry(323, 3, 1, tileSize) // TileLength
+    entry(324, 4, nTiles, offsOff)
+    entry(325, 4, nTiles, cntsOff)
+    buf.putInt(e, 0)
+    (0 until 3).foreach(i => buf.putShort(bpsOff + i * 2, 8))
+    (0 until nTiles).foreach { t =>
+      buf.putInt(offsOff + t * 4, tileStarts(t))
+      buf.putInt(cntsOff + t * 4, payloads(t).length)
+    }
+    payloads.zipWithIndex.foreach { case (p, t) =>
+      System.arraycopy(p, 0, buf.array(), tileStarts(t), p.length)
+    }
+    buf.array()
+  }
+
   /** Encode a pixel-interleaved RGB image as a JPEG interchange
     * stream (JDK writer — JFIF YCbCr, the layout color TIFF strips
     * carry under photometric 6). */

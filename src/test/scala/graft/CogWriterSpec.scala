@@ -479,6 +479,17 @@ class CogWriterSpec extends SparkSuite {
         assert(bands(b).sameElements(chunky(b)),
           s"band $b comp=$comp pred=$pred")
     }
+    // TILED planar (band-major tile list, padded edge tiles) decodes
+    // to the same bands — uncompressed and deflate
+    for (comp <- Seq(1, 8)) {
+      val tiled = RasterFixtures.tileTiffRgbPlanar(w, h, rgb,
+        tileSize = 4, compression = comp)
+      val (mt, tb) = GeoTiff.readBands(tiled)
+        .fold(e => fail(s"tiled comp=$comp: " + e), identity)
+      assert(mt.tileWidth.contains(4L), s"comp=$comp")
+      for (b <- 0 until 3)
+        assert(tb(b).sameElements(chunky(b)), s"tiled band $b comp=$comp")
+    }
     // planar JPEG is contradictory (JPEG MCUs interleave) -> quarantine
     // is pinned above via the mislabeled-chunky case; here pin that a
     // VALID planar file re-tiles through tiffToCog losslessly too

@@ -71,7 +71,11 @@ class PlanSpec extends SparkSuite {
       // 1-row model constants (priors/OOV weight) crossed over the
       // scored corpus — the same single-row-build shape as the stats
       // scalars above
-      "q_quality_classifier", "q_curate_pipeline")
+      "q_quality_classifier", "q_curate_pipeline",
+      // 1-row (tot_raw, tot_target) ngram totals crossed onto the
+      // K-row bucket-weight domain — single-row build over a
+      // CONSTANT-sized (nBuckets) side, not the corpus
+      "q_dsir_scores")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       if ((p.contains("CartesianProduct") ||
