@@ -287,8 +287,19 @@ object LlmQueries {
       .unionByName(e.select((col("vec_id") + CloneOffset).as("vec_id"),
         col("embedding")))
       .unionByName(near)
+    // cells ∝ corpus: k = n/300 keeps per-cell density (and with it
+    // the in-cell quadratic compare) CONSTANT as the corpus grows —
+    // the sf1 probe measured fixed-16 at 34-47 s vs scaled at 4.2 s
+    // with bit-identical keep sets (SemScaleProbe; exact clones
+    // co-cell at any k, assignTop=2 covers boundary near-clones).
+    // n derives from the base-table count (an unfiltered count() is
+    // a parquet-footer metadata read, no data scan): the constructed
+    // corpus is 2 clones per base row + one near-dup per 3rd row.
+    // Floor 16 keeps sf0.01/sf0.1 results literally unchanged.
+    val ne = e.count()
+    val k = math.max(16, ((2 * ne + (ne + 2) / 3) / 300L).toInt)
     Similarity.semanticDedup(all, threshold = 0.999,
-      nCentroids = 16, assignTop = 2)
+      nCentroids = k, assignTop = 2)
       .orderBy("vec_id")
   }
 
