@@ -40,10 +40,13 @@ object Dsir {
     pmod(conv(substring(md5(ngram), 1, 8), 16, 10).cast("long"),
       lit(nBuckets.toLong))
 
-  /** All hashed n-gram occurrences of a document (unigrams + space-
-    * joined bigrams), row-local. */
-  def ngramBuckets(text: Column, nBuckets: Int): Column = {
-    val ws = LangModel.tokens(text)
+  /** All hashed n-gram occurrences from a MATERIALIZED token-array
+    * column (unigrams + space-joined bigrams), row-local. `ws` must
+    * be a bound attribute, not an inline tokenizer expression — the
+    * bigram lambda's `element_at(ws, i)` would otherwise inline and
+    * RE-RUN the tokenizer per element, turning each row O(tokens²)
+    * (the Winnow lesson; measured 6× on q_dsir_scores). */
+  def ngramBucketsFromTokens(ws: Column, nBuckets: Int): Column = {
     val unis = transform(ws, w => bucketOf(w, nBuckets))
     val bis = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1), i =>
@@ -52,6 +55,14 @@ object Dsir {
       .otherwise(array().cast("array<bigint>"))
     concat(unis, bis)
   }
+
+  /** (id?, bucket) occurrence rows for a corpus — tokens materialize
+    * in a first projection so the n-gram HOFs read an attribute. */
+  private def bucketRows(df: DataFrame, textCol: String, nBuckets: Int,
+                         keep: Seq[Column]): DataFrame =
+    df.select(keep :+ LangModel.tokens(col(textCol)).as("__ws"): _*)
+      .select(keep :+ explode(ngramBucketsFromTokens(col("__ws"),
+        nBuckets)).as("bucket"): _*)
 
   /** Train bucket weights: one row per bucket in 0..nBuckets-1 with
     * `w_e6 = round(1e6·(ln(ct+1) − ln(Nt+K) − ln(cr+1) + ln(Nr+K)))`
@@ -62,8 +73,7 @@ object Dsir {
   def train(raw: DataFrame, target: DataFrame, textCol: String,
             nBuckets: Int): DataFrame = {
     def counts(df: DataFrame, name: String): DataFrame =
-      df.select(explode(ngramBuckets(col(textCol), nBuckets))
-          .as("bucket"))
+      bucketRows(df, textCol, nBuckets, Nil)
         .groupBy("bucket").agg(count(lit(1)).as(name))
     val cr = counts(raw, "nr")
     val ct = counts(target, "nt")
@@ -91,8 +101,7 @@ object Dsir {
     * featurize — same convention as [[LangModel.unigramNll]]). */
   def score(docs: DataFrame, weights: DataFrame, idCol: String,
             textCol: String, nBuckets: Int): DataFrame =
-    docs.select(col(idCol),
-        explode(ngramBuckets(col(textCol), nBuckets)).as("bucket"))
+    bucketRows(docs, textCol, nBuckets, Seq(col(idCol)))
       .join(broadcast(weights), "bucket")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
