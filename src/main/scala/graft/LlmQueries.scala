@@ -626,14 +626,16 @@ object LlmQueries {
     * here: trigram expansion is a few ops per token, unlike the minhash
     * chains that earned native expressions; the heavy sketch path runs
     * post-explode. */
-  private[graft] def wordTrigrams(text: Column): Column = {
-    val ws = graft.llm.LangModel.tokens(text)
-    when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-          element_at(ws, i + 2))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private[graft] def wordTrigrams(text: Column): Column =
+    // tokens bound once — element_at(ws, i) with an inline tokenizer
+    // would re-run the regex per element (Text.bindOnce scaladoc)
+    graft.llm.Text.bindOnce(graft.llm.LangModel.tokens(text)) { ws =>
+      when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /** Corpus-level set similarity from mergeable MinHash sketches
     * ([[graft.llm.GroupSimilarity]]): per-language trigram-set Jaccard

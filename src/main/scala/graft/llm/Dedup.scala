@@ -62,14 +62,16 @@ object Dedup {
 
   /** Distinct word k-shingles of the normalized text; short docs yield
     * their whole text as a single shingle. */
-  def shingles(text: Column, k: Int): Column = {
-    val ws = Text.words(Text.normalize(text))
-    when(size(ws) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(ws) - k),
-        i => array_join(slice(ws, i + 1, lit(k)), " "))))
-    .otherwise(array(array_join(ws, " ")))
-  }
+  def shingles(text: Column, k: Int): Column =
+    // tokens bound once — slice(ws, …) with an inline tokenizer would
+    // re-run normalize+split per shingle start (Text.bindOnce scaladoc)
+    Text.bindOnce(Text.words(Text.normalize(text))) { ws =>
+      when(size(ws) >= k,
+        array_distinct(transform(
+          sequence(lit(0), size(ws) - k),
+          i => array_join(slice(ws, i + 1, lit(k)), " "))))
+      .otherwise(array(array_join(ws, " ")))
+    }
 
   /** Shingle hash set (array<long>) — the MinHash input. Word-level
     * xxhash64 then a k-term polynomial combine, evaluated by the native

@@ -10,6 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Bind an expensive array expression ONCE for use inside a HOF
+    * lambda body. HOF lambdas are interpreted over the raw expression
+    * tree, so `element_at(ws, i)` / `slice(ws, …)` with an INLINE `ws`
+    * re-evaluates the whole tokenizer per element — O(tokens²) per row
+    * (measured 6.6× on q_dsir_scores before [[graft.llm.Dsir]] learned
+    * this). Wrapping in a one-element array and reading it back through
+    * the lambda variable makes `ws` a bound attribute: evaluated once
+    * per row, O(1) per reference. Prefer a real projection when the
+    * call site owns the DataFrame; use this when the API must stay
+    * Column-in/Column-out. */
+  def bindOnce(a: Column)(f: Column => Column): Column =
+    element_at(transform(array(a), f), 1)
+
   /** Whitespace-normalized lowercase form used for dedup/fingerprints. */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")

@@ -108,12 +108,17 @@ object Winnow {
   private[graft] def fingerprintsHof(docs: DataFrame, idCol: String,
                                      textCol: String,
                                      k: Int = 3, w: Int = 4): DataFrame = {
-    val ws = Text.words(Text.normalize(col(textCol)))
-    // same 2^20 gram-start cap as [[selected]] (packing precondition)
-    val grams = when(size(ws) >= k,
-        transform(sequence(lit(0), least(size(ws) - k, lit(PosCap - 1))),
-          i => array_join(slice(ws, i + 1, lit(k)), " ")))
-      .otherwise(array(array_join(ws, " ")))
+    // same 2^20 gram-start cap as [[selected]]; tokens bound once
+    // (slice with an inline tokenizer re-runs it per gram start —
+    // Text.bindOnce scaladoc)
+    val grams = Text.bindOnce(Text.words(Text.normalize(col(textCol)))) {
+      ws =>
+        when(size(ws) >= k,
+            transform(sequence(lit(0),
+              least(size(ws) - k, lit(PosCap - 1))),
+              i => array_join(slice(ws, i + 1, lit(k)), " ")))
+          .otherwise(array(array_join(ws, " ")))
+    }
     val hash32 = conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
     val enc = docs
       .select(col(idCol), posexplode(grams).as(Seq("pos", "gram")))
