@@ -694,6 +694,20 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** DSIR end-to-end ([[graft.llm.Dsir]] +
+    * [[graft.llm.Sampling.logWeightedSample]]): importance-score the
+    * corpus against the English reference slice, then Gumbel-top-k
+    * resample 100 docs with P ∝ exp(score) — the full importance-
+    * resampling recipe of Xie et al. 2023, deterministic end to end. */
+  def dsirResample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = Dsir.importanceScores(d, d.filter(col("lang") === "en"),
+      "doc_id", "text", nBuckets = 1024)
+    graft.llm.Sampling.logWeightedSample(scored, col("doc_id"),
+      col("score_e6") / lit(1000000.0), n = 100)
+      .orderBy("doc_id")
+  }
+
   /** Naive-Bayes quality classifier trained and applied in-corpus
     * ([[graft.llm.Classifier]]): English docs are the "high-quality"
     * reference class, everything else the background — the
@@ -711,6 +725,17 @@ object LlmQueries {
   def unigramNll(s: SparkSession, dir: String): DataFrame =
     LangModel.unigramNll(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** CCNet perplexity tiers ([[graft.llm.Curate.perplexityBuckets]]):
+    * every scored document labeled head/middle/tail within its
+    * language by exact integer tertile rank of per-token surprisal. */
+  def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.llm.Curate.perplexityBuckets(
+      LangModel.unigramNll(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("lang")), "doc_id"))
+      .orderBy("doc_id")
+  }
 
   /** Deterministic per-source cap ([[graft.llm.Sampling.capPerGroup]]):
     * at most 15 docs per source by md5-rank of doc_id — the per-domain

@@ -132,6 +132,7 @@ object SparkEntry {
     "q_ann_ivfpq"            -> (LlmQueries.annIvfPq _),
     "q_set_jaccard"          -> (LlmQueries.setJaccardLangs _),
     "q_unigram_nll"          -> (LlmQueries.unigramNll _),
+    "q_ccnet_buckets"        -> (LlmQueries.ccnetBuckets _),
     "q_quality_classifier"   -> (LlmQueries.qualityClassifier _),
     "q_cap_per_source"       -> (LlmQueries.capPerSource _),
     "q_dataset_diff"         -> (Queries.datasetDiff _),
@@ -185,6 +186,7 @@ object SparkEntry {
     "q_label_centroids"      -> (LlmQueries.labelCentroids _),
     "q_cms_join_size"        -> (LlmQueries.cmsJoinSize _),
     "q_dsir_scores"          -> (LlmQueries.dsirScores _),
+    "q_dsir_resample"        -> (LlmQueries.dsirResample _),
     "q_scd2"                 -> (Queries.scd2 _),
     "q_merge_into"           -> (Queries.mergeInto _),
   )
@@ -1473,6 +1475,33 @@ object SparkEntry {
         |      AS BIGINT)) AS BIGINT) AS sum_nll_e6
         |FROM tf JOIN stats s USING (term), tot t
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q_ccnet_buckets" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+        |    AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |stats AS (SELECT term, sum(tf) AS ctf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ctf) AS DOUBLE) AS n_total FROM stats),
+        |nll AS (SELECT tf.doc_id,
+        |    CAST(sum(tf.tf) AS BIGINT) AS n_terms,
+        |    CAST(sum(CAST(tf.tf AS BIGINT) *
+        |      CAST(round(-ln(CAST(s.ctf AS DOUBLE) / t.n_total) * 1000000.0)
+        |        AS BIGINT)) AS BIGINT) AS sum_nll_e6
+        |  FROM tf JOIN stats s USING (term), tot t
+        |  GROUP BY tf.doc_id),
+        |ranked AS (
+        |  SELECT n.doc_id, d.lang, n.n_terms, n.sum_nll_e6,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY CAST(n.sum_nll_e6 AS DOUBLE) / n.n_terms,
+        |        n.doc_id) AS r,
+        |    count(*) OVER (PARTITION BY d.lang) AS n
+        |  FROM nll n JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, n_terms, sum_nll_e6,
+        |  CASE WHEN r * 3 <= n THEN 'head'
+        |       WHEN r * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin,
     "q_quality_classifier" ->
       ("WITH " + nbClassifierCtes("documents") + """
         |SELECT d.doc_id, COALESCE(sc.n_terms, 0) AS n_terms,
@@ -1881,6 +1910,54 @@ object SparkEntry {
         |FROM bk JOIN wt ON wt.bucket = bk.bucket
         |GROUP BY bk.doc_id
         |ORDER BY bk.doc_id""".stripMargin,
+    "q_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang, unnest(w) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, lang, a || ' ' || b AS g FROM (
+        |    SELECT doc_id, lang, unnest(w[1:len(w)-1]) AS a,
+        |           unnest(w[2:len(w)]) AS b FROM toks)),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM grams),
+        |cr AS (SELECT bucket, count(*) AS nr FROM bk GROUP BY bucket),
+        |ct AS (SELECT bucket, count(*) AS nt FROM bk
+        |       WHERE lang = 'en' GROUP BY bucket),
+        |tot AS (SELECT
+        |  CAST((SELECT count(*) FROM bk) AS DOUBLE) AS tr,
+        |  CAST((SELECT count(*) FROM bk WHERE lang = 'en') AS DOUBLE)
+        |    AS tt),
+        |wt AS (
+        |  SELECT d.bucket,
+        |    CAST(round(1000000.0 * (ln(COALESCE(ct.nt, 0) + 1)
+        |      - ln(tt + 1024) - ln(COALESCE(cr.nr, 0) + 1)
+        |      + ln(tr + 1024))) AS BIGINT) AS w_e6
+        |  FROM range(0, 1024) AS d(bucket)
+        |  LEFT JOIN cr ON cr.bucket = d.bucket
+        |  LEFT JOIN ct ON ct.bucket = d.bucket
+        |  CROSS JOIN tot),
+        |scored AS (
+        |  SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |    CAST(sum(wt.w_e6) AS BIGINT) AS score_e6
+        |  FROM bk JOIN wt ON wt.bucket = bk.bucket
+        |  GROUP BY bk.doc_id),
+        |won AS (
+        |  SELECT doc_id, n_ngrams, score_e6
+        |  FROM scored
+        |  ORDER BY (CAST(score_e6 AS DOUBLE) / 1000000.0
+        |    - ln(-ln((CAST(('0x' ||
+        |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      + 0.5) / 4294967296.0))) DESC,
+        |    CAST(doc_id AS VARCHAR)
+        |  LIMIT 100)
+        |SELECT doc_id, n_ngrams, score_e6 FROM won
+        |ORDER BY doc_id""".stripMargin,
     "q_pmi_bigrams" ->
       """WITH ws AS (
         |  SELECT doc_id,

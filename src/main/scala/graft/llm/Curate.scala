@@ -58,4 +58,44 @@ object Curate {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("score_e6"), Sampling.split(col("doc_id")).as("split"))
   }
+
+  /** CCNet-style per-language perplexity tiers (Wenzek et al. 2020):
+    * rank every scored document WITHIN its language by per-token
+    * surprisal (lowest = most fluent first) and label the best third
+    * `head`, the next `middle`, the rest `tail` — the quality tiers a
+    * pretraining mix samples from at different rates. Input is a
+    * language-model scoring frame `(idCol, langCol, n_terms,
+    * sum_nll_e6)` (e.g. [[LangModel.unigramNll]] joined with the
+    * document language); token-less documents never reach it.
+    *
+    * Determinism: tier boundaries are INTEGER rank arithmetic
+    * (`r·3 ≤ n` → head, `r·3 ≤ 2n` → middle, else tail — exact
+    * tertiles, no float thresholds); the sort key is one scalar IEEE
+    * division of two integers (identical on any engine) with an id
+    * tie-break, so the labeling replays bit-for-bit anywhere.
+    *
+    * Scale shape: one shuffle on the language key feeding both window
+    * frames (shared sort). Languages are few and web corpora are
+    * hugely skewed toward one of them, so at extreme scale the
+    * per-language sort serializes on the biggest language's reducer —
+    * the standard fix is the 2-pass distributed order statistic
+    * (per-language surprisal histogram → cumulative counts pick the
+    * two threshold bins → second pass labels by comparison, resolving
+    * only the straddling bins exactly), which trades one extra linear
+    * pass for full parallelism. At the tested scales the single
+    * window is both exact and fastest, so that escalation is
+    * documented rather than built. */
+  def perplexityBuckets(scored: DataFrame, idCol: String = "doc_id",
+                        langCol: String = "lang"): DataFrame = {
+    val byLang = Window.partitionBy(col(langCol))
+    val ranked = byLang.orderBy(
+      (col("sum_nll_e6").cast("double") / col("n_terms")).asc, col(idCol))
+    scored
+      .withColumn("__r", row_number().over(ranked))
+      .withColumn("__n", count(lit(1)).over(byLang))
+      .select(col(idCol), col(langCol), col("n_terms"), col("sum_nll_e6"),
+        when(col("__r") * 3 <= col("__n"), "head")
+          .when(col("__r") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
 }

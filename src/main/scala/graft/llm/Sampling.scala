@@ -70,6 +70,28 @@ object Sampling {
       .drop("__wk")
   }
 
+  /** Deterministic weighted sampling without replacement when weights
+    * arrive in LOG domain (Gumbel-top-k): rank key `s + g(u)` with
+    * `g = −ln(−ln u)` a standard Gumbel from the same hash-derived
+    * uniform as [[weightedSample]] — the `n` largest keys are an exact
+    * sample with P(select) ∝ exp(s) (Gumbel-max trick), equivalent to
+    * `weightedSample(w = exp(s))` but stable at any score magnitude
+    * (`exp` overflows past |s| ≈ 709, where importance scores of long
+    * documents routinely live). The resampling step of DSIR
+    * ([[Dsir]]): feed `score_e6 / 1e6` straight in, no exp. Same
+    * zero-RNG determinism and TakeOrderedAndProject scale shape (per-
+    * partition heaps — no corpus shuffle, no full sort). */
+  def logWeightedSample(df: DataFrame, key: Column, logWeight: Column,
+                        n: Int): DataFrame = {
+    require(n > 0, s"logWeightedSample needs n > 0, got $n")
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    df.withColumn("__gk", logWeight.cast("double") - log(-log(u)))
+      .orderBy(col("__gk").desc, key.cast("string"))
+      .limit(n)
+      .drop("__gk")
+  }
+
   /** Deterministic per-group cap: keep at most `n` rows per group,
     * chosen by md5-rank of the key — the per-domain/source cap of
     * corpus curation ("no more than N docs from any one site"),

@@ -51,6 +51,29 @@ class CurateSpec extends SparkSuite {
     assert(out.map(_.getLong(0)).toSeq == Seq(11L))
   }
 
+  test("perplexity buckets: exact integer tertiles per language") {
+    // lang X: 7 docs with distinct surprisal ranks -> 2/3/2 by
+    // r*3<=n / r*3<=2n; lang Y: 1 doc (r=1, 3>1 and 3>2 -> tail)
+    val scored = (
+      (1 to 7).map(i => (i.toLong, "X", 10L, i * 1000000L)) :+
+        (8L, "Y", 10L, 1000000L)
+      ).toDF("doc_id", "lang", "n_terms", "sum_nll_e6")
+    val out = Curate.perplexityBuckets(scored)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getString(4)).toSeq == Seq(
+      "head", "head", "middle", "middle", "tail", "tail", "tail",
+      "tail"))
+    // tie on the sort key falls to doc_id: swap surprisals so docs
+    // 1 and 2 tie; labels must not change
+    val tied = Seq(
+      (1L, "X", 10L, 5000000L), (2L, "X", 10L, 5000000L),
+      (3L, "X", 10L, 9000000L)).toDF(
+      "doc_id", "lang", "n_terms", "sum_nll_e6")
+    assert(Curate.perplexityBuckets(tied).orderBy("doc_id")
+      .collect().map(_.getString(4)).toSeq ==
+      Seq("head", "middle", "tail"))
+  }
+
   test("pipeline is partitioning-independent") {
     val a = Curate.pipeline(docs, "doc_id", "text", "source", "is_en")
       .orderBy("doc_id").collect().toSeq
