@@ -74,19 +74,68 @@ object Curate {
     * division of two integers (identical on any engine) with an id
     * tie-break, so the labeling replays bit-for-bit anywhere.
     *
-    * Scale shape: one shuffle on the language key feeding both window
-    * frames (shared sort). Languages are few and web corpora are
-    * hugely skewed toward one of them, so at extreme scale the
-    * per-language sort serializes on the biggest language's reducer —
-    * the standard fix is the 2-pass distributed order statistic
-    * (per-language surprisal histogram → cumulative counts pick the
-    * two threshold bins → second pass labels by comparison, resolving
-    * only the straddling bins exactly), which trades one extra linear
-    * pass for full parallelism. At the tested scales the single
-    * window is both exact and fastest, so that escalation is
-    * documented rather than built. */
+    * Scale shape — the 2-pass distributed order statistic, NOT a
+    * per-language window. Languages are few and web corpora are
+    * hugely skewed toward one of them, so ranking inside a
+    * `Window.partitionBy(lang)` would serialize the dominant language
+    * onto one reducer. Instead: (1) histogram the corpus by
+    * `(lang, floor(key / binWidth))` — a map-side-combinable
+    * aggregation to a few-thousand-row table; tiny windows over THAT
+    * find each bin's rank interval `(lo, hi]` and label every bin
+    * whose interval falls wholly inside one tier; (2) the corpus
+    * joins the broadcast histogram and only rows in the ≤2 boundary-
+    * straddling bins per language need their exact global rank —
+    * `lo + row_number` within the bin. The ranking shuffle is keyed
+    * by `(lang, bin)`, so parallelism scales with occupied bins, not
+    * languages, and each in-partition sort sees one bin, not one
+    * language. Output is bit-identical to the single-window form
+    * ([[perplexityBucketsWindowed]] — the spec-equivalence twin), at
+    * any bin width: a degenerate corpus concentrating every key into
+    * one bin just makes that bin the straddler and degrades to the
+    * windowed cost, never to a wrong answer. */
   def perplexityBuckets(scored: DataFrame, idCol: String = "doc_id",
                         langCol: String = "lang"): DataFrame = {
+    // micro-nats per token; 1e4-wide bins → ~thousands of occupied
+    // bins across a realistic 0..40e6 surprisal range
+    val key = col("sum_nll_e6").cast("double") / col("n_terms")
+    val in = scored.select(col(idCol), col(langCol), col("n_terms"),
+      col("sum_nll_e6"), key.as("__k"),
+      floor(key / lit(1e4)).cast("long").as("__qb"))
+    val overBins = Window.partitionBy(col(langCol)).orderBy(col("__qb"))
+    val hist = in.groupBy(col(langCol), col("__qb"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__hi", sum(col("__cnt")).over(overBins))
+      .withColumn("__lo", col("__hi") - col("__cnt"))
+      .withColumn("__n",
+        sum(col("__cnt")).over(Window.partitionBy(col(langCol))))
+      // whole-bin label when ranks (lo, hi] sit inside one tier;
+      // null marks a boundary-straddling bin
+      .withColumn("__lbl",
+        when(col("__hi") * 3 <= col("__n"), "head")
+          .when((col("__lo") + 1) * 3 > col("__n") * 2, "tail")
+          .when((col("__lo") + 1) * 3 > col("__n") &&
+            col("__hi") * 3 <= col("__n") * 2, "middle"))
+      .select(col(langCol), col("__qb"), col("__lo"), col("__n"),
+        col("__lbl"))
+    val inBin = Window.partitionBy(col(langCol), col("__qb"))
+      .orderBy(col("__k"), col(idCol))
+    val r = col("__lo") + row_number().over(inBin)
+    in.join(broadcast(hist), Seq(langCol, "__qb"))
+      .select(col(idCol), col(langCol), col("n_terms"),
+        col("sum_nll_e6"),
+        coalesce(col("__lbl"),
+          when(r * 3 <= col("__n"), "head")
+            .when(r * 3 <= col("__n") * 2, "middle")
+            .otherwise("tail")).as("ppl_bucket"))
+  }
+
+  /** Single-window form of [[perplexityBuckets]] — the readable
+    * specification the scalable path must match bit-for-bit
+    * (CurateSpec equivalence; serializes per language, so the public
+    * entry point is the histogram path). */
+  private[graft] def perplexityBucketsWindowed(
+      scored: DataFrame, idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
     val byLang = Window.partitionBy(col(langCol))
     val ranked = byLang.orderBy(
       (col("sum_nll_e6").cast("double") / col("n_terms")).asc, col(idCol))

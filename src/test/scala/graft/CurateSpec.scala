@@ -74,6 +74,34 @@ class CurateSpec extends SparkSuite {
       Seq("head", "middle", "tail"))
   }
 
+  test("perplexity buckets: histogram path == windowed spec twin, " +
+    "incl. ties, one-doc languages, and single-bin concentration") {
+    // deterministic fixture: 3 langs of very different sizes, heavy
+    // key ties (17 distinct surprisals across 400 docs), plus a lang
+    // whose keys all land in ONE 1e4-wide bin (forces the degenerate
+    // all-straddler path)
+    val rows =
+      (1 to 400).map { i =>
+        (i.toLong, "en", 10L, ((i % 17) + 3) * 10000000L)
+      } ++
+      (401 to 430).map { i =>
+        (i.toLong, "fr", 7L, ((i % 5) + 2) * 7000000L)
+      } ++
+      Seq((431L, "de", 10L, 50000000L)) ++
+      (432 to 460).map { i =>          // all keys in [5e6, 5e6+1e3)
+        (i.toLong, "xx", 1000L, 5000000000L + (i % 9) * 1000L)
+      }
+    val scored = rows.toDF("doc_id", "lang", "n_terms", "sum_nll_e6")
+    for (parts <- Seq(1, 13)) {
+      val d = if (parts == 1) scored else scored.repartition(parts)
+      val fast = Curate.perplexityBuckets(d)
+        .orderBy("doc_id").collect().toSeq
+      val spec = Curate.perplexityBucketsWindowed(d)
+        .orderBy("doc_id").collect().toSeq
+      assert(fast == spec, s"parts=$parts")
+    }
+  }
+
   test("pipeline is partitioning-independent") {
     val a = Curate.pipeline(docs, "doc_id", "text", "source", "is_en")
       .orderBy("doc_id").collect().toSeq
