@@ -353,6 +353,42 @@ object LlmQueries {
           .as("n_repeated"))
       .orderBy("doc_id")
 
+  /** Repeated-span REMOVAL (the full Lee et al. ExactSubstr
+    * transform): every repeated 64-char window is excised except its
+    * globally first occurrence; the oracle replays the running-cursor
+    * surgery on the actual span strings. */
+  def spanRemoval(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+      spanChars = 64, stride = 16)
+      .orderBy("doc_id")
+
+  /** The full Gopher rule battery as exact integer counts + the keep
+    * verdict. The fixtures' repetitive synthetic text exercises the
+    * word-count / mean-word-length / stopword / top- and dup-n-gram
+    * rules hard; the line/bullet rules are degenerate here (single
+    * line, no bullets) and are pinned by GopherSpec instead. */
+  def gopherFlags(s: SparkSession, dir: String): DataFrame = {
+    val r = graft.llm.Gopher.report(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), r.as("r"),
+        graft.llm.Gopher.keep(r).as("keep"),
+        graft.llm.Gopher.keepRepetition(r).as("rep_keep"))
+      .select(col("doc_id"),
+        col("r.word_count").as("word_count"),
+        col("r.sum_word_chars").as("sum_word_chars"),
+        col("r.alpha_words").as("alpha_words"),
+        col("r.stopword_hits").as("stopword_hits"),
+        col("r.total_chars").as("total_chars"),
+        col("r.top2_chars").as("top2_chars"),
+        col("r.top3_chars").as("top3_chars"),
+        col("r.top4_chars").as("top4_chars"),
+        col("r.dup5_chars").as("dup5_chars"),
+        col("r.dup7_chars").as("dup7_chars"),
+        col("r.dup10_chars").as("dup10_chars"),
+        col("keep"), col("rep_keep"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct counting: exact + approx (approx is rows-only territory,
     * so the oracle-checked columns are the exact ones + error bound). */
   def distinctCounts(s: SparkSession, dir: String): DataFrame = {

@@ -109,6 +109,8 @@ object SparkEntry {
     "q_dup_word_ratio"       -> (LlmQueries.dupWordRatio _),
     "q_decontaminate"        -> (LlmQueries.decontaminateKeep _),
     "q_repeated_spans"       -> (LlmQueries.repeatedSpanStats _),
+    "q_span_removal"         -> (LlmQueries.spanRemoval _),
+    "q_gopher_flags"         -> (LlmQueries.gopherFlags _),
     // chunking / packing / tf-idf (training-data prep)
     "q_chunk_windows"        -> (LlmQueries.chunkWindows _),
     "q_pack_concat"          -> (LlmQueries.packConcat _),
@@ -814,6 +816,188 @@ object SparkEntry {
         |    AS n_repeated
         |FROM w JOIN c USING (span)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_span_removal" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(p AS INT) AS pos,
+        |    substr(norm, CAST(p AS INT), 64) AS span
+        |  FROM (SELECT doc_id, norm,
+        |          unnest(generate_series(1, len(norm) - 63, 16)) AS p
+        |        FROM n WHERE len(norm) >= 64)),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY span) AS cnt,
+        |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos)
+        |      AS rn
+        |  FROM w),
+        |s AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CAST(coalesce(max(pos + 64) OVER (PARTITION BY doc_id
+        |      ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1)
+        |      AS INT) AS cur
+        |  FROM s),
+        |a AS (
+        |  SELECT m.doc_id,
+        |    string_agg(substr(n.norm, cur, greatest(0, pos - cur)),
+        |      '' ORDER BY pos)
+        |      || substr(n.norm, CAST(max(greatest(cur, pos + 64)) AS INT))
+        |      AS clean
+        |  FROM m JOIN n ON m.doc_id = n.doc_id
+        |  GROUP BY m.doc_id, n.norm)
+        |SELECT n.doc_id, coalesce(a.clean, n.norm) AS clean_text,
+        |  CAST(len(n.norm) - len(coalesce(a.clean, n.norm)) AS BIGINT)
+        |    AS removed_chars
+        |FROM n LEFT JOIN a ON n.doc_id = a.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    "q_gopher_flags" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(trim(text)) AS lt,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, norm, lt,
+        |    list_filter(string_split_regex(lt, '\s+'), w -> w != '')
+        |      AS ws
+        |  FROM base),
+        |words AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS word_count,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> len(w))), 0)
+        |      AS BIGINT) AS sum_word_chars,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(list_intersect(list_distinct(ws),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS stopword_hits,
+        |    CAST(len(norm) AS BIGINT) AS total_chars,
+        |    CAST(len(lt) - len(replace(lt, '#', '')) AS BIGINT)
+        |      AS hash_count,
+        |    CAST((len(lt) - len(replace(lt, chr(8230), ''))) +
+        |      (len(lt) - len(replace(lt, '...', ''))) / 3 AS BIGINT)
+        |      AS ellipsis_count
+        |  FROM toks),
+        |segs AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(lt, chr(10)),
+        |      s -> trim(s)), s -> s != '') AS ls,
+        |    list_filter(list_transform(
+        |      string_split(lt, chr(10) || chr(10)),
+        |      s -> trim(s)), s -> s != '') AS ps
+        |  FROM base),
+        |lines AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dup_lines,
+        |    CAST(coalesce(list_sum(list_transform(ls, x -> len(x))), 0)
+        |      - coalesce(list_sum(list_transform(list_distinct(ls),
+        |          x -> len(x))), 0) AS BIGINT) AS dup_line_chars,
+        |    CAST(coalesce(list_sum(list_transform(ls, x -> len(x))), 0)
+        |      AS BIGINT) AS line_chars,
+        |    CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%'
+        |      OR l LIKE chr(8226) || '%')) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(ls, l -> l LIKE '%...'
+        |      OR l LIKE '%' || chr(8230))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(ps) AS BIGINT) AS n_paras,
+        |    CAST(len(ps) - len(list_distinct(ps)) AS BIGINT) AS dup_paras,
+        |    CAST(coalesce(list_sum(list_transform(ps, x -> len(x))), 0)
+        |      AS BIGINT) AS para_chars,
+        |    CAST(coalesce(list_sum(list_transform(ps, x -> len(x))), 0)
+        |      - coalesce(list_sum(list_transform(list_distinct(ps),
+        |          x -> len(x))), 0) AS BIGINT) AS dup_para_chars
+        |  FROM segs),
+        |g1 AS (
+        |  SELECT doc_id, v.n AS n, ws,
+        |    unnest(generate_series(1, len(ws) - v.n + 1)) AS i
+        |  FROM toks CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),
+        |    (10)) v(n)
+        |  WHERE len(ws) >= v.n),
+        |grams AS (
+        |  SELECT doc_id, n,
+        |    array_to_string(ws[CAST(i AS INT):CAST(i + n - 1 AS INT)],
+        |      ' ') AS g
+        |  FROM g1),
+        |cnt AS (
+        |  SELECT doc_id, n, g, count(*) AS c, len(g) AS lg
+        |  FROM grams GROUP BY doc_id, n, g),
+        |agg AS (
+        |  SELECT doc_id, n, max(c * lg) AS top,
+        |    coalesce(sum(CASE WHEN c >= 2 THEN c * lg END), 0) AS dup
+        |  FROM cnt GROUP BY doc_id, n),
+        |piv AS (
+        |  SELECT doc_id,
+        |    CAST(coalesce(max(CASE WHEN n = 2 THEN top END), 0)
+        |      AS BIGINT) AS top2_chars,
+        |    CAST(coalesce(max(CASE WHEN n = 3 THEN top END), 0)
+        |      AS BIGINT) AS top3_chars,
+        |    CAST(coalesce(max(CASE WHEN n = 4 THEN top END), 0)
+        |      AS BIGINT) AS top4_chars,
+        |    CAST(coalesce(max(CASE WHEN n = 5 THEN dup END), 0)
+        |      AS BIGINT) AS dup5_chars,
+        |    CAST(coalesce(max(CASE WHEN n = 6 THEN dup END), 0)
+        |      AS BIGINT) AS dup6_chars,
+        |    CAST(coalesce(max(CASE WHEN n = 7 THEN dup END), 0)
+        |      AS BIGINT) AS dup7_chars,
+        |    CAST(coalesce(max(CASE WHEN n = 8 THEN dup END), 0)
+        |      AS BIGINT) AS dup8_chars,
+        |    CAST(coalesce(max(CASE WHEN n = 9 THEN dup END), 0)
+        |      AS BIGINT) AS dup9_chars,
+        |    CAST(coalesce(max(CASE WHEN n = 10 THEN dup END), 0)
+        |      AS BIGINT) AS dup10_chars
+        |  FROM agg GROUP BY doc_id)
+        |SELECT w.doc_id, w.word_count, w.sum_word_chars, w.alpha_words,
+        |  w.stopword_hits, w.total_chars,
+        |  coalesce(p.top2_chars, 0) AS top2_chars,
+        |  coalesce(p.top3_chars, 0) AS top3_chars,
+        |  coalesce(p.top4_chars, 0) AS top4_chars,
+        |  coalesce(p.dup5_chars, 0) AS dup5_chars,
+        |  coalesce(p.dup7_chars, 0) AS dup7_chars,
+        |  coalesce(p.dup10_chars, 0) AS dup10_chars,
+        |  (w.word_count BETWEEN 50 AND 100000
+        |   AND w.sum_word_chars BETWEEN 3 * w.word_count
+        |     AND 10 * w.word_count
+        |   AND w.hash_count * 100 <= 10 * w.word_count
+        |   AND w.ellipsis_count * 100 <= 10 * w.word_count
+        |   AND l.bullet_lines * 100 <= 90 * l.n_lines
+        |   AND l.ellipsis_lines * 100 <= 30 * l.n_lines
+        |   AND w.alpha_words * 100 >= 80 * w.word_count
+        |   AND w.stopword_hits >= 2
+        |   AND l.dup_lines * 100 <= 30 * l.n_lines
+        |   AND l.dup_paras * 100 <= 30 * l.n_paras
+        |   AND l.dup_line_chars * 100 <= 20 * l.line_chars
+        |   AND l.dup_para_chars * 100 <= 20 * l.para_chars
+        |   AND coalesce(p.top2_chars, 0) * 100 <= 20 * w.total_chars
+        |   AND coalesce(p.top3_chars, 0) * 100 <= 18 * w.total_chars
+        |   AND coalesce(p.top4_chars, 0) * 100 <= 16 * w.total_chars
+        |   AND coalesce(p.dup5_chars, 0) * 100 <= 15 * w.total_chars
+        |   AND coalesce(p.dup6_chars, 0) * 100 <= 14 * w.total_chars
+        |   AND coalesce(p.dup7_chars, 0) * 100 <= 13 * w.total_chars
+        |   AND coalesce(p.dup8_chars, 0) * 100 <= 12 * w.total_chars
+        |   AND coalesce(p.dup9_chars, 0) * 100 <= 11 * w.total_chars
+        |   AND coalesce(p.dup10_chars, 0) * 100 <= 10 * w.total_chars)
+        |    AS keep,
+        |  (l.dup_lines * 100 <= 30 * l.n_lines
+        |   AND l.dup_paras * 100 <= 30 * l.n_paras
+        |   AND l.dup_line_chars * 100 <= 20 * l.line_chars
+        |   AND l.dup_para_chars * 100 <= 20 * l.para_chars
+        |   AND coalesce(p.top2_chars, 0) * 100 <= 20 * w.total_chars
+        |   AND coalesce(p.top3_chars, 0) * 100 <= 18 * w.total_chars
+        |   AND coalesce(p.top4_chars, 0) * 100 <= 16 * w.total_chars
+        |   AND coalesce(p.dup5_chars, 0) * 100 <= 15 * w.total_chars
+        |   AND coalesce(p.dup6_chars, 0) * 100 <= 14 * w.total_chars
+        |   AND coalesce(p.dup7_chars, 0) * 100 <= 13 * w.total_chars
+        |   AND coalesce(p.dup8_chars, 0) * 100 <= 12 * w.total_chars
+        |   AND coalesce(p.dup9_chars, 0) * 100 <= 11 * w.total_chars
+        |   AND coalesce(p.dup10_chars, 0) * 100 <= 10 * w.total_chars)
+        |    AS rep_keep
+        |FROM words w
+        |JOIN lines l ON w.doc_id = l.doc_id
+        |LEFT JOIN piv p ON w.doc_id = p.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id,

@@ -713,6 +713,73 @@ object Dedup {
     wins.join(counts, "span_hash")
   }
 
+  /** Exact repeated-span REMOVAL — the full ExactSubstr transform of
+    * Lee et al. 2022: every sampled `spanChars`-character window whose
+    * exact content occurs at `minSites`+ sites corpus-wide is CUT from
+    * the text, except the globally first site (minimum (doc_id, pos)),
+    * which survives as the one kept occurrence. Operates in the
+    * normalized-text domain (matching is whitespace/case-insensitive,
+    * so the surgery runs on the same form the windows were hashed on).
+    *
+    * Scale shape: windows shuffle ONCE on the 64-bit span hash for the
+    * occurrence count + keeper site (both map-side-combinable
+    * aggregates — the keeper is `min(struct(doc_id, pos))`, no
+    * window/sort), cut sites shuffle back once keyed by doc, and the
+    * text surgery is one per-row fold over the doc's sorted cut
+    * positions: a running-cursor fold appends the text between the
+    * cursor and the next cut, then advances the cursor past the cut;
+    * overlapping windows collapse for free because the cursor is the
+    * running max of cut ends. No all-pairs, no global suffix array —
+    * the paper's sequential suffix-array pass is replaced by the
+    * stride-sampled hash-equality join of [[repeatedSpans]].
+    *
+    * Returns one row per input doc: (doc_id, clean_text,
+    * removed_chars), clean_text being the normalized text with all
+    * non-keeper repeated windows excised. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          spanChars: Int = 64, stride: Int = 16,
+                          minSites: Int = 2): DataFrame = {
+    val norm = docs.select(col(idCol).as("doc_id"),
+      Text.normalize(col(textCol)).as("__norm"))
+    val wins = norm.filter(length(col("__norm")) >= spanChars)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("__norm")) - (spanChars - 1),
+          lit(stride))).as("pos"),
+        col("__norm"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(call_function("substring", col("__norm"), col("pos"),
+          lit(spanChars))).as("span_hash"))
+    val keepers = wins.groupBy("span_hash")
+      .agg(count(lit(1)).as("n_sites"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("n_sites") >= minSites)
+    val cuts = wins.join(keepers, "span_hash")
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("pos") === col("keep.pos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__cuts"))
+    val span = lit(spanChars)
+    val cleaned = aggregate(col("__cuts"),
+      struct(lit(1).as("cursor"), lit("").as("out")),
+      (acc, p) => struct(
+        greatest(acc.getField("cursor"), p + span).as("cursor"),
+        concat(acc.getField("out"),
+          call_function("substring", col("__norm"),
+            acc.getField("cursor"),
+            greatest(lit(0), p - acc.getField("cursor")))).as("out")),
+      acc => concat(acc.getField("out"),
+        call_function("substring", col("__norm"),
+          acc.getField("cursor"), length(col("__norm")))))
+    norm.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__cuts").isNull, col("__norm"))
+          .otherwise(cleaned).as("clean_text"),
+        length(col("__norm")).as("__orig_len"))
+      .select(col("doc_id"), col("clean_text"),
+        (col("__orig_len") - length(col("clean_text")))
+          .cast("long").as("removed_chars"))
+  }
+
   /** 64-bit SimHash over normalized word hashes: bit j of the result is
     * the sign of the sum over tokens of ±1 for that token-hash bit.
     * Pure per-row work, no shuffle — native [[graft.expr.SimhashExpr]]. */

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.llm.Gopher
+
+/** Pins the Gopher rule battery (Rae et al. 2021 Appendix A) against
+  * hand-computed measurements, including the line/paragraph rules the
+  * parquet fixtures cannot exercise (their text has no newlines). */
+class GopherSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def reportOf(text: String): Row =
+    Seq(text).toDF("text")
+      .select(Gopher.report(col("text")).as("r"))
+      .select("r.*").collect().head
+
+  private def keepOf(text: String): (Boolean, Boolean, Boolean) = {
+    val r = Seq(text).toDF("text")
+      .select(Gopher.report(col("text")).as("r"))
+      .select(Gopher.keep(col("r")).as("k"),
+        Gopher.keepQuality(col("r")).as("kq"),
+        Gopher.keepRepetition(col("r")).as("kr"))
+      .collect().head
+    (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2))
+  }
+
+  // 60 distinct-ish words, 2 required stopwords, mean word len in range
+  private val cleanDoc = (1 to 60)
+    .map(i => s"word$i")
+    .updated(0, "the").updated(1, "with").mkString(" ")
+
+  test("clean document passes every rule") {
+    val (k, kq, kr) = keepOf(cleanDoc)
+    assert(kq && kr && k)
+  }
+
+  test("word-count measurements are exact") {
+    val r = reportOf("The quick  Brown fox\n jumps")
+    assert(r.getAs[Long]("word_count") === 5)
+    // the+quick+brown+fox+jumps = 3+5+5+3+5
+    assert(r.getAs[Long]("sum_word_chars") === 21)
+    assert(r.getAs[Long]("alpha_words") === 5)
+    assert(r.getAs[Long]("stopword_hits") === 1) // only "the"
+    // normalized: "the quick brown fox jumps"
+    assert(r.getAs[Long]("total_chars") === 25)
+  }
+
+  test("stopword rule: fewer than 2 of the required 8 fails") {
+    val oneStop = (1 to 60).map(i => s"word$i").updated(0, "the")
+      .mkString(" ")
+    val (_, kq, _) = keepOf(oneStop)
+    assert(!kq)
+    assert(keepOf(cleanDoc)._2)
+  }
+
+  test("word count below 50 or above bounds fails quality") {
+    assert(!keepOf("the with small doc")._2)
+  }
+
+  test("mean word length out of [3, 10] fails") {
+    // 60 words of length 2 -> mean 2 < 3
+    val short = (1 to 60).map(_ => "ab").updated(0, "the")
+      .updated(1, "with").mkString(" ")
+    assert(!keepOf(short)._2)
+  }
+
+  test("symbol ratio: hash-heavy text fails") {
+    val hashy = (1 to 60).map(i =>
+      if (i % 5 == 0) "####" else s"word$i")
+      .updated(0, "the").updated(1, "with").mkString(" ")
+    // 12 hash words x 4 hashes = 48 hashes vs 60 words > 10%
+    assert(!keepOf(hashy)._2)
+  }
+
+  test("alpha-word rule: >20% non-alphabetic words fails") {
+    val numeric = (1 to 60).map(i =>
+      if (i % 3 == 0) i.toString else s"word$i")
+      .updated(0, "the").updated(1, "with").mkString(" ")
+    assert(!keepOf(numeric)._2)
+  }
+
+  test("line rules: dup lines and bullet lines measured per line") {
+    val doc = Seq("alpha beta", "alpha beta", "alpha beta",
+      "- bullet one", "gamma delta").mkString("\n")
+    val r = reportOf(doc)
+    assert(r.getAs[Long]("n_lines") === 5)
+    assert(r.getAs[Long]("dup_lines") === 2)      // 2 beyond-first
+    assert(r.getAs[Long]("dup_line_chars") === 20) // 2 x "alpha beta"
+    assert(r.getAs[Long]("bullet_lines") === 1)
+    // 2/5 = 40% dup lines > 30% -> repetition fails
+    assert(!keepOf(doc)._3)
+  }
+
+  test("bullet-line rule: >90% bullet-initial lines fails quality") {
+    val bullets = ((1 to 55).map(i => s"- item number $i word") :+
+      "the with plain line").mkString("\n")
+    // 55/56 > 90% bullet lines
+    assert(!keepOf(bullets)._2)
+  }
+
+  test("ellipsis-line rule: >30% ellipsis-terminal lines fails") {
+    val dots = ((1 to 30).map(i => s"line number $i trails off...") ++
+      (1 to 30).map(i => s"the with solid line $i here")).mkString("\n")
+    assert(!keepOf(dots)._2)
+    val r = reportOf(dots)
+    assert(r.getAs[Long]("ellipsis_lines") === 30)
+    assert(r.getAs[Long]("ellipsis_count") === 30)
+  }
+
+  test("paragraph rules measured on blank-line splits") {
+    val doc = Seq("para one text", "para one text", "para two text")
+      .mkString("\n\n")
+    val r = reportOf(doc)
+    assert(r.getAs[Long]("n_paras") === 3)
+    assert(r.getAs[Long]("dup_paras") === 1)
+    assert(r.getAs[Long]("dup_para_chars") === 13)
+    // lines see the SAME segments here (blank lines dropped)
+    assert(r.getAs[Long]("n_lines") === 3)
+  }
+
+  test("top n-gram char fraction: one dominant bigram fails") {
+    // "spam ham" repeated 30x: top 2-gram "spam ham" covers ~50% of chars
+    val doc = (1 to 30).map(_ => "spam ham").updated(0, "the")
+      .updated(1, "with").mkString(" ") +
+      " " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    val r = reportOf(doc)
+    val top2 = r.getAs[Long]("top2_chars")
+    val total = r.getAs[Long]("total_chars")
+    assert(top2 * 100 > total * 20, s"top2=$top2 total=$total")
+    assert(!keepOf(doc)._3)
+  }
+
+  test("top2 chars = occurrences x gram length, hand-checked") {
+    val r = reportOf("aa bb aa bb aa")
+    // bigrams: "aa bb" x2, "bb aa" x2 -> top = 2 x 5 = 10
+    assert(r.getAs[Long]("top2_chars") === 10)
+    // dup5 over 5 words: 1 distinct 5-gram, count 1 -> 0
+    assert(r.getAs[Long]("dup5_chars") === 0)
+  }
+
+  test("dup n-gram chars: repeated 5-grams counted with all occurrences") {
+    val five = "v w x y z"
+    val r = reportOf(s"$five $five")  // 10 words
+    // 5-grams: positions 1..6; "v w x y z" occurs at 1 and 6 -> 2x9=18
+    assert(r.getAs[Long]("dup5_chars") === 18)
+  }
+
+  test("degenerate inputs: empty and whitespace-only fail cleanly") {
+    for (t <- Seq("", "   ", "\n\n\n")) {
+      val r = reportOf(t)
+      assert(r.getAs[Long]("word_count") === 0)
+      assert(r.getAs[Long]("n_lines") === 0)
+      val (k, _, kr) = keepOf(t)
+      assert(!k)
+      assert(kr) // no repetition evidence either way
+    }
+  }
+
+  test("filterCorpus keeps exactly the keep=true documents") {
+    val docs = Seq(
+      (1, cleanDoc),
+      (2, "too short"),
+      (3, (1 to 40).map(_ => "spam ham").mkString(" "))).toDF("id", "text")
+    val kept = Gopher.filterCorpus(docs, "text").select("id")
+      .collect().map(_.getInt(0)).toSeq
+    assert(kept === Seq(1))
+  }
+}

@@ -75,7 +75,14 @@ class PlanSpec extends SparkSuite {
       // 1-row (tot_raw, tot_target) ngram totals crossed onto the
       // K-row bucket-weight domain — single-row build over a
       // CONSTANT-sized (nBuckets) side, not the corpus
-      "q_dsir_scores")
+      "q_dsir_scores",
+      // composes q_dsir_scores' scoring verbatim before the Gumbel
+      // top-k — the SAME vetted 1-row ngram-totals cross, no new join
+      "q_dsir_resample",
+      // composes q_unigram_nll's surprisal scoring (vetted 1-row
+      // corpus-token-total cross) under the histogram order
+      // statistic; both passes reuse that single-row-build shape
+      "q_ccnet_buckets")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       if ((p.contains("CartesianProduct") ||
