@@ -368,6 +368,7 @@ object LlmQueries {
     * rules hard; the line/bullet rules are degenerate here (single
     * line, no bullets) and are pinned by GopherSpec instead. */
   def gopherFlags(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
     val r = graft.llm.Gopher.report(col("text"))
     t(s, dir, "documents")
       .select(col("doc_id"), r.as("r"),

@@ -158,6 +158,32 @@ class GopherSpec extends SparkSuite {
     }
   }
 
+  test("native gopher_report is bit-identical to the HOF twin") {
+    val docs = Seq(
+      cleanDoc,
+      "",
+      "   ",
+      "\t\n mixed\tws   doc \n",
+      "the quick brown fox",
+      "UPPER Case  With   Spaces",
+      Seq("alpha beta", "alpha beta", "- b1", "* b2", "• b3",
+        "ends in dots...", "ends in u-ellipsis…").mkString("\n"),
+      "p1 text\n\np1 text\n\np2 other",
+      (1 to 80).map(i => s"w$i").mkString(" "),
+      (1 to 40).map(_ => "spam ham").mkString(" "),
+      "### #hash# tags # everywhere ###",
+      "unicode … mixed ... dots …... tail",
+      "emoji 😀 word café naïve",
+      "a\n\n\nb\n\nc\nd",
+      "v w x y z v w x y z v w x y z")
+    val df = docs.toDF("text")
+    val native = df.select(Gopher.report(col("text")).as("r"))
+      .select("r.*").collect()
+    val hof = df.select(Gopher.reportHof(col("text")).as("r"))
+      .select("r.*").collect()
+    assert(native.toSeq === hof.toSeq)
+  }
+
   test("filterCorpus keeps exactly the keep=true documents") {
     val docs = Seq(
       (1, cleanDoc),
