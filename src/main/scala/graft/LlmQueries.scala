@@ -390,6 +390,28 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** C4 cleaning pass over a deterministically punctuated twin of the
+    * fixture text (a period+newline after every 5 words — the fixtures
+    * carry no punctuation, so the raw text would degenerate to
+    * keep=false everywhere). Line retention, sentence floor, and the
+    * token blocklist ("spark" appears in the fixture vocabulary) all
+    * discriminate; the oracle replays the punctuation and every rule. */
+  def c4Clean(s: SparkSession, dir: String): DataFrame = {
+    val punct = regexp_replace(col("text"),
+      "(\\w+ \\w+ \\w+ \\w+ \\w+)", "$1.\n")
+    val r = graft.llm.C4.report(punct,
+      graft.llm.C4.Config(blocklist = Seq("spark")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), r.as("r"))
+      .select(col("doc_id"),
+        col("r.clean_text").as("clean_text"),
+        col("r.n_lines_kept").as("n_lines_kept"),
+        col("r.n_sentences").as("n_sentences"),
+        col("r.has_badword").as("has_badword"),
+        col("r.keep").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct counting: exact + approx (approx is rows-only territory,
     * so the oracle-checked columns are the exact ones + error bound). */
   def distinctCounts(s: SparkSession, dir: String): DataFrame = {

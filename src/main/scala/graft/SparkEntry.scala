@@ -111,6 +111,7 @@ object SparkEntry {
     "q_repeated_spans"       -> (LlmQueries.repeatedSpanStats _),
     "q_span_removal"         -> (LlmQueries.spanRemoval _),
     "q_gopher_flags"         -> (LlmQueries.gopherFlags _),
+    "q_c4_clean"             -> (LlmQueries.c4Clean _),
     // chunking / packing / tf-idf (training-data prep)
     "q_chunk_windows"        -> (LlmQueries.chunkWindows _),
     "q_pack_concat"          -> (LlmQueries.packConcat _),
@@ -998,6 +999,44 @@ object SparkEntry {
         |JOIN lines l ON w.doc_id = l.doc_id
         |LEFT JOIN piv p ON w.doc_id = p.doc_id
         |ORDER BY w.doc_id""".stripMargin,
+    "q_c4_clean" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+)',
+        |      '\1.' || chr(10), 'g') AS pt
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, pt,
+        |    list_filter(list_transform(string_split(pt, chr(10)),
+        |      s -> trim(s)),
+        |      l -> (ends_with(l, '.') OR ends_with(l, '!')
+        |            OR ends_with(l, '?') OR ends_with(l, chr(34))
+        |            OR ends_with(l, chr(39)))
+        |        AND len(list_filter(string_split_regex(l, '\s+'),
+        |              w -> w != '')) >= 5
+        |        AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM p),
+        |c AS (
+        |  SELECT doc_id, pt, array_to_string(kept, chr(10)) AS clean,
+        |    CAST(len(kept) AS BIGINT) AS n_lines_kept
+        |  FROM k),
+        |m AS (
+        |  SELECT doc_id, clean, n_lines_kept,
+        |    CAST((len(clean) - len(replace(clean, '.', ''))) +
+        |         (len(clean) - len(replace(clean, '!', ''))) +
+        |         (len(clean) - len(replace(clean, '?', '')))
+        |      AS BIGINT) AS n_sentences,
+        |    contains(lower(pt), 'lorem ipsum') AS lorem,
+        |    contains(pt, '{') AS brace,
+        |    len(list_intersect(list_distinct(
+        |      regexp_extract_all(lower(pt), '\w+')), ['spark'])) > 0
+        |      AS has_badword
+        |  FROM c)
+        |SELECT doc_id, clean AS clean_text, n_lines_kept, n_sentences,
+        |  has_badword,
+        |  (n_sentences >= 3 AND NOT lorem AND NOT brace
+        |   AND NOT has_badword) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id,
