@@ -625,6 +625,29 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware dedup keeper over the same cloned corpus and
+    * LSH+CC clusters as [[dupClusters]]: per cluster keep the LONGEST
+    * member (min doc_id tie-break) — the FineWeb-style policy, which
+    * diverges from keep-lowest-id exactly on the planted near-dup
+    * pairs whose texts differ in length. The oracle replays all-pairs
+    * truth + transitive closure + the argmax. */
+  def dedupBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithClones(s, dir)
+    val pairs = Dedup.nearDuplicates(d, "doc_id", "text",
+      threshold = 0.9, k = 5, numHashes = 64, bands = 16)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponentsStars(pairs)
+      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("component", "cluster_id")
+    val clustered = d.join(comps, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+    Dedup.keepBestPerCluster(clustered, "doc_id", "cluster_id",
+      length(col("text")).cast("long") * -1)
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** IVF ANN vs the exact answer: the sample-trained-Lloyd cell
     * inverted-file search ([[Similarity.ivfTopK]]) must recover the
     * true cosine top-1 for every query — the DuckDB oracle computes

@@ -124,6 +124,7 @@ object SparkEntry {
     "q_kll_quantiles"        -> (LlmQueries.kllQuantiles _),
     "q_cms_counts"           -> (LlmQueries.cmsEventCounts _),
     "q_dup_clusters"         -> (LlmQueries.dupClusters _),
+    "q_dedup_best"           -> (LlmQueries.dedupBest _),
     "q_semdedup"             -> (LlmQueries.semDedup _),
     "q_crossdoc_spans"       -> (LlmQueries.crossDocSpans _),
     "q_curate_pipeline"      -> (LlmQueries.curatePipeline _),
@@ -1533,6 +1534,50 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members
         |FROM lab ORDER BY doc_id""".stripMargin,
+    "q_dedup_best" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 3),
+        |        i -> array_to_string(ws[i:i+4], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM w),
+        |px AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |e0 AS (
+        |  SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
+        |  UNION ALL SELECT ia, ib FROM px
+        |  UNION ALL SELECT ia, ib + 100000 FROM px
+        |  UNION ALL SELECT ib, ia + 100000 FROM px
+        |  UNION ALL SELECT ia + 100000, ib + 100000 FROM px),
+        |sym AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+        |  WHERE e.b <> r.a),
+        |lab AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |wl AS (
+        |  SELECT l.doc_id, l.cluster_id, len(d.text) AS tl
+        |  FROM lab l JOIN documents d
+        |    ON (CASE WHEN l.doc_id >= 100000 THEN l.doc_id - 100000
+        |        ELSE l.doc_id END) = d.doc_id)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY tl DESC, doc_id) AS rn
+        |  FROM wl)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_corpus_card" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,

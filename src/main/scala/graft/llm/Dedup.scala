@@ -780,6 +780,26 @@ object Dedup {
           .cast("long").as("removed_chars"))
   }
 
+  /** Quality-aware cluster keeper: given docs carrying a cluster
+    * assignment (e.g. [[connectedComponentsStars]] output joined
+    * back), keep exactly one member per cluster — the one MINIMIZING
+    * `(priority, id)`. Pass e.g. `-length(text)` for longest-doc-wins
+    * (the FineWeb-style policy) or a negated classifier score for
+    * best-quality-wins; ids break ties deterministically.
+    *
+    * Scale shape: one map-side-combinable `min(struct)` per cluster +
+    * a LEFT SEMI join back on the id — one keyed shuffle each, no
+    * window/sort over members. Singleton clusters keep themselves. */
+  def keepBestPerCluster(docs: DataFrame, idCol: String,
+                         clusterCol: String,
+                         priority: Column): DataFrame = {
+    val keepers = docs.groupBy(col(clusterCol))
+      .agg(min(struct(priority.as("__p"), col(idCol).as("__id")))
+        .getField("__id").as(idCol))
+      .select(idCol)
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash over normalized word hashes: bit j of the result is
     * the sign of the sum over tokens of ±1 for that token-hash bit.
     * Pure per-row work, no shuffle — native [[graft.expr.SimhashExpr]]. */

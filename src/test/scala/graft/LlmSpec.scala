@@ -391,4 +391,22 @@ class LlmSpec extends SparkSuite {
         math.max(1.0 / th, 1.0 / tw) * 2 + 1e-9)
     }
   }
+  test("keepBestPerCluster: longest wins, id breaks ties, singletons stay") {
+    import spark.implicits._
+    val docs = Seq(
+      // cluster 1: lengths 5, 9, 9 -> longest 9, tie between 11/12 -> 11
+      (10L, 1L, "abcde"),
+      (11L, 1L, "abcdefghi"),
+      (12L, 1L, "zyxwvutsr"),
+      // singleton cluster keeps itself
+      (20L, 2L, "xx"),
+      // cluster 3: clone-style exact tie -> lower id
+      (30L, 3L, "same text"),
+      (31L, 3L, "same text")).toDF("doc_id", "cluster_id", "text")
+    val kept = graft.llm.Dedup.keepBestPerCluster(docs, "doc_id",
+      "cluster_id", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long") * -1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(11L, 20L, 30L))
+  }
 }
