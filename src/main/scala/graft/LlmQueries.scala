@@ -808,6 +808,22 @@ object LlmQueries {
     LangModel.unigramNll(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Bigram Stupid Backoff LM ([[graft.llm.LangModel
+    * .stupidBackoffNll]]): train on a ~1/49 slice, score the 1/7
+    * held-out slice — the small model makes the seen-bigram and
+    * backoff branches split the scored positions ~50/50 (2243/1972 at
+    * sf0.01; a 6/7 model over the tiny fixture vocabulary saw all but
+    * ONE bigram). The OOV-unigram floor cannot fire here (every vocab
+    * word appears even in 10 docs) — LangModelSpec pins it. */
+  def bigramBackoff(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    LangModel.stupidBackoffNll(
+      d.filter(pmod(col("doc_id"), lit(49)) === 1),
+      d.filter(pmod(col("doc_id"), lit(7)) === 0),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** CCNet perplexity tiers ([[graft.llm.Curate.perplexityBuckets]]):
     * every scored document labeled head/middle/tail within its
     * language by exact integer tertile rank of per-token surprisal. */

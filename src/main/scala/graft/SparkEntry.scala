@@ -136,6 +136,7 @@ object SparkEntry {
     "q_ann_ivfpq"            -> (LlmQueries.annIvfPq _),
     "q_set_jaccard"          -> (LlmQueries.setJaccardLangs _),
     "q_unigram_nll"          -> (LlmQueries.unigramNll _),
+    "q_bigram_backoff"       -> (LlmQueries.bigramBackoff _),
     "q_ccnet_buckets"        -> (LlmQueries.ccnetBuckets _),
     "q_quality_classifier"   -> (LlmQueries.qualityClassifier _),
     "q_cap_per_source"       -> (LlmQueries.capPerSource _),
@@ -1743,6 +1744,55 @@ object SparkEntry {
         |      AS BIGINT)) AS BIGINT) AS sum_nll_e6
         |FROM tf JOIN stats s USING (term), tot t
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q_bigram_backoff" ->
+      """WITH tr AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents WHERE doc_id % 49 = 1),
+        |sc AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |c1 AS (SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(ws) AS w FROM tr WHERE len(ws) >= 1)
+        |  GROUP BY w),
+        |n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total FROM c1),
+        |big AS (SELECT w1, w2, count(*) AS c2 FROM (
+        |    SELECT ws[CAST(i AS INT)] AS w1,
+        |      ws[CAST(i AS INT) + 1] AS w2
+        |    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |          FROM tr WHERE len(ws) >= 2))
+        |  GROUP BY w1, w2),
+        |pos AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i = 1 THEN NULL
+        |      ELSE ws[CAST(i AS INT) - 1] END AS prev,
+        |    ws[CAST(i AS INT)] AS cur
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)))
+        |          AS i
+        |        FROM sc WHERE len(ws) >= 1)),
+        |g AS (SELECT doc_id, prev, cur, count(*) AS k
+        |  FROM pos GROUP BY doc_id, prev, cur),
+        |j AS (SELECT g.doc_id, g.prev, g.cur, g.k, b.c2,
+        |    p.c1 AS c1_prev, c.c1 AS c1_cur, n.n_total
+        |  FROM g
+        |  LEFT JOIN big b ON g.prev = b.w1 AND g.cur = b.w2
+        |  LEFT JOIN c1 p ON g.prev = p.w
+        |  LEFT JOIN c1 c ON g.cur = c.w
+        |  CROSS JOIN n),
+        |s AS (SELECT doc_id, k,
+        |    CASE WHEN prev IS NULL THEN
+        |      CAST(round(-ln(coalesce(CAST(c1_cur AS DOUBLE), 1.0)
+        |        / n_total) * 1000000.0) AS BIGINT)
+        |    WHEN c2 IS NOT NULL THEN
+        |      CAST(round(-ln(CAST(c2 AS DOUBLE) / CAST(c1_prev AS DOUBLE))
+        |        * 1000000.0) AS BIGINT)
+        |    ELSE
+        |      CAST(round(-ln(0.4 * (coalesce(CAST(c1_cur AS DOUBLE), 1.0)
+        |        / n_total)) * 1000000.0) AS BIGINT)
+        |    END AS nll
+        |  FROM j)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_terms,
+        |  CAST(sum(k * nll) AS BIGINT) AS sum_nll_e6
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_ccnet_buckets" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))

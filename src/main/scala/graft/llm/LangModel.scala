@@ -60,4 +60,85 @@ object LangModel {
       .agg(sum(col("tf")).cast("bigint").as("n_terms"),
         sum(col("nll_e6")).cast("bigint").as("sum_nll_e6"))
   }
+
+  /** Bigram language model with Stupid Backoff (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the smoothing
+    * designed FOR distributed counting: no normalization pass, no
+    * discount fitting, just counts and a fixed backoff factor).
+    * Trains on `model`, scores `score` — unlike [[unigramNll]]'s
+    * self-scoring, a held-out corpus exercises real backoff and OOV
+    * paths. Per token position i:
+    *
+    *  - first token: p = c1(w)/N (OOV floor 1/N);
+    *  - seen bigram: p = c2(w_{i-1}, w_i) / c1(w_{i-1});
+    *  - unseen bigram: p = alpha * c1(w_i)/N (same OOV floor).
+    *
+    * Per-token NLL is quantized to integer micro-nats BEFORE the
+    * per-doc sum ([[unigramNll]]'s exactness trick), so results are
+    * bit-stable across engines and partitionings; the DuckDB oracle
+    * replays the identical expression trees.
+    *
+    * Scale shape: ONE tokenize pass over the model corpus feeds both
+    * count tables (checkpointed token arrays); c1/c2 are map-side-
+    * combinable aggregations; scoring is three term-keyed equi-joins
+    * (AQE broadcasts the vocab sides when small — at web scale the
+    * bigram join is the one real shuffle, exactly the shape the paper
+    * distributes) + one single-row total broadcast. Returns one row
+    * per scored doc: (doc_id, n_terms, sum_nll_e6). */
+  def stupidBackoffNll(model: DataFrame, score: DataFrame,
+                       idCol: String, textCol: String,
+                       alpha: Double = 0.4): DataFrame = {
+    val mWs = Dedup.spread(model, col(idCol))
+      .select(tokens(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      // one tokenize pass feeds BOTH count tables (the bm25 lesson)
+      .localCheckpoint(true)
+    val c1 = mWs.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val c2 = mWs.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val total = c1.agg(sum(col("c1")).cast("double").as("n_total"))
+
+    val rows = Dedup.spread(score, col(idCol))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws"))),
+          i => struct(
+            when(i === 1, lit(null).cast("string"))
+              .otherwise(element_at(col("ws"), i - 1)).as("prev"),
+            element_at(col("ws"), i).as("cur")))).as("t"))
+      .select(col("doc_id"), col("t.prev").as("prev"),
+        col("t.cur").as("cur"))
+      .groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("k"))
+
+    val joined = rows
+      .join(c2, rows("prev") === c2("w1") && rows("cur") === c2("w2"),
+        "left")
+      .drop("w1", "w2")
+      .join(c1.select(col("w").as("__pw"), col("c1").as("c1_prev")),
+        col("prev") === col("__pw"), "left").drop("__pw")
+      .join(c1.select(col("w").as("__cw"), col("c1").as("c1_cur")),
+        col("cur") === col("__cw"), "left").drop("__cw")
+      .crossJoin(broadcast(total))
+    val pUni = coalesce(col("c1_cur").cast("double"), lit(1.0)) /
+      col("n_total")
+    val nllTok =
+      when(col("prev").isNull,
+        round(-log(pUni) * lit(1000000.0)).cast("bigint"))
+        .when(col("c2").isNotNull,
+          round(-log(col("c2").cast("double") /
+            col("c1_prev").cast("double")) * lit(1000000.0))
+            .cast("bigint"))
+        .otherwise(
+          round(-log(lit(alpha) * pUni) * lit(1000000.0)).cast("bigint"))
+    joined.select(col("doc_id"), col("k"), nllTok.as("nll_e6"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).cast("bigint").as("n_terms"),
+        sum(col("k") * col("nll_e6")).cast("bigint").as("sum_nll_e6"))
+  }
 }
