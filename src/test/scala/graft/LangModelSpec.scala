@@ -12,6 +12,30 @@ class LangModelSpec extends SparkSuite {
 
   private def e6(p: Double): Long = math.round(-math.log(p) * 1e6)
 
+  test("unigram NLL matches hand-computed micro-nats on a tiny corpus") {
+    // corpus: a:2 b:2 c:1, total 5
+    //   nll(a) = nll(b) = round(-ln(2/5)*1e6) = 916291
+    //   nll(c) = round(-ln(1/5)*1e6) = 1609438
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "??!!")).toDF("id", "txt")
+    val out = LangModel.unigramNll(docs, "id", "txt")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 3 has no alpha tokens → no row
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L * 916291L + 916291L),
+      (2L, 2L, 916291L + 1609438L)))
+  }
+
+  test("rare tokens score strictly higher than common ones") {
+    val docs = Seq(
+      (1L, "common common common common common common common common"),
+      (2L, "rareword")).toDF("id", "txt")
+    val out = LangModel.unigramNll(docs, "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2).toDouble / r.getLong(1))).toMap
+    assert(out(2L) > out(1L))
+  }
+
   test("stupid backoff: first-token, seen-bigram, backoff, OOV floor") {
     // model tokens: a b a c -> c1: a=2 b=1 c=1, N=4
     // bigrams: (a,b) (b,a) (a,c), each once
