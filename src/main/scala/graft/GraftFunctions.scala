@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsJoinSizeExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, DeflateRatioExpr, ExtractDatesExpr, FingerprintExpr, GeometryBboxExpr, GopherReportExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, PqEncodeExpr, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr, VecSumAgg}
+import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsJoinSizeExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, DeflateRatioExpr, ExtractDatesExpr, CharEntropyExpr, FingerprintExpr, GeometryBboxExpr, GopherReportExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, PqEncodeExpr, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, VecDotExpr, VecSumAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -54,6 +54,13 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.size == 1, "text_fingerprint expects 1 argument")
         FingerprintExpr(exprs.head)
+      }),
+    (FunctionIdentifier("char_entropy_stats"),
+      new ExpressionInfo(classOf[CharEntropyExpr].getName,
+        "char_entropy_stats"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 1, "char_entropy_stats expects 1 argument")
+        CharEntropyExpr(exprs.head)
       }),
     (FunctionIdentifier("gopher_report"),
       new ExpressionInfo(classOf[GopherReportExpr].getName,

@@ -65,6 +65,18 @@ object LlmQueries {
       Text.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Character-distribution entropy stats ([[Text.charEntropy]]):
+    * exact integer (n_cp, sum c*round(ln c * 1e6)) per doc — the
+    * gibberish/binary detection signal. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.register(s)
+    t(s, dir, "documents")
+      .select(col("doc_id"), Text.charEntropy(col("text")).as("e"))
+      .select(col("doc_id"), col("e.n_chars").as("n_cp"),
+        col("e.sum_clnc_e6").as("sum_clnc_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash fingerprint: collision-free distinct count equals the
     * distinct normalized-text count. */
   def fingerprintDistinct(s: SparkSession, dir: String): DataFrame =
@@ -338,6 +350,16 @@ object LlmQueries {
     graft.llm.Clean.decontaminate(d,
       d.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text", k = 8)
       .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Contamination fraction report: every doc's distinct 8-shingle
+    * overlap with the eval slice (doc_id %% 7 == 0) — the GPT-3-style
+    * published overlap measurement; eval docs themselves report 100%%. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.llm.Clean.contaminationReport(d,
+      d.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text", k = 8)
       .orderBy("doc_id")
   }
 

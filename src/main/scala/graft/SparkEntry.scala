@@ -88,6 +88,7 @@ object SparkEntry {
     // LLM data ops
     "q_text_stats"           -> (LlmQueries.textStats _),
     "q_text_quality"         -> (LlmQueries.textQuality _),
+    "q_char_entropy"         -> (LlmQueries.charEntropy _),
     "q_text_langid"          -> (LlmQueries.textLangId _),
     "q_text_bpe"             -> (LlmQueries.textBpeTokens _),
     "q_text_quality_score"   -> (LlmQueries.textQualityScore _),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_pii_redact"           -> (LlmQueries.piiRedact _),
     "q_dup_word_ratio"       -> (LlmQueries.dupWordRatio _),
     "q_decontaminate"        -> (LlmQueries.decontaminateKeep _),
+    "q_contamination"        -> (LlmQueries.contamination _),
     "q_repeated_spans"       -> (LlmQueries.repeatedSpanStats _),
     "q_span_removal"         -> (LlmQueries.spanRemoval _),
     "q_gopher_flags"         -> (LlmQueries.gopherFlags _),
@@ -1039,6 +1041,26 @@ object SparkEntry {
         |  (n_sentences >= 3 AND NOT lorem AND NOT brace
         |   AND NOT has_badword) AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+        |      ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 8 THEN
+        |      list_distinct(list_transform(range(1, len(ws) - 6),
+        |        i -> array_to_string(ws[i:i+7], ' ')))
+        |    ELSE [array_to_string(ws, ' ')] END AS sh
+        |  FROM w),
+        |tg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated
+        |FROM tr LEFT JOIN tg ON tr.g = tg.g
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (
         |  SELECT doc_id,
@@ -1729,6 +1751,15 @@ object SparkEntry {
         |FROM tri a JOIN tri b ON a.sh = b.sh AND a.lang < b.lang
         |JOIN sz sa ON sa.lang = a.lang JOIN sz sb ON sb.lang = b.lang
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+        |  FROM documents),
+        |g AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_cp,
+        |  CAST(sum(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1000000.0)
+        |    AS BIGINT)) AS BIGINT) AS sum_clnc_e6
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_unigram_nll" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))

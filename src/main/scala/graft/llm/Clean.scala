@@ -50,6 +50,34 @@ object Clean {
       cfg.shingleK, cfg.numHashes, cfg.bands)
   }
 
+  /** Train/test contamination REPORT — the overlap fraction every
+    * training-data paper publishes (GPT-3 appendix C style): for each
+    * training doc, how many of its distinct word k-shingles appear
+    * anywhere in the evaluation corpus. [[decontaminate]] drops on
+    * ANY shared shingle; this measures, so callers can threshold
+    * (`n_contaminated * 100 > pct * n_shingles`) or audit.
+    *
+    * Same scale shape as decontaminate: 64-bit shingle hashes, the
+    * test side reduced to its distinct hash set, one keyed shuffle of
+    * 8-byte keys on the train side, exact integer outputs. */
+  def contaminationReport(train: DataFrame, test: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 8): DataFrame = {
+    graft.GraftFunctions.register(train.sparkSession)
+    val testGrams = test
+      .select(explode(Dedup.shingleHashes(col(textCol), k)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingleHashes(col(textCol), k)).as("__g"))
+      .join(testGrams, Seq("__g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).cast("long")
+          .as("n_contaminated"))
+  }
+
   /** Train/test decontamination: drop training docs sharing ANY word
     * k-shingle with the evaluation corpus — the standard guard against
     * benchmark leakage into training data.
