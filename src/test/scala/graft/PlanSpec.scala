@@ -82,7 +82,10 @@ class PlanSpec extends SparkSuite {
       // composes q_unigram_nll's surprisal scoring (vetted 1-row
       // corpus-token-total cross) under the histogram order
       // statistic; both passes reuse that single-row-build shape
-      "q_ccnet_buckets")
+      "q_ccnet_buckets",
+      // 1-row model-token-total broadcast crossed over the scored
+      // positions — the same single-row-build shape as q_unigram_nll
+      "q_bigram_backoff")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       if ((p.contains("CartesianProduct") ||
