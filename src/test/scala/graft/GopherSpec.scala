@@ -184,6 +184,22 @@ class GopherSpec extends SparkSuite {
     assert(native.toSeq === hof.toSeq)
   }
 
+  test("randomized texts: native report equals the HOF twin") {
+    val rnd = new scala.util.Random(7)
+    val pieces = Vector("the", "word", "##", "…", "...", "-", "*",
+      "•", "1234", "café", "😀", "\n", "\n\n", "\t", "a", "be",
+      "verylongwordhere", "x.", "spam ham")
+    val docs = (1 to 60).map { _ =>
+      Seq.fill(rnd.nextInt(30) + 1)(pieces(rnd.nextInt(pieces.size)))
+        .mkString(" ")
+    }.toDF("text")
+    val native = docs.select(Gopher.report(col("text")).as("r"))
+      .select("r.*").collect().toSeq
+    val hof = docs.select(Gopher.reportHof(col("text")).as("r"))
+      .select("r.*").collect().toSeq
+    assert(native === hof)
+  }
+
   test("filterCorpus keeps exactly the keep=true documents") {
     val docs = Seq(
       (1, cleanDoc),

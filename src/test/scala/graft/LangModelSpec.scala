@@ -67,6 +67,47 @@ class LangModelSpec extends SparkSuite {
     assert(r.getAs[Long]("sum_nll_e6") === 2 * e6(0.5))
   }
 
+  test("randomized corpora match a sequential reference") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def doc(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // small model over 6 words -> all three scoring branches fire
+    val model = (1 to 4).map(i => (i.toLong, doc(rnd.nextInt(8) + 1)))
+    val score = (10 to 20).map(i => (i.toLong, doc(rnd.nextInt(15) + 1)))
+    def toks(t: String): Vector[String] =
+      "[a-z]+".r.findAllIn(t.toLowerCase).toVector
+    val mt = model.map(d => toks(d._2)).filter(_.nonEmpty)
+    val c1 = mt.flatten.groupBy(identity).map { case (w, o) =>
+      w -> o.size.toLong }
+    val n = c1.values.sum.toDouble
+    val c2 = mt.filter(_.size >= 2)
+      .flatMap(ws => ws.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val want = score.flatMap { case (id, t) =>
+      val ws = toks(t)
+      if (ws.isEmpty) None
+      else Some {
+        var sum = 0L
+        for (i <- ws.indices) {
+          val cur = ws(i)
+          val pUni = c1.get(cur).map(_.toDouble).getOrElse(1.0) / n
+          sum += (if (i == 0) e6(pUni)
+          else c2.get((ws(i - 1), cur)) match {
+            case Some(c) => e6(c.toDouble / c1(ws(i - 1)))
+            case None => e6(0.4 * pUni)
+          })
+        }
+        (id, ws.size.toLong, sum)
+      }
+    }.toSet
+    val got = LangModel.stupidBackoffNll(model.toDF("doc_id", "text"),
+      score.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got === want)
+  }
+
   test("docs with no alpha tokens are not scored") {
     val model = Seq((1L, "a b a c")).toDF("doc_id", "text")
     val score = Seq((10L, "12345 678"), (11L, "a b")).toDF("doc_id", "text")

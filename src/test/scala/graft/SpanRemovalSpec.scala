@@ -111,6 +111,26 @@ class SpanRemovalSpec extends SparkSuite {
     assert(got(2)._2 === Span.toLong)
   }
 
+  test("randomized corpora match the sequential reference") {
+    // seeded: word soup over a small vocab (natural repeats) plus
+    // planted shared blocks at arbitrary (non-stride-aligned) offsets
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta")
+    def soup(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val block = soup(30).take(90)
+    for (round <- 1 to 5) {
+      val docs = (1 to 12).map { id =>
+        val body =
+          if (rnd.nextBoolean()) soup(rnd.nextInt(40) + 5)
+          else soup(rnd.nextInt(10)) + " " + block + " " + soup(rnd.nextInt(10))
+        id -> body
+      }
+      check(docs) // asserts Spark == sequential reference
+    }
+  }
+
   test("three-way repeat: one keeper, two removals") {
     val docs = Seq(3 -> (P + tail(2)), 1 -> (P + tail(4)),
       2 -> (P + tail(6)))

@@ -38,6 +38,24 @@ class TextEntropySpec extends SparkSuite {
     assert(native === hof)
   }
 
+  test("randomized strings: native equals HOF twin") {
+    val rnd = new scala.util.Random(3)
+    // code-point alphabet (indexing a raw string could split the
+    // emoji's surrogate pair into invalid lone surrogates)
+    val alphabet = Vector("a", "b", "c", " ", "#", ".", "\n", "…",
+      "😀", "é", "0", "1")
+    val docs = (1 to 50).map { _ =>
+      val n = rnd.nextInt(60)
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size)))
+        .mkString
+    }.toDF("text")
+    val native = docs.select(Text.charEntropy(col("text")).as("e"))
+      .select("e.*").collect().toSeq
+    val hof = docs.select(Text.charEntropyHof(col("text")).as("e"))
+      .select("e.*").collect().toSeq
+    assert(native === hof)
+  }
+
   test("entropy orders gibberish above text above filler") {
     def entropy(t: String): Double = {
       val (n, sum) = statsOf(t)
