@@ -14,7 +14,7 @@ object SoloBench {
     "q_pagerank", "q_semdedup", "q_dup_clusters", "q_clean_corpus",
     "q_dedup_incremental", "q_curate_pipeline", "q_winnow_pairs",
     "q_edit_distance", "q_triangles", "q_quality_classifier",
-    "q_dedup_keep",
+    "q_dedup_keep", "q_dedup_best", "q_bigram_backoff",
     // ANN family: plan-size/codegen regressions show up here first
     "q_ann_top1", "q_ann_lsh", "q_ann_pq", "q_ann_ivf", "q_ann_ivfpq")
 
