@@ -1755,11 +1755,16 @@ object SparkEntry {
       """WITH ch AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
         |  FROM documents),
-        |g AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c)
-        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_cp,
-        |  CAST(sum(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1000000.0)
-        |    AS BIGINT)) AS BIGINT) AS sum_clnc_e6
-        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |g AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_cp,
+        |    CAST(sum(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS sum_clnc_e6
+        |  FROM g GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_cp, 0) AS n_cp,
+        |  coalesce(a.sum_clnc_e6, 0) AS sum_clnc_e6
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_unigram_nll" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))

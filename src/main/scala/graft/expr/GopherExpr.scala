@@ -26,8 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (9.6 s for the sf0.1 corpus); the native pass is ~50 us/doc. */
 object GopherCore extends Serializable {
 
-  private val Stopwords = Array("the", "be", "to", "of", "and", "that",
-    "have", "with")
+  /** The canonical Gopher required-stopword list (Rae et al. 2021);
+    * `graft.llm.Gopher.RequiredStopwords` aliases this. */
+  val RequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private val Stopwords = RequiredStopwords.toArray
 
   private def trimSpaces(s: String): String = {
     var b = 0

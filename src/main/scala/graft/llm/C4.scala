@@ -49,7 +49,7 @@ object C4 {
         !lower(l).contains("javascript"))
 
   private def charCount(text: Column, c: String): Column =
-    (length(text) - length(replace(text, lit(c), lit("")))).cast("long")
+    Text.substringCount(text, c).cast("long")
 
   /** Full per-page report: struct(clean_text, n_lines_kept,
     * n_sentences, has_lorem, has_brace, has_badword, keep). */

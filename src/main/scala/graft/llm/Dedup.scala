@@ -749,6 +749,11 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         xxhash64(call_function("substring", col("__norm"), col("pos"),
           lit(spanChars))).as("span_hash"))
+      // one window-hash pass feeds BOTH the keeper aggregate and the
+      // cut-site join (their exchanges differ — partial-agg vs plain —
+      // so ReuseExchange cannot deduplicate them; without this the
+      // whole normalize+explode+substring+hash scan runs twice)
+      .localCheckpoint(true)
     val keepers = wins.groupBy("span_hash")
       .agg(count(lit(1)).as("n_sites"),
         min(struct(col("doc_id"), col("pos"))).as("keep"))
@@ -789,12 +794,20 @@ object Dedup {
     *
     * Scale shape: one map-side-combinable `min(struct)` per cluster +
     * a LEFT SEMI join back on the id — one keyed shuffle each, no
-    * window/sort over members. Singleton clusters keep themselves. */
+    * window/sort over members. Singleton clusters keep themselves.
+    *
+    * NULL priorities lose to every real value (the struct key leads
+    * with an isNull flag), so a null-scored degenerate doc can never
+    * out-keep valid members. Cluster ids must be non-null: assign
+    * singletons their own id first (see [[graft.LlmQueries
+    * .dedupBest]]'s coalesce) — a null cluster would pool every
+    * unclustered doc into ONE group and keep a single survivor. */
   def keepBestPerCluster(docs: DataFrame, idCol: String,
                          clusterCol: String,
                          priority: Column): DataFrame = {
     val keepers = docs.groupBy(col(clusterCol))
-      .agg(min(struct(priority.as("__p"), col(idCol).as("__id")))
+      .agg(min(struct(priority.isNull.as("__miss"), priority.as("__p"),
+        col(idCol).as("__id")))
         .getField("__id").as(idCol))
       .select(idCol)
     docs.join(keepers, Seq(idCol), "left_semi")

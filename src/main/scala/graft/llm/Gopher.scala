@@ -71,9 +71,11 @@ object Gopher {
       maxDupGramCharPct: Map[Int, Int] =
         Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10))
 
-  /** The 8 stopwords the paper requires at least 2 of. */
+  /** The 8 stopwords the paper requires at least 2 of (canonical
+    * list lives in [[graft.expr.GopherCore]] so the native expression
+    * and this declarative twin cannot drift). */
   val RequiredStopwords: Seq[String] =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    graft.expr.GopherCore.RequiredStopwords
 
   private val BulletPrefixes = Seq("•", "-", "*")
 
@@ -127,10 +129,10 @@ object Gopher {
         acc.getField("dup_chars").as("dup_chars")))
   }
 
-  /** Non-overlapping occurrence count of a literal marker. */
+  /** Non-overlapping occurrence count of a literal marker
+    * ([[Text.substringCount]], widened). */
   private def markerCount(text: Column, marker: String): Column =
-    ((length(text) - length(replace(text, lit(marker), lit("")))) /
-      marker.length).cast("long")
+    Text.substringCount(text, marker).cast("long")
 
   /** All rule measurements for one document as a struct of exact
     * integer counts (field list in the Scaladoc above). Feed to
@@ -250,11 +252,15 @@ object Gopher {
         f("dup_para_chars") * 100 <=
           f("para_chars") * cfg.maxDupParaCharPct &&
         cfg.maxTopGramCharPct.toSeq.sortBy(_._1).map { case (n, pct) =>
+          require(n >= 2 && n <= 4,
+            s"top-gram thresholds support n in 2..4, got $n")
           f(s"top${n}_chars") * 100 <= f("total_chars") * pct
-        }.reduce(_ && _) &&
+        }.foldLeft(lit(true))(_ && _) &&
         cfg.maxDupGramCharPct.toSeq.sortBy(_._1).map { case (n, pct) =>
+          require(n >= 5 && n <= 10,
+            s"dup-gram thresholds support n in 5..10, got $n")
           f(s"dup${n}_chars") * 100 <= f("total_chars") * pct
-        }.reduce(_ && _)
+        }.foldLeft(lit(true))(_ && _)
     repetition
   }
 
@@ -262,6 +268,12 @@ object Gopher {
   def filterCorpus(docs: DataFrame, textCol: String,
                    cfg: Config = Config()): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
-    docs.filter(keep(report(col(textCol)), cfg))
+    // materialize the report struct in a projection BEFORE filtering:
+    // a Filter predicate gets no common-subexpression elimination, so
+    // keep(report(...)) inline would re-run the native tokenize pass
+    // once per rule conjunct (~20x) instead of once per row
+    docs.withColumn("__gopher", report(col(textCol)))
+      .filter(keep(col("__gopher"), cfg))
+      .drop("__gopher")
   }
 }

@@ -200,6 +200,23 @@ class GopherSpec extends SparkSuite {
     assert(native === hof)
   }
 
+  test("config edges: empty threshold maps pass; out-of-range n fails") {
+    val noGrams = Gopher.Config(maxTopGramCharPct = Map.empty,
+      maxDupGramCharPct = Map.empty)
+    // a doc failing only the n-gram rules now passes repetition
+    val rep = (1 to 40).map(_ => "spam ham").updated(0, "the")
+      .updated(1, "with").mkString(" ")
+    val kr = Seq(rep).toDF("text")
+      .select(Gopher.report(col("text")).as("r"))
+      .select(Gopher.keepRepetition(col("r"), noGrams).as("kr"))
+      .collect().head.getBoolean(0)
+    assert(kr)
+    intercept[IllegalArgumentException] {
+      Gopher.keepRepetition(col("r"),
+        Gopher.Config(maxDupGramCharPct = Map(11 -> 9)))
+    }
+  }
+
   test("filterCorpus keeps exactly the keep=true documents") {
     val docs = Seq(
       (1, cleanDoc),

@@ -408,5 +408,15 @@ class LlmSpec extends SparkSuite {
         org.apache.spark.sql.functions.col("text")).cast("long") * -1)
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept === Seq(11L, 20L, 30L))
+    // a NULL priority must LOSE to every real value, not win the
+    // cluster via nulls-first struct ordering
+    val withNull = Seq(
+      (40L, 4L, Some("real text")),
+      (41L, 4L, None: Option[String])).toDF("doc_id", "cluster_id", "text")
+    val kept2 = graft.llm.Dedup.keepBestPerCluster(withNull, "doc_id",
+      "cluster_id", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long") * -1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept2 === Seq(40L))
   }
 }
