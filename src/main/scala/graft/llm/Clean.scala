@@ -21,7 +21,12 @@ object Clean {
       nearDupThreshold: Double = 0.9,
       shingleK: Int = 5,
       numHashes: Int = 128,
-      bands: Int = 32)
+      bands: Int = 32,
+      // optional published filter batteries, applied BEFORE the token
+      // gate: C4 first (it rewrites text to its kept lines), then the
+      // Gopher rules on the cleaned text
+      c4: Option[C4.Config] = None,
+      gopher: Option[Gopher.Config] = None)
 
   /** Token/stopword-based keep predicate (quality gate). */
   def qualityKeep(text: Column, cfg: Config): Column = {
@@ -35,7 +40,10 @@ object Clean {
   def corpus(docs: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config(),
              langCol: Option[String] = None): DataFrame = {
-    var d = docs.filter(qualityKeep(col(textCol), cfg))
+    var d = docs
+    cfg.c4.foreach(c => d = C4.clean(d, textCol, c))
+    cfg.gopher.foreach(g => d = Gopher.filterCorpus(d, textCol, g))
+    d = d.filter(qualityKeep(col(textCol), cfg))
     (cfg.langs, langCol) match {
       case (Some(ls), Some(lc)) => d = d.filter(col(lc).isin(ls: _*))
       case _ =>

@@ -117,4 +117,32 @@ class C4Spec extends SparkSuite {
       assert(!r.getAs[Boolean]("keep"))
     }
   }
+  test("Clean.corpus composes the optional C4 and Gopher stages") {
+    import graft.llm.{C4, Clean, Gopher}
+    // passes C4 (3 proper sentences) but has too few words for Gopher
+    val c4Only = Seq(
+      "This is a perfectly normal sentence with words.",
+      "Here is another sentence that also ends properly.",
+      "And a third one to clear the sentence floor.").mkString("\n")
+    val docs = Seq(
+      (1, c4Only),
+      (2, "no punctuation no sentences so c4 drops this page entirely"))
+      .toDF("id", "text")
+    // default config: neither stage wired in -> doc 2 survives the
+    // basic token gate
+    val basic = Clean.corpus(docs, "id", "text",
+      Clean.Config(minTokens = 3))
+    assert(basic.count() === 2)
+    // C4 wired in: doc 2 dies (no kept lines); doc 1 survives with
+    // text preserved
+    val c4d = Clean.corpus(docs, "id", "text",
+      Clean.Config(minTokens = 3, c4 = Some(C4.Config())))
+    assert(c4d.select("id").collect().map(_.getInt(0)).toSeq === Seq(1))
+    // Gopher on top: doc 1 has only ~26 words -> word-count rule kills
+    // it; the composed pipeline returns nothing
+    val both = Clean.corpus(docs, "id", "text",
+      Clean.Config(minTokens = 3, c4 = Some(C4.Config()),
+        gopher = Some(Gopher.Config())))
+    assert(both.count() === 0)
+  }
 }
