@@ -1761,8 +1761,11 @@ object SparkEntry {
         |    CAST(sum(k * CAST(round(ln(CAST(k AS DOUBLE)) * 1000000.0)
         |      AS BIGINT)) AS BIGINT) AS sum_clnc_e6
         |  FROM g GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(a.n_cp, 0) AS n_cp,
-        |  coalesce(a.sum_clnc_e6, 0) AS sum_clnc_e6
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE coalesce(a.n_cp, 0) END AS n_cp,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |    ELSE coalesce(a.sum_clnc_e6, 0) END AS sum_clnc_e6
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_unigram_nll" ->

@@ -692,9 +692,14 @@ object Dedup {
     *
     * Scale shape: the suffix-array of the original paper is global and
     * sequential; here the corpus explodes to (doc, pos, hash) — 8-byte
-    * keys, corpus_chars/stride rows — and shuffles ONCE on the hash.
-    * Returns one row per sampled window with its global `n_sites` /
-    * `n_docs` occurrence counts. */
+    * keys, corpus_chars/stride rows — computed in ONE scan and
+    * shuffled ONCE on the hash: `n_sites` is a whole-partition window
+    * count and `n_docs` the max dense_rank over doc_id within the
+    * hash, so no aggregate-then-join-back re-scans the corpus and no
+    * per-hash site list can blow up on a boilerplate span repeated
+    * millions of times (the window SORTS skewed hashes instead of
+    * collecting them into one row). Returns one row per sampled
+    * window with its global `n_sites` / `n_docs` occurrence counts. */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     spanChars: Int = 64, stride: Int = 16): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"),
@@ -707,10 +712,13 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         xxhash64(call_function("substring", col("__norm"), col("pos"),
           lit(spanChars))).as("span_hash"))
-    val counts = wins.groupBy("span_hash")
-      .agg(count(lit(1)).as("n_sites"),
-        countDistinct(col("doc_id")).as("n_docs"))
-    wins.join(counts, "span_hash")
+    val byHash = Window.partitionBy("span_hash")
+    val byHashDoc = Window.partitionBy("span_hash").orderBy("doc_id")
+    wins
+      .withColumn("__dr", dense_rank().over(byHashDoc))
+      .select(col("span_hash"), col("doc_id"), col("pos"),
+        count(lit(1)).over(byHash).as("n_sites"),
+        max(col("__dr")).over(byHash).as("n_docs"))
   }
 
   /** Exact repeated-span REMOVAL — the full ExactSubstr transform of
@@ -721,17 +729,19 @@ object Dedup {
     * normalized-text domain (matching is whitespace/case-insensitive,
     * so the surgery runs on the same form the windows were hashed on).
     *
-    * Scale shape: windows shuffle ONCE on the 64-bit span hash for the
-    * occurrence count + keeper site (both map-side-combinable
-    * aggregates — the keeper is `min(struct(doc_id, pos))`, no
-    * window/sort), cut sites shuffle back once keyed by doc, and the
-    * text surgery is one per-row fold over the doc's sorted cut
-    * positions: a running-cursor fold appends the text between the
-    * cursor and the next cut, then advances the cursor past the cut;
-    * overlapping windows collapse for free because the cursor is the
-    * running max of cut ends. No all-pairs, no global suffix array —
-    * the paper's sequential suffix-array pass is replaced by the
-    * stride-sampled hash-equality join of [[repeatedSpans]].
+    * Scale shape: the corpus is scanned ONCE — windows shuffle once on
+    * the 64-bit span hash, and the occurrence count + keeper site
+    * (`min(struct(doc_id, pos))`) are whole-partition WINDOW
+    * aggregates over that exchange, so there is no aggregate-then-
+    * join-back second scan and no corpus-scale materialization
+    * (an earlier localCheckpoint variant pinned ~window-set-sized
+    * blocks for the session and ran an eager job at plan-build time).
+    * Cut sites then shuffle once keyed by doc, and the text surgery
+    * is one per-row fold over the doc's sorted cut positions: a
+    * running-cursor fold appends the text between the cursor and the
+    * next cut, then advances the cursor past the cut; overlapping
+    * windows collapse for free because the cursor is the running max
+    * of cut ends. No all-pairs, no global suffix array.
     *
     * Returns one row per input doc: (doc_id, clean_text,
     * removed_chars), clean_text being the normalized text with all
@@ -749,18 +759,14 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         xxhash64(call_function("substring", col("__norm"), col("pos"),
           lit(spanChars))).as("span_hash"))
-      // one window-hash pass feeds BOTH the keeper aggregate and the
-      // cut-site join (their exchanges differ — partial-agg vs plain —
-      // so ReuseExchange cannot deduplicate them; without this the
-      // whole normalize+explode+substring+hash scan runs twice)
-      .localCheckpoint(true)
-    val keepers = wins.groupBy("span_hash")
-      .agg(count(lit(1)).as("n_sites"),
-        min(struct(col("doc_id"), col("pos"))).as("keep"))
-      .filter(col("n_sites") >= minSites)
-    val cuts = wins.join(keepers, "span_hash")
-      .filter(!(col("doc_id") === col("keep.doc_id") &&
-        col("pos") === col("keep.pos")))
+    val byHash = Window.partitionBy("span_hash")
+    val cuts = wins
+      .withColumn("__n", count(lit(1)).over(byHash))
+      .withColumn("__keep",
+        min(struct(col("doc_id"), col("pos"))).over(byHash))
+      .filter(col("__n") >= minSites &&
+        !(col("doc_id") === col("__keep.doc_id") &&
+          col("pos") === col("__keep.pos")))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("__cuts"))
     val span = lit(spanChars)

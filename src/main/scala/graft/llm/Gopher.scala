@@ -264,16 +264,38 @@ object Gopher {
     repetition
   }
 
-  /** Filter a corpus to the documents that pass every Gopher rule. */
+  /** The 22-int threshold layout [[graft.expr.GopherCore.keep]]
+    * consumes: the 13 scalar thresholds in Config order, then
+    * top{2,3,4} and dup{5..10} gram percents with -1 for absent map
+    * keys (rule disabled). */
+  private[graft] def thresholds(cfg: Config): Seq[Int] = {
+    cfg.maxTopGramCharPct.keys.foreach(n => require(n >= 2 && n <= 4,
+      s"top-gram thresholds support n in 2..4, got $n"))
+    cfg.maxDupGramCharPct.keys.foreach(n => require(n >= 5 && n <= 10,
+      s"dup-gram thresholds support n in 5..10, got $n"))
+    Seq(cfg.minWords, cfg.maxWords, cfg.minMeanWordLen,
+      cfg.maxMeanWordLen, cfg.maxSymbolWordPct, cfg.maxBulletLinePct,
+      cfg.maxEllipsisLinePct, cfg.minAlphaWordPct,
+      cfg.minStopwordHits, cfg.maxDupLinePct, cfg.maxDupParaPct,
+      cfg.maxDupLineCharPct, cfg.maxDupParaCharPct) ++
+      (2 to 4).map(n => cfg.maxTopGramCharPct.getOrElse(n, -1)) ++
+      (5 to 10).map(n => cfg.maxDupGramCharPct.getOrElse(n, -1))
+  }
+
+  /** Filter a corpus to the documents that pass every Gopher rule.
+    *
+    * Uses the native `gopher_keep(text, thresholds)` boolean — NOT
+    * `keep(report(...))`: Catalyst pushes filter predicates back
+    * through projections and re-inlines the alias once per rule
+    * conjunct, and FilterExec does no common-subexpression
+    * elimination, so the struct formulation re-runs the tokenize
+    * pass ~20x per row however it is staged (a materializing
+    * "projection first" variant measured 152 s vs 0.4 s on 2k docs).
+    * GopherSpec pins gopher_keep == keep(report(...)) bit-for-bit. */
   def filterCorpus(docs: DataFrame, textCol: String,
                    cfg: Config = Config()): DataFrame = {
     graft.GraftFunctions.register(docs.sparkSession)
-    // materialize the report struct in a projection BEFORE filtering:
-    // a Filter predicate gets no common-subexpression elimination, so
-    // keep(report(...)) inline would re-run the native tokenize pass
-    // once per rule conjunct (~20x) instead of once per row
-    docs.withColumn("__gopher", report(col(textCol)))
-      .filter(keep(col("__gopher"), cfg))
-      .drop("__gopher")
+    docs.filter(call_function("gopher_keep", col(textCol),
+      typedlit(thresholds(cfg))))
   }
 }

@@ -217,6 +217,31 @@ class GopherSpec extends SparkSuite {
     }
   }
 
+  test("native gopher_keep agrees with keep(report(...)) everywhere") {
+    val rnd = new scala.util.Random(13)
+    val pieces = Vector("the", "with", "word", "##", "...", "-",
+      "spam ham", "1234", "\n", "filler")
+    val docs = ((1 to 50).map { _ =>
+      Seq.fill(rnd.nextInt(90) + 1)(pieces(rnd.nextInt(pieces.size)))
+        .mkString(" ")
+    } :+ cleanDoc :+ "").toDF("text")
+    for (cfg <- Seq(Gopher.Config(),
+        Gopher.Config(maxTopGramCharPct = Map.empty,
+          maxDupGramCharPct = Map(7 -> 13)),
+        Gopher.Config(minWords = 10, minStopwordHits = 1))) {
+      val viaStruct = docs
+        .select(col("text"), Gopher.report(col("text")).as("r"))
+        .select(col("text"), Gopher.keep(col("r"), cfg).as("k"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      val viaFilter = Gopher.filterCorpus(docs, "text", cfg)
+        .collect().map(_.getString(0)).toSet
+      docs.collect().map(_.getString(0)).foreach { t =>
+        assert(viaFilter.contains(t) === viaStruct(t),
+          s"cfg=$cfg text='${t.take(40)}'")
+      }
+    }
+  }
+
   test("filterCorpus keeps exactly the keep=true documents") {
     val docs = Seq(
       (1, cleanDoc),
