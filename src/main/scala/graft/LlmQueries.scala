@@ -363,25 +363,27 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
-  /** Per-doc repeated-span stats: sampled 64-char windows whose exact
-    * content recurs anywhere in the corpus (substring-level dedup
-    * signal — catches boilerplate that document-level dedup misses). */
+  /** Per-doc repeated-span stats: winnowing-sampled 64-char windows
+    * whose exact content recurs anywhere in the corpus (substring-
+    * level dedup signal — catches boilerplate that document-level
+    * dedup misses, at any byte alignment). */
   def repeatedSpanStats(s: SparkSession, dir: String): DataFrame =
     Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
-      spanChars = 64, stride = 16)
+      spanChars = 64, winnowW = 31)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("n_sites") > 1, 1).otherwise(0)).cast("bigint")
           .as("n_repeated"))
       .orderBy("doc_id")
 
-  /** Repeated-span REMOVAL (the full Lee et al. ExactSubstr
-    * transform): every repeated 64-char window is excised except its
-    * globally first occurrence; the oracle replays the running-cursor
-    * surgery on the actual span strings. */
+  /** Repeated-span REMOVAL (the Lee et al. ExactSubstr transform,
+    * winnowing-sampled): every repeated 64-char window is excised
+    * except its globally first occurrence; the oracle replays the
+    * winnow selection AND the running-cursor surgery on the actual
+    * span strings. */
   def spanRemoval(s: SparkSession, dir: String): DataFrame =
     Dedup.removeRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
-      spanChars = 64, stride = 16)
+      spanChars = 64, winnowW = 31)
       .orderBy("doc_id")
 
   /** The full Gopher rule battery as exact integer counts + the keep

@@ -806,38 +806,21 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q_repeated_spans" ->
-      """WITH n AS (
-        |  SELECT doc_id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, p, substr(norm, CAST(p AS INT), 64) AS span
-        |  FROM (SELECT doc_id, norm,
-        |          unnest(generate_series(1, len(norm) - 63, 16)) AS p
-        |        FROM n WHERE len(norm) >= 64)),
-        |c AS (SELECT span, count(*) AS cnt FROM w GROUP BY span)
+      (spanWindowCtes + """,
+        |c AS (SELECT span, count(*) AS cnt FROM ws GROUP BY span)
         |SELECT doc_id, count(*) AS n_windows,
         |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_repeated
-        |FROM w JOIN c USING (span)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM ws JOIN c USING (span)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "q_span_removal" ->
-      """WITH n AS (
-        |  SELECT doc_id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
-        |  FROM documents),
-        |w AS (
-        |  SELECT doc_id, CAST(p AS INT) AS pos,
-        |    substr(norm, CAST(p AS INT), 64) AS span
-        |  FROM (SELECT doc_id, norm,
-        |          unnest(generate_series(1, len(norm) - 63, 16)) AS p
-        |        FROM n WHERE len(norm) >= 64)),
+      (spanWindowCtes + """,
         |r AS (
         |  SELECT doc_id, pos,
         |    count(*) OVER (PARTITION BY span) AS cnt,
         |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos)
         |      AS rn
-        |  FROM w),
+        |  FROM ws),
         |s AS (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1),
         |m AS (
         |  SELECT doc_id, pos,
@@ -858,7 +841,7 @@ object SparkEntry {
         |  CAST(len(n.norm) - len(coalesce(a.clean, n.norm)) AS BIGINT)
         |    AS removed_chars
         |FROM n LEFT JOIN a ON n.doc_id = a.doc_id
-        |ORDER BY n.doc_id""".stripMargin,
+        |ORDER BY n.doc_id""".stripMargin),
     "q_gopher_flags" ->
       """WITH base AS (
         |  SELECT doc_id, lower(trim(text)) AS lt,
@@ -2666,6 +2649,40 @@ object SparkEntry {
 
   private lazy val winnowFpSql: String =
     "WITH " + winnowCtes("documents", "")
+
+  /** Shared CTE chain replaying [[graft.llm.Dedup.sampledSpanWindows]]
+    * (spanChars=64, winnowW=31) in DuckDB: winnowing selection over
+    * the md5-prefix hashes of every 64-char window of the normalized
+    * text (packed `hash * 2^20 + rightmost-pos` exactly as the Spark
+    * side), emitting `n(doc_id, norm)` and `ws(doc_id, pos, span)` —
+    * one row per SELECTED window. */
+  private lazy val spanWindowCtes: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |sd AS (
+      |  SELECT doc_id, norm,
+      |    unnest(generate_series(1, least(len(norm) - 63, 1048576))) AS p
+      |  FROM n WHERE len(norm) >= 64),
+      |se AS (
+      |  SELECT doc_id, p,
+      |    ('0x' || substr(md5(substr(norm, CAST(p AS INT), 64)), 1, 8))
+      |      ::BIGINT * 1048576 + (1048575 - (p - 1)) AS enc,
+      |    count(*) OVER (PARTITION BY doc_id) AS m
+      |  FROM sd),
+      |ss AS (
+      |  SELECT doc_id, p, m,
+      |    min(enc) OVER (PARTITION BY doc_id ORDER BY p
+      |                   ROWS BETWEEN CURRENT ROW AND 30 FOLLOWING) AS sel
+      |  FROM se),
+      |sw AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(1048576 - (sel % 1048576) AS INT) AS pos
+      |  FROM ss WHERE p - 1 <= greatest(m - 31, 0)),
+      |ws AS (
+      |  SELECT sw.doc_id, pos, substr(norm, pos, 64) AS span
+      |  FROM sw JOIN n USING (doc_id))""".stripMargin
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,
     * dim=64, multiprobe Hamming-1, k=1): bucket sign tests are emitted

@@ -682,91 +682,177 @@ object Dedup {
         StructField("component", idType, nullable = false))))
   }
 
-  /** Exact repeated-span detection — the substring-level dedup of
-    * "Deduplicating Training Data Makes Language Models Better" (Lee
-    * et al., 2022), stride-approximated for distribution: a
-    * `spanChars`-character window is sampled every `stride` characters
-    * of the normalized text and windows are grouped by 64-bit hash; a
-    * hash with 2+ sites marks an exactly-repeated span (boilerplate,
-    * licenses, templated text) that survives document-level dedup.
+  /** Content-defined span-window sampling shared by [[repeatedSpans]]
+    * and [[removeRepeatedSpans]] — winnowing (Schleimer, Wilkerson &
+    * Aiken 2003, the [[Winnow]] machinery) applied to the
+    * `spanChars`-character windows themselves: every char position's
+    * window is hashed and, from each run of `w` consecutive positions,
+    * the minimum-hash window is selected (rightmost on ties). Because
+    * selection is a pure function of window CONTENT, two documents
+    * sharing any region of at least `spanChars + w - 1` characters
+    * select at least one window at the SAME content offset in both —
+    * the alignment-free guarantee an arithmetic stride can never give
+    * (a stride-16 grid catches a shifted repeat only when the shift is
+    * ≡ 0 mod 16, i.e. ~1/16 of cross-doc boilerplate).
     *
-    * Scale shape: the suffix-array of the original paper is global and
-    * sequential; here the corpus explodes to (doc, pos, hash) — 8-byte
-    * keys, corpus_chars/stride rows — computed in ONE scan and
-    * shuffled ONCE on the hash: `n_sites` is a whole-partition window
-    * count and `n_docs` the max dense_rank over doc_id within the
-    * hash, so no aggregate-then-join-back re-scans the corpus and no
-    * per-hash site list can blow up on a boilerplate span repeated
-    * millions of times (the window SORTS skewed hashes instead of
-    * collecting them into one row). Returns one row per sampled
-    * window with its global `n_sites` / `n_docs` occurrence counts. */
-  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                    spanChars: Int = 64, stride: Int = 16): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"),
-      Text.normalize(col(textCol)).as("__norm"))
+    * Scale shape: selection happens IN-ROW — the native
+    * `span_anchors` expression ([[graft.expr.SpanAnchorsExpr]]: one
+    * md5 per char position + a monotonic-deque sliding min, packed
+    * `hash32 * 2^20 + rightmost-pos` per [[Winnow.PosCap]]; positions
+    * past 2^20 are not sampled, mirroring Winnow's cap) — so sampling
+    * needs NO shuffle at all and only the ~2/(w+1) selected windows
+    * ever leave the row. Each selected window is keyed by the full
+    * 128-bit md5 of its content (cross-engine reproducible, and
+    * collision-safe where a single 64-bit key is not: at ~10^13
+    * sampled windows a 64-bit birthday collision is expected,
+    * silently conflating unrelated text — 128 bits keeps that
+    * probability below 10^-13).
+    *
+    * Returns one row per selected window:
+    * `(doc_id, pos, span_key)` — `pos` 1-based in the normalized
+    * text, `span_key` the md5 hex of the window content. */
+  private[graft] def sampledSpanWindows(docs: DataFrame, idCol: String,
+                                        textCol: String, spanChars: Int,
+                                        w: Int): DataFrame = {
+    require(spanChars >= 1, s"spanChars must be >= 1, got $spanChars")
+    require(w >= 1, s"winnow window must be >= 1, got $w")
+    reg(docs)
+      .select(col(idCol).as("doc_id"),
+        Text.normalize(col(textCol)).as("__norm"))
       .filter(length(col("__norm")) >= spanChars)
-    val wins = base.select(col("doc_id"),
-      explode(sequence(lit(1), length(col("__norm")) - (spanChars - 1),
-        lit(stride))).as("pos"),
-      col("__norm"))
+      .select(col("doc_id"), col("__norm"),
+        explode(call_function("span_anchors", col("__norm"),
+          lit(spanChars), lit(w))).as("pos"))
       .select(col("doc_id"), col("pos"),
-        xxhash64(call_function("substring", col("__norm"), col("pos"),
-          lit(spanChars))).as("span_hash"))
-    val byHash = Window.partitionBy("span_hash")
-    val byHashDoc = Window.partitionBy("span_hash").orderBy("doc_id")
-    wins
-      .withColumn("__dr", dense_rank().over(byHashDoc))
-      .select(col("span_hash"), col("doc_id"), col("pos"),
-        count(lit(1)).over(byHash).as("n_sites"),
-        max(col("__dr")).over(byHash).as("n_docs"))
+        md5(call_function("substring", col("__norm"), col("pos"),
+          lit(spanChars))).as("span_key"))
   }
 
-  /** Exact repeated-span REMOVAL — the full ExactSubstr transform of
-    * Lee et al. 2022: every sampled `spanChars`-character window whose
-    * exact content occurs at `minSites`+ sites corpus-wide is CUT from
-    * the text, except the globally first site (minimum (doc_id, pos)),
-    * which survives as the one kept occurrence. Operates in the
-    * normalized-text domain (matching is whitespace/case-insensitive,
-    * so the surgery runs on the same form the windows were hashed on).
+  /** Declarative HOF twin of [[sampledSpanWindows]] (spec reference
+    * only — interpreted per-element evaluation makes it ~50x the
+    * native expression): the same winnow selection as nested
+    * bound-once HOFs over the position array. */
+  private[graft] def sampledSpanWindowsHof(docs: DataFrame, idCol: String,
+                                           textCol: String, spanChars: Int,
+                                           w: Int): DataFrame = {
+    val posCap = Winnow.PosCap
+    // every array is lambda-bound once (Text.bindOnce) — an inlined
+    // normalize/hash chain would re-evaluate per ELEMENT inside the
+    // HOFs: O(chars²) regexps per doc, the measured Dsir trap
+    val selArr = Text.bindOnce(Text.normalize(col(textCol))) { n =>
+      Text.bindOnce(transform(
+        sequence(lit(1),
+          least(length(n) - (spanChars - 1), lit(posCap.toInt))),
+        p => conv(substring(md5(call_function("substring", n, p,
+          lit(spanChars))), 1, 8), 16, 10).cast("long") * posCap +
+          (lit(posCap - 1) - (p - 1)))) { e =>
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(e) - w, lit(0))),
+          s => array_min(slice(e, s + 1, lit(w)))))
+      }
+    }
+    docs
+      .select(col(idCol).as("doc_id"),
+        Text.normalize(col(textCol)).as("__norm"),
+        selArr.as("__sels"))
+      .filter(length(col("__norm")) >= spanChars)
+      .select(col("doc_id"), col("__norm"), explode(col("__sels")).as("__sel"))
+      .select(col("doc_id"), col("__norm"),
+        (lit(posCap) - pmod(col("__sel"), lit(posCap))).cast("int").as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(call_function("substring", col("__norm"), col("pos"),
+          lit(spanChars))).as("span_key"))
+  }
+
+  /** Exact repeated-span detection — the substring-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., 2022), winnowing-sampled for distribution
+    * ([[sampledSpanWindows]]): a span whose exact content occurs at 2+
+    * selected sites corpus-wide marks exactly-repeated text
+    * (boilerplate, licenses, templated passages) that survives
+    * document-level dedup. Detection is alignment-free and guaranteed
+    * for shared regions of `spanChars + w - 1`+ characters.
     *
-    * Scale shape: the corpus is scanned ONCE — windows shuffle once on
-    * the 64-bit span hash, and the occurrence count + keeper site
-    * (`min(struct(doc_id, pos))`) are whole-partition WINDOW
-    * aggregates over that exchange, so there is no aggregate-then-
-    * join-back second scan and no corpus-scale materialization
-    * (an earlier localCheckpoint variant pinned ~window-set-sized
-    * blocks for the session and ran an eager job at plan-build time).
-    * Cut sites then shuffle once keyed by doc, and the text surgery
-    * is one per-row fold over the doc's sorted cut positions: a
-    * running-cursor fold appends the text between the cursor and the
-    * next cut, then advances the cursor past the cut; overlapping
-    * windows collapse for free because the cursor is the running max
-    * of cut ends. No all-pairs, no global suffix array.
+    * Scale shape: sampling is in-row (no shuffle); the occurrence
+    * counts are ONE map-side-combinable `groupBy(span_key)` — partial
+    * aggregation makes a boilerplate span repeated millions of times a
+    * per-partition counter, never one task's sort (the r9 window-over-
+    * span_hash form could not be split by AQE; this join-back CAN —
+    * AQE skew-join splits a hot probe partition). The aggregate side
+    * is filtered to repeated keys before the join, so it is corpus-
+    * scale-small and usually broadcasts; join fan-out is exactly 1 row
+    * per sampled window, so no df-cap is needed here (contrast
+    * [[crossDocSpans]]' maxDocFreq, which bounds a quadratic gram
+    * fan-out). Returns one row per sampled window with its global
+    * `n_sites` / `n_docs` occurrence counts. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    spanChars: Int = 64, winnowW: Int = 31): DataFrame = {
+    val wins = sampledSpanWindows(docs, idCol, textCol, spanChars, winnowW)
+    val rep = wins.groupBy("span_key")
+      .agg(count(lit(1)).as("__n_sites"),
+        countDistinct(col("doc_id")).as("__n_docs"))
+      .filter(col("__n_sites") >= 2)
+    wins.join(rep, Seq("span_key"), "left")
+      .select(col("span_key").as("span_hash"), col("doc_id"), col("pos"),
+        coalesce(col("__n_sites"), lit(1L)).as("n_sites"),
+        coalesce(col("__n_docs"), lit(1L)).as("n_docs"))
+  }
+
+  /** Exact repeated-span REMOVAL — the ExactSubstr transform of Lee
+    * et al. 2022, winnowing-sampled ([[sampledSpanWindows]] — removal
+    * of a shifted cross-doc repeat is alignment-free, guaranteed for
+    * shared regions of `spanChars + w - 1`+ chars): every selected
+    * `spanChars`-character window whose exact content occurs at
+    * `minSites`+ sites corpus-wide is CUT from the text, except the
+    * globally first site (minimum (doc_id, pos)), which survives as
+    * the one kept occurrence. Operates in the normalized-text domain
+    * (matching is whitespace/case-insensitive, so the surgery runs on
+    * the same form the windows were keyed on).
+    *
+    * Scale shape: sampling is in-row (no shuffle). Occurrence count
+    * and keeper site (`min(struct(doc_id, pos))`) are ONE map-side-
+    * combinable `groupBy(span_key)` — a boilerplate span repeated
+    * millions of times partial-aggregates per partition instead of
+    * serializing into one window task's sort (the r9 window-over-
+    * span_hash form; a window partition can never be split, a skewed
+    * join-back probe can — AQE skew-join). The aggregate side is
+    * filtered to `[minSites, maxSites]` keys before joining back, so
+    * it is corpus-scale-small (usually broadcast) and fan-out is 1.
+    * The sampling pass does run twice (aggregate build + probe): two
+    * embarrassingly-parallel map scans beat materializing a corpus-
+    * scale window set (the measured localCheckpoint cost) or an
+    * unsplittable sort. Cut sites then shuffle once keyed by doc —
+    * bounded by doc length — and the text surgery is one per-row fold
+    * over the doc's sorted cut positions: a running-cursor fold
+    * appends the text between the cursor and the next cut, then
+    * advances the cursor past the cut; overlapping windows collapse
+    * for free because the cursor is the running max of cut ends. No
+    * all-pairs, no global suffix array.
+    *
+    * `maxSites` is a semantic guard, not a scale requirement: spans
+    * repeated more often than it are boilerplate better handled by a
+    * document FILTER (the [[crossDocSpans]] maxDocFreq philosophy) —
+    * excising 10^7 sites of a newsletter footer one window at a time
+    * is surgery on text that should not survive curation at all.
+    * Default keeps everything (Lee et al. semantics).
     *
     * Returns one row per input doc: (doc_id, clean_text,
     * removed_chars), clean_text being the normalized text with all
     * non-keeper repeated windows excised. */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                          spanChars: Int = 64, stride: Int = 16,
-                          minSites: Int = 2): DataFrame = {
+                          spanChars: Int = 64, winnowW: Int = 31,
+                          minSites: Int = 2,
+                          maxSites: Long = Long.MaxValue): DataFrame = {
     val norm = docs.select(col(idCol).as("doc_id"),
       Text.normalize(col(textCol)).as("__norm"))
-    val wins = norm.filter(length(col("__norm")) >= spanChars)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("__norm")) - (spanChars - 1),
-          lit(stride))).as("pos"),
-        col("__norm"))
-      .select(col("doc_id"), col("pos"),
-        xxhash64(call_function("substring", col("__norm"), col("pos"),
-          lit(spanChars))).as("span_hash"))
-    val byHash = Window.partitionBy("span_hash")
-    val cuts = wins
-      .withColumn("__n", count(lit(1)).over(byHash))
-      .withColumn("__keep",
-        min(struct(col("doc_id"), col("pos"))).over(byHash))
-      .filter(col("__n") >= minSites &&
-        !(col("doc_id") === col("__keep.doc_id") &&
-          col("pos") === col("__keep.pos")))
+    val wins = sampledSpanWindows(docs, idCol, textCol, spanChars, winnowW)
+    val keepers = wins.groupBy("span_key")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("doc_id"), col("pos"))).as("__keep"))
+      .filter(col("__n") >= minSites && col("__n") <= maxSites)
+    val cuts = wins.join(keepers, "span_key")
+      .filter(!(col("doc_id") === col("__keep.doc_id") &&
+        col("pos") === col("__keep.pos")))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("__cuts"))
     val span = lit(spanChars)

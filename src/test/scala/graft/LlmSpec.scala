@@ -186,7 +186,7 @@ class LlmSpec extends SparkSuite {
     val d = Seq((1L, long), (2L, long), (3L, other))
       .toDF("doc_id", "text")
     val spans = Dedup.repeatedSpans(d, "doc_id", "text",
-      spanChars = 32, stride = 8)
+      spanChars = 32, winnowW = 8)
     val perDoc = spans.groupBy("doc_id")
       .agg(sum(when(col("n_sites") > 1, 1).otherwise(0)).as("rep"),
         count(lit(1)).as("n"))

@@ -3,26 +3,49 @@ package graft
 import graft.llm.Dedup
 
 /** Pins [[Dedup.removeRepeatedSpans]] — the ExactSubstr removal of Lee
-  * et al. 2022 — against a sequential reference implementation and
-  * hand-computed semantic cases (keeper survives, overlapping windows
-  * merge, short docs untouched, full duplicates empty out). */
+  * et al. 2022, winnowing-sampled — against a sequential reference
+  * implementation and hand-computed semantic cases. The load-bearing
+  * property (new in r10): sampling is CONTENT-defined, so a shared
+  * region of `span + w - 1`+ chars is detected and removed at EVERY
+  * byte alignment — the old stride-16 grid caught a shifted repeat
+  * only when the shift was ≡ 0 mod 16 (~1/16 of cross-doc
+  * boilerplate). */
 class SpanRemovalSpec extends SparkSuite {
 
   import spark.implicits._
 
   private val Span = 64
-  private val Stride = 16
+  private val W = 31
+  private val PosCap = 1L << 20
 
-  /** Sequential reference: sample windows, group by exact content,
-    * drop every site but the global (doc_id, pos) minimum, cut with a
-    * running-cursor sweep. */
+  /** Sequential winnow selection: 1-based selected window positions of
+    * the normalized text — md5-prefix hash packed with rightmost-pos
+    * tiebreak, min of every w-window of consecutive positions. */
+  private def sample(n: String): Seq[Int] = {
+    if (n.length < Span) return Seq.empty
+    val nPos = math.min(n.length - Span + 1, PosCap.toInt)
+    val enc = (1 to nPos).map { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(n.substring(p - 1, p - 1 + Span)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = md.take(4).map(b => f"${b & 0xFF}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) * PosCap + (PosCap - 1 - (p - 1))
+    }
+    (0 to math.max(nPos - W, 0))
+      .map(s => enc.slice(s, math.min(s + W, nPos)).min)
+      .distinct
+      .map(sel => (PosCap - sel % PosCap).toInt)
+  }
+
+  /** Sequential reference: winnow-sample windows, group by exact
+    * content, drop every site but the global (doc_id, pos) minimum,
+    * cut with a running-cursor sweep. */
   private def ref(docs: Seq[(Int, String)]): Map[Int, (String, Long)] = {
     val norm = docs.map { case (id, t) =>
       id -> t.trim.toLowerCase.replaceAll("\\s+", " ") }
     val wins = for {
       (id, n) <- norm
-      if n.length >= Span
-      p <- 1 to (n.length - Span + 1) by Stride
+      p <- sample(n)
     } yield (id, p, n.substring(p - 1, p - 1 + Span))
     val cuts = wins.groupBy(_._3).filter(_._2.size >= 2).values
       .flatMap(sites => sites.sortBy(s => (s._1, s._2)).tail)
@@ -42,7 +65,7 @@ class SpanRemovalSpec extends SparkSuite {
 
   private def run(docs: Seq[(Int, String)]): Map[Int, (String, Long)] =
     Dedup.removeRepeatedSpans(docs.toDF("doc_id", "text"),
-      "doc_id", "text", Span, Stride)
+      "doc_id", "text", Span, W)
       .collect()
       .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
 
@@ -53,73 +76,123 @@ class SpanRemovalSpec extends SparkSuite {
     got
   }
 
-  // 64 chars, aperiodic at stride offsets (period 26, stride 16)
-  private val P = (0 until 64).map(i => ('a' + (i * 7 + 3) % 26).toChar)
-    .mkString
-  private def tail(seed: Int) = (0 until 40)
-    .map(i => ('a' + (i * 11 + seed) % 26).toChar).mkString
+  // deterministic APERIODIC letter soup (LCG) — a linear `(i*7+s)%26`
+  // pattern repeats with period 26, planting real 64-char self-repeats
+  private def letters(len: Int, seed: Int): String = {
+    var x = seed * 2654435761L + 1
+    (0 until len).map { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ('a' + ((x >>> 33) % 26)).toChar
+    }.mkString
+  }
 
-  test("cross-doc repeat: keeper doc intact, later doc loses the span") {
-    val docs = Seq(1 -> (P + tail(5)), 2 -> (P + tail(17)))
+  // shared block longer than Span + W - 1 = 94: detection guaranteed
+  private val Block = letters(110, 3)
+
+  test("alignment-free: a shifted planted block is removed at EVERY " +
+    "offset 0..15 (stride sampling caught ~1/16 of these)") {
+    val docs = (0 to 15).map { off =>
+      (off + 1) -> (letters(off, 11 + off) + Block + letters(40, 50 + off))
+    }
     val got = check(docs)
-    assert(got(1) === (P + tail(5), 0L))   // keeper untouched
-    assert(got(2)._1 === (P + tail(17)).substring(Span)) // span excised
-    assert(got(2)._2 === Span.toLong)
+    assert(got(1)._2 === 0L) // keeper doc (lowest id) intact
+    (2 to 16).foreach { id =>
+      assert(got(id)._2 >= Span.toLong,
+        s"doc $id (offset ${id - 1}) kept its copy of the block")
+    }
   }
 
-  test("within-doc repeat: P+P cleans to exactly P") {
-    val got = check(Seq(1 -> (P + P)))
-    assert(got(1) === (P, Span.toLong))
+  test("detector sees the shifted block in every doc too") {
+    val docs = (0 to 15).map { off =>
+      (off + 1L) -> (letters(off, 11 + off) + Block + letters(40, 50 + off))
+    }
+    val hot = Dedup.repeatedSpans(docs.toDF("doc_id", "text"),
+      "doc_id", "text", Span, W)
+      .filter(org.apache.spark.sql.functions.col("n_sites") >= 16)
+      .select("doc_id").distinct().count()
+    assert(hot === 16L) // every doc holds at least one 16-site window
   }
 
-  test("overlapping cut windows merge via the running cursor") {
-    // C is 80 chars shared: windows at pos 1 and 17 both duplicate,
-    // their [1,64] and [17,80] cuts merge into one [1,80] excision
-    val c = P + (0 until 16).map(i => ('a' + (i * 5 + 1) % 26).toChar)
-      .mkString
-    val docs = Seq(1 -> (c + tail(3)), 2 -> (c + tail(9)))
+  test("cross-doc repeat: keeper doc intact, later doc loses the block") {
+    val docs = Seq(1 -> (Block + letters(40, 5)), 2 -> (Block + letters(40, 17)))
     val got = check(docs)
-    assert(got(1)._2 === 0L)
-    assert(got(2)._1 === (c + tail(9)).substring(80))
-    assert(got(2)._2 === 80L)
+    assert(got(1) === ((Block + letters(40, 5)), 0L)) // keeper untouched
+    assert(got(2)._2 >= Span.toLong)
   }
 
-  test("exact full-doc duplicate empties the later doc") {
-    // len 96 = last window lands at 33 = len-63: cuts cover [1, 96]
-    val d = P + P.take(32)
-    assert(d.length === 96)
+  test("within-doc repeat: second copy of a long block is cut") {
+    val got = check(Seq(1 -> (Block + Block)))
+    assert(got(1)._2 >= Span.toLong)
+    assert(got(1)._1.startsWith(Block.take(Span))) // first copy's head kept
+  }
+
+  test("exact full-doc duplicate: later doc loses all selected windows") {
+    val d = letters(300, 9)
     val got = check(Seq(1 -> d, 2 -> d))
-    assert(got(1) === (d, 0L))
-    assert(got(2) === ("", 96L))
+    assert(got(1) === ((d, 0L)))
+    // selected positions have gaps <= W < Span, so interior cuts merge:
+    // at most W-1 chars survive at each end of doc 2
+    assert(got(2)._2 >= (300 - 2 * (W - 1)).toLong)
   }
 
   test("docs shorter than the span and unique docs pass through") {
-    val docs = Seq(1 -> "tiny doc", 2 -> tail(1), 3 -> (P + tail(21)))
+    val docs = Seq(1 -> "tiny doc", 2 -> letters(80, 1),
+      3 -> (Block + letters(40, 21)))
     val got = check(docs)
     assert(got.values.forall(_._2 === 0L))
     assert(got(1)._1 === "tiny doc")
   }
 
   test("normalization: matching is case/whitespace-insensitive") {
+    val spaced = Block.grouped(10).mkString("  ") // doubled spaces
     val docs = Seq(
-      1 -> (P + tail(5)),
-      2 -> (P.toUpperCase + "  " + tail(17))) // normalizes to p+' '+...
-    // doc 2's normalized form is P + " " + tail — window 1 equals P
-    // only if the space does not land inside it; it starts at pos 1,
-    // so chars 1..64 are exactly P in both docs
+      1 -> (Block.replace(" ", "") + " " + letters(40, 5)),
+      2 -> (Block.toUpperCase + " " + letters(40, 17)),
+      3 -> (spaced.toUpperCase + " " + letters(40, 23)))
+    // Block has no spaces (pure letters), so all three normalize to a
+    // text containing Block verbatim... doc 3's doubled spaces collapse
+    // to single — but grouped-mkString INSERTS spaces, changing content.
+    // Only docs 1 and 2 share the literal block.
     val got = check(docs)
-    assert(got(2)._2 === Span.toLong)
+    assert(got(2)._2 >= Span.toLong)
+  }
+
+  test("maxSites hands mega-boilerplate to filtering instead of surgery") {
+    val docs = (1 to 12).map(id => id -> (Block + letters(40, id)))
+    val kept = Dedup.removeRepeatedSpans(docs.toDF("doc_id", "text"),
+      "doc_id", "text", Span, W, minSites = 2, maxSites = 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // every in-block window occurs at ~12 sites > maxSites=5: no cuts
+    assert(kept.values.forall(_ === 0L))
+  }
+
+  test("native span_anchors == declarative HOF twin (incl. non-ASCII)") {
+    val docs = Seq(
+      1 -> (Block + letters(40, 5)),
+      2 -> ("héllo wörld ünïcode zahl " * 8 + Block), // 2-byte chars
+      3 -> letters(200, 7),
+      4 -> "short",
+      5 -> ("日本語テキストのサンプル文字列です " * 12)) // 3-byte chars
+      .toDF("doc_id", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val native = collect(
+      Dedup.sampledSpanWindows(docs, "doc_id", "text", Span, W))
+    val hof = collect(
+      Dedup.sampledSpanWindowsHof(docs, "doc_id", "text", Span, W))
+    assert(native === hof)
+    assert(native.exists(_._1 == 2) && native.exists(_._1 == 5))
   }
 
   test("randomized corpora match the sequential reference") {
     // seeded: word soup over a small vocab (natural repeats) plus
-    // planted shared blocks at arbitrary (non-stride-aligned) offsets
+    // planted shared blocks at arbitrary (non-aligned) offsets
     val rnd = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
       "zeta", "eta", "theta")
     def soup(n: Int): String =
       Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
-    val block = soup(30).take(90)
+    val block = soup(40).take(120)
     for (round <- 1 to 5) {
       val docs = (1 to 12).map { id =>
         val body =
@@ -132,11 +205,11 @@ class SpanRemovalSpec extends SparkSuite {
   }
 
   test("three-way repeat: one keeper, two removals") {
-    val docs = Seq(3 -> (P + tail(2)), 1 -> (P + tail(4)),
-      2 -> (P + tail(6)))
+    val docs = Seq(3 -> (Block + letters(40, 2)), 1 -> (Block + letters(40, 4)),
+      2 -> (Block + letters(40, 6)))
     val got = check(docs)
     assert(got(1)._2 === 0L) // global min doc_id wins regardless of order
-    assert(got(2)._2 === Span.toLong)
-    assert(got(3)._2 === Span.toLong)
+    assert(got(2)._2 >= Span.toLong)
+    assert(got(3)._2 >= Span.toLong)
   }
 }
