@@ -1039,7 +1039,7 @@ object SparkEntry {
         |  FROM w),
         |tg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0),
         |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh)
-        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |SELECT tr.doc_id, CAST(count(tr.g) AS BIGINT) AS n_shingles,
         |  CAST(sum(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_contaminated
         |FROM tr LEFT JOIN tg ON tr.g = tg.g

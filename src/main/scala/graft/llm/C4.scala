@@ -78,13 +78,25 @@ object C4 {
   }
 
   /** Clean a corpus: drop failing pages, replace the text column with
-    * the kept lines. Schema is preserved. */
+    * the kept lines. Schema is preserved.
+    *
+    * The report is staged through `explode(array(report))` — a
+    * one-element Generate — rather than a plain projection: predicate
+    * pushdown re-inlines a projected alias into the Filter (the
+    * measured Gopher filterCorpus trap), evaluating the whole report
+    * struct once for `keep` and again for `clean_text`; a Filter on
+    * GENERATOR output cannot be pushed into the generator's input, so
+    * the struct is evaluated exactly once per row. The temp column
+    * name is uniquified against the input schema (a user column named
+    * `__c4` used to be silently clobbered). */
   def clean(docs: DataFrame, textCol: String,
             cfg: Config = Config()): DataFrame = {
-    val r = report(col(textCol), cfg)
-    docs.withColumn("__c4", r)
-      .filter(col("__c4.keep"))
-      .withColumn(textCol, col("__c4.clean_text"))
-      .drop("__c4")
+    var tmp = "__c4"
+    while (docs.columns.contains(tmp)) tmp += "_"
+    docs
+      .select(col("*"), explode(array(report(col(textCol), cfg))).as(tmp))
+      .filter(col(tmp).getField("keep"))
+      .withColumn(textCol, col(tmp).getField("clean_text"))
+      .drop(tmp)
   }
 }

@@ -48,11 +48,11 @@ object Clean {
       case (Some(ls), Some(lc)) => d = d.filter(col(lc).isin(ls: _*))
       case _ =>
     }
-    // exact dedup: keep the smallest id per identical text
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(Dedup.exactKey(col(textCol))).orderBy(col(idCol))
-    d = d.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // exact dedup: keep the smallest id per identical text — the
+    // skew-safe min(id)-agg + semi-join shape (see
+    // [[Dedup.dropExactDuplicates]]; a row_number window serializes a
+    // mega-duplicated doc into one task)
+    d = Dedup.dropExactDuplicates(d, idCol, textCol)
     // near-dup removal (greedy keep-lowest-id)
     Dedup.dropNearDuplicates(d, idCol, textCol, cfg.nearDupThreshold,
       cfg.shingleK, cfg.numHashes, cfg.bands)
@@ -76,12 +76,15 @@ object Clean {
       .select(explode(Dedup.shingleHashes(col(textCol), k)).as("__g"))
       .distinct()
       .withColumn("__hit", lit(1L))
+    // explode_outer + count(non-null): a null-text doc (null shingle
+    // array) still reports one (0, 0) row — plain explode would drop
+    // it from the report, breaking the every-doc contract
     train
       .select(col(idCol).as("doc_id"),
-        explode(Dedup.shingleHashes(col(textCol), k)).as("__g"))
+        explode_outer(Dedup.shingleHashes(col(textCol), k)).as("__g"))
       .join(testGrams, Seq("__g"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_shingles"),
+      .agg(count(col("__g")).cast("long").as("n_shingles"),
         sum(coalesce(col("__hit"), lit(0L))).cast("long")
           .as("n_contaminated"))
   }

@@ -15,14 +15,15 @@ import org.apache.spark.sql.functions._
   * engine, run, and cluster size, which is the property that makes a
   * training mix reproducible.
   *
-  * Scale shape: one window shuffle on the 16-byte text hash (exact
-  * dedup), the classifier's tf shuffle + vocab join, one window
+  * Scale shape: exact dedup is a map-side-combinable min(id) per
+  * 16-byte text hash + semi join (skew-immune — a mega-duplicated doc
+  * partial-aggregates instead of serializing into one window task),
+  * then the classifier's tf shuffle + vocab join, and one window
   * shuffle on source for the budget (sources are domains — numerous
   * and individually bounded; a pathological mega-source is a
   * [[Sampling.capPerGroup]]-style pre-cap away). The dedup survivors
   * are checkpointed once and feed classifier training, scoring, and
-  * the final attribute join — the corpus text is never recomputed
-  * through the window. */
+  * the final attribute join — the corpus text is never recomputed. */
 object Curate {
 
   /** Returns the curated corpus: `(doc_id, source, n_tokens,
@@ -36,11 +37,10 @@ object Curate {
                budgetPerSource: Long = 300): DataFrame = {
     val nTok = Text.tokenCount(col(textCol)).cast("bigint")
     val q = docs.filter(nTok.between(minTokens, maxTokens))
-    val byText = Window.partitionBy(Dedup.exactKey(col(textCol)))
-      .orderBy(col(idCol))
-    val survivors = q
-      .withColumn("__rn", row_number().over(byText))
-      .filter(col("__rn") === 1)
+    // exact dedup via min(id)-per-hash + semi join, NOT a row_number
+    // window: a mega-duplicated doc is an unsplittable window
+    // partition, while the aggregate partial-combines per partition
+    val survivors = Dedup.dropExactDuplicates(q, idCol, textCol)
       .select(col(idCol), col(textCol), col(sourceCol), col(labelCol))
       .localCheckpoint(true)
     val scored = Classifier

@@ -33,13 +33,37 @@ object Dedup {
     * would only add a full text shuffle. */
   private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
     if (df.isStreaming) return df // micro-batches carry their own width
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // width probe on the NON-adaptive physical plan: building its RDD
-    // graph is lazy (no job runs). `toRdd` would go through
-    // AdaptiveSparkPlanExec, which EXECUTES every upstream query stage
-    // just to be asked for partition counts — the probe itself would
-    // run the pipeline once before the real query runs it again.
-    val width = df.queryExecution.sparkPlan.execute().getNumPartitions
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    // Static width estimate on the NON-adaptive physical plan. The
+    // old probe built the plan's RDD graph (`sparkPlan.execute()`) —
+    // lazy for narrow plans, but `sparkPlan` predates
+    // prepareForExecution, so a broadcast join inside it has no
+    // BroadcastExchange yet and executing it throws
+    // "doExecuteBroadcast not implemented" (`toRdd` is no better: it
+    // goes adaptive and EXECUTES upstream stages just to be asked for
+    // partition counts). Instead: any node demanding a clustered/
+    // ordered distribution means a shuffle will run, whose width is
+    // spark.sql.shuffle.partitions; otherwise narrow ops preserve the
+    // leaf scan width, and leaf execute() is safe (builds the file/
+    // local RDD, no job).
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      BroadcastDistribution, UnspecifiedDistribution}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = df.queryExecution.sparkPlan
+    val shuffled = plan.exists {
+      case _: ShuffleExchangeLike => true
+      case p => p.requiredChildDistribution.exists {
+        case UnspecifiedDistribution => false
+        case _: BroadcastDistribution => false
+        case _ => true
+      }
+    }
+    val width =
+      if (shuffled) spark.sessionState.conf.numShufflePartitions
+      else plan.collectLeaves()
+        .map(_.execute().getNumPartitions)
+        .maxOption.getOrElse(par)
     if (width >= par) df else df.repartition(par, key)
   }
 
@@ -59,6 +83,24 @@ object Dedup {
     docs.groupBy(exactKey(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .filter(col("n_docs") > 1)
+
+  /** Exact dedup keeping the minimum id per identical text — the
+    * skew-safe shape: a map-side-combinable `min(id)` per text hash
+    * plus a LEFT SEMI join back on the (unique) id. The
+    * `row_number() over (partition by text_hash)` twin serializes a
+    * mega-duplicated document (one viral page copied 10^6 times) into
+    * a single window partition that AQE cannot split; partial
+    * aggregation reduces the same key per partition first, and the
+    * semi-join probe is splittable. Ids must be unique (they are doc
+    * ids); schema passes through. */
+  def dropExactDuplicates(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val keepers = docs
+      .groupBy(exactKey(col(textCol)).as("__k"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
 
   /** Distinct word k-shingles of the normalized text; short docs yield
     * their whole text as a single shingle. */
@@ -310,10 +352,15 @@ object Dedup {
     // collision resistance, not cross-engine equality — a 32-bit hash
     // would produce ~n²/2^33 false "shared" grams (hundreds at 1M
     // grams, certain garbage past 2^32)
-    // checkpointed: the compact (id, pos, hash) table — ~20 B/word —
-    // feeds BOTH the doc-frequency branch and the coverage join;
-    // without it the whole explode + window + hash chain replays per
-    // consumer (two full corpus scans — the bm25 tf-table lesson)
+    // checkpointed LAZILY: the compact (id, pos, hash) table —
+    // ~20 B/word — feeds BOTH the doc-frequency branch and the
+    // coverage join; without persistence the whole explode + window +
+    // hash chain replays per consumer (two full corpus scans — the
+    // bm25 tf-table lesson). Lazy (eager=false) so no job runs at
+    // plan-BUILD time: the first consumer's stage populates the
+    // blocks, the second reads them — measured 5.19 s cold vs 1.55 s
+    // warm for the eager twin, which paid the whole chain once at
+    // build and once per session cache drop
     val grams = spread(docs, col(idCol))
       .select(col(idCol), posexplode(Text.words(Text.normalize(col(textCol))))
         .as(Seq("pos", "word")))
@@ -321,7 +368,7 @@ object Dedup {
         count(lit(1)).over(byDoc).as("nw"))
       .filter(col("pos") <= col("nw") - k) // full grams only
       .select(col(idCol), col("pos"), xxhash64(col("gram")).as("h"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sharedHashes = grams.groupBy("h")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df").between(2, maxDocFreq))
