@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/BMP/GIF), including bilinear aspect-fit resampling and a
   * luminance-strip feature; WAV/PCM audio decodes for REAL via
   * `javax.sound.sampled` (also JDK) with an RMS-strip feature.
-  * Compressed audio/video (mp3/mp4) remains a clearly-marked STUB
-  * (`decodeStub`) — those codecs are not in the JDK or this
-  * container; production swaps in ffmpeg behind the same seam. */
+  * Compressed audio/video (mp3/mp4) PAYLOAD decoding remains a
+  * clearly-marked STUB (`decodeStub`) — those codecs are not in the
+  * JDK or this container; production swaps in ffmpeg behind the same
+  * seam. Their HEADERS, however, parse for real:
+  * [[MediaMetadata.avMetadata]] extracts duration/codec/rate/
+  * channels/dimensions from mp3 frame headers and mp4 box trees, so
+  * compressed media yields usable metadata rows instead of a blanket
+  * quarantine. */
 object Multimodal {
 
   /** Typed metadata for one media file. */
