@@ -875,7 +875,14 @@ object Queries {
       ("dense_nested.h5",
         graft.sources.NetCdfFixtures.hdf5V2DenseNested()),
       ("dense_nested_deflate.h5",
-        graft.sources.NetCdfFixtures.hdf5V2DenseNested(filtered = true)))
+        graft.sources.NetCdfFixtures.hdf5V2DenseNested(filtered = true)),
+      // huge/tiny heap objects: links the sequential block scan cannot
+      // see, resolved through the name-index v2 B-tree (direct
+      // address-in-ID huge + inline tiny; B-tree-indirect huge)
+      ("dense_hugetiny.h5",
+        graft.sources.NetCdfFixtures.hdf5V2DenseHugeTiny()),
+      ("dense_hugetiny_btree.h5", graft.sources.NetCdfFixtures
+        .hdf5V2DenseHugeTiny(indirectHuge = true)))
       .toDF("path", "content")
     files.as[(String, Array[Byte])].map { case (fname, bytes) =>
       val meta = graft.sources.NetCdf.parse(bytes)

@@ -1178,7 +1178,13 @@ object SparkEntry {
         |  ('dense_nested.h5', 'hdf5 superblock-v2',
         |   CAST(10 AS BIGINT), 'v00', 'v09', CAST(150.0 AS DOUBLE)),
         |  ('dense_nested_deflate.h5', 'hdf5 superblock-v2',
-        |   CAST(10 AS BIGINT), 'v00', 'v09', CAST(150.0 AS DOUBLE))
+        |   CAST(10 AS BIGINT), 'v00', 'v09', CAST(150.0 AS DOUBLE)),
+        |  ('dense_hugetiny.h5', 'hdf5 superblock-v2',
+        |   CAST(12 AS BIGINT), 't', repeat('w', 64),
+        |   CAST(216.0 AS DOUBLE)),
+        |  ('dense_hugetiny_btree.h5', 'hdf5 superblock-v2',
+        |   CAST(11 AS BIGINT), 'v00', repeat('w', 64),
+        |   CAST(181.5 AS DOUBLE))
         |) AS t(fname, format, n_vars, first_var, last_var, total_sum)
         |ORDER BY fname""".stripMargin,
     "q_s6_eabt2" ->

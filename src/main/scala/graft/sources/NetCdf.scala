@@ -431,8 +431,9 @@ object NetCdf {
     var filters: Seq[Int] = Nil
     // compact (in-header) link messages: v2-format group membership
     val links = ArrayBuffer.empty[(String, Long)]
-    // dense link storage: the link-info message's fractal heap
-    var denseHeap: Option[Long] = None
+    // dense link storage: the link-info message's fractal heap +
+    // name-index v2 B-tree (needed only for huge/tiny heap objects)
+    var denseHeap: Option[(Long, Long)] = None
     val attrs = ArrayBuffer.empty[Attr]
 
     def handleMessage(typ: Int, body: Int): Unit = typ match {
@@ -558,7 +559,8 @@ object NetCdf {
           val flags = bytes(body + 1) & 0xFF
           val heapAt = body + 2 + (if ((flags & 0x01) != 0) 8 else 0)
           val heap = buf.getLong(heapAt)
-          if (heap != -1L) denseHeap = Some(heap)
+          if (heap != -1L)
+            denseHeap = Some((heap, buf.getLong(heapAt + 8)))
         case 0x0006 => // link message: one compact group member
           parseLinkMessage(bytes, buf, body)._1.foreach(links += _)
         case 0x000C => // attribute (name + embedded datatype/dataspace
@@ -633,8 +635,8 @@ object NetCdf {
     // dense link storage: links live as link messages inside the
     // fractal heap instead of the header (parse failures throw →
     // the caller's quarantine)
-    if (links.isEmpty) denseHeap.foreach(h =>
-      denseLinks(bytes, buf, h, links))
+    if (links.isEmpty) denseHeap.foreach { case (h, nameBt) =>
+      denseLinks(bytes, buf, h, nameBt, links) }
 
     group match {
       case Some((bt, hp)) =>
@@ -825,10 +827,13 @@ object NetCdf {
     * block's data area, so the group's links are recovered by a
     * sequential scan (`nManaged` is the stop condition; the name-index
     * v2 B-tree is a lookup accelerator this full-listing walk does
-    * not need). Unexpected shapes (non-deflate heap filters, huge/tiny
-    * objects, short scans) throw → quarantine. */
+    * not need — EXCEPT for huge/tiny objects, whose bytes never enter
+    * a managed block: their heap IDs live in the name-index records,
+    * resolved by [[hugeTinyLinks]]). Unexpected shapes (non-deflate
+    * heap filters, short scans, multi-level huge/tiny name indexes)
+    * throw → quarantine. */
   private def denseLinks(bytes: Array[Byte], buf: ByteBuffer,
-                         heapAddr: Long,
+                         heapAddr: Long, nameBtree: Long,
                          links: ArrayBuffer[(String, Long)]): Unit = {
     val h = heapAddr.toInt
     val sig = new String(bytes, h, 4,
@@ -837,13 +842,13 @@ object NetCdf {
     val ioFilterLen = buf.getShort(h + 7) & 0xFFFF
     val flags = bytes(h + 9) & 0xFF
     val nManaged = buf.getLong(h + 70)
-    // the four heap statistics fields at +78..109: size/number of
-    // huge objects, size/number of tiny objects (8 bytes each) —
-    // huge/tiny objects are not parsed, so both counts must be zero
+    // heap statistics at +78..109: size/number of huge objects,
+    // size/number of tiny objects (8 bytes each) — nonzero counts
+    // route through the name-index B-tree walk below
     val nHuge = buf.getLong(h + 86)
     val nTiny = buf.getLong(h + 102)
-    require(nHuge == 0L && nTiny == 0L,
-      "huge/tiny fractal-heap objects not supported")
+    if (nHuge > 0L || nTiny > 0L)
+      hugeTinyLinks(bytes, buf, h, nameBtree, nHuge, nTiny, links)
     val tableWidth = buf.getShort(h + 110) & 0xFFFF
     val startBlock = buf.getLong(h + 112)
     val maxDirect = buf.getLong(h + 120)
@@ -942,6 +947,117 @@ object NetCdf {
     }
     require(remaining == 0L,
       s"fractal heap scan found ${nManaged - remaining} of $nManaged links")
+  }
+
+  /** Huge/tiny fractal-heap objects: link messages that never enter a
+    * managed direct block, so the sequential scan cannot see them.
+    * Their heap IDs live in the group's NAME-INDEX v2 B-tree (record
+    * type 5: 4-byte name hash + heap ID). A TINY object inlines the
+    * whole message in the ID (normal form, heap IDs ≤ 18 bytes:
+    * low nibble of byte 0 is length-1). A HUGE object is stored raw
+    * (or deflated, in a filtered heap) elsewhere in the file: with a
+    * heap ID wide enough (≥ 17 unfiltered / ≥ 29 filtered) the ID
+    * carries address+length DIRECTLY and the heap header's huge
+    * B-tree address stays undefined; otherwise the ID holds a
+    * min(8, idLen-1)-byte object id resolved through the huge-object
+    * v2 B-tree (record types 1 unfiltered / 2 filtered).
+    *
+    * Scope: depth-0 (single-leaf) B-trees — an internal node needs
+    * thousands of huge-named links in ONE group; deeper trees, huge
+    * B-tree types 3/4 in indirect mode, and extended tiny IDs fail
+    * closed (→ quarantine), never silently drop a link. */
+  private def hugeTinyLinks(bytes: Array[Byte], buf: ByteBuffer,
+                            h: Int, nameBtree: Long, nHuge: Long,
+                            nTiny: Long,
+                            links: ArrayBuffer[(String, Long)]): Unit = {
+    require(nameBtree != -1L,
+      "huge/tiny heap objects without a name-index v2 B-tree")
+    val heapIdLen = buf.getShort(h + 5) & 0xFFFF
+    val ioFilterLen = buf.getShort(h + 7) & 0xFFFF
+    val hugeBtree = buf.getLong(h + 22)
+    def sig4(at: Int): String = new String(bytes, at, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    /** v2 B-tree, depth 0: (record type, record size, record offsets). */
+    def btreeLeaf(at: Long): (Int, Int, Seq[Int]) = {
+      val b = at.toInt
+      require(sig4(b) == "BTHD", s"bad v2 B-tree signature '${sig4(b)}'")
+      val btType = bytes(b + 5) & 0xFF
+      val recSize = buf.getShort(b + 10) & 0xFFFF
+      require((buf.getShort(b + 12) & 0xFFFF) == 0,
+        "multi-level huge/tiny v2 B-tree not supported")
+      val root = buf.getLong(b + 16)
+      val nrec = buf.getShort(b + 24) & 0xFFFF
+      require(root != -1L, "undefined v2 B-tree root")
+      val l = root.toInt
+      require(sig4(l) == "BTLF", s"bad v2 B-tree leaf '${sig4(l)}'")
+      (btType, recSize, (0 until nrec).map(i => l + 6 + i * recSize))
+    }
+    // huge-object B-tree (indirect IDs): object id -> (addr, stored
+    // size, memory size or -1 when unfiltered)
+    lazy val hugeRecords: Map[Long, (Long, Long, Long)] = {
+      val (t, _, recs) = btreeLeaf(hugeBtree)
+      require(t == 1 || t == 2,
+        s"unsupported huge-object v2 B-tree record type $t")
+      recs.map { r =>
+        val addr = buf.getLong(r)
+        val len = buf.getLong(r + 8)
+        if (t == 1) buf.getLong(r + 16) -> ((addr, len, -1L))
+        else buf.getLong(r + 28) -> ((addr, len, buf.getLong(r + 20)))
+      }.toMap
+    }
+    def parseHuge(addr: Long, stored: Long, mem: Long): Unit = {
+      val (arr, b2, at) =
+        if (mem >= 0) {
+          val raw = GeoTiffWriter.inflateFully(
+            bytes.slice(addr.toInt, (addr + stored).toInt), mem.toInt)
+          (raw, ByteBuffer.wrap(raw).order(buf.order), 0)
+        } else (bytes, buf, addr.toInt)
+      parseLinkMessage(arr, b2, at)._1.foreach(links += _)
+    }
+    val (nameType, recSize, recs) = btreeLeaf(nameBtree)
+    require(nameType == 5, s"unexpected name-index record type $nameType")
+    require(recSize >= 4 + heapIdLen,
+      s"name-index record size $recSize below hash + heap ID")
+    var hugeSeen = 0L
+    var tinySeen = 0L
+    recs.foreach { r =>
+      val id = r + 4 // past the name hash
+      val b0 = bytes(id) & 0xFF
+      require((b0 >> 6) == 0, s"unknown heap ID version ${b0 >> 6}")
+      (b0 >> 4) & 0x3 match {
+        case 0 => () // managed: the sequential block scan covers these
+        case 2 => // tiny, normal form: message inline in the ID
+          require(heapIdLen <= 18, "extended tiny heap IDs not supported")
+          parseLinkMessage(bytes, buf, id + 1)._1.foreach(links += _)
+          tinySeen += 1
+        case 1 => // huge
+          if (hugeBtree == -1L) { // direct: address + length in the ID
+            require(heapIdLen >= (if (ioFilterLen > 0) 29 else 17),
+              s"huge direct heap ID too short ($heapIdLen)")
+            val addr = buf.getLong(id + 1)
+            val stored = buf.getLong(id + 9)
+            val mem =
+              if (ioFilterLen > 0) buf.getLong(id + 21) else -1L
+            parseHuge(addr, stored, mem)
+          } else { // indirect: object id into the huge B-tree
+            var oid = 0L
+            val n = math.min(8, heapIdLen - 1)
+            var i = 0
+            while (i < n) {
+              oid |= (bytes(id + 1 + i) & 0xFFL) << (8 * i); i += 1
+            }
+            val (addr, stored, mem) = hugeRecords.getOrElse(oid,
+              throw new IllegalArgumentException(
+                s"huge object id $oid missing from B-tree"))
+            parseHuge(addr, stored, mem)
+          }
+          hugeSeen += 1
+        case other =>
+          throw new IllegalArgumentException(s"heap ID type $other")
+      }
+    }
+    require(hugeSeen == nHuge && tinySeen == nTiny,
+      s"name index yielded $hugeSeen/$nHuge huge, $tinySeen/$nTiny tiny")
   }
 
   // ---------------------------------------------------------------

@@ -622,11 +622,13 @@ object NetCdfFixtures {
       b.putLong(hdr)
       b.array()
     }
-    /** Link-info message; heap = -1 means compact storage. */
-    def linkInfo(heap: Long = -1L): Array[Byte] = {
+    /** Link-info message; heap = -1 means compact storage. The
+      * name-index B-tree address matters only to the huge/tiny
+      * heap-object walk. */
+    def linkInfo(heap: Long = -1L, nameBtree: Long = -1L): Array[Byte] = {
       val b = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
       b.put(0.toByte); b.put(0.toByte)
-      b.putLong(heap); b.putLong(-1L) // fractal heap, name-index B-tree
+      b.putLong(heap); b.putLong(nameBtree)
       b.array()
     }
     /** v2 dataspace: version, rank, flags, type, then dims. */
@@ -956,6 +958,148 @@ object NetCdfFixtures {
         buf.putLong(frhp.toInt + 142, s0.toLong) // stored root size
         buf.putInt(frhp.toInt + 150, 0)          // root filter mask
       }
+    }
+    buf.array()
+  }
+
+  /** Superblock-v2 dense-links file whose fractal heap carries HUGE
+    * and TINY objects alongside its managed direct block: ten managed
+    * links `v00`..`v09`, one HUGE link (64-char name `w`·64, stored
+    * raw outside any heap block — past the heap's max managed object
+    * size) and, in the direct variant, one TINY link (`t`, the whole
+    * 12-byte link message inlined in its heap ID). Heap IDs live in
+    * the name-index v2 B-tree (BTHD type 5, depth 0) — the structures
+    * a sequential block scan cannot see.
+    *
+    * `indirectHuge = false`: heap ID length 18 → the huge ID carries
+    * address+length directly, huge B-tree undefined.
+    * `indirectHuge = true`: heap ID length 8 → the huge ID holds a
+    * 7-byte object id resolved through the huge-object v2 B-tree
+    * (BTHD type 1, depth 0); no tiny link (a 12-byte message cannot
+    * inline in an 8-byte ID). */
+  def hdf5V2DenseHugeTiny(indirectHuge: Boolean = false): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+    val rootHdr = 64L
+    val frhp = 160L
+    val block0 = 512L
+    val nameBt = 1088L; val nameLeaf = 1152L
+    val hugeBt = 1424L; val hugeLeaf = 1472L
+    val hugeObj = 1520L
+    val dsBase = 1792L; val dsStride = 96
+    val dataBase = 3072L
+    val heapIdLen = if (indirectHuge) 8 else 18
+    val hasTiny = !indirectHuge
+
+    V2.superblock(buf, rootHdr, eof = 8192L)
+    V2.ohdr2(buf, rootHdr, flags = 0,
+      Seq(0x0002 -> V2.linkInfo(heap = frhp, nameBtree = nameBt)))
+
+    // datasets: v00..v09 managed, #10 huge-linked, #11 tiny-linked
+    val n = if (hasTiny) 12 else 11
+    (0 until n).foreach { i =>
+      val ds = dsBase + i * dsStride
+      val data = dataBase + i * 24
+      V2.ohdr2(buf, ds, flags = 0, Seq(
+        0x0001 -> V2.dataspace(Seq(3L)),
+        0x0003 -> V2.datatype(clazz = 1, size = 8),
+        0x0008 -> V2.layoutContiguousV4(data, 24)))
+      buf.putDouble(data.toInt, i.toDouble)
+      buf.putDouble(data.toInt + 8, i + 0.5)
+      buf.putDouble(data.toInt + 16, i + 1.0)
+    }
+    val hugeName = "w" * 64
+    val hugeMsg = V2.link(hugeName, dsBase + 10 * dsStride)
+    val tinyMsg = V2.link("t", dsBase + 11 * dsStride) // 12 bytes
+
+    // fractal heap header: like hdf5V2Dense but with nonzero huge/tiny
+    // statistics and (indirect mode) a huge-object B-tree address
+    buf.position(frhp.toInt); buf.put("FRHP".getBytes)
+    buf.put(0.toByte)
+    buf.putShort(frhp.toInt + 5, heapIdLen.toShort)
+    buf.putShort(frhp.toInt + 7, 0) // unfiltered heap
+    buf.put(frhp.toInt + 9, 0.toByte)
+    buf.putInt(frhp.toInt + 10, 64) // max managed object size
+    buf.putLong(frhp.toInt + 14, 2L) // next huge id
+    buf.putLong(frhp.toInt + 22, if (indirectHuge) hugeBt else -1L)
+    buf.putLong(frhp.toInt + 30, 0L)
+    buf.putLong(frhp.toInt + 38, -1L)
+    buf.putLong(frhp.toInt + 46, 512L)
+    buf.putLong(frhp.toInt + 54, 512L)
+    buf.putLong(frhp.toInt + 62, 0L)
+    buf.putLong(frhp.toInt + 70, 10L) // managed objects
+    buf.putLong(frhp.toInt + 78, hugeMsg.length.toLong)
+    buf.putLong(frhp.toInt + 86, 1L)  // number of huge objects
+    buf.putLong(frhp.toInt + 94, if (hasTiny) tinyMsg.length.toLong else 0L)
+    buf.putLong(frhp.toInt + 102, if (hasTiny) 1L else 0L)
+    buf.putShort(frhp.toInt + 110, 4)
+    buf.putLong(frhp.toInt + 112, 512L)
+    buf.putLong(frhp.toInt + 120, 4096L)
+    buf.putShort(frhp.toInt + 128, 32)
+    buf.putShort(frhp.toInt + 130, 1)
+    buf.putLong(frhp.toInt + 132, block0)
+    buf.putShort(frhp.toInt + 140, 0) // root is a direct block
+
+    // managed direct block: v00..v09
+    buf.position(block0.toInt); buf.put("FHDB".getBytes)
+    buf.put(0.toByte); buf.putLong(frhp)
+    buf.putInt(block0.toInt + 13, 0)
+    buf.position(block0.toInt + 17)
+    (0 until 10).foreach(i =>
+      buf.put(V2.link(f"v$i%02d", dsBase + i * dsStride)))
+
+    // huge object bytes: the raw link message outside any heap block
+    buf.position(hugeObj.toInt); buf.put(hugeMsg)
+
+    // heap IDs (heapIdLen bytes): type in bits 4-5 of byte 0
+    def managedId(): Array[Byte] = new Array[Byte](heapIdLen)
+    def hugeId(): Array[Byte] = {
+      val b = ByteBuffer.allocate(heapIdLen).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x10.toByte)
+      val oid = 1L
+      if (indirectHuge) (0 until 7).foreach(i =>
+        b.put(((oid >>> (8 * i)) & 0xFF).toByte)) // object id, LE
+      else { b.putLong(hugeObj); b.putLong(hugeMsg.length.toLong) }
+      b.array()
+    }
+    def tinyId(): Array[Byte] = {
+      val b = ByteBuffer.allocate(heapIdLen)
+      b.put((0x20 | (tinyMsg.length - 1)).toByte)
+      b.put(tinyMsg)
+      b.array()
+    }
+
+    // name-index v2 B-tree (type 5): depth 0, one leaf, one record
+    // per link — 4-byte name hash (unused by the walk) + heap ID
+    val recSize = 4 + heapIdLen
+    def bthd(at: Long, typ: Int, rs: Int, root: Long, nrec: Int): Unit = {
+      val a = at.toInt
+      buf.position(a); buf.put("BTHD".getBytes)
+      buf.put(0.toByte); buf.put(typ.toByte)
+      buf.putInt(a + 6, 512)
+      buf.putShort(a + 10, rs.toShort)
+      buf.putShort(a + 12, 0) // depth
+      buf.put(a + 14, 100.toByte); buf.put(a + 15, 40.toByte)
+      buf.putLong(a + 16, root)
+      buf.putShort(a + 24, nrec.toShort)
+      buf.putLong(a + 26, nrec.toLong)
+    }
+    val nameIds = Seq.fill(10)(managedId()) ++ Seq(hugeId()) ++
+      (if (hasTiny) Seq(tinyId()) else Nil)
+    bthd(nameBt, 5, recSize, nameLeaf, nameIds.size)
+    buf.position(nameLeaf.toInt); buf.put("BTLF".getBytes)
+    buf.put(0.toByte); buf.put(5.toByte)
+    nameIds.foreach { idb =>
+      buf.putInt(0) // name hash (unused by the full listing)
+      buf.put(idb)
+    }
+
+    // huge-object v2 B-tree (type 1: addr + len + id), indirect mode
+    if (indirectHuge) {
+      bthd(hugeBt, 1, 24, hugeLeaf, 1)
+      buf.position(hugeLeaf.toInt); buf.put("BTLF".getBytes)
+      buf.put(0.toByte); buf.put(1.toByte)
+      buf.putLong(hugeObj); buf.putLong(hugeMsg.length.toLong)
+      buf.putLong(1L) // object id
     }
     buf.array()
   }

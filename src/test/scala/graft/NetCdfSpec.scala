@@ -614,6 +614,58 @@ class NetCdfSpec extends SparkSuite {
     assert(NetCdf.parse(m2).isLeft)
   }
 
+  test("hdf5 v2 dense links: huge/tiny heap objects list via the " +
+    "name-index B-tree, both huge ID modes") {
+    val direct = NetCdf.parse(NetCdfFixtures.hdf5V2DenseHugeTiny())
+      .toOption.get
+    assert(direct.vars.map(_.path).sorted ===
+      (Seq("t") ++ (0 until 10).map(i => f"v$i%02d") ++ Seq("w" * 64)))
+    val indirect = NetCdf.parse(
+      NetCdfFixtures.hdf5V2DenseHugeTiny(indirectHuge = true)).toOption.get
+    assert(indirect.vars.map(_.path).sorted ===
+      ((0 until 10).map(i => f"v$i%02d") ++ Seq("w" * 64)))
+  }
+
+  test("hdf5 v2 dense links: corrupt huge/tiny structures quarantine") {
+    def at(bytes: Array[Byte], sig: String): Int = {
+      val s = sig.getBytes
+      (0 until bytes.length - 4).find(i =>
+        bytes(i) == s(0) && bytes(i + 1) == s(1) &&
+          bytes(i + 2) == s(2) && bytes(i + 3) == s(3)).getOrElse(-1)
+    }
+    // (a) name-index B-tree signature mangled -> fail closed
+    val m1 = NetCdfFixtures.hdf5V2DenseHugeTiny()
+    val bt1 = at(m1, "BTHD")
+    assert(bt1 > 0)
+    m1(bt1) = 'X'
+    assert(NetCdf.parse(m1).isLeft)
+    // (b) name index claiming depth > 0 -> unsupported, fail closed
+    val m2 = NetCdfFixtures.hdf5V2DenseHugeTiny()
+    java.nio.ByteBuffer.wrap(m2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(at(m2, "BTHD") + 12, 1)
+    assert(NetCdf.parse(m2).isLeft)
+    // (c) huge object id missing from the huge B-tree -> fail closed
+    val m3 = NetCdfFixtures.hdf5V2DenseHugeTiny(indirectHuge = true)
+    val leafRec = at(m3, "BTLF") // name-index leaf comes first
+    assert(leafRec > 0)
+    // zero the huge heap ID's object id (record 11: hash 4 + id byte0)
+    val idAt = leafRec + 6 + 10 * 12 + 4 + 1
+    (0 until 7).foreach(i => m3(idAt + i) = 0x7F.toByte)
+    assert(NetCdf.parse(m3).isLeft)
+    // (d) tiny/huge statistics present but NO name-index address
+    val m4 = NetCdfFixtures.hdf5V2DenseHugeTiny()
+    // link-info message: heap addr then name-btree addr; stomp the
+    // btree address to undefined
+    val ohdr = at(m4, "OHDR")
+    val b4 = java.nio.ByteBuffer.wrap(m4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // locate the 8-byte little-endian value 1088 (nameBt) after OHDR
+    val pos = (ohdr until ohdr + 64)
+      .find(p => b4.getLong(p) == 1088L).get
+    b4.putLong(pos, -1L)
+    assert(NetCdf.parse(m4).isLeft)
+  }
+
   test("hdf5 v2: compact links take precedence over a defined heap; " +
     "a bogus heap with no compact links quarantines") {
     // hdf5V2's root carries compact link messages, so even a garbage
