@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * substring + md5-hex + conv + a slice/array_min per window start —
   * measured ~8 s for ~1M positions at sf0.1; this loop hashes the
   * UTF-8 byte windows directly and takes the per-window minima with a
-  * monotonic deque, O(chars) with two small allocations per row.
+  * w-slot monotonic ring deque — O(chars) time, and the only
+  * position-proportional allocation is the packed-encoding array
+  * (the output buffer is density-sized, ~2/(w+1) of positions).
   *
   * Character (code point) semantics match Spark `substring` / DuckDB
   * `substr`: an ASCII fast path indexes bytes directly; otherwise a
@@ -82,36 +84,39 @@ object SpanCore extends Serializable {
       enc(p) = h32 * PosCap + (PosCap - 1 - p)
       p += 1
     }
-    // sliding-window minima (monotonic deque); window ends e cover
-    // [max(0, e-w+1), e] for e in [min(w, nPos)-1, nPos): all full
-    // windows, or the single truncated window when nPos < w. Argmins
-    // are non-decreasing (all enc distinct), so consecutive dedup
-    // yields the distinct selected positions in increasing order.
-    val dq = new Array[Int](nPos)
-    var head = 0
-    var tail = 0
-    val out = new Array[Any](nPos)
-    var nOut = 0
+    // sliding-window minima (monotonic RING deque of at most w live
+    // entries — sizing it nPos would allocate megabytes per long
+    // doc); window ends e cover [max(0, e-w+1), e] for e in
+    // [min(w, nPos)-1, nPos): all full windows, or the single
+    // truncated window when nPos < w. Argmins are non-decreasing
+    // (all enc distinct), so consecutive dedup yields the distinct
+    // selected positions in increasing order; expected output size
+    // is 2·nPos/(w+1), so it grows in a buffer, not an nPos array.
+    val cap = math.min(w, nPos) + 1
+    val dq = new Array[Int](cap)
+    var head = 0 // ring index of the front
+    var size = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Any](
+      2 * nPos / (w + 1) + 2)
     var lastSel = -1
     val firstEnd = math.min(w, nPos) - 1
     var e = 0
     while (e < nPos) {
-      while (tail > head && enc(dq(tail - 1)) >= enc(e)) tail -= 1
-      dq(tail) = e
-      tail += 1
-      if (dq(head) < e - w + 1) head += 1
+      while (size > 0 && enc(dq((head + size - 1) % cap)) >= enc(e))
+        size -= 1
+      dq((head + size) % cap) = e
+      size += 1
+      if (dq(head) < e - w + 1) { head = (head + 1) % cap; size -= 1 }
       if (e >= firstEnd) {
         val m = dq(head)
         if (m != lastSel) {
-          out(nOut) = m + 1 // 1-based
-          nOut += 1
+          out += (m + 1) // 1-based
           lastSel = m
         }
       }
       e += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(
-      out.asInstanceOf[Array[AnyRef]], nOut).asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray)
   }
 }
 

@@ -42,28 +42,36 @@ object Dedup {
     // BroadcastExchange yet and executing it throws
     // "doExecuteBroadcast not implemented" (`toRdd` is no better: it
     // goes adaptive and EXECUTES upstream stages just to be asked for
-    // partition counts). Instead: any node demanding a clustered/
-    // ordered distribution means a shuffle will run, whose width is
-    // spark.sql.shuffle.partitions; otherwise narrow ops preserve the
-    // leaf scan width, and leaf execute() is safe (builds the file/
-    // local RDD, no job).
+    // partition counts). Instead, take the ROOT-MOST width-setting
+    // node (pre-order collectFirst): an explicit coalesce/repartition
+    // fixes the width outright; an AllTuples requirement collapses to
+    // one partition; a clustered/ordered requirement gets an exchange
+    // at spark.sql.shuffle.partitions. With none of those, narrow ops
+    // preserve the leaf scan width (leaf execute() is safe — it
+    // builds the file/local RDD, no job). Approximation accepted: a
+    // clustered-requiring node whose child already satisfies the
+    // distribution (e.g. aggregate over coalesce(1)) estimates wide —
+    // widening is a perf guard, not a correctness gate.
     import org.apache.spark.sql.catalyst.plans.physical.{
-      BroadcastDistribution, UnspecifiedDistribution}
+      AllTuples, BroadcastDistribution, UnspecifiedDistribution}
+    import org.apache.spark.sql.execution.CoalesceExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val plan = df.queryExecution.sparkPlan
-    val shuffled = plan.exists {
-      case _: ShuffleExchangeLike => true
-      case p => p.requiredChildDistribution.exists {
-        case UnspecifiedDistribution => false
+    def demandsShuffle(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.requiredChildDistribution.exists {
+        case UnspecifiedDistribution | AllTuples => false
         case _: BroadcastDistribution => false
         case _ => true
       }
-    }
-    val width =
-      if (shuffled) spark.sessionState.conf.numShufflePartitions
-      else plan.collectLeaves()
-        .map(_.execute().getNumPartitions)
-        .maxOption.getOrElse(par)
+    val width = plan.collectFirst {
+      case c: CoalesceExec => c.numPartitions
+      case s: ShuffleExchangeLike => s.numPartitions
+      case p if p.requiredChildDistribution.contains(AllTuples) => 1
+      case p if demandsShuffle(p) =>
+        spark.sessionState.conf.numShufflePartitions
+    }.getOrElse(plan.collectLeaves()
+      .map(_.execute().getNumPartitions)
+      .maxOption.getOrElse(par))
     if (width >= par) df else df.repartition(par, key)
   }
 

@@ -90,14 +90,17 @@ object MediaMetadata {
     else Some((frameBytes, samples, rate, channels, kbps))
   }
 
-  /** Header-walk MP3 metadata: skips a leading ID3v2 tag, requires at
-    * least 2 CONSECUTIVE valid frames (a lone sync word appears in
-    * random bytes ~1/2^11 per offset — two chained frames make a
-    * false positive negligible), walks header to header summing exact
+  /** Header-walk MP3 metadata: skips a leading ID3v2 tag (and any
+    * padding / v2.4 footer after it — the first CHAINED frame header
+    * is searched within 64 KiB of the tag end), requires at least 2
+    * CONSECUTIVE valid frames (a lone sync word appears in random
+    * bytes ~1/2^11 per offset — two chained frames make a false
+    * positive negligible), walks header to header summing exact
     * per-frame durations (so VBR is exact), and tolerates a trailing
     * 128-byte ID3v1 tag. A malformed stream (fewer than 2 frames)
-    * returns None. */
-  def mp3Metadata(bytes: Array[Byte]): Option[AvMetadata] = {
+    * returns None; so does any out-of-bounds structure (the whole
+    * parse fails closed — a corrupt file must never fail the task). */
+  def mp3Metadata(bytes: Array[Byte]): Option[AvMetadata] = try {
     var off = 0
     // ID3v2: "ID3" + ver(2) + flags(1) + syncsafe size(4)
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
@@ -107,6 +110,22 @@ object MediaMetadata {
       off = 10 + size
     }
     if (off >= bytes.length) return None
+    // scan forward (bounded) for the first frame header that CHAINS —
+    // real files pad between tag and audio; an ID3v2.4 footer is just
+    // more non-frame bytes to the scan
+    val scanEnd = math.min(bytes.length, off + 65536)
+    var found = -1
+    var s = off
+    while (found < 0 && s < scanEnd) {
+      mp3FrameHeader(bytes, s) match {
+        case Some((fb, _, _, _, _))
+          if s + fb >= bytes.length || mp3FrameHeader(bytes, s + fb).isDefined =>
+          found = s
+        case _ => s += 1
+      }
+    }
+    if (found < 0) return None
+    off = found
     var frames = 0L
     var durationUs = 0.0
     var rate = 0
@@ -129,7 +148,7 @@ object MediaMetadata {
     else Some(AvMetadata("mp3", "mp3", rate, channels, 0, 0,
       math.round(durationUs / 1000.0), frames,
       (kbpsSum / frames).toInt))
-  }
+  } catch { case _: Exception => None } // malformed → quarantine
 
   // ---------------------------------------------------------------
   // MP4: ISO BMFF box walk
@@ -146,13 +165,14 @@ object MediaMetadata {
     new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
 
   /** Box iterator over [start, end): (type, payloadStart, payloadEnd).
-    * Fails closed (empty → caller quarantines) on a size that runs
-    * past the range or is smaller than the header. */
+    * A size that runs past the range or is smaller than the header
+    * THROWS — at any nesting level — and the top-level try in
+    * [[mp4Metadata]] turns it into None (quarantine): a malformed box
+    * must fail the whole parse closed, never yield a partial row. */
   private def boxes(b: Array[Byte], start: Int, end: Int)
   : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
     private var off = start
-    private var broken = false
-    def hasNext: Boolean = !broken && off + 8 <= end
+    def hasNext: Boolean = off + 8 <= end
     def next(): (String, Int, Int) = {
       val size0 = u32(b, off)
       val typ = fourcc(b, off + 4)
@@ -160,14 +180,11 @@ object MediaMetadata {
         if (size0 == 1 && off + 16 <= end) (u64(b, off + 8), 16)
         else if (size0 == 0) ((end - off).toLong, 8)
         else (size0, 8)
-      if (size < hdr || off + size > end) {
-        broken = true
-        ("", off + hdr, off + hdr) // malformed: signal via empty type
-      } else {
-        val r = (typ, off + hdr, off + size.toInt)
-        off += size.toInt
-        r
-      }
+      require(size >= hdr && off + size <= end,
+        s"box '$typ' size $size escapes [$start, $end)")
+      val r = (typ, off + hdr, off + size.toInt)
+      off += size.toInt
+      r
     }
   }
 
@@ -179,15 +196,17 @@ object MediaMetadata {
     * signature) and a `moov/mvhd` for duration; per-trak `hdlr` +
     * `stbl/stsd` provide the codec fourcc, video width/height and
     * audio channels/sample-rate. Any box whose declared size escapes
-    * its parent fails the whole parse closed. */
-  def mp4Metadata(bytes: Array[Byte]): Option[AvMetadata] = {
+    * its parent — at any depth — or any field read past a box's
+    * payload fails the WHOLE parse closed (None → quarantine). */
+  def mp4Metadata(bytes: Array[Byte]): Option[AvMetadata] = try {
     val top = boxes(bytes, 0, bytes.length).toSeq
-    if (top.exists(_._1.isEmpty)) return None // malformed size
     if (!top.headOption.exists(_._1 == "ftyp")) return None
     val moov = top.collectFirst { case ("moov", s, e) => (s, e) }
       .getOrElse(return None)
     val mvhd = findBox(bytes, moov._1, moov._2, "mvhd").getOrElse(return None)
+    require(mvhd._2 - mvhd._1 >= 20, "mvhd payload too short")
     val ver = bytes(mvhd._1) & 0xFF
+    if (ver == 1) require(mvhd._2 - mvhd._1 >= 32, "mvhd v1 too short")
     val (timescale, duration) =
       if (ver == 1) (u32(bytes, mvhd._1 + 20), u64(bytes, mvhd._1 + 24))
       else (u32(bytes, mvhd._1 + 12), u32(bytes, mvhd._1 + 16))
@@ -198,13 +217,14 @@ object MediaMetadata {
     for (("trak", ts, te) <- boxes(bytes, moov._1, moov._2)) {
       for {
         (ms, me) <- findBox(bytes, ts, te, "mdia")
-        (hs, _) <- findBox(bytes, ms, me, "hdlr")
+        (hs, he) <- findBox(bytes, ms, me, "hdlr")
+        _ = require(he - hs >= 12, "hdlr payload too short")
         handler = fourcc(bytes, hs + 8)
         (ns, ne) <- findBox(bytes, ms, me, "minf")
         (ss, se) <- findBox(bytes, ns, ne, "stbl")
         (ds, de) <- findBox(bytes, ss, se, "stsd")
         // stsd: version/flags(4) + entry_count(4), then sample entries
-        (cc, es, _) <- boxes(bytes, ds + 8, de).find(_._1.nonEmpty)
+        (cc, es, _) <- boxes(bytes, ds + 8, de).nextOption()
       } {
         codecs ::= cc
         // sample entry: 6 reserved + 2 data_reference_index = 8 bytes
@@ -224,7 +244,7 @@ object MediaMetadata {
     Some(AvMetadata("mp4", codecs.reverse.distinct.mkString(","),
       rate, channels, width, height, durMs, 0,
       if (durMs > 0) (bytes.length * 8 / durMs).toInt else 0))
-  }
+  } catch { case _: Exception => None } // malformed → quarantine
 
   /** Metadata rows for a binaryFile frame of compressed A/V: one row
     * per file with `status` = "metadata" (headers parsed) or
@@ -236,8 +256,7 @@ object MediaMetadata {
     media.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (path, bytes) =>
-        val ext = path.split('.').lastOption.getOrElse("").toLowerCase
-        val mt = Multimodal.mediaTypes.getOrElse(ext, "application/octet-stream")
+        val mt = Multimodal.mediaTypeOf(path)
         val meta = mt match {
           case "audio/mpeg" => mp3Metadata(bytes)
           case "video/mp4" => mp4Metadata(bytes)

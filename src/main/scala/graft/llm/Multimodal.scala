@@ -67,6 +67,11 @@ object Multimodal {
     "tif" -> "image/tiff", "wav" -> "audio/wav", "mp3" -> "audio/mpeg",
     "mp4" -> "video/mp4")
 
+  /** The one extension→media-type rule every consumer shares. */
+  def mediaTypeOf(path: String): String = mediaTypes.getOrElse(
+    path.split('.').lastOption.getOrElse("").toLowerCase,
+    "application/octet-stream")
+
   /** Real image decode via the JDK's javax.imageio (PNG/JPEG/BMP/GIF).
     * None for undecodable bytes — callers fall back to [[decodeStub]]
     * so a corrupt file degrades, never crashes the partition. */
@@ -230,8 +235,7 @@ object Multimodal {
       .mapPartitions { files =>
         // per-partition init happens here (native decoder handles etc.)
         files.map { case (path, _, bytes) =>
-          val ext = path.split('.').lastOption.getOrElse("").toLowerCase
-          val mt = mediaTypes.getOrElse(ext, "application/octet-stream")
+          val mt = mediaTypeOf(path)
           val image =
             if (mt.startsWith("image/")) decodeImage(bytes) else None
           val audio =

@@ -115,6 +115,45 @@ class MediaMetadataSpec extends SparkSuite {
     assert(m.channels === 2 && m.sampleRate === 44100)
   }
 
+  test("mp3: tag padding and an ID3v2.4 footer are skipped, not " +
+    "quarantined") {
+    val frames = Array.fill(3)(mp3Frame(3, 9, 0, mono = false)).flatten
+    // padding zeros between tag end and first frame
+    val padded = id3v2(16) ++ new Array[Byte](37) ++ frames
+    assert(MediaMetadata.mp3Metadata(padded).exists(_.nFrames == 3L))
+    // v2.4 footer: flag bit 4 set, 10 footer bytes after the tag body
+    val hdr = Array[Byte]('I', 'D', '3', 4, 0, 0x10.toByte, 0, 0, 0, 16)
+    val footer = "3DI".getBytes ++ new Array[Byte](7)
+    val withFooter = hdr ++ new Array[Byte](16) ++ footer ++ frames
+    assert(MediaMetadata.mp3Metadata(withFooter).exists(_.nFrames == 3L))
+  }
+
+  test("mp4: truncated inner boxes fail closed, never a partial row " +
+    "or a crash") {
+    // mvhd with an EMPTY payload (size 8): bounds check, not AIOOBE
+    val emptyMvhd = box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+      box("moov", u32b(8) ++ "mvhd".getBytes)
+    assert(MediaMetadata.mp4Metadata(emptyMvhd).isEmpty)
+    // a second trak whose size escapes moov: the WHOLE parse fails
+    // closed instead of returning the first trak's partial metadata
+    val goodTrak = trak("vide", videoEntry(640, 360))
+    val badTrak = {
+      val t = trak("soun", audioEntry(2, 44100))
+      val b = u32b(t.length + 400L) ++ t.drop(4) // size escapes parent
+      b
+    }
+    val partial = box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+      box("moov", mvhd(1000, 5000) ++ goodTrak ++ badTrak)
+    assert(MediaMetadata.mp4Metadata(partial).isEmpty)
+    // hdlr too short for its handler fourcc
+    val shortHdlr = box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+      box("moov", mvhd(1000, 5000) ++
+        box("trak", box("mdia", box("hdlr", new Array[Byte](8)) ++
+          box("minf", box("stbl",
+            box("stsd", new Array[Byte](8) ++ videoEntry(1, 1)))))))
+    assert(MediaMetadata.mp4Metadata(shortHdlr).isEmpty)
+  }
+
   test("mp4: mangled boxes fail closed") {
     val good = mp4(trak("vide", videoEntry(640, 360)))
     // no ftyp first

@@ -76,15 +76,8 @@ class SpanRemovalSpec extends SparkSuite {
     got
   }
 
-  // deterministic APERIODIC letter soup (LCG) — a linear `(i*7+s)%26`
-  // pattern repeats with period 26, planting real 64-char self-repeats
-  private def letters(len: Int, seed: Int): String = {
-    var x = seed * 2654435761L + 1
-    (0 until len).map { _ =>
-      x = x * 6364136223846793005L + 1442695040888963407L
-      ('a' + ((x >>> 33) % 26)).toChar
-    }.mkString
-  }
+  private def letters(len: Int, seed: Int): String =
+    TestText.letters(len, seed)
 
   // shared block longer than Span + W - 1 = 94: detection guaranteed
   private val Block = letters(110, 3)

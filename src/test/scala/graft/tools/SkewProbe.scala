@@ -28,15 +28,8 @@ object SkewProbe {
   val Copies = 30
   val OutDir = "/tmp/graft_skew"
 
-  // deterministic aperiodic 120-char boilerplate (LCG letters)
-  private def letters(len: Int, seed: Int): String = {
-    var x = seed * 2654435761L + 1
-    (0 until len).map { _ =>
-      x = x * 6364136223846793005L + 1442695040888963407L
-      ('a' + ((x >>> 33) % 26)).toChar
-    }.mkString
-  }
-  val Boiler: String = letters(120, 77)
+  // deterministic aperiodic 120-char boilerplate
+  val Boiler: String = graft.TestText.letters(120, 77)
 
   private val ProbeQueries = Seq(
     "q_repeated_spans", "q_span_removal", "q_crossdoc_spans",
