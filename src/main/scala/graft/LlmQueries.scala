@@ -386,6 +386,21 @@ object LlmQueries {
       spanChars = 64, winnowW = 31)
       .orderBy("doc_id")
 
+  /** INCREMENTAL span removal (crawl-snapshot shape): a span catalog
+    * built from the doc_id %% 7 == 0 "corpus" slice excises every
+    * matching sampled window from the remaining "batch" docs — no
+    * keeper, the corpus holds the canonical copy, and the corpus is
+    * never re-read at match time. */
+  def spanRemovalIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val catalog = Dedup.spanCatalog(
+      d.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text")
+    Dedup.removeCatalogSpans(
+      d.filter(pmod(col("doc_id"), lit(7)) =!= 0), "doc_id", "text",
+      catalog)
+      .orderBy("doc_id")
+  }
+
   /** The full Gopher rule battery as exact integer counts + the keep
     * verdict. The fixtures' repetitive synthetic text exercises the
     * word-count / mean-word-length / stopword / top- and dup-n-gram

@@ -112,6 +112,7 @@ object SparkEntry {
     "q_contamination"        -> (LlmQueries.contamination _),
     "q_repeated_spans"       -> (LlmQueries.repeatedSpanStats _),
     "q_span_removal"         -> (LlmQueries.spanRemoval _),
+    "q_span_removal_inc"     -> (LlmQueries.spanRemovalIncremental _),
     "q_gopher_flags"         -> (LlmQueries.gopherFlags _),
     "q_c4_clean"             -> (LlmQueries.c4Clean _),
     // chunking / packing / tf-idf (training-data prep)
@@ -842,6 +843,35 @@ object SparkEntry {
         |    AS removed_chars
         |FROM n LEFT JOIN a ON n.doc_id = a.doc_id
         |ORDER BY n.doc_id""".stripMargin),
+    "q_span_removal_inc" ->
+      ("WITH " +
+        spanWinCtes("(SELECT * FROM documents WHERE doc_id % 7 = 0)",
+          "c") + ",\n" +
+        spanWinCtes("(SELECT * FROM documents WHERE doc_id % 7 <> 0)",
+          "b") + """,
+        |s AS (
+        |  SELECT doc_id, pos FROM wsb
+        |  WHERE span IN (SELECT span FROM wsc)),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CAST(coalesce(max(pos + 64) OVER (PARTITION BY doc_id
+        |      ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1)
+        |      AS INT) AS cur
+        |  FROM s),
+        |a AS (
+        |  SELECT m.doc_id,
+        |    string_agg(substr(nb.norm, cur, greatest(0, pos - cur)),
+        |      '' ORDER BY pos)
+        |      || substr(nb.norm, CAST(max(greatest(cur, pos + 64)) AS INT))
+        |      AS clean
+        |  FROM m JOIN nb ON m.doc_id = nb.doc_id
+        |  GROUP BY m.doc_id, nb.norm)
+        |SELECT nb.doc_id, coalesce(a.clean, nb.norm) AS clean_text,
+        |  CAST(len(nb.norm) - len(coalesce(a.clean, nb.norm)) AS BIGINT)
+        |    AS removed_chars
+        |FROM nb LEFT JOIN a ON nb.doc_id = a.doc_id
+        |ORDER BY nb.doc_id""".stripMargin),
     "q_gopher_flags" ->
       """WITH base AS (
         |  SELECT doc_id, lower(trim(text)) AS lt,
@@ -2656,39 +2686,46 @@ object SparkEntry {
   private lazy val winnowFpSql: String =
     "WITH " + winnowCtes("documents", "")
 
-  /** Shared CTE chain replaying [[graft.llm.Dedup.sampledSpanWindows]]
-    * (spanChars=64, winnowW=31) in DuckDB: winnowing selection over
-    * the md5-prefix hashes of every 64-char window of the normalized
-    * text (packed `hash * 2^20 + rightmost-pos` exactly as the Spark
-    * side), emitting `n(doc_id, norm)` and `ws(doc_id, pos, span)` —
-    * one row per SELECTED window. */
-  private lazy val spanWindowCtes: String =
-    """WITH n AS (
+  /** CTE chain replaying [[graft.llm.Dedup.sampledSpanWindows]]
+    * (spanChars=64, winnowW=31) over table/CTE/subquery `src` in
+    * DuckDB: winnowing selection over the md5-prefix hashes of every
+    * 64-char window of the normalized text (packed
+    * `hash * 2^20 + rightmost-pos` exactly as the Spark side),
+    * emitting `n$sfx(doc_id, norm)` and `ws$sfx(doc_id, pos, span)` —
+    * one row per SELECTED window. Suffixed so the incremental oracle
+    * can instantiate it for corpus AND batch in one statement. */
+  private def spanWinCtes(src: String, sfx: String): String =
+    s"""n$sfx AS (
       |  SELECT doc_id,
-      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
-      |  FROM documents),
-      |sd AS (
+      |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      |  FROM $src),
+      |sd$sfx AS (
       |  SELECT doc_id, norm,
       |    unnest(generate_series(1, least(len(norm) - 63, 1048576))) AS p
-      |  FROM n WHERE len(norm) >= 64),
-      |se AS (
+      |  FROM n$sfx WHERE len(norm) >= 64),
+      |se$sfx AS (
       |  SELECT doc_id, p,
       |    ('0x' || substr(md5(substr(norm, CAST(p AS INT), 64)), 1, 8))
       |      ::BIGINT * 1048576 + (1048575 - (p - 1)) AS enc,
       |    count(*) OVER (PARTITION BY doc_id) AS m
-      |  FROM sd),
-      |ss AS (
+      |  FROM sd$sfx),
+      |ss$sfx AS (
       |  SELECT doc_id, p, m,
       |    min(enc) OVER (PARTITION BY doc_id ORDER BY p
       |                   ROWS BETWEEN CURRENT ROW AND 30 FOLLOWING) AS sel
-      |  FROM se),
-      |sw AS (
+      |  FROM se$sfx),
+      |sw$sfx AS (
       |  SELECT DISTINCT doc_id,
       |    CAST(1048576 - (sel % 1048576) AS INT) AS pos
-      |  FROM ss WHERE p - 1 <= greatest(m - 31, 0)),
-      |ws AS (
-      |  SELECT sw.doc_id, pos, substr(norm, pos, 64) AS span
-      |  FROM sw JOIN n USING (doc_id))""".stripMargin
+      |  FROM ss$sfx WHERE p - 1 <= greatest(m - 31, 0)),
+      |ws$sfx AS (
+      |  SELECT sw$sfx.doc_id, pos, substr(norm, pos, 64) AS span
+      |  FROM sw$sfx JOIN n$sfx USING (doc_id))""".stripMargin
+
+  private lazy val spanWindowCtes: String = {
+    // unsuffixed names (n, ws, …) for the single-corpus oracles
+    "WITH " + spanWinCtes("documents", "")
+  }
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,
     * dim=64, multiprobe Hamming-1, k=1): bucket sign tests are emitted

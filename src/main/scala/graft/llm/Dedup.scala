@@ -910,6 +910,15 @@ object Dedup {
         col("pos") === col("__keep.pos")))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("pos"))).as("__cuts"))
+    applyCuts(norm, cuts, spanChars)
+  }
+
+  /** Shared running-cursor surgery: excise [pos, pos+spanChars-1] for
+    * every cut position (sorted, overlaps merged by the cursor fold),
+    * returning (doc_id, clean_text, removed_chars) for EVERY norm row
+    * (docs without cuts pass through, null text stays null). */
+  private def applyCuts(norm: DataFrame, cuts: DataFrame,
+                        spanChars: Int): DataFrame = {
     val span = lit(spanChars)
     val cleaned = aggregate(col("__cuts"),
       struct(lit(1).as("cursor"), lit("").as("out")),
@@ -930,6 +939,47 @@ object Dedup {
       .select(col("doc_id"), col("clean_text"),
         (col("__orig_len") - length(col("clean_text")))
           .cast("long").as("removed_chars"))
+  }
+
+  /** Persistable repeated-span catalog: the corpus's distinct sampled
+    * span keys with their site counts — write once per corpus
+    * version, then excise matching spans from every incoming batch
+    * with [[removeCatalogSpans]] without ever re-scanning the corpus
+    * (the incremental twin of [[removeRepeatedSpans]], mirroring
+    * [[Winnow.fingerprintCatalog]] / [[signatureCatalog]]'s shape). One
+    * map-side-combinable aggregation; callers can drop keys above a
+    * site cap at write time (boilerplate → filtering). */
+  def spanCatalog(docs: DataFrame, idCol: String, textCol: String,
+                  spanChars: Int = 64, winnowW: Int = 31): DataFrame =
+    sampledSpanWindows(docs, idCol, textCol, spanChars, winnowW)
+      .groupBy("span_key")
+      .agg(count(lit(1)).cast("bigint").as("n_sites"))
+
+  /** Incremental ExactSubstr removal: cut every sampled window of
+    * `batch` whose exact content already exists in `catalog` (a
+    * [[spanCatalog]] built with the SAME spanChars/winnowW — the
+    * content-defined sampling guarantees batch and corpus select
+    * identical positions inside shared regions, so matching needs no
+    * alignment). No keeper site: the corpus already holds the
+    * canonical copy, so every match is cut. Within-batch repeats are
+    * [[removeRepeatedSpans]]'s job — compose both for a full
+    * crawl-snapshot dedup.
+    *
+    * Scale shape: the batch samples in-row, LEFT SEMI joins the
+    * 128-bit keys (catalog side is df-bounded and often broadcast),
+    * and cut sites shuffle once keyed by doc — the corpus is never
+    * read. Returns (doc_id, clean_text, removed_chars) for every
+    * batch doc. */
+  def removeCatalogSpans(batch: DataFrame, idCol: String, textCol: String,
+                         catalog: DataFrame, spanChars: Int = 64,
+                         winnowW: Int = 31): DataFrame = {
+    val norm = batch.select(col(idCol).as("doc_id"),
+      Text.normalize(col(textCol)).as("__norm"))
+    val cuts = sampledSpanWindows(batch, idCol, textCol, spanChars, winnowW)
+      .join(catalog.select("span_key"), Seq("span_key"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__cuts"))
+    applyCuts(norm, cuts, spanChars)
   }
 
   /** Quality-aware cluster keeper: given docs carrying a cluster

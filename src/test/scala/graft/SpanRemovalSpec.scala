@@ -197,6 +197,31 @@ class SpanRemovalSpec extends SparkSuite {
     }
   }
 
+  test("catalog spans: batch text matching the corpus is cut at any " +
+    "alignment; batch-only repeats survive") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(100 -> (Block + letters(40, 91))).toDF("doc_id", "text")
+    val batchBlock = letters(110, 55) // repeats ONLY within the batch
+    val batch = Seq(
+      1 -> (letters(7, 31) + Block + letters(40, 32)), // shifted corpus hit
+      2 -> (batchBlock + letters(40, 33)),
+      3 -> (batchBlock + letters(40, 34)),
+      4 -> letters(150, 35)) // untouched
+      .toDF("doc_id", "text")
+    val catalog = Dedup.spanCatalog(corpus, "doc_id", "text", Span, W)
+    val got = Dedup.removeCatalogSpans(batch, "doc_id", "text",
+      catalog, Span, W)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got(1) >= Span.toLong) // corpus span excised, offset 7
+    assert(got(2) === 0L && got(3) === 0L) // within-batch: not this op
+    assert(got(4) === 0L)
+    // composing with removeRepeatedSpans handles the within-batch pair
+    val within = Dedup.removeRepeatedSpans(batch, "doc_id", "text", Span, W)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(within(3) >= Span.toLong)
+    assert(catalog.filter(col("n_sites") < 1).count() === 0)
+  }
+
   test("three-way repeat: one keeper, two removals") {
     val docs = Seq(3 -> (Block + letters(40, 2)), 1 -> (Block + letters(40, 4)),
       2 -> (Block + letters(40, 6)))
