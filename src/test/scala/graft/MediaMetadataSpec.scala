@@ -167,6 +167,27 @@ class MediaMetadataSpec extends SparkSuite {
     assert(MediaMetadata.mp4Metadata("??".getBytes).isEmpty)
   }
 
+  test("fuzz: every truncation and seeded bit flips return Option, " +
+    "never throw") {
+    val goodMp3 = id3v2(10) ++
+      Array.fill(4)(mp3Frame(3, 9, 0, mono = false)).flatten
+    val goodMp4 = mp4(trak("vide", videoEntry(640, 360)),
+      trak("soun", audioEntry(2, 44100)))
+    (0 to goodMp3.length).foreach(n =>
+      MediaMetadata.mp3Metadata(goodMp3.take(n))) // must not throw
+    (0 to goodMp4.length).foreach(n =>
+      MediaMetadata.mp4Metadata(goodMp4.take(n)))
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val a = goodMp3.clone()
+      a(rnd.nextInt(a.length)) = rnd.nextInt().toByte
+      MediaMetadata.mp3Metadata(a)
+      val v = goodMp4.clone()
+      v(rnd.nextInt(v.length)) = rnd.nextInt().toByte
+      MediaMetadata.mp4Metadata(v)
+    }
+  }
+
   test("avMetadata: binaryFile frame routes metadata vs quarantine") {
     val dir = java.nio.file.Files.createTempDirectory("avmeta")
     java.nio.file.Files.write(dir.resolve("song.mp3"),

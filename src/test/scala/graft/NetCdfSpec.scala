@@ -666,6 +666,20 @@ class NetCdfSpec extends SparkSuite {
     assert(NetCdf.parse(m4).isLeft)
   }
 
+  test("hdf5 huge/tiny fixtures: truncations and bit flips return " +
+    "Either, never throw") {
+    for (indirect <- Seq(false, true)) {
+      val good = NetCdfFixtures.hdf5V2DenseHugeTiny(indirectHuge = indirect)
+      (0 until good.length by 37).foreach(n => NetCdf.parse(good.take(n)))
+      val rnd = new scala.util.Random(11)
+      (1 to 200).foreach { _ =>
+        val b = good.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt().toByte
+        NetCdf.parse(b) // Left or Right, never an escaped exception
+      }
+    }
+  }
+
   test("hdf5 v2: compact links take precedence over a defined heap; " +
     "a bogus heap with no compact links quarantines") {
     // hdf5V2's root carries compact link messages, so even a garbage
