@@ -52,26 +52,39 @@ object Dedup {
     // clustered-requiring node whose child already satisfies the
     // distribution (e.g. aggregate over coalesce(1)) estimates wide —
     // widening is a perf guard, not a correctness gate.
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.catalyst.plans.physical.{
       AllTuples, BroadcastDistribution, UnspecifiedDistribution}
-    import org.apache.spark.sql.execution.CoalesceExec
+    import org.apache.spark.sql.execution.{CoalesceExec, SparkPlan, UnionExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val plan = df.queryExecution.sparkPlan
-    def demandsShuffle(p: org.apache.spark.sql.execution.SparkPlan) =
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    def demandsShuffle(p: SparkPlan) =
       p.requiredChildDistribution.exists {
         case UnspecifiedDistribution | AllTuples => false
         case _: BroadcastDistribution => false
         case _ => true
       }
-    val width = plan.collectFirst {
+    // output width of the node, following only the width-determining
+    // spine (a broadcast join's BUILD side never sets the width — the
+    // naive whole-tree collectFirst would find a coalesced dim there
+    // and trigger a pointless full-corpus reshuffle)
+    def widthOf(p: SparkPlan): Int = p match {
       case c: CoalesceExec => c.numPartitions
       case s: ShuffleExchangeLike => s.numPartitions
-      case p if p.requiredChildDistribution.contains(AllTuples) => 1
-      case p if demandsShuffle(p) =>
+      case _ if p.requiredChildDistribution.contains(AllTuples) => 1
+      case _ if demandsShuffle(p) =>
         spark.sessionState.conf.numShufflePartitions
-    }.getOrElse(plan.collectLeaves()
-      .map(_.execute().getNumPartitions)
-      .maxOption.getOrElse(par))
+      case j: BroadcastHashJoinExec =>
+        widthOf(if (j.buildSide == BuildLeft) j.right else j.left)
+      case j: BroadcastNestedLoopJoinExec =>
+        widthOf(if (j.buildSide == BuildLeft) j.right else j.left)
+      case u: UnionExec => u.children.map(widthOf).sum
+      case leaf if leaf.children.isEmpty =>
+        leaf.execute().getNumPartitions // lazy: builds the RDD, no job
+      case other => other.children.map(widthOf).max
+    }
+    val width = widthOf(df.queryExecution.sparkPlan)
     if (width >= par) df else df.repartition(par, key)
   }
 

@@ -391,6 +391,28 @@ class LlmSpec extends SparkSuite {
         math.max(1.0 / th, 1.0 / tw) * 2 + 1e-9)
     }
   }
+  test("spread width estimate: narrow inputs widen, broadcast build " +
+    "sides and pre-shuffled inputs don't trigger a reshuffle") {
+    import org.apache.spark.sql.functions.broadcast
+    val par = spark.sparkContext.defaultParallelism
+    val base = spark.range(1000).toDF("id")
+    // coalesce(1): must widen (the expensive-projection guard)
+    val narrow = base.coalesce(1)
+    val widened = Dedup.spread(narrow, col("id"))
+    assert(widened.rdd.getNumPartitions === par)
+    // already repartitioned to session width: untouched (eq)
+    val wide = base.repartition(par, col("id"))
+    assert(Dedup.spread(wide, col("id")) eq wide)
+    // broadcast join with a coalesced(1) DIM: the build side must not
+    // fool the estimate into reshuffling the wide streamed side
+    val dim = spark.range(10).toDF("id").coalesce(1)
+    val joined = wide.join(broadcast(dim), "id")
+    assert(Dedup.spread(joined, col("id")) eq joined)
+    // plans with a clustered-distribution shuffle ahead: untouched
+    val agged = base.groupBy("id").count()
+    assert(Dedup.spread(agged, col("id")) eq agged)
+  }
+
   test("keepBestPerCluster: longest wins, id breaks ties, singletons stay") {
     import spark.implicits._
     val docs = Seq(
