@@ -32,10 +32,10 @@ object SkewProbe {
   val Boiler: String = graft.TestText.letters(120, 77)
 
   private val ProbeQueries = Seq(
-    "q_repeated_spans", "q_span_removal", "q_crossdoc_spans",
-    "q_ccnet_buckets", "q_cap_per_source", "q_curate_pipeline",
-    "q_dedup_keep", "q_dedup_best", "q_clean_corpus",
-    "q_dedup_exact_stats")
+    "q_repeated_spans", "q_span_removal", "q_span_removal_inc",
+    "q_crossdoc_spans", "q_ccnet_buckets", "q_cap_per_source",
+    "q_curate_pipeline", "q_dedup_keep", "q_dedup_best",
+    "q_clean_corpus", "q_dedup_exact_stats")
 
   def gen(spark: SparkSession, src: String): Unit = {
     import spark.implicits._
