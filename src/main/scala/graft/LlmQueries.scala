@@ -401,6 +401,61 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic synthetic URL per doc (both engines derive the
+    * SAME string from source + doc_id arithmetic, so the oracle
+    * replays it): mixed-case scheme/host, rotating TLD incl.
+    * multi-part suffixes, a default port on every third doc, tracking
+    * params and a fragment — every canonicalization rule fires. */
+  private def syntheticUrl: Column = concat(
+    when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://WWW."))
+      .otherwise(lit("http://Blog.")),
+    col("source"), lit("-news."),
+    element_at(typedlit(Seq("com", "co.uk", "org", "com.au", "de")),
+      (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit(":443")).otherwise(lit("")),
+    lit("/articles/"), col("doc_id").cast("string"),
+    lit("?utm_source=rss&ref=home&utm_campaign=x&page="),
+    pmod(col("doc_id"), lit(7)).cast("string"), lit("#sec"))
+
+  /** URL canonicalization + registrable-domain extraction over the
+    * derived URLs ([[graft.llm.Domains]]): lowercased scheme/host,
+    * default-port strip, tracking-param removal, fragment drop,
+    * multi-part public-suffix handling. */
+  def urlCanon(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), syntheticUrl.as("url"))
+      .select(col("doc_id"), col("url"),
+        graft.llm.Domains.canonicalUrl(col("url")).as("canon_url"),
+        graft.llm.Domains.hostOf(col("url")).as("host"),
+        graft.llm.Domains.registrableDomain(
+          graft.llm.Domains.hostOf(col("url"))).as("domain"))
+      .orderBy("doc_id")
+
+  /** Per-registrable-domain corpus stats (doc/URL/char counts) — the
+    * table a domain quality prior or blocklist review reads. */
+  def domainStats(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Domains.domainStats(
+      t(s, dir, "documents").withColumn("url", syntheticUrl),
+      "url", "text")
+      .orderBy("domain")
+
+  /** URL-level exact dedup: docs mapped onto 50 canonical URLs (mod
+    * arithmetic; every 97th doc gets an unparseable URL and passes
+    * through fail-open for dedup, fail-closed for blocklists) — keep
+    * the minimum doc_id per canonical URL. */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val url = when(pmod(col("doc_id"), lit(97)) === 0, lit("not a url"))
+      .otherwise(concat(lit("https://www.example."),
+        element_at(typedlit(Seq("com", "co.uk", "org")),
+          (pmod(col("doc_id"), lit(50)) % 3 + 1).cast("int")),
+        lit("/p/"), pmod(col("doc_id"), lit(50)).cast("string"),
+        lit("?utm_source=x&n="), pmod(col("doc_id"), lit(50)).cast("string")))
+    graft.llm.Domains.dropUrlDuplicates(
+      t(s, dir, "documents").withColumn("url", url), "doc_id", "url")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** The full Gopher rule battery as exact integer counts + the keep
     * verdict. The fixtures' repetitive synthetic text exercises the
     * word-count / mean-word-length / stopword / top- and dup-n-gram

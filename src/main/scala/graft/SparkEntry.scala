@@ -113,6 +113,9 @@ object SparkEntry {
     "q_repeated_spans"       -> (LlmQueries.repeatedSpanStats _),
     "q_span_removal"         -> (LlmQueries.spanRemoval _),
     "q_span_removal_inc"     -> (LlmQueries.spanRemovalIncremental _),
+    "q_url_canon"            -> (LlmQueries.urlCanon _),
+    "q_domain_stats"         -> (LlmQueries.domainStats _),
+    "q_url_dedup"            -> (LlmQueries.urlDedup _),
     "q_gopher_flags"         -> (LlmQueries.gopherFlags _),
     "q_c4_clean"             -> (LlmQueries.c4Clean _),
     // chunking / packing / tf-idf (training-data prep)
@@ -872,6 +875,23 @@ object SparkEntry {
         |    AS removed_chars
         |FROM nb LEFT JOIN a ON nb.doc_id = a.doc_id
         |ORDER BY nb.doc_id""".stripMargin),
+    "q_url_canon" ->
+      (urlCanonCtes + """
+        |SELECT doc_id, url, canon_url, host, domain
+        |FROM c ORDER BY doc_id""".stripMargin),
+    "q_domain_stats" ->
+      (urlCanonCtes + """
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_urls,
+        |  CAST(sum(len(d.text)) AS BIGINT) AS n_chars
+        |FROM c JOIN documents d USING (doc_id)
+        |GROUP BY domain ORDER BY domain""".stripMargin),
+    "q_url_dedup" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 97 = 0
+        |   OR doc_id IN (SELECT min(doc_id) FROM documents
+        |                 WHERE doc_id % 97 <> 0 GROUP BY doc_id % 50)
+        |ORDER BY doc_id""".stripMargin,
     "q_gopher_flags" ->
       """WITH base AS (
         |  SELECT doc_id, lower(trim(text)) AS lt,
@@ -2725,6 +2745,68 @@ object SparkEntry {
   private lazy val spanWindowCtes: String = {
     // unsuffixed names (n, ws, …) for the single-corpus oracles
     "WITH " + spanWinCtes("documents", "")
+  }
+
+  /** CTE chain replaying the synthetic-URL derivation AND
+    * [[graft.llm.Domains.canonicalUrl]] / registrable-domain rules in
+    * DuckDB, emitting `c(doc_id, url, canon_url, host, domain)`. */
+  private lazy val urlCanonCtes: String = {
+    val multi = graft.llm.Domains.MultiSuffixes
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+      |          ELSE 'http://Blog.' END)
+      |    || source || '-news.'
+      |    || (['com','co.uk','org','com.au','de'])[CAST(doc_id % 5 + 1 AS INT)]
+      |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+      |    || '/articles/' || CAST(doc_id AS VARCHAR)
+      |    || '?utm_source=rss&ref=home&utm_campaign=x&page='
+      |    || CAST(doc_id % 7 AS VARCHAR) || '#sec' AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(url,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+      |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+      |  FROM u),
+      |q AS (
+      |  SELECT doc_id, url, scheme,
+      |    regexp_replace(hp, ':\\d+$$', '') AS host,
+      |    regexp_extract(hp, ':(\\d+)$$', 1) AS port, path,
+      |    array_to_string(list_filter(string_split(query, '&'),
+      |      x -> NOT (x LIKE 'utm\\_%' ESCAPE '\\' OR x = 'gclid' OR
+      |                x = 'fbclid' OR x = 'msclkid' OR
+      |                x LIKE 'gclid=%' OR x LIKE 'fbclid=%' OR
+      |                x LIKE 'msclkid=%')), '&') AS kept
+      |  FROM p),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN scheme = '' OR host = '' THEN NULL
+      |         ELSE scheme || '://' || host ||
+      |           (CASE WHEN port <> '' AND
+      |                 NOT (scheme = 'https' AND port = '443') AND
+      |                 NOT (scheme = 'http' AND port = '80')
+      |            THEN ':' || port ELSE '' END) ||
+      |           (CASE WHEN path = '' THEN '/' ELSE path END) ||
+      |           (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
+      |    END AS canon_url,
+      |    CASE WHEN host = '' THEN NULL ELSE host END AS host,
+      |    CASE WHEN host = '' THEN NULL
+      |         WHEN len(string_split(host, '.')) <= 2 THEN host
+      |         WHEN (string_split(host, '.')[-2] || '.' ||
+      |               string_split(host, '.')[-1]) IN ($multi)
+      |         THEN string_split(host, '.')[-3] || '.' ||
+      |              string_split(host, '.')[-2] || '.' ||
+      |              string_split(host, '.')[-1]
+      |         ELSE string_split(host, '.')[-2] || '.' ||
+      |              string_split(host, '.')[-1]
+      |    END AS domain
+      |  FROM q)""".stripMargin
   }
 
   /** Full SQL replication of the hyperplane-LSH ANN query (nBits=6,

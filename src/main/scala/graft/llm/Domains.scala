@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL / domain curation — the web-corpus half every crawl pipeline
+  * runs before text quality even matters (RefinedWeb §3.1, FineWeb's
+  * URL dedup + domain filtering): canonicalize URLs so the same page
+  * fetched twice keys identically, reduce hosts to their REGISTRABLE
+  * domain (the ownership unit blocklists and per-domain quality
+  * priors operate on), aggregate per-domain statistics, and filter by
+  * domain lists.
+  *
+  * Exact canonicalization semantics (replayed by the DuckDB oracle):
+  * lowercase scheme and host; strip a default port (http:80 /
+  * https:443 — other ports kept); empty path becomes "/"; the query
+  * string drops tracking parameters (names starting `utm_`, or
+  * exactly `gclid` / `fbclid` / `msclkid`), preserving the order of
+  * the rest and the '?' only when something remains; fragments are
+  * dropped. A string with no recognizable `scheme://host` yields NULL
+  * (fail-closed — curation must not invent a key for garbage).
+  *
+  * Registrable domain: the last two host labels, or the last THREE
+  * when the final two match a multi-part public suffix (an embedded
+  * list of the common ccTLD second-level suffixes — the full PSL is
+  * external data a deployment would mount; the fallback errs toward
+  * grouping siblings together, never toward splitting one owner).
+  *
+  * Scale shape: everything here is per-row string work plus ONE
+  * map-side-combinable groupBy for the stats — no UDFs, no window
+  * over a content-derived key, one scan for 100 TB of URLs. */
+object Domains {
+
+  /** Common multi-part public suffixes (ccTLD second levels). */
+  val MultiSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.in", "net.in", "org.in", "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "com.mx", "com.ar", "com.tr",
+    "com.cn", "net.cn", "org.cn", "com.tw", "com.hk", "com.sg",
+    "co.za", "co.kr", "or.kr", "com.my", "co.id", "com.vn")
+
+  private def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** host[:port] segment, lowercased (empty when the URL has no
+    * scheme://host shape). */
+  private def hostPortOf(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+
+  /** Lowercased hostname without the port; NULL for non-URLs. */
+  def hostOf(url: Column): Column = {
+    val hp = hostPortOf(url)
+    when(hp === "", lit(null))
+      .otherwise(regexp_replace(hp, ":\\d+$", ""))
+  }
+
+  /** Canonical form per the object scaladoc; NULL for non-URLs. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = schemeOf(url)
+    val hp = hostPortOf(url)
+    val host = regexp_replace(hp, ":\\d+$", "")
+    val port = regexp_extract(hp, ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "https" && port === "443") &&
+      !(scheme === "http" && port === "80")
+    val path = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p === "gclid" || p === "fbclid" ||
+        p === "msclkid" || p.startsWith("gclid=") ||
+        p.startsWith("fbclid=") || p.startsWith("msclkid="))), "&")
+    when(scheme === "" || host === "", lit(null)).otherwise(concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(path === "", lit("/")).otherwise(path),
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
+  }
+
+  /** Registrable domain of a hostname (NULL in, NULL out). */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    val multi = lastTwo.isin(MultiSuffixes: _*)
+    when(host.isNull, lit(null))
+      .when(n <= 2, host)
+      .when(multi, concat_ws(".",
+        element_at(labels, -3), element_at(labels, -2),
+        element_at(labels, -1)))
+      .otherwise(lastTwo)
+  }
+
+  /** Per-domain corpus statistics: docs, chars, distinct canonical
+    * URLs — the table a domain quality prior / blocklist review reads.
+    * One map-side-combinable aggregation on the registrable domain. */
+  def domainStats(docs: DataFrame, urlCol: String,
+                  textCol: String): DataFrame = {
+    val canon = canonicalUrl(col(urlCol))
+    docs
+      .select(registrableDomain(hostOf(col(urlCol))).as("domain"),
+        canon.as("__c"), length(col(textCol)).cast("long").as("__len"))
+      .groupBy("domain")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("__c")).as("n_urls"),
+        sum(col("__len")).cast("long").as("n_chars"))
+  }
+
+  /** Drop docs whose registrable domain is in `blocked`; docs whose
+    * URL does not parse are ALSO dropped (fail closed — an
+    * unattributable page cannot be cleared against a blocklist). */
+  def dropDomains(docs: DataFrame, urlCol: String,
+                  blocked: Seq[String]): DataFrame = {
+    val d = registrableDomain(hostOf(col(urlCol)))
+    docs.filter(d.isNotNull && !d.isin(blocked: _*))
+  }
+
+  /** URL-level exact dedup: keep the minimum id per canonical URL
+    * (the FineWeb first pass — far cheaper than text dedup and
+    * catches re-crawls that differ only in tracking params). The
+    * skew-safe min-agg + semi-join shape ([[Dedup.dropExactDuplicates]]
+    * on the canonical URL); unparseable URLs keep their rows (they
+    * carry no dedup key). */
+  def dropUrlDuplicates(docs: DataFrame, idCol: String,
+                        urlCol: String): DataFrame = {
+    val canon = canonicalUrl(col(urlCol))
+    val keyed = docs.withColumn("__cu", canon)
+    val keepers = keyed.filter(col("__cu").isNotNull)
+      .groupBy(col("__cu"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    keyed.filter(col("__cu").isNull).drop("__cu")
+      .unionByName(keyed.filter(col("__cu").isNotNull)
+        .join(keepers, Seq(idCol), "left_semi").drop("__cu"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.llm.Domains
+import org.apache.spark.sql.functions._
+
+/** Pins [[Domains]] — URL canonicalization, registrable-domain
+  * extraction, domain blocklisting and URL-level dedup. */
+class DomainsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Domains.canonicalUrl(col("u"))).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+
+  test("canonicalization: case, ports, tracking params, fragments") {
+    assert(canon("HTTPS://WWW.Example.COM:443/A/b?utm_source=x&q=1#frag")
+      === Seq("https://www.example.com/A/b?q=1"))
+    assert(canon("http://host.org:80/") === Seq("http://host.org/"))
+    assert(canon("http://host.org:8080/x") ===
+      Seq("http://host.org:8080/x")) // non-default port kept
+    assert(canon("https://a.de") === Seq("https://a.de/")) // empty path
+    assert(canon("https://a.de?utm_campaign=z&gclid=123") ===
+      Seq("https://a.de/")) // tracking-only query drops the '?'
+    assert(canon("https://a.de/p?ref=home&utm_x=1&page=2") ===
+      Seq("https://a.de/p?ref=home&page=2")) // order preserved
+    assert(canon("not a url", "ftp//missing.scheme", "") ===
+      Seq(null, null, null))
+  }
+
+  test("registrable domain: two labels, multi-part suffixes, bare hosts") {
+    val got = Seq("www.example.co.uk", "a.b.c.example.com", "xy.com",
+      "localhost", "news.example.com.au", "sub.deep.org.uk")
+      .toDF("h").select(Domains.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("example.co.uk", "example.com", "xy.com",
+      "localhost", "example.com.au", "deep.org.uk"))
+  }
+
+  test("dropDomains: blocklisted and unparseable rows both fail closed") {
+    val docs = Seq(
+      (1L, "https://spam.example.com/x"),
+      (2L, "https://ok.other.org/y"),
+      (3L, "garbage"),
+      (4L, "http://www.example.co.uk/z")) // blocked via multi-suffix
+      .toDF("doc_id", "url")
+    val kept = Domains.dropDomains(docs, "url",
+      Seq("example.com", "example.co.uk"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L))
+  }
+
+  test("dropUrlDuplicates: canonical collisions keep min id, " +
+    "unparseable rows pass through") {
+    val docs = Seq(
+      (5L, "https://www.a.com/p?utm_source=x"),
+      (2L, "HTTPS://WWW.A.COM:443/p"), // same canonical as 5
+      (3L, "https://www.a.com/p2"),
+      (9L, "not a url"),
+      (8L, "nope")) // unparseable: both kept
+      .toDF("doc_id", "url")
+    val kept = Domains.dropUrlDuplicates(docs, "doc_id", "url")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 3L, 8L, 9L))
+  }
+
+  test("domainStats: counts per registrable domain") {
+    val docs = Seq(
+      (1L, "https://a.x.com/1", "ppp"),
+      (2L, "https://b.x.com/2?utm_source=t", "qq"),
+      (3L, "https://b.x.com/2", "rrrr"), // same canonical as 2
+      (4L, "https://y.co.uk/", "s"))
+      .toDF("doc_id", "url", "text")
+    val got = Domains.domainStats(docs, "url", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("x.com") === ((3L, 2L, 9L))) // 3+2+4 chars
+    assert(got("y.co.uk") === ((1L, 1L, 1L)))
+  }
+}
