@@ -899,6 +899,28 @@ object Queries {
       .orderBy("fname")
   }
 
+  /** WARC web-archive scan (fixture-pinned): a plain multi-record
+    * file, the Common Crawl gzip-member-per-record layout, and a
+    * corrupt file that must quarantine WHOLE (no partial rows) —
+    * the ingestion seam a Common Crawl curation pipeline starts
+    * from. Literal-VALUES oracle. */
+  def warcScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val files = Seq(
+      ("plain.warc", graft.sources.WarcFixtures.plainWarc()),
+      ("cc.warc.gz", graft.sources.WarcFixtures.ccWarcGz()),
+      ("broken.warc", graft.sources.WarcFixtures.brokenWarc()))
+      .toDF("path", "content")
+    graft.sources.Warc.recordRows(files)
+      .select(col("path").as("fname"), col("record_type"),
+        col("target_uri"), col("http_status"), col("http_content_type"),
+        col("payload_len"),
+        substring(col("payload").cast("string"), 1, 12)
+          .as("payload_head"),
+        col("status"))
+      .orderBy("fname", "target_uri")
+  }
+
   /** S6 — LAYOUT-V4 chunk indexes (HDF5 >= 1.10 "latest format"
     * chunked storage) through the distributed scan: fixed-array
     * shuffle+deflate grid with an elided all-fill chunk, a filtered

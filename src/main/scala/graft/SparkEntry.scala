@@ -174,6 +174,7 @@ object SparkEntry {
     "q_s6_bt2_deep"          -> (Queries.s6Bt2Deep _),
     "q_s6_eabt2"             -> (Queries.s6EaBt2 _),
     "q_s6_dense"             -> (Queries.s6Dense _),
+    "q_warc_scan"            -> (Queries.warcScan _),
     // graph analytics
     "q_pagerank"             -> (Queries.pageRank _),
     // table maintenance / data quality / time series
@@ -1237,6 +1238,24 @@ object SparkEntry {
         |   CAST(181.5 AS DOUBLE))
         |) AS t(fname, format, n_vars, first_var, last_var, total_sum)
         |ORDER BY fname""".stripMargin,
+    "q_warc_scan" ->
+      """SELECT * FROM (VALUES
+        |  ('broken.warc', '', '', 0, '', CAST(0 AS BIGINT), '',
+        |   'quarantined'),
+        |  ('cc.warc.gz', 'warcinfo', '', 0, '', CAST(17 AS BIGINT),
+        |   'software: gr', 'ok'),
+        |  ('cc.warc.gz', 'response', 'https://cc.example.co.uk/c', 200,
+        |   'text/html;charset=utf-8', CAST(15 AS BIGINT),
+        |   'c-body web p', 'ok'),
+        |  ('plain.warc', 'warcinfo', '', 0, '', CAST(17 AS BIGINT),
+        |   'software: gr', 'ok'),
+        |  ('plain.warc', 'response', 'https://ex.com/a', 200,
+        |   'text/html', CAST(20 AS BIGINT), '<html>hello ', 'ok'),
+        |  ('plain.warc', 'response', 'https://ex.com/b', 404,
+        |   'text/plain', CAST(7 AS BIGINT), 'missing', 'ok')
+        |) AS t(fname, record_type, target_uri, http_status,
+        |       http_content_type, payload_len, payload_head, status)
+        |ORDER BY fname, target_uri""".stripMargin,
     "q_s6_eabt2" ->
       """SELECT * FROM (VALUES
         |  ('eabt2.h5', 'lat_ea', 'chunked', true, CAST(3 AS BIGINT),

@@ -1,0 +1,79 @@
+package graft
+
+import graft.sources.{Warc, WarcFixtures}
+import org.apache.spark.sql.functions.col
+
+/** Pins [[Warc]] — ISO 28500 record framing, the Common Crawl
+  * gzip-member-per-record layout, embedded HTTP response parsing, and
+  * whole-file fail-closed quarantine on corrupt framing. */
+class WarcSpec extends SparkSuite {
+
+  test("plain multi-record file: framing, HTTP parse, payloads") {
+    val recs = Warc.parseAll(WarcFixtures.plainWarc())
+    assert(recs.map(_.recordType) === Seq("warcinfo", "response",
+      "response"))
+    val a = recs(1)
+    assert(a.targetUri === "https://ex.com/a")
+    assert(a.httpStatus === 200 && a.httpContentType === "text/html")
+    assert(new String(a.payload, "UTF-8") === "<html>hello a</html>")
+    assert(recs(2).httpStatus === 404)
+    assert(new String(recs(2).payload, "UTF-8") === "missing")
+  }
+
+  test("Common Crawl layout: concatenated gzip members inflate as one") {
+    val recs = Warc.parseAll(WarcFixtures.ccWarcGz())
+    assert(recs.size === 2)
+    assert(recs(1).targetUri === "https://cc.example.co.uk/c")
+    assert(new String(recs(1).payload, "UTF-8") === "c-body web page")
+  }
+
+  test("LF-only writers parse; CRLF and LF mix within one file") {
+    val lf = ("WARC/1.0\nWARC-Type: metadata\nContent-Length: 3\n\n" +
+      "abc\n\n").getBytes("UTF-8")
+    val recs = Warc.parseAll(lf)
+    assert(recs.size === 1 && new String(recs.head.payload) === "abc")
+  }
+
+  test("corrupt framing fails the whole file closed") {
+    intercept[Exception](Warc.parseAll(WarcFixtures.brokenWarc()))
+    // missing Content-Length
+    intercept[Exception](Warc.parseAll(
+      "WARC/1.0\r\nWARC-Type: metadata\r\n\r\nxx\r\n\r\n".getBytes))
+    // block escaping the file
+    intercept[Exception](Warc.parseAll(
+      "WARC/1.0\r\nContent-Length: 999\r\n\r\nshort".getBytes))
+  }
+
+  test("read: binaryFile end-to-end with per-file quarantine routing") {
+    val dir = java.nio.file.Files.createTempDirectory("warcs")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      WarcFixtures.plainWarc())
+    java.nio.file.Files.write(dir.resolve("b.warc.gz"),
+      WarcFixtures.ccWarcGz())
+    java.nio.file.Files.write(dir.resolve("bad.warc"),
+      WarcFixtures.brokenWarc())
+    val rows = Warc.read(spark, s"file://$dir")
+    assert(rows.filter(col("status") === "ok").count() === 5)
+    val q = rows.filter(col("status") === "quarantined")
+      .select("path").collect().map(_.getString(0))
+    assert(q.length === 1 && q.head.endsWith("bad.warc"))
+  }
+
+  test("fuzz: truncations and bit flips raise or parse, never hang or " +
+    "yield phantom records") {
+    val good = WarcFixtures.plainWarc()
+    (0 until good.length by 7).foreach { n =>
+      try {
+        val recs = Warc.parseAll(good.take(n))
+        assert(recs.size <= 3)
+      } catch { case _: Exception => () } // fail-closed is fine
+    }
+    val gz = WarcFixtures.ccWarcGz()
+    val rnd = new scala.util.Random(5)
+    (1 to 200).foreach { _ =>
+      val b = gz.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt().toByte
+      try Warc.parseAll(b) catch { case _: Exception => () }
+    }
+  }
+}
