@@ -2791,7 +2791,7 @@ object SparkEntry {
       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
       |    regexp_extract(url,
       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-      |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+      |    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query
       |  FROM u),
       |q AS (
       |  SELECT doc_id, url, scheme,
@@ -2816,6 +2816,8 @@ object SparkEntry {
       |    END AS canon_url,
       |    CASE WHEN host = '' THEN NULL ELSE host END AS host,
       |    CASE WHEN host = '' THEN NULL
+      |         WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+)*$$')
+      |         THEN host
       |         WHEN len(string_split(host, '.')) <= 2 THEN host
       |         WHEN (string_split(host, '.')[-2] || '.' ||
       |               string_split(host, '.')[-1]) IN ($multi)

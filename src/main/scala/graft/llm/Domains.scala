@@ -67,7 +67,10 @@ object Domains {
       !(scheme === "http" && port === "80")
     val path = regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // query = after the FIRST '?' that precedes any '#': a bare
+    // "\\?([^#]*)" would match a '?' INSIDE the fragment and leak
+    // fragment content into the canonical key
+    val query = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val kept = array_join(filter(split(query, "&"), p =>
       !(p.startsWith("utm_") || p === "gclid" || p === "fbclid" ||
         p === "msclkid" || p.startsWith("gclid=") ||
@@ -79,7 +82,10 @@ object Domains {
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
 
-  /** Registrable domain of a hostname (NULL in, NULL out). */
+  /** Registrable domain of a hostname (NULL in, NULL out). IP-address
+    * hosts (all-numeric labels) pass through whole — truncating
+    * 192.168.0.1 to "0.1" would merge unrelated IPs into one bogus
+    * blocklist/stats key. */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
@@ -87,6 +93,7 @@ object Domains {
       element_at(labels, -2), element_at(labels, -1))
     val multi = lastTwo.isin(MultiSuffixes: _*)
     when(host.isNull, lit(null))
+      .when(host.rlike("^[0-9]+(\\.[0-9]+)*$"), host)
       .when(n <= 2, host)
       .when(multi, concat_ws(".",
         element_at(labels, -3), element_at(labels, -2),

@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions.col
   *
   * Scale shape: record splitting is inherently sequential WITHIN a
   * file (Content-Length framing has no self-synchronizing marker), so
-  * parallelism comes from files — exactly how the corpus ships (a
-  * crawl is tens of thousands of ~1 GiB files). `read` is a
-  * binaryFile scan + per-partition flatMap: no driver work, no
-  * shuffle; downstream text extraction starts from the payload
-  * column.
+  * parallelism comes from files — exactly how the corpus ships. Size
+  * envelope, stated honestly: this reader materializes each file's
+  * inflated bytes in one JVM array, so it targets SHARDED archives
+  * (≤ ~2 GiB inflated per file; Spark's binaryFile source itself caps
+  * compressed content at ~2.1 GB, and a full-size ~1 GiB Common Crawl
+  * segment inflates past the array limit — re-shard such archives, or
+  * extend here with a streaming per-member parse; the member walk in
+  * [[gunzipAll]] is already the right seam). `read` is a binaryFile
+  * scan + per-partition flatMap: no driver work, no shuffle;
+  * downstream text extraction starts from the payload column.
   *
   * Fail-closed: any malformed framing (bad magic, missing
   * Content-Length, truncated block, corrupt gzip) quarantines the
@@ -35,11 +40,60 @@ object Warc {
 
   private val Gzip = Array[Byte](0x1F.toByte, 0x8B.toByte)
 
-  /** Inflate a (possibly multi-member) gzip stream fully. */
+  /** Inflate a multi-member gzip stream with PER-MEMBER verification.
+    * The JDK's GZIPInputStream deliberately treats an unparseable
+    * next-member header as "trailing garbage" and reports a clean
+    * end-of-stream — which would turn a corrupt member boundary into
+    * a silent PARTIAL parse, violating the fail-closed contract. This
+    * walk parses each member header itself, inflates with a raw
+    * Inflater, and checks the member's CRC32 + ISIZE trailer; any
+    * corruption — header, deflate data, trailer, or truncation —
+    * throws. */
   private[sources] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try in.readAllBytes() finally in.close()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](65536)
+    var off = 0
+    while (off < bytes.length) {
+      require(off + 10 <= bytes.length &&
+        bytes(off) == Gzip(0) && bytes(off + 1) == Gzip(1),
+        s"bad gzip member header at $off")
+      require(bytes(off + 2) == 8, "unsupported gzip compression method")
+      val flg = bytes(off + 3) & 0xFF
+      var p = off + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        val member = new java.io.ByteArrayOutputStream()
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
+            s"truncated gzip member at $off")
+          member.write(buf, 0, n)
+        }
+        val trailer = p + (bytes.length - p - inf.getRemaining)
+        require(trailer + 8 <= bytes.length, "gzip trailer missing")
+        val data = member.toByteArray
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        def u32le(i: Int): Long =
+          (bytes(i) & 0xFFL) | ((bytes(i + 1) & 0xFFL) << 8) |
+            ((bytes(i + 2) & 0xFFL) << 16) | ((bytes(i + 3) & 0xFFL) << 24)
+        require(u32le(trailer) == crc.getValue,
+          s"gzip CRC mismatch in member at $off")
+        require(u32le(trailer + 4) == (data.length & 0xFFFFFFFFL),
+          s"gzip ISIZE mismatch in member at $off")
+        out.write(data, 0, data.length)
+        off = trailer + 8
+      } finally inf.end()
+    }
+    out.toByteArray
   }
 
   /** Parse every record of one WARC file (gzip-sniffed). Throws on
@@ -61,10 +115,13 @@ object Warc {
         require(headers.headOption.exists(_.startsWith("WARC/")),
           s"bad WARC record magic at offset $p")
         val h = headerMap(headers.tail)
-        val len = h.getOrElse("content-length",
+        val len64 = h.getOrElse("content-length",
           throw new IllegalArgumentException(
-            s"record at $p lacks Content-Length")).trim.toInt
-        require(len >= 0 && bodyAt + len <= bytes.length,
+            s"record at $p lacks Content-Length")).trim.toLong
+        require(len64 >= 0 && len64 <= Int.MaxValue - 16L,
+          s"record length $len64 beyond this reader's array envelope")
+        val len = len64.toInt
+        require(bodyAt + len <= bytes.length,
           s"record block at $bodyAt escapes the file")
         val block = java.util.Arrays.copyOfRange(bytes, bodyAt, bodyAt + len)
         val rType = h.getOrElse("warc-type", "")
@@ -144,7 +201,10 @@ object Warc {
           r.warcDate, r.httpStatus, r.httpContentType, r.payload,
           r.payload.length.toLong, "ok"))
         catch {
-          case _: Exception =>
+          // NonFatal: an InterruptedException from a Spark task kill
+          // must propagate (a bare Exception catch would convert a
+          // speculative-execution kill into a bogus quarantine row)
+          case scala.util.control.NonFatal(_) =>
             Seq((p, "", "", "", 0, "",
               Array.emptyByteArray, 0L, "quarantined"))
         }

@@ -26,6 +26,17 @@ class DomainsSpec extends SparkSuite {
       Seq("https://a.de/p?ref=home&page=2")) // order preserved
     assert(canon("not a url", "ftp//missing.scheme", "") ===
       Seq(null, null, null))
+    // a '?' INSIDE the fragment is fragment content, not a query
+    assert(canon("https://a.com/p#frag?x=1") === Seq("https://a.com/p"))
+    assert(canon("https://a.com/p?q=1#frag?x=2") ===
+      Seq("https://a.com/p?q=1"))
+  }
+
+  test("IP hosts pass through registrableDomain whole") {
+    val got = Seq("192.168.0.1", "10.0.0.7", "8.8.8.8")
+      .toDF("h").select(Domains.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("192.168.0.1", "10.0.0.7", "8.8.8.8"))
   }
 
   test("registrable domain: two labels, multi-part suffixes, bare hosts") {

@@ -34,6 +34,24 @@ class WarcSpec extends SparkSuite {
     assert(recs.size === 1 && new String(recs.head.payload) === "abc")
   }
 
+  test("corrupt gzip MEMBER BOUNDARY fails closed, never a silent " +
+    "partial parse (the JDK stream treats it as trailing garbage)") {
+    val gz = WarcFixtures.ccWarcGz()
+    // locate the second member's magic and mangle it
+    val second = (1 until gz.length - 1).find(i =>
+      gz(i) == 0x1F.toByte && gz(i + 1) == 0x8B.toByte).get
+    val mangled = gz.clone()
+    mangled(second) = 'X'
+    intercept[Exception](Warc.parseAll(mangled))
+    // deflate-data corruption and trailer corruption also fail closed
+    val midFlip = gz.clone()
+    midFlip(second + 12) = (midFlip(second + 12) ^ 0x55).toByte
+    intercept[Exception](Warc.parseAll(midFlip))
+    val crcFlip = gz.clone()
+    crcFlip(gz.length - 6) = (crcFlip(gz.length - 6) ^ 0x01).toByte
+    intercept[Exception](Warc.parseAll(crcFlip))
+  }
+
   test("corrupt framing fails the whole file closed") {
     intercept[Exception](Warc.parseAll(WarcFixtures.brokenWarc()))
     // missing Content-Length
@@ -70,10 +88,18 @@ class WarcSpec extends SparkSuite {
     }
     val gz = WarcFixtures.ccWarcGz()
     val rnd = new scala.util.Random(5)
-    (1 to 200).foreach { _ =>
+    (1 to 300).foreach { _ =>
       val b = gz.clone()
-      b(rnd.nextInt(b.length)) = rnd.nextInt().toByte
-      try Warc.parseAll(b) catch { case _: Exception => () }
+      val i = rnd.nextInt(b.length)
+      val v = rnd.nextInt().toByte
+      try {
+        val recs = Warc.parseAll(b.updated(i, v))
+        // a flip that still parses must NOT have silently dropped a
+        // record (the partial-parse invariant); content may differ
+        // only when the flip was a no-op or landed in header slack
+        assert(recs.size === 2,
+          s"silent partial parse: flip at $i -> ${recs.size} records")
+      } catch { case _: Exception => () } // fail-closed is fine
     }
   }
 }
