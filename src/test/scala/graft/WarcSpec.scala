@@ -77,6 +77,33 @@ class WarcSpec extends SparkSuite {
     assert(q.length === 1 && q.head.endsWith("bad.warc"))
   }
 
+  test("end-to-end crawl shape: WARC -> HTML text extraction -> " +
+    "quality gate composes on the payload column") {
+    val rich = WarcFixtures.record("response", "https://ex.com/rich",
+      "2024-01-03T00:00:00Z",
+      WarcFixtures.httpBlock(200, "text/html",
+        "<html><head><title>T</title><style>x{}</style></head><body>" +
+          "<h1>Header</h1><p>the quick brown fox jumps over the " +
+          "lazy dog</p></body></html>"))
+    val dir = java.nio.file.Files.createTempDirectory("warcpipe")
+    java.nio.file.Files.write(dir.resolve("rich.warc"), rich)
+    val pages = Warc.read(spark, s"file://$dir")
+      .filter(col("status") === "ok" &&
+        col("record_type") === "response" &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("target_uri"),
+        graft.llm.Html.extractText(col("payload").cast("string"))
+          .as("text"))
+    val row = pages.collect().head
+    assert(row.getString(0) === "https://ex.com/rich")
+    val text = row.getString(1)
+    assert(text.contains("the quick brown fox") && !text.contains("<p>")
+      && !text.contains("x{}"))
+    // and the quality gate runs straight on the extracted column
+    assert(pages.filter(graft.llm.Clean.qualityKeep(col("text"),
+      graft.llm.Clean.Config(minTokens = 5))).count() === 1)
+  }
+
   test("fuzz: truncations and bit flips raise or parse, never hang or " +
     "yield phantom records") {
     val good = WarcFixtures.plainWarc()
