@@ -89,8 +89,9 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(Dedup.exactKey(col("text"))).as("n_distinct"))
 
-  /** Exact dup groups on the cloned corpus: every text appears exactly
-    * twice, keep-id is the original. */
+  /** Exact dup groups on the cloned corpus: every text appears at
+    * least twice (its clone), and texts duplicated in the BASE corpus
+    * merge into one larger group; keep-id is the lowest original. */
   def dedupExactGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDupGroups(docsWithClones(s, dir), "doc_id", "text")
       .orderBy("keep_id")

@@ -631,10 +631,14 @@ object SparkEntry {
     "q_dedup_exact_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct
         |FROM documents""".stripMargin,
+    // general truth, NOT the "each text appears exactly twice"
+    // shortcut: texts duplicated in the BASE corpus (8 pairs exist at
+    // sf0.1) merge into one group of 2x their base count
     "q_dedup_exact_groups" ->
-      """SELECT md5(text) AS text_hash, CAST(2 AS BIGINT) AS n_docs,
-        |  doc_id AS keep_id
-        |FROM documents ORDER BY keep_id""".stripMargin,
+      """SELECT md5(text) AS text_hash,
+        |  CAST(2 * count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     // ground truth: all-pairs 5-shingle Jaccard >= 0.9 over the cloned
     // corpus (computed on the 500 originals and expanded to clone ids —
     // the LSH banding (16 bands x 4 rows) has >1-1e-7 collision
