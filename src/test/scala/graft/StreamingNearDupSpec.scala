@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.StreamingNearDup
+import graft.streaming.{StreamingNearDup, StreamingSpans}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -137,5 +137,51 @@ class StreamingNearDupSpec extends SparkSuite {
     val est = spark.sql("SELECT max(est) FROM scd_out")
       .collect().head.getDouble(0)
     assert(est >= 0.7 && est <= 1.0)
+  }
+
+  test("stream-static: arriving docs flag shared SPANS against a " +
+    "frozen span catalog at shifted offsets; fresh docs pass") {
+    import graft.llm.Dedup
+    // aperiodic 110-char block planted in the corpus; the arriving hit
+    // doc carries it at a different (non-aligned) offset
+    val block = TestText.letters(110, 3)
+    val corpus = Seq((1L, block + TestText.letters(40, 91)))
+      .toDF("doc_id", "text")
+    val catalog = Dedup.spanCatalog(corpus, "doc_id", "text")
+      .localCheckpoint(true)
+    val inDir = Files.createTempDirectory("ssp-in").toString
+    val ckpt = Files.createTempDirectory("ssp-ckpt").toString
+    val hitText = TestText.letters(7, 31) + block + TestText.letters(40, 32)
+    val freshText = TestText.letters(160, 55)
+    Seq(
+      "b1.json" -> s"""{"doc_id":"hit","text":"$hitText"}""",
+      "b2.json" -> s"""{"doc_id":"miss","text":"$freshText"}""")
+      .zipWithIndex.foreach { case ((name, content), i) =>
+        val p = java.nio.file.Paths.get(inDir, name)
+        Files.writeString(p, content)
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(3000000L + i * 60000))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(inDir)
+    val flagged = StreamingSpans.flagCatalogSpans(
+      stream, "doc_id", "text", catalog)
+    val q = flagged.writeStream
+      .format("memory").queryName("ssp_out")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "query did not finish in time")
+    finally q.stop()
+    val ids = spark.sql("SELECT DISTINCT id FROM ssp_out")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("hit"),
+      s"only the shifted-block doc may flag; got $ids")
   }
 }
