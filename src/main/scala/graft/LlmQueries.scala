@@ -143,11 +143,12 @@ object LlmQueries {
     // isnotnull key conditions push `fingerprintexpr(text)` down INTO
     // both sides' parquet scans and broadcast builds — the heavy chain
     // evaluated 4x, twice at scan width. The checkpointed table is
-    // (id, fp, nlen) — 20 bytes/doc — computed exactly once.
+    // (id, fp, nlen) — 20 bytes/doc — computed exactly once; lazy so
+    // the first join build populates the blocks (NOTES_r10 §6).
     val n = Dedup.spread(d, col("doc_id")).select(col("doc_id"),
       Text.fingerprint(col("text")).as("fp"),
       length(Text.normalize(col("text"))).as("nlen"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     Dedup.simhashNearDups(d, "doc_id", "text", maxDist = 0)
       .join(n.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
         col("nlen").as("nlen_a")), "id_a")
@@ -622,7 +623,7 @@ object LlmQueries {
     val per = e.groupBy("event_type").agg(
       expr("hll_sketch(user_id)").as("sk"),
       countDistinct(col("user_id")).cast("bigint").as("n_exact"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: first branch populates (r10 §6)
     val perOut = per.select(col("event_type"), col("n_exact"),
       (abs(expr("hll_estimate(sk)").cast("double") - col("n_exact")) /
         col("n_exact") <= 0.05).as("within_5pct"))
@@ -648,7 +649,7 @@ object LlmQueries {
       round(expr("percentile(value, 0.48)"), 6).as("lo"),
       round(expr("percentile(value, 0.52)"), 6).as("hi"),
       count(lit(1)).cast("bigint").as("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: first branch populates (r10 §6)
     val perOut = per.select(col("event_type"), col("n"),
       expr("kll_quantile(sk, 0.5d)").between(col("lo"), col("hi"))
         .as("median_within_2pct_rank"))
@@ -679,7 +680,7 @@ object LlmQueries {
     // sketch branch is the only other scan of the raw table)
     val per = e.groupBy("event_type")
       .agg(count(lit(1)).cast("bigint").as("n_exact"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: first branch populates (r10 §6)
     val tot = per.agg(sum(col("n_exact")).cast("bigint").as("n_total"))
     val est = expr("cms_estimate(sk, event_type)")
     per
@@ -708,15 +709,18 @@ object LlmQueries {
     val comps = Dedup.connectedComponentsStars(pairs)
       .withColumnRenamed("id", "doc_id")
       .withColumnRenamed("component", "cluster_id")
-    d.select("doc_id")
+    val assigned = d.select("doc_id")
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      // size via count-over-window: one shuffle on cluster_id, same
-      // skew profile as the agg+join alternative but no second pass
-      .withColumn("n_members", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id"))
-        .cast("bigint"))
+    // size via map-side-combinable groupBy + join-back (the
+    // keepBestPerCluster shape), NOT count-over-window: a 10⁶-member
+    // viral cluster reduces to per-partition counters under the agg,
+    // while the window would sort all members in one unsplittable task
+    val sizes = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("bigint").as("n_members"))
+    assigned.join(sizes, "cluster_id")
+      .select("doc_id", "cluster_id", "n_members")
       .orderBy("doc_id")
   }
 
@@ -835,7 +839,7 @@ object LlmQueries {
       .select(col("lang"), explode(wordTrigrams(col("text"))).as("sh"))
       .groupBy("sh")
       .agg(sort_array(collect_set(col("lang"))).as("langs"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: first branch populates (r10 §6)
     // (lang, sh) pairs are distinct by construction of collect_set
     val tri = bySh.select(explode(col("langs")).as("lang"), col("sh"))
     val est = GroupSimilarity.setJaccard(tri, "lang", "sh", numHashes = 128)
@@ -1066,7 +1070,7 @@ object LlmQueries {
     // one sketch + exact-distinct row per day, built once
     val daily = e.groupBy("day")
       .agg(expr("hll_sketch(user_id)").as("sk"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: first branch populates (r10 §6)
     val served = daily
       .select(explode(sequence(lit(0), lit(6))).as("off"), col("day"), col("sk"))
       .select(date_add(col("day"), col("off")).as("day"), col("sk"))

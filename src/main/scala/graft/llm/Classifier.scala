@@ -194,6 +194,6 @@ object Classifier {
     val tf = base.select(cols: _*)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("tf"))
-    if (checkpoint) tf.localCheckpoint(true) else tf
+    if (checkpoint) tf.localCheckpoint(false) else tf // lazy (r10 §6)
   }
 }

@@ -42,7 +42,7 @@ object Curate {
     // partition, while the aggregate partial-combines per partition
     val survivors = Dedup.dropExactDuplicates(q, idCol, textCol)
       .select(col(idCol), col(textCol), col(sourceCol), col(labelCol))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // lazy: first consumer populates (r10 §6)
     val scored = Classifier
       .nbTrainScore(survivors, idCol, textCol, labelCol)
       .filter(col("score_e6") > 0)

@@ -47,8 +47,11 @@ object LangModel {
       .agg(count(lit(1)).as("tf"))
       // one tokenize pass feeds BOTH the corpus-stats branch and the
       // scoring join (the bm25 tf-table lesson); at real scale this
-      // materialization is a persisted stage, not a recompute
-      .localCheckpoint(true)
+      // materialization is a persisted stage, not a recompute. LAZY:
+      // the first consumer's stage populates the blocks — eager ran
+      // the whole chain as a job at plan-BUILD time on every call
+      // (the crossDocSpans lesson, NOTES_r10 §6)
+      .localCheckpoint(false)
     val stats = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
     val total = stats.agg(sum(col("ctf")).cast("double").as("n_total"))
     tf.join(stats, "term")
@@ -91,8 +94,10 @@ object LangModel {
     val mWs = Dedup.spread(model, col(idCol))
       .select(tokens(col(textCol)).as("ws"))
       .filter(size(col("ws")) >= 1)
-      // one tokenize pass feeds BOTH count tables (the bm25 lesson)
-      .localCheckpoint(true)
+      // one tokenize pass feeds BOTH count tables (the bm25 lesson);
+      // lazy — c1's aggregation stage populates the blocks, c2 reads
+      // them (NOTES_r10 §6: eager paid the chain at plan-build)
+      .localCheckpoint(false)
     val c1 = mWs.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val c2 = mWs.filter(size(col("ws")) >= 2)

@@ -54,9 +54,10 @@ object Retrieval {
       .where(col("term").isin(qset: _*))
     // tf is tiny (≤ docs × |queryTerms| rows): checkpoint it so the df
     // stats broadcast and the final scoring join reuse ONE tokenize
-    // pass instead of re-running the chain per consumer
+    // pass instead of re-running the chain per consumer; lazy so no
+    // job runs at plan-build time (NOTES_r10 §6)
     val tf = hits.groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // df per query term: tf already has one row per (doc, term)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dft), "term").crossJoin(broadcast(corpus))
@@ -96,12 +97,18 @@ object Retrieval {
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
     val stats = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
-    // cap BEFORE collecting: a stopword term must never materialize a
-    // |corpus|-sized array — the window drops to maxPostings rows per
-    // term first, and shares the term-hash exchange with the collect
+    // cap BEFORE collecting, in TWO stages. A per-partition bounded
+    // heap first reduces each term to ≤ maxPostings rows per input
+    // partition (the Sampling.capPerGroup skew defense): terms are
+    // Zipf-skewed, and without the pre-pass a stopword's full posting
+    // set (df ≈ |corpus|) serializes into ONE window sort task that
+    // AQE cannot split. The ranking window then sees at most
+    // maxPostings × partitions rows per term — and since (term, doc)
+    // is unique in tf, (tf desc, doc asc) is a total order, so the
+    // global top-maxPostings survives the pre-pass bit-identically.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("term").orderBy(desc("tf"), asc("doc"))
-    val top = tf
+    val top = topPerTermPrePass(tf, maxPostings)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= maxPostings)
       .groupBy("term")
@@ -111,5 +118,42 @@ object Retrieval {
         e => concat(e.getField("doc").cast("string"), lit(":"),
           e.getField("tf").cast("string"))), ",").as("postings"))
     stats.join(top, "term")
+  }
+
+  /** Per-partition bounded-heap pre-cap for [[invertedIndex]]: keep
+    * the best `n` `(term, doc, tf)` rows per term PER INPUT PARTITION
+    * under the posting order (tf desc, doc asc) — the
+    * [[Sampling.capPerGroup]] skew defense specialized to a real
+    * ranking key instead of a random one. Heap head = current WORST
+    * posting (lowest tf, then largest doc) = eviction candidate. The
+    * doc column compares via its natural `Comparable` order, which is
+    * exactly the window's `asc("doc")` for every id type the engine
+    * keys on (string/long/int). */
+  private def topPerTermPrePass(tf: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val sch = tf.schema
+    val ti = sch.fieldIndex("term")
+    val di = sch.fieldIndex("doc")
+    val fi = sch.fieldIndex("tf")
+    // larger = worse: lower tf first, then larger doc
+    val byBadness: Ordering[Row] = new Ordering[Row] {
+      override def compare(a: Row, b: Row): Int = {
+        val c = java.lang.Long.compare(b.getLong(fi), a.getLong(fi))
+        if (c != 0) c
+        else a.get(di).asInstanceOf[Comparable[Any]].compareTo(b.get(di))
+      }
+    }
+    tf.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      rows.foreach { r =>
+        val h = heaps.getOrElseUpdate(r.get(ti),
+          scala.collection.mutable.PriorityQueue.empty[Row](byBadness))
+        if (h.size < n) h.enqueue(r)
+        else if (byBadness.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(RowEncoder.encoderFor(sch))
   }
 }

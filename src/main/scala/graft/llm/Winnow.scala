@@ -143,15 +143,26 @@ object Winnow {
     * per corpus version, then match every incoming batch with
     * [[matchAgainstCatalog]] without ever re-fingerprinting (or
     * re-reading) the corpus. The df cap living in the catalog also
-    * bounds the per-hash fan-out of every future match join. */
+    * bounds the per-hash fan-out of every future match join.
+    *
+    * The df filter is a map-side-combinable `groupBy(fp_hash).count`
+    * plus a LEFT SEMI join of the under-cap hashes — the
+    * [[sharedFingerprintPairs]] shape — NOT a count-over-window on
+    * fp_hash: a boilerplate fingerprint (license header shared by 10⁷
+    * docs) would serialize every site into ONE window task that AQE
+    * cannot split, while the aggregate reduces it to per-partition
+    * counters and the semi-join streams hashes, not rows. */
   def fingerprintCatalog(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4,
-                         maxDocFreq: Int = 100): DataFrame =
-    fingerprintHashes(docs, idCol, textCol, k, w)
-      .withColumn("__df", count(lit(1)).over(
-        Window.partitionBy(col("fp_hash"))))
+                         maxDocFreq: Int = 100): DataFrame = {
+    val fps = fingerprintHashes(docs, idCol, textCol, k, w)
+    val keep = fps.groupBy("fp_hash")
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)
+      .select("fp_hash")
+    fps.join(keep, Seq("fp_hash"), "left_semi")
       .select(col("fid").as("doc_id"), col("fp_hash"))
+  }
 
   /** Local-overlap match of an incoming batch against a persisted
     * [[fingerprintCatalog]]: `(id_new, id_cat, n_shared)` for batch

@@ -17,7 +17,16 @@ import org.apache.spark.sql.functions._
   *  - ONE language holding 90% of docs (the CCNet per-language
   *    ranking stressor);
   *  - half the docs sharing ONE exact text (the exact-dedup hot hash)
-  *    via the boilerplate-only degenerate copy — see `megadup` below.
+  *    via the boilerplate-only degenerate copy — see `megadup` below;
+  *  - (r11) ONE shared word sequence in half the docs → each of its
+  *    winnow fingerprint hashes sits in ~7e4 docs (the
+  *    fingerprintCatalog df stressor behind the r11 de-window);
+  *  - (r11) ONE token in 90% of docs (an inverted-index posting list
+  *    ≈ |corpus| — the bounded-heap pre-cap stressor);
+  *  - (r11) the megadup clone set doubles as ONE near-dup cluster of
+  *    ~2e4 members (the dupClusters groupBy+join stressor);
+  *  - (r11) the 50% source also concentrates the synthetic URL host
+  *    (domain curation's hot registrable domain).
   *
   * 30 copies of the sf0.1 documents table (~150k docs). Other tables
   * pass through from sf0.1 so the full query registry stays runnable.
@@ -30,12 +39,19 @@ object SkewProbe {
 
   // deterministic aperiodic 120-char boilerplate
   val Boiler: String = graft.TestText.letters(120, 77)
+  // 16 deterministic words: every word 3-gram of this sequence is a
+  // winnow fingerprint shared by ALL docs that carry it
+  val BoilerWords: String =
+    (0 until 16).map(i => graft.TestText.letters(6, 100 + i)).mkString(" ")
 
   private val ProbeQueries = Seq(
     "q_repeated_spans", "q_span_removal", "q_span_removal_inc",
     "q_crossdoc_spans", "q_ccnet_buckets", "q_cap_per_source",
     "q_curate_pipeline", "q_dedup_keep", "q_dedup_best",
-    "q_clean_corpus", "q_dedup_exact_stats")
+    "q_clean_corpus", "q_dedup_exact_stats",
+    // r11: the de-windowed shapes under their own hot keys
+    "q_winnow_fp", "q_winnow_incremental", "q_inverted_index",
+    "q_dup_clusters", "q_domain_stats", "q_url_dedup")
 
   def gen(spark: SparkSession, src: String): Unit = {
     import spark.implicits._
@@ -60,11 +76,19 @@ object SkewProbe {
         // hash holding ~19k docs (exact-dedup hot key)
         val megadup = id % 8 == 3
         val t2 =
-          if (megadup) Boiler
-          else if (hot) {
-            val off = ((id * 7 + k * 13) % math.max(1, base.length)).toInt
-            base.take(off) + Boiler + base.drop(off) + Boiler
-          } else base
+          if (megadup) Boiler // pure clones: ONE exact-hash + ONE cluster
+          else {
+            val withSpan = if (hot) {
+              val off = ((id * 7 + k * 13) % math.max(1, base.length)).toInt
+              base.take(off) + Boiler + base.drop(off) + Boiler
+            } else base
+            // hot winnow fingerprints: the shared word sequence rides
+            // in every hot doc; hot inverted-index term: 'zzhot' in
+            // 90% of docs
+            val withWords =
+              if (hot) withSpan + " " + BoilerWords else withSpan
+            if ((id * 13 + k) % 10 != 0) withWords + " zzhot" else withWords
+          }
         val lang2 = if ((id * 31 + k) % 10 != 0) "en" else lang
         val src2 = if (hot) "megasource" else srcName
         (id + k * 10000000L, t2, lang2, src2, t2.length.toLong)
