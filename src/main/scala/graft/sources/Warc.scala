@@ -6,29 +6,37 @@ import org.apache.spark.sql.functions.col
 /** WARC (ISO 28500) web-archive reader — the container format of
   * Common Crawl, the corpus every web-scale training-data pipeline
   * starts from. Parses both plain `.warc` and the Common Crawl
-  * `.warc.gz` layout (one gzip MEMBER per record, concatenated — the
-  * JDK's GZIPInputStream walks multi-member streams natively), splits
-  * records on the spec's `WARC/...` header + Content-Length framing,
-  * and for `response` records additionally parses the embedded HTTP
-  * response (status line, headers, payload).
+  * `.warc.gz` layout (one gzip MEMBER per record, concatenated),
+  * splits records on the spec's `WARC/...` header + Content-Length
+  * framing, and for `response` records additionally parses the
+  * embedded HTTP response (status line, headers, payload).
   *
   * Scale shape: record splitting is inherently sequential WITHIN a
   * file (Content-Length framing has no self-synchronizing marker), so
-  * parallelism comes from files — exactly how the corpus ships. Size
-  * envelope, stated honestly: this reader materializes each file's
-  * inflated bytes in one JVM array, so it targets SHARDED archives
-  * (≤ ~2 GiB inflated per file; Spark's binaryFile source itself caps
-  * compressed content at ~2.1 GB, and a full-size ~1 GiB Common Crawl
-  * segment inflates past the array limit — re-shard such archives, or
-  * extend here with a streaming per-member parse; the member walk in
-  * [[gunzipAll]] is already the right seam). `read` is a binaryFile
-  * scan + per-partition flatMap: no driver work, no shuffle;
-  * downstream text extraction starts from the payload column.
+  * parallelism comes from files — exactly how the corpus ships.
+  * Memory envelope: gzip members are inflated ONE AT A TIME and
+  * records framed across member boundaries through a compacting
+  * pending buffer, so peak heap per file is the COMPRESSED file (the
+  * binaryFile scan's array, ≤ ~2.1 GB by Spark's own cap) plus one
+  * record — a full-size ~1 GiB Common Crawl segment that inflates to
+  * 4–5 GiB streams through in bounded memory. A single member
+  * inflating past `memberCap` (default 1 GiB — three orders of
+  * magnitude above CC's ~1 MB members) quarantines the file instead
+  * of risking the 2 GiB JVM array wall.
+  *
+  * `read` is a binaryFile scan + per-partition flatMap: no driver
+  * work, no shuffle; downstream text extraction starts from the
+  * payload column.
   *
   * Fail-closed: any malformed framing (bad magic, missing
-  * Content-Length, truncated block, corrupt gzip) quarantines the
-  * WHOLE file as one `status = "quarantined"` row — records before
-  * the corruption are suppressed, never silently partial. */
+  * Content-Length, truncated block, corrupt gzip, over-cap member)
+  * quarantines the WHOLE file as one `status = "quarantined"` row —
+  * records before the corruption are suppressed, never silently
+  * partial. With streaming inflation that contract needs TWO passes
+  * (a validation walk that discards payloads, then a lazy emitting
+  * walk): the alternative — buffering every parsed record until the
+  * file proves clean — is exactly the unbounded array this reader
+  * exists to avoid, and inflation is cheap next to the scan. */
 object Warc {
 
   /** One parsed record (path added by [[read]]). `httpStatus` is 0
@@ -40,20 +48,30 @@ object Warc {
 
   private val Gzip = Array[Byte](0x1F.toByte, 0x8B.toByte)
 
-  /** Inflate a multi-member gzip stream with PER-MEMBER verification.
-    * The JDK's GZIPInputStream deliberately treats an unparseable
-    * next-member header as "trailing garbage" and reports a clean
-    * end-of-stream — which would turn a corrupt member boundary into
-    * a silent PARTIAL parse, violating the fail-closed contract. This
-    * walk parses each member header itself, inflates with a raw
-    * Inflater, and checks the member's CRC32 + ISIZE trailer; any
-    * corruption — header, deflate data, trailer, or truncation —
-    * throws. */
-  private[sources] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](65536)
-    var off = 0
-    while (off < bytes.length) {
+  /** Per-member inflated-size cap. Common Crawl members hold one
+    * record (~1 MB); a member claiming gigabytes is either corrupt or
+    * a decompression bomb — quarantine, don't OOM. */
+  val DefaultMemberCap: Long = 1L << 30
+
+  /** Inflate the gzip members of a concatenated stream ONE AT A TIME
+    * with PER-MEMBER verification. The JDK's GZIPInputStream
+    * deliberately treats an unparseable next-member header as
+    * "trailing garbage" and reports a clean end-of-stream — which
+    * would turn a corrupt member boundary into a silent PARTIAL
+    * parse, violating the fail-closed contract. This walk parses each
+    * member header itself, inflates with a raw Inflater, and checks
+    * the member's CRC32 + ISIZE trailer; any corruption — header,
+    * deflate data, trailer, truncation, or an inflated size past
+    * `memberCap` — throws (a regular exception, so [[recordRows]]
+    * quarantines cleanly; the old whole-file accumulator instead hit
+    * OutOfMemoryError past 2 GiB, which NO catch may swallow). */
+  private[graft] def memberIterator(bytes: Array[Byte],
+                                      memberCap: Long = DefaultMemberCap)
+  : Iterator[Array[Byte]] = new Iterator[Array[Byte]] {
+    private var off = 0
+    private val buf = new Array[Byte](65536)
+    override def hasNext: Boolean = off < bytes.length
+    override def next(): Array[Byte] = {
       require(off + 10 <= bytes.length &&
         bytes(off) == Gzip(0) && bytes(off + 1) == Gzip(1),
         s"bad gzip member header at $off")
@@ -75,6 +93,12 @@ object Warc {
           val n = inf.inflate(buf)
           require(n > 0 || !(inf.needsInput() || inf.needsDictionary()),
             s"truncated gzip member at $off")
+          // clamp at the JVM array wall too: a user-raised cap must
+          // still throw a catchable exception, never the BAOS's
+          // uncatchable OutOfMemoryError
+          require(member.size.toLong + n <=
+              math.min(memberCap, Int.MaxValue - 16L),
+            s"gzip member at $off inflates past the $memberCap-byte cap")
           member.write(buf, 0, n)
         }
         val trailer = p + (bytes.length - p - inf.getRemaining)
@@ -89,77 +113,140 @@ object Warc {
           s"gzip CRC mismatch in member at $off")
         require(u32le(trailer + 4) == (data.length & 0xFFFFFFFFL),
           s"gzip ISIZE mismatch in member at $off")
-        out.write(data, 0, data.length)
         off = trailer + 8
+        data
       } finally inf.end()
     }
+  }
+
+  /** Whole-stream inflation through [[memberIterator]] — test/utility
+    * surface; carries the single-array envelope the streaming paths
+    * exist to avoid. */
+  private[graft] def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    memberIterator(bytes).foreach(m => out.write(m, 0, m.length))
     out.toByteArray
   }
 
-  /** Parse every record of one WARC file (gzip-sniffed). Throws on
-    * malformed framing — [[read]] maps that to a quarantine row. */
-  def parseAll(bytes0: Array[Byte]): Seq[WarcRecord] = {
-    val bytes =
+  /** Streaming record walk: frames records across gzip-member
+    * boundaries through a compacting pending buffer (one member +
+    * one in-flight record resident at a time — in the CC
+    * member-per-record layout the buffer holds exactly one record).
+    * Plain (non-gzip) input is a single chunk. Throws on malformed
+    * framing at the point of corruption; records already returned are
+    * the caller's fail-closed problem (see [[recordRows]]'s two-pass
+    * protocol). */
+  private[graft] def recordIterator(bytes0: Array[Byte],
+                                      memberCap: Long = DefaultMemberCap)
+  : Iterator[WarcRecord] = {
+    val chunks: Iterator[Array[Byte]] =
       if (bytes0.length >= 2 && bytes0(0) == Gzip(0) && bytes0(1) == Gzip(1))
-        gunzipAll(bytes0)
-      else bytes0
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    var p = 0
-    while (p < bytes.length) {
-      // skip inter-record blank lines (the spec's two CRLFs live at
-      // the END of each record; tolerate LF-only writers)
-      while (p < bytes.length &&
-        (bytes(p) == '\r' || bytes(p) == '\n')) p += 1
-      if (p < bytes.length) {
-        val (headers, bodyAt) = headerBlock(bytes, p)
-        require(headers.headOption.exists(_.startsWith("WARC/")),
-          s"bad WARC record magic at offset $p")
-        val h = headerMap(headers.tail)
-        val len64 = h.getOrElse("content-length",
-          throw new IllegalArgumentException(
-            s"record at $p lacks Content-Length")).trim.toLong
-        require(len64 >= 0 && len64 <= Int.MaxValue - 16L,
-          s"record length $len64 beyond this reader's array envelope")
-        val len = len64.toInt
-        require(bodyAt + len <= bytes.length,
-          s"record block at $bodyAt escapes the file")
-        val block = java.util.Arrays.copyOfRange(bytes, bodyAt, bodyAt + len)
-        val rType = h.getOrElse("warc-type", "")
-        val rec =
-          if (rType == "response" &&
-              h.getOrElse("content-type", "").startsWith("application/http"))
-            httpResponse(block) match {
-              case (status, ct, payload) =>
-                WarcRecord(rType, h.getOrElse("warc-target-uri", ""),
-                  h.getOrElse("warc-date", ""), status, ct, payload)
-            }
-          else WarcRecord(rType, h.getOrElse("warc-target-uri", ""),
-            h.getOrElse("warc-date", ""), 0, "", block)
-        out += rec
-        p = bodyAt + len
+        memberIterator(bytes0, memberCap)
+      else Iterator.single(bytes0)
+    new Iterator[WarcRecord] {
+      private var pending = Array.emptyByteArray
+      private var p = 0 // consumed prefix of `pending`
+      private var nextRec: WarcRecord = null
+
+      private def refill(): Boolean = {
+        if (!chunks.hasNext) return false
+        val c = chunks.next()
+        pending =
+          if (p == pending.length) c // common case: member == record
+          else {
+            val keep = pending.length - p
+            val merged = new Array[Byte](keep + c.length)
+            System.arraycopy(pending, p, merged, 0, keep)
+            System.arraycopy(c, 0, merged, keep, c.length)
+            merged
+          }
+        p = 0
+        true
+      }
+
+      /** Parse one record at `p` if the buffer holds it completely;
+        * refills across member boundaries; null at clean end of
+        * data; throws on malformed/truncated framing. */
+      private def advance(): WarcRecord = {
+        while (true) {
+          // skip inter-record blank lines (the spec's two CRLFs live
+          // at the END of each record; tolerate LF-only writers)
+          while (p < pending.length &&
+            (pending(p) == '\r' || pending(p) == '\n')) p += 1
+          if (p == pending.length) {
+            if (!refill()) return null
+          } else headerBlockOpt(pending, p) match {
+            case None => // header spans a member boundary
+              require(refill(), "unterminated header block")
+            case Some((headers, bodyAt)) =>
+              require(headers.headOption.exists(_.startsWith("WARC/")),
+                s"bad WARC record magic at offset $p")
+              val h = headerMap(headers.tail)
+              val len64 = h.getOrElse("content-length",
+                throw new IllegalArgumentException(
+                  s"record at $p lacks Content-Length")).trim.toLong
+              require(len64 >= 0 && len64 <= Int.MaxValue - 16L,
+                s"record length $len64 beyond this reader's record envelope")
+              val len = len64.toInt
+              if (bodyAt + len > pending.length) { // block spans members
+                require(refill(), s"record block at $bodyAt escapes the file")
+              } else {
+                val block =
+                  java.util.Arrays.copyOfRange(pending, bodyAt, bodyAt + len)
+                p = bodyAt + len
+                val rType = h.getOrElse("warc-type", "")
+                return if (rType == "response" &&
+                    h.getOrElse("content-type", "")
+                      .startsWith("application/http"))
+                  httpResponse(block) match {
+                    case (status, ct, payload) =>
+                      WarcRecord(rType, h.getOrElse("warc-target-uri", ""),
+                        h.getOrElse("warc-date", ""), status, ct, payload)
+                  }
+                else WarcRecord(rType, h.getOrElse("warc-target-uri", ""),
+                  h.getOrElse("warc-date", ""), 0, "", block)
+              }
+          }
+        }
+        null // unreachable
+      }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null) nextRec = advance()
+        nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("end of WARC")
+        val r = nextRec
+        nextRec = null
+        r
       }
     }
-    out.toSeq
   }
 
-  /** Header lines up to the first blank line; returns (lines, offset
-    * of the byte after the blank line). */
-  private def headerBlock(bytes: Array[Byte], start: Int)
-  : (Seq[String], Int) = {
+  /** Parse every record of one WARC file (gzip-sniffed). Throws on
+    * malformed framing. Materializes the record seq — fixture/test
+    * surface; the distributed path streams via [[recordIterator]]. */
+  def parseAll(bytes0: Array[Byte]): Seq[WarcRecord] =
+    recordIterator(bytes0).toSeq
+
+  /** Header lines up to the first blank line, or None when the block
+    * is not yet complete in `bytes` (streaming refill signal). */
+  private def headerBlockOpt(bytes: Array[Byte], start: Int)
+  : Option[(Seq[String], Int)] = {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     var p = start
-    var done = false
-    while (!done) {
+    while (true) {
       var e = p
       while (e < bytes.length && bytes(e) != '\n') e += 1
-      require(e < bytes.length, "unterminated header block")
+      if (e == bytes.length) return None // incomplete: need more data
       val lineEnd = if (e > p && bytes(e - 1) == '\r') e - 1 else e
       val line = new String(bytes, p, lineEnd - p,
         java.nio.charset.StandardCharsets.UTF_8)
       p = e + 1
-      if (line.isEmpty) done = true else lines += line
+      if (line.isEmpty) return Some((lines.toSeq, p)) else lines += line
     }
-    (lines.toSeq, p)
+    None // unreachable
   }
 
   private def headerMap(lines: Seq[String]): Map[String, String] =
@@ -174,7 +261,8 @@ object Warc {
     * response). */
   private def httpResponse(block: Array[Byte])
   : (Int, String, Array[Byte]) = {
-    val (lines, bodyAt) = headerBlock(block, 0)
+    val (lines, bodyAt) = headerBlockOpt(block, 0).getOrElse(
+      throw new IllegalArgumentException("unterminated HTTP header block"))
     val status = lines.headOption match {
       case Some(s) if s.startsWith("HTTP/") =>
         s.split(" ", 3).lift(1).map(_.toInt).getOrElse(
@@ -190,22 +278,33 @@ object Warc {
   /** `(path, content)` frame → one row per record, plus one
     * `status = "quarantined"` row per malformed file (the shared core
     * of [[read]], also driven directly by the fixture-pinned
-    * queries). */
+    * queries).
+    *
+    * Two passes keep fail-closed AND bounded memory: pass 1 walks the
+    * whole file discarding payloads as parsed (any corruption throws
+    * here, before a single row is emitted); pass 2 re-walks the
+    * SAME in-memory bytes lazily, emitting rows — a deterministic
+    * replay of a walk that just succeeded, so it cannot throw outside
+    * the try. Inflating twice trades elastic CPU for the peak-heap
+    * envelope (the old single-pass reader held the whole inflated
+    * file — and silently could not represent >2 GiB at all). */
   def recordRows(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        try parseAll(bytes).map(r => (p, r.recordType, r.targetUri,
-          r.warcDate, r.httpStatus, r.httpContentType, r.payload,
-          r.payload.length.toLong, "ok"))
-        catch {
+        try {
+          recordIterator(bytes).foreach(_ => ()) // pass 1: validate
+          recordIterator(bytes).map(r => (p, r.recordType, r.targetUri,
+            r.warcDate, r.httpStatus, r.httpContentType, r.payload,
+            r.payload.length.toLong, "ok")) // pass 2: emit
+        } catch {
           // NonFatal: an InterruptedException from a Spark task kill
           // must propagate (a bare Exception catch would convert a
           // speculative-execution kill into a bogus quarantine row)
           case scala.util.control.NonFatal(_) =>
-            Seq((p, "", "", "", 0, "",
+            Iterator.single((p, "", "", "", 0, "",
               Array.emptyByteArray, 0L, "quarantined"))
         }
       }

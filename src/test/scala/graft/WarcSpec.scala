@@ -104,6 +104,71 @@ class WarcSpec extends SparkSuite {
       graft.llm.Clean.Config(minTokens = 5))).count() === 1)
   }
 
+  test("records spanning gzip member boundaries reframe exactly " +
+    "(non-CC layouts: members split mid-header and mid-block)") {
+    val plain = WarcFixtures.plainWarc()
+    // re-gzip the SAME byte stream as 37-byte members — every record
+    // crosses several member boundaries, exercising the pending-buffer
+    // compaction paths
+    val out = new java.io.ByteArrayOutputStream()
+    plain.grouped(37).foreach { slice =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(slice); gz.finish()
+    }
+    val want = Warc.parseAll(plain)
+    val got = Warc.parseAll(out.toByteArray)
+    assert(got.map(_.recordType) === want.map(_.recordType))
+    assert(got.map(_.targetUri) === want.map(_.targetUri))
+    assert(got.map(r => new String(r.payload, "UTF-8")) ===
+      want.map(r => new String(r.payload, "UTF-8")))
+  }
+
+  test("full-size Common Crawl envelope: a stream inflating past the " +
+    "2 GiB JVM array wall parses member-streamed in bounded memory") {
+    // one 32 MiB-body record, deflated ONCE; the same compressed
+    // member repeated 68x inflates to 68 * 32 MiB ≈ 2.18 GiB — the
+    // old whole-file accumulator could not even represent it
+    val body = new Array[Byte](32 << 20)
+    val member = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(WarcFixtures.record("resource", "https://ex.com/big",
+        "2024-01-01T00:00:00Z", body))
+      gz.close()
+      bos.toByteArray
+    }
+    val n = 68
+    val stream = new Array[Byte](member.length * n)
+    (0 until n).foreach(i =>
+      System.arraycopy(member, 0, stream, i * member.length, member.length))
+    assert(n.toLong * body.length > Int.MaxValue.toLong) // past the wall
+    var count = 0L
+    var bytesSeen = 0L
+    Warc.recordIterator(stream).foreach { r =>
+      count += 1
+      bytesSeen += r.payload.length
+      assert(r.recordType === "resource")
+    }
+    assert(count === n)
+    assert(bytesSeen === n.toLong * body.length)
+  }
+
+  test("a gzip member inflating past the member cap raises a regular " +
+    "(quarantinable) exception, not an OutOfMemoryError") {
+    val big = WarcFixtures.record("resource", "https://ex.com/bomb",
+      "2024-01-01T00:00:00Z", new Array[Byte](1 << 20))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(big); gz.close()
+    val e = intercept[IllegalArgumentException](
+      Warc.memberIterator(bos.toByteArray, memberCap = 1024).next())
+    assert(e.getMessage.contains("inflates past"))
+    // and the whole-file contract: the record walk fails closed too
+    intercept[IllegalArgumentException](
+      Warc.recordIterator(bos.toByteArray, memberCap = 1024)
+        .foreach(_ => ()))
+  }
+
   test("fuzz: truncations and bit flips raise or parse, never hang or " +
     "yield phantom records") {
     val good = WarcFixtures.plainWarc()
