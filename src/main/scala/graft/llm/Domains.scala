@@ -21,18 +21,28 @@ import org.apache.spark.sql.functions._
   * (fail-closed — curation must not invent a key for garbage).
   *
   * Registrable domain: the last two host labels, or the last THREE
-  * when the final two match a multi-part public suffix (an embedded
-  * list of the common ccTLD second-level suffixes — the full PSL is
-  * external data a deployment would mount; the fallback errs toward
-  * grouping siblings together, never toward splitting one owner).
+  * when the final two match a multi-part public suffix. The suffix
+  * set is the `graft/public-suffixes.txt` classpath resource — a
+  * ~600-entry snapshot of the published public-suffix data's
+  * two-label ccTLD registration points (com.pl, co.il, com.ua,
+  * co.th, state/province second-levels, …), written from the public
+  * list; a deployment tracking the live PSL mounts a fuller snapshot
+  * at the same resource path. Scope, stated: explicit TWO-label rules
+  * only — wildcard (`*.ck`), exception (`!www.ck`), and three-label
+  * rules are out of envelope, and an unlisted multi-part suffix
+  * collapses to its last two labels (erring toward grouping siblings
+  * together, never toward splitting one owner).
   *
   * Scale shape: everything here is per-row string work plus ONE
   * map-side-combinable groupBy for the stats — no UDFs, no window
-  * over a content-derived key, one scan for 100 TB of URLs. */
+  * over a content-derived key, one scan for 100 TB of URLs. The
+  * suffix set compiles into an `InSet` literal (hash-set probe per
+  * row, codegen'd), never a join. */
 object Domains {
 
-  /** Common multi-part public suffixes (ccTLD second levels). */
-  val MultiSuffixes: Seq[String] = Seq(
+  /** Embedded fallback (the common ccTLD second levels) — used only
+    * if the classpath resource is missing. */
+  private val FallbackSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
     "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
     "com.au", "net.au", "org.au", "edu.au", "gov.au",
@@ -40,6 +50,31 @@ object Domains {
     "com.br", "net.br", "org.br", "com.mx", "com.ar", "com.tr",
     "com.cn", "net.cn", "org.cn", "com.tw", "com.hk", "com.sg",
     "co.za", "co.kr", "or.kr", "com.my", "co.id", "com.vn")
+
+  /** Two-label public suffixes, loaded from the
+    * `graft/public-suffixes.txt` resource (sorted, deduped; '#' and
+    * blank lines ignored), falling back to [[FallbackSuffixes]]. */
+  val MultiSuffixes: Seq[String] = {
+    val in = Option(getClass.getClassLoader
+      .getResourceAsStream("graft/public-suffixes.txt"))
+    in match {
+      case None => FallbackSuffixes.sorted
+      case Some(s) =>
+        try {
+          val src = scala.io.Source.fromInputStream(s, "UTF-8")
+          try {
+            val parsed = src.getLines()
+              .map(_.trim.toLowerCase)
+              .filter(l => l.nonEmpty && !l.startsWith("#"))
+              .toSeq
+            parsed.foreach(l => require(
+              l.count(_ == '.') == 1 && !l.startsWith(".") && !l.endsWith("."),
+              s"public-suffixes.txt: not a two-label suffix: '$l'"))
+            parsed.distinct.sorted
+          } finally src.close()
+        } finally s.close()
+    }
+  }
 
   private def schemeOf(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

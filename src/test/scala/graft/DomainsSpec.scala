@@ -48,6 +48,32 @@ class DomainsSpec extends SparkSuite {
       "localhost", "example.com.au", "deep.org.uk"))
   }
 
+  test("PSL snapshot: suffixes beyond the old 38-entry fallback " +
+    "resolve the registrable domain, not the suffix itself") {
+    // the r10 gap: hosts under unlisted multi-part suffixes collapsed
+    // to the suffix, so 'badsite.com.pl' never matched a blocklist
+    val got = Seq("www.badsite.com.pl", "shop.example.co.il",
+      "news.example.com.ua", "a.b.example.co.th", "x.example.com.ng",
+      "portal.example.go.th", "sub.example.ca.us", "city.example.qc.ca",
+      "deep.example.com.eg", "www.example.gob.mx")
+      .toDF("h").select(Domains.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("badsite.com.pl", "example.co.il",
+      "example.com.ua", "example.co.th", "example.com.ng",
+      "example.go.th", "example.ca.us", "example.qc.ca",
+      "example.com.eg", "example.gob.mx"))
+    // resource loaded (not the fallback), well-formed, deduped, sorted
+    assert(Domains.MultiSuffixes.size > 500)
+    assert(Domains.MultiSuffixes === Domains.MultiSuffixes.distinct.sorted)
+    assert(Domains.MultiSuffixes.forall(_.count(_ == '.') == 1))
+    // and a blocklist keyed on the registrable domain now matches
+    val docs = Seq((1L, "https://www.badsite.com.pl/x"),
+      (2L, "https://fine.example.com.pl/y")).toDF("doc_id", "url")
+    val kept = Domains.dropDomains(docs, "url", Seq("badsite.com.pl"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(2L))
+  }
+
   test("dropDomains: blocklisted and unparseable rows both fail closed") {
     val docs = Seq(
       (1L, "https://spam.example.com/x"),
