@@ -131,11 +131,18 @@ case class SpanAnchorsExpr(text: Expression, spanChars: Expression,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = text.nullable
 
-  private def constInt(e: Expression, name: String): Int = e.eval(null) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"span_anchors $name must be a constant integer, got $other")
+  private def constInt(e: Expression, name: String): Int = {
+    // foldability check BEFORE eval: a non-literal argument (e.g. a
+    // column reference) would otherwise surface as an unbound-
+    // reference NPE at plan time instead of this message
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"span_anchors $name must be a constant integer, got ${e.sql}")
+    e.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"span_anchors $name must be a constant integer, got $other")
+    }
   }
   private lazy val spanVal: Int = {
     val v = constInt(spanChars, "spanChars")

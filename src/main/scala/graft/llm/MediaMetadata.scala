@@ -97,7 +97,11 @@ object MediaMetadata {
     * bytes ~1/2^11 per offset — two chained frames make a false
     * positive negligible), walks header to header summing exact
     * per-frame durations (so VBR is exact), and tolerates a trailing
-    * 128-byte ID3v1 tag. A malformed stream (fewer than 2 frames)
+    * 128-byte ID3v1 tag. A leading Xing/Info VBR header frame
+    * (the tag at the fixed post-side-info offset) is framing, not
+    * audio — skipped from frame/duration/bitrate accounting; a final
+    * frame whose payload runs past EOF (truncation) is not counted.
+    * A malformed stream (fewer than 2 frames)
     * returns None; so does any out-of-bounds structure (the whole
     * parse fails closed — a corrupt file must never fail the task). */
   def mp3Metadata(bytes: Array[Byte]): Option[AvMetadata] = try {
@@ -132,13 +136,41 @@ object MediaMetadata {
     var channels = 0
     var kbpsSum = 0L
     var walking = true
+    var first = true
     while (walking) {
       mp3FrameHeader(bytes, off) match {
         case Some((fb, samples, r, ch, kbps)) =>
-          frames += 1
-          durationUs += samples * 1e6 / r
-          rate = r; channels = ch; kbpsSum += kbps
-          off += fb
+          if (off + fb > bytes.length) {
+            // final frame's payload runs past EOF (truncated file):
+            // chain-walk stops WITHOUT counting it — a partial frame
+            // decodes no audio, counting it overstates duration
+            walking = false
+          } else {
+            // a Xing/Info VBR header frame is framing, not audio: it
+            // sits first in the stream with the tag right after the
+            // side info (whose size is fixed by version/channels) —
+            // skip it from the duration/frame counts but keep walking
+            val ver = (bytes(off + 1) >> 3) & 3 // 3=MPEG1, 2=MPEG2, 0=2.5
+            val side = (ver, ch) match {
+              case (3, 2) => 32 // MPEG1 stereo
+              case (3, 1) => 17 // MPEG1 mono
+              case (_, 2) => 17 // MPEG2/2.5 stereo
+              case _ => 9      // MPEG2/2.5 mono
+            }
+            val tagAt = off + 4 + side
+            val isVbrHeader = first && tagAt + 4 <= bytes.length && {
+              val t = new String(bytes, tagAt, 4,
+                java.nio.charset.StandardCharsets.ISO_8859_1)
+              t == "Xing" || t == "Info"
+            }
+            if (!isVbrHeader) {
+              frames += 1
+              durationUs += samples * 1e6 / r
+              rate = r; channels = ch; kbpsSum += kbps
+            }
+            first = false
+            off += fb
+          }
         case None =>
           walking = false
       }

@@ -58,6 +58,42 @@ class MediaMetadataSpec extends SparkSuite {
     assert(m2.durationMs === math.round(3 * 576 * 1000.0 / 22050))
   }
 
+  test("mp3: a Xing/Info VBR header frame is framing, not audio — " +
+    "excluded from frame count, duration, and bitrate averaging") {
+    // MPEG1 stereo: side info is 32 bytes, so the tag sits at
+    // frame offset 4 + 32 = 36
+    val xingFrame = {
+      val f = mp3Frame(3, 9, 0, mono = false)
+      "Xing".getBytes("ISO-8859-1").copyToArray(f, 36); f
+    }
+    val audio = mp3Frame(3, 11, 0, mono = false) ++
+      mp3Frame(3, 11, 0, mono = false)
+    val m = MediaMetadata.mp3Metadata(xingFrame ++ audio).get
+    assert(m.nFrames === 2L) // the Xing frame does not count
+    assert(m.durationMs === math.round(2 * 1152 * 1000.0 / 44100))
+    assert(m.bitrateKbps === 192) // 128k header frame not averaged in
+    // 'Info' (the CBR twin) skips identically
+    val infoFrame = {
+      val f = mp3Frame(3, 9, 0, mono = false)
+      "Info".getBytes("ISO-8859-1").copyToArray(f, 36); f
+    }
+    assert(MediaMetadata.mp3Metadata(infoFrame ++ audio)
+      .exists(_.nFrames == 2L))
+    // the tag only shields the FIRST frame: 'Xing' bytes inside a
+    // later frame's payload are audio data, still counted
+    val laterTag = audio ++ xingFrame
+    assert(MediaMetadata.mp3Metadata(laterTag).exists(_.nFrames == 3L))
+  }
+
+  test("mp3: a final truncated frame (valid header, payload past EOF) " +
+    "is not counted at full duration") {
+    val full = Array.fill(3)(mp3Frame(3, 9, 0, mono = false)).flatten
+    val truncated = full ++ mp3Frame(3, 9, 0, mono = false).take(100)
+    val m = MediaMetadata.mp3Metadata(truncated).get
+    assert(m.nFrames === 3L)
+    assert(m.durationMs === math.round(3 * 1152 * 1000.0 / 44100))
+  }
+
   test("mp3: mangled headers fail closed") {
     // random-ish bytes, a lone sync word, a single valid frame
     assert(MediaMetadata.mp3Metadata("not audio at all".getBytes).isEmpty)
