@@ -962,10 +962,11 @@ object NetCdf {
     * min(8, idLen-1)-byte object id resolved through the huge-object
     * v2 B-tree (record types 1 unfiltered / 2 filtered).
     *
-    * Scope: depth-0 (single-leaf) B-trees — an internal node needs
-    * thousands of huge-named links in ONE group; deeper trees, huge
-    * B-tree types 3/4 in indirect mode, and extended tiny IDs fail
-    * closed (→ quarantine), never silently drop a link. */
+    * Scope: trees of ANY depth (internal BTIN nodes walked with the
+    * library's node-capacity recurrence — the same math as
+    * [[readBtreeV2Chunks]], in throwing form); huge B-tree types 3/4
+    * in indirect mode and extended tiny IDs (heap ID length > 18)
+    * fail closed (→ quarantine), never silently drop a link. */
   private def hugeTinyLinks(bytes: Array[Byte], buf: ByteBuffer,
                             h: Int, nameBtree: Long, nHuge: Long,
                             nTiny: Long,
@@ -977,25 +978,80 @@ object NetCdf {
     val hugeBtree = buf.getLong(h + 22)
     def sig4(at: Int): String = new String(bytes, at, 4,
       java.nio.charset.StandardCharsets.US_ASCII)
-    /** v2 B-tree, depth 0: (record type, record size, record offsets). */
-    def btreeLeaf(at: Long): (Int, Int, Seq[Int]) = {
+    /** v2 B-tree record enumeration at ANY depth: (record type,
+      * record size, record offsets). Child-pointer count-field widths
+      * replicate the library's node-capacity recurrence — the
+      * [[readBtreeV2Chunks]] math, in throwing form (a malformed tree
+      * quarantines the whole file). Records living in internal nodes
+      * are enumerated alongside the leaves; order is irrelevant here
+      * (the callers consume the full record SET). */
+    def btreeRecords(at: Long): (Int, Int, Seq[Int]) = {
       val b = at.toInt
       require(sig4(b) == "BTHD", s"bad v2 B-tree signature '${sig4(b)}'")
       val btType = bytes(b + 5) & 0xFF
+      val nodeSize = buf.getInt(b + 6)
       val recSize = buf.getShort(b + 10) & 0xFFFF
-      require((buf.getShort(b + 12) & 0xFFFF) == 0,
-        "multi-level huge/tiny v2 B-tree not supported")
+      val depth = buf.getShort(b + 12) & 0xFFFF
       val root = buf.getLong(b + 16)
-      val nrec = buf.getShort(b + 24) & 0xFFFF
+      val rootNrec = buf.getShort(b + 24) & 0xFFFF
       require(root != -1L, "undefined v2 B-tree root")
-      val l = root.toInt
-      require(sig4(l) == "BTLF", s"bad v2 B-tree leaf '${sig4(l)}'")
-      (btType, recSize, (0 until nrec).map(i => l + 6 + i * recSize))
+      require(depth <= 12, s"v2 B-tree depth $depth out of range")
+      def encSize(v: Long): Int = {
+        var n = 1; var x = v >>> 8
+        while (x != 0) { n += 1; x >>>= 8 }
+        n
+      }
+      val maxNrecLeaf = (nodeSize - 10) / recSize // 10 = sig+ver+type+cksum
+      require(maxNrecLeaf > 0, "v2 B-tree node size below one record")
+      val maxNrecSize = encSize(maxNrecLeaf.toLong)
+      val cumMax = new Array[Long](depth + 1)
+      val cumSize = new Array[Int](depth + 1)
+      cumMax(0) = maxNrecLeaf.toLong
+      var u = 1
+      while (u <= depth) {
+        val ptrSize = 8 + maxNrecSize + cumSize(u - 1)
+        val maxNrec = (nodeSize - (10 + ptrSize)) / (recSize + ptrSize)
+        require(maxNrec > 0, "v2 B-tree internal capacity underflow")
+        cumMax(u) = (maxNrec + 1) * cumMax(u - 1) + maxNrec
+        cumSize(u) = encSize(cumMax(u))
+        u += 1
+      }
+      def intAt(p: Int, w: Int): Long = {
+        var v = 0L; var k = 0
+        while (k < w) { v |= (bytes(p + k) & 0xFFL) << (8 * k); k += 1 }
+        v
+      }
+      val out = Seq.newBuilder[Int]
+      def walk(addr: Long, d: Int, nrec: Int): Unit = {
+        require(addr != -1L, "undefined v2 B-tree node")
+        val a = addr.toInt
+        require((bytes(a + 5) & 0xFF) == btType,
+          s"v2 B-tree node type mismatch at $addr")
+        if (d == 0) {
+          require(sig4(a) == "BTLF", s"bad v2 B-tree leaf '${sig4(a)}'")
+          (0 until nrec).foreach(i => out += a + 6 + i * recSize)
+        } else {
+          require(sig4(a) == "BTIN",
+            s"bad v2 B-tree internal node '${sig4(a)}'")
+          val ptrSize = 8 + maxNrecSize + cumSize(d - 1)
+          val recBase = a + 6
+          (0 until nrec).foreach(i => out += recBase + i * recSize)
+          val ptrBase = recBase + nrec * recSize
+          var c = 0
+          while (c <= nrec) {
+            val cp = ptrBase + c * ptrSize
+            walk(buf.getLong(cp), d - 1, intAt(cp + 8, maxNrecSize).toInt)
+            c += 1
+          }
+        }
+      }
+      walk(root, depth, rootNrec)
+      (btType, recSize, out.result())
     }
     // huge-object B-tree (indirect IDs): object id -> (addr, stored
     // size, memory size or -1 when unfiltered)
     lazy val hugeRecords: Map[Long, (Long, Long, Long)] = {
-      val (t, _, recs) = btreeLeaf(hugeBtree)
+      val (t, _, recs) = btreeRecords(hugeBtree)
       require(t == 1 || t == 2,
         s"unsupported huge-object v2 B-tree record type $t")
       recs.map { r =>
@@ -1014,7 +1070,7 @@ object NetCdf {
         } else (bytes, buf, addr.toInt)
       parseLinkMessage(arr, b2, at)._1.foreach(links += _)
     }
-    val (nameType, recSize, recs) = btreeLeaf(nameBtree)
+    val (nameType, recSize, recs) = btreeRecords(nameBtree)
     require(nameType == 5, s"unexpected name-index record type $nameType")
     require(recSize >= 4 + heapIdLen,
       s"name-index record size $recSize below hash + heap ID")

@@ -976,8 +976,18 @@ object NetCdfFixtures {
     * `indirectHuge = true`: heap ID length 8 → the huge ID holds a
     * 7-byte object id resolved through the huge-object v2 B-tree
     * (BTHD type 1, depth 0); no tiny link (a 12-byte message cannot
-    * inline in an 8-byte ID). */
-  def hdf5V2DenseHugeTiny(indirectHuge: Boolean = false): Array[Byte] = {
+    * inline in an 8-byte ID).
+    *
+    * `deepNameIndex = true` (direct-huge mode only): the name index
+    * becomes a DEPTH-1 v2 B-tree — node size 120 gives leaf capacity
+    * 5 and internal capacity 3 (child-pointer width 8 + 1), so the 12
+    * records split into three leaves (4/4/2) under a root BTIN whose
+    * own two records are the HUGE and TINY heap IDs: a walk that only
+    * reads leaves loses exactly the links the index exists to carry. */
+  def hdf5V2DenseHugeTiny(indirectHuge: Boolean = false,
+                          deepNameIndex: Boolean = false): Array[Byte] = {
+    require(!(indirectHuge && deepNameIndex),
+      "deepNameIndex fixture is direct-huge only")
     val buf = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
     val rootHdr = 64L
     val frhp = 160L
@@ -1068,29 +1078,57 @@ object NetCdfFixtures {
       b.array()
     }
 
-    // name-index v2 B-tree (type 5): depth 0, one leaf, one record
-    // per link — 4-byte name hash (unused by the walk) + heap ID
+    // name-index v2 B-tree (type 5): one record per link — 4-byte
+    // name hash (unused by the walk) + heap ID
     val recSize = 4 + heapIdLen
-    def bthd(at: Long, typ: Int, rs: Int, root: Long, nrec: Int): Unit = {
+    def bthd(at: Long, typ: Int, rs: Int, root: Long, nrec: Int,
+             depth: Int = 0, nodeSize: Int = 512,
+             total: Long = -1L): Unit = {
       val a = at.toInt
       buf.position(a); buf.put("BTHD".getBytes)
       buf.put(0.toByte); buf.put(typ.toByte)
-      buf.putInt(a + 6, 512)
+      buf.putInt(a + 6, nodeSize)
       buf.putShort(a + 10, rs.toShort)
-      buf.putShort(a + 12, 0) // depth
+      buf.putShort(a + 12, depth.toShort)
       buf.put(a + 14, 100.toByte); buf.put(a + 15, 40.toByte)
       buf.putLong(a + 16, root)
       buf.putShort(a + 24, nrec.toShort)
-      buf.putLong(a + 26, nrec.toLong)
+      buf.putLong(a + 26, if (total >= 0) total else nrec.toLong)
     }
-    val nameIds = Seq.fill(10)(managedId()) ++ Seq(hugeId()) ++
-      (if (hasTiny) Seq(tinyId()) else Nil)
-    bthd(nameBt, 5, recSize, nameLeaf, nameIds.size)
-    buf.position(nameLeaf.toInt); buf.put("BTLF".getBytes)
-    buf.put(0.toByte); buf.put(5.toByte)
-    nameIds.foreach { idb =>
-      buf.putInt(0) // name hash (unused by the full listing)
-      buf.put(idb)
+    def btlf(at: Long, typ: Int, ids: Seq[Array[Byte]]): Unit = {
+      buf.position(at.toInt); buf.put("BTLF".getBytes)
+      buf.put(0.toByte); buf.put(typ.toByte)
+      ids.foreach { idb =>
+        buf.putInt(0) // name hash (unused by the full listing)
+        buf.put(idb)
+      }
+    }
+    if (deepNameIndex) {
+      // 12 records, huge at index 4 and tiny at index 9 — both land
+      // in the root BTIN as its two separator records
+      val m = Seq.fill(10)(managedId())
+      val ordered = m.slice(0, 4) ++ Seq(hugeId()) ++ m.slice(4, 8) ++
+        Seq(tinyId()) ++ m.slice(8, 10)
+      val nameInt = 1152L
+      val leaves = Seq(1232L, 1328L, 1424L)
+      val parts = Seq(ordered.slice(0, 4), ordered.slice(5, 9),
+        ordered.slice(10, 12))
+      bthd(nameBt, 5, recSize, nameInt, nrec = 2, depth = 1,
+        nodeSize = 120, total = 12L)
+      buf.position(nameInt.toInt); buf.put("BTIN".getBytes)
+      buf.put(0.toByte); buf.put(5.toByte)
+      Seq(ordered(4), ordered(9)).foreach { idb =>
+        buf.putInt(0); buf.put(idb)
+      }
+      leaves.zip(parts).foreach { case (addr, ids) =>
+        buf.putLong(addr); buf.put(ids.size.toByte) // ptr: addr + nrec
+      }
+      leaves.zip(parts).foreach { case (addr, ids) => btlf(addr, 5, ids) }
+    } else {
+      val nameIds = Seq.fill(10)(managedId()) ++ Seq(hugeId()) ++
+        (if (hasTiny) Seq(tinyId()) else Nil)
+      bthd(nameBt, 5, recSize, nameLeaf, nameIds.size)
+      btlf(nameLeaf, 5, nameIds)
     }
 
     // huge-object v2 B-tree (type 1: addr + len + id), indirect mode

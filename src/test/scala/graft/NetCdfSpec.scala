@@ -626,6 +626,33 @@ class NetCdfSpec extends SparkSuite {
       ((0 until 10).map(i => f"v$i%02d") ++ Seq("w" * 64)))
   }
 
+  test("hdf5 v2 dense links: DEPTH-1 name-index B-tree — records in " +
+    "internal nodes (the huge and tiny IDs) are enumerated too") {
+    val deep = NetCdf.parse(
+      NetCdfFixtures.hdf5V2DenseHugeTiny(deepNameIndex = true))
+      .toOption.get
+    assert(deep.vars.map(_.path).sorted ===
+      (Seq("t") ++ (0 until 10).map(i => f"v$i%02d") ++ Seq("w" * 64)))
+    // data reachable through the internal-node links reads exactly
+    val bytes = NetCdfFixtures.hdf5V2DenseHugeTiny(deepNameIndex = true)
+    assert(NetCdf.readGridRaw(bytes, deep, "w" * 64)
+      .exists(_.sameElements(Array(10.0f, 10.5f, 11.0f))))
+    assert(NetCdf.readGridRaw(bytes, deep, "t")
+      .exists(_.sameElements(Array(11.0f, 11.5f, 12.0f))))
+    // a mangled leaf UNDER the internal node still fails closed
+    val m = NetCdfFixtures.hdf5V2DenseHugeTiny(deepNameIndex = true)
+    def at(bytes: Array[Byte], sig: String): Int = {
+      val s = sig.getBytes
+      (0 until bytes.length - 4).find(i =>
+        bytes(i) == s(0) && bytes(i + 1) == s(1) &&
+          bytes(i + 2) == s(2) && bytes(i + 3) == s(3)).getOrElse(-1)
+    }
+    val leaf = at(m, "BTLF")
+    assert(leaf > 0)
+    m(leaf) = 'X'
+    assert(NetCdf.parse(m).isLeft)
+  }
+
   test("hdf5 v2 dense links: corrupt huge/tiny structures quarantine") {
     def at(bytes: Array[Byte], sig: String): Int = {
       val s = sig.getBytes
@@ -639,7 +666,8 @@ class NetCdfSpec extends SparkSuite {
     assert(bt1 > 0)
     m1(bt1) = 'X'
     assert(NetCdf.parse(m1).isLeft)
-    // (b) name index claiming depth > 0 -> unsupported, fail closed
+    // (b) depth field corrupted to 1 on a depth-0 tree -> the walk
+    // expects a BTIN root, finds the BTLF leaf -> fail closed
     val m2 = NetCdfFixtures.hdf5V2DenseHugeTiny()
     java.nio.ByteBuffer.wrap(m2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putShort(at(m2, "BTHD") + 12, 1)
