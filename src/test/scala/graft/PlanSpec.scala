@@ -51,6 +51,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BuildRight") || p.contains("Broadcast"), p.take(400))
   }
 
+  test("no window partitioned by a content-derived key; the " +
+    "inverted-index ranking window is pre-capped") {
+    // the r10 verdict's three unsplittable windows, pinned gone: a
+    // window partitioned by a fingerprint/span hash or a cluster id
+    // serializes a boilerplate/viral key into ONE task AQE cannot
+    // split — these shapes must stay map-side-combinable aggregates
+    assert(!planOf("q_winnow_incremental").contains(
+      "windowspecdefinition(fp_hash"), "fp_hash window is back")
+    assert(!planOf("q_winnow_fp").contains(
+      "windowspecdefinition(fp_hash"), "fp_hash window is back")
+    for (q <- Seq("q_dup_clusters", "q_dedup_best"))
+      assert(!planOf(q).contains("windowspecdefinition(cluster_id"),
+        s"$q sizes clusters through a cluster_id window again")
+    for (q <- Seq("q_repeated_spans", "q_span_removal"))
+      assert(!planOf(q).contains("windowspecdefinition(span_hash"),
+        s"$q regrew a span_hash window")
+    // the per-term posting rank window is allowed ONLY because the
+    // bounded-heap pre-pass (MapPartitions) caps its input at
+    // maxPostings rows per term per partition
+    val inv = planOf("q_inverted_index")
+    assert(inv.contains("windowspecdefinition(term"))
+    assert(inv.contains("MapPartitions"),
+      "inverted index lost its bounded-heap pre-pass")
+  }
+
   test("full sweep: no query grows an unplanned cartesian/nested-loop join") {
     // Every entry here is a vetted non-equi join of a deliberately
     // tiny side — a 1-row corpus-stats/merged-sketch aggregate crossed
