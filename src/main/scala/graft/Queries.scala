@@ -882,7 +882,11 @@ object Queries {
       ("dense_hugetiny.h5",
         graft.sources.NetCdfFixtures.hdf5V2DenseHugeTiny()),
       ("dense_hugetiny_btree.h5", graft.sources.NetCdfFixtures
-        .hdf5V2DenseHugeTiny(indirectHuge = true)))
+        .hdf5V2DenseHugeTiny(indirectHuge = true)),
+      // depth-1 name index: the huge and tiny heap IDs live in the
+      // root BTIN's own records — internal nodes must be enumerated
+      ("dense_hugetiny_deep.h5", graft.sources.NetCdfFixtures
+        .hdf5V2DenseHugeTiny(deepNameIndex = true)))
       .toDF("path", "content")
     files.as[(String, Array[Byte])].map { case (fname, bytes) =>
       val meta = graft.sources.NetCdf.parse(bytes)

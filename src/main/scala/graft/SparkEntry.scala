@@ -1239,7 +1239,10 @@ object SparkEntry {
         |   CAST(216.0 AS DOUBLE)),
         |  ('dense_hugetiny_btree.h5', 'hdf5 superblock-v2',
         |   CAST(11 AS BIGINT), 'v00', repeat('w', 64),
-        |   CAST(181.5 AS DOUBLE))
+        |   CAST(181.5 AS DOUBLE)),
+        |  ('dense_hugetiny_deep.h5', 'hdf5 superblock-v2',
+        |   CAST(12 AS BIGINT), 't', repeat('w', 64),
+        |   CAST(216.0 AS DOUBLE))
         |) AS t(fname, format, n_vars, first_var, last_var, total_sum)
         |ORDER BY fname""".stripMargin,
     "q_warc_scan" ->

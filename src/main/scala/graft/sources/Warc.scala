@@ -321,4 +321,25 @@ object Warc {
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
       .load(path))
+
+  /** Structured Streaming twin of [[read]]: WARC files arriving under
+    * `path` become micro-batches of records with the same row shape
+    * and whole-file quarantine semantics — the per-file walk is
+    * stateless, so [[recordRows]] composes with a streaming
+    * binaryFile scan unchanged (each file is processed exactly once
+    * by the source's file tracking; no keyed state). This is the
+    * crawl-firehose entry: compose with Html.extractText /
+    * Clean.qualityKeep / StreamingNearDup for incremental ingestion
+    * of an arriving crawl. */
+  def readStream(spark: SparkSession, path: String,
+                 glob: String = "*"): DataFrame =
+    recordRows(spark.readStream.format("binaryFile")
+      // binaryFile's schema is FIXED by the format, but streaming
+      // file sources refuse to infer — state it verbatim
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, " +
+          "length BIGINT, content BINARY"))
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(path))
 }

@@ -169,6 +169,36 @@ class WarcSpec extends SparkSuite {
         .foreach(_ => ()))
   }
 
+  test("readStream: arriving WARC files ingest incrementally with " +
+    "per-file quarantine; text extraction composes on the stream") {
+    val dir = java.nio.file.Files.createTempDirectory("warcstream")
+    java.nio.file.Files.write(dir.resolve("a.warc"),
+      WarcFixtures.plainWarc())
+    java.nio.file.Files.write(dir.resolve("bad.warc"),
+      WarcFixtures.brokenWarc())
+    val pages = Warc.readStream(spark, s"file://$dir")
+      .select(col("path"), col("record_type"), col("status"),
+        graft.llm.Html.extractText(col("payload").cast("string"))
+          .as("text"))
+    val q = pages.writeStream.format("memory").queryName("crawl_feed")
+      .start()
+    try {
+      q.processAllAvailable()
+      val t = spark.table("crawl_feed")
+      assert(t.filter(col("status") === "ok").count() === 3)
+      assert(t.filter(col("status") === "quarantined").count() === 1)
+      assert(t.filter(col("text").contains("hello a")).count() === 1)
+      // batch 2: one more file arrives — only ITS records land (the
+      // source's file tracking processes each file exactly once)
+      java.nio.file.Files.write(dir.resolve("b.warc.gz"),
+        WarcFixtures.ccWarcGz())
+      q.processAllAvailable()
+      val t2 = spark.table("crawl_feed")
+      assert(t2.filter(col("status") === "ok").count() === 5)
+      assert(t2.filter(col("status") === "quarantined").count() === 1)
+    } finally q.stop()
+  }
+
   test("fuzz: truncations and bit flips raise or parse, never hang or " +
     "yield phantom records") {
     val good = WarcFixtures.plainWarc()
