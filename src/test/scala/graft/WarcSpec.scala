@@ -123,6 +123,28 @@ class WarcSpec extends SparkSuite {
       want.map(r => new String(r.payload, "UTF-8")))
   }
 
+  test("property: ANY member segmentation of the same byte stream " +
+    "reframes to identical records") {
+    val plain = WarcFixtures.plainWarc()
+    val want = Warc.parseAll(plain).map(r =>
+      (r.recordType, r.targetUri, r.payload.toSeq))
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { trial =>
+      // random cut points, including 1-byte members at the extremes
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < plain.length) {
+        val n = 1 + rnd.nextInt(if (trial % 4 == 0) 3 else 97)
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(plain, i, math.min(n, plain.length - i)); gz.finish()
+        i += n
+      }
+      val got = Warc.parseAll(out.toByteArray).map(r =>
+        (r.recordType, r.targetUri, r.payload.toSeq))
+      assert(got === want, s"trial $trial reframed differently")
+    }
+  }
+
   test("full-size Common Crawl envelope: a stream inflating past the " +
     "2 GiB JVM array wall parses member-streamed in bounded memory") {
     // one 32 MiB-body record, deflated ONCE; the same compressed
