@@ -63,14 +63,21 @@ object Domains {
         try {
           val src = scala.io.Source.fromInputStream(s, "UTF-8")
           try {
-            val parsed = src.getLines()
+            // tolerate a FULLER snapshot mounted at the same path (the
+            // documented deployment move): single-label, wildcard
+            // (*.ck), exception (!www.ck), and three-label rules are
+            // outside this engine's two-label scope and are SKIPPED —
+            // hosts under them collapse to the last two labels, the
+            // stated fallback — rather than crashing object init with
+            // an ExceptionInInitializerError on first use
+            src.getLines()
               .map(_.trim.toLowerCase)
-              .filter(l => l.nonEmpty && !l.startsWith("#"))
-              .toSeq
-            parsed.foreach(l => require(
-              l.count(_ == '.') == 1 && !l.startsWith(".") && !l.endsWith("."),
-              s"public-suffixes.txt: not a two-label suffix: '$l'"))
-            parsed.distinct.sorted
+              .filter(l => l.nonEmpty && !l.startsWith("#") &&
+                !l.startsWith("//"))
+              .filter(l => l.count(_ == '.') == 1 &&
+                !l.startsWith(".") && !l.endsWith(".") &&
+                !l.contains("*") && !l.contains("!"))
+              .toSeq.distinct.sorted
           } finally src.close()
         } finally s.close()
     }

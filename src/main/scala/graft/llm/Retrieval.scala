@@ -97,15 +97,16 @@ object Retrieval {
       .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
     val stats = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
-    // cap BEFORE collecting, in TWO stages. A per-partition bounded
-    // heap first reduces each term to ≤ maxPostings rows per input
-    // partition (the Sampling.capPerGroup skew defense): terms are
-    // Zipf-skewed, and without the pre-pass a stopword's full posting
-    // set (df ≈ |corpus|) serializes into ONE window sort task that
-    // AQE cannot split. The ranking window then sees at most
-    // maxPostings × partitions rows per term — and since (term, doc)
-    // is unique in tf, (tf desc, doc asc) is a total order, so the
-    // global top-maxPostings survives the pre-pass bit-identically.
+    // cap BEFORE collecting, in TWO stages. A per-partition local
+    // sort + streaming keep-first-n first reduces each term to
+    // ≤ maxPostings rows per input partition (the capPerGroup skew
+    // defense, spill-safe): terms are Zipf-skewed, and without the
+    // pre-pass a stopword's full posting set (df ≈ |corpus|)
+    // serializes into ONE window sort task that AQE cannot split.
+    // The ranking window then sees at most maxPostings × partitions
+    // rows per term — and since (term, doc) is unique in tf,
+    // (tf desc, doc asc) is a total order, so the global
+    // top-maxPostings survives the pre-pass bit-identically.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("term").orderBy(desc("tf"), asc("doc"))
     val top = topPerTermPrePass(tf, maxPostings)
@@ -120,40 +121,31 @@ object Retrieval {
     stats.join(top, "term")
   }
 
-  /** Per-partition bounded-heap pre-cap for [[invertedIndex]]: keep
-    * the best `n` `(term, doc, tf)` rows per term PER INPUT PARTITION
-    * under the posting order (tf desc, doc asc) — the
-    * [[Sampling.capPerGroup]] skew defense specialized to a real
-    * ranking key instead of a random one. Heap head = current WORST
-    * posting (lowest tf, then largest doc) = eviction candidate. The
-    * doc column compares via its natural `Comparable` order, which is
-    * exactly the window's `asc("doc")` for every id type the engine
-    * keys on (string/long/int). */
+  /** Per-partition pre-cap for [[invertedIndex]]: keep the best `n`
+    * `(term, doc, tf)` rows per term PER INPUT PARTITION under the
+    * posting order (tf desc, doc asc). Shape: a LOCAL sort (Spark's
+    * spillable external sorter — no exchange, and no per-term heap
+    * map pinning deserialized rows on a mostly-rare-terms vocabulary)
+    * followed by a streaming keep-first-n filter whose state is one
+    * term value and a counter. Null-safe by construction: the sort
+    * places null terms/docs deterministically (nulls first, the same
+    * order the downstream window uses) and the filter only tests term
+    * equality. */
   private def topPerTermPrePass(tf: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     val sch = tf.schema
     val ti = sch.fieldIndex("term")
-    val di = sch.fieldIndex("doc")
-    val fi = sch.fieldIndex("tf")
-    // larger = worse: lower tf first, then larger doc
-    val byBadness: Ordering[Row] = new Ordering[Row] {
-      override def compare(a: Row, b: Row): Int = {
-        val c = java.lang.Long.compare(b.getLong(fi), a.getLong(fi))
-        if (c != 0) c
-        else a.get(di).asInstanceOf[Comparable[Any]].compareTo(b.get(di))
-      }
-    }
-    tf.mapPartitions { rows =>
-      val heaps = scala.collection.mutable.HashMap
-        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
-      rows.foreach { r =>
-        val h = heaps.getOrElseUpdate(r.get(ti),
-          scala.collection.mutable.PriorityQueue.empty[Row](byBadness))
-        if (h.size < n) h.enqueue(r)
-        else if (byBadness.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
-    }(RowEncoder.encoderFor(sch))
+    tf.sortWithinPartitions(col("term"), desc("tf"), asc("doc"))
+      .mapPartitions { rows =>
+        var cur: Any = null
+        var started = false
+        var kept = 0
+        rows.filter { r =>
+          val t = r.get(ti)
+          if (!started || t != cur) { started = true; cur = t; kept = 1; true }
+          else { kept += 1; kept <= n }
+        }
+      }(RowEncoder.encoderFor(sch))
   }
 }

@@ -155,7 +155,12 @@ object Winnow {
   def fingerprintCatalog(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4,
                          maxDocFreq: Int = 100): DataFrame = {
+    // fps feeds BOTH the df aggregation and the semi-join probe side:
+    // checkpoint the compact (id, hash) pairs once (lazy — the first
+    // consumer's stage populates the blocks) so the gram/window chain
+    // never runs twice (the bm25 tf-table lesson)
     val fps = fingerprintHashes(docs, idCol, textCol, k, w)
+      .localCheckpoint(false)
     val keep = fps.groupBy("fp_hash")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)

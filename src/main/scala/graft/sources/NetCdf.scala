@@ -976,82 +976,10 @@ object NetCdf {
     val heapIdLen = buf.getShort(h + 5) & 0xFFFF
     val ioFilterLen = buf.getShort(h + 7) & 0xFFFF
     val hugeBtree = buf.getLong(h + 22)
-    def sig4(at: Int): String = new String(bytes, at, 4,
-      java.nio.charset.StandardCharsets.US_ASCII)
-    /** v2 B-tree record enumeration at ANY depth: (record type,
-      * record size, record offsets). Child-pointer count-field widths
-      * replicate the library's node-capacity recurrence — the
-      * [[readBtreeV2Chunks]] math, in throwing form (a malformed tree
-      * quarantines the whole file). Records living in internal nodes
-      * are enumerated alongside the leaves; order is irrelevant here
-      * (the callers consume the full record SET). */
-    def btreeRecords(at: Long): (Int, Int, Seq[Int]) = {
-      val b = at.toInt
-      require(sig4(b) == "BTHD", s"bad v2 B-tree signature '${sig4(b)}'")
-      val btType = bytes(b + 5) & 0xFF
-      val nodeSize = buf.getInt(b + 6)
-      val recSize = buf.getShort(b + 10) & 0xFFFF
-      val depth = buf.getShort(b + 12) & 0xFFFF
-      val root = buf.getLong(b + 16)
-      val rootNrec = buf.getShort(b + 24) & 0xFFFF
-      require(root != -1L, "undefined v2 B-tree root")
-      require(depth <= 12, s"v2 B-tree depth $depth out of range")
-      def encSize(v: Long): Int = {
-        var n = 1; var x = v >>> 8
-        while (x != 0) { n += 1; x >>>= 8 }
-        n
-      }
-      val maxNrecLeaf = (nodeSize - 10) / recSize // 10 = sig+ver+type+cksum
-      require(maxNrecLeaf > 0, "v2 B-tree node size below one record")
-      val maxNrecSize = encSize(maxNrecLeaf.toLong)
-      val cumMax = new Array[Long](depth + 1)
-      val cumSize = new Array[Int](depth + 1)
-      cumMax(0) = maxNrecLeaf.toLong
-      var u = 1
-      while (u <= depth) {
-        val ptrSize = 8 + maxNrecSize + cumSize(u - 1)
-        val maxNrec = (nodeSize - (10 + ptrSize)) / (recSize + ptrSize)
-        require(maxNrec > 0, "v2 B-tree internal capacity underflow")
-        cumMax(u) = (maxNrec + 1) * cumMax(u - 1) + maxNrec
-        cumSize(u) = encSize(cumMax(u))
-        u += 1
-      }
-      def intAt(p: Int, w: Int): Long = {
-        var v = 0L; var k = 0
-        while (k < w) { v |= (bytes(p + k) & 0xFFL) << (8 * k); k += 1 }
-        v
-      }
-      val out = Seq.newBuilder[Int]
-      def walk(addr: Long, d: Int, nrec: Int): Unit = {
-        require(addr != -1L, "undefined v2 B-tree node")
-        val a = addr.toInt
-        require((bytes(a + 5) & 0xFF) == btType,
-          s"v2 B-tree node type mismatch at $addr")
-        if (d == 0) {
-          require(sig4(a) == "BTLF", s"bad v2 B-tree leaf '${sig4(a)}'")
-          (0 until nrec).foreach(i => out += a + 6 + i * recSize)
-        } else {
-          require(sig4(a) == "BTIN",
-            s"bad v2 B-tree internal node '${sig4(a)}'")
-          val ptrSize = 8 + maxNrecSize + cumSize(d - 1)
-          val recBase = a + 6
-          (0 until nrec).foreach(i => out += recBase + i * recSize)
-          val ptrBase = recBase + nrec * recSize
-          var c = 0
-          while (c <= nrec) {
-            val cp = ptrBase + c * ptrSize
-            walk(buf.getLong(cp), d - 1, intAt(cp + 8, maxNrecSize).toInt)
-            c += 1
-          }
-        }
-      }
-      walk(root, depth, rootNrec)
-      (btType, recSize, out.result())
-    }
     // huge-object B-tree (indirect IDs): object id -> (addr, stored
     // size, memory size or -1 when unfiltered)
     lazy val hugeRecords: Map[Long, (Long, Long, Long)] = {
-      val (t, _, recs) = btreeRecords(hugeBtree)
+      val (t, _, recs) = btreeV2Records(bytes, buf, hugeBtree)
       require(t == 1 || t == 2,
         s"unsupported huge-object v2 B-tree record type $t")
       recs.map { r =>
@@ -1070,7 +998,7 @@ object NetCdf {
         } else (bytes, buf, addr.toInt)
       parseLinkMessage(arr, b2, at)._1.foreach(links += _)
     }
-    val (nameType, recSize, recs) = btreeRecords(nameBtree)
+    val (nameType, recSize, recs) = btreeV2Records(bytes, buf, nameBtree)
     require(nameType == 5, s"unexpected name-index record type $nameType")
     require(recSize >= 4 + heapIdLen,
       s"name-index record size $recSize below hash + heap ID")
@@ -1544,45 +1472,37 @@ object NetCdf {
     true
   }
 
-  /** Version-2 B-tree chunk index ("BTHD" header → "BTIN" internal /
-    * "BTLF" leaf nodes, record types 10 = non-filtered and 11 =
-    * filtered dataset chunks): the layout-v4 index for datasets with
-    * more than one unlimited dimension. Records carry the chunk
-    * address (+ stored size and filter mask for type 11) and the
-    * chunk's SCALED offsets — chunk-grid coordinates, multiplied by
-    * the chunk shape to place the chunk. Child-pointer count-field
-    * widths replicate the library's node-capacity recurrence
-    * (max/cumulative record counts per depth). Elided chunks simply
-    * have no record. Fails closed on unknown record types, capacity
-    * underflow, or bad signatures. */
-  private def readBtreeV2Chunks(bytes: Array[Byte], buf: ByteBuffer,
-                                ci: ChunkInfo, rank: Int, nominal: Int,
-                                chunks: ArrayBuffer[(Array[Long], Int, Long, Int)])
-  : Boolean = {
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val h = ci.addr.toInt
-    if (new String(bytes, h, 4, ascii) != "BTHD") return false
-    val recType = bytes(h + 5) & 0xFF
-    val nodeSize = buf.getInt(h + 6)
-    val recSize = buf.getShort(h + 10) & 0xFFFF
-    val depth = buf.getShort(h + 12) & 0xFFFF
-    val root = buf.getLong(h + 16)
-    val rootNrec = buf.getShort(h + 24) & 0xFFFF
-    if (recType != 10 && recType != 11) return false
-    val szW = if (recType == 11) recSize - 12 - 8 * rank else 0
-    if (recType == 10 && recSize != 8 + 8 * rank) return false
-    if (recType == 11 && (szW < 1 || szW > 8)) return false
-    if (depth > 12) return false
-    if (root == -1L) return true // empty tree: all fill
-
-    // node-capacity recurrence → child-pointer count-field widths
+  /** Version-2 B-tree record enumeration at ANY depth: (record type,
+    * record size, record offsets) — empty offsets for an empty tree
+    * (undefined root). "BTHD" header → "BTIN" internal / "BTLF" leaf
+    * nodes; child-pointer count-field widths replicate the library's
+    * node-capacity recurrence (max/cumulative record counts per
+    * depth). Records living in internal nodes are enumerated
+    * alongside the leaves; callers consume the record SET, so order
+    * is irrelevant. Throws on malformed trees — the huge/tiny link
+    * walk propagates (whole-file quarantine) and the chunk-index
+    * reader catches into its boolean fail-closed protocol. */
+  private def btreeV2Records(bytes: Array[Byte], buf: ByteBuffer,
+                             at: Long): (Int, Int, Seq[Int]) = {
+    def sig4(p: Int): String = new String(bytes, p, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val b = at.toInt
+    require(sig4(b) == "BTHD", s"bad v2 B-tree signature '${sig4(b)}'")
+    val btType = bytes(b + 5) & 0xFF
+    val nodeSize = buf.getInt(b + 6)
+    val recSize = buf.getShort(b + 10) & 0xFFFF
+    val depth = buf.getShort(b + 12) & 0xFFFF
+    val root = buf.getLong(b + 16)
+    val rootNrec = buf.getShort(b + 24) & 0xFFFF
+    require(depth <= 12, s"v2 B-tree depth $depth out of range")
+    if (root == -1L) return (btType, recSize, Nil) // empty tree
     def encSize(v: Long): Int = {
       var n = 1; var x = v >>> 8
       while (x != 0) { n += 1; x >>>= 8 }
       n
     }
     val maxNrecLeaf = (nodeSize - 10) / recSize // 10 = sig+ver+type+cksum
-    if (maxNrecLeaf <= 0) return false
+    require(maxNrecLeaf > 0, "v2 B-tree node size below one record")
     val maxNrecSize = encSize(maxNrecLeaf.toLong)
     val cumMax = new Array[Long](depth + 1)
     val cumSize = new Array[Int](depth + 1)
@@ -1591,7 +1511,7 @@ object NetCdf {
     while (u <= depth) {
       val ptrSize = 8 + maxNrecSize + cumSize(u - 1)
       val maxNrec = (nodeSize - (10 + ptrSize)) / (recSize + ptrSize)
-      if (maxNrec <= 0) return false
+      require(maxNrec > 0, "v2 B-tree internal capacity underflow")
       cumMax(u) = (maxNrec + 1) * cumMax(u - 1) + maxNrec
       cumSize(u) = encSize(cumMax(u))
       u += 1
@@ -1601,7 +1521,58 @@ object NetCdf {
       while (k < w) { v |= (bytes(p + k) & 0xFFL) << (8 * k); k += 1 }
       v
     }
-    def record(p: Int): Unit = {
+    val out = Seq.newBuilder[Int]
+    def walk(addr: Long, d: Int, nrec: Int): Unit = {
+      require(addr != -1L, "undefined v2 B-tree node")
+      val a = addr.toInt
+      require((bytes(a + 5) & 0xFF) == btType,
+        s"v2 B-tree node type mismatch at $addr")
+      if (d == 0) {
+        require(sig4(a) == "BTLF", s"bad v2 B-tree leaf '${sig4(a)}'")
+        (0 until nrec).foreach(i => out += a + 6 + i * recSize)
+      } else {
+        require(sig4(a) == "BTIN",
+          s"bad v2 B-tree internal node '${sig4(a)}'")
+        val ptrSize = 8 + maxNrecSize + cumSize(d - 1)
+        val recBase = a + 6
+        (0 until nrec).foreach(i => out += recBase + i * recSize)
+        val ptrBase = recBase + nrec * recSize
+        var c = 0
+        while (c <= nrec) {
+          val cp = ptrBase + c * ptrSize
+          walk(buf.getLong(cp), d - 1, intAt(cp + 8, maxNrecSize).toInt)
+          c += 1
+        }
+      }
+    }
+    walk(root, depth, rootNrec)
+    (btType, recSize, out.result())
+  }
+
+  /** Version-2 B-tree chunk index (record types 10 = non-filtered and
+    * 11 = filtered dataset chunks): the layout-v4 index for datasets
+    * with more than one unlimited dimension. Records carry the chunk
+    * address (+ stored size and filter mask for type 11) and the
+    * chunk's SCALED offsets — chunk-grid coordinates, multiplied by
+    * the chunk shape to place the chunk. Elided chunks simply have no
+    * record. Tree walking is [[btreeV2Records]]; this wrapper keeps
+    * the chunk path's boolean fail-closed protocol (false on unknown
+    * record types, capacity underflow, bad signatures). */
+  private def readBtreeV2Chunks(bytes: Array[Byte], buf: ByteBuffer,
+                                ci: ChunkInfo, rank: Int, nominal: Int,
+                                chunks: ArrayBuffer[(Array[Long], Int, Long, Int)])
+  : Boolean = try {
+    val (recType, recSize, recs) = btreeV2Records(bytes, buf, ci.addr)
+    if (recType != 10 && recType != 11) return false
+    val szW = if (recType == 11) recSize - 12 - 8 * rank else 0
+    if (recType == 10 && recSize != 8 + 8 * rank) return false
+    if (recType == 11 && (szW < 1 || szW > 8)) return false
+    def intAt(p: Int, w: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < w) { v |= (bytes(p + k) & 0xFFL) << (8 * k); k += 1 }
+      v
+    }
+    recs.foreach { p =>
       val addr = buf.getLong(p)
       var q = p + 8
       var size = nominal
@@ -1614,34 +1585,8 @@ object NetCdf {
         buf.getLong(q + k * 8) * ci.chunkDims(k))
       if (addr != -1L) chunks += ((offs, size, addr, mask))
     }
-    def walk(addr: Long, d: Int, nrec: Int): Boolean = {
-      if (addr == -1L) return false
-      val a = addr.toInt
-      if ((bytes(a + 5) & 0xFF) != recType) return false
-      if (d == 0) {
-        if (new String(bytes, a, 4, ascii) != "BTLF") return false
-        var p = a + 6
-        (0 until nrec).foreach { _ => record(p); p += recSize }
-        true
-      } else {
-        if (new String(bytes, a, 4, ascii) != "BTIN") return false
-        val ptrSize = 8 + maxNrecSize + cumSize(d - 1)
-        val recBase = a + 6
-        val ptrBase = recBase + nrec * recSize
-        var c = 0
-        while (c <= nrec) {
-          val cp = ptrBase + c * ptrSize
-          if (!walk(buf.getLong(cp), d - 1,
-            intAt(cp + 8, maxNrecSize).toInt)) return false
-          c += 1
-        }
-        var p = recBase
-        (0 until nrec).foreach { _ => record(p); p += recSize }
-        true
-      }
-    }
-    walk(root, depth, rootNrec)
-  }
+    true
+  } catch { case scala.util.control.NonFatal(_) => false }
 
   private def unshuffle(in: Array[Byte], es: Int): Array[Byte] = {
     if (es <= 1) return in

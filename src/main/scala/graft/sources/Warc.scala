@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions.col
   * binaryFile scan's array, ≤ ~2.1 GB by Spark's own cap) plus one
   * record — a full-size ~1 GiB Common Crawl segment that inflates to
   * 4–5 GiB streams through in bounded memory. A single member
-  * inflating past `memberCap` (default 1 GiB — three orders of
-  * magnitude above CC's ~1 MB members) quarantines the file instead
-  * of risking the 2 GiB JVM array wall.
+  * inflating past `memberCap` (default: the JVM array wall; pass a
+  * tighter cap — CC members are ~1 MB — for decompression-bomb
+  * defense on untrusted archives) quarantines the file instead of
+  * dying on an uncatchable OutOfMemoryError.
   *
   * `read` is a binaryFile scan + per-partition flatMap: no driver
   * work, no shuffle; downstream text extraction starts from the
@@ -48,10 +49,15 @@ object Warc {
 
   private val Gzip = Array[Byte](0x1F.toByte, 0x8B.toByte)
 
-  /** Per-member inflated-size cap. Common Crawl members hold one
-    * record (~1 MB); a member claiming gigabytes is either corrupt or
-    * a decompression bomb — quarantine, don't OOM. */
-  val DefaultMemberCap: Long = 1L << 30
+  /** Per-member inflated-size cap: defaults to the JVM array wall —
+    * the envelope a single member can physically occupy — so the
+    * default-cap reader accepts everything the old whole-file reader
+    * could represent, while an over-wall member raises a catchable
+    * exception (quarantine) instead of the BAOS's OutOfMemoryError.
+    * Deployments ingesting untrusted archives pass a tighter cap
+    * (Common Crawl members are ~1 MB) for decompression-bomb
+    * defense. */
+  val DefaultMemberCap: Long = Int.MaxValue - 16L
 
   /** Inflate the gzip members of a concatenated stream ONE AT A TIME
     * with PER-MEMBER verification. The JDK's GZIPInputStream
@@ -145,22 +151,38 @@ object Warc {
       else Iterator.single(bytes0)
     new Iterator[WarcRecord] {
       private var pending = Array.emptyByteArray
-      private var p = 0 // consumed prefix of `pending`
+      private var limit = 0 // valid bytes in `pending`
+      private var p = 0     // consumed prefix of `pending`
       private var nextRec: WarcRecord = null
 
+      /** Append the next member. Amortized O(total bytes): the
+        * consumed prefix compacts in place and the buffer grows
+        * geometrically — an exact-size merge per member would make a
+        * record spanning M members O(M²) in byte copying (a 64 KiB-
+        * flushing streaming writer with a 100 MB record hits that). */
       private def refill(): Boolean = {
         if (!chunks.hasNext) return false
         val c = chunks.next()
-        pending =
-          if (p == pending.length) c // common case: member == record
-          else {
-            val keep = pending.length - p
-            val merged = new Array[Byte](keep + c.length)
-            System.arraycopy(pending, p, merged, 0, keep)
-            System.arraycopy(c, 0, merged, keep, c.length)
-            merged
+        if (p == limit) { // common case: member == record
+          pending = c; p = 0; limit = c.length
+        } else {
+          if (p > 0) { // compact the consumed prefix in place
+            System.arraycopy(pending, p, pending, 0, limit - p)
+            limit -= p; p = 0
           }
-        p = 0
+          if (limit + c.length > pending.length) {
+            val need = limit.toLong + c.length
+            require(need <= Int.MaxValue - 16L,
+              "record spans past the array envelope")
+            val g = new Array[Byte](
+              math.min(Int.MaxValue - 16L,
+                math.max(pending.length * 2L, need)).toInt)
+            System.arraycopy(pending, 0, g, 0, limit)
+            pending = g
+          }
+          System.arraycopy(c, 0, pending, limit, c.length)
+          limit += c.length
+        }
         true
       }
 
@@ -171,11 +193,11 @@ object Warc {
         while (true) {
           // skip inter-record blank lines (the spec's two CRLFs live
           // at the END of each record; tolerate LF-only writers)
-          while (p < pending.length &&
+          while (p < limit &&
             (pending(p) == '\r' || pending(p) == '\n')) p += 1
-          if (p == pending.length) {
+          if (p == limit) {
             if (!refill()) return null
-          } else headerBlockOpt(pending, p) match {
+          } else headerBlockOpt(pending, p, limit) match {
             case None => // header spans a member boundary
               require(refill(), "unterminated header block")
             case Some((headers, bodyAt)) =>
@@ -188,7 +210,7 @@ object Warc {
               require(len64 >= 0 && len64 <= Int.MaxValue - 16L,
                 s"record length $len64 beyond this reader's record envelope")
               val len = len64.toInt
-              if (bodyAt + len > pending.length) { // block spans members
+              if (bodyAt + len > limit) { // block spans members
                 require(refill(), s"record block at $bodyAt escapes the file")
               } else {
                 val block =
@@ -231,15 +253,16 @@ object Warc {
     recordIterator(bytes0).toSeq
 
   /** Header lines up to the first blank line, or None when the block
-    * is not yet complete in `bytes` (streaming refill signal). */
-  private def headerBlockOpt(bytes: Array[Byte], start: Int)
+    * is not complete within `bytes[start, end)` (streaming refill
+    * signal). */
+  private def headerBlockOpt(bytes: Array[Byte], start: Int, end: Int)
   : Option[(Seq[String], Int)] = {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     var p = start
     while (true) {
       var e = p
-      while (e < bytes.length && bytes(e) != '\n') e += 1
-      if (e == bytes.length) return None // incomplete: need more data
+      while (e < end && bytes(e) != '\n') e += 1
+      if (e == end) return None // incomplete: need more data
       val lineEnd = if (e > p && bytes(e - 1) == '\r') e - 1 else e
       val line = new String(bytes, p, lineEnd - p,
         java.nio.charset.StandardCharsets.UTF_8)
@@ -261,7 +284,7 @@ object Warc {
     * response). */
   private def httpResponse(block: Array[Byte])
   : (Int, String, Array[Byte]) = {
-    val (lines, bodyAt) = headerBlockOpt(block, 0).getOrElse(
+    val (lines, bodyAt) = headerBlockOpt(block, 0, block.length).getOrElse(
       throw new IllegalArgumentException("unterminated HTTP header block"))
     val status = lines.headOption match {
       case Some(s) if s.startsWith("HTTP/") =>
@@ -288,15 +311,16 @@ object Warc {
     * the try. Inflating twice trades elastic CPU for the peak-heap
     * envelope (the old single-pass reader held the whole inflated
     * file — and silently could not represent >2 GiB at all). */
-  def recordRows(files: DataFrame): DataFrame = {
+  def recordRows(files: DataFrame,
+                 memberCap: Long = DefaultMemberCap): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
     files.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
         try {
-          recordIterator(bytes).foreach(_ => ()) // pass 1: validate
-          recordIterator(bytes).map(r => (p, r.recordType, r.targetUri,
+          recordIterator(bytes, memberCap).foreach(_ => ()) // pass 1: validate
+          recordIterator(bytes, memberCap).map(r => (p, r.recordType, r.targetUri,
             r.warcDate, r.httpStatus, r.httpContentType, r.payload,
             r.payload.length.toLong, "ok")) // pass 2: emit
         } catch {
@@ -315,12 +339,12 @@ object Warc {
 
   /** Distributed WARC scan: one row per record, plus one
     * `status = "quarantined"` row per malformed file. */
-  def read(spark: SparkSession, path: String,
-           glob: String = "*"): DataFrame =
+  def read(spark: SparkSession, path: String, glob: String = "*",
+           memberCap: Long = DefaultMemberCap): DataFrame =
     recordRows(spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
-      .load(path))
+      .load(path), memberCap)
 
   /** Structured Streaming twin of [[read]]: WARC files arriving under
     * `path` become micro-batches of records with the same row shape
@@ -331,8 +355,8 @@ object Warc {
     * crawl-firehose entry: compose with Html.extractText /
     * Clean.qualityKeep / StreamingNearDup for incremental ingestion
     * of an arriving crawl. */
-  def readStream(spark: SparkSession, path: String,
-                 glob: String = "*"): DataFrame =
+  def readStream(spark: SparkSession, path: String, glob: String = "*",
+                 memberCap: Long = DefaultMemberCap): DataFrame =
     recordRows(spark.readStream.format("binaryFile")
       // binaryFile's schema is FIXED by the format, but streaming
       // file sources refuse to infer — state it verbatim
@@ -341,5 +365,5 @@ object Warc {
           "length BIGINT, content BINARY"))
       .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
-      .load(path))
+      .load(path), memberCap)
 }
