@@ -696,8 +696,11 @@ class NetCdfSpec extends SparkSuite {
 
   test("hdf5 huge/tiny fixtures: truncations and bit flips return " +
     "Either, never throw") {
-    for (indirect <- Seq(false, true)) {
-      val good = NetCdfFixtures.hdf5V2DenseHugeTiny(indirectHuge = indirect)
+    val variants = Seq(
+      NetCdfFixtures.hdf5V2DenseHugeTiny(),
+      NetCdfFixtures.hdf5V2DenseHugeTiny(indirectHuge = true),
+      NetCdfFixtures.hdf5V2DenseHugeTiny(deepNameIndex = true))
+    for (good <- variants) {
       (0 until good.length by 37).foreach(n => NetCdf.parse(good.take(n)))
       val rnd = new scala.util.Random(11)
       (1 to 200).foreach { _ =>
