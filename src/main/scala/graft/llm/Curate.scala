@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   * 16-byte text hash + semi join (skew-immune — a mega-duplicated doc
   * partial-aggregates instead of serializing into one window task),
   * then the classifier's tf shuffle + vocab join, and one window
-  * shuffle on source for the budget (sources are domains — numerous
-  * and individually bounded; a pathological mega-source is a
-  * [[Sampling.capPerGroup]]-style pre-cap away). The dedup survivors
+  * shuffle on source for the budget. The budget window is guarded by
+  * a per-partition pre-filter ([[budgetFilter]]): real LLM mixes are
+  * NOT per-domain — `source ∈ {common-crawl, c4, github, …}` and the
+  * dominant source is half the corpus, so an unguarded
+  * `Window.partitionBy(source)` would serialize half of 100 TB into
+  * ONE sort task AQE cannot split. The pre-pass caps what reaches the
+  * window at ~budget/min_tokens rows per source per input partition,
+  * provably without changing the output. The dedup survivors
   * are checkpointed once and feed classifier training, scoring, and
   * the final attribute join — the corpus text is never recomputed. */
 object Curate {
@@ -49,14 +54,75 @@ object Curate {
     val attrs = survivors.select(col(idCol).as("doc_id"),
       col(sourceCol).as("source"),
       Text.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+    budgetFilter(scored.join(attrs, "doc_id"), budgetPerSource)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("score_e6"), Sampling.split(col("doc_id")).as("split"))
+  }
+
+  /** Per-source cumulative token budget: admit docs in
+    * (score desc, doc_id) order while the running token total stays
+    * within `budget`. Input needs `(doc_id, source, n_tokens,
+    * score_e6)`; output is the admitted rows (all input columns).
+    *
+    * Scale shape — TWO stages, the [[Retrieval]] `topPerTermPrePass` /
+    * [[Sampling.capPerGroup]] skew defense. Stage 1 is a per-partition
+    * pre-filter: a LOCAL sort within partitions on (source,
+    * score desc, doc_id) — Spark's spillable external sorter, no
+    * exchange — then a streaming filter keeping each row whose LOCAL
+    * prefix token sum (over all locally-preceding same-source rows,
+    * kept or not, EXCLUDING the current row) is ≤ budget. Stage 2 is
+    * the exact global window over the reduced set.
+    *
+    * Output-identical, provably: any global survivor has global
+    * cumulative ≤ budget, so its global prefix-excluding-self =
+    * cum − n_tokens ≤ budget; its local prefix is a sub-sum of that
+    * (the partition's preceding rows are a subset of all preceding
+    * rows under the same total order), so the pre-pass keeps a
+    * SUPERSET of global survivors and the window finishes exactly.
+    * Kept rows per (partition, source) are bounded by
+    * budget/min(n_tokens) + 1 for positive token counts (zero-token
+    * rows never advance the prefix — but then they also all survive
+    * the global window, so the pre-pass output stays proportional to
+    * the true result). `prePass = false` is the single-stage
+    * specification twin for the CurateSpec equivalence proof — it
+    * serializes a mega-source into one window task and exists only to
+    * pin the pre-pass bit-identical. */
+  private[graft] def budgetFilter(joined: DataFrame, budget: Long,
+                                  prePass: Boolean = true): DataFrame = {
     val bySource = Window.partitionBy(col("source"))
       .orderBy(col("score_e6").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored.join(attrs, "doc_id")
-      .withColumn("cum", sum(col("n_tokens")).over(bySource))
-      .filter(col("cum") <= budgetPerSource)
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        col("score_e6"), Sampling.split(col("doc_id")).as("split"))
+    val in = if (prePass) budgetPrePass(joined, budget) else joined
+    in.withColumn("cum", sum(col("n_tokens")).over(bySource))
+      .filter(col("cum") <= budget)
+  }
+
+  /** Stage-1 pre-filter of [[budgetFilter]] (see proof there). Local
+    * sort + one-pass streaming state: the current source value and a
+    * running token sum — no per-group map, nothing pinned in memory.
+    * Null-safe: the sort groups null sources deterministically and
+    * the filter only tests source equality. */
+  private def budgetPrePass(df: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val sch = df.schema
+    val si = sch.fieldIndex("source")
+    val ni = sch.fieldIndex("n_tokens")
+    df.sortWithinPartitions(col("source"), col("score_e6").desc,
+        col("doc_id"))
+      .mapPartitions { rows =>
+        var cur: Any = null
+        var started = false
+        var acc = 0L
+        rows.filter { r =>
+          val s = r.get(si)
+          if (!started || s != cur) { started = true; cur = s; acc = 0L }
+          val keep = acc <= budget
+          // null n_tokens contributes nothing, matching sum() over the
+          // window (which skips nulls)
+          if (!r.isNullAt(ni)) acc += r.getLong(ni)
+          keep
+        }
+      }(RowEncoder.encoderFor(sch))
   }
 
   /** CCNet-style per-language perplexity tiers (Wenzek et al. 2020):

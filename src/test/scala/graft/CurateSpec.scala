@@ -102,6 +102,36 @@ class CurateSpec extends SparkSuite {
     }
   }
 
+  test("budget pre-pass == single-window spec twin on an adversarial " +
+    "mega-source, under ties, boundary sums, and any partitioning") {
+    // one source carries 50% of the corpus (the real LLM-mix shape the
+    // pre-pass exists for); heavy score ties (17 distinct scores over
+    // 600 docs) so the doc_id tie-break matters; token counts chosen
+    // so some admitted prefix hits the budget EXACTLY (cum == budget
+    // must stay admitted); a second tiny source; plus zero-token rows
+    // (never advance the prefix, always admitted) and a null source
+    val rows =
+      (1 to 600).map(i => (i.toLong, "common-crawl",
+        (i % 7 + 1).toLong, ((i % 17) + 1) * 1000000L)) ++
+      (601 to 620).map(i => (i.toLong, "github", 5L, 3000000L)) ++
+      Seq((621L, "github", 0L, 99000000L),
+          (622L, null.asInstanceOf[String], 4L, 2000000L))
+    val joined = rows.toDF("doc_id", "source", "n_tokens", "score_e6")
+    for (budget <- Seq(0L, 25L, 100L, 1000L); parts <- Seq(1, 13)) {
+      val d = if (parts == 1) joined else joined.repartition(parts)
+      val fast = Curate.budgetFilter(d, budget)
+        .orderBy("doc_id").collect().toSeq
+      val spec = Curate.budgetFilter(d, budget, prePass = false)
+        .orderBy("doc_id").collect().toSeq
+      assert(fast == spec, s"budget=$budget parts=$parts")
+    }
+    // exact-boundary check is real in this fixture: budget=25 admits a
+    // github prefix of 5+5+5+5+5 = 25 == budget plus the zero-token doc
+    val b25 = Curate.budgetFilter(joined, 25L)
+      .filter(col("source") === "github").collect()
+    assert(b25.count(_.getLong(2) > 0) == 5 && b25.exists(_.getLong(2) == 0L))
+  }
+
   test("pipeline is partitioning-independent") {
     val a = Curate.pipeline(docs, "doc_id", "text", "source", "is_en")
       .orderBy("doc_id").collect().toSeq

@@ -74,6 +74,14 @@ class PlanSpec extends SparkSuite {
     assert(inv.contains("windowspecdefinition(term"))
     assert(inv.contains("MapPartitions"),
       "inverted index lost its bounded-heap pre-pass")
+    // the per-source token-budget window is allowed ONLY because the
+    // per-partition budget pre-filter (MapPartitions over a local
+    // sort) caps its input: real LLM mixes have one source at ~50% of
+    // the corpus, which would otherwise serialize into one window task
+    val cur = planOf("q_curate_pipeline")
+    assert(cur.contains("windowspecdefinition(source"))
+    assert(cur.contains("MapPartitions"),
+      "curate budget window lost its per-partition budget pre-pass")
   }
 
   test("full sweep: no query grows an unplanned cartesian/nested-loop join") {
