@@ -158,7 +158,13 @@ object MediaMetadata {
               case _ => 9      // MPEG2/2.5 mono
             }
             val tagAt = off + 4 + side
-            val isVbrHeader = first && tagAt + 4 <= bytes.length && {
+            // the tag must sit INSIDE this frame: a minimal-size frame
+            // (e.g. 8 kbps MPEG2.5 stereo, fb=24 < 4+17+4) ends before
+            // the probe offset, and reading past it could hit a
+            // coincidental 'Xing' in the NEXT frame's bytes and drop a
+            // real audio frame from the duration math
+            val isVbrHeader = first && tagAt + 4 <= off + fb &&
+              tagAt + 4 <= bytes.length && {
               val t = new String(bytes, tagAt, 4,
                 java.nio.charset.StandardCharsets.ISO_8859_1)
               t == "Xing" || t == "Info"

@@ -320,9 +320,32 @@ object Warc {
       .flatMap { case (p, bytes) =>
         try {
           recordIterator(bytes, memberCap).foreach(_ => ()) // pass 1: validate
-          recordIterator(bytes, memberCap).map(r => (p, r.recordType, r.targetUri,
-            r.warcDate, r.httpStatus, r.httpContentType, r.payload,
-            r.payload.length.toLong, "ok")) // pass 2: emit
+          val emit = recordIterator(bytes, memberCap)
+            .map(r => (p, r.recordType, r.targetUri,
+              r.warcDate, r.httpStatus, r.httpContentType, r.payload,
+              r.payload.length.toLong, "ok")) // pass 2: emit
+          // pass 2 is a deterministic replay of the walk pass 1 just
+          // completed over the SAME immutable bytes, so it cannot throw
+          // — but it is consumed AFTER this try, where an exception
+          // would surface as a bare Spark task failure. Guard the
+          // invariant: convert any late throw into a task error naming
+          // the file, so a future nondeterminism bug (config- or
+          // environment-dependent parsing) diagnoses in one read
+          // instead of masquerading as an unrelated executor crash.
+          new Iterator[(String, String, String, String, Int, String,
+              Array[Byte], Long, String)] {
+            private def guarded[A](body: => A): A =
+              try body catch {
+                case scala.util.control.NonFatal(e) =>
+                  throw new IllegalStateException(
+                    s"WARC pass-2 replay diverged from pass-1 validation " +
+                      s"for $p — the two-pass walk must be deterministic",
+                    e)
+              }
+            def hasNext: Boolean = guarded(emit.hasNext)
+            def next(): (String, String, String, String, Int, String,
+                Array[Byte], Long, String) = guarded(emit.next())
+          }
         } catch {
           // NonFatal: an InterruptedException from a Spark task kill
           // must propagate (a bare Exception catch would convert a

@@ -85,6 +85,25 @@ class MediaMetadataSpec extends SparkSuite {
     assert(MediaMetadata.mp3Metadata(laterTag).exists(_.nFrames == 3L))
   }
 
+  test("mp3: minimal-size frames (8 kbps MPEG2 stereo, fb=24) — the " +
+    "Xing probe window [off+21, off+25) ends past the frame, so the " +
+    "probe must stand down rather than read the next frame's bytes") {
+    // fb = 72*8*1000/24000 = 24 < 4 + 17(side) + 4(tag): a probe not
+    // bounded by the frame end reads one byte into frame 2. Plant
+    // "Xin" at the probe offset in frame 1's payload — with the frame
+    // 2 sync byte 0xFF following, an unbounded probe reads "Xin\xFF"
+    // (and a coincidental 'g' there would silently drop frame 1);
+    // bounded, the probe never fires and every frame counts.
+    val tiny = mp3Frame(2, 1, 1, mono = false) // brIdx 1 = 8 kbps, 24 kHz
+    assert(tiny.length === 24)
+    "Xin".getBytes("ISO-8859-1").copyToArray(tiny, 21)
+    val m = MediaMetadata.mp3Metadata(
+      tiny ++ mp3Frame(2, 1, 1, mono = false) ++
+        mp3Frame(2, 1, 1, mono = false)).get
+    assert(m.nFrames === 3L)
+    assert(m.durationMs === math.round(3 * 576 * 1000.0 / 24000))
+  }
+
   test("mp3: a final truncated frame (valid header, payload past EOF) " +
     "is not counted at full duration") {
     val full = Array.fill(3)(mp3Frame(3, 9, 0, mono = false)).flatten
