@@ -3,6 +3,7 @@ package graft
 import graft.llm.{Classifier, Curate, Dedup, Dsir, IvfPq, Pq, GroupSimilarity, LangModel, Mixing, Packing, Retrieval, Similarity, Text, Winnow}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Materializer.MaterializeOps
 
 /** LLM-training-data pipeline queries: text analysis, dedup families,
   * similarity search over the `documents` / `embeddings` tables.
@@ -148,7 +149,7 @@ object LlmQueries {
     val n = Dedup.spread(d, col("doc_id")).select(col("doc_id"),
       Text.fingerprint(col("text")).as("fp"),
       length(Text.normalize(col("text"))).as("nlen"))
-      .localCheckpoint(false)
+      .materialized("q_simhash_spread")
     Dedup.simhashNearDups(d, "doc_id", "text", maxDist = 0)
       .join(n.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
         col("nlen").as("nlen_a")), "id_a")
@@ -405,15 +406,20 @@ object LlmQueries {
 
   /** Deterministic synthetic URL per doc (both engines derive the
     * SAME string from source + doc_id arithmetic, so the oracle
-    * replays it): mixed-case scheme/host, rotating TLD incl.
-    * multi-part suffixes, a default port on every third doc, tracking
-    * params and a fragment — every canonicalization rule fires. */
+    * replays it): mixed-case scheme/host, rotating TLD pool covering
+    * every PSL rule shape — plain TLDs, two-label exacts (co.uk,
+    * com.au), a wildcard TLD (`*.ck`), a two-label wildcard base
+    * (`*.kawasaki.jp`), a three-label exact (act.edu.au), and the
+    * exception zones (`!www.ck`, `!city.kawasaki.jp`) — plus a
+    * default port on every third doc, tracking params and a fragment,
+    * so every canonicalization AND suffix-matching rule fires. */
   private def syntheticUrl: Column = concat(
     when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://WWW."))
       .otherwise(lit("http://Blog.")),
     col("source"), lit("-news."),
-    element_at(typedlit(Seq("com", "co.uk", "org", "com.au", "de")),
-      (pmod(col("doc_id"), lit(5)) + 1).cast("int")),
+    element_at(typedlit(Seq("com", "co.uk", "org", "com.au", "de",
+      "ck", "kawasaki.jp", "act.edu.au", "www.ck", "city.kawasaki.jp")),
+      (pmod(col("doc_id"), lit(10)) + 1).cast("int")),
     when(pmod(col("doc_id"), lit(3)) === 0, lit(":443")).otherwise(lit("")),
     lit("/articles/"), col("doc_id").cast("string"),
     lit("?utm_source=rss&ref=home&utm_campaign=x&page="),
@@ -623,7 +629,7 @@ object LlmQueries {
     val per = e.groupBy("event_type").agg(
       expr("hll_sketch(user_id)").as("sk"),
       countDistinct(col("user_id")).cast("bigint").as("n_exact"))
-      .localCheckpoint(false) // lazy: first branch populates (r10 §6)
+      .materialized("q_hll_users_per_type") // lazy: first branch populates (r10 §6)
     val perOut = per.select(col("event_type"), col("n_exact"),
       (abs(expr("hll_estimate(sk)").cast("double") - col("n_exact")) /
         col("n_exact") <= 0.05).as("within_5pct"))
@@ -649,7 +655,7 @@ object LlmQueries {
       round(expr("percentile(value, 0.48)"), 6).as("lo"),
       round(expr("percentile(value, 0.52)"), 6).as("hi"),
       count(lit(1)).cast("bigint").as("n"))
-      .localCheckpoint(false) // lazy: first branch populates (r10 §6)
+      .materialized("q_kll_per_type") // lazy: first branch populates (r10 §6)
     val perOut = per.select(col("event_type"), col("n"),
       expr("kll_quantile(sk, 0.5d)").between(col("lo"), col("hi"))
         .as("median_within_2pct_rank"))
@@ -680,7 +686,7 @@ object LlmQueries {
     // sketch branch is the only other scan of the raw table)
     val per = e.groupBy("event_type")
       .agg(count(lit(1)).cast("bigint").as("n_exact"))
-      .localCheckpoint(false) // lazy: first branch populates (r10 §6)
+      .materialized("q_cms_per_type") // lazy: first branch populates (r10 §6)
     val tot = per.agg(sum(col("n_exact")).cast("bigint").as("n_total"))
     val est = expr("cms_estimate(sk, event_type)")
     per
@@ -839,7 +845,7 @@ object LlmQueries {
       .select(col("lang"), explode(wordTrigrams(col("text"))).as("sh"))
       .groupBy("sh")
       .agg(sort_array(collect_set(col("lang"))).as("langs"))
-      .localCheckpoint(false) // lazy: first branch populates (r10 §6)
+      .materialized("q_set_jaccard_shingles") // lazy: first branch populates (r10 §6)
     // (lang, sh) pairs are distinct by construction of collect_set
     val tri = bySh.select(explode(col("langs")).as("lang"), col("sh"))
     val est = GroupSimilarity.setJaccard(tri, "lang", "sh", numHashes = 128)
@@ -1070,7 +1076,7 @@ object LlmQueries {
     // one sketch + exact-distinct row per day, built once
     val daily = e.groupBy("day")
       .agg(expr("hll_sketch(user_id)").as("sk"))
-      .localCheckpoint(false) // lazy: first branch populates (r10 §6)
+      .materialized("q_rolling_wau_daily") // lazy: first branch populates (r10 §6)
     val served = daily
       .select(explode(sequence(lit(0), lit(6))).as("off"), col("day"), col("sk"))
       .select(date_add(col("day"), col("off")).as("day"), col("sk"))

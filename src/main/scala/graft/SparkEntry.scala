@@ -2777,14 +2777,18 @@ object SparkEntry {
     * [[graft.llm.Domains.canonicalUrl]] / registrable-domain rules in
     * DuckDB, emitting `c(doc_id, url, canon_url, host, domain)`. */
   private lazy val urlCanonCtes: String = {
-    val multi = graft.llm.Domains.MultiSuffixes
-      .map(s => s"'$s'").mkString(", ")
+    def inList(s: Seq[String]): String =
+      s.map(x => s"'$x'").mkString(", ")
+    val rules = graft.llm.Domains.Rules
+    val multi = inList(rules.exact2)
     s"""WITH u AS (
       |  SELECT doc_id,
       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
       |          ELSE 'http://Blog.' END)
       |    || source || '-news.'
-      |    || (['com','co.uk','org','com.au','de'])[CAST(doc_id % 5 + 1 AS INT)]
+      |    || (['com','co.uk','org','com.au','de',
+      |         'ck','kawasaki.jp','act.edu.au','www.ck',
+      |         'city.kawasaki.jp'])[CAST(doc_id % 10 + 1 AS INT)]
       |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
       |    || '/articles/' || CAST(doc_id AS VARCHAR)
       |    || '?utm_source=rss&ref=home&utm_campaign=x&page='
@@ -2826,8 +2830,33 @@ object SparkEntry {
       |         WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+)*$$')
       |         THEN host
       |         WHEN len(string_split(host, '.')) <= 2 THEN host
+      |         WHEN len(string_split(host, '.')) >= 3 AND
+      |              (string_split(host, '.')[-3] || '.' ||
+      |               string_split(host, '.')[-2] || '.' ||
+      |               string_split(host, '.')[-1]) IN (${inList(rules.exc3)})
+      |         THEN string_split(host, '.')[-3] || '.' ||
+      |              string_split(host, '.')[-2] || '.' ||
+      |              string_split(host, '.')[-1]
+      |         WHEN (string_split(host, '.')[-2] || '.' ||
+      |               string_split(host, '.')[-1]) IN (${inList(rules.exc2)})
+      |         THEN string_split(host, '.')[-2] || '.' ||
+      |              string_split(host, '.')[-1]
+      |         WHEN len(string_split(host, '.')) >= 3 AND
+      |              ((string_split(host, '.')[-3] || '.' ||
+      |                string_split(host, '.')[-2] || '.' ||
+      |                string_split(host, '.')[-1]) IN (${inList(rules.exact3)})
+      |               OR
+      |               (string_split(host, '.')[-2] || '.' ||
+      |                string_split(host, '.')[-1]) IN (${inList(rules.wild2)}))
+      |         THEN CASE WHEN len(string_split(host, '.')) >= 4
+      |              THEN string_split(host, '.')[-4] || '.' ||
+      |                   string_split(host, '.')[-3] || '.' ||
+      |                   string_split(host, '.')[-2] || '.' ||
+      |                   string_split(host, '.')[-1]
+      |              ELSE host END
       |         WHEN (string_split(host, '.')[-2] || '.' ||
       |               string_split(host, '.')[-1]) IN ($multi)
+      |              OR string_split(host, '.')[-1] IN (${inList(rules.wild1)})
       |         THEN string_split(host, '.')[-3] || '.' ||
       |              string_split(host, '.')[-2] || '.' ||
       |              string_split(host, '.')[-1]

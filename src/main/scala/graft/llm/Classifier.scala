@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materializer.MaterializeOps
 
 /** Model-based quality filtering — the classifier stage of web-corpus
   * curation (GPT-3/CCNet-style: train a cheap linear classifier on a
@@ -194,6 +195,6 @@ object Classifier {
     val tf = base.select(cols: _*)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("tf"))
-    if (checkpoint) tf.localCheckpoint(false) else tf // lazy (r10 §6)
+    if (checkpoint) tf.materialized("classifier_tf") else tf // lazy (r10 §6)
   }
 }

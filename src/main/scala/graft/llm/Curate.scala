@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materializer.MaterializeOps
 
 /** End-to-end corpus curation — the composed recipe a training run
   * actually executes, built entirely from this engine's verified
@@ -47,7 +48,7 @@ object Curate {
     // partition, while the aggregate partial-combines per partition
     val survivors = Dedup.dropExactDuplicates(q, idCol, textCol)
       .select(col(idCol), col(textCol), col(sourceCol), col(labelCol))
-      .localCheckpoint(false) // lazy: first consumer populates (r10 §6)
+      .materialized("curate_dedup_survivors") // lazy: first consumer populates (r10 §6)
     val scored = Classifier
       .nbTrainScore(survivors, idCol, textCol, labelCol)
       .filter(col("score_e6") > 0)

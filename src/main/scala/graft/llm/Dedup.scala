@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materializer.MaterializeOps
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -389,7 +390,7 @@ object Dedup {
         count(lit(1)).over(byDoc).as("nw"))
       .filter(col("pos") <= col("nw") - k) // full grams only
       .select(col(idCol), col("pos"), xxhash64(col("gram")).as("h"))
-      .localCheckpoint(false)
+      .materialized("crossdoc_gram_hashes")
     val sharedHashes = grams.groupBy("h")
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df").between(2, maxDocFreq))

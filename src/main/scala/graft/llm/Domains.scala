@@ -20,18 +20,23 @@ import org.apache.spark.sql.functions._
   * dropped. A string with no recognizable `scheme://host` yields NULL
   * (fail-closed — curation must not invent a key for garbage).
   *
-  * Registrable domain: the last two host labels, or the last THREE
-  * when the final two match a multi-part public suffix. The suffix
-  * set is the `graft/public-suffixes.txt` classpath resource — a
-  * ~600-entry snapshot of the published public-suffix data's
-  * two-label ccTLD registration points (com.pl, co.il, com.ua,
-  * co.th, state/province second-levels, …), written from the public
-  * list; a deployment tracking the live PSL mounts a fuller snapshot
-  * at the same resource path. Scope, stated: explicit TWO-label rules
-  * only — wildcard (`*.ck`), exception (`!www.ck`), and three-label
-  * rules are out of envelope, and an unlisted multi-part suffix
-  * collapses to its last two labels (erring toward grouping siblings
-  * together, never toward splitting one owner).
+  * Registrable domain: the public-suffix-list algorithm
+  * (publicsuffix.org) over the `graft/public-suffixes.txt` classpath
+  * resource — exception rules (`!www.ck`) prevail, then the LONGEST
+  * matching rule (explicit two- and three-label rules, wildcard rules
+  * `*.ck` / `*.kawasaki.jp`), then the implicit default `*` (last
+  * label is the suffix); the registrable domain is the matched suffix
+  * plus one label. The resource is a snapshot of the published list's
+  * ccTLD registration points; a deployment tracking the live PSL
+  * mounts a fuller snapshot at the same resource path and the loader
+  * consumes every rule shape through three labels. Envelope, stated:
+  * rules DEEPER than three labels (`*.x.y.z`, four-label exacts —
+  * private-section CDN entries, a handful of ICANN zones) are
+  * skipped, and a host under one collapses to the deepest rule that
+  * does match (erring toward grouping siblings together, never toward
+  * splitting one owner). A host that IS a public suffix (e.g. bare
+  * `co.uk`) passes through whole rather than going NULL — grouping
+  * fail-open, same rationale.
   *
   * Scale shape: everything here is per-row string work plus ONE
   * map-side-combinable groupBy for the stats — no UDFs, no window
@@ -51,37 +56,66 @@ object Domains {
     "com.cn", "net.cn", "org.cn", "com.tw", "com.hk", "com.sg",
     "co.za", "co.kr", "or.kr", "com.my", "co.id", "com.vn")
 
-  /** Two-label public suffixes, loaded from the
-    * `graft/public-suffixes.txt` resource (sorted, deduped; '#' and
-    * blank lines ignored), falling back to [[FallbackSuffixes]]. */
-  val MultiSuffixes: Seq[String] = {
+  /** The parsed rule sets of a PSL snapshot, keyed by how the matcher
+    * probes them: exact rules by label count, wildcard rules by their
+    * BASE (the labels after `*.`), exceptions by label count. */
+  private[graft] final case class PslRules(
+      exact2: Seq[String], exact3: Seq[String],
+      wild1: Seq[String], wild2: Seq[String],
+      exc2: Seq[String], exc3: Seq[String])
+
+  /** Parse PSL rule lines into [[PslRules]]. Supported shapes:
+    * explicit two- and three-label rules, wildcards with one- or
+    * two-label bases (`*.ck`, `*.kawasaki.jp`), exceptions with two
+    * or three labels (`!www.ck`, `!city.kawasaki.jp`). Single-label
+    * explicit rules are redundant with the algorithm's implicit
+    * default `*` rule and are dropped; deeper rules (a full upstream
+    * PSL mount carries a few) are SKIPPED — hosts under them collapse
+    * to the deepest matching rule, the stated fail-open — rather than
+    * crashing object init with an ExceptionInInitializerError on
+    * first use. */
+  private[graft] def parsePsl(lines: Iterator[String]): PslRules = {
+    val rules = lines
+      .map(_.trim.toLowerCase)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("//"))
+      .filter(l => !l.startsWith(".") && !l.endsWith("."))
+      .toSeq.distinct
+    def labels(r: String): Int = r.count(_ == '.') + 1
+    def clean(s: Seq[String]): Seq[String] = s.distinct.sorted
+    PslRules(
+      exact2 = clean(rules.filter(r =>
+        !r.startsWith("*") && !r.startsWith("!") && labels(r) == 2)),
+      exact3 = clean(rules.filter(r =>
+        !r.startsWith("*") && !r.startsWith("!") && labels(r) == 3)),
+      wild1 = clean(rules.filter(r => r.startsWith("*.") &&
+        labels(r) == 2).map(_.drop(2))),
+      wild2 = clean(rules.filter(r => r.startsWith("*.") &&
+        labels(r) == 3).map(_.drop(2))),
+      exc2 = clean(rules.filter(r => r.startsWith("!") &&
+        labels(r) == 2).map(_.drop(1))),
+      exc3 = clean(rules.filter(r => r.startsWith("!") &&
+        labels(r) == 3).map(_.drop(1))))
+  }
+
+  /** PSL rules loaded from the `graft/public-suffixes.txt` resource
+    * ('#' and blank lines ignored), falling back to
+    * [[FallbackSuffixes]] as two-label exact rules. */
+  private[graft] val Rules: PslRules = {
     val in = Option(getClass.getClassLoader
       .getResourceAsStream("graft/public-suffixes.txt"))
     in match {
-      case None => FallbackSuffixes.sorted
+      case None => PslRules(FallbackSuffixes.sorted, Nil, Nil, Nil, Nil, Nil)
       case Some(s) =>
         try {
           val src = scala.io.Source.fromInputStream(s, "UTF-8")
-          try {
-            // tolerate a FULLER snapshot mounted at the same path (the
-            // documented deployment move): single-label, wildcard
-            // (*.ck), exception (!www.ck), and three-label rules are
-            // outside this engine's two-label scope and are SKIPPED —
-            // hosts under them collapse to the last two labels, the
-            // stated fallback — rather than crashing object init with
-            // an ExceptionInInitializerError on first use
-            src.getLines()
-              .map(_.trim.toLowerCase)
-              .filter(l => l.nonEmpty && !l.startsWith("#") &&
-                !l.startsWith("//"))
-              .filter(l => l.count(_ == '.') == 1 &&
-                !l.startsWith(".") && !l.endsWith(".") &&
-                !l.contains("*") && !l.contains("!"))
-              .toSeq.distinct.sorted
-          } finally src.close()
+          try parsePsl(src.getLines()) finally src.close()
         } finally s.close()
     }
   }
+
+  /** The explicit two-label suffixes of the snapshot (the common
+    * case; also what the DuckDB oracle interpolates). */
+  val MultiSuffixes: Seq[String] = Rules.exact2
 
   private def schemeOf(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -124,23 +158,42 @@ object Domains {
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
 
-  /** Registrable domain of a hostname (NULL in, NULL out). IP-address
+  private def inSet(c: Column, s: Seq[String]): Column =
+    if (s.isEmpty) lit(false) else c.isin(s: _*)
+
+  /** Registrable domain of a hostname (NULL in, NULL out) under the
+    * PSL algorithm (see object scaladoc): exceptions prevail, then
+    * the longest matching rule (3-label exact / 2-label-base wildcard
+    * → suffix of 3 labels; 2-label exact / 1-label-base wildcard →
+    * suffix of 2 labels), then the implicit `*`; registrable = suffix
+    * + 1 label. Each rule set compiles into an `InSet` literal
+    * (hash-set probe per row, codegen'd) — never a join. IP-address
     * hosts (all-numeric labels) pass through whole — truncating
     * 192.168.0.1 to "0.1" would merge unrelated IPs into one bogus
-    * blocklist/stats key. */
+    * blocklist/stats key. A host that IS a suffix passes through
+    * whole (grouping fail-open; see scaladoc). */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
-    val lastTwo = concat_ws(".",
-      element_at(labels, -2), element_at(labels, -1))
-    val multi = lastTwo.isin(MultiSuffixes: _*)
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    val last1 = element_at(labels, -1)
+    val last2 = lastK(2)
+    val last3 = lastK(3)
+    val last4 = lastK(4)
     when(host.isNull, lit(null))
       .when(host.rlike("^[0-9]+(\\.[0-9]+)*$"), host)
       .when(n <= 2, host)
-      .when(multi, concat_ws(".",
-        element_at(labels, -3), element_at(labels, -2),
-        element_at(labels, -1)))
-      .otherwise(lastTwo)
+      // exception rules prevail: the exception itself is registrable
+      .when(inSet(last3, Rules.exc3), last3)
+      .when(inSet(last2, Rules.exc2), last2)
+      // 3-label public suffix (exact or *.base2) → registrable last 4
+      .when(inSet(last3, Rules.exact3) || inSet(last2, Rules.wild2),
+        when(n >= 4, last4).otherwise(host))
+      // 2-label public suffix (exact or *.base1) → registrable last 3
+      .when(inSet(last2, Rules.exact2) || inSet(last1, Rules.wild1),
+        last3)
+      .otherwise(last2)
   }
 
   /** Per-domain corpus statistics: docs, chars, distinct canonical

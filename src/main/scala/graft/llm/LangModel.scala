@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materializer.MaterializeOps
 
 /** Unigram language-model surprisal scoring — the CCNet-style
   * "perplexity filter" quality signal: documents whose tokens are
@@ -51,7 +52,7 @@ object LangModel {
       // the first consumer's stage populates the blocks — eager ran
       // the whole chain as a job at plan-BUILD time on every call
       // (the crossDocSpans lesson, NOTES_r10 §6)
-      .localCheckpoint(false)
+      .materialized("langmodel_unigram_tf")
     val stats = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
     val total = stats.agg(sum(col("ctf")).cast("double").as("n_total"))
     tf.join(stats, "term")
@@ -97,7 +98,7 @@ object LangModel {
       // one tokenize pass feeds BOTH count tables (the bm25 lesson);
       // lazy — c1's aggregation stage populates the blocks, c2 reads
       // them (NOTES_r10 §6: eager paid the chain at plan-build)
-      .localCheckpoint(false)
+      .materialized("langmodel_bigram_tokens")
     val c1 = mWs.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
     val c2 = mWs.filter(size(col("ws")) >= 2)

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materializer.MaterializeOps
 
 /** BM25 full-text retrieval over a document corpus — the ranking
   * primitive behind retrieval-based curation and decontamination of
@@ -57,7 +58,7 @@ object Retrieval {
     // pass instead of re-running the chain per consumer; lazy so no
     // job runs at plan-build time (NOTES_r10 §6)
     val tf = hits.groupBy("id", "dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .materialized("retrieval_tf")
     // df per query term: tf already has one row per (doc, term)
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dft), "term").crossJoin(broadcast(corpus))

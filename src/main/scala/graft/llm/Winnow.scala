@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materializer.MaterializeOps
 
 /** Winnowing document fingerprints — Schleimer, Wilkerson & Aiken,
   * "Winnowing: Local Algorithms for Document Fingerprinting" (SIGMOD
@@ -160,7 +161,7 @@ object Winnow {
     // consumer's stage populates the blocks) so the gram/window chain
     // never runs twice (the bm25 tf-table lesson)
     val fps = fingerprintHashes(docs, idCol, textCol, k, w)
-      .localCheckpoint(false)
+      .materialized("winnow_fingerprints")
     val keep = fps.groupBy("fp_hash")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDocFreq)

@@ -74,6 +74,80 @@ class DomainsSpec extends SparkSuite {
     assert(kept === Seq(2L))
   }
 
+  test("PSL wildcard, exception, and three-label rules: full " +
+    "algorithm semantics (exception prevails, longest match wins)") {
+    val cases = Seq(
+      // *.ck: any second level under ck is a registration point
+      "foo.bar.ck" -> "foo.bar.ck",
+      "a.foo.bar.ck" -> "foo.bar.ck",
+      // !www.ck: the exception IS the registrable domain
+      "x.www.ck" -> "www.ck",
+      "deep.x.www.ck" -> "www.ck",
+      "www.ck" -> "www.ck", // host == exception: passthrough, same key
+      // *.kawasaki.jp: two-label wildcard base -> suffix of 3 labels
+      "blog.foo.kawasaki.jp" -> "blog.foo.kawasaki.jp",
+      "a.blog.foo.kawasaki.jp" -> "blog.foo.kawasaki.jp",
+      // !city.kawasaki.jp prevails over *.kawasaki.jp
+      "x.city.kawasaki.jp" -> "city.kawasaki.jp",
+      "deep.x.city.kawasaki.jp" -> "city.kawasaki.jp",
+      // three-label exact rule beats the two-label edu.au rule
+      "www.school.act.edu.au" -> "school.act.edu.au",
+      "school.act.edu.au" -> "school.act.edu.au",
+      // two-label edu.au still governs non-state labels
+      "foo.edu.au" -> "foo.edu.au",
+      "www.foo.edu.au" -> "foo.edu.au",
+      // a host that IS a public suffix passes through whole
+      // (grouping fail-open, documented)
+      "foo.kawasaki.jp" -> "foo.kawasaki.jp",
+      "act.edu.au" -> "act.edu.au",
+      // other wildcard TLDs from the snapshot: *.np makes example.np
+      // itself a public suffix, so registrable = suffix + 1 label
+      "shop.example.np" -> "shop.example.np",
+      "x.gov.bd" -> "x.gov.bd",
+      "a.x.gov.bd" -> "x.gov.bd")
+    val got = cases.map(_._1)
+      .toDF("h").select(Domains.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("PSL snapshot invariants: rule grammar, lowercase, no dupes, " +
+    "exceptions covered by wildcards, known entries present") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getClassLoader
+        .getResourceAsStream("graft/public-suffixes.txt"), "UTF-8")
+    val lines = try src.getLines().map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("#")).toSeq
+    finally src.close()
+    // one rule per line, PSL grammar, already lowercase — a single
+    // transcription typo (stray char, uppercase, trailing dot) fails
+    val rule = "^(!|\\*\\.)?[a-z0-9-]+(\\.[a-z0-9-]+){0,2}$".r
+    for (l <- lines)
+      assert(rule.matches(l), s"malformed PSL rule line: '$l'")
+    assert(lines === lines.distinct, "duplicate PSL rules")
+    // structural consistency: every exception must sit under a
+    // matching wildcard rule (catches a transcribed exception whose
+    // wildcard was dropped, which would silently change grouping)
+    val wilds = lines.filter(_.startsWith("*.")).map(_.drop(2)).toSet
+    for (e <- lines.filter(_.startsWith("!"))) {
+      val base = e.drop(1).split("\\.", 2)(1)
+      assert(wilds.contains(base),
+        s"exception $e has no matching wildcard *.$base")
+    }
+    // parsed rule sets see the shapes they expect
+    val r = Domains.Rules
+    assert(r.exact2.contains("co.uk") && r.exact2.contains("com.au"))
+    assert(r.exact3.contains("act.edu.au") && r.exact3.contains("wa.gov.au"))
+    assert(r.wild1.contains("ck") && r.wild1.contains("np"))
+    assert(r.wild2.contains("kawasaki.jp") && r.wild2.contains("kobe.jp"))
+    assert(r.exc2 === Seq("www.ck"))
+    assert(r.exc3.contains("city.kawasaki.jp") &&
+      r.exc3.contains("city.yokohama.jp"))
+    // every parsed set is sorted+deduped (InSet literal hygiene)
+    for (s <- Seq(r.exact2, r.exact3, r.wild1, r.wild2, r.exc2, r.exc3))
+      assert(s === s.distinct.sorted)
+  }
+
   test("dropDomains: blocklisted and unparseable rows both fail closed") {
     val docs = Seq(
       (1L, "https://spam.example.com/x"),
