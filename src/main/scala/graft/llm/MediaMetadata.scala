@@ -192,14 +192,14 @@ object MediaMetadata {
   // MP4: ISO BMFF box walk
   // ---------------------------------------------------------------
 
-  private def u32(b: Array[Byte], off: Int): Long =
+  private[llm] def u32(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
       ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
-  private def u64(b: Array[Byte], off: Int): Long =
+  private[llm] def u64(b: Array[Byte], off: Int): Long =
     (u32(b, off) << 32) | u32(b, off + 4)
-  private def u16(b: Array[Byte], off: Int): Int =
+  private[llm] def u16(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
-  private def fourcc(b: Array[Byte], off: Int): String =
+  private[llm] def fourcc(b: Array[Byte], off: Int): String =
     new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
 
   /** Box iterator over [start, end): (type, payloadStart, payloadEnd).
@@ -207,7 +207,7 @@ object MediaMetadata {
     * THROWS — at any nesting level — and the top-level try in
     * [[mp4Metadata]] turns it into None (quarantine): a malformed box
     * must fail the whole parse closed, never yield a partial row. */
-  private def boxes(b: Array[Byte], start: Int, end: Int)
+  private[llm] def boxes(b: Array[Byte], start: Int, end: Int)
   : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
     private var off = start
     def hasNext: Boolean = off + 8 <= end
@@ -226,7 +226,7 @@ object MediaMetadata {
     }
   }
 
-  private def findBox(b: Array[Byte], start: Int, end: Int,
+  private[llm] def findBox(b: Array[Byte], start: Int, end: Int,
                       typ: String): Option[(Int, Int)] =
     boxes(b, start, end).collectFirst { case (t, s, e) if t == typ => (s, e) }
 

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   * Decoding: images decode for REAL via `javax.imageio` (in the JDK —
   * PNG/JPEG/BMP/GIF), including bilinear aspect-fit resampling and a
   * luminance-strip feature; WAV/PCM audio decodes for REAL via
-  * `javax.sound.sampled` (also JDK) with an RMS-strip feature.
-  * Compressed audio/video (mp3/mp4) PAYLOAD decoding remains a
-  * clearly-marked STUB (`decodeStub`) — those codecs are not in the
-  * JDK or this container; production swaps in ffmpeg behind the same
-  * seam. Their HEADERS, however, parse for real:
+  * `javax.sound.sampled` (also JDK) with an RMS-strip feature;
+  * PCM-in-MP4 decodes for REAL via [[Mp4Pcm]] — the reference
+  * [[MediaDecoder]] implementation, walking the full ISO BMFF sample
+  * tables (stsd/stsz/stsc/stco) — plugged with
+  * `extractFeatures(decoder = Some(Mp4Pcm))`. Lossy-codec (AAC/H.264/
+  * MP3) PAYLOAD decoding remains a clearly-marked STUB (`decodeStub`)
+  * — those codecs are not in the JDK or this container; production
+  * swaps in ffmpeg behind the SAME seam Mp4Pcm proves out. Their
+  * HEADERS, however, parse for real:
   * [[MediaMetadata.avMetadata]] extracts duration/codec/rate/
   * channels/dimensions from mp3 frame headers and mp4 box trees, so
   * compressed media yields usable metadata rows instead of a blanket
