@@ -886,7 +886,14 @@ object Queries {
       // depth-1 name index: the huge and tiny heap IDs live in the
       // root BTIN's own records — internal nodes must be enumerated
       ("dense_hugetiny_deep.h5", graft.sources.NetCdfFixtures
-        .hdf5V2DenseHugeTiny(deepNameIndex = true)))
+        .hdf5V2DenseHugeTiny(deepNameIndex = true)),
+      // extended tiny IDs (19-byte heap IDs: 12-bit length across
+      // bytes 0-1) and direct huge with a type-3 tracking B-tree the
+      // walk must ignore
+      ("dense_hugetiny_exttiny.h5", graft.sources.NetCdfFixtures
+        .hdf5V2DenseHugeTiny(extendedTiny = true)),
+      ("dense_hugetiny_bt3.h5", graft.sources.NetCdfFixtures
+        .hdf5V2DenseHugeTiny(hugeBtreeDirect = true)))
       .toDF("path", "content")
     files.as[(String, Array[Byte])].map { case (fname, bytes) =>
       val meta = graft.sources.NetCdf.parse(bytes)

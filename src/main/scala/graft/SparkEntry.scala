@@ -1242,6 +1242,12 @@ object SparkEntry {
         |   CAST(181.5 AS DOUBLE)),
         |  ('dense_hugetiny_deep.h5', 'hdf5 superblock-v2',
         |   CAST(12 AS BIGINT), 't', repeat('w', 64),
+        |   CAST(216.0 AS DOUBLE)),
+        |  ('dense_hugetiny_exttiny.h5', 'hdf5 superblock-v2',
+        |   CAST(12 AS BIGINT), 'tttttt', repeat('w', 64),
+        |   CAST(216.0 AS DOUBLE)),
+        |  ('dense_hugetiny_bt3.h5', 'hdf5 superblock-v2',
+        |   CAST(12 AS BIGINT), 't', repeat('w', 64),
         |   CAST(216.0 AS DOUBLE))
         |) AS t(fname, format, n_vars, first_var, last_var, total_sum)
         |ORDER BY fname""".stripMargin,

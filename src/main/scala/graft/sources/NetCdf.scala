@@ -964,9 +964,16 @@ object NetCdf {
     *
     * Scope: trees of ANY depth (internal BTIN nodes walked with the
     * library's node-capacity recurrence — the same math as
-    * [[readBtreeV2Chunks]], in throwing form); huge B-tree types 3/4
-    * in indirect mode and extended tiny IDs (heap ID length > 18)
-    * fail closed (→ quarantine), never silently drop a link. */
+    * [[readBtreeV2Chunks]], in throwing form). EXTENDED tiny IDs
+    * (heap ID length > 18: the 12-bit length field spans bytes 0-1,
+    * message at byte 2) parse like normal ones. Huge-object B-trees
+    * of types 3/4 are the DIRECT-access tracking index (the spec
+    * keeps one for deletion even though each heap ID carries
+    * address+length itself), so direct-vs-indirect is decided by the
+    * ID width rule, not by the tree's presence; in direct mode the
+    * tree goes unread (the ID is authoritative for a listing). An ID
+    * too narrow for direct access with no huge B-tree fails closed
+    * (→ quarantine), never silently drops a link. */
   private def hugeTinyLinks(bytes: Array[Byte], buf: ByteBuffer,
                             h: Int, nameBtree: Long, nHuge: Long,
                             nTiny: Long,
@@ -1010,20 +1017,29 @@ object NetCdf {
       require((b0 >> 6) == 0, s"unknown heap ID version ${b0 >> 6}")
       (b0 >> 4) & 0x3 match {
         case 0 => () // managed: the sequential block scan covers these
-        case 2 => // tiny, normal form: message inline in the ID
-          require(heapIdLen <= 18, "extended tiny heap IDs not supported")
-          parseLinkMessage(bytes, buf, id + 1)._1.foreach(links += _)
+        case 2 => // tiny: message inline in the ID. Normal form
+          // (heap ID ≤ 18 bytes): 4-bit length-1 in byte 0, message
+          // at byte 1. Extended form (> 18): 12-bit length-1 across
+          // bytes 0-1, message at byte 2.
+          val at = if (heapIdLen <= 18) id + 1 else id + 2
+          parseLinkMessage(bytes, buf, at)._1.foreach(links += _)
           tinySeen += 1
         case 1 => // huge
-          if (hugeBtree == -1L) { // direct: address + length in the ID
-            require(heapIdLen >= (if (ioFilterLen > 0) 29 else 17),
-              s"huge direct heap ID too short ($heapIdLen)")
+          // direct when the ID is wide enough for address+length
+          // (+ mask & memory size when filtered) — the spec's rule;
+          // a type-3/4 huge B-tree may exist alongside direct IDs
+          // (deletion tracking) and is not consulted for a listing
+          val hugeDirect = heapIdLen >= (if (ioFilterLen > 0) 29 else 17)
+          if (hugeDirect) { // direct: address + length in the ID
             val addr = buf.getLong(id + 1)
             val stored = buf.getLong(id + 9)
             val mem =
               if (ioFilterLen > 0) buf.getLong(id + 21) else -1L
             parseHuge(addr, stored, mem)
           } else { // indirect: object id into the huge B-tree
+            require(hugeBtree != -1L,
+              s"indirect huge heap ID ($heapIdLen bytes) without a " +
+                "huge-object B-tree")
             var oid = 0L
             val n = math.min(8, heapIdLen - 1)
             var i = 0

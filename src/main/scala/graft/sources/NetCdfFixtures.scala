@@ -985,9 +985,13 @@ object NetCdfFixtures {
     * own two records are the HUGE and TINY heap IDs: a walk that only
     * reads leaves loses exactly the links the index exists to carry. */
   def hdf5V2DenseHugeTiny(indirectHuge: Boolean = false,
-                          deepNameIndex: Boolean = false): Array[Byte] = {
+                          deepNameIndex: Boolean = false,
+                          extendedTiny: Boolean = false,
+                          hugeBtreeDirect: Boolean = false): Array[Byte] = {
     require(!(indirectHuge && deepNameIndex),
       "deepNameIndex fixture is direct-huge only")
+    require(!(indirectHuge && (extendedTiny || hugeBtreeDirect)),
+      "extendedTiny/hugeBtreeDirect are direct-huge variants")
     val buf = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
     val rootHdr = 64L
     val frhp = 160L
@@ -997,8 +1001,12 @@ object NetCdfFixtures {
     val hugeObj = 1520L
     val dsBase = 1792L; val dsStride = 96
     val dataBase = 3072L
-    val heapIdLen = if (indirectHuge) 8 else 18
+    // extendedTiny: > 18 forces the 12-bit length form (msg at byte 2)
+    val heapIdLen = if (indirectHuge) 8 else if (extendedTiny) 19 else 18
     val hasTiny = !indirectHuge
+    // 6-char name -> 17-byte message -> length-1 = 16 = 0x10: the
+    // extended ID's length needs BOTH nibble (byte 0) and byte 1
+    val tinyName = if (extendedTiny) "tttttt" else "t"
 
     V2.superblock(buf, rootHdr, eof = 8192L)
     V2.ohdr2(buf, rootHdr, flags = 0,
@@ -1019,7 +1027,7 @@ object NetCdfFixtures {
     }
     val hugeName = "w" * 64
     val hugeMsg = V2.link(hugeName, dsBase + 10 * dsStride)
-    val tinyMsg = V2.link("t", dsBase + 11 * dsStride) // 12 bytes
+    val tinyMsg = V2.link(tinyName, dsBase + 11 * dsStride) // 12/17 bytes
 
     // fractal heap header: like hdf5V2Dense but with nonzero huge/tiny
     // statistics and (indirect mode) a huge-object B-tree address
@@ -1030,7 +1038,11 @@ object NetCdfFixtures {
     buf.put(frhp.toInt + 9, 0.toByte)
     buf.putInt(frhp.toInt + 10, 64) // max managed object size
     buf.putLong(frhp.toInt + 14, 2L) // next huge id
-    buf.putLong(frhp.toInt + 22, if (indirectHuge) hugeBt else -1L)
+    // hugeBtreeDirect: the spec keeps a type-3 tracking B-tree even
+    // when IDs are direct — its presence must NOT flip the walk to
+    // indirect resolution
+    buf.putLong(frhp.toInt + 22,
+      if (indirectHuge || hugeBtreeDirect) hugeBt else -1L)
     buf.putLong(frhp.toInt + 30, 0L)
     buf.putLong(frhp.toInt + 38, -1L)
     buf.putLong(frhp.toInt + 46, 512L)
@@ -1073,7 +1085,11 @@ object NetCdfFixtures {
     }
     def tinyId(): Array[Byte] = {
       val b = ByteBuffer.allocate(heapIdLen)
-      b.put((0x20 | (tinyMsg.length - 1)).toByte)
+      if (extendedTiny) { // 12-bit length-1 across bytes 0-1
+        val lm1 = tinyMsg.length - 1
+        b.put((0x20 | (lm1 & 0xF)).toByte)
+        b.put(((lm1 >> 4) & 0xFF).toByte)
+      } else b.put((0x20 | (tinyMsg.length - 1)).toByte)
       b.put(tinyMsg)
       b.array()
     }
@@ -1131,13 +1147,20 @@ object NetCdfFixtures {
       btlf(nameLeaf, 5, nameIds)
     }
 
-    // huge-object v2 B-tree (type 1: addr + len + id), indirect mode
+    // huge-object v2 B-tree: type 1 (addr + len + id) in indirect
+    // mode; type 3 (addr + len — the direct-access tracking index the
+    // listing walk must IGNORE) in hugeBtreeDirect mode
     if (indirectHuge) {
       bthd(hugeBt, 1, 24, hugeLeaf, 1)
       buf.position(hugeLeaf.toInt); buf.put("BTLF".getBytes)
       buf.put(0.toByte); buf.put(1.toByte)
       buf.putLong(hugeObj); buf.putLong(hugeMsg.length.toLong)
       buf.putLong(1L) // object id
+    } else if (hugeBtreeDirect) {
+      bthd(hugeBt, 3, 16, hugeLeaf, 1)
+      buf.position(hugeLeaf.toInt); buf.put("BTLF".getBytes)
+      buf.put(0.toByte); buf.put(3.toByte)
+      buf.putLong(hugeObj); buf.putLong(hugeMsg.length.toLong)
     }
     buf.array()
   }

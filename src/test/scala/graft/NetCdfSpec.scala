@@ -626,6 +626,30 @@ class NetCdfSpec extends SparkSuite {
       ((0 until 10).map(i => f"v$i%02d") ++ Seq("w" * 64)))
   }
 
+  test("hdf5 v2 dense links: EXTENDED tiny heap IDs (len > 18, 12-bit " +
+    "length across bytes 0-1) and a type-3 direct-huge tracking B-tree") {
+    // extended tiny: 19-byte heap IDs; the 17-byte message's
+    // length-1 = 16 needs byte 1 (low nibble of byte 0 is zero)
+    val ext = NetCdf.parse(
+      NetCdfFixtures.hdf5V2DenseHugeTiny(extendedTiny = true))
+      .toOption.get
+    assert(ext.vars.map(_.path).sorted ===
+      ((0 until 10).map(i => f"v$i%02d") ++
+        Seq("tttttt", "w" * 64)).sorted)
+    // the tiny-linked dataset reads exactly through the extended ID
+    val extBytes = NetCdfFixtures.hdf5V2DenseHugeTiny(extendedTiny = true)
+    assert(NetCdf.readGridRaw(extBytes, ext, "tttttt")
+      .exists(_.sameElements(Array(11.0f, 11.5f, 12.0f))))
+    // direct huge IDs WITH a type-3 tracking B-tree present: the walk
+    // must resolve from the ID (direct), not flip to indirect and
+    // choke on the unexpected record type
+    val dir3 = NetCdf.parse(
+      NetCdfFixtures.hdf5V2DenseHugeTiny(hugeBtreeDirect = true))
+      .toOption.get
+    assert(dir3.vars.map(_.path).sorted ===
+      (Seq("t") ++ (0 until 10).map(i => f"v$i%02d") ++ Seq("w" * 64)))
+  }
+
   test("hdf5 v2 dense links: DEPTH-1 name-index B-tree — records in " +
     "internal nodes (the huge and tiny IDs) are enumerated too") {
     val deep = NetCdf.parse(
@@ -699,7 +723,9 @@ class NetCdfSpec extends SparkSuite {
     val variants = Seq(
       NetCdfFixtures.hdf5V2DenseHugeTiny(),
       NetCdfFixtures.hdf5V2DenseHugeTiny(indirectHuge = true),
-      NetCdfFixtures.hdf5V2DenseHugeTiny(deepNameIndex = true))
+      NetCdfFixtures.hdf5V2DenseHugeTiny(deepNameIndex = true),
+      NetCdfFixtures.hdf5V2DenseHugeTiny(extendedTiny = true),
+      NetCdfFixtures.hdf5V2DenseHugeTiny(hugeBtreeDirect = true))
     for (good <- variants) {
       (0 until good.length by 37).foreach(n => NetCdf.parse(good.take(n)))
       val rnd = new scala.util.Random(11)
