@@ -71,16 +71,15 @@ object Mp4Pcm extends Multimodal.MediaDecoder {
     val constSize = u32(b, zs + 4)
     val nSamples = u32(b, zs + 8).toInt
     if (nSamples <= 0 || nSamples > (1 << 26)) return None
-    val sizes: Int => Int =
-      if (constSize != 0) { _ => constSize.toInt }
-      else {
-        if (ze - zs < 12 + 4L * nSamples) return None
-        i => u32(b, zs + 12 + 4 * i).toInt
-      }
     // one sample = one PCM frame: the raw-PCM layout this decoder
     // supports; anything else is another codec's framing
-    for (i <- 0 until nSamples)
-      if (sizes(i) != frameBytes) return None
+    if (constSize != 0) {
+      if (constSize != frameBytes) return None
+    } else {
+      if (ze - zs < 12 + 4L * nSamples) return None
+      for (i <- 0 until nSamples)
+        if (u32(b, zs + 12 + 4 * i) != frameBytes) return None
+    }
 
     // stco / co64: chunk offsets (absolute file positions)
     val chunkOffsets: IndexedSeq[Long] =
