@@ -783,11 +783,17 @@ object LlmQueries {
     // needs quantization resolution, not shortlist depth (m=8 missed
     // the true top-1 even at a 192-deep shortlist). iters=3: codebook
     // quality only shapes the ADC shortlist (rerank is exact) and each
-    // Lloyd round pays a fresh Janino compile of the assignment chain
+    // Lloyd round pays a fresh Janino compile of the assignment chain.
+    // CORPUS-SCALED shortlist: exact-top-1 recovery through a fixed-
+    // resolution quantizer needs the rerank window to grow with the
+    // candidate density — 128 was tuned at 2k vectors and missed 3/25
+    // at 20k (AnnScaleProbe: n/16 ≥ 1024 recovers 25/25 there); the
+    // floor keeps the gate-scale plans and hashes unchanged
+    val n = e.count()
     val cb = Pq.train(e, dim = 64, m = 16, k = 16, iters = 3)
     val codes = Pq.encode(e, cb)
     Pq.searchTopK(codes, e, e.filter(col("vec_id") < 25), cb,
-      kTop = 1, shortlist = 128)
+      kTop = 1, shortlist = math.max(128, (n / 16).toInt))
       .select(col("query_id"), col("nn_id"))
       .orderBy("query_id")
   }
@@ -800,11 +806,25 @@ object LlmQueries {
     * for all 25 queries against the shared oracle. */
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    // CORPUS-SCALED recall knobs (AnnScaleProbe at 20k vectors:
+    // nProbe 14 plateaus at 22/25 regardless of shortlist — the
+    // misses sit in unprobed cells — while nProbe 15 + shortlist
+    // ≥ 512 recovers 25/25): probe one more cell per 20k vectors
+    // (capped at all 16) and grow the ADC shortlist with candidate
+    // density. Floors keep the gate-scale plans and hashes unchanged.
+    // At real 100 TB scale an IVF index would also scale nCells ~ √n
+    // and trade recall explicitly; this query's contract (EXACT top-1
+    // recovery on a near-uniform corpus, the adversarial case) forces
+    // near-exhaustive probing instead, which the fixed-16-cell layout
+    // makes affordable.
+    val n = e.count()
     val (coarse, rcb) = IvfPq.train(e, nCells = 16, m = 16, k = 16,
       iters = 3)
     val codes = IvfPq.encode(e, coarse, rcb)
     IvfPq.searchTopK(codes, e, e.filter(col("vec_id") < 25), coarse,
-      rcb, kTop = 1, nProbe = 14, shortlist = 192)
+      rcb, kTop = 1,
+      nProbe = math.min(16, 14 + (n / 20000).toInt),
+      shortlist = math.max(192, (n / 16).toInt))
       .select(col("query_id"), col("nn_id"))
       .orderBy("query_id")
   }
