@@ -409,17 +409,21 @@ object LlmQueries {
     * replays it): mixed-case scheme/host, rotating TLD pool covering
     * every PSL rule shape — plain TLDs, two-label exacts (co.uk,
     * com.au), a wildcard TLD (`*.ck`), a two-label wildcard base
-    * (`*.kawasaki.jp`), a three-label exact (act.edu.au), and the
-    * exception zones (`!www.ck`, `!city.kawasaki.jp`) — plus a
-    * default port on every third doc, tracking params and a fragment,
-    * so every canonicalization AND suffix-matching rule fires. */
+    * (`*.kawasaki.jp`), a three-label exact (act.edu.au), the
+    * exception zones (`!www.ck`, `!city.kawasaki.jp`), a
+    * private-section platform suffix (blogspot.com), and a DEEP
+    * wildcard (`*.compute.amazonaws.com`, suffix of four labels) —
+    * plus a default port on every third doc, tracking params and a
+    * fragment, so every canonicalization AND suffix-matching rule
+    * fires. */
   private def syntheticUrl: Column = concat(
     when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://WWW."))
       .otherwise(lit("http://Blog.")),
     col("source"), lit("-news."),
     element_at(typedlit(Seq("com", "co.uk", "org", "com.au", "de",
-      "ck", "kawasaki.jp", "act.edu.au", "www.ck", "city.kawasaki.jp")),
-      (pmod(col("doc_id"), lit(10)) + 1).cast("int")),
+      "ck", "kawasaki.jp", "act.edu.au", "www.ck", "city.kawasaki.jp",
+      "blogspot.com", "us-west-2.compute.amazonaws.com")),
+      (pmod(col("doc_id"), lit(12)) + 1).cast("int")),
     when(pmod(col("doc_id"), lit(3)) === 0, lit(":443")).otherwise(lit("")),
     lit("/articles/"), col("doc_id").cast("string"),
     lit("?utm_source=rss&ref=home&utm_campaign=x&page="),

@@ -2786,7 +2786,33 @@ object SparkEntry {
     def inList(s: Seq[String]): String =
       s.map(x => s"'$x'").mkString(", ")
     val rules = graft.llm.Domains.Rules
-    val multi = inList(rules.exact2)
+    // registrable-domain CASE branches GENERATED from the loaded rule
+    // sets, mirroring Domains.registrableDomain's when-chain at every
+    // depth: exceptions deepest-first, then suffix depths from the
+    // snapshot's deepest down to 2, then the implicit `*`
+    def lastK(k: Int): String =
+      (k to 1 by -1).map(i => s"ls[-$i]").mkString(" || '.' || ")
+    val excBranches = rules.exc.keys.toSeq.sorted.reverse.map { k =>
+      s"WHEN len(ls) >= $k AND ${lastK(k)} IN (${inList(rules.excAt(k))})\n" +
+        s"         THEN ${lastK(k)}"
+    }
+    val sufBranches = (rules.maxSuffix to 2 by -1).flatMap { s =>
+      val hits = Seq(
+        Option.when(rules.exactAt(s).nonEmpty)(
+          s"${lastK(s)} IN (${inList(rules.exactAt(s))})"),
+        Option.when(rules.wildAt(s - 1).nonEmpty)(
+          s"${lastK(s - 1)} IN (${inList(rules.wildAt(s - 1))})")).flatten
+      Option.when(hits.nonEmpty)(
+        s"WHEN len(ls) >= $s AND (${hits.mkString("\n           OR ")})\n" +
+          s"         THEN CASE WHEN len(ls) >= ${s + 1} THEN ${lastK(s + 1)}\n" +
+          s"              ELSE host END")
+    }
+    val domainCase =
+      ("CASE WHEN host = '' THEN NULL\n" +
+        "         WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+)*$') THEN host\n" +
+        "         WHEN len(ls) <= 2 THEN host\n         " +
+        (excBranches ++ sufBranches).mkString("\n         ") +
+        s"\n         ELSE ${lastK(2)}\n    END")
     s"""WITH u AS (
       |  SELECT doc_id,
       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
@@ -2794,7 +2820,9 @@ object SparkEntry {
       |    || source || '-news.'
       |    || (['com','co.uk','org','com.au','de',
       |         'ck','kawasaki.jp','act.edu.au','www.ck',
-      |         'city.kawasaki.jp'])[CAST(doc_id % 10 + 1 AS INT)]
+      |         'city.kawasaki.jp','blogspot.com',
+      |         'us-west-2.compute.amazonaws.com'])
+      |       [CAST(doc_id % 12 + 1 AS INT)]
       |    || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
       |    || '/articles/' || CAST(doc_id AS VARCHAR)
       |    || '?utm_source=rss&ref=home&utm_campaign=x&page='
@@ -2813,6 +2841,7 @@ object SparkEntry {
       |q AS (
       |  SELECT doc_id, url, scheme,
       |    regexp_replace(hp, ':\\d+$$', '') AS host,
+      |    string_split(regexp_replace(hp, ':\\d+$$', ''), '.') AS ls,
       |    regexp_extract(hp, ':(\\d+)$$', 1) AS port, path,
       |    array_to_string(list_filter(string_split(query, '&'),
       |      x -> NOT (x LIKE 'utm\\_%' ESCAPE '\\' OR x = 'gclid' OR
@@ -2832,43 +2861,7 @@ object SparkEntry {
       |           (CASE WHEN kept = '' THEN '' ELSE '?' || kept END)
       |    END AS canon_url,
       |    CASE WHEN host = '' THEN NULL ELSE host END AS host,
-      |    CASE WHEN host = '' THEN NULL
-      |         WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+)*$$')
-      |         THEN host
-      |         WHEN len(string_split(host, '.')) <= 2 THEN host
-      |         WHEN len(string_split(host, '.')) >= 3 AND
-      |              (string_split(host, '.')[-3] || '.' ||
-      |               string_split(host, '.')[-2] || '.' ||
-      |               string_split(host, '.')[-1]) IN (${inList(rules.exc3)})
-      |         THEN string_split(host, '.')[-3] || '.' ||
-      |              string_split(host, '.')[-2] || '.' ||
-      |              string_split(host, '.')[-1]
-      |         WHEN (string_split(host, '.')[-2] || '.' ||
-      |               string_split(host, '.')[-1]) IN (${inList(rules.exc2)})
-      |         THEN string_split(host, '.')[-2] || '.' ||
-      |              string_split(host, '.')[-1]
-      |         WHEN len(string_split(host, '.')) >= 3 AND
-      |              ((string_split(host, '.')[-3] || '.' ||
-      |                string_split(host, '.')[-2] || '.' ||
-      |                string_split(host, '.')[-1]) IN (${inList(rules.exact3)})
-      |               OR
-      |               (string_split(host, '.')[-2] || '.' ||
-      |                string_split(host, '.')[-1]) IN (${inList(rules.wild2)}))
-      |         THEN CASE WHEN len(string_split(host, '.')) >= 4
-      |              THEN string_split(host, '.')[-4] || '.' ||
-      |                   string_split(host, '.')[-3] || '.' ||
-      |                   string_split(host, '.')[-2] || '.' ||
-      |                   string_split(host, '.')[-1]
-      |              ELSE host END
-      |         WHEN (string_split(host, '.')[-2] || '.' ||
-      |               string_split(host, '.')[-1]) IN ($multi)
-      |              OR string_split(host, '.')[-1] IN (${inList(rules.wild1)})
-      |         THEN string_split(host, '.')[-3] || '.' ||
-      |              string_split(host, '.')[-2] || '.' ||
-      |              string_split(host, '.')[-1]
-      |         ELSE string_split(host, '.')[-2] || '.' ||
-      |              string_split(host, '.')[-1]
-      |    END AS domain
+      |    $domainCase AS domain
       |  FROM q)""".stripMargin
   }
 

@@ -23,26 +23,25 @@ import org.apache.spark.sql.functions._
   * Registrable domain: the public-suffix-list algorithm
   * (publicsuffix.org) over the `graft/public-suffixes.txt` classpath
   * resource — exception rules (`!www.ck`) prevail, then the LONGEST
-  * matching rule (explicit two- and three-label rules, wildcard rules
-  * `*.ck` / `*.kawasaki.jp`), then the implicit default `*` (last
-  * label is the suffix); the registrable domain is the matched suffix
-  * plus one label. The resource is a snapshot of the published list's
-  * ccTLD registration points; a deployment tracking the live PSL
-  * mounts a fuller snapshot at the same resource path and the loader
-  * consumes every rule shape through three labels. Envelope, stated:
-  * rules DEEPER than three labels (`*.x.y.z`, four-label exacts —
-  * private-section CDN entries, a handful of ICANN zones) are
-  * skipped, and a host under one collapses to the deepest rule that
-  * does match (erring toward grouping siblings together, never toward
-  * splitting one owner). A host that IS a public suffix (e.g. bare
-  * `co.uk`) passes through whole rather than going NULL — grouping
-  * fail-open, same rationale.
+  * matching rule (explicit rules of ANY depth, wildcard rules of any
+  * base depth: `*.ck`, `*.kawasaki.jp`, `*.compute.amazonaws.com`),
+  * then the implicit default `*` (last label is the suffix); the
+  * registrable domain is the matched suffix plus one label. The
+  * resource is a snapshot of the published list's ccTLD registration
+  * points plus a private-section sample covering the deep-rule
+  * shapes; a deployment tracking the live PSL mounts the full
+  * upstream file at the same resource path — the match chain is
+  * GENERATED from the deepest rule actually present, so a fuller
+  * snapshot needs no code change. A host that IS a public suffix
+  * passes through whole rather than going NULL (grouping fail-open —
+  * erring toward grouping siblings together, never toward splitting
+  * one owner).
   *
   * Scale shape: everything here is per-row string work plus ONE
   * map-side-combinable groupBy for the stats — no UDFs, no window
-  * over a content-derived key, one scan for 100 TB of URLs. The
-  * suffix set compiles into an `InSet` literal (hash-set probe per
-  * row, codegen'd), never a join. */
+  * over a content-derived key, one scan for 100 TB of URLs. Each rule
+  * set compiles into an `InSet` literal (hash-set probe per row,
+  * codegen'd), never a join. */
 object Domains {
 
   /** Embedded fallback (the common ccTLD second levels) — used only
@@ -57,23 +56,38 @@ object Domains {
     "co.za", "co.kr", "or.kr", "com.my", "co.id", "com.vn")
 
   /** The parsed rule sets of a PSL snapshot, keyed by how the matcher
-    * probes them: exact rules by label count, wildcard rules by their
-    * BASE (the labels after `*.`), exceptions by label count. */
+    * probes them: exact rules by label count (k ≥ 2 — one-label
+    * exacts are redundant with the implicit default `*`), wildcard
+    * rules by their BASE label count (the labels after `*.`; a base
+    * of k labels makes suffixes of k+1 labels), exceptions by label
+    * count. Every set is sorted+deduped (InSet literal hygiene). */
   private[graft] final case class PslRules(
-      exact2: Seq[String], exact3: Seq[String],
-      wild1: Seq[String], wild2: Seq[String],
-      exc2: Seq[String], exc3: Seq[String])
+      exact: Map[Int, Seq[String]],
+      wild: Map[Int, Seq[String]],
+      exc: Map[Int, Seq[String]]) {
+    /** Deepest public-suffix label count any rule can produce. */
+    def maxSuffix: Int = ((exact.keys ++ wild.keys.map(_ + 1)) ++
+      Seq(1)).max
+    def exactAt(k: Int): Seq[String] = exact.getOrElse(k, Nil)
+    def wildAt(k: Int): Seq[String] = wild.getOrElse(k, Nil)
+    def excAt(k: Int): Seq[String] = exc.getOrElse(k, Nil)
+    // shape accessors kept for the spec and the oracle interpolation
+    def exact2: Seq[String] = exactAt(2)
+    def exact3: Seq[String] = exactAt(3)
+    def wild1: Seq[String] = wildAt(1)
+    def wild2: Seq[String] = wildAt(2)
+    def exc2: Seq[String] = excAt(2)
+    def exc3: Seq[String] = excAt(3)
+  }
 
-  /** Parse PSL rule lines into [[PslRules]]. Supported shapes:
-    * explicit two- and three-label rules, wildcards with one- or
-    * two-label bases (`*.ck`, `*.kawasaki.jp`), exceptions with two
-    * or three labels (`!www.ck`, `!city.kawasaki.jp`). Single-label
-    * explicit rules are redundant with the algorithm's implicit
-    * default `*` rule and are dropped; deeper rules (a full upstream
-    * PSL mount carries a few) are SKIPPED — hosts under them collapse
-    * to the deepest matching rule, the stated fail-open — rather than
-    * crashing object init with an ExceptionInInitializerError on
-    * first use. */
+  /** Parse PSL rule lines into [[PslRules]]. Every rule depth is
+    * consumed: explicit rules of any label count (one-label exacts
+    * dropped as redundant with the algorithm's implicit default `*`),
+    * wildcards `*.base` with a base of any depth, exceptions `!rule`
+    * of any depth. Lines with an embedded `*` anywhere but the
+    * leading label (`a.*.b` — not in the published grammar) are
+    * skipped rather than crashing object init with an
+    * ExceptionInInitializerError on first use. */
   private[graft] def parsePsl(lines: Iterator[String]): PslRules = {
     val rules = lines
       .map(_.trim.toLowerCase)
@@ -81,20 +95,17 @@ object Domains {
       .filter(l => !l.startsWith(".") && !l.endsWith("."))
       .toSeq.distinct
     def labels(r: String): Int = r.count(_ == '.') + 1
-    def clean(s: Seq[String]): Seq[String] = s.distinct.sorted
+    def byDepth(s: Seq[String], minK: Int): Map[Int, Seq[String]] =
+      s.groupBy(labels).collect {
+        case (k, v) if k >= minK => k -> v.distinct.sorted
+      }
     PslRules(
-      exact2 = clean(rules.filter(r =>
-        !r.startsWith("*") && !r.startsWith("!") && labels(r) == 2)),
-      exact3 = clean(rules.filter(r =>
-        !r.startsWith("*") && !r.startsWith("!") && labels(r) == 3)),
-      wild1 = clean(rules.filter(r => r.startsWith("*.") &&
-        labels(r) == 2).map(_.drop(2))),
-      wild2 = clean(rules.filter(r => r.startsWith("*.") &&
-        labels(r) == 3).map(_.drop(2))),
-      exc2 = clean(rules.filter(r => r.startsWith("!") &&
-        labels(r) == 2).map(_.drop(1))),
-      exc3 = clean(rules.filter(r => r.startsWith("!") &&
-        labels(r) == 3).map(_.drop(1))))
+      exact = byDepth(rules.filter(r =>
+        !r.contains("*") && !r.startsWith("!")), minK = 2),
+      wild = byDepth(rules.filter(r => r.startsWith("*.") &&
+        !r.drop(2).contains("*")).map(_.drop(2)), minK = 1),
+      exc = byDepth(rules.filter(r => r.startsWith("!") &&
+        !r.contains("*")).map(_.drop(1)), minK = 2))
   }
 
   /** PSL rules loaded from the `graft/public-suffixes.txt` resource
@@ -104,7 +115,8 @@ object Domains {
     val in = Option(getClass.getClassLoader
       .getResourceAsStream("graft/public-suffixes.txt"))
     in match {
-      case None => PslRules(FallbackSuffixes.sorted, Nil, Nil, Nil, Nil, Nil)
+      case None =>
+        PslRules(Map(2 -> FallbackSuffixes.sorted), Map.empty, Map.empty)
       case Some(s) =>
         try {
           val src = scala.io.Source.fromInputStream(s, "UTF-8")
@@ -162,38 +174,40 @@ object Domains {
     if (s.isEmpty) lit(false) else c.isin(s: _*)
 
   /** Registrable domain of a hostname (NULL in, NULL out) under the
-    * PSL algorithm (see object scaladoc): exceptions prevail, then
-    * the longest matching rule (3-label exact / 2-label-base wildcard
-    * → suffix of 3 labels; 2-label exact / 1-label-base wildcard →
-    * suffix of 2 labels), then the implicit `*`; registrable = suffix
-    * + 1 label. Each rule set compiles into an `InSet` literal
-    * (hash-set probe per row, codegen'd) — never a join. IP-address
-    * hosts (all-numeric labels) pass through whole — truncating
-    * 192.168.0.1 to "0.1" would merge unrelated IPs into one bogus
-    * blocklist/stats key. A host that IS a suffix passes through
-    * whole (grouping fail-open; see scaladoc). */
+    * PSL algorithm (see object scaladoc). The when-chain is GENERATED
+    * from the loaded rules: exceptions prevail deepest-first (the
+    * exception itself is the registrable domain — suffix is the
+    * exception minus its leftmost label, plus one host label), then
+    * suffix depths from the snapshot's deepest down to 2 (an exact
+    * rule of s labels or a wildcard with an (s-1)-label base both
+    * make an s-label suffix; registrable = last s+1 host labels, or
+    * the whole host when it IS the suffix), then the implicit `*`
+    * (registrable = last 2 labels). Each rule set compiles into an
+    * `InSet` literal (hash-set probe per row, codegen'd) — never a
+    * join. IP-address hosts (all-numeric labels) pass through whole —
+    * truncating 192.168.0.1 to "0.1" would merge unrelated IPs into
+    * one bogus blocklist/stats key. */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     def lastK(k: Int): Column =
       concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
-    val last1 = element_at(labels, -1)
-    val last2 = lastK(2)
-    val last3 = lastK(3)
-    val last4 = lastK(4)
-    when(host.isNull, lit(null))
+    val base = when(host.isNull, lit(null))
       .when(host.rlike("^[0-9]+(\\.[0-9]+)*$"), host)
       .when(n <= 2, host)
-      // exception rules prevail: the exception itself is registrable
-      .when(inSet(last3, Rules.exc3), last3)
-      .when(inSet(last2, Rules.exc2), last2)
-      // 3-label public suffix (exact or *.base2) → registrable last 4
-      .when(inSet(last3, Rules.exact3) || inSet(last2, Rules.wild2),
-        when(n >= 4, last4).otherwise(host))
-      // 2-label public suffix (exact or *.base1) → registrable last 3
-      .when(inSet(last2, Rules.exact2) || inSet(last1, Rules.wild1),
-        last3)
-      .otherwise(last2)
+    // exception rules prevail, deepest first
+    val excd = Rules.exc.keys.toSeq.sorted.reverse.foldLeft(base) {
+      (c, k) => c.when(n >= k && inSet(lastK(k), Rules.excAt(k)), lastK(k))
+    }
+    // longest matching rule: suffix depth s needs n >= s labels; a
+    // host with exactly s labels IS the suffix (fail-open whole)
+    val matched = (Rules.maxSuffix to 2 by -1).foldLeft(excd) { (c, s) =>
+      val hit = (n >= s) &&
+        (inSet(lastK(s), Rules.exactAt(s)) ||
+          inSet(lastK(s - 1), Rules.wildAt(s - 1)))
+      c.when(hit, when(n >= s + 1, lastK(s + 1)).otherwise(host))
+    }
+    matched.otherwise(lastK(2))
   }
 
   /** Per-domain corpus statistics: docs, chars, distinct canonical

@@ -111,6 +111,37 @@ class DomainsSpec extends SparkSuite {
     assert(got === cases.map(_._2))
   }
 
+  test("deep PSL rules (private-section sample): 3- and 4-label " +
+    "wildcard bases, 3-label exacts, 2-label platform suffixes") {
+    val cases = Seq(
+      // *.compute.amazonaws.com: 4-label suffix; a 5-label host is
+      // exactly suffix + 1 (the EC2 public-hostname shape)
+      "ec2-1-2-3-4.us-west-2.compute.amazonaws.com" ->
+        "ec2-1-2-3-4.us-west-2.compute.amazonaws.com",
+      "x.ec2-1-2-3-4.us-west-2.compute.amazonaws.com" ->
+        "ec2-1-2-3-4.us-west-2.compute.amazonaws.com",
+      // a host that IS the (wildcard-made) suffix passes through
+      "us-west-2.compute.amazonaws.com" ->
+        "us-west-2.compute.amazonaws.com",
+      // *.compute.amazonaws.com.cn: 5-label suffix via a 4-label base
+      "a.b.cn-north-1.compute.amazonaws.com.cn" ->
+        "b.cn-north-1.compute.amazonaws.com.cn",
+      // 3-label exact: s3.amazonaws.com (bucket-hosted sites)
+      "mybucket.s3.amazonaws.com" -> "mybucket.s3.amazonaws.com",
+      "x.mybucket.s3.amazonaws.com" -> "mybucket.s3.amazonaws.com",
+      // 2-label private platform suffixes group per tenant
+      "foo.blogspot.com" -> "foo.blogspot.com",
+      "www.foo.blogspot.com" -> "foo.blogspot.com",
+      "team.github.io" -> "team.github.io",
+      "a.team.github.io" -> "team.github.io",
+      // amazonaws.com itself carries no 2-label rule: implicit `*`
+      "foo.amazonaws.com" -> "amazonaws.com")
+    val got = cases.map(_._1)
+      .toDF("h").select(Domains.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("PSL snapshot invariants: rule grammar, lowercase, no dupes, " +
     "exceptions covered by wildcards, known entries present") {
     val src = scala.io.Source.fromInputStream(
@@ -121,7 +152,7 @@ class DomainsSpec extends SparkSuite {
     finally src.close()
     // one rule per line, PSL grammar, already lowercase — a single
     // transcription typo (stray char, uppercase, trailing dot) fails
-    val rule = "^(!|\\*\\.)?[a-z0-9-]+(\\.[a-z0-9-]+){0,2}$".r
+    val rule = "^(!|\\*\\.)?[a-z0-9-]+(\\.[a-z0-9-]+){0,5}$".r
     for (l <- lines)
       assert(rule.matches(l), s"malformed PSL rule line: '$l'")
     assert(lines === lines.distinct, "duplicate PSL rules")
@@ -137,14 +168,19 @@ class DomainsSpec extends SparkSuite {
     // parsed rule sets see the shapes they expect
     val r = Domains.Rules
     assert(r.exact2.contains("co.uk") && r.exact2.contains("com.au"))
+    assert(r.exact2.contains("blogspot.com") && r.exact2.contains("github.io"))
     assert(r.exact3.contains("act.edu.au") && r.exact3.contains("wa.gov.au"))
+    assert(r.exact3.contains("s3.amazonaws.com"))
     assert(r.wild1.contains("ck") && r.wild1.contains("np"))
     assert(r.wild2.contains("kawasaki.jp") && r.wild2.contains("kobe.jp"))
+    assert(r.wildAt(3).contains("compute.amazonaws.com"))
+    assert(r.wildAt(4).contains("compute.amazonaws.com.cn"))
+    assert(r.maxSuffix === 5)
     assert(r.exc2 === Seq("www.ck"))
     assert(r.exc3.contains("city.kawasaki.jp") &&
       r.exc3.contains("city.yokohama.jp"))
     // every parsed set is sorted+deduped (InSet literal hygiene)
-    for (s <- Seq(r.exact2, r.exact3, r.wild1, r.wild2, r.exc2, r.exc3))
+    for (s <- (r.exact.values ++ r.wild.values ++ r.exc.values))
       assert(s === s.distinct.sorted)
   }
 
