@@ -16,13 +16,15 @@ import org.apache.spark.sql.functions._
   * PNG/JPEG/BMP/GIF), including bilinear aspect-fit resampling and a
   * luminance-strip feature; WAV/PCM audio decodes for REAL via
   * `javax.sound.sampled` (also JDK) with an RMS-strip feature;
-  * PCM-in-MP4 decodes for REAL via [[Mp4Pcm]] — the reference
-  * [[MediaDecoder]] implementation, walking the full ISO BMFF sample
-  * tables (stsd/stsz/stsc/stco) — plugged with
-  * `extractFeatures(decoder = Some(Mp4Pcm))`. Lossy-codec (AAC/H.264/
-  * MP3) PAYLOAD decoding remains a clearly-marked STUB (`decodeStub`)
-  * — those codecs are not in the JDK or this container; production
-  * swaps in ffmpeg behind the SAME seam Mp4Pcm proves out. Their
+  * PCM-in-MP4 decodes for REAL via [[Mp4Pcm]] and Motion-JPEG video
+  * via [[Mp4Jpeg]] — the reference [[MediaDecoder]] implementations,
+  * walking the full ISO BMFF sample tables ([[Mp4Tables]]:
+  * stsd/stsz/stsc/stco) — plugged with `extractFeatures(decoder =
+  * Some(MediaDecoder.firstOf(Mp4Pcm, Mp4Jpeg)))`. Lossy-codec
+  * (AAC/H.264/MP3) PAYLOAD decoding remains a clearly-marked STUB
+  * (`decodeStub`) — those codecs are not in the JDK or this
+  * container; production swaps in ffmpeg behind the SAME seam the
+  * two reference decoders prove out. Their
   * HEADERS, however, parse for real:
   * [[MediaMetadata.avMetadata]] extracts duration/codec/rate/
   * channels/dimensions from mp3 frame headers and mp4 box trees, so
@@ -63,6 +65,24 @@ object Multimodal {
       * route to `status = "quarantined"`, never to fake data. */
     def decode(mediaType: String, bytes: Array[Byte])
     : Option[(Int, Int, Int, Array[Double])]
+  }
+
+  object MediaDecoder {
+    /** Compose decoders: claims when any claims; on decode, each
+      * claiming decoder is tried in order and the first success wins
+      * (so [[Mp4Pcm]] and [[Mp4Jpeg]] — both claiming "video/mp4" —
+      * cover the audio-PCM and video-MJPEG track shapes in one
+      * plug). Quarantine only when EVERY claiming decoder rejects. */
+    def firstOf(decoders: MediaDecoder*): MediaDecoder =
+      new MediaDecoder {
+        def claims(mediaType: String): Boolean =
+          decoders.exists(_.claims(mediaType))
+        def decode(mediaType: String, bytes: Array[Byte])
+        : Option[(Int, Int, Int, Array[Double])] =
+          decoders.iterator.filter(_.claims(mediaType))
+            .map(_.decode(mediaType, bytes))
+            .collectFirst { case Some(r) => r }
+      }
   }
 
   /** Media-type dispatch by extension (P7 pattern). */
