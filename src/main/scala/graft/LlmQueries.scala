@@ -436,11 +436,18 @@ object LlmQueries {
   def urlCanon(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), syntheticUrl.as("url"))
+      // materialize host in its OWN projection: registrableDomain's
+      // generated when-chain references the host ~50 times, and
+      // inlining the hostOf regex tree at every site blew the plan up
+      // ~5x (compile cost + 64KB-codegen-limit pressure). hostOf is
+      // non-cheap, so CollapseProject keeps the stage split and the
+      // regex runs once per row.
+      .select(col("doc_id"), col("url"),
+        graft.llm.Domains.hostOf(col("url")).as("host"))
       .select(col("doc_id"), col("url"),
         graft.llm.Domains.canonicalUrl(col("url")).as("canon_url"),
-        graft.llm.Domains.hostOf(col("url")).as("host"),
-        graft.llm.Domains.registrableDomain(
-          graft.llm.Domains.hostOf(col("url"))).as("domain"))
+        col("host"),
+        graft.llm.Domains.registrableDomain(col("host")).as("domain"))
       .orderBy("doc_id")
 
   /** Per-registrable-domain corpus stats (doc/URL/char counts) — the

@@ -217,8 +217,14 @@ object Domains {
                   textCol: String): DataFrame = {
     val canon = canonicalUrl(col(urlCol))
     docs
-      .select(registrableDomain(hostOf(col(urlCol))).as("domain"),
+      // host in its own projection: the generated when-chain
+      // references it at every rule depth, and inlining the hostOf
+      // regex tree there multiplies plan size (see urlCanon); hostOf
+      // is non-cheap so CollapseProject keeps the split
+      .select(hostOf(col(urlCol)).as("__h"),
         canon.as("__c"), length(col(textCol)).cast("long").as("__len"))
+      .select(registrableDomain(col("__h")).as("domain"),
+        col("__c"), col("__len"))
       .groupBy("domain")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         countDistinct(col("__c")).as("n_urls"),

@@ -56,7 +56,11 @@ object Mp4Tables {
     if (ze - zs < 12) return None
     val constSize = u32(b, zs + 4)
     val nSamples = u32(b, zs + 8).toInt
-    if (nSamples <= 0 || nSamples > maxSamples) return None
+    // every sample occupies >= 1 byte of the file, so a sample count
+    // beyond the file length is a lying header — reject BEFORE
+    // allocating anything proportional to it (bomb defense)
+    if (nSamples <= 0 || nSamples > maxSamples || nSamples > b.length)
+      return None
     if (constSize > Int.MaxValue) return None
     val sizes: IndexedSeq[Int] =
       if (constSize != 0) IndexedSeq.fill(nSamples)(constSize.toInt)

@@ -106,6 +106,12 @@ class Mp4JpegSpec extends SparkSuite {
     // chunk range escaping the file
     assert(Mp4Jpeg.decode("video/mp4", good.take(good.length - 9)).isEmpty)
     assert(Mp4Jpeg.decode("video/mp4", "junk".getBytes).isEmpty)
+    // lying stsz sample count far beyond the file length: rejected
+    // before anything proportional to it is allocated (bomb defense)
+    val bomb = good.clone()
+    val zi = indexOfBytes(good, "stsz".getBytes("ISO-8859-1"))
+    u32b(1 << 25).copyToArray(bomb, zi + 12) // payload+8 = sample_count
+    assert(Mp4Jpeg.decode("video/mp4", bomb).isEmpty)
   }
 
   private def indexOfBytes(hay: Array[Byte], needle: Array[Byte]): Int =
