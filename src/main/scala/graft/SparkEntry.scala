@@ -2782,14 +2782,22 @@ object SparkEntry {
   /** CTE chain replaying the synthetic-URL derivation AND
     * [[graft.llm.Domains.canonicalUrl]] / registrable-domain rules in
     * DuckDB, emitting `c(doc_id, url, canon_url, host, domain)`. */
-  private lazy val urlCanonCtes: String = {
+  /** DuckDB CASE chain for the registrable domain over columns `host`
+    * and `ls` (= string_split(host, '.')) — GENERATED from the rule
+    * sets, mirroring Domains.registrableDomain's when-chain at every
+    * depth: exceptions deepest-first, then suffix depths from the
+    * snapshot's deepest down to 2, then the implicit `*`. Since BOTH
+    * chains are generated from the same rule sets, the cross-engine
+    * hash gate alone would not catch a systematic generation bug
+    * reproduced on both sides; two independent anchors close that:
+    * DomainsSpec pins hand-computed host→domain expectations for
+    * every rule depth (the Scala chain), and its "oracle chain
+    * structure" test pins THIS generator's output for a tiny
+    * hand-written rule set against a hand-authored CASE. */
+  private[graft] def domainCaseSql(
+      rules: graft.llm.Domains.PslRules): String = {
     def inList(s: Seq[String]): String =
       s.map(x => s"'$x'").mkString(", ")
-    val rules = graft.llm.Domains.Rules
-    // registrable-domain CASE branches GENERATED from the loaded rule
-    // sets, mirroring Domains.registrableDomain's when-chain at every
-    // depth: exceptions deepest-first, then suffix depths from the
-    // snapshot's deepest down to 2, then the implicit `*`
     def lastK(k: Int): String =
       (k to 1 by -1).map(i => s"ls[-$i]").mkString(" || '.' || ")
     val excBranches = rules.exc.keys.toSeq.sorted.reverse.map { k =>
@@ -2807,12 +2815,15 @@ object SparkEntry {
           s"         THEN CASE WHEN len(ls) >= ${s + 1} THEN ${lastK(s + 1)}\n" +
           s"              ELSE host END")
     }
-    val domainCase =
-      ("CASE WHEN host = '' THEN NULL\n" +
-        "         WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+)*$') THEN host\n" +
-        "         WHEN len(ls) <= 2 THEN host\n         " +
-        (excBranches ++ sufBranches).mkString("\n         ") +
-        s"\n         ELSE ${lastK(2)}\n    END")
+    "CASE WHEN host = '' THEN NULL\n" +
+      "         WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+)*$') THEN host\n" +
+      "         WHEN len(ls) <= 2 THEN host\n         " +
+      (excBranches ++ sufBranches).mkString("\n         ") +
+      s"\n         ELSE ${lastK(2)}\n    END"
+  }
+
+  private lazy val urlCanonCtes: String = {
+    val domainCase = domainCaseSql(graft.llm.Domains.Rules)
     s"""WITH u AS (
       |  SELECT doc_id,
       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'

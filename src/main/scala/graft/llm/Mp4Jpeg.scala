@@ -61,6 +61,32 @@ object Mp4Jpeg extends Multimodal.MediaDecoder {
     sum / (255000.0 * w * h)
   }
 
+  /** Decode one JPEG sample with the sample-entry dimensions
+    * enforced BEFORE the raster is allocated: the reader's
+    * header-only getWidth/getHeight probe rejects a frame whose SOF
+    * contradicts the entry, so a hostile bitstream declaring
+    * 65500×65500 never allocates its multi-GB raster (the entry dims
+    * themselves are capped by the caller). The explicit
+    * MemoryCacheImageInputStream keeps ImageIO off its default
+    * DISK-backed stream cache — one temp-file create/delete per
+    * frame on the hot path, for bytes already in memory. */
+  private def decodeFrame(b: Array[Byte], off: Int, sz: Int,
+                          w: Int, h: Int)
+  : Option[java.awt.image.BufferedImage] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(b, off, sz))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        if (reader.getWidth(0) != w || reader.getHeight(0) != h) None
+        else Option(reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   private def decodeTrack(b: Array[Byte], ss: Int, se: Int)
   : Option[(Int, Int, Int, Array[Double])] = {
     val (cc, es, de) = Mp4Tables.sampleEntry(b, ss, se)
@@ -71,23 +97,25 @@ object Mp4Jpeg extends Multimodal.MediaDecoder {
     if (es + 28 > de) return None
     val width = u16(b, es + 24)
     val height = u16(b, es + 26)
-    if (width <= 0 || height <= 0) return None
+    // entry dims are attacker-controlled u16s (up to 65535×65535 ≈
+    // 17 GB of raster): cap total pixels at 2^25 (~33 MP, beyond 8K
+    // video) so a lying entry can never OOM the executor
+    if (width <= 0 || height <= 0 ||
+      width.toLong * height > (1L << 25)) return None
 
-    val ranges = Mp4Tables.sampleRanges(b, ss, se, maxSamples = 1 << 20)
-      .getOrElse(return None)
-    val lum = new Array[Double](ranges.length)
-    var f = 0
-    while (f < ranges.length) {
-      val (off, sz) = ranges(f)
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(b, off.toInt, sz))
-      // undecodable frame or one contradicting the sample entry's
-      // dimensions: the whole track fails closed
-      if (img == null || img.getWidth != width || img.getHeight != height)
-        return None
-      lum(f) = meanLuminance(img)
-      f += 1
+    val nFrames = Mp4Tables.sampleCount(b, ss, se, maxSamples = 1 << 20)
+    if (nFrames < 0) return None
+    val lum = new Array[Double](nFrames)
+    val walked = Mp4Tables.walkSamples(b, ss, se, maxSamples = 1 << 20) {
+      (s, off, sz) =>
+        // undecodable frame or one contradicting the sample entry's
+        // dimensions: the whole track fails closed
+        decodeFrame(b, off.toInt, sz, width, height) match {
+          case Some(img) => lum(s) = meanLuminance(img); true
+          case None => false
+        }
     }
-    Some((width, height, ranges.length, lum))
+    if (walked != nFrames) return None
+    Some((width, height, nFrames, lum))
   }
 }

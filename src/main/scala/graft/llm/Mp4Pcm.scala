@@ -53,28 +53,34 @@ object Mp4Pcm extends Multimodal.MediaDecoder {
       return None
     val frameBytes = 2 * channels
 
-    val ranges = Mp4Tables.sampleRanges(b, ss, se).getOrElse(return None)
     // one sample = one PCM frame: the raw-PCM layout this decoder
-    // supports; anything else is another codec's framing
-    if (ranges.exists(_._2 != frameBytes)) return None
-    val nSamples = ranges.length
+    // supports; anything else is another codec's framing. O(1)
+    // reject for constant-size stsz; per-sample sizes abort the walk
+    // on the first mismatch.
+    val cs = Mp4Tables.constantSize(b, ss, se)
+    if (cs < 0 || (cs != 0 && cs != frameBytes)) return None
+    val nSamples = Mp4Tables.sampleCount(b, ss, se)
+    if (nSamples < 0) return None
 
     val mono = new Array[Double](nSamples)
-    var f = 0
-    while (f < nSamples) {
-      val off = ranges(f)._1.toInt
-      var acc = 0.0
-      var c = 0
-      while (c < channels) {
-        val idx = off + 2 * c
-        val lo = if (bigEndian) b(idx + 1) else b(idx)
-        val hi = if (bigEndian) b(idx) else b(idx + 1)
-        acc += ((hi << 8) | (lo & 0xFF)) / 32768.0
-        c += 1
+    val walked = Mp4Tables.walkSamples(b, ss, se) { (s, off0, sz) =>
+      if (sz != frameBytes) false
+      else {
+        val off = off0.toInt
+        var acc = 0.0
+        var c = 0
+        while (c < channels) {
+          val idx = off + 2 * c
+          val lo = if (bigEndian) b(idx + 1) else b(idx)
+          val hi = if (bigEndian) b(idx) else b(idx + 1)
+          acc += ((hi << 8) | (lo & 0xFF)) / 32768.0
+          c += 1
+        }
+        mono(s) = acc / channels
+        true
       }
-      mono(f) = acc / channels
-      f += 1
     }
+    if (walked != nSamples) return None
     Some((rate, channels, nSamples, mono))
   }
 }

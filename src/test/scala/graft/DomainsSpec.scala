@@ -184,6 +184,53 @@ class DomainsSpec extends SparkSuite {
       assert(s === s.distinct.sorted)
   }
 
+  test("oracle chain structure: the generated DuckDB CASE for a tiny " +
+    "hand-written rule set equals a hand-AUTHORED chain") {
+    // Both the Spark when-chain and the DuckDB oracle CASE are
+    // generated from the same rule sets, so the cross-engine hash
+    // gate alone cannot catch a systematic generation bug reproduced
+    // on both sides. Anchor 1: the hand-computed host->domain
+    // expectations in the depth tests above pin the Scala chain.
+    // Anchor 2 (this test): the SQL generator's output for a small
+    // rule set must equal a chain hand-written from the PSL
+    // algorithm — a transliterated mistake (e.g. pairing wildAt(s)
+    // instead of wildAt(s-1), or exceptions after suffix branches)
+    // changes the emitted structure and fails here.
+    val rules = Domains.PslRules(
+      exact = Map(2 -> Seq("co.uk"), 3 -> Seq("act.edu.au")),
+      wild = Map(1 -> Seq("ck"), 2 -> Seq("kawasaki.jp"),
+        3 -> Seq("compute.amazonaws.com")),
+      exc = Map(2 -> Seq("www.ck"), 3 -> Seq("city.kawasaki.jp")))
+    def norm(s: String): String = s.replaceAll("\\s+", " ").trim
+    val expected = """
+      CASE WHEN host = '' THEN NULL
+      WHEN regexp_matches(host, '^[0-9]+(\.[0-9]+)*$') THEN host
+      WHEN len(ls) <= 2 THEN host
+      WHEN len(ls) >= 3 AND ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+        IN ('city.kawasaki.jp')
+        THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+      WHEN len(ls) >= 2 AND ls[-2] || '.' || ls[-1] IN ('www.ck')
+        THEN ls[-2] || '.' || ls[-1]
+      WHEN len(ls) >= 4 AND (ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+        IN ('compute.amazonaws.com'))
+        THEN CASE WHEN len(ls) >= 5
+          THEN ls[-5] || '.' || ls[-4] || '.' || ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+          ELSE host END
+      WHEN len(ls) >= 3 AND (ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+        IN ('act.edu.au') OR ls[-2] || '.' || ls[-1] IN ('kawasaki.jp'))
+        THEN CASE WHEN len(ls) >= 4
+          THEN ls[-4] || '.' || ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+          ELSE host END
+      WHEN len(ls) >= 2 AND (ls[-2] || '.' || ls[-1] IN ('co.uk')
+        OR ls[-1] IN ('ck'))
+        THEN CASE WHEN len(ls) >= 3
+          THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+          ELSE host END
+      ELSE ls[-2] || '.' || ls[-1]
+      END"""
+    assert(norm(SparkEntry.domainCaseSql(rules)) === norm(expected))
+  }
+
   test("dropDomains: blocklisted and unparseable rows both fail closed") {
     val docs = Seq(
       (1L, "https://spam.example.com/x"),

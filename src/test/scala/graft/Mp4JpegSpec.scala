@@ -112,6 +112,17 @@ class Mp4JpegSpec extends SparkSuite {
     val zi = indexOfBytes(good, "stsz".getBytes("ISO-8859-1"))
     u32b(1 << 25).copyToArray(bomb, zi + 12) // payload+8 = sample_count
     assert(Mp4Jpeg.decode("video/mp4", bomb).isEmpty)
+    // entry declaring a multi-GB raster (u16 dims are attacker
+    // controlled): the pixel cap rejects before any decode
+    assert(Mp4Jpeg.decode("video/mp4",
+      mjpegMp4("jpeg", 60000, 60000, chunked)).isEmpty)
+    // frame whose SOF contradicts the entry: the header-only probe
+    // rejects BEFORE the raster is allocated
+    val sofLie = good.clone()
+    val sof = (0 until good.length - 1).find(i =>
+      (good(i) & 0xFF) == 0xFF && (good(i + 1) & 0xFF) == 0xC0).get
+    sofLie(sof + 5) = 0x7F.toByte // height high byte: 12 -> 32524
+    assert(Mp4Jpeg.decode("video/mp4", sofLie).isEmpty)
   }
 
   private def indexOfBytes(hay: Array[Byte], needle: Array[Byte]): Int =
