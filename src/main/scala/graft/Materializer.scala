@@ -46,11 +46,24 @@ object Materializer {
   /** Cluster strategy: write the reuse point as a parquet table under
     * `dir/<site>` and read it back — computed exactly once, fault
     * tolerant, inspectable, shareable. `overwrite` semantics make the
-    * site name job-scoped: callers running concurrent jobs point each
-    * at its own `dir`. */
+    * directory job-scoped: callers running concurrent jobs point each
+    * at its own `dir`.
+    *
+    * Two invocations of the SAME reuse site in one process (e.g.
+    * `unigramNll(docsA)` unioned with `unigramNll(docsB)` — both hit
+    * the `langmodel_unigram_tf` site) must not overwrite each other's
+    * table: the read-back is a LAZY parquet scan that lists files at
+    * action time, so an overwrite would silently serve the second
+    * invocation's rows to the first consumer. Each invocation
+    * therefore gets its own table — `<site>`, `<site>_2`, `<site>_3`
+    * … — via a per-site counter. */
   final case class PersistedTable(dir: String) extends Strategy {
+    @transient private lazy val invocations =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     override def materialize(df: DataFrame, site: String): DataFrame = {
-      val path = s"$dir/$site"
+      val n: Int = invocations.merge(site, Int.box(1),
+        (a: Integer, b: Integer) => Int.box(a + b))
+      val path = if (n == 1) s"$dir/$site" else s"$dir/${site}_$n"
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
     }

@@ -229,6 +229,23 @@ class DomainsSpec extends SparkSuite {
       ELSE ls[-2] || '.' || ls[-1]
       END"""
     assert(norm(SparkEntry.domainCaseSql(rules)) === norm(expected))
+    // degraded rule sets (resource missing → the exact2-only
+    // fallback) must still emit valid SQL: a branch with an empty
+    // "IN ()" list is a DuckDB parse error that would fail every URL
+    // oracle outright
+    val fb = Domains.PslRules(Map(2 -> Seq("co.uk")), Map.empty, Map.empty)
+    val fbSql = SparkEntry.domainCaseSql(fb)
+    assert(!fbSql.contains("IN ()"))
+    assert(norm(fbSql) === norm("""
+      CASE WHEN host = '' THEN NULL
+      WHEN regexp_matches(host, '^[0-9]+(\.[0-9]+)*$') THEN host
+      WHEN len(ls) <= 2 THEN host
+      WHEN len(ls) >= 2 AND (ls[-2] || '.' || ls[-1] IN ('co.uk'))
+        THEN CASE WHEN len(ls) >= 3
+          THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+          ELSE host END
+      ELSE ls[-2] || '.' || ls[-1]
+      END"""))
   }
 
   test("dropDomains: blocklisted and unparseable rows both fail closed") {

@@ -53,6 +53,37 @@ class MaterializerSpec extends SparkSuite {
     }
   }
 
+  test("PersistedTable: two invocations of the SAME site keep " +
+    "distinct tables — no silent overwrite across branches") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_materializer3").toString
+    // branch B sees a DIFFERENT corpus (docs 1-3 only), so its tf
+    // table differs from branch A's — serving B's table to A would
+    // change A's NLL VALUES, which the row-level compare catches
+    val docsB = docs.filter(col("doc_id") <= 3)
+    val expectA = graft.llm.LangModel.unigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val expectB = graft.llm.LangModel.unigramNll(docsB, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    Materializer.set(Materializer.PersistedTable(dir))
+    try {
+      // two branches of one composed job hit the same reuse site;
+      // the read-back is lazy, so with a shared table name branch A
+      // would silently serve branch B's rows after the overwrite
+      val a = graft.llm.LangModel.unigramNll(docs, "doc_id", "text")
+      val b = graft.llm.LangModel.unigramNll(docsB, "doc_id", "text")
+      assert(a.orderBy("doc_id").collect().toSeq === expectA)
+      assert(b.orderBy("doc_id").collect().toSeq === expectB)
+      // both invocations' tables exist side by side
+      val tables = new java.io.File(dir).list().toSeq
+        .filter(_.startsWith("langmodel_unigram_tf"))
+      assert(tables.size >= 2, s"expected per-invocation tables, got $tables")
+    } finally {
+      Materializer.reset()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("reset restores the lazy localCheckpoint default") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_materializer2").toString
