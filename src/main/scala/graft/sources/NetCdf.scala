@@ -207,21 +207,36 @@ object NetCdf {
       v.chunks.flatMap(ci => readChunked(bytes, v.shape, ci))
         .map(arr => (arr, 0L)))
 
+  /** User-block normalization for the READERS: [[parseHdf5]] strips a
+    * leading user block so every base-relative address is an absolute
+    * offset into the stripped array — the same stripping must apply
+    * when resolving VarMeta offsets against the bytes. Classic files
+    * and offset-0 HDF5 pass through unchanged (no copy). */
+  private def stripUserBlock(bytes: Array[Byte]): Array[Byte] =
+    findHdf5Superblock(bytes) match {
+      case Some(sb) if sb > 0 =>
+        java.util.Arrays.copyOfRange(bytes, sb, bytes.length)
+      case _ => bytes
+    }
+
   /** min/max of a 1-D fixed-size coordinate variable, read from the
     * data at the header's offset (exactly the values
     * `src[x_variable][:].min()/.max()` sees, `handler.py:114-117`) —
     * classic data sections and contiguous or chunked HDF5 datasets
-    * alike. None for record/multi-dim/absent variables. */
-  def coordExtent(bytes: Array[Byte], meta: FileMeta, varName: String)
+    * alike. None for record/multi-dim/absent variables, and None
+    * (never a thrown exception — the documented contract) for a
+    * corrupt or truncated data section. */
+  def coordExtent(bytes0: Array[Byte], meta: FileMeta, varName: String)
   : Option[(Double, Double)] =
     meta.vars.find(_.path == varName).flatMap { v =>
+      val bytes = stripUserBlock(bytes0)
       if (v.shape.size != 1 || v.shape.head == 0) None
       else dataSection(bytes, v).flatMap { case (data, b) =>
         val n = v.shape.head.toInt
         val buf = ByteBuffer.wrap(data).order(dataOrder(v))
         val vals =
           try (0 until n).map(i => readValue(data, buf, v, b, i))
-          catch { case _: IllegalArgumentException => return None }
+          catch { case scala.util.control.NonFatal(_) => return None }
         if (vals.isEmpty) None else Some((vals.min, vals.max))
       }
     }
@@ -229,21 +244,27 @@ object NetCdf {
   /** Row-major data of a fixed-size variable of any rank — the array
     * `hdf5_to_cog` reads into memory (`handler.py:100-105`). Classic
     * data sections and contiguous or chunked (gzip/shuffle/fletcher32)
-    * HDF5 datasets. */
-  def readGridRaw(bytes: Array[Byte], meta: FileMeta, varPath: String)
+    * HDF5 datasets. None (never a thrown exception) for unsupported
+    * element types, truncated sections, or shapes whose element count
+    * overflows an array — fail-closed like the chunked path. */
+  def readGridRaw(bytes0: Array[Byte], meta: FileMeta, varPath: String)
   : Option[Array[Float]] =
     meta.vars.find(_.path == varPath).flatMap { v =>
-      if (v.shape.isEmpty || v.shape.exists(_ == 0)) None
-      else dataSection(bytes, v).map { case (data, b) =>
-        val n = v.shape.product.toInt
-        val buf = ByteBuffer.wrap(data).order(dataOrder(v))
-        val out = new Array[Float](n)
-        var i = 0
-        while (i < n) {
-          out(i) = readValue(data, buf, v, b, i).toFloat
-          i += 1
-        }
-        out
+      val bytes = stripUserBlock(bytes0)
+      if (v.shape.isEmpty || v.shape.exists(_ == 0) ||
+        v.shape.product > Int.MaxValue) None
+      else dataSection(bytes, v).flatMap { case (data, b) =>
+        try {
+          val n = v.shape.product.toInt
+          val buf = ByteBuffer.wrap(data).order(dataOrder(v))
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            out(i) = readValue(data, buf, v, b, i).toFloat
+            i += 1
+          }
+          Some(out)
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
     }
 
@@ -307,6 +328,16 @@ object NetCdf {
   private val Hdf5Magic =
     Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n')
 
+  /** Minimal-width little-endian integer at `p` (HDF5 emits ANY
+    * width 1..8 via H5VM_limit_enc_size, not just 1/2/4/8) — the one
+    * byte-assembly loop every table/heap/B-tree decoder shares. */
+  private def leIntAt(bytes: Array[Byte], p: Int, w: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < w) { v |= (bytes(p + k) & 0xFFL) << (8 * k); k += 1 }
+    v
+  }
+
   private def findHdf5Superblock(bytes: Array[Byte]): Option[Int] = {
     var off = 0
     while (off + 8 <= bytes.length && off <= (1 << 16)) {
@@ -319,6 +350,14 @@ object NetCdf {
 
   private def parseHdf5(bytes: Array[Byte]): Either[String, FileMeta] = try {
     val sb = findHdf5Superblock(bytes).get
+    // HDF5 addresses are relative to the BASE ADDRESS, which for a
+    // file with a user block equals the superblock offset. Stripping
+    // the user block turns every base-relative address back into an
+    // absolute offset, so the rest of the parser needs no rebasing —
+    // without this, every address in a user-block file pointed short
+    // by the block size (wrong bytes parsed, or a spurious quarantine).
+    if (sb > 0)
+      return parseHdf5(java.util.Arrays.copyOfRange(bytes, sb, bytes.length))
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val sbVersion = bytes(sb + 8) & 0xFF
     if (sbVersion > 3)
@@ -334,9 +373,11 @@ object NetCdf {
         return Left(s"unsupported HDF5 offset/length size $offSize/$lenSize")
       val rootHdr = buf.getLong(sb + 36)
       val out = ArrayBuffer.empty[VarMeta]
-      parseObjectHeader(bytes, buf, rootHdr, path = "", depth = 0, out)
+      val gatts = ArrayBuffer.empty[Attr]
+      parseObjectHeader(bytes, buf, rootHdr, path = "", depth = 0, out,
+        rootAttrs = Some(gatts))
       return Right(FileMeta(s"hdf5 superblock-v$sbVersion", Nil,
-        out.toSeq, Nil))
+        out.toSeq, gatts.toSeq))
     }
     val offSize = bytes(sb + 13) & 0xFF
     val lenSize = bytes(sb + 14) & 0xFF
@@ -352,7 +393,20 @@ object NetCdf {
 
     val out = ArrayBuffer.empty[VarMeta]
     walkGroup(bytes, buf, rootBtree, rootHeap, prefix = "", depth = 0, out)
-    Right(FileMeta(s"hdf5 superblock-v$sbVersion", Nil, out.toSeq, Nil))
+    // the file's GLOBAL attributes live in the root object header,
+    // which the symbol-table walk never parses; best-effort
+    // attrs-only pass (into a discarded VarMeta buffer) — a file
+    // whose structure walk succeeded must not quarantine because its
+    // root header is absent or odd, so failures here just leave
+    // globalAttrs empty
+    val gatts = ArrayBuffer.empty[Attr]
+    try {
+      val tmp = ArrayBuffer.empty[VarMeta]
+      parseObjectHeader(bytes, buf, buf.getLong(rootEntry + 8),
+        path = "", depth = 0, tmp, rootAttrs = Some(gatts))
+    } catch { case scala.util.control.NonFatal(_) => gatts.clear() }
+    Right(FileMeta(s"hdf5 superblock-v$sbVersion", Nil, out.toSeq,
+      gatts.toSeq))
   } catch {
     case e: Exception => Left(s"hdf5 parse failed: ${e.getMessage}")
   }
@@ -417,7 +471,9 @@ object NetCdf {
     * same message handler; only the walk differs. */
   private def parseObjectHeader(bytes: Array[Byte], buf: ByteBuffer,
                                 addr: Long, path: String, depth: Int,
-                                out: ArrayBuffer[VarMeta]): Unit = {
+                                out: ArrayBuffer[VarMeta],
+                                rootAttrs: Option[ArrayBuffer[Attr]] = None)
+  : Unit = {
     val a = addr.toInt
     require(depth <= 6, "group nesting too deep")
     var shape: Option[Seq[Long]] = None
@@ -436,7 +492,20 @@ object NetCdf {
     var denseHeap: Option[(Long, Long)] = None
     val attrs = ArrayBuffer.empty[Attr]
 
-    def handleMessage(typ: Int, body: Int): Unit = typ match {
+    def handleMessage(typ: Int, body: Int, mflags: Int): Unit = {
+      // shared-message flag (bit 1): the body is a POINTER into the
+      // shared-message storage, not inline content — parsing it
+      // inline would misread e.g. a committed datatype's version
+      // byte as typeClass and garbage as typeSize, yielding silently
+      // wrong data. Fail closed for every message type this parser
+      // consumes (ignored types stay ignored).
+      if ((mflags & 0x02) != 0 && Set(0x0001, 0x0002, 0x0003, 0x0004,
+          0x0005, 0x0006, 0x0008, 0x000B, 0x000C, 0x0011).contains(typ))
+        throw new IllegalArgumentException(
+          f"shared message type 0x$typ%04x not supported")
+      handleMessageBody(typ, body)
+    }
+    def handleMessageBody(typ: Int, body: Int): Unit = typ match {
         case 0x0001 => // dataspace
           val ver = bytes(body) & 0xFF
           val rank = bytes(body + 1) & 0xFF
@@ -494,14 +563,7 @@ object NetCdf {
               s"bad chunk-dim encoded length $encLen")
             // minimal-byte little-endian integers: HDF5 emits ANY
             // width 1..8 (H5VM_limit_enc_size), not just 1/2/4/8
-            def dimAt(p: Int): Long = {
-              var v = 0L
-              var k = 0
-              while (k < encLen) {
-                v |= (bytes(p + k) & 0xFFL) << (8 * k); k += 1
-              }
-              v
-            }
+            def dimAt(p: Int): Long = leIntAt(bytes, p, encLen)
             val cdims = (0 until nd).map(i => dimAt(body + 5 + i * encLen))
             var q = body + 5 + nd * encLen
             val idxType = bytes(q) & 0xFF; q += 1
@@ -581,9 +643,11 @@ object NetCdf {
       while (remaining > 0) {
         val typ = buf.getShort(p) & 0xFFFF
         val size = buf.getShort(p + 2) & 0xFFFF
+        // v1 message header: type(2) size(2) flags(1) reserved(3)
+        val mflags = bytes(p + 4) & 0xFF
         val body = p + 8
         if (typ == 0x0010) p = buf.getLong(body).toInt
-        else { handleMessage(typ, body); p += 8 + size }
+        else { handleMessage(typ, body, mflags); p += 8 + size }
         remaining -= 1
       }
     } else {
@@ -618,6 +682,8 @@ object NetCdf {
         while (q + hdrSz <= end) {
           val typ = bytes(q) & 0xFF
           val size = buf.getShort(q + 1) & 0xFFFF
+          // v2 message header: type(1) size(2) flags(1) [creation(2)]
+          val mflags = bytes(q + 3) & 0xFF
           val body = q + hdrSz
           if (typ == 0x10) {
             val off = buf.getLong(body).toInt
@@ -626,7 +692,7 @@ object NetCdf {
               java.nio.charset.StandardCharsets.US_ASCII)
             require(csig == "OCHK", s"bad continuation block '$csig'")
             regions.enqueue((off + 4, off + len - 4)) // len incl sig+cksum
-          } else if (typ != 0) handleMessage(typ, body)
+          } else if (typ != 0) handleMessage(typ, body, mflags)
           q += hdrSz + size
         }
       }
@@ -637,6 +703,11 @@ object NetCdf {
     // the caller's quarantine)
     if (links.isEmpty) denseHeap.foreach { case (h, nameBt) =>
       denseLinks(bytes, buf, h, nameBt, links) }
+
+    // the root group's own attributes are the file's GLOBAL
+    // attributes (netCDF-4 writes them here); collect them for the
+    // caller — the classic path populates the same FileMeta field
+    if (path.isEmpty) rootAttrs.foreach(_ ++= attrs)
 
     group match {
       case Some((bt, hp)) =>
@@ -1040,12 +1111,7 @@ object NetCdf {
             require(hugeBtree != -1L,
               s"indirect huge heap ID ($heapIdLen bytes) without a " +
                 "huge-object B-tree")
-            var oid = 0L
-            val n = math.min(8, heapIdLen - 1)
-            var i = 0
-            while (i < n) {
-              oid |= (bytes(id + 1 + i) & 0xFFL) << (8 * i); i += 1
-            }
+            val oid = leIntAt(bytes, id + 1, math.min(8, heapIdLen - 1))
             val (addr, stored, mem) = hugeRecords.getOrElse(oid,
               throw new IllegalArgumentException(
                 s"huge object id $oid missing from B-tree"))
@@ -1187,9 +1253,16 @@ object NetCdf {
           if (runLen > 0) {
             val src = oi.toLong * lastC * es
             val dst = (dstBase + x0) * es
-            if (src + runLen * es <= raw.length)
-              System.arraycopy(raw, src.toInt, out, dst.toInt,
-                (runLen * es).toInt)
+            // a chunk that decodes SHORT of its nominal extent is
+            // corruption — skipping the copy would leave fill values
+            // in place of real data and read "successfully" (silent
+            // wrong output); throw → the method's catch → None →
+            // quarantine, per the module's fail-closed contract
+            require(src + runLen * es <= raw.length,
+              s"chunk decoded short: need ${src + runLen * es} of " +
+                s"${raw.length} bytes")
+            System.arraycopy(raw, src.toInt, out, dst.toInt,
+              (runLen * es).toInt)
           }
         }
         oi += 1
@@ -1224,8 +1297,6 @@ object NetCdf {
     }
   }
 
-  /** Undo the HDF5 shuffle filter: de-interleave byte planes back to
-    * whole elements (trailing non-multiple bytes pass through). */
   /** Fixed-array chunk index ("FAHD" header + "FADB" data block, the
     * layout-v4 default for fixed-shape datasets): entries are chunk
     * records in row-major chunk-grid order — client 0 is a bare
@@ -1319,9 +1390,7 @@ object NetCdf {
       val addr = buf.getLong(p)
       val szW = entrySize - 12
       if (szW < 1 || szW > 8) return false
-      var sz = 0L
-      var k = 0
-      while (k < szW) { sz |= (bytes(p + 8 + k) & 0xFFL) << (8 * k); k += 1 }
+      val sz = leIntAt(bytes, p + 8, szW)
       val mask = buf.getInt(p + 8 + szW)
       if (addr != -1L) chunks += ((chunkOffs(i), sz.toInt, addr, mask))
       true
@@ -1532,11 +1601,7 @@ object NetCdf {
       cumSize(u) = encSize(cumMax(u))
       u += 1
     }
-    def intAt(p: Int, w: Int): Long = {
-      var v = 0L; var k = 0
-      while (k < w) { v |= (bytes(p + k) & 0xFFL) << (8 * k); k += 1 }
-      v
-    }
+    def intAt(p: Int, w: Int): Long = leIntAt(bytes, p, w)
     val out = Seq.newBuilder[Int]
     def walk(addr: Long, d: Int, nrec: Int): Unit = {
       require(addr != -1L, "undefined v2 B-tree node")
@@ -1583,11 +1648,7 @@ object NetCdf {
     val szW = if (recType == 11) recSize - 12 - 8 * rank else 0
     if (recType == 10 && recSize != 8 + 8 * rank) return false
     if (recType == 11 && (szW < 1 || szW > 8)) return false
-    def intAt(p: Int, w: Int): Long = {
-      var v = 0L; var k = 0
-      while (k < w) { v |= (bytes(p + k) & 0xFFL) << (8 * k); k += 1 }
-      v
-    }
+    def intAt(p: Int, w: Int): Long = leIntAt(bytes, p, w)
     recs.foreach { p =>
       val addr = buf.getLong(p)
       var q = p + 8
@@ -1604,6 +1665,8 @@ object NetCdf {
     true
   } catch { case scala.util.control.NonFatal(_) => false }
 
+  /** Undo the HDF5 shuffle filter: de-interleave byte planes back to
+    * whole elements (trailing non-multiple bytes pass through). */
   private def unshuffle(in: Array[Byte], es: Int): Array[Byte] = {
     if (es <= 1) return in
     val count = in.length / es

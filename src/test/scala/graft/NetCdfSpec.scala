@@ -70,6 +70,30 @@ class NetCdfSpec extends SparkSuite {
       a.name == "_FillValue" && a.nums == Seq(-7777.0)))
   }
 
+  test("hdf5 user block: addresses are base-relative, so a file with " +
+    "a user block parses and reads identically to its bare twin") {
+    // HDF5 base address = superblock offset; a 512-byte user block
+    // shifts every internal address's file position by 512 while the
+    // stored addresses stay base-relative. Parse AND data reads must
+    // agree with the bare file (pre-fix: every address in a
+    // user-block file resolved 512 bytes short).
+    for (bare <- Seq(NetCdfFixtures.hdf5(), NetCdfFixtures.hdf5Chunked())) {
+      val junk = Array.tabulate[Byte](512)(i => (i * 31 + 7).toByte)
+      val withBlock = junk ++ bare
+      val mBare = NetCdf.parse(bare).fold(e => fail(e), identity)
+      val mBlock = NetCdf.parse(withBlock).fold(e => fail(e), identity)
+      assert(mBlock.vars.map(v => (v.path, v.shape, v.typeName)) ===
+        mBare.vars.map(v => (v.path, v.shape, v.typeName)))
+      for (v <- mBare.vars) {
+        val a = NetCdf.readGridRaw(bare, mBare, v.path)
+        val b = NetCdf.readGridRaw(withBlock, mBlock, v.path)
+        assert(a.map(_.toSeq) === b.map(_.toSeq), s"grid mismatch ${v.path}")
+        assert(NetCdf.coordExtent(bare, mBare, v.path) ===
+          NetCdf.coordExtent(withBlock, mBlock, v.path))
+      }
+    }
+  }
+
   test("hdf5: contiguous-layout coordinate data reads exactly") {
     val bytes = NetCdfFixtures.hdf5()
     val m = NetCdf.parse(bytes).toOption.get
