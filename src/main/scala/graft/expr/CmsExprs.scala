@@ -46,6 +46,11 @@ object Cms {
     v match {
       case l: Long => XXH64.hashLong(l, seed)
       case i: Int => XXH64.hashLong(i.toLong, seed)
+      // narrower integral widths canonicalize to the SAME hash as
+      // their widened value — a sketch built over a SMALLINT column
+      // must agree with an INT/BIGINT probe of the same values
+      case s: Short => XXH64.hashLong(s.toLong, seed)
+      case b: Byte => XXH64.hashLong(b.toLong, seed)
       case s: UTF8String =>
         XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
       case b: Array[Byte] =>
@@ -148,11 +153,21 @@ object Cms {
     var min = Long.MaxValue
     var r = 0
     while (r < depth) {
-      var dot = 0L
+      // accumulate in double, saturate to Long.MaxValue: one hot key
+      // at ~3e9 in both tables makes a single cell product overflow
+      // a Long, and a wrapped-negative dot would win the min — the
+      // exact skew case a join-size planner exists for. Doubles are
+      // exact through 2^53 (far beyond any realistic estimate) and
+      // saturation preserves the one-sided >= guarantee.
+      var dot = 0.0
       var w = 0
       val base = 2 + r * width
-      while (w < width) { dot += sa(base + w) * sb(base + w); w += 1 }
-      if (dot < min) min = dot
+      while (w < width) {
+        dot += sa(base + w).toDouble * sb(base + w).toDouble; w += 1
+      }
+      val capped =
+        if (dot >= Long.MaxValue.toDouble) Long.MaxValue else dot.toLong
+      if (capped < min) min = capped
       r += 1
     }
     min
@@ -176,6 +191,16 @@ case class CmsSketchAgg(
   extends CmsAggBase {
 
   override def children: Seq[Expression] = Seq(child)
+
+  // parameter ranges at ANALYSIS time (see HllSketchAgg): a bad
+  // shape otherwise launches the job and fails every task at first
+  // createAggregationBuffer
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (depth < 1 || depth > 16)
+      TypeCheckResult.TypeCheckFailure(s"cms depth out of [1,16]: $depth")
+    else if (width < 16 || width > (1 << 24))
+      TypeCheckResult.TypeCheckFailure(s"cms width out of [16,2^24]: $width")
+    else TypeCheckResult.TypeCheckSuccess
   override def nullable: Boolean = false
   // NOTE: shape validation lives here, not the constructor — subclass
   // fields are unset during executor-side Java deserialization of the

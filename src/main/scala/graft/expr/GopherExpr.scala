@@ -176,6 +176,9 @@ object GopherCore extends Serializable {
     * struct-field formulation re-runs gopher_report ~20x per row
     * inside FilterExec (no common-subexpression elimination there;
     * measured 152 s vs 0.4 s on 2k docs). */
+  /** Entries the threshold array must carry — th(0)..th(21). */
+  val NumThresholds = 22
+
   def keep(c: Array[Long], th: Array[Int]): Boolean = {
     val wc = c(0)
     val quality =
@@ -265,9 +268,17 @@ case class GopherKeepExpr(text: Expression, thresholds: Expression)
   private lazy val thArr: Array[Int] = {
     require(thresholds.foldable,
       "gopher_keep thresholds must be a constant array")
-    thresholds.eval(null)
+    val ev = thresholds.eval(null)
+    require(ev != null, "gopher_keep thresholds must not be null")
+    val arr = ev
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toIntArray()
+    // GopherCore.keep indexes th(0)..th(21): fail ONCE with a usable
+    // message instead of an ArrayIndexOutOfBounds per filtered row
+    require(arr.length == GopherCore.NumThresholds,
+      s"gopher_keep thresholds must have ${GopherCore.NumThresholds} " +
+        s"entries, got ${arr.length}")
+    arr
   }
 
   override def eval(input: InternalRow): Any = {

@@ -1,6 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -33,6 +34,11 @@ object Hll {
   def hash(v: Any): Long = v match {
     case l: Long => XXH64.hashLong(l, 42L)
     case i: Int => XXH64.hashLong(i.toLong, 42L)
+    // narrower integral widths canonicalize to the SAME hash as
+    // their widened value — sketches over SMALLINT/TINYINT columns
+    // must union/probe consistently with INT/BIGINT twins
+    case s: Short => XXH64.hashLong(s.toLong, 42L)
+    case b: Byte => XXH64.hashLong(b.toLong, 42L)
     case s: UTF8String =>
       XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
     case b: Array[Byte] =>
@@ -122,6 +128,15 @@ case class HllSketchAgg(
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = BinaryType
 
+  // parameter range at ANALYSIS time (driver-side, post-construction
+  // — the constructor itself must stay empty for Java deserialization
+  // of unset subclass fields): a bad p otherwise launches the job and
+  // fails every task at first createAggregationBuffer
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (p < 4 || p > 18)
+      TypeCheckResult.TypeCheckFailure(s"hll precision p out of [4,18]: $p")
+    else TypeCheckResult.TypeCheckSuccess
+
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) Hll.add(buffer, Hll.hash(v))
@@ -154,6 +169,14 @@ case class HllUnionAgg(
   override def nullable: Boolean = true // all-null group → null sketch
 
   override def children: Seq[Expression] = Seq(child)
+
+  // sketch bytes in, at ANALYSIS time — a non-binary child otherwise
+  // surfaces as a per-task ClassCastException after job launch
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hll_union expects a binary sketch column, got ${child.dataType}")
   override def dataType: DataType = BinaryType
 
   private def fold(buffer: Array[Byte], sk: Array[Byte]): Array[Byte] =

@@ -1,6 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -158,16 +159,31 @@ object Kll {
     }
   }
 
+  /** Fails fast on bytes that are not a KLL sketch (like the CMS/HLL
+    * siblings): every header field is bounds-checked BEFORE its
+    * allocation, and every level length against the remaining
+    * payload — garbage bytes must raise, never allocate gigabytes
+    * (`new Array(2^30)`) or parse junk doubles into plausible but
+    * wrong quantiles. */
   def deserialize(bytes: Array[Byte]): Sketch = {
+    require(bytes.length >= 16, s"kll: corrupt sketch (${bytes.length} bytes)")
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val s = new Sketch(bb.getInt)
+    val k = bb.getInt
+    require(k >= 8 && k <= 65536, s"kll: corrupt sketch (k=$k)")
+    val s = new Sketch(k)
     s.count = bb.getLong
+    require(s.count >= 0, s"kll: corrupt sketch (count=${s.count})")
     val nLevels = bb.getInt
+    require(nLevels >= 0 && nLevels <= 64,
+      s"kll: corrupt sketch (nLevels=$nLevels)")
     s.levels = new Array[Array[Double]](nLevels)
     s.sizes = new Array[Int](nLevels)
     s.parity = new Array[Boolean](nLevels)
     (0 until nLevels).foreach { i =>
       val len = bb.getInt
+      require(len >= 0 && 1L + 8L * len <= bb.remaining(),
+        s"kll: corrupt sketch (level $i length $len, " +
+          s"${bb.remaining()} bytes left)")
       s.parity(i) = bb.get() == 1
       s.levels(i) = Array.fill(len)(bb.getDouble)
       s.sizes(i) = len
@@ -209,11 +225,15 @@ case class KllSketchAgg(
 
   override def children: Seq[Expression] = Seq(child)
 
-  override def checkInputDataTypes()
-  : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType.isInstanceOf[NumericType])
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+  // k range at ANALYSIS time (see HllSketchAgg): a bad k otherwise
+  // launches the job and fails every task at first
+  // createAggregationBuffer
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 8 || k > 65536)
+      TypeCheckResult.TypeCheckFailure(s"kll k out of [8, 65536]: $k")
+    else if (child.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
       s"kll_sketch expects a numeric column, got ${child.dataType}")
 
   override def update(buffer: Kll.Sketch, input: InternalRow): Kll.Sketch = {
@@ -253,6 +273,14 @@ case class KllMergeAgg(
   extends KllAggBase {
 
   override def children: Seq[Expression] = Seq(child)
+
+  // sketch bytes in, at ANALYSIS time — a non-binary child otherwise
+  // surfaces as a per-task ClassCastException after job launch
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType || child.dataType == NullType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_merge expects a binary sketch column, got ${child.dataType}")
 
   // an empty buffer adopts the first input sketch's k rather than
   // assuming the default precision

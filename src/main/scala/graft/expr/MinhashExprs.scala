@@ -194,11 +194,20 @@ case class ShingleHashesExpr(text: Expression, k: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = text.nullable
 
-  private lazy val kVal: Int = k.eval(null) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"shingle_hashes k must be a constant integer, got $other")
+  private lazy val kVal: Int = {
+    // foldability BEFORE eval: a column reference would otherwise
+    // die with an unbound-reference NPE at plan time (the
+    // SpanAnchorsExpr.constInt pattern)
+    if (!k.foldable) throw new IllegalArgumentException(
+      s"shingle_hashes k must be a constant integer, got ${k.sql}")
+    val v = k.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"shingle_hashes k must be a constant integer, got $other")
+    }
+    require(v >= 1, s"shingle_hashes k must be >= 1, got $v")
+    v
   }
 
   override def eval(input: InternalRow): Any = {
@@ -237,11 +246,18 @@ case class MinhashSigExpr(hashes: Expression, n: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = hashes.nullable
 
-  private lazy val nVal: Int = n.eval(null) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(
-      s"minhash_sig n must be a constant integer, got $other")
+  private lazy val nVal: Int = {
+    if (!n.foldable) throw new IllegalArgumentException(
+      s"minhash_sig n must be a constant integer, got ${n.sql}")
+    val v = n.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig n must be a constant integer, got $other")
+    }
+    require(v >= 1 && v <= 4096,
+      s"minhash_sig n must be in [1, 4096], got $v")
+    v
   }
 
   override def eval(input: InternalRow): Any = {

@@ -1,6 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -24,6 +25,18 @@ case class MinhashUnionAgg(
   extends TypedImperativeAggregate[Array[Long]] {
 
   override def children: Seq[Expression] = Seq(child)
+
+  // array<long> signatures in, at ANALYSIS time — a wrong-typed
+  // child otherwise surfaces as a per-task ClassCastException after
+  // job launch
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) | NullType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_union expects an array<bigint> signature column, " +
+          s"got $other")
+    }
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

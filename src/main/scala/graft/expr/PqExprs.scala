@@ -45,6 +45,13 @@ object PqCore extends Serializable {
     var i = 0
     val n = m * dsub
     while (i < n) { if (vec.isNullAt(i)) return null; i += 1 }
+    // a cell id outside the bias tensor means the cell assignment
+    // and the codebook come from DIFFERENT training runs (nCells
+    // mismatch) — say so, instead of an ArrayIndexOutOfBounds deep
+    // in the scoring loop
+    require(cell >= 0 && cell < bias.length,
+      s"pq_encode: cell id $cell outside the ${bias.length}-cell " +
+        "bias tensor (codebook from a different nCells run?)")
     val b = bias(cell)
     val codes = new Array[Int](m)
     var s = 0

@@ -201,8 +201,23 @@ case class LshBucketExpr(vec: Expression, nBits: Expression, dim: Expression)
 
   private def elemType: DataType =
     vec.dataType.asInstanceOf[ArrayType].elementType
-  private lazy val nBitsVal = nBits.eval(null).asInstanceOf[Number].intValue()
-  private lazy val dimVal = dim.eval(null).asInstanceOf[Number].intValue()
+  private def constInt(e: Expression, name: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"lsh_bucket $name must be a constant integer, got ${e.sql}")
+    e.eval(null).asInstanceOf[Number].intValue()
+  }
+  private lazy val nBitsVal = {
+    val v = constInt(nBits, "nBits")
+    // bit i sets 1L << i: beyond 63 the shift wraps and bucket bits
+    // silently alias — reject instead of losing LSH recall
+    require(v >= 1 && v <= 63, s"lsh_bucket nBits must be in [1, 63], got $v")
+    v
+  }
+  private lazy val dimVal = {
+    val v = constInt(dim, "dim")
+    require(v >= 1, s"lsh_bucket dim must be >= 1, got $v")
+    v
+  }
 
   override def eval(input: InternalRow): Any = {
     val v = vec.eval(input)

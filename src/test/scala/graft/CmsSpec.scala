@@ -115,4 +115,19 @@ class CmsSpec extends SparkSuite {
     // side0 = {1,2}, side1 = {1,1} → true 1*2 = 2
     assert(est >= 2L && est <= 3L, s"est $est")
   }
+
+  test("integral widths hash consistently; join-size saturates " +
+    "instead of wrapping on hot-key overflow") {
+    // a SMALLINT-built sketch must answer an INT/BIGINT probe
+    assert(Cms.hash(5.toShort, 3) === Cms.hash(5, 3))
+    assert(Cms.hash(5.toByte, 3) === Cms.hash(5L, 3))
+    // one hot key ~3e9 on both sides: the cell product overflows a
+    // Long; the dot must saturate positive, never wrap negative
+    val a = Cms.empty(2, 16); val b = Cms.empty(2, 16)
+    for (buf <- Seq(a, b); r <- 0 until 2)
+      buf(2 + r * 16 + 3) = 3000000000L
+    val est = Cms.joinSizeBytes(Cms.serialize(a), Cms.serialize(b))
+    assert(est > 0L, s"wrapped estimate $est")
+    assert(est >= 3000000000L * 2L) // >= true product band, one-sided
+  }
 }

@@ -124,4 +124,21 @@ class KllSpec extends SparkSuite {
       .groupBy("g").agg(expr("kll_merge(sk)").as("u")).head()
     assert(n.isNullAt(1))
   }
+
+  test("deserialize fails fast on bytes that are not a KLL sketch") {
+    import graft.expr.Kll
+    // truncated, garbage header, lying level length: all raise
+    // instead of allocating gigabytes or parsing junk quantiles
+    intercept[IllegalArgumentException](Kll.deserialize(Array[Byte](1, 2)))
+    val garbage = Array.fill[Byte](64)(0x5A)
+    intercept[IllegalArgumentException](Kll.deserialize(garbage))
+    val s = new Kll.Sketch(200)
+    (1 to 500).foreach(i => s.add(i.toDouble))
+    val ok = s.serialize
+    assert(Kll.deserialize(ok).quantile(0.5) === s.quantile(0.5))
+    val lying = ok.clone()
+    // nLevels field at offset 12 -> 2^30
+    lying(12) = 0x40.toByte
+    intercept[IllegalArgumentException](Kll.deserialize(lying))
+  }
 }
