@@ -83,7 +83,17 @@ object AsOfJoin {
     // the in-partition sort all treat it atomically. _kok marks rows
     // whose key has no null component — null keys group and sort
     // together but must never MATCH, per SQL equality.
-    val kCol = struct(keys.map(col): _*)
+    // -0.0 folds to 0.0 BEFORE keying: SQL join semantics equate
+    // them, but the raw bits would hash to different partitions and
+    // Row equality (boxed Double.equals) would split the group
+    val kCol = struct(keys.map { k =>
+      val c = col(k)
+      (left.schema(k).dataType match {
+        case DoubleType => when(c === lit(0.0d), lit(0.0d)).otherwise(c)
+        case FloatType => when(c === lit(0.0f), lit(0.0f)).otherwise(c)
+        case _ => c
+      }).as(k)
+    }: _*)
     val kOk = keys.map(col(_).isNotNull).reduce(_ && _)
     val l2 = left.select(
       kCol.as("_k"),
@@ -160,8 +170,8 @@ object AsOfJoin {
     }(enc)
 
     merged.select(
-      lStruct.fieldNames.map(n => col(s"_l.$n").as(n)) ++
-        rightOut.map(n => col(s"_r.$n").as(n)): _*)
+      lStruct.fieldNames.map(n => col(s"_l.${bq(n)}").as(n)) ++
+        rightOut.map(n => col(s"_r.${bq(n)}").as(n)): _*)
   }
 
   /** Broadcast as-of join for a SMALL right side: the reference rows
@@ -292,11 +302,24 @@ object AsOfJoin {
     }
   }
 
-  /** Map keys must compare by VALUE: binary key components wrap to
-    * Seq[Byte] (Array[Byte] equals/hashCode are reference-based and
-    * would silently never match a probe). */
+  /** Backtick-quoted struct-field access: a column named `a.b` must
+    * address ONE field, not a nested path. */
+  private def bq(n: String): String = "`" + n.replace("`", "``") + "`"
+
+  /** Map keys must compare by VALUE at ANY nesting depth: binary
+    * components wrap to Seq[Byte] (Array[Byte] equals/hashCode are
+    * reference-based — a raw array key would hash-miss every probe,
+    * and so would one nested inside a struct- or array-typed key,
+    * because Row.hashCode mixes element hashes without the byte-array
+    * special case Row.equals has); rows and collections normalize
+    * recursively; -0.0 folds to 0.0 (equal under SQL join semantics,
+    * distinct to boxed equals/hashCode). */
   private def normKey(v: Any): Any = v match {
     case b: Array[Byte] => b.toSeq
+    case r: Row => r.toSeq.map(normKey)
+    case s: scala.collection.Seq[_] => s.map(normKey)
+    case d: Double => if (d == 0.0) 0.0 else d
+    case f: Float => if (f == 0.0f) 0.0f else f
     case x => x
   }
 

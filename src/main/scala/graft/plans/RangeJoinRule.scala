@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalyst optimizer rule: rewrite point-in-interval joins to the
   * binned equi-join shape of [[graft.operators.RangeJoin]] —
@@ -107,12 +107,18 @@ case class RangeJoinRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
 
   private def supportedType(e: Expression): Boolean =
-    e.dataType == TimestampType || e.dataType == LongType
+    e.dataType == TimestampType || e.dataType == TimestampNTZType ||
+      e.dataType == LongType
 
   /** Epoch micros as a long expression. */
   private def micros(e: Expression): Expression = e.dataType match {
     case TimestampType => UnixMicros(e)
-    case _             => e
+    case TimestampNTZType =>
+      // the operator's conversion (RangeJoin.microsOf): NTZ resolves
+      // through the session timezone — pinned UTC engine-wide
+      UnixMicros(Cast(e, TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)))
+    case _ => e
   }
 
   /** Floor-division bin (matches RangeJoin.binOf: pre-epoch safe). */

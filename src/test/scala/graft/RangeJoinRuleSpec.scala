@@ -174,4 +174,23 @@ class RangeJoinRuleSpec extends SparkSuite {
       assert(got.count() === 1)
     }
   }
+
+  test("TIMESTAMP_NTZ point/bounds rewrite too (same conversion as " +
+    "the operator: cast through the UTC session zone)") {
+    val pN = points.withColumn("pt", col("pt").cast("timestamp_ntz"))
+    val iN = intervals
+      .withColumn("st", col("st").cast("timestamp_ntz"))
+      .withColumn("en", col("en").cast("timestamp_ntz"))
+    val q = () => pN.join(iN,
+      col("pt") >= col("st") && col("pt") < col("en"))
+      .select("pid", "iid")
+    val expected = withRule(on = false)(q().collect().toSet)
+    withRule(on = true) {
+      val got = q()
+      val plan = planOf(got)
+      assert(plan.contains("_graft_bin"),
+        s"rule did not fire for NTZ:\n$plan")
+      assert(got.collect().toSet === expected)
+    }
+  }
 }

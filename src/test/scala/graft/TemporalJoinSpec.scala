@@ -256,4 +256,67 @@ class TemporalJoinSpec extends SparkSuite {
         maxRightRows = 10)
     }
   }
+
+  test("float keys: -0.0 and 0.0 are the same key in both the merge " +
+    "and broadcast paths (SQL join equality)") {
+    import spark.implicits._
+    val l = Seq((1L, "2024-01-01 10:00:00", -0.0d))
+      .toDF("lid", "lt", "fk")
+      .select(col("lid"), to_timestamp(col("lt")).as("lt"), col("fk"))
+    val r = Seq((10L, "2024-01-01 09:00:00", 0.0d))
+      .toDF("rid", "rt", "fk")
+      .select(col("rid"), to_timestamp(col("rt")).as("rt"), col("fk"))
+    val merge = AsOfJoin.join(l, r, Seq("fk"), "lt", "rt",
+      "backward", None).collect()
+    assert(merge.length == 1 && merge(0).getLong(3) == 10L,
+      s"merge path missed the -0.0/0.0 match: ${merge.toSeq}")
+    val bcast = AsOfJoin.broadcastJoin(l, r, Seq("fk"), "lt", "rt",
+      "backward", None).collect()
+    assert(bcast.length == 1 && bcast(0).getLong(3) == 10L,
+      s"broadcast path missed the -0.0/0.0 match: ${bcast.toSeq}")
+  }
+
+  test("struct keys containing binary match by value in broadcastJoin " +
+    "(Row.hashCode has no byte-array special case)") {
+    import spark.implicits._
+    val l = Seq((1L, "2024-01-01 10:00:00", Array[Byte](1, 2)))
+      .toDF("lid", "lt", "kb")
+      .select(col("lid"), to_timestamp(col("lt")).as("lt"),
+        struct(col("kb")).as("ks"))
+    val r = Seq((10L, "2024-01-01 09:00:00", Array[Byte](1, 2)))
+      .toDF("rid", "rt", "kb")
+      .select(col("rid"), to_timestamp(col("rt")).as("rt"),
+        struct(col("kb")).as("ks"))
+    val out = AsOfJoin.broadcastJoin(l, r, Seq("ks"), "lt", "rt",
+      "backward", None).collect()
+    assert(out.length == 1 && out(0).getLong(3) == 10L,
+      s"nested-binary key missed: ${out.toSeq}")
+  }
+
+  test("range join fail-fasts: a sentinel interval spanning >= MaxBins " +
+    "raises an actionable error; a _bin input column is rejected") {
+    import spark.implicits._
+    val p = Seq((1L, "2024-01-01 10:00:00", 7L)).toDF("pid", "pt", "k")
+      .select(col("pid"), to_timestamp(col("pt")).as("pt"), col("k"))
+    val iv = Seq((20L, "2024-01-01 00:00:00", "9999-12-31 00:00:00", 7L))
+      .toDF("ivid", "st", "en", "k")
+      .select(col("ivid"), to_timestamp(col("st")).as("st"),
+        to_timestamp(col("en")).as("en"), col("k"))
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(p, "pt", iv, "st", "en", Seq("k"),
+        binMicros = 3600L * 1000000L).collect()
+    }
+    def rootMsg(x: Throwable): String = {
+      var c: Throwable = x
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse(x.getMessage)
+    }
+    assert((rootMsg(e) + e.getMessage).contains("bins"),
+      s"unexpected error: ${e.getMessage}")
+    val withBin = p.withColumn("_bin", lit(1L))
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(withBin, "pt", iv, "st", "en", Seq("k"),
+        binMicros = 3600L * 1000000L)
+    }
+  }
 }
