@@ -27,11 +27,21 @@ object StatefulDedup {
                       stateTtl: Option[String] = None): DataFrame = {
     val enc = RowEncoder.encoderFor(ds.schema)
     val keyIdx = ds.schema.fieldIndex(keyCol)
+    // group key = (isNull, valueString): the null flag is out-of-band
+    // (an in-band "" sentinel would swallow a genuine empty-string
+    // key as a "duplicate" of a null-key row), and binary keys render
+    // by VALUE (Array[Byte].toString is identity-based — every binary
+    // duplicate would get its own group, silently disabling dedup and
+    // growing one state entry per input row)
     val keyed = ds.groupByKey { r: Row =>
-      val v = r.get(keyIdx)
-      if (v == null) "" else v.toString
-    }(Encoders.STRING)
-    val fn = (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+      r.get(keyIdx) match {
+        case null => (true, "")
+        case b: Array[Byte] => (false, b.map(x => f"$x%02x").mkString)
+        case v => (false, v.toString)
+      }
+    }(Encoders.tuple(Encoders.scalaBoolean, Encoders.STRING))
+    val fn = (_: (Boolean, String), rows: Iterator[Row],
+              state: GroupState[Boolean]) =>
       if (state.hasTimedOut) {
         state.remove()
         Iterator.empty: Iterator[Row]

@@ -50,8 +50,15 @@ object StreamingAsOf {
     val eStruct = StructType(events.schema.fields)
     val rStruct = StructType(
       reference.schema.fields.map(_.copy(nullable = true)))
+    // binary keys hex-encode: a raw UTF-8 cast is lossy — two
+    // distinct byte arrays can collapse to the same replacement-char
+    // string and cross-enrich (the StreamingUpsert key contract)
+    def keyStr(df: DataFrame) = df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.BinaryType => hex(col(keyCol))
+      case _ => col(keyCol).cast("string")
+    }
     val tagged = events.select(
-      col(keyCol).cast("string").as("_k"),
+      keyStr(events).as("_k"),
       unix_micros(col(timeCol).cast("timestamp")).as("_t"),
       lit(1).as("_side"),
       struct(events.columns.map(col): _*).as("_e"),
@@ -59,11 +66,17 @@ object StreamingAsOf {
       .unionByName(reference
         .filter(col(timeCol).isNotNull)
         .select(
-          col(keyCol).cast("string").as("_k"),
+          keyStr(reference).as("_k"),
           unix_micros(col(timeCol).cast("timestamp")).as("_t"),
           lit(0).as("_side"),
           lit(null).cast(eStruct).as("_e"),
-          struct(reference.columns.map(col): _*).as("_r")))
+          struct(reference.columns.map(col): _*).as("_r"))
+        // the pre-cast filter is not enough: a non-timestamp string
+        // passes isNotNull and CASTS to null, and the side-0 fold
+        // reads _t with getLong — a poison row would crash-loop the
+        // query on redelivery. A reference row whose time cannot
+        // parse behaves like a null-time row: dropped.
+        .filter(col("_t").isNotNull))
 
     val outSchema = StructType(Seq(
       StructField("_e", eStruct, nullable = false),

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.expr.Hll
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.{col, hex}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Running distinct-count per key over an unbounded stream.
@@ -38,8 +39,14 @@ object StreamingDistinct {
                      stateTtl: Option[String] = None): DataFrame = {
     require(p >= 4 && p <= 18, s"hll precision p out of [4,18]: $p")
     import org.apache.spark.sql.functions.col
-    val projected = ds.select(col(keyCol).cast("string").as("key"),
-      col(valueCol).cast("string").as("value"))
+    // binary columns hex-encode (a raw UTF-8 cast is lossy — distinct
+    // byte arrays can collapse to one replacement-char string and
+    // merge unrelated keys/undercount values); else string-cast
+    def s(c: String) = ds.schema(c).dataType match {
+      case org.apache.spark.sql.types.BinaryType => hex(col(c))
+      case _ => col(c).cast("string")
+    }
+    val projected = ds.select(s(keyCol).as("key"), s(valueCol).as("value"))
     val keyed = projected.groupByKey { r: Row =>
       if (r.isNullAt(0)) "" else r.getString(0)
     }(Encoders.STRING)

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.expr.Cms
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.{col, hex}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Running per-key item-frequency estimates over an unbounded stream —
@@ -46,8 +47,13 @@ object StreamingFrequency {
                       width: Int = Cms.DefaultWidth,
                       stateTtl: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val projected = ds.select(col(keyCol).cast("string").as("key"),
-      col(itemCol).cast("string").as("item"))
+    // binary columns hex-encode (lossy UTF-8 cast would merge
+    // unrelated keys/items); else string-cast
+    def s(c: String) = ds.schema(c).dataType match {
+      case org.apache.spark.sql.types.BinaryType => hex(col(c))
+      case _ => col(c).cast("string")
+    }
+    val projected = ds.select(s(keyCol).as("key"), s(itemCol).as("item"))
     val keyed = projected.groupByKey { r: Row =>
       if (r.isNullAt(0)) "" else r.getString(0)
     }(Encoders.STRING)

@@ -45,6 +45,11 @@ object StreamingNearDup {
                  threshold: Double = 0.7, maxRepsPerBucket: Int = 8,
                  stateTtl: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, s"bands $bands must divide $numHashes")
+    // the signature/band expressions resolve through the session
+    // function registry — register here so this entry point works on
+    // a fresh session (flagAgainstCatalog already does; tests mask a
+    // missing registration by registering globally)
+    graft.GraftFunctions.register(docs.sparkSession)
     val exploded = docs.select(
       col(idCol).cast("string").as("id"),
       Dedup.minhashSignature(
@@ -126,8 +131,29 @@ object StreamingNearDup {
     * whole, the same cap as every other LSH path — without it a hot
     * bucket cross-products against every arriving doc and micro-batch
     * latency grows with the family size. */
-  def catalogBuckets(catalogSigs: DataFrame, numHashes: Int = 64,
-                     bands: Int = 16, maxBucketSize: Int = 1000): DataFrame =
+  def catalogBuckets(catalogSigs: DataFrame,
+                     bands: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
+    // the signature width is READ FROM the stored catalog (driver
+    // probe), never passed: a caller-side mismatch against the
+    // persisted width (signatureCatalog defaults to 128 hashes; this
+    // op used to default to 64) sliced band keys the probe side could
+    // never reproduce — the (band, bucket) equi-join matched nothing
+    // and every true near-dup passed unflagged. Derived width makes
+    // that silent recall collapse unrepresentable, the same contract
+    // as [[flagAgainstCatalog]].
+    val hdr = catalogSigs.agg(
+      min(size(col("sig"))), max(size(col("sig")))).head()
+    val numHashes =
+      if (hdr.isNullAt(0)) bands // empty catalog: shape-only
+      else {
+        require(hdr.getInt(0) == hdr.getInt(1),
+          s"catalog signatures have mixed widths " +
+            s"${hdr.getInt(0)}..${hdr.getInt(1)} — rebuild with one " +
+            "numHashes")
+        hdr.getInt(0)
+      }
+    require(numHashes % bands == 0,
+      s"bands $bands must divide the catalog width $numHashes")
     catalogSigs.select(col("doc_id").as("cat_id"),
         col("sig").as("cat_sig"),
         explode(Dedup.lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
@@ -138,6 +164,7 @@ object StreamingNearDup {
           .partitionBy(col("band"), col("bucket"))))
       .filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz")
+  }
 
   /** Flag arriving documents that are near-dups of a FROZEN corpus
     * catalog: per-row signature (stateless, same native expressions as
@@ -162,7 +189,13 @@ object StreamingNearDup {
     * persisted signatures would cap `sig_agree` at the shorter length
     * and silently flag NOTHING — every true dup would pass as est <=
     * catalogLen/callerLen. Derived parameters make that class of
-    * silent recall collapse unrepresentable. */
+    * silent recall collapse unrepresentable. One caveat, enforced
+    * loudly: the probe runs ONCE at plan time, so swapping in a
+    * catalog rebuilt with a DIFFERENT width on the same path
+    * mid-query cannot be picked up — a per-row width assert fails the
+    * query with an actionable message instead of silently flagging
+    * nothing; restart the query after a width-changing swap
+    * (same-width content swaps keep working live). */
   def flagAgainstCatalog(stream: DataFrame, idCol: String, textCol: String,
                          buckets: DataFrame,
                          threshold: Double = 0.7, k: Int = 5): DataFrame = {
@@ -198,6 +231,14 @@ object StreamingNearDup {
       .select(col("id"), col("sig"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .join(buckets, Seq("band", "bucket"))
+      // loud guard for a width-changing catalog swap mid-query (the
+      // static side re-reads per micro-batch, but numHashes was fixed
+      // at plan time): fail the batch, never silently flag nothing
+      .withColumn("__w", assert_true(size(col("cat_sig")) === numHashes,
+        lit(s"catalog signature width changed mid-query (expected " +
+          s"$numHashes); restart the stream after a width-changing " +
+          "catalog swap")))
+      .drop("__w")
       .withColumn("est",
         call_function("sig_agree", col("sig"), col("cat_sig"))
           .cast("double") / numHashes)

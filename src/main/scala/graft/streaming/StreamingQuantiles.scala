@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.expr.Kll
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.{col, hex}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Running quantile estimates per key over an unbounded stream.
@@ -34,7 +35,12 @@ object StreamingQuantiles {
                       stateTtl: Option[String] = None): DataFrame = {
     require(k >= 8 && k <= 65536, s"kll k out of [8, 65536]: $k")
     import org.apache.spark.sql.functions.col
-    val projected = ds.select(col(keyCol).cast("string").as("key"),
+    // binary keys hex-encode (lossy UTF-8 cast would merge groups)
+    val keyS = ds.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.BinaryType => hex(col(keyCol))
+      case _ => col(keyCol).cast("string")
+    }
+    val projected = ds.select(keyS.as("key"),
       col(valueCol).cast("double").as("value"))
     val keyed = projected.groupByKey { r: Row =>
       if (r.isNullAt(0)) "" else r.getString(0)

@@ -41,8 +41,15 @@ object StreamingTopK {
     require(nBuckets > 0 && capacity > 0 && topPerBucket > 0)
     // project BEFORE the keyed shuffle: only the item strings move, not
     // the full rows (the caller may hand us a wide table)
-    val items = ds.select(org.apache.spark.sql.functions.col(itemCol)
-      .cast("string").as("item"))
+    // binary items hex-encode (lossy UTF-8 cast would merge distinct
+    // byte arrays into one replacement-char item and inflate its count)
+    val itemS = ds.schema(itemCol).dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.functions.hex(
+          org.apache.spark.sql.functions.col(itemCol))
+      case _ => org.apache.spark.sql.functions.col(itemCol).cast("string")
+    }
+    val items = ds.select(itemS.as("item"))
     val keyed = items.groupByKey { r: Row =>
       val v = r.getString(0)
       if (v == null) -1 else math.floorMod(v.hashCode, nBuckets)

@@ -69,6 +69,11 @@ object StreamingUpsert {
         (col(opCol).isNull || col(opCol) === lit("delete")).as("_del"),
         struct(valueCols.map(col): _*).cast(payload).as("_p"),
         col(keyCol).as("_ko"))
+      // the pre-cast isNotNull is not enough: a malformed ts string
+      // CASTS to null and the fold reads _t with getLong — a poison
+      // row would crash-loop the query on redelivery. A row whose ts
+      // cannot parse behaves like a null-ts row: dropped.
+      .filter(col("_t").isNotNull)
 
     // state: (t, s, del, payload, original key)
     type St = Option[(Long, Long, Boolean, Row, Any)]

@@ -179,9 +179,10 @@ class PublicationSpec extends SparkSuite {
     val retry = spark.read.schema(graft.model.Schemas.fileObj).json(inDir)
     assert(retry.count() == 1 &&
       retry.select("attempt").collect().head.getInt(0) == 1)
-    // second failure crosses maxAttempts -> quarantine
+    // second failure crosses maxAttempts -> quarantine (a distinct
+    // micro-batch: its own batch id, like the streaming path passes)
     Publication.processBatch(retry, ev, inDir, catalog, dlq,
-      maxAttempts = 2)
+      maxAttempts = 2, batchId = 1L)
     val dead = spark.read.json(dlq)
     assert(dead.count() == 1)
   }
@@ -235,5 +236,24 @@ class PublicationSpec extends SparkSuite {
     assert(r.length == 1 &&
       r.head.getString(r.head.fieldIndex("remote_fileurl"))
         == "s3://b/nodate.tif")
+  }
+
+  test("micro-batch replay is idempotent: re-running the same batch id " +
+    "rewrites its partitions instead of appending duplicates") {
+    val ev = PipelineEvent(collection = "c")
+    val inDir = Files.createTempDirectory("in4").toString
+    val catalog = Files.createTempDirectory("cat4").toString + "/t"
+    val dlq = Files.createTempDirectory("dlq4").toString + "/q"
+    val batch = objs("s3://b/good_2020.tif", "s3://b/nodate.tif")
+      .withColumn("attempt", org.apache.spark.sql.functions.lit(1))
+    // the at-least-once crash-replay: same batch, same id, twice
+    Publication.processBatch(batch, ev, inDir, catalog, dlq,
+      maxAttempts = 2, batchId = 7L)
+    Publication.processBatch(batch, ev, inDir, catalog, dlq,
+      maxAttempts = 2, batchId = 7L)
+    assert(spark.read.parquet(catalog).count() == 1,
+      "replayed batch duplicated catalog items")
+    assert(spark.read.json(dlq).count() == 1,
+      "replayed batch duplicated quarantine rows")
   }
 }
