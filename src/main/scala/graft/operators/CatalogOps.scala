@@ -45,41 +45,64 @@ object CatalogOps {
     val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(catPath.getParent,
       s".${catPath.getName}_staging_${java.util.UUID.randomUUID()}")
+    // Failure discipline: while ONLY the staging write has run, any
+    // failure cleans the staging dir and leaves the catalog untouched.
+    // Once originals start being deleted, the staging dir is the only
+    // remaining copy of their rows — it must survive any failure (a
+    // blanket finally-delete would silently destroy a partition whose
+    // rename returned false), and rename results are CHECKED, with
+    // the staged path named in the error for manual recovery. A JVM
+    // crash between the delete and the renames leaves the same staged
+    // copy behind, discoverable by the `.<catalog>_staging_` prefix.
+    var swapStarted = false
     try {
       replacement.write.mode(SaveMode.Overwrite)
         .partitionBy("collection").parquet(tmp.toString)
+      swapStarted = true
       affectedDirs.foreach(dir => fs.delete(dir, true))
       fs.listStatus(tmp).filter(_.getPath.getName.startsWith("collection="))
         .foreach { st =>
-          fs.rename(st.getPath, new Path(catPath, st.getPath.getName))
+          val dst = new Path(catPath, st.getPath.getName)
+          require(fs.rename(st.getPath, dst),
+            s"rename ${st.getPath} -> $dst failed; the original " +
+              s"partition was already removed and its replacement is " +
+              s"STAGED under $tmp — move it into place manually")
         }
-    } finally fs.delete(tmp, true)
+      fs.delete(tmp, true) // all renames landed: staging is now empty
+    } catch {
+      case e: Throwable =>
+        if (!swapStarted) fs.delete(tmp, true)
+        throw e
+    }
   }
 
-  /** Partition directories holding any row of `subset` — names come
-    * from the filesystem, so partition-value escaping is whatever Spark
-    * wrote (no re-encoding on our side). */
-  private def dirsOf(subset: DataFrame): Seq[org.apache.hadoop.fs.Path] =
-    subset.select(input_file_name()).distinct()
-      .collect().map(r => new org.apache.hadoop.fs.Path(r.getString(0))
-        .getParent).distinct.toIndexedSeq
+  /** One aggregation answers everything the rewrite planning needs
+    * about the matched rows: which files (→ partition dirs), which
+    * collections, and how many rows — previous shape re-scanned the
+    * matched partitions once per question (4-5 jobs per call). */
+  private def matchInfo(matched: DataFrame)
+  : (Seq[org.apache.hadoop.fs.Path], Seq[String], Long) = {
+    val rows = matched
+      .groupBy(input_file_name().as("__f"), col("collection").as("__c"))
+      .agg(count(lit(1)).as("__n")).collect()
+    (rows.map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getParent)
+      .distinct.toIndexedSeq,
+      rows.map(_.getString(1)).distinct.toIndexedSeq,
+      rows.map(_.getLong(2)).sum)
+  }
 
   /** `ingest delete` analog: remove items by id, rewriting only the
     * partitions that contain them. */
   def delete(spark: SparkSession, catalogPath: String,
              ids: Seq[String]): Long = {
     val catalog = read(spark, catalogPath)
-    val affectedDirs = dirsOf(catalog.filter(col("id").isin(ids: _*)))
+    val (affectedDirs, affected, removed) =
+      matchInfo(catalog.filter(col("id").isin(ids: _*)))
     if (affectedDirs.isEmpty) return 0L
-    val affected = catalog.filter(col("id").isin(ids: _*))
-      .select("collection").distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
-    val inAffected = catalog.filter(col("collection").isin(affected: _*))
-    val before = inAffected.count()
-    val remaining = inAffected.filter(!col("id").isin(ids: _*))
-    val after = remaining.count()
+    val remaining = catalog.filter(col("collection").isin(affected: _*))
+      .filter(!col("id").isin(ids: _*))
     replacePartitions(spark, catalogPath, affectedDirs, remaining)
-    before - after
+    removed
   }
 
   /** `ingest insert/update` analog: upsert items — new ids append, ids
@@ -99,15 +122,12 @@ object CatalogOps {
     val keys = items.select(col("collection").as("__c"), col("id").as("__i"))
     val clashing = catalog.join(keys,
       col("collection") === col("__c") && col("id") === col("__i"), "left_semi")
-    val affectedDirs = dirsOf(clashing)
+    val (affectedDirs, affected, replaced) = matchInfo(clashing)
     if (affectedDirs.isEmpty) {
       items.write.mode(SaveMode.Append)
         .partitionBy("collection").parquet(catalogPath)
       return 0L
     }
-    val replaced = clashing.count()
-    val affected = clashing.select("collection").distinct()
-      .collect().map(_.getString(0)).toIndexedSeq
     // affected collections rewrite: survivors (old minus clashing ids)
     // plus ALL incoming rows for those collections; the rest appends
     val survivors = catalog.filter(col("collection").isin(affected: _*))

@@ -45,7 +45,18 @@ object Cdc {
       seqCol: String = "seq",
       opCol: String = "op"): DataFrame = {
     require(keyCols.nonEmpty, "applyChangelog needs at least one key column")
-    val valueCols = base.columns.filterNot(keyCols.contains).toSeq
+    // key containment honors the session's column-resolution case
+    // sensitivity (the Merge.mergeInto contract): a case-insensitive
+    // session resolves 'O_ORDERKEY' against o_orderkey, so the
+    // value-column split must too — otherwise the key leaks into the
+    // payload and the output carries two colliding columns
+    val caseSensitive =
+      base.sparkSession.conf.get("spark.sql.caseSensitive", "false")
+        .toBoolean
+    def isKey(c: String): Boolean =
+      if (caseSensitive) keyCols.contains(c)
+      else keyCols.exists(_.equalsIgnoreCase(c))
+    val valueCols = base.columns.filterNot(isKey).toSeq
     val key = keyCols.map(col)
 
     // Base rows are version (-inf): any changelog entry beats them.

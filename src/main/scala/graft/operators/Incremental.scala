@@ -67,23 +67,13 @@ object Incremental {
       val out = fs.create(tmp, true)
       try out.write(next.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      // Rename OVER the old file in one step (FileContext supports
-      // OVERWRITE); delete-then-rename would leave a window where a
-      // crash loses the watermark entirely and the next run reprocesses
-      // the whole table instead of replaying one batch.
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          p.toUri, hconf)
-        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-          // no FileContext for this scheme: fall back, accepting the
-          // tiny non-atomic window rather than failing the commit
-          if (fs.exists(p)) fs.delete(p, false)
-          if (!fs.rename(tmp, p))
-            throw new java.io.IOException(
-              s"watermark rename failed: $checkpoint")
-      }
+      // Rename OVER the old file atomically (Versioned.atomicRename:
+      // rename(2) via java.nio on local disk, where FileContext
+      // OVERWRITE is itself delete-then-rename — the exact crash
+      // window that would lose the watermark and reprocess the whole
+      // table; FileContext on HDFS-style schemes where the overwrite
+      // rename IS atomic).
+      Versioned.atomicRename(processed.sparkSession, fs, tmp, p)
       Some(next)
     }
   }

@@ -60,7 +60,7 @@ object Versioned {
   /** True when `p` names a local (file:) path — the scheme whose
     * Hadoop create/rename primitives are check-then-act and need the
     * java.nio atomic equivalents under concurrency. */
-  private def isLocal(f: org.apache.hadoop.fs.FileSystem): Boolean =
+  private[operators] def isLocal(f: org.apache.hadoop.fs.FileSystem): Boolean =
     f.getScheme == "file"
 
   private def nio(p: Path): java.nio.file.Path =
@@ -82,7 +82,7 @@ object Versioned {
     * OVERWRITE is delete-then-rename locally — a crash or a racing
     * writer in that window loses the pointer); FileContext on
     * HDFS-style schemes where the overwrite rename IS atomic. */
-  private def atomicRename(spark: SparkSession,
+  private[operators] def atomicRename(spark: SparkSession,
                            f: org.apache.hadoop.fs.FileSystem,
                            src: Path, dst: Path): Unit =
     if (isLocal(f))
@@ -101,6 +101,27 @@ object Versioned {
           if (f.exists(dst)) f.delete(dst, false)
           require(f.rename(src, dst), s"pointer swap $src -> $dst failed")
       }
+
+  /** Write `value` into the pointer via a uniquely-named tmp file +
+    * atomic rename — ONE implementation for publish's settle loop and
+    * vacuum's repair path (they had drifted: repair's bare
+    * `_latest.tmp` escaped vacuum's own `_latest.tmp.` cleanup
+    * prefix). On local disk the nio move bypasses Hadoop's
+    * ChecksumFileSystem, which leaves a `.<tmp>.crc` sidecar behind —
+    * reaped here so publishes don't leak one file each. */
+  private def writePointer(spark: SparkSession,
+                           f: org.apache.hadoop.fs.FileSystem,
+                           root: String, value: Long,
+                           tag: String): Unit = {
+    val tmp = new Path(root, s"_latest.tmp.$tag")
+    val out = f.create(tmp, true)
+    try out.write(value.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    atomicRename(spark, f, tmp, new Path(root, "_latest"))
+    if (isLocal(f))
+      f.delete(new Path(root, s"._latest.tmp.$tag.crc"), false)
+  }
 
   /** Newest version whose directory carries the `_SUCCESS` marker —
     * the "complete" set the pointer is allowed to land on. */
@@ -151,12 +172,7 @@ object Versioned {
         // tmp is keyed by OUR claimed version (unique per writer):
         // converging writers must never share a tmp file, or one's
         // atomic move yanks it from under the other's write
-        val tmp = new Path(root, f"_latest.tmp.w$v%08d")
-        val out = f.create(tmp, true)
-        try out.write(target.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        atomicRename(spark, f, tmp, ptr)
+        writePointer(spark, f, root, target, f"w$v%08d")
       } catch { // lost a concurrent swap: re-check and retry
         case scala.util.control.NonFatal(_) => Thread.sleep(5L)
       }
@@ -217,23 +233,32 @@ object Versioned {
       // repair to the newest COMPLETE version (_SUCCESS present) — the
       // max dir may itself be the half-written crashed publish
       val repaired = maxComplete(spark, root)
-      if (repaired > 0L) {
-        val tmp = new Path(root, "_latest.tmp")
-        val out = f.create(tmp, true)
-        try out.write(repaired.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        atomicRename(spark, f, tmp, new Path(root, "_latest"))
-      }
+      if (repaired > 0L) writePointer(spark, f, root, repaired, "r0")
       return // never vacuum on a lost pointer — repair (above) or abort
     }
+    // a writer that crashed right after LOSING the convergence race
+    // (its rename regressed the pointer, its recheck never ran) leaves
+    // the pointer below a newer COMPLETE version. That data must never
+    // be classified an aged orphan and deleted — heal the pointer
+    // forward to the same monotonic target publish converges on, THEN
+    // classify. Healing requires the version's CLAIM file alongside
+    // _SUCCESS: every sanctioned publish leaves one, while a stray
+    // directory parked above the pointer by something else carries no
+    // claim and stays an orphan.
+    val healed = versions(spark, root).reverse.find(v =>
+      v > current && f.exists(claimPath(root, v)) &&
+        f.exists(new Path(versionDir(root, v), "_SUCCESS")))
+    val cur = healed match {
+      case Some(h) => writePointer(spark, f, root, h, "r1"); h
+      case None => current
+    }
     val now = System.currentTimeMillis()
-    val (above, published) = onDisk.partition(_ > current)
+    val (above, published) = onDisk.partition(_ > cur)
     val orphans = above.filter { v =>
       val dir = versionDir(root, v)
       now - f.getFileStatus(dir).getModificationTime >= orphanMinAgeMs
     }
-    val old = published.filter(_ != current)
+    val old = published.filter(_ != cur)
       .dropRight(math.max(0, keep - 1))
     (orphans ++ old).foreach { v =>
       f.delete(versionDir(root, v), true)

@@ -163,4 +163,24 @@ class VersionedSpec extends SparkSuite {
     val after = Versioned.readLatest(spark, r).count()
     assert(before == 1L && after == 2L)
   }
+
+  test("vacuum heals a regressed pointer instead of deleting the " +
+    "newer complete version as an orphan") {
+    val r = root()
+    Versioned.publish(Seq(1).toDF("x"), r)
+    Versioned.publish(Seq(2).toDF("x"), r)
+    // simulate the crashed convergence race: a slow writer's rename
+    // regressed the pointer to 1 and the writer died before its
+    // recheck could fix it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(r, "_latest"), "1")
+    assert(Versioned.latestVersion(spark, r) == 1L)
+    // an aged vacuum must NOT classify complete v2 (claim + _SUCCESS)
+    // as an orphan — it heals the pointer forward and keeps the data
+    Versioned.vacuum(spark, r, keep = 2, orphanMinAgeMs = 0L)
+    assert(Versioned.latestVersion(spark, r) == 2L)
+    assert(Versioned.versions(spark, r).contains(2L))
+    assert(Versioned.readLatest(spark, r)
+      .collect().map(_.getInt(0)).toSet == Set(2))
+  }
 }
