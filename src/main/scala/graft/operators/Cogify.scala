@@ -263,18 +263,24 @@ object Cogify {
   def tiffToCog(bytes: Array[Byte], tileSize: Int = 256)
   : Either[String, Array[Byte]] =
     graft.sources.GeoTiff.readBands(bytes).flatMap { case (m, bands) =>
-      val transform = m.transform.getOrElse(
-        Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
-      val geo = graft.sources.GeoTiffWriter.Geo(transform,
-        m.epsg.getOrElse(4326))
+      // never FABRICATE georeferencing: a source with no geo tags
+      // previously came out claiming WGS84 with an identity transform
+      // — invented coordinates that downstream STAC items would
+      // present as real. The output now carries geo tags only when
+      // the source has BOTH a transform and a CRS (half of one would
+      // fabricate the other half); otherwise the COG is written
+      // without a geo block, exactly what cog_translate does.
+      val geo = for { tr <- m.transform; e <- m.epsg }
+        yield graft.sources.GeoTiffWriter.Geo(tr, e,
+          epsgIsGeographic = m.epsgIsGeographic)
       bands.length match {
-        case 1 => Right(graft.sources.GeoTiffWriter.write(
+        case 1 => Right(graft.sources.GeoTiffWriter.writeOpt(
           m.width.toInt, m.height.toInt, bands(0), geo, m.nodata,
           tileSize))
         case 3 =>
           if (m.bitsPerSample != 8)
             Left(s"unsupported: 3-band ${m.bitsPerSample}-bit re-tile")
-          else Right(graft.sources.GeoTiffWriter.writeRgb(
+          else Right(graft.sources.GeoTiffWriter.writeRgbOpt(
             m.width.toInt, m.height.toInt, bands, geo, m.nodata,
             tileSize))
         case n => Left(s"unsupported: $n samples/pixel")
@@ -348,14 +354,28 @@ object Cogify {
           if (!url.endsWith(".he5") && !url.endsWith(".tif"))
             pass(s"File type not supported: $url")
           else {
-            val local = transform.toCog(url, coll, cfg)
             val upload = !row.isNullAt(upIdx) && row.getBoolean(upIdx)
-            val newUrl =
-              if (upload) {
-                val name = local.split('/').last
-                s"s3://${cfg.outputBucket}/${cfg.outputDir}/$coll/$name"
-              } else local
-            Row.fromSeq(base.updated(urlIdx, newUrl) :+ (null: String))
+            if (upload && cfg.outputBucket.isEmpty)
+              // an absent collection config would otherwise build a
+              // malformed "s3:///..." target that only fails later at
+              // upload time with no hint of the real cause
+              pass(s"no output bucket configured for collection $coll")
+            else
+              // one bad file must land in cog_error (the quarantine
+              // contract this file documents), never fail the task
+              // 4x and abort the whole job
+              try {
+                val local = transform.toCog(url, coll, cfg)
+                val newUrl =
+                  if (upload) {
+                    val name = local.split('/').last
+                    s"s3://${cfg.outputBucket}/${cfg.outputDir}/$coll/$name"
+                  } else local
+                Row.fromSeq(base.updated(urlIdx, newUrl) :+ (null: String))
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  pass(s"cogify failed: ${e.getMessage}")
+              }
           }
         }
       }

@@ -27,7 +27,12 @@ object GeoTiff {
         * ModelTiepoint + ModelPixelScale, when present. */
       transform: Option[Seq[Double]],
       /** GDAL_NODATA sentinel, when present. */
-      nodata: Option[Double] = None)
+      nodata: Option[Double] = None,
+      /** Which GeoKey carried `epsg`: Some(true) = GeographicType,
+        * Some(false) = ProjectedCSType, None = unknown — the writer
+        * must emit the SAME key kind, not guess from the code range
+        * (EPSG 4087 is projected yet sits in 4000..4999). */
+      epsgIsGeographic: Option[Boolean] = None)
 
   // TIFF tag ids
   private val ImageWidth = 256
@@ -208,24 +213,32 @@ object GeoTiff {
     }
     val spp = r.scalar(SamplesPerPixel).map(_.toInt).getOrElse(1)
 
-    val epsg = r.shorts(GeoKeyDirectory).flatMap { keys =>
+    val epsgKeyed = r.shorts(GeoKeyDirectory).flatMap { keys =>
       // header (4 shorts) then 4-short key entries
       val entries = keys.drop(4).grouped(4).toSeq
       def key(id: Int) = entries.find(e => e.headOption.contains(id))
         .collect { case Seq(_, 0, _, value) => value }
-      key(ProjectedCSTypeGeoKey).orElse(key(GeographicTypeGeoKey))
+      key(ProjectedCSTypeGeoKey).map((_, false))
+        .orElse(key(GeographicTypeGeoKey).map((_, true)))
     }
+    val epsg = epsgKeyed.map(_._1)
 
+    // the tiepoint anchors RASTER pixel (I, J) = (tie(0), tie(1)) at
+    // model (X, Y) = (tie(3), tie(4)) — crop/subset tools emit
+    // nonzero I/J, and ignoring them shifts the whole raster:
+    // x0 = X - I*xres, y0 = Y + J*yres
     val transform = for {
       scale <- r.doubles(ModelPixelScale) if scale.size >= 2
       tie <- r.doubles(ModelTiepoint) if tie.size >= 6
-    } yield Seq(tie(3), scale(0), 0.0, tie(4), 0.0, -scale(1))
+    } yield Seq(tie(3) - tie(0) * scale(0), scale(0), 0.0,
+      tie(4) + tie(1) * scale(1), 0.0, -scale(1))
 
     val nodata = r.ascii(GdalNodata)
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
 
     Right(RasterMeta(w, h, bits, spp,
-      r.scalar(TileWidth), r.scalar(TileLength), epsg, transform, nodata))
+      r.scalar(TileWidth), r.scalar(TileLength), epsg, transform, nodata,
+      epsgIsGeographic = epsgKeyed.map(_._2)))
   }
 
   def parse(bytes: Array[Byte]): Either[String, RasterMeta] = try {
@@ -368,7 +381,13 @@ object GeoTiff {
             r.longArray(TileByteCounts).getOrElse(
               return Left("tiled but no TileByteCounts")))
         case _ =>
-          val rps = r.scalar(RowsPerStrip).map(_.toInt).getOrElse(h)
+          // clamp to the image height BEFORE the Int cast: the TIFF
+          // "infinity" value 0xFFFFFFFF (single-strip shorthand some
+          // writers emit) would truncate to a NEGATIVE segH and the
+          // copy loop would silently produce an all-zero grid
+          val rps0 = r.scalar(RowsPerStrip).getOrElse(m.height)
+          if (rps0 <= 0) return Left(s"bad RowsPerStrip $rps0")
+          val rps = math.min(rps0, m.height).toInt
           (w, rps,
             r.longArray(StripOffsets).getOrElse(
               return Left("no StripOffsets")),
@@ -403,6 +422,16 @@ object GeoTiff {
         val sPos = s % segsPerBand       // position within the band
         val x0 = (sPos % segsAcross) * segW
         val y0 = (sPos / segsAcross) * segH
+        // fail closed on a short segment (truncated LZW/PackBits
+        // bitstream, lying byte counts): the rows this segment must
+        // cover — tiles pad to full extent, a LAST strip may
+        // legitimately carry only the remaining rows — must all be
+        // present, or the grid would silently keep zeros where the
+        // file lost data ("Left(reason), never a wrong grid")
+        val rowsNeeded = math.max(0, math.min(segH, h - y0))
+        if (seg.length < rowsNeeded.toLong * segW * pixelBytes)
+          return Left(s"segment $s decoded short: ${seg.length} of " +
+            s"${rowsNeeded.toLong * segW * pixelBytes} bytes")
         var y = 0
         while (y < segH && y0 + y < h) {
           var x = 0
@@ -559,12 +588,10 @@ object GeoTiff {
     out.toByteArray
   }
 
-  /** Undo horizontal differencing (predictor=2) in place, per segment
-    * row (TIFF pads edge tiles to full segW, so the row stride is
-    * always segW samples). */
-  /** Undo the horizontal-differencing predictor (tag 317 = 2): each
-    * sample is differenced against the SAME CHANNEL of the previous
-    * pixel, so the stride is one pixel (spp samples), per spec. */
+  /** Undo the horizontal-differencing predictor (tag 317 = 2), in
+    * place per segment row (edge tiles pad to full segW): each sample
+    * is differenced against the SAME CHANNEL of the previous pixel,
+    * so the stride is one pixel (spp samples), per spec. */
   private def undoPredictor(seg: Array[Byte], segW: Int, sampleBytes: Int,
                             spp: Int, order: ByteOrder): Unit = {
     val rowBytes = segW * spp * sampleBytes

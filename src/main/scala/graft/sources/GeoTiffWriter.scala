@@ -25,7 +25,13 @@ object GeoTiffWriter {
   case class Geo(
       /** GDAL geotransform [x0, xres, 0, y0, 0, yres] (yres < 0). */
       transform: Seq[Double],
-      epsg: Int = 4326)
+      epsg: Int = 4326,
+      /** Which GeoKey `epsg` belongs in: Some(true) = GeographicType
+        * (2048), Some(false) = ProjectedCSType (3072). None falls
+        * back to the 4xxx-range heuristic — callers that KNOW the
+        * kind (a re-tile carrying the source's key) must pass it:
+        * EPSG 4087 is projected yet sits in 4000..4999. */
+      epsgIsGeographic: Option[Boolean] = None)
 
   /** rio-cogeo `get_maximum_overview_level`: overview count such that
     * the smallest level's min dimension fits the block size. */
@@ -75,7 +81,18 @@ object GeoTiffWriter {
   def write(width: Int, height: Int, data: Array[Float],
             geo: Geo, fill: Option[Double] = None,
             tileSize: Int = 256, overviews: Boolean = true,
-            ovrTileSize: Int = 128): Array[Byte] = {
+            ovrTileSize: Int = 128): Array[Byte] =
+    writeOpt(width, height, data, Some(geo), fill, tileSize,
+      overviews, ovrTileSize)
+
+  /** [[write]] with the geo block OPTIONAL: None omits
+    * ModelPixelScale/ModelTiepoint/GeoKeyDirectory entirely — a
+    * re-tile of a source with no georeferencing must not invent one
+    * (cog_translate carries over what the source has). */
+  def writeOpt(width: Int, height: Int, data: Array[Float],
+               geo: Option[Geo], fill: Option[Double] = None,
+               tileSize: Int = 256, overviews: Boolean = true,
+               ovrTileSize: Int = 128): Array[Byte] = {
     require(data.length == width * height,
       s"${data.length} samples for ${width}x$height")
     val fillF = fill.getOrElse(0.0).toFloat
@@ -131,14 +148,28 @@ object GeoTiffWriter {
   def writeRgb(width: Int, height: Int, bands: Array[Array[Float]],
                geo: Geo, fill: Option[Double] = None,
                tileSize: Int = 256, overviews: Boolean = true,
-               ovrTileSize: Int = 128)
+               ovrTileSize: Int = 128): Array[Byte] =
+    writeRgbOpt(width, height, bands, Some(geo), fill, tileSize,
+      overviews, ovrTileSize)
+
+  /** [[writeRgb]] with the geo block OPTIONAL (see [[writeOpt]]). */
+  def writeRgbOpt(width: Int, height: Int, bands: Array[Array[Float]],
+                  geo: Option[Geo], fill: Option[Double] = None,
+                  tileSize: Int = 256, overviews: Boolean = true,
+                  ovrTileSize: Int = 128)
   : Array[Byte] = {
     require(bands.length == 3, s"${bands.length} bands (writeRgb is 3)")
     bands.foreach(b => require(b.length == width * height,
       s"${b.length} samples for ${width}x$height"))
     def toByte(v: Float): Byte =
       math.max(0, math.min(255, math.round(v))).toByte
-    val fillB = toByte(fill.getOrElse(0.0).toFloat)
+    // a nodata sentinel outside the uint8 range cannot exist in the
+    // pixels this profile writes; recording it in GDAL_NODATA while
+    // padding edges with the CLAMPED byte would make the tag and the
+    // padded pixels disagree (readers mask nothing, padding reads as
+    // valid black). Drop the unrepresentable tag instead.
+    val fill8 = fill.filter(v => v >= 0.0 && v <= 255.0)
+    val fillB = toByte(fill8.getOrElse(0.0).toFloat)
 
     def tilesOf(bs: Array[Array[Float]], w: Int, h: Int, ts: Int)
     : Seq[Array[Byte]] = {
@@ -183,7 +214,7 @@ object GeoTiffWriter {
       levels += Level(w, h, ovrTileSize, tilesOf(bs, w, h, ovrTileSize))
     }
     assemble(levels.result(), spp = 3, bits = 8, fmt = 1,
-      photometric = 2, geo, fill)
+      photometric = 2, geo, fill8)
   }
 
   /** Shared COG assembly over a chain of resolution levels: header +
@@ -194,9 +225,10 @@ object GeoTiffWriter {
     * emits SHORT[spp] BitsPerSample/SampleFormat arrays (off-slot)
     * and a chunky PlanarConfiguration entry. */
   private def assemble(levels: Seq[Level], spp: Int, bits: Int,
-                       fmt: Int, photometric: Int, geo: Geo,
+                       fmt: Int, photometric: Int, geo: Option[Geo],
                        fill: Option[Double]): Array[Byte] = {
-    require(geo.transform.size == 6, "geotransform needs 6 terms")
+    geo.foreach(g =>
+      require(g.transform.size == 6, "geotransform needs 6 terms"))
     case class Entry(tag: Int, typ: Int, cnt: Int, value: Long)
     // GDAL_NODATA is NUL-terminated ASCII; the count includes the NUL
     val nodataAscii = fill.map(f =>
@@ -210,7 +242,8 @@ object GeoTiffWriter {
     // NewSubfileType instead
     def nEntries(li: Int): Int =
       (11 + (if (multi) 1 else 0)
-         + (if (li == 0) 3 + nodataAscii.size else 1))
+         + (if (li == 0) (if (geo.isDefined) 3 else 0) + nodataAscii.size
+            else 1))
 
     val ifdOffsets = new Array[Int](levels.size)
     var cursor = 8
@@ -231,9 +264,9 @@ object GeoTiffWriter {
         if (multi) alloc(spp * 2) else 0,
         if (multi) alloc(spp * 2) else 0)
     }
-    val scaleOff = alloc(24)
-    val tieOff = alloc(48)
-    val geoKeysOff = alloc(16)
+    val scaleOff = if (geo.isDefined) alloc(24) else 0
+    val tieOff = if (geo.isDefined) alloc(48) else 0
+    val geoKeysOff = if (geo.isDefined) alloc(16) else 0
     // TIFF 6.0: values of count*size <= 4 bytes MUST live inline in
     // the value slot — only longer nodata strings go out of line
     val nodataOff = nodataAscii.filter(_.length > 4)
@@ -291,11 +324,11 @@ object GeoTiffWriter {
           if (nTiles == 1) lv.tiles.head.length else lay.tileCountsOff),
         Entry(339, 3, spp,                    // SampleFormat
           if (multi) lay.fmtOff else fmt)) ++
-        (if (li == 0) Seq(
+        (if (li == 0) (if (geo.isDefined) Seq(
           Entry(33550, 12, 3, scaleOff),      // ModelPixelScale
           Entry(33922, 12, 6, tieOff),        // ModelTiepoint
           Entry(34735, 3, 8, geoKeysOff)      // GeoKeyDirectory
-        ) ++ nodataAscii.map(b =>
+        ) else Nil) ++ nodataAscii.map(b =>
           Entry(42113, 2, b.length,
             nodataOff.map(_.toLong).getOrElse(0L))) // GDAL_NODATA
          else Nil)
@@ -335,17 +368,22 @@ object GeoTiffWriter {
       }
     }
 
-    // ---- shared geo arrays -----------------------------------------
+    // ---- shared geo arrays (absent when the source had none) -------
     // ModelPixelScale (xres, |yres|, 0) + tiepoint (0,0,0 -> x0,y0,0)
-    val t = geo.transform
-    Seq(t(1), math.abs(t(5)), 0.0).zipWithIndex.foreach { case (v, i) =>
-      out.putDouble(scaleOff + i * 8, v) }
-    Seq(0.0, 0.0, 0.0, t(0), t(3), 0.0).zipWithIndex.foreach { case (v, i) =>
-      out.putDouble(tieOff + i * 8, v) }
-    // GeoKeyDirectory: header + Geographic (4xxx) or Projected CS key
-    val geoKeyId = if (geo.epsg >= 4000 && geo.epsg <= 4999) 2048 else 3072
-    Seq(1, 1, 0, 1, geoKeyId, 0, 1, geo.epsg).zipWithIndex.foreach {
-      case (v, i) => out.putShort(geoKeysOff + i * 2, v.toShort) }
+    geo.foreach { g =>
+      val t = g.transform
+      Seq(t(1), math.abs(t(5)), 0.0).zipWithIndex.foreach { case (v, i) =>
+        out.putDouble(scaleOff + i * 8, v) }
+      Seq(0.0, 0.0, 0.0, t(0), t(3), 0.0).zipWithIndex.foreach {
+        case (v, i) => out.putDouble(tieOff + i * 8, v) }
+      // GeoKeyDirectory: header + Geographic or Projected CS key
+      val geoKeyId = g.epsgIsGeographic match {
+        case Some(gg) => if (gg) 2048 else 3072
+        case None => if (g.epsg >= 4000 && g.epsg <= 4999) 2048 else 3072
+      }
+      Seq(1, 1, 0, 1, geoKeyId, 0, 1, g.epsg).zipWithIndex.foreach {
+        case (v, i) => out.putShort(geoKeysOff + i * 2, v.toShort) }
+    }
 
     // ---- tile payloads ---------------------------------------------
     out.position(tileDataStart)

@@ -725,4 +725,94 @@ class CogWriterSpec extends SparkSuite {
       .fold(e => fail(e), identity)
     assert(m.width == 6 && m.height == 4)
   }
+
+  test("no-geo sources re-tile WITHOUT a fabricated geo block; " +
+    "carried geo keeps its Projected/Geographic key kind") {
+    import graft.sources.{GeoTiff, GeoTiffWriter, RasterFixtures}
+    // stripTiff carries no geo tags: the COG must carry none either
+    // (previously it claimed WGS84 with an identity transform)
+    val tiff = RasterFixtures.stripTiff(5, 4, 0 until 20)
+    val cog = Cogify.tiffToCog(tiff).fold(e => fail(e), identity)
+    val m = GeoTiff.parse(cog).fold(e => fail(e), identity)
+    assert(m.transform.isEmpty && m.epsg.isEmpty,
+      s"fabricated geo: ${m.transform} ${m.epsg}")
+    // EPSG 4087 is PROJECTED yet sits in the 4xxx range: a writer
+    // told the kind must emit ProjectedCSTypeGeoKey, and the reader
+    // must report the kind back
+    val geo = GeoTiffWriter.Geo(Seq(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+      epsg = 4087, epsgIsGeographic = Some(false))
+    val out = GeoTiffWriter.write(4, 4, Array.fill(16)(1.0f), geo,
+      overviews = false)
+    val m2 = GeoTiff.parse(out).fold(e => fail(e), identity)
+    assert(m2.epsg.contains(4087) &&
+      m2.epsgIsGeographic.contains(false), s"${m2.epsgIsGeographic}")
+  }
+
+  test("tiepoint anchoring a nonzero raster pixel shifts the origin " +
+    "(crop/subset tools emit I/J != 0)") {
+    import graft.sources.{GeoTiff, RasterFixtures}
+    val bytes = RasterFixtures.geoTiff()
+    // fixture tiepoint block at offset 300: (I,J,0,X,Y,0); set I=2,J=3
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putDouble(300, 2.0)
+    bb.putDouble(308, 3.0)
+    val m = GeoTiff.parse(bytes).fold(e => fail(e), identity)
+    val t = m.transform.get
+    // xres=0.1, yres=0.05: x0 = -180 - 2*0.1, y0 = 90 + 3*0.05
+    assert(math.abs(t(0) - (-180.2)) < 1e-9, s"x0 ${t(0)}")
+    assert(math.abs(t(3) - 90.15) < 1e-9, s"y0 ${t(3)}")
+  }
+
+  test("truncated LZW strip fails closed (Left), never a zero-filled " +
+    "grid; RowsPerStrip=0xFFFFFFFF decodes via the height clamp") {
+    import graft.sources.{GeoTiff, RasterFixtures}
+    val vals = 0 until 40
+    val lzw = RasterFixtures.stripTiffEncoded(8, 5, vals,
+      rowsPerStrip = 5, compression = 5,
+      encode = raw => RasterFixtures.lzwEncodeNaive(raw).dropRight(3))
+    val got = GeoTiff.readBands(lzw)
+    assert(got.isLeft && got.left.exists(_.contains("short")),
+      s"truncated LZW did not quarantine: $got")
+    // single-strip shorthand some writers emit: RowsPerStrip = 2^32-1
+    val tiff = RasterFixtures.stripTiff(5, 4, 0 until 20,
+      rowsPerStrip = 4)
+    // patch the RowsPerStrip entry (tag 278) to type LONG, 0xFFFFFFFF
+    val bb = java.nio.ByteBuffer.wrap(tiff)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var e = 10
+    var patched = false
+    while (!patched && e < 10 + 12 * 12) {
+      if ((bb.getShort(e) & 0xFFFF) == 278) {
+        bb.putShort(e + 2, 4.toShort) // type LONG
+        bb.putInt(e + 8, -1)          // 0xFFFFFFFF
+        patched = true
+      }
+      e += 12
+    }
+    assert(patched, "RowsPerStrip entry not found")
+    val (_, decoded) = GeoTiff.readSamples(tiff).fold(e2 => fail(e2),
+      identity)
+    assert(decoded.toSeq == (0 until 20).map(_.toFloat),
+      "huge RowsPerStrip produced a wrong grid")
+  }
+
+  test("Cogify.run quarantines a failing file into cog_error instead " +
+    "of aborting the job") {
+    import spark.implicits._
+    val rows = Seq(
+      ("s3://b/bad.tif", "c1", true, false),
+      ("s3://b/skip.xyz", "c1", true, false))
+      .toDF("remote_fileurl", "collection", "cogify", "upload")
+    object Boom extends Cogify.FileTransform {
+      def toCog(url: String, coll: String,
+                cfg: Cogify.CollectionConfig): String =
+        throw new IllegalArgumentException(s"unsupported thing in $url")
+    }
+    val out = Cogify.run(rows, Boom, Map.empty).collect()
+      .map(r => r.getString(0) -> r.getString(r.length - 1)).toMap
+    assert(out("s3://b/bad.tif").contains("cogify failed"),
+      s"$out")
+    assert(out("s3://b/skip.xyz").contains("not supported"))
+  }
 }
