@@ -61,15 +61,23 @@ object Cmr {
   def discover(granules: DataFrame, ev: PipelineEvent): DataFrame = {
     val selected = ev.mode match {
       case Some("stac") =>
-        val l = col("link")
-        granules.select(col("id").as("granule_id"),
-          explode(col("links")).as("link"))
-          .filter(l.getField("href").endsWith("stac.json") &&
-            l.getField("href").startsWith("https"))
-          .select(col("granule_id"), l.getField("href").as("href"))
-          .unionByName(granules.select(
-            lit(null).cast("string").as("granule_id"),
-            lit(null).cast("string").as("href")))
+        // ONE scan: each granule contributes its matching stac hrefs
+        // PLUS exactly one (null, null) row — the reference's
+        // unconditional file_obj append. The previous union form
+        // referenced the granules frame twice, and over the DSv2
+        // paged source that re-planned the scan: every CMR page
+        // fetched twice and the hits probe issued twice per query.
+        val hrefs = when(col("links").isNotNull,
+          filter(transform(col("links"), l => l.getField("href")),
+            h => h.endsWith("stac.json") && h.startsWith("https")))
+          .otherwise(array().cast("array<string>"))
+        granules.select(explode(concat(
+          transform(hrefs, h =>
+            struct(col("id").as("granule_id"), h.as("href"))),
+          array(struct(lit(null).cast("string").as("granule_id"),
+            lit(null).cast("string").as("href"))))).as("r"))
+          .select(col("r.granule_id").as("granule_id"),
+            col("r.href").as("href"))
       case _ =>
         val relMatch = (l: Column) =>
           l.getField("rel") === "http://esipfed.org/ns/fedsearch/1.1/s3#" ||
@@ -77,7 +85,12 @@ object Cmr {
         val matching = when(col("links").isNotNull,
           filter(col("links"), relMatch))
         granules.select(col("id").as("granule_id"),
-          element_at(matching, -1).getField("href").as("href"))
+          // guarded: element_at on an empty array THROWS under
+          // Spark 4's default ANSI mode (the in-repo sessions disable
+          // it, but a notebook session won't) — a granule with no
+          // matching rel must yield the documented null href
+          when(size(matching) > 0, element_at(matching, -1)
+            .getField("href")).as("href"))
     }
     val objs = selected.select(
       lit(ev.collection).as("collection"),

@@ -41,14 +41,29 @@ object Collections {
     collections.withColumn("valid",
       col("id").isNotNull && col("extent").isNotNull)
 
-  /** J2: enrich items with their collection doc via broadcast join. */
+  /** J2: enrich items with their collection doc via broadcast join.
+    * Duplicate collection ids (a re-dropped doc beside its stale
+    * copy) collapse DETERMINISTICALLY to one row — a raw join would
+    * silently multiply every item of that collection; min(struct)
+    * picks a stable winner rather than dropDuplicates' arbitrary
+    * one. */
   def joinItems(items: DataFrame, collections: DataFrame): DataFrame = {
-    val dim = broadcast(collections.select(
+    val base = collections.select(
       col("id").as("collection"),
       col("title").as("collection_title"),
       col("license"),
       col("extent.spatial.bbox").as("collection_bbox"),
-      col("item_assets")))
+      col("item_assets"))
+    // item_assets is a MAP (Catalyst-unorderable), so the stable
+    // winner orders by the row's JSON rendering; the window runs over
+    // the KB-scale dimension, never the items
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("collection"))
+      .orderBy(to_json(struct(col("collection_title"), col("license"),
+        col("collection_bbox"), col("item_assets"))))
+    val dim = broadcast(base
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn"))
     items.join(dim, Seq("collection"), "left")
   }
 }

@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
 object Discovery {
 
   /** P1: `re.match` anchors at the start; `rlike` searches — so the
-    * pattern gets a `^` prepended (reference `s3-discovery/handler.py:65`,
-    * `inventory/handler.py:61`). */
+    * pattern wraps in an anchored non-capturing group (reference
+    * `s3-discovery/handler.py:65`, `inventory/handler.py:61`). A bare
+    * prepended `^` would anchor only the FIRST branch of a top-level
+    * alternation ("a|b" → "^a|b" matches b ANYWHERE), silently
+    * discovering wrong files; `^(?:a|b)` anchors the whole pattern,
+    * exactly like `re.match`. */
   def anchoredMatch(c: Column, regex: String): Column =
-    c.rlike(if (regex.startsWith("^")) regex else "^" + regex)
+    c.rlike("^(?:" + regex + ")")
 
   private def regexFilter(df: DataFrame, target: Column,
                           regex: Option[String]): DataFrame =
@@ -57,6 +61,15 @@ object Discovery {
     ev.assetMediaTypeScalar.foreach(v => b += "asset_media_type" -> v)
     if (ev.assetMediaTypeMap.nonEmpty)
       b += "asset_media_type_map" -> ev.assetMediaTypeMap.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(";")
+    // the MAP forms pass through too — "every event key containing
+    // 'asset'" includes asset_roles: {...} and assets: {...}
+    // (EventJson parses both; dropping them silently lost config)
+    if (ev.assetRolesMap.nonEmpty)
+      b += "asset_roles_map" -> ev.assetRolesMap.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${v.mkString(",")}" }.mkString(";")
+    if (ev.assets.nonEmpty)
+      b += "assets" -> ev.assets.toSeq.sorted
         .map { case (k, v) => s"$k=$v" }.mkString(";")
     b.result()
   }

@@ -133,7 +133,12 @@ class CmrPagesScan(root: String, pageSize: Int, limit: Option[Int],
       val pages = fs.listStatus(p).filter(_.isFile)
         .map(_.getPath.toString)
         .filter(f => f.split('/').last.matches("page-\\d+\\.json"))
-        .sortBy(f => f.split('/').last)
+        // numeric order: a lexicographic filename sort puts
+        // page-10 before page-2, scrambling the public `page`
+        // column and breaking the LIMIT-pruning precondition that
+        // every kept page except the last is full
+        .sortBy(f => f.split('/').last
+          .stripPrefix("page-").stripSuffix(".json").toInt)
         .zipWithIndex
         .map { case (f, i) => CmrPagePartition(i + 1, f) }
       keepForLimit(pages).toArray[InputPartition]

@@ -66,7 +66,49 @@ object HttpPages extends Serializable {
   private def request(url: String, method: String,
                       headers: Map[String, String], body: Option[String],
                       connectTimeoutMs: Int, readTimeoutMs: Int): Response = {
+    // Redirects are handled EXPLICITLY with host-scoped auth: the
+    // JDK's transparent follow re-sends every request property, so a
+    // 302 to a third-party host would leak the caller's bearer token
+    // (the downloadUrs security contract, applied here), and the JDK
+    // refuses cross-protocol hops so the ubiquitous http→https
+    // upgrade would fail with a raw 301. Authorization is forwarded
+    // only to the ORIGINAL host:port and never on an https→http
+    // downgrade; GET only, capped hops.
+    val orig = new URL(url)
+    def hostKey(u: URL): String = {
+      val p = if (u.getPort >= 0) u.getPort else u.getDefaultPort
+      s"${u.getHost}:$p"
+    }
+    var cur = url
+    var hops = 0
+    while (hops < 8) {
+      val target = new URL(cur)
+      val sameHost = hostKey(target) == hostKey(orig)
+      val downgrade =
+        orig.getProtocol == "https" && target.getProtocol != "https"
+      val hdrs =
+        if (sameHost && !downgrade) headers
+        else headers.filterNot(_._1.equalsIgnoreCase("Authorization"))
+      val r = requestOnce(cur, method, hdrs, body, connectTimeoutMs,
+        readTimeoutMs)
+      val loc = r.headers.get("location")
+      if (method == "GET" && (r.status == 301 || r.status == 302 ||
+          r.status == 303 || r.status == 307 || r.status == 308) &&
+          loc.exists(_.nonEmpty)) {
+        cur = new URL(target, loc.get).toString
+        hops += 1
+      } else return r
+    }
+    throw new java.io.IOException(s"too many redirects from $url")
+  }
+
+  private def requestOnce(url: String, method: String,
+                          headers: Map[String, String],
+                          body: Option[String],
+                          connectTimeoutMs: Int, readTimeoutMs: Int)
+  : Response = {
     val conn = open(url, method, headers, connectTimeoutMs, readTimeoutMs)
+    conn.setInstanceFollowRedirects(false)
     try {
       body.foreach { b =>
         conn.setDoOutput(true)

@@ -155,13 +155,29 @@ class ListingScan(root: String, pushed: Array[Filter])
   override def description(): String =
     s"graft-listing root=$root PushedFilters=[${pushed.mkString(", ")}]"
 
-  /** One partition per first-level subtree + one for root-level files. */
+  /** One partition per first-level subtree + one for root-level
+    * files. Pushed `StringStartsWith(path, prefix)` filters prune
+    * whole SUBTREES here — a prefix filter that can never match
+    * under a subtree must skip its recursive listing entirely, not
+    * enumerate it and discard every entry row-by-row (at 100 TB the
+    * listing IS the cost). A subtree survives when its directory
+    * path is prefix-compatible with the filter value: either the
+    * value extends the dir (the filtered region lives inside) or the
+    * dir extends the value (the whole subtree matches). */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefixes = pushed.collect {
+      case org.apache.spark.sql.sources.StringStartsWith("path", v) => v
+    }
+    def subtreeCanMatch(dir: String): Boolean = {
+      val d = dir.stripSuffix("/") + "/"
+      prefixes.forall(v => v.startsWith(d) || d.startsWith(v))
+    }
     val entries = fs.listStatus(p)
     val subdirs = entries.filter(_.isDirectory)
+      .filter(d => subtreeCanMatch(d.getPath.toString))
       .map(d => ListingPartition(d.getPath.toString, recursive = true))
     (subdirs :+ ListingPartition(root, recursive = false))
       .toArray[InputPartition]

@@ -70,4 +70,16 @@ class DiscoverySpec extends SparkSuite {
     assert(m == Map("asset_name" -> "data",
       "asset_media_type" -> "image/tiff"))
   }
+
+  test("anchoredMatch anchors the WHOLE pattern: a top-level " +
+    "alternation must not match mid-string (re.match semantics)") {
+    import spark.implicits._
+    val got = Seq("foo_x.dat", "data/foo_x.dat", "tif", "a.tif")
+      .toDF("k")
+      .filter(graft.sources.Discovery.anchoredMatch(col("k"), "tif$|foo_.*"))
+      .collect().map(_.getString(0)).toSet
+    // bare "^tif$|foo_.*" would anchor only the first branch and let
+    // "data/foo_x.dat" through (wrong file discovered and ingested)
+    assert(got === Set("foo_x.dat", "tif"))
+  }
 }
