@@ -27,12 +27,12 @@ import org.apache.spark.sql.functions._
   * base depth: `*.ck`, `*.kawasaki.jp`, `*.compute.amazonaws.com`),
   * then the implicit default `*` (last label is the suffix); the
   * registrable domain is the matched suffix plus one label. The
-  * resource is a snapshot of the published list's ccTLD registration
-  * points plus a private-section sample covering the deep-rule
-  * shapes; a deployment tracking the live PSL mounts the full
-  * upstream file at the same resource path — the match chain is
-  * GENERATED from the deepest rule actually present, so a fuller
-  * snapshot needs no code change. A host that IS a public suffix
+  * resource embeds the FULL published list (ICANN + PRIVATE
+  * sections, ~9.5k rules, snapshot 2026-08) verbatim; IDN rules gain
+  * punycode twins at load so hosts match in either form. A
+  * deployment tracking the live PSL overwrites the resource
+  * wholesale — the match chain is GENERATED from the deepest rule
+  * actually present, so no code change is needed. A host that IS a public suffix
   * passes through whole rather than going NULL (grouping fail-open —
   * erring toward grouping siblings together, never toward splitting
   * one owner).
@@ -80,11 +80,35 @@ object Domains {
     def exc3: Seq[String] = excAt(3)
   }
 
+  /** Punycode (A-label) twin of a non-ASCII rule, preserving the
+    * `!` / `*.` prefix: the published list carries IDN rules in
+    * U-label form (`公司.cn`) while crawl hostnames usually arrive
+    * punycoded (`xn--55qx5d.cn`); keeping BOTH forms in the rule sets
+    * matches either without a per-row IDN conversion. Labels that
+    * java.net.IDN rejects yield no twin (the U-label original still
+    * matches un-punycoded hosts). */
+  private def punycodeTwin(rule: String): Option[String] = {
+    if (rule.forall(_ < 128)) None
+    else {
+      val (prefix, body) =
+        if (rule.startsWith("!")) ("!", rule.drop(1))
+        else if (rule.startsWith("*.")) ("*.", rule.drop(2))
+        else ("", rule)
+      try {
+        val a = java.net.IDN
+          .toASCII(body, java.net.IDN.ALLOW_UNASSIGNED).toLowerCase
+        Option.when(a.nonEmpty && a != body &&
+          a.count(_ == '.') == body.count(_ == '.'))(prefix + a)
+      } catch { case _: IllegalArgumentException => None }
+    }
+  }
+
   /** Parse PSL rule lines into [[PslRules]]. Every rule depth is
     * consumed: explicit rules of any label count (one-label exacts
     * dropped as redundant with the algorithm's implicit default `*`),
     * wildcards `*.base` with a base of any depth, exceptions `!rule`
-    * of any depth. Lines with an embedded `*` anywhere but the
+    * of any depth. Non-ASCII (IDN) rules gain a punycode twin (see
+    * [[punycodeTwin]]). Lines with an embedded `*` anywhere but the
     * leading label (`a.*.b` — not in the published grammar) are
     * skipped rather than crashing object init with an
     * ExceptionInInitializerError on first use. */
@@ -94,6 +118,7 @@ object Domains {
       .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("//"))
       .filter(l => !l.startsWith(".") && !l.endsWith("."))
       .toSeq.distinct
+      .flatMap(r => r +: punycodeTwin(r).toSeq)
     def labels(r: String): Int = r.count(_ == '.') + 1
     def byDepth(s: Seq[String], minK: Int): Map[Int, Seq[String]] =
       s.groupBy(labels).collect {

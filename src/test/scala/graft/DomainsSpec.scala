@@ -143,22 +143,32 @@ class DomainsSpec extends SparkSuite {
   }
 
   test("PSL snapshot invariants: rule grammar, lowercase, no dupes, " +
-    "exceptions covered by wildcards, known entries present") {
+    "exceptions covered by wildcards, full upstream list embedded") {
     val src = scala.io.Source.fromInputStream(
       getClass.getClassLoader
         .getResourceAsStream("graft/public-suffixes.txt"), "UTF-8")
     val lines = try src.getLines().map(_.trim)
-      .filterNot(l => l.isEmpty || l.startsWith("#")).toSeq
+      .filterNot(l => l.isEmpty || l.startsWith("#") ||
+        l.startsWith("//")).toSeq
     finally src.close()
-    // one rule per line, PSL grammar, already lowercase — a single
-    // transcription typo (stray char, uppercase, trailing dot) fails
-    val rule = "^(!|\\*\\.)?[a-z0-9-]+(\\.[a-z0-9-]+){0,5}$".r
+    // one rule per line, PSL grammar (unicode labels allowed — the
+    // upstream list carries IDN rules in U-label form), lowercase —
+    // a stray char, uppercase, or trailing dot fails
+    // \p{M}: scripts like Bengali spell labels with combining marks
+    val rule =
+      "^(!|\\*\\.)?[\\p{L}\\p{M}\\p{N}-]+(\\.[\\p{L}\\p{M}\\p{N}-]+){0,4}$".r
     for (l <- lines)
       assert(rule.matches(l), s"malformed PSL rule line: '$l'")
+    assert(lines.forall(l => l == l.toLowerCase), "uppercase PSL rule")
     assert(lines === lines.distinct, "duplicate PSL rules")
+    // the FULL upstream list (ICANN + PRIVATE), not a sample
+    assert(lines.size >= 9500, s"expected the full list, got ${lines.size}")
+    assert(lines.count(_.startsWith("*.")) >= 100)
+    assert(lines.count(_.exists(_ > 127)) >= 400,
+      "IDN (U-label) rules missing from the snapshot")
     // structural consistency: every exception must sit under a
-    // matching wildcard rule (catches a transcribed exception whose
-    // wildcard was dropped, which would silently change grouping)
+    // matching wildcard rule (catches an exception whose wildcard
+    // was dropped, which would silently change grouping)
     val wilds = lines.filter(_.startsWith("*.")).map(_.drop(2)).toSet
     for (e <- lines.filter(_.startsWith("!"))) {
       val base = e.drop(1).split("\\.", 2)(1)
@@ -169,6 +179,7 @@ class DomainsSpec extends SparkSuite {
     val r = Domains.Rules
     assert(r.exact2.contains("co.uk") && r.exact2.contains("com.au"))
     assert(r.exact2.contains("blogspot.com") && r.exact2.contains("github.io"))
+    assert(r.exact2.contains("gitlab.io") && r.exact2.contains("pages.dev"))
     assert(r.exact3.contains("act.edu.au") && r.exact3.contains("wa.gov.au"))
     assert(r.exact3.contains("s3.amazonaws.com"))
     assert(r.wild1.contains("ck") && r.wild1.contains("np"))
@@ -179,9 +190,76 @@ class DomainsSpec extends SparkSuite {
     assert(r.exc2 === Seq("www.ck"))
     assert(r.exc3.contains("city.kawasaki.jp") &&
       r.exc3.contains("city.yokohama.jp"))
+    // IDN rules present in BOTH forms: the upstream U-label and the
+    // loader-added punycode twin (公司.cn == xn--55qx5d.cn)
+    assert(r.exact2.contains("公司.cn") && r.exact2.contains("xn--55qx5d.cn"))
     // every parsed set is sorted+deduped (InSet literal hygiene)
     for (s <- (r.exact.values ++ r.wild.values ++ r.exc.values))
       assert(s === s.distinct.sorted)
+  }
+
+  test("full-list registrable domains: long-tail ICANN + private " +
+    "platform suffixes beyond the old sampled snapshot") {
+    val cases = Seq(
+      // private-section platform suffixes absent from the r12 sample
+      "team.gitlab.io" -> "team.gitlab.io",
+      "a.team.gitlab.io" -> "team.gitlab.io",
+      "site.pages.dev" -> "site.pages.dev",
+      "shop.myshopify.com" -> "shop.myshopify.com",
+      // long-tail ICANN ccTLD registration points
+      "www.example.co.bw" -> "example.co.bw",
+      "x.example.gov.mn" -> "example.gov.mn",
+      // IDN suffix, both U-label and punycoded host forms
+      "example.公司.cn" -> "example.公司.cn",
+      "a.example.公司.cn" -> "example.公司.cn",
+      "example.xn--55qx5d.cn" -> "example.xn--55qx5d.cn",
+      "a.example.xn--55qx5d.cn" -> "example.xn--55qx5d.cn")
+    val got = cases.map(_._1)
+      .toDF("h").select(Domains.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("full-snapshot when-chain: whole-stage codegen compiles under " +
+    "the Janino method limit, rule sets probe as InSet, not OR-chains") {
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    import org.apache.spark.sql.execution.{ProjectExec, WholeStageCodegenExec}
+    // pure projection (no exchange → no AQE wrapper) over a
+    // non-foldable column (a LocalRelation of literals would be
+    // constant-folded away at optimize time, testing nothing):
+    // exactly the generated when-chain over the FULL ~9.5k snapshot
+    val docs = spark.range(1).select(concat(lit("https://www.example"),
+      col("id"), lit(".co.uk/x")).as("url"))
+    val q = docs.select(
+      Domains.registrableDomain(Domains.hostOf(col("url"))).as("domain"))
+    val plan = q.queryExecution.executedPlan
+    // the big literal lists must have been converted to hash-set
+    // probes (OptimizeIn → InSet), never kept as thousand-way ORs
+    val projs = plan.collect { case p: ProjectExec => p }
+    val inSets = projs.flatMap(_.projectList.flatMap(_.collect {
+      case i: InSet => i
+    }))
+    assert(inSets.nonEmpty, "no InSet probes in the domain projection")
+    assert(inSets.exists(_.hset.size > 1000),
+      "full-size rule set not probed via InSet")
+    // compile every whole-stage stage and bound the emitted method
+    // size: the default spark.sql.codegen.hugeMethodLimit (65535)
+    // silently drops a too-big stage to interpreted execution — this
+    // guard turns that silent fallback into a test failure
+    val stages = plan.collect { case w: WholeStageCodegenExec => w }
+    assert(stages.nonEmpty, "domain projection left whole-stage codegen")
+    for (s <- stages) {
+      val (_, code) = s.doCodeGen()
+      val (_, stats) = CodeGenerator.compile(code)
+      assert(stats.maxMethodCodeSize > 0,
+        "bytecode stats unavailable — cannot prove the method limit")
+      assert(stats.maxMethodCodeSize < 65535,
+        s"generated method ${stats.maxMethodCodeSize} bytes exceeds " +
+          "the Janino/hugeMethodLimit bound")
+    }
+    // and the chain still answers correctly through this exact plan
+    assert(q.collect().map(_.getString(0)).toSeq === Seq("example0.co.uk"))
   }
 
   test("oracle chain structure: the generated DuckDB CASE for a tiny " +
