@@ -1,6 +1,6 @@
 package graft
 
-import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsJoinSizeExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, DeflateRatioExpr, ExtractDatesExpr, CharEntropyExpr, FingerprintExpr, GeometryBboxExpr, GopherKeepExpr, GopherReportExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, PqEncodeExpr, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, SpanAnchorsExpr, VecDotExpr, VecSumAgg}
+import graft.expr.{CmrGeometryExpr, CmsEstimateExpr, CmsJoinSizeExpr, CmsMergeAgg, CmsSketchAgg, CosineSimExpr, DeflateRatioExpr, ExtractDatesExpr, CharEntropyExpr, FingerprintExpr, GeometryBboxExpr, GopherKeepExpr, GopherReportExpr, HllEstimateExpr, HllSketchAgg, HllUnionAgg, KllMergeAgg, KllQuantileExpr, KllSketchAgg, LshBucketExpr, MinhashSigExpr, MinhashUnionAgg, MultiAssetPartsExpr, PqEncodeExpr, ShingleHashesExpr, SigAgreeExpr, SimhashExpr, SpanAnchorsExpr, VecDotExpr, VecSumAgg}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -84,6 +84,14 @@ object GraftFunctions {
       { exprs: Seq[Expression] =>
         require(exprs.size == 3, "span_anchors expects 3 arguments")
         SpanAnchorsExpr(exprs(0), exprs(1), exprs(2))
+      }),
+    (FunctionIdentifier("multi_asset_parts"),
+      new ExpressionInfo(classOf[MultiAssetPartsExpr].getName,
+        "multi_asset_parts"),
+      { exprs: Seq[Expression] =>
+        require(exprs.size == 3,
+          "multi_asset_parts expects (url, data_file_regex, data_file)")
+        MultiAssetPartsExpr(exprs(0), exprs(1), exprs(2))
       }),
     (FunctionIdentifier("cmr_geometry"),
       new ExpressionInfo(classOf[CmrGeometryExpr].getName, "cmr_geometry"),

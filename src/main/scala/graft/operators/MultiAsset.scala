@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** J1 — multi-asset grouping ("product join"), the reference's only
@@ -12,14 +12,23 @@ import org.apache.spark.sql.functions._
   * url matches `.*{product_id}.*{data_file}` get the full sibling map
   * plus the `product_id`.
   *
-  * Spark shape: `regexp_extract` → `groupBy(product_id)` building the
-  * sorted asset map via `map_from_entries(sort_array(collect_list))` →
-  * equi-join back on `product_id` (the reference's O(groups × rows)
-  * regex nested loop collapses to one shuffle-equi join; a row can only
-  * match the product extracted from its own url, since the match regex
-  * embeds the product id). AQE handles the skewed-group case (one
-  * UAVSAR product ⇒ dozens of siblings, SURVEY §4); with a small group
-  * side Catalyst broadcasts automatically. */
+  * Spark shape (r13): ONE scan, ONE shuffle. The per-row regex triple
+  * is a single fused native expression
+  * ([[graft.expr.MultiAssetPartsExpr]] — one String materialization,
+  * early-out on non-matching urls, literal prefilter before the
+  * data-file regex); the reference's O(groups × rows) nested loop
+  * collapses to one `groupBy(product_id)` that builds BOTH the sorted
+  * sibling map AND the bag of data-file rows, then explodes the bag —
+  * no join back, so the earlier two-branch shape's second scan, second
+  * agg exchange, and join exchange all disappear. Per-product state is
+  * bounded by the sibling count (dozens — SURVEY §4's UAVSAR case), so
+  * the collect_list buffers stay KB-sized at any corpus scale, and the
+  * one shuffle carries each payload row exactly once (the join shape
+  * moved the same bytes, plus the map side). A duplicate asset name
+  * within a product last-wins in the reference's dict; the sorted
+  * entry list keeps the lexicographically-max href per name (the
+  * deterministic equivalent, bit-identical to the old
+  * `groupBy(product_id, asset_name).agg(max(href))` pre-pass). */
 object MultiAsset {
 
   /** If `pattern` is a literal modulo escapes (no unescaped regex
@@ -28,7 +37,7 @@ object MultiAsset {
     * before the real regex runs (measured ~7 s of the sf0.1 J1 query
     * was plain rlike backtracking over rows that a substring test
     * rejects for free). */
-  private[operators] def literalOf(pattern: String): Option[String] = {
+  private[graft] def literalOf(pattern: String): Option[String] = {
     val meta = ".[](){}*+?^$|"
     val sb = new StringBuilder
     var i = 0
@@ -45,47 +54,63 @@ object MultiAsset {
     Some(sb.toString)
   }
 
+  /** Declarative twin of [[graft.expr.MultiAssetPartsExpr]] — the
+    * executable spec NativeExprSpec holds the native expression to:
+    * the same three regex legs as separate built-in expressions.
+    * NULL when the url has no (non-empty) product match.
+    *
+    * asset_name: the reference interpolates the extracted id into a
+    * per-row pattern (`cmr-query/handler.py:82-83`); since the id IS
+    * the dataFileRegex match, substituting the generic pattern is
+    * equivalent whenever it matches once per url (every shipped
+    * config) and lets the regex compile once instead of per row.
+    * is_data: residual of the reference's `.*{product_id}.*{data_file}`
+    * match — rlike is an unanchored find, so the leading `.*`
+    * (re.match) is dropped. */
+  private[graft] def partsTwin(url: Column, dataFileRegex: String,
+                               dataFile: String): Column = {
+    val pid = regexp_extract(url, dataFileRegex, 0)
+    when(pid =!= "", struct(
+      pid.as("product_id"),
+      regexp_replace(url, s".*$dataFileRegex[-_.]?", "")
+        .as("asset_name"),
+      url.rlike(s"$dataFileRegex.*$dataFile").as("is_data")))
+  }
+
   def attach(objs: DataFrame, dataFile: String, dataFileRegex: String): DataFrame = {
-    val pid = regexp_extract(col("remote_fileurl"), dataFileRegex, 0)
-    val withPid = objs
-      .withColumn("product_id", when(pid =!= "", pid))
-    val matched = withPid.filter(col("product_id").isNotNull)
-    // asset_name: everything after the product id (+ one optional
-    // [-_.] separator) — the reference interpolates the extracted id
-    // into a per-row pattern (`cmr-query/handler.py:82-83`); since the
-    // id IS the dataFileRegex match, substituting the generic pattern
-    // is equivalent whenever it matches once per url (every shipped
-    // config) and lets the regex compile once instead of per row.
-    val assetName = regexp_replace(col("remote_fileurl"),
-      s".*$dataFileRegex[-_.]?", "")
-    val groups = matched
-      .select(col("product_id"), assetName.as("asset_name"),
-        col("remote_fileurl").as("href"))
-      // a duplicate asset name within a product last-wins in the
-      // reference's dict; max() is the deterministic equivalent
-      .groupBy("product_id", "asset_name").agg(max("href").as("href"))
+    // payload = every input column except the two this operator
+    // (re)defines; carried through the shuffle as one struct
+    val payload = objs.columns.filterNot(c => c == "assets" || c == "product_id").toSeq
+    val matched = objs
+      .select(
+        call_function("multi_asset_parts", col("remote_fileurl"),
+          lit(dataFileRegex), lit(dataFile)).as("__ma"),
+        struct(payload.map(col): _*).as("__row"))
+      .filter(col("__ma").isNotNull)
+    val grouped = matched
+      .select(col("__ma.product_id").as("product_id"),
+        struct(col("__ma.asset_name").as("asset_name"),
+          col("__row.remote_fileurl").as("href")).as("__e"),
+        // null for sibling-only rows; collect_list skips nulls, so the
+        // bag holds exactly the data-file rows of the product
+        when(col("__ma.is_data"), col("__row")).as("__d"))
       .groupBy("product_id")
-      .agg(map_from_entries(sort_array(collect_list(
-        struct(col("asset_name"), col("href"))))).as("sibling_assets"))
-    // residual of the reference's `.*{product_id}.*{data_file}` match —
-    // same single-match substitution, static pattern. rlike is an
-    // unanchored find, so the reference's leading `.*` (re.match) is
-    // dropped; when data_file is literal-modulo-escapes a substring
-    // test rejects most rows before the regex engine ever runs.
-    val residual = col("remote_fileurl").rlike(s"$dataFileRegex.*$dataFile")
-    val dataFilter = literalOf(dataFile) match {
-      case Some(lit0) => col("remote_fileurl").contains(lit0) && residual
-      case None => residual
-    }
-    matched.drop("assets")
-      // applied BEFORE the join: only data-file rows need sibling maps,
-      // so the probe side shrinks from |files| to |products|
-      .filter(dataFilter)
-      // the groups side has the same cardinality class as the input
-      // (one row per product) — never broadcast-safe at scale; pin a
-      // shuffled hash join on product_id so AQE can't pick a
-      // borderline broadcast of a map-valued relation
-      .join(groups.hint("shuffle_hash"), "product_id")
-      .withColumnRenamed("sibling_assets", "assets")
+      .agg(sort_array(collect_list(col("__e"))).as("__es"),
+        collect_list(col("__d")).as("__ds"))
+    // duplicate asset names last-win on the ascending (name, href)
+    // sort == keep the max href: drop every entry whose successor
+    // carries the same name (runs are adjacent after sort_array)
+    val deduped = filter(col("__es"), (e, i) =>
+      (i === size(col("__es")) - 1) ||
+        element_at(col("__es"), (i + lit(2)).cast("int"))
+          .getField("asset_name") =!= e.getField("asset_name"))
+    grouped
+      .select(col("product_id"), map_from_entries(deduped).as("assets"),
+        // products with no data-file row vanish here (explode of an
+        // empty bag), matching the old inner join's semantics
+        explode(col("__ds")).as("__row"))
+      .select(col("product_id") +:
+        payload.map(c => col("__row").getField(c).as(c)) :+
+        col("assets"): _*)
   }
 }

@@ -264,4 +264,86 @@ class NativeExprSpec extends SparkSuite {
         s"empty-token case $i must yield NULL geometry")
     }
   }
+
+  test("multi_asset_parts matches the three-regex declarative twin") {
+    import graft.operators.MultiAsset
+    val urls: Seq[String] = Seq(
+      "s3://store/prod42_f1.bin", // data file, '_' separator
+      "s3://store/prod42_f2.bin", // sibling
+      "s3://store/prod42.f1.bin", // '.' separator
+      "s3://store/prod42-meta.xml", // '-' separator
+      "s3://store/prod42f1.bin", // no separator at all
+      "s3://store/other/path.tif", // no product match
+      "prod7", // match IS the whole string -> empty asset name
+      "s3://prod1/prod2_f1.bin", // TWO matches: greedy .* takes last
+      "s3://store/PROD42_f1.bin", // case-sensitive: no match
+      "aprod33_f1.binprod44", // match after the data file too
+      "", // empty string
+      null) // null url
+    val cases = urls.zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("i", "url")
+    for ((re, df) <- Seq(
+      ("prod\\d+", "f1\\.bin"), // the shipped literal-modulo-escapes case
+      ("prod\\d+", "f\\d\\.bin"), // non-literal data_file (no prefilter)
+      ("aa", "a"))) { // overlapping-candidate torture (greedy vs find)
+      val rows = cases.select(col("i"),
+        call_function("multi_asset_parts", col("url"), lit(re), lit(df))
+          .as("nat"),
+        MultiAsset.partsTwin(col("url"), re, df).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.get(1) == r.get(2),
+          s"multi_asset_parts mismatch url='${urls(r.getLong(0).toInt)}' " +
+            s"regex='$re' dataFile='$df': ${r.get(1)} vs ${r.get(2)}")
+      }
+    }
+    // and on the overlapping case specifically, through real strings:
+    // "xaaa_f" — greedy .*aa[-_.]? backtracks to the LAST place aa can
+    // match, which repeated find() would not see
+    val torture = Seq((0L, "xaaa_f"), (1L, "aaaa"), (2L, "aa-aa.aa_t"))
+      .toDF("i", "url")
+    val tr = torture.select(
+      call_function("multi_asset_parts", col("url"), lit("aa"), lit("t"))
+        .as("nat"),
+      MultiAsset.partsTwin(col("url"), "aa", "t").as("hof")).collect()
+    tr.foreach(r => assert(r.get(0) == r.get(1),
+      s"overlap-case mismatch: ${r.get(0)} vs ${r.get(1)}"))
+  }
+
+  test("MultiAsset.attach (single-agg shape) reproduces the join-back " +
+    "shape's exact output, including duplicate-asset last-wins") {
+    import graft.operators.MultiAsset
+    val objs = Seq(
+      "s3://store/prod1_f1.bin", // data file of prod1
+      "s3://store/prod1_f2.bin",
+      "s3://store/prod1-meta.xml",
+      "s3://store/prod2_f1.bin", // prod2's data file
+      "s3://store/prod3_f2.bin", // prod3 has NO data file -> dropped
+      "s3://a/prod4_dup.xml", // duplicate asset name within prod4:
+      "s3://b/prod4_dup.xml", //   max href ("s3://b/...") must win
+      "s3://store/prod4_f1.bin",
+      "s3://store/nomatch.bin") // no product id -> dropped
+      .toDF("remote_fileurl")
+    val got = MultiAsset.attach(objs, dataFile = "f1\\.bin",
+      dataFileRegex = "prod\\d+")
+    assert(got.columns.toSeq ===
+      Seq("product_id", "remote_fileurl", "assets"))
+    val rows = got.collect().map(r => (r.getString(0), r.getString(1),
+      r.getMap[String, String](2).toSeq.sorted)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("prod1", "prod2", "prod4"))
+    assert(rows(0)._2 === "s3://store/prod1_f1.bin")
+    assert(rows(0)._3 === Seq("f1.bin" -> "s3://store/prod1_f1.bin",
+      "f2.bin" -> "s3://store/prod1_f2.bin",
+      "meta.xml" -> "s3://store/prod1-meta.xml"))
+    assert(rows(1)._3 === Seq("f1.bin" -> "s3://store/prod2_f1.bin"))
+    // duplicate asset name: lexicographically max href wins (the old
+    // groupBy(product_id, asset_name).agg(max(href)) contract)
+    assert(rows(2)._3 === Seq("dup.xml" -> "s3://b/prod4_dup.xml",
+      "f1.bin" -> "s3://store/prod4_f1.bin"))
+    // duplicate DATA rows are preserved 1:1 (not collapsed)
+    val dup = MultiAsset.attach(
+      Seq("s3://x/prod9_f1.bin", "s3://x/prod9_f1.bin")
+        .toDF("remote_fileurl"), "f1\\.bin", "prod\\d+")
+    assert(dup.count() === 2L)
+  }
 }
