@@ -298,6 +298,20 @@ object Similarity {
     *   resolve with the exact driver union-find, above it the
     *   distributed alternating-stars loop runs. Tune down on
     *   small-heap drivers. */
+  /** Cell count at or above which [[semanticDedup]] switches from the
+    * flat −dot argmin (O(k) per row) to the two-level
+    * [[graft.expr.SemRouter]] (O(√k) per row) with
+    * proportional-to-sample-mass fine-cell allocation. The bench-SF
+    * registry queries stay below it (flat path bit-identical to every
+    * prior round); the corpus-scaled k of sf10+ crosses it.
+    * Deployment override: `spark.graft.semdedup.hierK` (and
+    * `spark.graft.semdedup.coarseProbes` for the recall/cost dial —
+    * the sf10 equivalence run measured 2 probes losing 0.24% and 4
+    * probes 0.08% of BORDERLINE near-pairs vs the flat route, at 9×
+    * less assignment+pair time; exact clones are never at risk, the
+    * collapse pre-pass links them before any routing). */
+  private[graft] val HierK = 512
+
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     nCentroids: Int = 16, assignTop: Int = 1,
                     idCol: String = "vec_id",
@@ -306,8 +320,34 @@ object Similarity {
   : DataFrame = {
     require(assignTop >= 1 && assignTop <= nCentroids,
       s"assignTop must be in [1, $nCentroids], got $assignTop")
+    graft.GraftFunctions.register(corpus.sparkSession)
     val c0 = corpus.select(col(idCol).as("id"),
       asDouble(col(vecCol)).as("vec"))
+    // EXACT-COLLAPSE pre-pass (r13): byte-identical vectors form
+    // cosine-1 cliques at any threshold ≤ 1, so ONE representative
+    // (min id) per distinct vector carries the family through
+    // candidate generation and each member links to its rep by a
+    // direct edge. Components are IDENTICAL to the uncollapsed run —
+    // any edge a member would have scored, its rep scores with the
+    // exact same cosine — while clone-heavy cells (real corpora are
+    // full of exact dup embeddings) drop quadratically in pair work:
+    // the sf10 probe's 29k-row hot cell was mostly clone families.
+    // Zero-norm / NaN / null-element vectors never produce a cosine
+    // edge in the base algorithm (cosine is null there), so they
+    // bypass the collapse as self-representatives.
+    val collapse = threshold <= 1.0
+    val selfDot = call_function("vec_dot", col("vec"), col("vec"))
+    val collapsible =
+      if (collapse) c0.filter(selfDot > 0.0) else c0.limit(0)
+    val passthrough =
+      if (collapse) c0.filter(!(selfDot > 0.0)) else c0
+    val reps = collapsible.groupBy("vec").agg(min(col("id")).as("id"))
+    val memberEdges = collapsible
+      .join(reps.select(col("vec"), col("id").as("rid")), Seq("vec"))
+      .filter(col("id") =!= col("rid"))
+      .select(col("id").as("id_a"), col("rid").as("id_b"))
+    val cand = reps.select("id", "vec")
+      .unionByName(passthrough.select("id", "vec"))
     // cells from the deterministic sample-trained Lloyd's (Pq.train
     // with one subspace spanning the full vector, dim inferred from
     // the sample): bit-identical codebook under any partitioning —
@@ -315,32 +355,69 @@ object Similarity {
     // assignment (and thus the candidate set) partitioning-dependent.
     // The sample scales with the cell count (≥32 points per centroid)
     // so "tens of thousands of cells at 100 TB" stays reachable.
-    val cb = Pq.train(corpus, m = 1, k = nCentroids, iters = 5,
-      sampleSize = math.max(2048, 32 * nCentroids),
-      idCol = idCol, vecCol = vecCol).head
-      .zipWithIndex.map { case (v, i) => (i, v) }
-    val cbLit = typedlit(cb)
-    // assignTop cells per vector by −dot against the broadcast-literal
-    // codebook (ties broken by cell id). NOTE: centroids are NOT
-    // unit-norm (means of unit vectors sit inside the ball), so −dot
-    // ranking is a deterministic assignment proxy, not exactly
-    // KMeans-Euclidean-nearest — candidate generation only needs the
-    // assignment to be consistent across the corpus, which it is.
-    val scoredCells = transform(cbLit, e => struct(
-      (lit(0.0) - dot(col("vec"), e.getField("_2"))).as("d"),
-      e.getField("_1").as("cid")))
-    val assigned = c0.select(col("id"), col("vec"),
-      explode(transform(slice(array_sort(scoredCells), 1, assignTop),
-        _.getField("cid"))).as("cell"))
+    // NOTE: centroids are NOT unit-norm (means of unit vectors sit
+    // inside the ball), so −dot ranking is a deterministic assignment
+    // proxy, not exactly KMeans-Euclidean-nearest — candidate
+    // generation only needs the assignment to be consistent across
+    // the corpus, which it is.
+    val hierK = corpus.sparkSession.conf
+      .get("spark.graft.semdedup.hierK", HierK.toString).toInt
+    val assigned =
+      if (nCentroids < hierK) {
+        val cb = Pq.train(corpus, m = 1, k = nCentroids, iters = 5,
+          sampleSize = math.max(2048, 32 * nCentroids),
+          idCol = idCol, vecCol = vecCol).head
+          .zipWithIndex.map { case (v, i) => (i, v) }
+        val cbLit = typedlit(cb)
+        // assignTop cells per vector by −dot against the
+        // broadcast-literal codebook (ties broken by cell id)
+        val scoredCells = transform(cbLit, e => struct(
+          (lit(0.0) - dot(col("vec"), e.getField("_2"))).as("d"),
+          e.getField("_1").as("cid")))
+        cand.select(col("id"), col("vec"),
+          explode(transform(slice(array_sort(scoredCells), 1, assignTop),
+            _.getField("cid"))).as("cell"))
+      } else {
+        // large k: flat O(k)-per-row assignment (and the O(sample·k)
+        // driver Lloyd's behind it) turns quadratic once k ∝ n — route
+        // hierarchically instead: √k coarse cells, fine cells
+        // allocated to each coarse PROPORTIONAL to its sample mass
+        // (dense regions get more cells — the flat under-allocation
+        // is exactly what produced the sf10 probe's 48×-average hot
+        // cell), probe the 2 nearest coarse, take assignTop fine.
+        val router = buildRouter(corpus, nCentroids, assignTop,
+          idCol, vecCol)
+        // expressions with non-Expression params can't ride through
+        // call_function's fixed registrations — register THIS router
+        // under a content-keyed name (same corpus → same name, two
+        // different routers never clobber each other's lazily-analyzed
+        // plans) and call it like every other graft function
+        val fname = "graft_sem_route_" + java.lang.Integer.toHexString(
+          java.util.Arrays.deepHashCode(
+            Array[AnyRef](router.coarse, router.fine, router.owned,
+              Integer.valueOf(router.wc), Integer.valueOf(router.topN))))
+        val registry = corpus.sparkSession.sessionState.functionRegistry
+        val ident = org.apache.spark.sql.catalyst
+          .FunctionIdentifier(fname)
+        if (!registry.functionExists(ident))
+          registry.registerFunction(ident,
+            new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+              classOf[graft.expr.SemRouteExpr].getName, fname),
+            (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+              graft.expr.SemRouteExpr(exprs.head, router))
+        cand.select(col("id"), col("vec"),
+          explode(call_function(fname, col("vec"))).as("cell"))
+      }
     val a = assigned.select(col("cell"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
       col("vec").as("vec_b"))
-    val edges = a.join(b, Seq("cell"))
+    val repEdges = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
       .select("id_a", "id_b")
       .distinct() // multi-assigned pairs meet in up to assignTop cells
+    val edges = repEdges.unionByName(memberEdges)
     val comps = Dedup.connectedComponentsStars(edges,
       driverMaxEdges = driverMaxEdges)
     corpus.select(col(idCol).as("vec_id"))
@@ -349,6 +426,63 @@ object Similarity {
       .select(col("vec_id"),
         coalesce(col("component"), col("vec_id")).as("cluster_id"))
       .withColumn("keep", col("cluster_id") === col("vec_id"))
+  }
+
+  /** Deterministic two-level router (large-k [[semanticDedup]]): the
+    * usual Pq sample (≥32 points per target cell), √k coarse Lloyd's,
+    * sample partitioned by (−dot, id)-nearest coarse, fine cells per
+    * coarse allocated ∝ sample mass (≥1; an empty coarse keeps its
+    * own centroid as its only fine cell so routing never dead-ends),
+    * fine Lloyd's per coarse over its owned sample. Global fine ids
+    * number consecutively in coarse order — deterministic under any
+    * partitioning, like every sample-trained codebook here. */
+  private def buildRouter(corpus: DataFrame, nCentroids: Int,
+                          assignTop: Int, idCol: String,
+                          vecCol: String): graft.expr.SemRouter = {
+    val sample = Pq.sampleVectors(corpus,
+      math.max(2048, 32 * nCentroids), idCol, vecCol)
+    val dim = sample.head.length
+    val kc = math.max(1, math.ceil(math.sqrt(nCentroids.toDouble)).toInt)
+    val coarse = Pq.lloyd(sample, math.min(kc, sample.length), 5, dim)
+      .map(_.toArray).toArray
+    val buckets = Array.fill(coarse.length)(
+      List.newBuilder[Array[Double]])
+    sample.foreach { x =>
+      var best = 0
+      var bestS = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += x(i) * coarse(c)(i); i += 1 }
+        if (-s < bestS) { bestS = -s; best = c } // ties keep smaller c
+        c += 1
+      }
+      buckets(best) += x
+    }
+    val fines = List.newBuilder[Array[Double]]
+    val owned = Array.newBuilder[Array[Int]]
+    var nextId = 0
+    for (c <- coarse.indices) {
+      val b = buckets(c).result().toArray
+      val kf = math.max(1, math.min(b.length,
+        math.round(nCentroids.toDouble * b.length / sample.length).toInt))
+      val cents =
+        if (b.isEmpty) Array(coarse(c))
+        else Pq.lloyd(b, kf, 5, dim).map(_.toArray).toArray
+      owned += Array.range(nextId, nextId + cents.length)
+      cents.foreach(fines += _)
+      nextId += cents.length
+    }
+    // 4 coarse probes default: the sf10 equivalence run measured 2
+    // probes losing 376 of ~155k borderline near-pairs (0.24%) across
+    // coarse boundaries; 4 cut that to 135 rows (0.08%) at ~2× the
+    // fine-candidate cost — still O(√k) per row vs the flat O(k)
+    val wc = corpus.sparkSession.conf
+      .get("spark.graft.semdedup.coarseProbes", "4").toInt
+    new graft.expr.SemRouter(coarse, fines.result().toArray,
+      owned.result(), wc = math.max(1, math.min(wc, coarse.length)),
+      topN = assignTop)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH

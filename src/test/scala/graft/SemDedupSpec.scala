@@ -55,4 +55,70 @@ class SemDedupSpec extends SparkSuite {
     assert(out.filter(col("keep")).count() == 3)
     assert(out.filter(col("cluster_id") =!= col("vec_id")).count() == 0)
   }
+
+  test("exact-collapse: clone families, zero vectors, and chains " +
+    "through clones resolve exactly like the uncollapsed algorithm") {
+    val c = Seq(
+      (5L, v(1, 0, 0, 0)), (3L, v(1, 0, 0, 0)), (9L, v(1, 0, 0, 0)),
+      (4L, v(1, 0, 0, 0.01)), // near-dup bridges INTO the clone family
+      (30L, Seq(0.0, 0.0, 0.0, 0.0)), // zero-norm twins never edge
+      (31L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (40L, v(0, 1, 0, 0))) // singleton
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(c, threshold = 0.999,
+      nCentroids = 2, assignTop = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq(
+      (3L, 3L, true), (4L, 3L, false), (5L, 3L, false), (9L, 3L, false),
+      (30L, 30L, true), (31L, 31L, true), // zeros stay singletons
+      (40L, 40L, true)))
+  }
+
+  test("hierarchical router (k >= HierK): same clusters as the flat " +
+    "path on a separable corpus; deterministic under repartitioning") {
+    // 600 well-separated base directions in R^16 (deterministic LCG),
+    // every 5th with a near-clone (cosine ~ 1-1e-6) and every 7th with
+    // an exact clone — recall through the coarse→fine route must catch
+    // all of them; random 16-dim directions never reach 0.999 cosine
+    // by accident at this count
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L +
+        1442695040888963407L).drop(1)
+    val rows = (0 until 600).flatMap { i =>
+      val raw = lcg(i * 7919L + 1).take(16)
+        .map(s => ((s >>> 20) % 2000).toDouble / 1000.0 - 1.0).toSeq
+      val base = v(raw: _*)
+      val id = i.toLong
+      val member = Seq((id, base))
+      val near = if (i % 5 == 0)
+        Seq((id + 10000L, v(raw.updated(0, raw.head + 1e-4): _*)))
+      else Nil
+      val clone = if (i % 7 == 0) Seq((id + 20000L, base)) else Nil
+      member ++ near ++ clone
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    assert(Similarity.HierK <= 512) // the probe below must cross it
+    val out = Similarity.semanticDedup(df, threshold = 0.999,
+      nCentroids = 512, assignTop = 2).cache()
+    val clusters = out.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0 until 600) {
+      if (i % 5 == 0)
+        assert(clusters(i + 10000L) == clusters(i.toLong),
+          s"near-clone of $i missed by the hierarchical route")
+      if (i % 7 == 0)
+        assert(clusters(i + 20000L) == clusters(i.toLong),
+          s"exact clone of $i split from its base")
+    }
+    // no false merges: every cluster is exactly {base, its variants}
+    val sizes = out.groupBy("cluster_id").count().collect()
+      .map(_.getLong(1)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)), s"cluster sizes $sizes")
+    // partitioning-independence holds through the router too
+    val b = Similarity.semanticDedup(df.repartition(7),
+      threshold = 0.999, nCentroids = 512, assignTop = 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(out.orderBy("vec_id").collect().toSeq == b)
+  }
 }

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * /tmp/graft_sf1/<table>.parquet. No RNG — copy index is the only
   * new information, so the output is bit-stable across runs. */
 object Sf1Gen {
-  val Copies = 10
-  val OutDir = "/tmp/graft_sf1"
+  // r13: env-overridable for deeper scale probes — SPARK_GRAFT_COPIES=100
+  // SPARK_GRAFT_OUT=/tmp/graft_sf10 generates sf10 (~60M lineitem,
+  // ~500k docs) with the same copy discipline
+  val Copies: Int = sys.env.getOrElse("SPARK_GRAFT_COPIES", "10").toInt
+  val OutDir: String = sys.env.getOrElse("SPARK_GRAFT_OUT", "/tmp/graft_sf1")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
