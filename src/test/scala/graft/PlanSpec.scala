@@ -129,4 +129,18 @@ class PlanSpec extends SparkSuite {
     assert(offenders.isEmpty,
       s"unvetted cartesian/nested-loop joins in: $offenders")
   }
+
+  test("J1 single-agg shape: the fused native expression, no join, " +
+    "one keyed exchange") {
+    val p = planOf("q_j1_multi_asset")
+    // the per-row triple runs as ONE fused expression (r13)
+    assert(p.contains("multiassetpartsexpr"), p.take(600))
+    // the old groups-then-join-back shape is gone: no join operator of
+    // any kind — ONE groupBy builds both the sibling map and the
+    // data-row bag
+    for (j <- Seq("SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastHashJoin", "CartesianProduct",
+        "BroadcastNestedLoopJoin"))
+      assert(!p.contains(j), s"q_j1 grew a $j back")
+  }
 }
