@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   * feasible and an infeasible assignment pass once cells scale with
   * the corpus (k ∝ n keeps in-cell density constant; this keeps the
   * router sub-linear in k). Scores accumulate left-to-right per
-  * dimension (the vec_dot order). NULL on a null/short/NaN-free-ness
-  * is not enforced — a null vector or null element yields NULL (the
-  * row simply gets no cells, matching the fail-closed explode). */
+  * dimension (the vec_dot order). A null vector or null element
+  * yields NULL (the row gets no cells — the fail-closed explode).
+  * NaN elements are NOT rejected here: NaN scores sort last, so such
+  * a row still lands in deterministic cells, and the pair stage's
+  * `!isnan(cosine)` guard keeps it from ever producing an edge. */
 final class SemRouter(val coarse: Array[Array[Double]],
                       val fine: Array[Array[Double]],
                       val owned: Array[Array[Int]],

@@ -48,9 +48,16 @@ object Similarity {
     * funnels every scored row for one query into a single task — the
     * classic skew trap at corpus scale. Ordering (and ties) match the
     * window exactly: sim desc, nn_id asc; null sims rank last. */
-  private[graft] def localTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def localTopK(scored0: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    // NaN sims rank FIRST under Double.compare (and under the window's
+    // desc sort) — one corrupt vector would become every query's top
+    // neighbor. Reject NaN outright; null sims keep their existing
+    // rank-last behavior.
+    val simName = scored0.schema.fields(2).name
+    val scored = scored0.filter(col(simName).isNull ||
+      !isnan(col(simName)))
     val sch = scored.schema
     // "worse" = larger under this ordering, so the heap head is the
     // eviction candidate
@@ -312,6 +319,14 @@ object Similarity {
     * collapse pre-pass links them before any routing). */
   private[graft] val HierK = 512
 
+  /** SemDeDup-style embedding-cluster dedup. NOTE for callers passing
+    * `nCentroids >= 512` (spark.graft.semdedup.hierK): candidate
+    * generation switches to the two-level router — an explicit
+    * recall/cost trade (measured 0.08% of borderline near-pairs at
+    * the 4-probe default, 9× less assignment+pair work; exact clones
+    * are always caught via the collapse pre-pass) whose dials are the
+    * session confs above. Below hierK the flat assignment runs,
+    * bit-identical to prior rounds. */
   def semanticDedup(corpus: DataFrame, threshold: Double,
                     nCentroids: Int = 16, assignTop: Int = 1,
                     idCol: String = "vec_id",
@@ -323,30 +338,38 @@ object Similarity {
     graft.GraftFunctions.register(corpus.sparkSession)
     val c0 = corpus.select(col(idCol).as("id"),
       asDouble(col(vecCol)).as("vec"))
-    // EXACT-COLLAPSE pre-pass (r13): byte-identical vectors form
-    // cosine-1 cliques at any threshold ≤ 1, so ONE representative
-    // (min id) per distinct vector carries the family through
-    // candidate generation and each member links to its rep by a
-    // direct edge. Components are IDENTICAL to the uncollapsed run —
-    // any edge a member would have scored, its rep scores with the
-    // exact same cosine — while clone-heavy cells (real corpora are
-    // full of exact dup embeddings) drop quadratically in pair work:
-    // the sf10 probe's 29k-row hot cell was mostly clone families.
-    // Zero-norm / NaN / null-element vectors never produce a cosine
-    // edge in the base algorithm (cosine is null there), so they
-    // bypass the collapse as self-representatives.
-    val collapse = threshold <= 1.0
+    // EXACT-COLLAPSE pre-pass (r13): byte-identical non-degenerate
+    // vectors form cosine-1 cliques at any threshold < 1, so ONE
+    // representative (min id) per distinct vector carries the family
+    // through candidate generation and each member links to its rep
+    // by a direct edge. Components are IDENTICAL to the uncollapsed
+    // run — any edge a member would have scored, its rep scores with
+    // the exact same cosine — while clone-heavy cells (real corpora
+    // are full of exact dup embeddings) drop quadratically in pair
+    // work: the sf10 probe's 29k-row hot cell was mostly clone
+    // families. At threshold ≥ 1.0 the pre-pass is OFF: the float
+    // cosine of identical vectors is not reliably exactly 1.0 (norm
+    // round-trip), so linking them would diverge from the base
+    // algorithm's data-dependent behavior there. Zero-norm / NaN /
+    // null-element vectors never produce a cosine edge (see the NaN
+    // guard on the pair filter below), so they bypass the collapse as
+    // self-representatives — the `!isnan` keeps NaN self-dots (which
+    // compare LARGEST under Spark's nan-safe ordering, not null) out
+    // of the collapsible set. ONE vec-keyed shuffle produces both the
+    // reps and the member edges.
+    val collapse = threshold < 1.0
     val selfDot = call_function("vec_dot", col("vec"), col("vec"))
+    val degenerate = selfDot.isNull || isnan(selfDot) || selfDot <= 0.0
     val collapsible =
-      if (collapse) c0.filter(selfDot > 0.0) else c0.limit(0)
+      if (collapse) c0.filter(!degenerate) else c0.limit(0)
     val passthrough =
-      if (collapse) c0.filter(!(selfDot > 0.0)) else c0
-    val reps = collapsible.groupBy("vec").agg(min(col("id")).as("id"))
-    val memberEdges = collapsible
-      .join(reps.select(col("vec"), col("id").as("rid")), Seq("vec"))
-      .filter(col("id") =!= col("rid"))
-      .select(col("id").as("id_a"), col("rid").as("id_b"))
-    val cand = reps.select("id", "vec")
+      if (collapse) c0.filter(degenerate) else c0
+    val families = collapsible.groupBy("vec")
+      .agg(min(col("id")).as("id"), collect_list(col("id")).as("__ids"))
+    val memberEdges = families
+      .select(explode(col("__ids")).as("id_a"), col("id").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val cand = families.select("id", "vec")
       .unionByName(passthrough.select("id", "vec"))
     // cells from the deterministic sample-trained Lloyd's (Pq.train
     // with one subspace spanning the full vector, dim inferred from
@@ -389,13 +412,21 @@ object Similarity {
           idCol, vecCol)
         // expressions with non-Expression params can't ride through
         // call_function's fixed registrations — register THIS router
-        // under a content-keyed name (same corpus → same name, two
-        // different routers never clobber each other's lazily-analyzed
-        // plans) and call it like every other graft function
-        val fname = "graft_sem_route_" + java.lang.Integer.toHexString(
-          java.util.Arrays.deepHashCode(
-            Array[AnyRef](router.coarse, router.fine, router.owned,
-              Integer.valueOf(router.wc), Integer.valueOf(router.topN))))
+        // under a content-keyed name (same corpus → same name, so
+        // repeated runs reuse one registry entry; the key is a
+        // SHA-256 over the serialized tensors, so two DIFFERENT
+        // routers colliding onto one name — which would silently
+        // route with the wrong centroids — is cryptographically
+        // excluded, unlike the 32-bit hashCode this replaced) and
+        // call it like every other graft function
+        val fname = "graft_sem_route_" + {
+          val bos = new java.io.ByteArrayOutputStream()
+          val oos = new java.io.ObjectOutputStream(bos)
+          oos.writeObject(router); oos.close()
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(bos.toByteArray).take(12)
+            .map(b => f"$b%02x").mkString
+        }
         val registry = corpus.sparkSession.sessionState.functionRegistry
         val ident = org.apache.spark.sql.catalyst
           .FunctionIdentifier(fname)
@@ -412,9 +443,15 @@ object Similarity {
       col("vec").as("vec_a"))
     val b = assigned.select(col("cell"), col("id").as("id_b"),
       col("vec").as("vec_b"))
+    // NaN guard (r13 review find): VectorCore.cosine returns NaN (not
+    // null) for NaN-element vectors, and Spark's nan-safe ordering
+    // makes NaN >= threshold TRUE — without the isnan reject, ONE
+    // corrupt embedding would edge to every cell-mate and glue
+    // unrelated vectors into a single cluster
+    val pairCos = cosine(col("vec_a"), col("vec_b"))
     val repEdges = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .filter(!isnan(pairCos) && pairCos >= threshold)
       .select("id_a", "id_b")
       .distinct() // multi-assigned pairs meet in up to assignTop cells
     val edges = repEdges.unionByName(memberEdges)
@@ -510,6 +547,8 @@ object Similarity {
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.sim").as("sim"))
-      .filter(col("sim") >= threshold)
+      // !isnan: a NaN cosine compares largest and would pass any
+      // threshold, pairing a corrupt vector with every bucket-mate
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
   }
 }

@@ -78,6 +78,10 @@ object MultiAsset {
   }
 
   def attach(objs: DataFrame, dataFile: String, dataFileRegex: String): DataFrame = {
+    // library consumers may call this on a fresh session (also via
+    // sources/Cmr) before any other operator has registered the graft
+    // functions — multi_asset_parts must resolve here regardless
+    graft.GraftFunctions.register(objs.sparkSession)
     // payload = every input column except the two this operator
     // (re)defines; carried through the shuffle as one struct
     val payload = objs.columns.filterNot(c => c == "assets" || c == "product_id").toSeq

@@ -441,4 +441,25 @@ class LlmSpec extends SparkSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept2 === Seq(40L))
   }
+
+  test("a NaN-element corpus vector is never anyone's neighbor " +
+    "(NaN sim would rank FIRST under Double.compare without the guard)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)), // true top-1 of query 1
+      (99L, Seq(Float.NaN, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 1L)
+    val bf = Similarity.bruteForceTopK(corpus, q, k = 2)
+      .select("query_id", "nn_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bf == Seq((1L, 2L)), s"NaN vector leaked into top-k: $bf")
+    // and the pairwise near-dup path rejects NaN sims the same way
+    val nd = Similarity.embeddingNearDups(corpus, threshold = 0.5,
+      dim = 4, nBits = 2).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!nd.exists(p => p._1 == 99L || p._2 == 99L),
+      s"NaN vector paired in embeddingNearDups: $nd")
+  }
 }

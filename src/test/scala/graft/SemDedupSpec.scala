@@ -75,6 +75,41 @@ class SemDedupSpec extends SparkSuite {
       (40L, 40L, true)))
   }
 
+  test("a NaN-element vector never glues clusters (NaN cosine " +
+    "compares largest under Spark's ordering — must be rejected)") {
+    val c = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(1, 0, 0, 0.01)), // true pair
+      (10L, v(0, 1, 0, 0)), // separate direction
+      (99L, Seq(Double.NaN, 0.0, 0.0, 0.0))) // corrupt row
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(c, threshold = 0.999,
+      nCentroids = 2, assignTop = 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // without the isnan guard, 99's NaN cosine passes >= threshold
+    // against every cell-mate and merges everything into cluster 1
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false),
+      (10L, 10L, true), (99L, 99L, true)))
+  }
+
+  test("threshold = 1.0 preserves the base algorithm exactly: the " +
+    "collapse pre-pass stays OFF (float cosine of identical vectors " +
+    "is not reliably 1.0)") {
+    // [1,1]/sqrt(2) twice: cosine computes 2/2.0000000000000004 < 1.0
+    // in the base algorithm — identical vectors must NOT merge at
+    // threshold 1.0 unless the float round-trip lands exactly on 1.0
+    val c = Seq((1L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(3.0, 4.0, 0.0, 0.0)), // 3/4/5: norms round-trip exactly
+      (4L, Seq(3.0, 4.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(c, threshold = 1.0,
+      nCentroids = 2, assignTop = 2).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(2L) == 2L, "sqrt(2)-normed clones must stay split at 1.0")
+    assert(out(4L) == 3L, "exact-norm clones merge at 1.0 (cosine == 1)")
+  }
+
   test("hierarchical router (k >= HierK): same clusters as the flat " +
     "path on a separable corpus; deterministic under repartitioning") {
     // 600 well-separated base directions in R^16 (deterministic LCG),
