@@ -1311,14 +1311,23 @@ object Queries {
   def pageRank(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    // iterate on PACKED LONG node ids (customer 2k, supplier 2k+1):
+    // the rank state and the edge table go through 5 iterations of
+    // keyed joins/aggs, and 8-byte long keys shuffle/hash measurably
+    // faster than the "c123"/"s45" strings — which are reattached
+    // ONLY at the end, so the output (and the oracle) is unchanged
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("cnode"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("snode"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
-    val edges = pairs.select(col("cnode").as("src"), col("snode").as("dst"))
-      .unionByName(pairs.select(col("snode").as("src"), col("cnode").as("dst")))
+    val edges = pairs
+      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionByName(pairs
+        .select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
     graft.graph.PageRank.run(edges, iterations = 5)
-      .select(col("node"), col("rank").as("rank_e12"))
+      .select(concat(
+          when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),
+          shiftright(col("node"), 1).cast("string")).as("node"),
+        col("rank").as("rank_e12"))
       .orderBy("node")
   }
 

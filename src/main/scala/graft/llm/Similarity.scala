@@ -347,7 +347,12 @@ object Similarity {
     // the exact same cosine — while clone-heavy cells (real corpora
     // are full of exact dup embeddings) drop quadratically in pair
     // work: the sf10 probe's 29k-row hot cell was mostly clone
-    // families. At threshold ≥ 1.0 the pre-pass is OFF: the float
+    // families. The pre-pass is part of the SCALE path (k >= hierK,
+    // the same gate as the two-level router): below it the flat
+    // algorithm handles clones fine in-cell and the pre-pass's fixed
+    // cost (one vec-keyed exchange + the extra plan stages) buys
+    // nothing — measured ~+1 s on the 4.7k-row bench corpus for a
+    // −460 s win at sf10. Also OFF at threshold ≥ 1.0: the float
     // cosine of identical vectors is not reliably exactly 1.0 (norm
     // round-trip), so linking them would diverge from the base
     // algorithm's data-dependent behavior there. Zero-norm / NaN /
@@ -357,7 +362,9 @@ object Similarity {
     // compare LARGEST under Spark's nan-safe ordering, not null) out
     // of the collapsible set. ONE vec-keyed shuffle produces both the
     // reps and the member edges.
-    val collapse = threshold < 1.0
+    val hierK = corpus.sparkSession.conf
+      .get("spark.graft.semdedup.hierK", HierK.toString).toInt
+    val collapse = nCentroids >= hierK && threshold < 1.0
     val selfDot = call_function("vec_dot", col("vec"), col("vec"))
     val degenerate = selfDot.isNull || isnan(selfDot) || selfDot <= 0.0
     val collapsible =
@@ -383,8 +390,6 @@ object Similarity {
     // proxy, not exactly KMeans-Euclidean-nearest — candidate
     // generation only needs the assignment to be consistent across
     // the corpus, which it is.
-    val hierK = corpus.sparkSession.conf
-      .get("spark.graft.semdedup.hierK", HierK.toString).toInt
     val assigned =
       if (nCentroids < hierK) {
         val cb = Pq.train(corpus, m = 1, k = nCentroids, iters = 5,
@@ -445,13 +450,18 @@ object Similarity {
       col("vec").as("vec_b"))
     // NaN guard (r13 review find): VectorCore.cosine returns NaN (not
     // null) for NaN-element vectors, and Spark's nan-safe ordering
-    // makes NaN >= threshold TRUE — without the isnan reject, ONE
-    // corrupt embedding would edge to every cell-mate and glue
-    // unrelated vectors into a single cluster
-    val pairCos = cosine(col("vec_a"), col("vec_b"))
+    // makes NaN >= threshold TRUE — without the reject, ONE corrupt
+    // embedding would edge to every cell-mate and glue unrelated
+    // vectors into a single cluster. nanvl (NaN → null → comparison
+    // null → dropped) keeps the cosine evaluated ONCE per pair:
+    // FilterExec does no common-subexpression elimination, so the
+    // `!isnan(c) && c >= t` spelling would compute every in-cell
+    // cosine twice
+    val pairCos = nanvl(cosine(col("vec_a"), col("vec_b")),
+      lit(null).cast("double"))
     val repEdges = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .filter(!isnan(pairCos) && pairCos >= threshold)
+      .filter(pairCos >= threshold)
       .select("id_a", "id_b")
       .distinct() // multi-assigned pairs meet in up to assignTop cells
     val edges = repEdges.unionByName(memberEdges)

@@ -65,14 +65,26 @@ class SemDedupSpec extends SparkSuite {
       (31L, Seq(0.0, 0.0, 0.0, 0.0)),
       (40L, v(0, 1, 0, 0))) // singleton
       .toDF("vec_id", "embedding")
-    val out = Similarity.semanticDedup(c, threshold = 0.999,
+    // the collapse rides the scale path (k >= hierK): force it on at
+    // this tiny k so the pre-pass itself is what's under test — and
+    // pin that the flat small-k path gives the SAME answer
+    spark.conf.set("spark.graft.semdedup.hierK", "2")
+    val out =
+      try Similarity.semanticDedup(c, threshold = 0.999,
+        nCentroids = 2, assignTop = 2)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      finally spark.conf.unset("spark.graft.semdedup.hierK")
+    val expected = Seq(
+      (3L, 3L, true), (4L, 3L, false), (5L, 3L, false), (9L, 3L, false),
+      (30L, 30L, true), (31L, 31L, true), // zeros stay singletons
+      (40L, 40L, true))
+    assert(out == expected)
+    val flat = Similarity.semanticDedup(c, threshold = 0.999,
       nCentroids = 2, assignTop = 2)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
-    assert(out == Seq(
-      (3L, 3L, true), (4L, 3L, false), (5L, 3L, false), (9L, 3L, false),
-      (30L, 30L, true), (31L, 31L, true), // zeros stay singletons
-      (40L, 40L, true)))
+    assert(flat == expected, "flat path diverged from the scale path")
   }
 
   test("a NaN-element vector never glues clusters (NaN cosine " +
@@ -103,9 +115,13 @@ class SemDedupSpec extends SparkSuite {
       (3L, Seq(3.0, 4.0, 0.0, 0.0)), // 3/4/5: norms round-trip exactly
       (4L, Seq(3.0, 4.0, 0.0, 0.0)))
       .toDF("vec_id", "embedding")
-    val out = Similarity.semanticDedup(c, threshold = 1.0,
-      nCentroids = 2, assignTop = 2).orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // force the scale path so ONLY the threshold term gates collapse
+    spark.conf.set("spark.graft.semdedup.hierK", "2")
+    val out =
+      try Similarity.semanticDedup(c, threshold = 1.0,
+        nCentroids = 2, assignTop = 2).orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      finally spark.conf.unset("spark.graft.semdedup.hierK")
     assert(out(2L) == 2L, "sqrt(2)-normed clones must stay split at 1.0")
     assert(out(4L) == 3L, "exact-norm clones merge at 1.0 (cosine == 1)")
   }
