@@ -365,19 +365,24 @@ object Similarity {
     val hierK = corpus.sparkSession.conf
       .get("spark.graft.semdedup.hierK", HierK.toString).toInt
     val collapse = nCentroids >= hierK && threshold < 1.0
-    val selfDot = call_function("vec_dot", col("vec"), col("vec"))
-    val degenerate = selfDot.isNull || isnan(selfDot) || selfDot <= 0.0
-    val collapsible =
-      if (collapse) c0.filter(!degenerate) else c0.limit(0)
-    val passthrough =
-      if (collapse) c0.filter(degenerate) else c0
-    val families = collapsible.groupBy("vec")
-      .agg(min(col("id")).as("id"), collect_list(col("id")).as("__ids"))
-    val memberEdges = families
-      .select(explode(col("__ids")).as("id_a"), col("id").as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-    val cand = families.select("id", "vec")
-      .unionByName(passthrough.select("id", "vec"))
+    // Option.when keeps the small-k plan EXACTLY the prior rounds'
+    // (no empty-side groupBy/union stages scheduled for nothing)
+    val (cand, memberEdges) =
+      if (!collapse) (c0, None)
+      else {
+        val selfDot = call_function("vec_dot", col("vec"), col("vec"))
+        val degenerate =
+          selfDot.isNull || isnan(selfDot) || selfDot <= 0.0
+        val families = c0.filter(!degenerate).groupBy("vec")
+          .agg(min(col("id")).as("id"),
+            collect_list(col("id")).as("__ids"))
+        val members = families
+          .select(explode(col("__ids")).as("id_a"), col("id").as("id_b"))
+          .filter(col("id_a") =!= col("id_b"))
+        (families.select("id", "vec")
+          .unionByName(c0.filter(degenerate).select("id", "vec")),
+          Some(members))
+      }
     // cells from the deterministic sample-trained Lloyd's (Pq.train
     // with one subspace spanning the full vector, dim inferred from
     // the sample): bit-identical codebook under any partitioning —
@@ -464,7 +469,7 @@ object Similarity {
       .filter(pairCos >= threshold)
       .select("id_a", "id_b")
       .distinct() // multi-assigned pairs meet in up to assignTop cells
-    val edges = repEdges.unionByName(memberEdges)
+    val edges = memberEdges.fold(repEdges)(repEdges.unionByName)
     val comps = Dedup.connectedComponentsStars(edges,
       driverMaxEdges = driverMaxEdges)
     corpus.select(col(idCol).as("vec_id"))
