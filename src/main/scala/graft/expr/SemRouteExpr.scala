@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * yields NULL (the row gets no cells — the fail-closed explode).
   * NaN elements are NOT rejected here: NaN scores sort last, so such
   * a row still lands in deterministic cells, and the pair stage's
-  * `!isnan(cosine)` guard keeps it from ever producing an edge. */
+  * nanvl cosine guard keeps it from ever producing an edge. */
 final class SemRouter(val coarse: Array[Array[Double]],
                       val fine: Array[Array[Double]],
                       val owned: Array[Array[Int]],

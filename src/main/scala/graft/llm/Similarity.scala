@@ -48,16 +48,9 @@ object Similarity {
     * funnels every scored row for one query into a single task — the
     * classic skew trap at corpus scale. Ordering (and ties) match the
     * window exactly: sim desc, nn_id asc; null sims rank last. */
-  private[graft] def localTopK(scored0: DataFrame, k: Int): DataFrame = {
+  private[graft] def localTopK(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
-    // NaN sims rank FIRST under Double.compare (and under the window's
-    // desc sort) — one corrupt vector would become every query's top
-    // neighbor. Reject NaN outright; null sims keep their existing
-    // rank-last behavior.
-    val simName = scored0.schema.fields(2).name
-    val scored = scored0.filter(col(simName).isNull ||
-      !isnan(col(simName)))
     val sch = scored.schema
     // "worse" = larger under this ordering, so the heap head is the
     // eviction candidate
@@ -75,10 +68,20 @@ object Similarity {
       val heaps = scala.collection.mutable.HashMap
         .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
       rows.foreach { r =>
-        val h = heaps.getOrElseUpdate(r.get(0),
-          scala.collection.mutable.PriorityQueue.empty[Row](byBadness))
-        if (h.size < k) h.enqueue(r)
-        else if (byBadness.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
+        // NaN sims rank FIRST under Double.compare (and under the
+        // final window's desc sort) — one corrupt vector would become
+        // every query's top neighbor. Skip them HERE, on materialized
+        // rows: a DataFrame-level filter on the `sim` alias gets
+        // pushed below the projection by Catalyst, substituting the
+        // cosine expression and evaluating the O(pairs) kernel twice.
+        // Null sims keep their existing rank-last behavior.
+        val nanSim = !r.isNullAt(2) && r.getDouble(2).isNaN
+        if (!nanSim) {
+          val h = heaps.getOrElseUpdate(r.get(0),
+            scala.collection.mutable.PriorityQueue.empty[Row](byBadness))
+          if (h.size < k) h.enqueue(r)
+          else if (byBadness.compare(r, h.head) < 0) { h.dequeue(); h.enqueue(r) }
+        }
       }
       heaps.valuesIterator.flatMap(_.iterator)
     }(RowEncoder.encoderFor(sch))
@@ -364,22 +367,32 @@ object Similarity {
     // reps and the member edges.
     val hierK = corpus.sparkSession.conf
       .get("spark.graft.semdedup.hierK", HierK.toString).toInt
-    val collapse = nCentroids >= hierK && threshold < 1.0
-    // Option.when keeps the small-k plan EXACTLY the prior rounds'
-    // (no empty-side groupBy/union stages scheduled for nothing)
+    // collapse needs cosine(v, v) >= threshold for identical vectors,
+    // and the FLOAT cosine of identical vectors is 1 minus a few ulps
+    // (norm round-trip) — the 1e-12 margin is ~1000x that error, so
+    // thresholds inside [1-1e-12, 1] fall back to the base algorithm
+    // instead of linking pairs it would have split
+    val collapse = nCentroids >= hierK && threshold < 1.0 - 1e-12
+    // small-k keeps the prior rounds' plan EXACTLY (no collapse
+    // stages scheduled for nothing)
     val (cand, memberEdges) =
       if (!collapse) (c0, None)
       else {
         val selfDot = call_function("vec_dot", col("vec"), col("vec"))
         val degenerate =
           selfDot.isNull || isnan(selfDot) || selfDot <= 0.0
-        val families = c0.filter(!degenerate).groupBy("vec")
-          .agg(min(col("id")).as("id"),
-            collect_list(col("id")).as("__ids"))
-        val members = families
-          .select(explode(col("__ids")).as("id_a"), col("id").as("id_b"))
-          .filter(col("id_a") =!= col("id_b"))
-        (families.select("id", "vec")
+        // min-agg + join-back (the Dedup.dropExactDuplicates idiom):
+        // ROW-BASED on both sides, so a mega-family (one boilerplate
+        // embedding in 10^8 docs) streams through a sorted join group
+        // instead of materializing a collect_list buffer in one
+        // aggregation task — bounded memory at any family size, at
+        // the price of one extra vec-keyed exchange on the scale path
+        val nondeg = c0.filter(!degenerate)
+        val reps = nondeg.groupBy("vec").agg(min(col("id")).as("rid"))
+        val members = nondeg.join(reps, Seq("vec"))
+          .filter(col("id") =!= col("rid"))
+          .select(col("id").as("id_a"), col("rid").as("id_b"))
+        (reps.select(col("rid").as("id"), col("vec"))
           .unionByName(c0.filter(degenerate).select("id", "vec")),
           Some(members))
       }
@@ -428,7 +441,12 @@ object Similarity {
         // routers colliding onto one name — which would silently
         // route with the wrong centroids — is cryptographically
         // excluded, unlike the 32-bit hashCode this replaced) and
-        // call it like every other graft function
+        // call it like every other graft function. Known cost: the
+        // registry retains one entry (closure holding the tensors,
+        // ~k·dim doubles) per DISTINCT router per session — it cannot
+        // be dropped eagerly because plans resolve the function name
+        // lazily; a long-lived driver cycling many large corpora
+        // should recycle sessions (newSession) between builds
         val fname = "graft_sem_route_" + {
           val bos = new java.io.ByteArrayOutputStream()
           val oos = new java.io.ObjectOutputStream(bos)
