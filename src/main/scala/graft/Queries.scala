@@ -1319,10 +1319,16 @@ object Queries {
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
+    // cast BEFORE packing: `col * 2` keeps the source int type, and
+    // under non-ANSI sessions an int key past 2^30 would wrap
+    // silently into negative/colliding node ids (r13 ADVICE find) —
+    // the long cast makes the packing honor its stated contract at
+    // any key range
+    val ck2 = col("ck").cast("long") * 2
+    val sk2 = col("sk").cast("long") * 2 + 1
     val edges = pairs
-      .select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
-      .unionByName(pairs
-        .select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
+      .select(ck2.as("src"), sk2.as("dst"))
+      .unionByName(pairs.select(sk2.as("src"), ck2.as("dst")))
     graft.graph.PageRank.run(edges, iterations = 5)
       .select(concat(
           when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")),

@@ -18,11 +18,18 @@ import org.apache.spark.sql.types._
   * feasible and an infeasible assignment pass once cells scale with
   * the corpus (k ∝ n keeps in-cell density constant; this keeps the
   * router sub-linear in k). Scores accumulate left-to-right per
-  * dimension (the vec_dot order). A null vector or null element
-  * yields NULL (the row gets no cells — the fail-closed explode).
-  * NaN elements are NOT rejected here: NaN scores sort last, so such
-  * a row still lands in deterministic cells, and the pair stage's
-  * nanvl cosine guard keeps it from ever producing an edge. */
+  * dimension (the vec_dot order). A null vector, a null element, or a
+  * dimension mismatch yields NULL (the row gets no cells — the
+  * fail-closed explode, matching the flat path's behavior on
+  * malformed vectors). NaN dots are SKIPPED as candidates (treated
+  * as −infinity similarity): a NaN never enters the top-n buffer, so
+  * a NaN centroid — possible only if Lloyd's trained on NaN data —
+  * can never permanently occupy slot 0 of every row's buffer and
+  * funnel the whole corpus into one O(n²) mega-cell (r13 ADVICE
+  * find). A NaN-element VECTOR NaN-dots every centroid, routes to
+  * zero cells, and is dropped by the explode — harmless, since the
+  * pair stage's nanvl cosine guard already guaranteed it could never
+  * produce an edge; it exits as its own self-representative. */
 final class SemRouter(val coarse: Array[Array[Double]],
                       val fine: Array[Array[Double]],
                       val owned: Array[Array[Int]],
@@ -46,15 +53,20 @@ final class SemRouter(val coarse: Array[Array[Double]],
     while (cands.hasNext) {
       val id = cands.next()
       val s = -dot(vec, centroids(id))
-      var pos = size
-      while (pos > 0 && (scores(pos - 1) > s ||
-        (scores(pos - 1) == s && ids(pos - 1) > id))) pos -= 1
-      if (pos < n) {
-        val last = math.min(size, n - 1)
-        var j = last
-        while (j > pos) { ids(j) = ids(j - 1); scores(j) = scores(j - 1); j -= 1 }
-        ids(pos) = id; scores(pos) = s
-        if (size < n) size += 1
+      // NaN is not a score: every comparison against it is false, so
+      // a buffered NaN could never be displaced or scanned past —
+      // skip the candidate entirely (see class doc)
+      if (!java.lang.Double.isNaN(s)) {
+        var pos = size
+        while (pos > 0 && (scores(pos - 1) > s ||
+          (scores(pos - 1) == s && ids(pos - 1) > id))) pos -= 1
+        if (pos < n) {
+          val last = math.min(size, n - 1)
+          var j = last
+          while (j > pos) { ids(j) = ids(j - 1); scores(j) = scores(j - 1); j -= 1 }
+          ids(pos) = id; scores(pos) = s
+          if (size < n) size += 1
+        }
       }
     }
     java.util.Arrays.copyOf(ids, size)
@@ -63,7 +75,10 @@ final class SemRouter(val coarse: Array[Array[Double]],
   def route(vec: ArrayData): ArrayData = {
     if (vec == null) return null
     val d = coarse(0).length
-    if (vec.numElements() < d) return null
+    // strict != (not just <): a LONGER vector would silently truncate
+    // here while the flat path dots the full array — the two gated
+    // paths must agree on malformed-dimension corpora (fail closed)
+    if (vec.numElements() != d) return null
     var i = 0
     while (i < d) { if (vec.isNullAt(i)) return null; i += 1 }
     val cTop = topIds(vec, Iterator.range(0, coarse.length), coarse, wc)

@@ -78,13 +78,22 @@ object Pq {
   }
 
   /** Deterministic sample: lowest-md5(id) rows, stable under any
-    * partitioning (TakeOrdered, never a full sort). */
+    * partitioning (TakeOrdered, never a full sort). Vectors with a
+    * NaN or null element are excluded BEFORE the sample: one such
+    * vector in the sample poisons a Lloyd's centroid (NaN distances
+    * dump every NaN point into cluster 0, turning its mean NaN), and
+    * a NaN centroid corrupts every downstream assignment — the
+    * codebook must be trained on clean data only (r13 ADVICE find;
+    * NaN vectors still flow through the OPERATORS, which fail them
+    * closed per-row). */
   private[llm] def sampleVectors(corpus: DataFrame, sampleSize: Int,
                                  idCol: String, vecCol: String)
       : Array[Array[Double]] =
     corpus
       .select(col(idCol).cast("string").as("sid"),
         transform(col(vecCol), _.cast("double")).as("v"))
+      .filter(col("v").isNotNull &&
+        !exists(col("v"), x => x.isNull || isnan(x)))
       .orderBy(md5(col("sid")), col("sid")).limit(sampleSize)
       .collect().map(_.getSeq[Double](1).toArray)
 

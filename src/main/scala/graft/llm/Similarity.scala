@@ -434,38 +434,21 @@ object Similarity {
         val router = buildRouter(corpus, nCentroids, assignTop,
           idCol, vecCol)
         // expressions with non-Expression params can't ride through
-        // call_function's fixed registrations — register THIS router
-        // under a content-keyed name (same corpus → same name, so
-        // repeated runs reuse one registry entry; the key is a
-        // SHA-256 over the serialized tensors, so two DIFFERENT
-        // routers colliding onto one name — which would silently
-        // route with the wrong centroids — is cryptographically
-        // excluded, unlike the 32-bit hashCode this replaced) and
-        // call it like every other graft function. Known cost: the
-        // registry retains one entry (closure holding the tensors,
-        // ~k·dim doubles) per DISTINCT router per session — it cannot
-        // be dropped eagerly because plans resolve the function name
-        // lazily; a long-lived driver cycling many large corpora
-        // should recycle sessions (newSession) between builds
-        val fname = "graft_sem_route_" + {
-          val bos = new java.io.ByteArrayOutputStream()
-          val oos = new java.io.ObjectOutputStream(bos)
-          oos.writeObject(router); oos.close()
-          java.security.MessageDigest.getInstance("SHA-256")
-            .digest(bos.toByteArray).take(12)
-            .map(b => f"$b%02x").mkString
-        }
-        val registry = corpus.sparkSession.sessionState.functionRegistry
-        val ident = org.apache.spark.sql.catalyst
-          .FunctionIdentifier(fname)
-        if (!registry.functionExists(ident))
-          registry.registerFunction(ident,
-            new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-              classOf[graft.expr.SemRouteExpr].getName, fname),
-            (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-              graft.expr.SemRouteExpr(exprs.head, router))
+        // call_function's fixed registrations — build the Column
+        // DIRECTLY around the expression (ExprColumn bridge) instead
+        // of registering a per-router session function: the r13
+        // registry scheme retained one entry (closure pinning the
+        // ~k·dim-double tensors) per distinct router for the
+        // session's lifetime, an unbounded leak for a long-lived
+        // driver cycling corpora. The direct expression produces the
+        // IDENTICAL resolved plan (same SemRouteExpr node) with
+        // nothing to deregister — the tensors' lifetime is the
+        // plan's, exactly as it should be
+        import org.apache.spark.sql.graftbridge.ExprColumn
+        val routeCol = ExprColumn.column(graft.expr.SemRouteExpr(
+          ExprColumn.expression(col("vec")), router))
         cand.select(col("id"), col("vec"),
-          explode(call_function(fname, col("vec"))).as("cell"))
+          explode(routeCol).as("cell"))
       }
     val a = assigned.select(col("cell"), col("id").as("id_a"),
       col("vec").as("vec_a"))

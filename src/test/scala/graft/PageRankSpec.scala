@@ -73,4 +73,33 @@ class PageRankSpec extends SparkSuite {
     val out = PageRank.run(Seq.empty[(String, String)].toDF("src", "dst"), 3)
     assert(out.count() === 0)
   }
+
+  test("convergence early-exit: stops before the iteration cap once " +
+    "the exact L1 delta is under tolerance, ranks match that step") {
+    val df = diamond.toDF("src", "dst")
+    // generous tolerance → the diamond converges within a few steps
+    val tol = PageRank.Scale / 100 // 1% of total mass, in rank units
+    val (out, used) = PageRank.runWithStats(df, iterations = 50, tol)
+    assert(used < 50, s"never converged (ran all $used)")
+    // the early-exited result IS the fixed-`used`-iteration result —
+    // the stopping rule changes when to stop, never the algebra
+    val exact = run(diamond, used)
+    assert(out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === exact)
+    // and the step it stopped at really was the first under-tol step
+    val prev = ref(diamond, used - 1)
+    val delta = exact.map { case (k, v) => math.abs(v - prev(k)) }.sum
+    assert(delta <= tol, s"stopped at delta $delta > tol $tol")
+    val before = ref(diamond, used - 2)
+    val deltaBefore =
+      prev.map { case (k, v) => math.abs(v - before(k)) }.sum
+    assert(deltaBefore > tol,
+      s"should have stopped one step earlier ($deltaBefore <= $tol)")
+  }
+
+  test("tolL1 = 0 never schedules a delta check: fixed iterations run") {
+    val (_, used) = PageRank.runWithStats(
+      diamond.toDF("src", "dst"), iterations = 7, tolL1 = 0L)
+    assert(used === 7)
+  }
 }

@@ -126,6 +126,38 @@ class SemDedupSpec extends SparkSuite {
     assert(out(4L) == 3L, "exact-norm clones merge at 1.0 (cosine == 1)")
   }
 
+  test("scale path with NaN vectors in the corpus: codebook trains " +
+    "clean, NaN rows exit as self-representatives, clusters unchanged") {
+    // force the hierarchical path at tiny k so the NaN rows WOULD have
+    // poisoned the Lloyd's sample (their ids md5-sort wherever — the
+    // sample filter must exclude them regardless) and the router would
+    // have funneled everything into the NaN cell (r13 ADVICE find)
+    val clean = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(1, 0, 0, 0.01)), // true pair
+      (10L, v(0, 1, 0, 0)), (11L, v(0, 1, 0, 0.01)), // second pair
+      (20L, v(0, 0, 1, 0))) // singleton
+    val nans = Seq(
+      (90L, Seq(Double.NaN, 0.0, 0.0, 0.0)),
+      (91L, Seq(0.0, Double.NaN, 0.0, 0.0)))
+    spark.conf.set("spark.graft.semdedup.hierK", "2")
+    val (withNan, without) =
+      try {
+        val a = Similarity.semanticDedup(
+          (clean ++ nans).toDF("vec_id", "embedding"),
+          threshold = 0.999, nCentroids = 4, assignTop = 2)
+          .orderBy("vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+        val b = Similarity.semanticDedup(
+          clean.toDF("vec_id", "embedding"),
+          threshold = 0.999, nCentroids = 4, assignTop = 2)
+          .orderBy("vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+        (a, b)
+      } finally spark.conf.unset("spark.graft.semdedup.hierK")
+    assert(withNan ==
+      without ++ Seq((90L, 90L, true), (91L, 91L, true)))
+  }
+
   test("hierarchical router (k >= HierK): same clusters as the flat " +
     "path on a separable corpus; deterministic under repartitioning") {
     // 600 well-separated base directions in R^16 (deterministic LCG),
