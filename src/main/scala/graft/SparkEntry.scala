@@ -132,6 +132,7 @@ object SparkEntry {
     "q_dup_clusters"         -> (LlmQueries.dupClusters _),
     "q_dedup_best"           -> (LlmQueries.dedupBest _),
     "q_semdedup"             -> (LlmQueries.semDedup _),
+    "q_semdedup_hier"        -> (LlmQueries.semDedupHier _),
     "q_crossdoc_spans"       -> (LlmQueries.crossDocSpans _),
     "q_curate_pipeline"      -> (LlmQueries.curatePipeline _),
     "q_weighted_sample"      -> (LlmQueries.weightedSample _),
@@ -1765,36 +1766,10 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, span
         |ORDER BY doc_id, span_start""".stripMargin,
-    "q_semdedup" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT vec_id, embedding FROM embeddings),
-        |all_v AS (
-        |  SELECT vec_id, embedding FROM base
-        |  UNION ALL SELECT vec_id + 100000, embedding FROM base
-        |  UNION ALL SELECT vec_id + 200000,
-        |    list_concat([embedding[1] + CAST(0.02 AS FLOAT)],
-        |      embedding[2:]) AS embedding
-        |  FROM base WHERE vec_id % 3 = 0),
-        |px AS (
-        |  SELECT a.vec_id AS ia, b.vec_id AS ib
-        |  FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.embedding, b.embedding)
-        |    >= 0.999),
-        |sym AS (SELECT ia AS a, ib AS b FROM px
-        |        UNION SELECT ib AS a, ia AS b FROM px),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM sym
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
-        |  WHERE e.b <> r.a),
-        |lab AS (
-        |  SELECT a AS vec_id, least(a, min(b)) AS cluster_id
-        |  FROM reach GROUP BY a)
-        |SELECT v.vec_id,
-        |  COALESCE(l.cluster_id, v.vec_id) AS cluster_id,
-        |  COALESCE(l.cluster_id, v.vec_id) = v.vec_id AS keep
-        |FROM all_v v LEFT JOIN lab l USING (vec_id)
-        |ORDER BY v.vec_id""".stripMargin,
+    "q_semdedup" -> semDedupClosureSql,
+    // the hierarchical-router path must reproduce the SAME exact
+    // closure — one oracle, two gated plans (flat vs coarse→fine)
+    "q_semdedup_hier" -> semDedupClosureSql,
     "q_ann_ivf" -> exactNnTop1Sql,
     // PQ must recover the same exact answer — the oracle is
     // identical by construction (one definition, two ANN paths gated)
@@ -2651,6 +2626,40 @@ object SparkEntry {
       |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
       |px AS (SELECT ia, ib, j FROM pj WHERE j >= 0.9)""".stripMargin
+
+  /** Exact all-pairs cosine + recursive-CTE closure over the
+    * frozen semdedup corpus — the one oracle both semdedup plans
+    * (flat small-k and hierarchical k ≥ hierK) must reproduce. */
+  private val semDedupClosureSql: String =
+    """WITH RECURSIVE base AS (
+        |  SELECT vec_id, embedding FROM embeddings),
+        |all_v AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM base
+        |  UNION ALL SELECT vec_id + 200000,
+        |    list_concat([embedding[1] + CAST(0.02 AS FLOAT)],
+        |      embedding[2:]) AS embedding
+        |  FROM base WHERE vec_id % 3 = 0),
+        |px AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM all_v a JOIN all_v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding)
+        |    >= 0.999),
+        |sym AS (SELECT ia AS a, ib AS b FROM px
+        |        UNION SELECT ib AS a, ia AS b FROM px),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM sym
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN sym e ON r.b = e.a
+        |  WHERE e.b <> r.a),
+        |lab AS (
+        |  SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a)
+        |SELECT v.vec_id,
+        |  COALESCE(l.cluster_id, v.vec_id) AS cluster_id,
+        |  COALESCE(l.cluster_id, v.vec_id) = v.vec_id AS keep
+        |FROM all_v v LEFT JOIN lab l USING (vec_id)
+        |ORDER BY v.vec_id""".stripMargin
 
   /** Independent exact cosine top-1 for queries vec_id < 25 — the
     * ground truth both ANN paths (IVF cells, PQ codes) must recover. */

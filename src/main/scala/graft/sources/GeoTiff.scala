@@ -104,6 +104,8 @@ object GeoTiff {
     }
     /** Offset of the IFD after this one; 0 at the chain's end. */
     def nextIfdOffset: Long = nextIfdAt(ifdOffset)
+    /** This IFD's own offset — [[ifdCount]]'s cycle detection. */
+    def selfOffset: Long = ifdOffset.toLong
     private val nEntries = entriesAt(ifdOffset)
     private val entriesStart = ifdOffset + (if (big) 8 else 2)
     private val entrySize = if (big) 20 else 12
@@ -284,10 +286,19 @@ object GeoTiff {
   /** Number of IFDs in the chain: 1 + overview count (a COG written
     * with overviews chains one reduced-resolution IFD per level). */
   def ifdCount(bytes: Array[Byte]): Either[String, Int] = try {
+    // hostile-input guards (found by FuzzSpec): a mutated chain whose
+    // next-IFD pointer loops back spins forever without the visited
+    // set, and a pointer-dense file could chain absurdly long — both
+    // fail closed like any other malformed structure
+    val seen = scala.collection.mutable.HashSet.empty[Long]
     var n = 0
     var more = true
     while (more) {
       val r = new TagReader(bytes, n)
+      require(seen.add(r.selfOffset), "IFD chain cycle")
+      // real COGs carry ~10-20 overview IFDs; the constructor re-walks
+      // the chain per index, so the cap also bounds the quadratic walk
+      require(n < 4096, "IFD chain too long")
       n += 1
       more = r.nextIfdOffset != 0
     }

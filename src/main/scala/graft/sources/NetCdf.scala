@@ -1217,6 +1217,14 @@ object NetCdf {
       case _ => return None
     }
 
+    // hostile-input guard (found by FuzzSpec): no index structure can
+    // legitimately carry more records than the dataset has chunk
+    // positions — a mutated B-tree that multiplies records must fail
+    // closed BEFORE the per-chunk decompress loop below turns each
+    // bogus record into real inflate/unshuffle work (measured 16 s on
+    // an 8 KB file)
+    if (chunks.length > nChunks) return None
+
     chunks.foreach { case (offs, size, addr, mask) =>
       var raw = bytes.slice(addr.toInt, addr.toInt + size)
       // undo the pipeline in reverse; a set mask bit i means filter i
@@ -1603,8 +1611,22 @@ object NetCdf {
     }
     def intAt(p: Int, w: Int): Long = leIntAt(bytes, p, w)
     val out = Seq.newBuilder[Int]
+    // hostile-input guards (found by FuzzSpec): the walk trusts
+    // file-supplied child record counts, so without these a mutated
+    // tree re-enters the same nodes with inflated nrec and the
+    // traversal explodes combinatorially (measured 16 s on an 8 KB
+    // file) — a valid B-tree visits every node once, keeps each
+    // node's records inside its node size, and cannot hold more
+    // records than the file has bytes (recSize >= 1)
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    var budget = math.max(65536, bytes.length)
     def walk(addr: Long, d: Int, nrec: Int): Unit = {
       require(addr != -1L, "undefined v2 B-tree node")
+      require(seen.add(addr), "v2 B-tree node cycle")
+      require(nrec >= 0 && nrec.toLong * recSize <= nodeSize.toLong,
+        "v2 B-tree record count exceeds node capacity")
+      budget -= nrec + 1
+      require(budget >= 0, "v2 B-tree record budget exceeded")
       val a = addr.toInt
       require((bytes(a + 5) & 0xFF) == btType,
         s"v2 B-tree node type mismatch at $addr")

@@ -86,16 +86,27 @@ object Sf1Gen {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     write(docsSf1, "documents")
 
-    // embeddings: rotate the vector by k dims per copy — preserves
-    // norms and pairwise geometry within a copy, decorrelates across
-    // copies (so ANN candidate densities scale, not collapse)
+    // embeddings: per-copy ORTHOGONAL transform — cyclic shift by k
+    // composed with hash-seeded per-(copy, dim) sign flips. Signed
+    // permutations preserve norms and within-copy pairwise dots
+    // EXACTLY (both vectors of a pair ride the same transform), so
+    // the ANN workload inside each copy is the real corpus; across
+    // copies the sign pattern differs for every k, so no two copies
+    // are ever byte-identical — the r13 honesty caveat was that a
+    // bare shift repeats at k ≡ k+dim (copies 64 apart were exact
+    // twins, handing every low-id ANN query a free top-1). No RNG:
+    // the sign is a fixed integer mix of (k, i), bit-stable forever.
     val emb = read("embeddings")
       .select("vec_id", "embedding", "label")
       .as[(Long, Array[Float], Int)]
     val embSf1 = (0 until Copies).map { k =>
       emb.map { case (id, v, label) =>
         val r = if (k == 0) v
-          else Array.tabulate(v.length)(i => v((i + k) % v.length))
+          else Array.tabulate(v.length) { i =>
+            val x = v((i + k) % v.length)
+            val h = (k * 2654435761L + i * 0x9e3779b97f4a7c15L) >>> 17
+            if ((h & 1L) == 0L) x else -x
+          }
         (id + k * 1000000L, r, label)
       }
     }.reduce(_ unionAll _)

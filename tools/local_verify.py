@@ -3,10 +3,15 @@
 DuckDB over the testdata parquet and compares (sorted columns, sorted
 rows) with the Spark result parquet dumped by graft.Verify.
 
-Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir> [jsonOut]
+
+With [jsonOut], also writes a driver-style artifact: one object per
+query with rows_match / schema_match / hash_match / spark_rows /
+oracle_rows / err (plus oracle_sec timing — scale sweeps care).
 """
 import json
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -22,7 +27,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
     import os
     con = duckdb.connect()
     for t in TABLES:
@@ -33,17 +38,28 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
+        rec = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None,
+               "oracle_rows": None, "err": None}
+        report[name] = rec
         try:
+            t0 = time.time()
             expect = canon(con.execute(sql).fetchdf())
+            rec["oracle_sec"] = round(time.time() - t0, 3)
             got = canon(con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
         except Exception as e:
             print(f"FAIL {name}: exception {e}")
+            rec["err"] = str(e).split("\n")[0][:300]
             n_fail += 1
             continue
-        ok_rows = len(expect) == len(got)
-        ok_cols = list(expect.columns) == list(got.columns)
+        rec["spark_rows"] = len(got)
+        rec["oracle_rows"] = len(expect)
+        ok_rows = rec["rows_match"] = len(expect) == len(got)
+        ok_cols = rec["schema_match"] = \
+            list(expect.columns) == list(got.columns)
         ok_vals = False
         if ok_rows and ok_cols:
             try:
@@ -55,6 +71,7 @@ def main(sf_dir: str, out_dir: str) -> int:
                 ok_vals = True
             except AssertionError as e:
                 msg = str(e).split("\n")[0]
+        rec["hash_match"] = ok_vals
         if ok_rows and ok_cols and ok_vals:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
@@ -62,16 +79,23 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             if not ok_rows:
                 print(f"FAIL {name}: rows expect={len(expect)} got={len(got)}")
+                rec["err"] = "row count mismatch"
             elif not ok_cols:
                 print(f"FAIL {name}: cols expect={list(expect.columns)} "
                       f"got={list(got.columns)}")
+                rec["err"] = "schema mismatch"
             else:
                 print(f"FAIL {name}: values differ: {msg}")
+                rec["err"] = f"values differ: {msg}"[:300]
                 merged = expect.compare(got) if expect.shape == got.shape else None
                 if merged is not None and len(merged):
                     print(merged.head(5))
     print(f"\n{n_pass} pass / {n_fail} fail "
           f"(+{len(set(sys_queries()) - set(oracle))} rows-only)")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
@@ -83,4 +107,4 @@ def sys_queries():
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(*sys.argv[1:4]))
