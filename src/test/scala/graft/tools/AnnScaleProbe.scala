@@ -30,7 +30,10 @@ object AnnScaleProbe {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val cb = graft.llm.Pq.train(e, dim = 64, m = 16, k = 16, iters = 3)
     val codes = graft.llm.Pq.encode(e, cb)
-    for (s <- Seq(128, 256, 512, 1024, 2048)) {
+    // always include the registry queries' own corpus-scaled depth so
+    // the probe certifies the knobs the gates actually run with
+    val sReg = math.max(192, (n / 16).toInt)
+    for (s <- (Seq(128, 256, 512, 1024, 2048) :+ sReg).distinct.sorted) {
       val got = graft.llm.Pq.searchTopK(codes, e,
         e.filter(col("vec_id") < 25), cb, kTop = 1, shortlist = s)
         .select(col("query_id"), col("nn_id"))
@@ -41,7 +44,8 @@ object AnnScaleProbe {
     val (coarse, rcb) = graft.llm.IvfPq.train(e, nCells = 16, m = 16,
       k = 16, iters = 3)
     val icodes = graft.llm.IvfPq.encode(e, coarse, rcb)
-    for (np <- Seq(14, 15, 16); s <- Seq(192, 512, 1024, 2048)) {
+    for (np <- Seq(14, 15, 16);
+         s <- (Seq(192, 512, 1024, 2048) :+ sReg).distinct.sorted) {
       val got = graft.llm.IvfPq.searchTopK(icodes, e,
         e.filter(col("vec_id") < 25), coarse, rcb, kTop = 1,
         nProbe = np, shortlist = s)

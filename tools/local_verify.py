@@ -44,6 +44,16 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
                "hash_match": False, "spark_rows": None,
                "oracle_rows": None, "err": None}
         report[name] = rec
+        # optional per-oracle wall budget (GRAFT_ORACLE_TIMEOUT secs):
+        # scale sweeps hit quadratic truth-set oracles that are fine at
+        # sf0.01 but infeasible at sf1+ — a timeout records an explicit
+        # "oracle exceeded budget" row instead of stalling the sweep
+        budget = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0"))
+        timer = None
+        if budget > 0:
+            import threading
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
         try:
             t0 = time.time()
             expect = canon(con.execute(sql).fetchdf())
@@ -51,10 +61,16 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
             got = canon(con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
         except Exception as e:
-            print(f"FAIL {name}: exception {e}")
-            rec["err"] = str(e).split("\n")[0][:300]
+            msg = str(e).split("\n")[0]
+            if budget > 0 and "INTERRUPT" in str(e).upper():
+                msg = f"oracle exceeded {budget:.0f}s budget"
+            print(f"FAIL {name}: exception {msg}")
+            rec["err"] = msg[:300]
             n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         rec["spark_rows"] = len(got)
         rec["oracle_rows"] = len(expect)
         ok_rows = rec["rows_match"] = len(expect) == len(got)
