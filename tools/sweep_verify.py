@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Scale-sweep runner: one local_verify.py subprocess per query with a
+HARD wall timeout (DuckDB's interrupt is advisory — some plan phases
+never poll it, so an in-process timer cannot bound a hostile-cost
+oracle). Queries whose oracle exceeds the budget are recorded as
+explicit budget-exceeded rows, exactly the honesty contract a scale
+artifact needs.
+
+Usage: sweep_verify.py <sfDir> <verifyOutDir> <jsonOut> [budgetSec]
+Env:   GRAFT_SKIP_PASS=<logfile>  seed already-PASSed names from a
+       previous (partial) sweep log and skip re-running them.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+
+
+def main(sf_dir, out_dir, json_out, budget="600"):
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    report = {}
+    skip = {}
+    log = os.environ.get("GRAFT_SKIP_PASS")
+    if log:
+        for line in open(log):
+            m = re.match(r"PASS (\S+) \((\d+) rows\)", line)
+            if m:
+                n = int(m.group(2))
+                skip[m.group(1)] = {
+                    "rows_match": True, "schema_match": True,
+                    "hash_match": True, "spark_rows": n,
+                    "oracle_rows": n, "err": None}
+    budget_s = float(budget)
+    for name in sorted(oracle):
+        if name in skip:
+            report[name] = skip[name]
+            print(f"SKIP {name} (passed in prior sweep log)")
+            continue
+        part = f"/tmp/sweep_part_{name}.json"
+        env = dict(os.environ, GRAFT_ONLY=name)
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__),
+                                              "local_verify.py"),
+                 sf_dir, out_dir, part],
+                timeout=budget_s, env=env,
+                capture_output=True, text=True)
+            sys.stdout.write(p.stdout)
+            sys.stdout.flush()
+            rec = json.load(open(part)).get(name)
+            if rec is None:
+                rec = {"rows_match": False, "schema_match": False,
+                       "hash_match": False, "spark_rows": None,
+                       "oracle_rows": None,
+                       "err": f"runner: no record (rc={p.returncode})"}
+        except subprocess.TimeoutExpired:
+            rec = {"rows_match": False, "schema_match": False,
+                   "hash_match": False, "spark_rows": None,
+                   "oracle_rows": None,
+                   "err": f"oracle exceeded {budget_s:.0f}s budget "
+                          f"(killed)"}
+            print(f"FAIL {name}: oracle exceeded {budget_s:.0f}s "
+                  f"budget (killed)")
+        finally:
+            if os.path.exists(part):
+                os.remove(part)
+        report[name] = rec
+    n_pass = sum(1 for r in report.values() if r["hash_match"])
+    n_to = sum(1 for r in report.values()
+               if r["err"] and "budget" in r["err"])
+    n_fail = len(report) - n_pass
+    print(f"\n{n_pass} pass / {n_fail} fail "
+          f"({n_to} of the fails are oracle-budget timeouts)")
+    with open(json_out, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:5]))
