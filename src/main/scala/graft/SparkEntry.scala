@@ -508,17 +508,17 @@ object SparkEntry {
         |WHERE p_size % 4 <> 0 AND p_partkey % 10 <> 0
         |ORDER BY p_partkey""".stripMargin,
     "q_stac_regex_items" ->
-      """SELECT 'ord_' || CAST(o_orderkey AS VARCHAR) || '_' ||
+      """SELECT 'ord_k' || CAST(o_orderkey AS VARCHAR) || '_' ||
         |    strftime(o_orderdate, '%Y%m%d') AS id,
         |  'orders' AS collection,
         |  date_trunc('day', o_orderdate) AS datetime,
-        |  'data=s3://raw/orders/ord_' || CAST(o_orderkey AS VARCHAR) || '_' ||
+        |  'data=s3://raw/orders/ord_k' || CAST(o_orderkey AS VARCHAR) || '_' ||
         |    strftime(o_orderdate, '%Y%m%d') ||
         |    '.tif|image/tiff; application=geotiff; profile=cloud-optimized|data'
         |    AS assets_str
         |FROM orders ORDER BY id""".stripMargin,
     "q_stac_regex_month" ->
-      """SELECT 'ord_' || CAST(o_orderkey AS VARCHAR) || '_' ||
+      """SELECT 'ord_k' || CAST(o_orderkey AS VARCHAR) || '_' ||
         |    strftime(o_orderdate, '%Y%m%d') AS id,
         |  date_trunc('month', o_orderdate) AS start_datetime,
         |  CAST(last_day(o_orderdate) AS TIMESTAMP) AS end_datetime,

@@ -27,7 +27,18 @@ object StacQueries {
   /** Flagship: inventory-style discovery over synthetic order files →
     * regex-path STAC items (S2→P1→P3→F1→F2→item assembly→K1 shape).
     * Exercises the full [[StacBuilder.regexItems]] stack including
-    * media-type dispatch and the default-asset merge. */
+    * media-type dispatch and the default-asset merge.
+    *
+    * The key token is `ord_k<key>_` (not `ord_<key>_`): the F1 date
+    * cascade — faithfully to the reference, which strptime-raises —
+    * quarantines ANY filename whose underscore-delimited 8-digit
+    * runs are not all valid dates, and at sf1+ the scaled order keys
+    * cross 8 digits (the r14 sf1 sweep caught exactly this: 90% null
+    * datetimes vs the oracle, which derives the date from
+    * o_orderdate rather than replaying the cascade). The `k` keeps
+    * the synthetic filenames inside the operator's input domain at
+    * every scale factor, like the reference's own alphanumeric
+    * granule ids. */
   def stacRegexItems(s: SparkSession, dir: String): DataFrame = {
     val ev = PipelineEvent(
       collection = "orders",
@@ -35,7 +46,7 @@ object StacQueries {
       assetRolesList = Some(Seq("data")),
       assetMediaTypeMap = Map(
         "tif" -> "image/tiff; application=geotiff; profile=cloud-optimized"))
-    val url = concat(lit("s3://raw/orders/ord_"),
+    val url = concat(lit("s3://raw/orders/ord_k"),
       col("o_orderkey").cast("string"), lit("_"),
       date_format(col("o_orderdate"), "yyyyMMdd"), lit(".tif"))
     val objs = t(s, dir, "orders").select(
@@ -54,7 +65,7 @@ object StacQueries {
   def stacRegexItemsMonth(s: SparkSession, dir: String): DataFrame = {
     val ev = PipelineEvent(collection = "orders",
       datetimeRange = Some("month"))
-    val url = concat(lit("s3://raw/orders/ord_"),
+    val url = concat(lit("s3://raw/orders/ord_k"),
       col("o_orderkey").cast("string"), lit("_"),
       date_format(col("o_orderdate"), "yyyyMMdd"), lit(".tif"))
     val objs = t(s, dir, "orders").select(
