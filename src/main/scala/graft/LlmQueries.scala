@@ -339,9 +339,20 @@ object LlmQueries {
     // force k over the lowered gate but keep cells ∝ corpus above it
     val k = math.max(64, ((2 * ne + (ne + 2) / 3) / 300L).toInt)
     s.conf.set("spark.graft.semdedup.hierK", "64")
+    // deeper routing than q_semdedup's flat assignTop=2: the gate
+    // demands EXACT agreement with the all-pairs closure, and at
+    // 2 coarse probes × 2 fine cells six sf1 near-pairs straddled the
+    // route (base and near vector probing disjoint fine sets — the
+    // r14 sweep caught it at 0.013%). 4×4 keeps the per-row cost
+    // O(√k) and recalls every pair at sf0.01/sf0.1/sf1 — the measured
+    // dial between "scale path" and "zero loss on the gated corpus"
+    s.conf.set("spark.graft.semdedup.coarseProbes", "4")
     try Similarity.semanticDedup(all, threshold = 0.999,
-      nCentroids = k, assignTop = 2).orderBy("vec_id")
-    finally s.conf.unset("spark.graft.semdedup.hierK")
+      nCentroids = k, assignTop = 4).orderBy("vec_id")
+    finally {
+      s.conf.unset("spark.graft.semdedup.hierK")
+      s.conf.unset("spark.graft.semdedup.coarseProbes")
+    }
   }
 
   /** PII redaction audit: deterministic PII synthesized onto each doc
