@@ -31,6 +31,29 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       SparkEntry.benchSetup.foreach(f => f(spark, sfDir))
     } catch { case _: Throwable => () }
+    // UNTIMED full-dataset pre-read: warm the OS page cache over every
+    // input byte before the first canary. Two consecutive rounds the
+    // artifact run landed right after a cache-evicting multi-GB job
+    // (e.g. a DuckDB scale sweep) and manufactured phantom 25-35%
+    // regressions that vanished on a warm re-run — the suite's timing
+    // contract is "steady-state compute", and a cold page cache is a
+    // property of whatever ran before, not of the engine. Raw byte
+    // streaming (not parquet decode) touches 100% of pages including
+    // ones column pruning would skip, in parallel across files.
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      import scala.collection.parallel.CollectionConverters._
+      val buf = new ThreadLocal[Array[Byte]] {
+        override def initialValue(): Array[Byte] = new Array[Byte](1 << 20)
+      }
+      Files.walk(Paths.get(sfDir)).iterator().asScala
+        .filter(p => Files.isRegularFile(p)).toVector.par.foreach { p =>
+          val in = Files.newInputStream(p)
+          try { val b = buf.get(); while (in.read(b) >= 0) () }
+          finally in.close()
+        }
+    } catch { case _: Throwable => () }
     // UNTIMED cleanup between queries: 140+ queries in one JVM leave
     // localCheckpoint + broadcast blocks behind, and a wall-clock
     // periodic GC (used through r8) fired full System.gc() pauses

@@ -338,6 +338,10 @@ object LlmQueries {
     val (all, ne) = semCorpus(s, dir)
     // force k over the lowered gate but keep cells ∝ corpus above it
     val k = math.max(64, ((2 * ne + (ne + 2) / 3) / 300L).toInt)
+    // save/restore rather than unset: a pre-existing session-level
+    // override of these knobs must survive this query's build
+    val prevK = s.conf.getOption("spark.graft.semdedup.hierK")
+    val prevProbes = s.conf.getOption("spark.graft.semdedup.coarseProbes")
     s.conf.set("spark.graft.semdedup.hierK", "64")
     // deeper routing than q_semdedup's flat assignTop=2: the gate
     // demands EXACT agreement with the all-pairs closure, and at
@@ -350,8 +354,10 @@ object LlmQueries {
     try Similarity.semanticDedup(all, threshold = 0.999,
       nCentroids = k, assignTop = 4).orderBy("vec_id")
     finally {
-      s.conf.unset("spark.graft.semdedup.hierK")
-      s.conf.unset("spark.graft.semdedup.coarseProbes")
+      prevK.fold(s.conf.unset("spark.graft.semdedup.hierK"))(
+        v => s.conf.set("spark.graft.semdedup.hierK", v))
+      prevProbes.fold(s.conf.unset("spark.graft.semdedup.coarseProbes"))(
+        v => s.conf.set("spark.graft.semdedup.coarseProbes", v))
     }
   }
 

@@ -58,7 +58,7 @@ object FuzzRepro {
       val t1 = System.nanoTime()
       res match {
         case Right(meta) =>
-          println(s"round $round: parse OK ${(t1 - t0) / 1e6}%.0f ms, " +
+          println(f"round $round: parse OK ${(t1 - t0) / 1e6}%.0f ms, " +
             s"${meta.vars.size} vars")
           meta.vars.take(4).foreach { v =>
             val s0 = System.nanoTime()

@@ -65,6 +65,14 @@ def main(sf_dir: str, out_dir: str, json_out: str = None) -> int:
             t0 = time.time()
             expect = canon(con.execute(sql).fetchdf())
             rec["oracle_sec"] = round(time.time() - t0, 3)
+            # cancel the budget timer as soon as the oracle completes:
+            # it exists to bound the ORACLE, and leaving it armed over
+            # the Spark-result read can (a) misreport a slow result
+            # fetch as "oracle exceeded budget" and (b) race an
+            # interrupt into the next query on the shared connection
+            if timer is not None:
+                timer.cancel()
+                timer = None
             got = canon(con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf())
         except Exception as e:

@@ -37,7 +37,9 @@ def main(sf_dir, out_dir, json_out, budget="600"):
             report[name] = skip[name]
             print(f"SKIP {name} (passed in prior sweep log)")
             continue
-        part = f"/tmp/sweep_part_{name}.json"
+        # PID-scoped temp path: two concurrent sweeps (e.g. sf1 + sf10)
+        # must not read each other's per-query records
+        part = f"/tmp/sweep_part_{os.getpid()}_{name}.json"
         env = dict(os.environ, GRAFT_ONLY=name)
         try:
             p = subprocess.run(
@@ -75,7 +77,14 @@ def main(sf_dir, out_dir, json_out, budget="600"):
     with open(json_out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(f"wrote {json_out}")
-    return 0
+    # exit nonzero on any REAL failure (hash mismatch, runner error) so a
+    # CI gate keyed on exit status catches it; oracle-budget timeouts are
+    # the sweep's documented honesty rows, not engine failures, and are
+    # visible in the artifact either way
+    n_real_fail = sum(1 for r in report.values()
+                      if not r["hash_match"]
+                      and not (r["err"] and "budget" in r["err"]))
+    return 1 if n_real_fail else 0
 
 
 if __name__ == "__main__":
