@@ -671,11 +671,14 @@ object SparkEntry {
         |        i -> array_to_string(ws[i:i+4], ' ')))
         |    ELSE [array_to_string(ws, ' ')] END AS sh
         |  FROM w),
+        |ex AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS nsh FROM sh),
         |px AS (
-        |  SELECT b.doc_id AS ib
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9)
+        |  SELECT ib FROM (
+        |    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+        |      any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9)
         |SELECT doc_id, lang FROM base
         |WHERE doc_id NOT IN (SELECT ib FROM px)
         |ORDER BY doc_id""".stripMargin,
@@ -692,11 +695,14 @@ object SparkEntry {
         |        i -> array_to_string(ws[i:i+4], ' ')))
         |    ELSE [array_to_string(ws, ' ')] END AS sh
         |  FROM w),
+        |ex AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS nsh FROM sh),
         |px AS (
-        |  SELECT b.doc_id AS ib
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9)
+        |  SELECT ib FROM (
+        |    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+        |      any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT ib FROM px)
         |ORDER BY doc_id""".stripMargin,
@@ -1606,11 +1612,14 @@ object SparkEntry {
         |        i -> array_to_string(ws[i:i+4], ' ')))
         |    ELSE [array_to_string(ws, ' ')] END AS sh
         |  FROM w),
+        |ex AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS nsh FROM sh),
         |px AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |  SELECT ia, ib FROM (
+        |    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+        |      any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9),
         |e0 AS (
         |  SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
         |  UNION ALL SELECT ia, ib FROM px
@@ -1642,11 +1651,14 @@ object SparkEntry {
         |        i -> array_to_string(ws[i:i+4], ' ')))
         |    ELSE [array_to_string(ws, ' ')] END AS sh
         |  FROM w),
+        |ex AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS nsh FROM sh),
         |px AS (
-        |  SELECT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9),
+        |  SELECT ia, ib FROM (
+        |    SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+        |      any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+        |    FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2)
+        |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9),
         |e0 AS (
         |  SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
         |  UNION ALL SELECT ia, ib FROM px
@@ -1664,9 +1676,11 @@ object SparkEntry {
         |  FROM reach GROUP BY a),
         |wl AS (
         |  SELECT l.doc_id, l.cluster_id, len(d.text) AS tl
-        |  FROM lab l JOIN documents d
-        |    ON (CASE WHEN l.doc_id >= 100000 THEN l.doc_id - 100000
-        |        ELSE l.doc_id END) = d.doc_id)
+        |  FROM lab l JOIN (
+        |    SELECT doc_id, text FROM documents
+        |    UNION ALL
+        |    SELECT doc_id + 100000 AS doc_id, text FROM documents) d
+        |    ON l.doc_id = d.doc_id)
         |SELECT doc_id FROM (
         |  SELECT doc_id,
         |    row_number() OVER (PARTITION BY cluster_id
@@ -1994,11 +2008,17 @@ object SparkEntry {
         |        i -> array_to_string(ws[i:i+4], ' ')))
         |    ELSE [array_to_string(ws, ' ')] END AS sh
         |  FROM wc),
+        |eb AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS nsh FROM sb),
+        |ec AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS nsh FROM sc),
         |pj AS (
-        |  SELECT b.doc_id AS id_new, c.doc_id AS id_cat,
-        |    CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(b.sh, c.sh))) AS jaccard
-        |  FROM sb b, sc c)
+        |  SELECT id_new, id_cat,
+        |    CAST(inter AS DOUBLE) / (nb + nc - inter) AS jaccard
+        |  FROM (
+        |    SELECT b.doc_id AS id_new, c.doc_id AS id_cat,
+        |      count(*) AS inter,
+        |      any_value(b.nsh) AS nb, any_value(c.nsh) AS nc
+        |    FROM eb b JOIN ec c ON b.g = c.g
+        |    GROUP BY 1, 2))
         |SELECT id_new, id_cat, jaccard FROM pj WHERE jaccard >= 0.9
         |ORDER BY id_new, id_cat""".stripMargin,
     // incremental winnow match: corpus fp catalog (df cap 20 at build)
@@ -2604,9 +2624,24 @@ object SparkEntry {
 
   /** Shared CTE prefix defining the exact >= 0.9-Jaccard ground truth
     * of the cloned corpus (normalized words → distinct 5-shingles →
-    * all-pairs exact Jaccard → `px(ia, ib, j)`) — the ONE definition
-    * behind both q_minhash_near_dups and q_edit_distance, so the two
-    * oracles can never drift apart. */
+    * exact Jaccard → `px(ia, ib, j)`) — the ONE definition behind both
+    * q_minhash_near_dups and q_edit_distance, so the two oracles can
+    * never drift apart.
+    *
+    * Candidate generation is an inverted-index join (explode shingles,
+    * join on shingle equality, count matches per pair), NOT an
+    * all-pairs cross. This is EXACT, not approximate: J >= 0.9 > 0
+    * implies the pair shares at least one shingle, so every qualifying
+    * pair appears in the join; `inter = count(*)` over distinct-shingle
+    * rows is |A∩B|, and |A∪B| = |A|+|B|-|A∩B| because the per-doc lists
+    * are list_distinct — the same integers the old
+    * list_intersect/list_concat formula produced, divided identically
+    * in DOUBLE, so j is bit-identical. The rewrite exists for scale:
+    * the all-pairs form is O(n²) list intersections (>600s at sf1's
+    * 50k docs, the one family of rows the sf1 sweep could not gate);
+    * the inverted-index form is O(Σ_g df(g)²) pair rows — measured
+    * 2.8M rows / 1.3s at sf1 (max shingle df 4) — so the SAME oracle
+    * now hash-gates these queries at every scale. */
   private lazy val cloneJaccardSql: String =
     """WITH w AS (
       |  SELECT doc_id,
@@ -2620,12 +2655,16 @@ object SparkEntry {
       |        i -> array_to_string(ws[i:i+4], ' ')))
       |    ELSE [array_to_string(ws, ' ')] END AS sh
       |  FROM w),
-      |pj AS (
-      |  SELECT a.doc_id AS ia, b.doc_id AS ib,
-      |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |      len(list_distinct(list_concat(a.sh, b.sh))) AS j
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-      |px AS (SELECT ia, ib, j FROM pj WHERE j >= 0.9)""".stripMargin
+      |ex AS (SELECT doc_id, unnest(sh) AS g, len(sh) AS nsh FROM sh),
+      |cand AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter,
+      |    any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |px AS (
+      |  SELECT ia, ib, CAST(inter AS DOUBLE) / (na + nb - inter) AS j
+      |  FROM cand
+      |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.9)""".stripMargin
 
   /** Exact all-pairs cosine + recursive-CTE closure over the
     * frozen semdedup corpus — the one oracle both semdedup plans
