@@ -96,14 +96,43 @@ object Multimodal {
     path.split('.').lastOption.getOrElse("").toLowerCase,
     "application/octet-stream")
 
+  /** Decompression-bomb guard for [[decodeImage]]: ImageIO allocates
+    * the full w×h pixel raster from the HEADER-declared dimensions
+    * before decoding a single pixel, so a hostile 200-byte file
+    * claiming 2^30×32 turns into a ~137 GB allocation (OOM — fatal,
+    * not quarantinable) with no relation to the input size. 2^26
+    * pixels (8192×8192 RGBA = 256 MB) is far above any real training
+    * image and caps the allocation at something one task absorbs. */
+  val MaxImagePixels: Long = 1L << 26
+
   /** Real image decode via the JDK's javax.imageio (PNG/JPEG/BMP/GIF).
     * None for undecodable bytes — callers fall back to [[decodeStub]]
-    * so a corrupt file degrades, never crashes the partition. */
+    * so a corrupt file degrades, never crashes the partition. The
+    * header dimensions are validated against [[MaxImagePixels]]
+    * BEFORE the raster is allocated (the reader parses only the
+    * header for getWidth/getHeight) — fail closed, never OOM. */
   def decodeImage(bytes: Array[Byte])
   : Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers =
+          if (iis == null) java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
+          else javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > MaxImagePixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
 
   /** Bilinear aspect-fit resample into (maxW, maxH), never upscaling —
     * the pixel half of [[resizePlan]]'s column math. */
@@ -174,8 +203,17 @@ object Multimodal {
         if (!ok || ais.getFrameLength <= 0) None
         else {
           val channels = fmt.getChannels
-          val frames = ais.getFrameLength
+          // bound by the bytes ACTUALLY present, not the header claim:
+          // getFrameLength comes straight from the RIFF data-chunk size
+          // field, so a corrupt/hostile header can declare 2^31 frames
+          // on a 1 KB file — sizing the sample array from it is a 16 GB
+          // allocation bomb (OOM — fatal, not quarantinable). raw is
+          // bounded by the real stream, so min() is a no-op for valid
+          // files and the bomb cap for inflated ones.
           val raw = ais.readAllBytes()
+          val frames = math.min(ais.getFrameLength,
+            raw.length.toLong / math.max(1, channels * (bits / 8)))
+          if (frames <= 0) return None
           val mono = new Array[Double](frames.toInt)
           val big = fmt.isBigEndian
           var f = 0

@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Mp4Jpeg, Mp4Pcm}
+import graft.llm.{MediaMetadata, Mp4Jpeg, Mp4Pcm, Multimodal}
 import graft.sources.{GeoTiff, NetCdf, NetCdfFixtures, RasterFixtures,
   Warc, WarcFixtures}
 import org.scalatest.funsuite.AnyFunSuite
@@ -169,9 +169,141 @@ class FuzzSpec extends AnyFunSuite {
       a.isDefined || v.isDefined
     }
   }
+
+  test("Image: PNG/JPEG/BMP mutations decode or fail closed; " +
+    "decodeImage never throws; the header-dimension bomb guard holds " +
+    "(an inflated IHDR must not reach the raster allocation)") {
+    val bases = Seq(
+      "png" -> FuzzSpec.imageBytes("png"),
+      "jpeg" -> FuzzSpec.imageBytes("jpg"),
+      "bmp" -> FuzzSpec.imageBytes("bmp"))
+    // drive the full downstream pixel path on every successful decode:
+    // resize, strip feature, perceptual hash — these trust the decoder's
+    // output invariants (w,h >= 1), so they belong inside the sweep
+    sweep("image", bases, mustNotThrow = true) { bytes =>
+      Multimodal.decodeImage(bytes) match {
+        case Some(img) =>
+          Multimodal.resizeImage(img, 16, 16)
+          Multimodal.luminanceStripFeature(img, 8)
+          Multimodal.aHash64(img)
+          true
+        case None => false
+      }
+    }
+  }
+
+  test("Wav: RIFF mutations decode or fail closed; decodeWav never " +
+    "throws; a data-chunk-size inflation cannot allocate past the " +
+    "bytes actually present") {
+    val bases = Seq(
+      "wav16" -> FuzzSpec.wav(bits = 16, channels = 2),
+      "wav8" -> FuzzSpec.wav(bits = 8, channels = 1))
+    sweep("wav", bases, mustNotThrow = true) { bytes =>
+      Multimodal.decodeWav(bytes) match {
+        case Some((_, _, _, mono)) =>
+          Multimodal.rmsStripFeature(mono, 8)
+          Multimodal.audioHash64(mono)
+          true
+        case None => false
+      }
+    }
+  }
+
+  test("bomb repros: inflated header dimensions/sizes fail closed " +
+    "fast, without the raster/sample allocation the header demands") {
+    // BMP claiming 2^24 × 2^24 (BMP headers carry no CRC, so the
+    // inflated dims reach the reader verbatim; the raster would be
+    // ~1 PB). The guard must reject on the HEADER, not on OOM.
+    val bmp = FuzzSpec.imageBytes("bmp")
+    val ibomb = bmp.clone()
+    // BITMAPINFOHEADER: LE int32 width @18, height @22
+    ibomb(18) = 0; ibomb(19) = 0; ibomb(20) = 0; ibomb(21) = 1 // 2^24
+    ibomb(22) = 0; ibomb(23) = 0; ibomb(24) = 0; ibomb(25) = 1 // 2^24
+    var t0 = System.nanoTime()
+    assert(Multimodal.decodeImage(ibomb).isEmpty)
+    assert((System.nanoTime() - t0) / 1000000L < 2000L)
+    // WAV whose data-chunk size field claims ~2^31 bytes on a
+    // 64-frame file: the sample buffer must size from the bytes
+    // present (64 frames decode), not the 4 GB the header demands
+    val w = FuzzSpec.wav(bits = 16, channels = 2)
+    val wbomb = w.clone()
+    val dataAt = { // locate the 'data' chunk size field
+      var i = 12
+      while (!(wbomb(i) == 'd' && wbomb(i + 1) == 'a' &&
+        wbomb(i + 2) == 't' && wbomb(i + 3) == 'a')) i += 1
+      i + 4
+    }
+    wbomb(dataAt) = 0xF0.toByte; wbomb(dataAt + 1) = 0xFF.toByte
+    wbomb(dataAt + 2) = 0xFF.toByte; wbomb(dataAt + 3) = 0x7F.toByte
+    t0 = System.nanoTime()
+    val res = Multimodal.decodeWav(wbomb)
+    assert((System.nanoTime() - t0) / 1000000L < 2000L)
+    assert(res.forall { case (_, _, frames, mono) =>
+      frames == 64L && mono.length == 64 })
+  }
+
+  test("MediaMetadata: mp3 frame-walk and mp4 box-walk mutations " +
+    "parse or fail closed; never throw (internal Exception catch is " +
+    "the quarantine)") {
+    sweep("mp3meta", Seq("mp3" -> FuzzSpec.mp3()),
+      mustNotThrow = true)(b => MediaMetadata.mp3Metadata(b).isDefined)
+    sweep("mp4meta", Seq("pcmMp4" -> FuzzSpec.pcmMp4()),
+      mustNotThrow = true)(b => MediaMetadata.mp4Metadata(b).isDefined)
+  }
 }
 
 object FuzzSpec {
+  /** 32×24 RGB gradient encoded by the JDK's own ImageIO writer —
+    * a structurally complete PNG/JPEG/BMP whose mutations exercise
+    * the full header + raster decode path. */
+  def imageBytes(format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(32, 24,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, (x * 8 << 16) | (y * 10 << 8) | ((x + y) * 4))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Minimal canonical RIFF/WAVE: fmt chunk (PCM) + data chunk with
+    * 64 frames of a deterministic ramp. */
+  def wav(bits: Int, channels: Int): Array[Byte] = {
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val rate = 8000
+    val frameSize = channels * (bits / 8)
+    val data = new Array[Byte](64 * frameSize)
+    var i = 0
+    while (i < data.length) { data(i) = ((i * 7) & 0xFF).toByte; i += 1 }
+    val fmt = le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * frameSize) ++ le16(frameSize) ++ le16(bits)
+    val body = "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(fmt.length) ++ fmt ++
+      "data".getBytes ++ le32(data.length) ++ data
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  /** Minimal chained MP3: ID3v2 tag (16-byte body), 32 padding bytes
+    * (exercises the bounded forward scan), six MPEG1 Layer III
+    * 128 kbps 44.1 kHz stereo frames (417 bytes each, zero payload),
+    * and a trailing ID3v1 tag. */
+  def mp3(): Array[Byte] = {
+    val id3v2 = "ID3".getBytes ++ Array[Byte](4, 0, 0, 0, 0, 0, 16) ++
+      new Array[Byte](16)
+    val pad = new Array[Byte](32)
+    val frame = {
+      val f = new Array[Byte](417)
+      f(0) = 0xFF.toByte; f(1) = 0xFB.toByte; f(2) = 0x90.toByte
+      f
+    }
+    val id3v1 = "TAG".getBytes ++ new Array[Byte](125)
+    id3v2 ++ pad ++ Array.fill(6)(frame).reduce(_ ++ _) ++ id3v1
+  }
+
   /** Minimal complete PCM-in-MP4 (mono sowt, 3 frames, one chunk) —
     * just enough ISO BMFF structure (ftyp/moov/trak/mdia/minf/stbl
     * with stsd+stsz+stsc+stco, then mdat) that mutations exercise the
