@@ -17,6 +17,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object GeoTiff {
 
+  /** Decode-path ceiling on header-declared cell counts (raster w*h
+    * and tile tw*th): 2^28 cells = 1 GiB of float32 per band — far
+    * past any raster this in-memory decoder is asked to materialize,
+    * and the fail-closed line that keeps a bit-flipped dimension from
+    * becoming a multi-GB allocation or a minutes-long copy loop
+    * (FuzzSpec geotiff-decode found both). parse()/metaOf are NOT
+    * gated: metadata on arbitrarily large rasters still reads fine. */
+  private val MaxDecodeCells = 1L << 28
+
   /** STAC projection-extension-ish raster metadata. */
   case class RasterMeta(
       width: Long, height: Long,
@@ -376,6 +385,18 @@ object GeoTiff {
         return Left("predictor is not defined for JPEG compression")
       val jpegTables = r.rawBytes(JpegTables)
 
+      // decode bomb guard (FuzzSpec geotiff-decode): header-declared
+      // dims reach the raster allocation and the per-segment copy
+      // loops verbatim — a bit-flipped width on a 218-byte fixture
+      // demanded an 8.8e12-cell raster and ground the copy loop for
+      // 70+ s before failing. The whole file is an in-memory byte
+      // array, so a raster past MaxDecodeCells (2^28 cells = 1 GiB of
+      // float32 per band) is far beyond anything this decoder is
+      // asked to materialize — fail closed on the HEADER, before any
+      // allocation or loop. Long math: no overflow in the product.
+      if (m.width <= 0 || m.height <= 0 ||
+          m.width * m.height > MaxDecodeCells)
+        return Left(s"raster too large to decode: ${m.width}x${m.height}")
       val w = m.width.toInt; val h = m.height.toInt
       // planar (2): each segment carries ONE band's samples, so the
       // in-segment pixel stride is a single sample and the predictor
@@ -386,6 +407,10 @@ object GeoTiff {
       // segment geometry: tiles or strips
       val (segW, segH, offsets, counts) = (m.tileWidth, m.tileHeight) match {
         case (Some(tw), Some(th)) =>
+          // same bomb class for tile dims (validated on the Longs,
+          // BEFORE the Int truncation can wrap them positive-small)
+          if (tw <= 0 || th <= 0 || tw * th > MaxDecodeCells)
+            return Left(s"tile too large to decode: ${tw}x$th")
           (tw.toInt, th.toInt,
             r.longArray(TileOffsets).getOrElse(
               return Left("tiled but no TileOffsets")),
@@ -418,7 +443,15 @@ object GeoTiff {
       offsets.indices.foreach { s =>
         val raw = bytes.slice(offsets(s).toInt,
           (offsets(s) + counts(s)).toInt)
-        val cap = segW * segH * pixelBytes
+        // Long math: segW*segH ≤ MaxDecodeCells, but ×pixelBytes (up
+        // to 12 for 3-band float) can still pass Int.MaxValue — a cap
+        // that wrapped negative would throw inside the decoder instead
+        // of failing closed here
+        val capL = segW.toLong * segH * pixelBytes
+        if (capL > Int.MaxValue)
+          return Left(s"segment too large to decode: ${segW}x$segH " +
+            s"at $pixelBytes B/px")
+        val cap = capL.toInt
         val seg = compression match {
           case 1     => raw
           case 5     => lzwDecode(raw, cap)
@@ -443,23 +476,26 @@ object GeoTiff {
         if (seg.length < rowsNeeded.toLong * segW * pixelBytes)
           return Left(s"segment $s decoded short: ${seg.length} of " +
             s"${rowsNeeded.toLong * segW * pixelBytes} bytes")
+        // clamp the x walk to the raster intersection up front: the
+        // columns past `w` are edge-tile pad with nothing to copy, and
+        // iterating them anyway turns an inflated tile width into a
+        // per-row busy loop (same bomb class as the dims guard above)
+        val xMax = math.min(segW.toLong, w.toLong - x0).toInt
         var y = 0
         while (y < segH && y0 + y < h) {
           var x = 0
-          while (x < segW) {
-            if (x0 + x < w) {
-              var b = 0
-              while (b < bandsPerSeg) {
-                val i = (y * segW + x) * pixelBytes + b * sampleBytes
-                if (i + sampleBytes <= seg.length)
-                  out(band0 + b)((y0 + y) * w + (x0 + x)) =
-                    (m.bitsPerSample, fmt) match {
-                      case (8, _) => (seg(i) & 0xFF).toFloat
-                      case (16, _) => (sb.getShort(i) & 0xFFFF).toFloat
-                      case _ => sb.getFloat(i)
-                    }
-                b += 1
-              }
+          while (x < xMax) {
+            var b = 0
+            while (b < bandsPerSeg) {
+              val i = (y * segW + x) * pixelBytes + b * sampleBytes
+              if (i + sampleBytes <= seg.length)
+                out(band0 + b)((y0 + y) * w + (x0 + x)) =
+                  (m.bitsPerSample, fmt) match {
+                    case (8, _) => (seg(i) & 0xFF).toFloat
+                    case (16, _) => (sb.getShort(i) & 0xFFFF).toFloat
+                    case _ => sb.getFloat(i)
+                  }
+              b += 1
             }
             x += 1
           }
