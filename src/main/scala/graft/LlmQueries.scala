@@ -769,10 +769,14 @@ object LlmQueries {
     val comps = Dedup.connectedComponentsStars(pairs)
       .withColumnRenamed("id", "doc_id")
       .withColumnRenamed("component", "cluster_id")
+    // materialize the compact (doc_id, cluster_id) assignment ONCE —
+    // two longs per row — instead of re-running the corpus-union join
+    // for each of its two consumers (the size agg and the final join)
     val assigned = d.select("doc_id")
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint(true)
     // size via map-side-combinable groupBy + join-back (the
     // keepBestPerCluster shape), NOT count-over-window: a 10⁶-member
     // viral cluster reduces to per-partition counters under the agg,
@@ -798,11 +802,20 @@ object LlmQueries {
     val comps = Dedup.connectedComponentsStars(pairs)
       .withColumnRenamed("id", "doc_id")
       .withColumnRenamed("component", "cluster_id")
-    val clustered = d.join(comps, Seq("doc_id"), "left")
+    // the keeper decision needs only (id, priority, cluster) — three
+    // longs a row — and keepBestPerCluster reads its input twice
+    // (min-agg + semi-join probe): project the priority BEFORE the
+    // cluster join and materialize the compact frame once, instead of
+    // re-running the corpus-union-with-text join for both consumers
+    val clustered = d
+      .select(col("doc_id"),
+        (length(col("text")).cast("long") * -1).as("__prio"))
+      .join(comps, Seq("doc_id"), "left")
       .withColumn("cluster_id",
         coalesce(col("cluster_id"), col("doc_id")))
+      .localCheckpoint(true)
     Dedup.keepBestPerCluster(clustered, "doc_id", "cluster_id",
-      length(col("text")).cast("long") * -1)
+      col("__prio"))
       .select("doc_id")
       .orderBy("doc_id")
   }

@@ -363,7 +363,12 @@ object Queries {
 
   /** U-set — intersect / except / union over key sets. */
   def uSetOps(s: SparkSession, dir: String): DataFrame = {
-    val users = t(s, dir, "events").select(col("user_id").as("k")).distinct()
+    // the distinct (a full keyed exchange of the event keys) feeds all
+    // three set ops — materialize it once instead of re-shuffling the
+    // events scan per branch; custs is a plain pruned scan, re-reading
+    // it per branch is cheaper than materializing it would be
+    val users = t(s, dir, "events").select(col("user_id").as("k"))
+      .distinct().localCheckpoint(true)
     val custs = t(s, dir, "customer").select(col("c_custkey").as("k"))
     users.intersect(custs).agg(count(lit(1)).as("n_common"))
       .crossJoin(users.except(custs).agg(count(lit(1)).as("n_only_users")))

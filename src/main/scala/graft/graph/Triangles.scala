@@ -24,19 +24,38 @@ object Triangles {
     * (either direction, duplicates and self-loops tolerated).
     * Returns a 1-row frame (n_triangles). */
   def count(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set: a < b, no loops, no dups
+    // canonical undirected edge set: a < b, no loops, no dups —
+    // MATERIALIZED once (the PageRank edge-table idiom): the degree
+    // count reads it twice (both union branches) and the orientation
+    // join once, and each read would otherwise re-run the caller's
+    // whole edge-construction pipeline — the un-materialized plan
+    // re-scanned the bench fixture's source table 45 times (15
+    // evaluations of `undirected` x its 3 scan branches)
     val undirected = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint(true)
 
     val deg = undirected.select(col("a").as("n"))
       .unionAll(undirected.select(col("b").as("n")))
       .groupBy("n").agg(functions.count(lit(1)).as("d"))
 
+    // the rank state of every later stage is keyed by `src`: the
+    // wedge self-join probes oriented x oriented on src, and the
+    // closing semi-join's (src, dst) clustering is satisfied by a
+    // src partitioning on BOTH sides — so one explicit src
+    // repartition before the checkpoint lets EnsureRequirements
+    // schedule the wedge join AND the closing join with ZERO
+    // exchanges (the checkpoint preserves outputPartitioning)
+    val par = edges.sparkSession.sessionState.conf.numShufflePartitions
+
     // orient low-(degree, id) → high-(degree, id); carry the target's
-    // order key so the wedge can order its two ends without a re-join
+    // order key so the wedge can order its two ends without a re-join.
+    // Materialized once, for the same reason as `undirected`: three
+    // consumers (e1, e2, the closing edge set) each replayed the
+    // two degree joins and everything beneath them.
     val oriented = undirected
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
@@ -49,6 +68,8 @@ object Triangles {
           .otherwise(struct(col("a").as("id"), col("da").as("d"))).as("hi"))
       .select(col("lo.id").as("src"), col("hi.id").as("dst"),
         col("hi.d").as("dst_d"))
+      .repartition(par, col("src"))
+      .localCheckpoint(true)
 
     // wedges from each source: unordered pair {x, y} ordered by the
     // SAME (degree, id) key the orientation used, so the closing edge

@@ -48,11 +48,26 @@ object Clean {
       case (Some(ls), Some(lc)) => d = d.filter(col(lc).isin(ls: _*))
       case _ =>
     }
+    // Materialize the gate survivors: the exact stage's min-agg AND
+    // its semi-join probe both read them, so the (C4/Gopher/token)
+    // gate — normalize+tokenize string work over the full corpus —
+    // otherwise runs twice before near-dup even starts.
+    d = d.localCheckpoint(true)
     // exact dedup: keep the smallest id per identical text — the
     // skew-safe min(id)-agg + semi-join shape (see
     // [[Dedup.dropExactDuplicates]]; a row_number window serializes a
     // mega-duplicated doc into one task)
     d = Dedup.dropExactDuplicates(d, idCol, textCol)
+    // Materialize the exact-dedup survivors ONCE: the near-dup stage
+    // reads them twice (shingle build + the final anti-join probe),
+    // and without this each read re-ran the whole upstream chain —
+    // the C4/Gopher/token quality gate over the raw corpus plus the
+    // md5-agg + semi-join of the exact stage (quality gate evaluated
+    // 4x, exact-dedup shuffle 2x in the executed plan). One
+    // corpus-sized local materialization — the same order of bytes
+    // the exact stage's own shuffle already moves — replaces those
+    // repeated corpus passes; rows are identical either way.
+    d = d.localCheckpoint(true)
     // near-dup removal (greedy keep-lowest-id)
     Dedup.dropNearDuplicates(d, idCol, textCol, cfg.nearDupThreshold,
       cfg.shingleK, cfg.numHashes, cfg.bands)

@@ -295,8 +295,13 @@ object Dedup {
     * |A∩B| / |A∪B|. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, k: Int = 5): DataFrame = {
+    // materialized once: both join sides read the shingle table, and
+    // without this the normalize+tokenize+hash kernel ran over the
+    // full corpus twice (the same reason nearDuplicates persists its
+    // shingle frame)
     val sh = reg(docs).select(col(idCol).as("jid"),
       shingleHashes(col(textCol), k).as("sh"))
+      .localCheckpoint(true)
     pairs
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -75,17 +75,27 @@ object Dsir {
     def counts(df: DataFrame, name: String): DataFrame =
       bucketRows(df, textCol, nBuckets, Nil)
         .groupBy("bucket").agg(count(lit(1)).as(name))
-    val cr = counts(raw, "nr")
-    val ct = counts(target, "nt")
-    // 1-row totals crossed onto the K-row domain (vetted
-    // single-row-build shape); domain join keeps every bucket
-    val totals = cr.agg(sum(col("nr")).as("tot_r")).crossJoin(
-      ct.agg(sum(col("nt")).as("tot_t")))
+    trainFromCounts(counts(raw, "nr"), counts(target, "nt"), nBuckets)
+  }
+
+  /** Weight table from pre-aggregated per-bucket counts (`nr` / `nt`).
+    * Corpus totals come from an UNPARTITIONED window over the joined
+    * ≤nBuckets-row domain — Σ nr over the domain IS the raw total —
+    * instead of separate `agg` branches, which re-ran the whole
+    * tokenize+explode pipeline of BOTH corpora a second time just to
+    * produce two scalars (two extra full corpus passes in the
+    * q_dsir_* plans; the window costs one 1024-row exchange). */
+  private def trainFromCounts(cr: DataFrame, ct: DataFrame,
+                              nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val k = lit(nBuckets.toLong)
-    raw.sparkSession.range(nBuckets).toDF("bucket")
+    cr.sparkSession.range(nBuckets).toDF("bucket")
       .join(cr, Seq("bucket"), "left")
       .join(ct, Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+      .withColumn("tot_r", sum(col("nr")).over(all))
+      .withColumn("tot_t", sum(col("nt")).over(all))
       .select(col("bucket"),
         round(lit(1e6) *
           (log(coalesce(col("nt"), lit(0L)) + lit(1L)) -
@@ -107,9 +117,30 @@ object Dsir {
       .agg(count(lit(1)).as("n_ngrams"),
         sum(col("w_e6")).as("score_e6"))
 
-  /** train + score against the same raw corpus in one call. */
+  /** train + score against the same raw corpus in one call.
+    *
+    * The raw corpus is tokenized+hashed ONCE: its (id, bucket, cnt)
+    * occurrence counts are materialized (localCheckpoint — same
+    * in-query materialization idiom as [[graft.graph.PageRank]]'s
+    * edge table) and feed BOTH the raw-side bucket counts of the
+    * weight table AND the scoring join. Without this the scoring
+    * pass re-ran the full tokenize+md5 pipeline over `raw` a second
+    * time — md5-per-ngram is the dominant per-row cost here. The
+    * materialized table is O(Σ per-doc distinct buckets) ≤ corpus
+    * token count rows of three numeric columns — shuffle-file-sized,
+    * not corpus-sized. Scores are exact integer sums either way:
+    * Σ_occurrences w = Σ_buckets cnt·w. */
   def importanceScores(raw: DataFrame, target: DataFrame, idCol: String,
-                       textCol: String, nBuckets: Int = 1024): DataFrame =
-    score(raw, train(raw, target, textCol, nBuckets), idCol, textCol,
-      nBuckets)
+                       textCol: String, nBuckets: Int = 1024): DataFrame = {
+    val bc = bucketRows(raw, textCol, nBuckets, Seq(col(idCol)))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val cr = bc.groupBy("bucket").agg(sum(col("__c")).as("nr"))
+    val ct = bucketRows(target, textCol, nBuckets, Nil)
+      .groupBy("bucket").agg(count(lit(1)).as("nt"))
+    bc.join(broadcast(trainFromCounts(cr, ct, nBuckets)), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_ngrams"),
+        sum(col("__c") * col("w_e6")).as("score_e6"))
+  }
 }

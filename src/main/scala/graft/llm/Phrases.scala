@@ -45,7 +45,12 @@ object Phrases {
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minCount)
 
+    // vocab-sized, materialized once: three consumers (both PMI join
+    // sides and the total) would otherwise each re-run the corpus
+    // tokenize+explode pipeline feeding it — 4 full corpus passes for
+    // a query that needs 2 (bigram counts + unigram counts)
     val unigrams = toks.groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+      .localCheckpoint(true)
     val total = unigrams.agg(sum(col("n_w")).as("n_total"))
 
     bigrams

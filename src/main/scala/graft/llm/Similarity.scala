@@ -450,20 +450,43 @@ object Similarity {
         cand.select(col("id"), col("vec"),
           explode(routeCol).as("cell"))
       }
-    val a = assigned.select(col("cell"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
-    val b = assigned.select(col("cell"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
-    // NaN guard (r13 review find): VectorCore.cosine returns NaN (not
-    // null) for NaN-element vectors, and Spark's nan-safe ordering
-    // makes NaN >= threshold TRUE — without the reject, ONE corrupt
+    // Materialize the assignment ONCE, pre-partitioned by cell: both
+    // sides of the in-cell self-join read it, and without this each
+    // side re-ran the whole assignment subtree — the O(k·dim)-per-row
+    // centroid scoring (flat path) or the router walk plus the
+    // collapse pre-pass's vec-keyed exchange (scale path) — twice,
+    // plus one cell exchange per side. The explicit repartition at
+    // numShufflePartitions means localCheckpoint preserves a layout
+    // both join inputs already satisfy (the PageRank degEdges idiom),
+    // so the join schedules NO exchange. The per-vector norm rides
+    // along: VectorCore.cosine recomputes sqrt(Σv²) of BOTH vectors
+    // for every pair (3n flops/pair); hoisting the norms per vector
+    // and dividing the pair dot by their product is the identical
+    // IEEE computation — same left-to-right fold, same sqrt, same
+    // d/(na*nb) expression — at n flops/pair.
+    val par = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val assignedM = assigned
+      .withColumn("nrm", norm(col("vec")))
+      .repartition(par, col("cell"))
+      .localCheckpoint(true)
+    val a = assignedM.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = assignedM.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    // NaN guard (r13 review find): the cosine of a NaN-element vector
+    // is NaN (not null), and Spark's nan-safe ordering makes
+    // NaN >= threshold TRUE — without the reject, ONE corrupt
     // embedding would edge to every cell-mate and glue unrelated
     // vectors into a single cluster. nanvl (NaN → null → comparison
-    // null → dropped) keeps the cosine evaluated ONCE per pair:
+    // null → dropped) keeps the pair kernel evaluated ONCE per pair:
     // FilterExec does no common-subexpression elimination, so the
-    // `!isnan(c) && c >= t` spelling would compute every in-cell
-    // cosine twice
-    val pairCos = nanvl(cosine(col("vec_a"), col("vec_b")),
+    // `!isnan(c) && c >= t` spelling would compute it twice.
+    // Null/zero-norm semantics match VectorCore.cosine exactly: a
+    // null element nulls the dot AND the norm; Spark's non-ANSI
+    // Divide yields NULL on a 0.0 divisor, which is the kernel's
+    // explicit zero-norm branch.
+    val pairCos = nanvl(
+      dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")),
       lit(null).cast("double"))
     val repEdges = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
