@@ -139,18 +139,22 @@ object LlmQueries {
     * simhash — far below any corpus scale). */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = docsWithClones(s, dir)
-    // spread: the fingerprint+normalize chain must not run at scan
-    // width (1-2 partitions); localCheckpoint: without it the join's
-    // isnotnull key conditions push `fingerprintexpr(text)` down INTO
-    // both sides' parquet scans and broadcast builds — the heavy chain
-    // evaluated 4x, twice at scan width. The checkpointed table is
-    // (id, fp, nlen) — 20 bytes/doc — computed exactly once; lazy so
-    // the first join build populates the blocks (NOTES_r10 §6).
+    // spread: the simhash+fingerprint+normalize chain must not run at
+    // scan width (1-2 partitions); localCheckpoint: without it the
+    // join's isnotnull key conditions push `fingerprintexpr(text)` down
+    // INTO both sides' parquet scans and broadcast builds — the heavy
+    // chain evaluated 4x, twice at scan width. The checkpointed table
+    // is (id, sh, fp, nlen) — 28 bytes/doc — and carries ALL the
+    // per-doc hashes in ONE corpus pass: the banding stage reads its
+    // (doc_id, sh) projection instead of running a second scan +
+    // simhash kernel pass of its own; lazy so the first consumer
+    // populates the blocks (NOTES_r10 §6).
     val n = Dedup.spread(d, col("doc_id")).select(col("doc_id"),
+      Dedup.simhash(col("text")).as("sh"),
       Text.fingerprint(col("text")).as("fp"),
       length(Text.normalize(col("text"))).as("nlen"))
       .materialized("q_simhash_spread")
-    Dedup.simhashNearDups(d, "doc_id", "text", maxDist = 0)
+    Dedup.simhashNearDupsFromHashes(n.select("doc_id", "sh"), maxDist = 0)
       .join(n.select(col("doc_id").as("id_a"), col("fp").as("fp_a"),
         col("nlen").as("nlen_a")), "id_a")
       .join(n.select(col("doc_id").as("id_b"), col("fp").as("fp_b"),

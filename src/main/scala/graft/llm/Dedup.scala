@@ -335,7 +335,15 @@ object Dedup {
         abs(length(col("__t_a")) - length(col("__t_b"))) <= d)
       case None => joined
     }
-    val lev = levenshtein(col("__t_a"), col("__t_b"))
+    // equality short-circuit: the dominant candidate class after an
+    // LSH recall pass is the EXACT duplicate (jaccard 1.0), and the
+    // full O(len_a·len_b) DP on two identical strings produces 0 at
+    // quadratic cost — one O(len) byte compare decides that case.
+    // levenshtein(a, a) = 0 and the null algebra is unchanged
+    // (a === b is null when either side is null, when() falls to the
+    // otherwise branch, levenshtein(null, x) is null).
+    val lev = when(col("__t_a") === col("__t_b"), lit(0))
+      .otherwise(levenshtein(col("__t_a"), col("__t_b")))
     val out = prefiltered
       .withColumn("lev", lev.cast("bigint"))
       .withColumn("lev_sim", lit(1.0) - col("lev").cast("double") /
@@ -1058,9 +1066,18 @@ object Dedup {
     * one-scan bucket-combinations shape as [[minhashCandidates]]. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3,
-                      maxBucketSize: Int = 1000): DataFrame = {
-    val sh = spread(reg(docs), col(idCol)).select(col(idCol).as("doc_id"),
-      simhash(col(textCol)).as("sh"))
+                      maxBucketSize: Int = 1000): DataFrame =
+    simhashNearDupsFromHashes(
+      spread(reg(docs), col(idCol)).select(col(idCol).as("doc_id"),
+        simhash(col(textCol)).as("sh")),
+      maxDist, maxBucketSize)
+
+  /** Banding/verify stage of [[simhashNearDups]] over a precomputed
+    * `(doc_id, sh)` frame — callers that already materialize per-doc
+    * hashes for their own verify joins pass them in instead of paying
+    * a second full corpus scan + simhash pass. */
+  def simhashNearDupsFromHashes(sh: DataFrame, maxDist: Int = 3,
+                                maxBucketSize: Int = 1000): DataFrame = {
     // maxDist=0 requires IDENTICAL hashes — banding adds nothing but a
     // 4x explosion and giant 16-bit-band buckets (low-entropy corpora
     // share band values far more often than whole hashes). Bucket on

@@ -33,6 +33,18 @@ class EditDistanceSpec extends SparkSuite {
     assert(out == Set((1L, 2L)))
   }
 
+  test("null text: lev and lev_sim stay null under the equality short-circuit") {
+    // the a === b short-circuit must not turn levenshtein's null
+    // result into 0 when either side is null
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val pairs = Seq((1L, 9L), (9L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.editDistanceVerify(pairs, withNull, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.isNullAt(r.fieldIndex("lev"))).toMap
+    assert(out((1L, 9L)) && out((9L, 9L)))
+  }
+
   test("extra pair columns pass through") {
     val pairs = Seq((1L, 2L, 0.93)).toDF("id_a", "id_b", "jaccard")
     val row = Dedup.editDistanceVerify(pairs, docs, "doc_id", "text")
