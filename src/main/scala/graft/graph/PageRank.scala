@@ -82,12 +82,17 @@ object PageRank {
     // distinct() already leaves nodes hash-partitioned by `node`
     // (its grouping key) — an explicit repartition would be a second
     // exchange of the same layout
+    // LAZY checkpoints: nodes is populated by the count() below (one
+    // pass instead of an eager materialization job FOLLOWED by the
+    // count), and outDeg by degEdges' build — both still truncate
+    // lineage for the per-iteration consumers, without spending a
+    // scheduled job each (guide §1.2: remove passes before tuning)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // partitioned by src ON PURPOSE: the per-iteration contribution
     // join reuses this layout against the node-keyed rank state
     val degEdges = e.join(outDeg, "src")
@@ -97,7 +102,8 @@ object PageRank {
     val n = nodes.count()
     if (n == 0) return (nodes.withColumn("rank", lit(0L)), 0)
 
-    var ranks = nodes.withColumn("rank", lit(Scale / n)).localCheckpoint(true)
+    // lazy like the per-iteration states: iteration 1's job populates
+    var ranks = nodes.withColumn("rank", lit(Scale / n)).localCheckpoint(false)
     val teleport = (3L * Scale) / (20L * n)
     var iter = 0
     var converged = false
