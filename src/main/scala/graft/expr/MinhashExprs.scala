@@ -1,10 +1,11 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,35 +27,74 @@ import org.apache.spark.unsafe.types.UTF8String
 object MinhashCore extends Serializable {
 
   val M = 1000003L
-  private val WS = java.util.regex.Pattern.compile("\\s+")
 
   /** Normalized word-hash array; [""]-semantics for blank text (one
-    * empty word, exactly like split on an empty string). */
+    * empty word, exactly like split on an empty string).
+    *
+    * Byte-level twin of the original
+    * `trim → lower → regex \s+→" " → String.trim → split(" ") →
+    * xxhash64(word)` chain, hash-identical on (valid-UTF-8) input but
+    * allocation-free past the lowercase: xxhash64 of a word equals
+    * XXH64 over that word's byte range in the lowered string, so the
+    * walk hashes slices in place — no regex pass, no UTF-16 decode,
+    * no per-word String + re-encode. Equivalence notes: Java `\s` is
+    * exactly {0x09..0x0D, 0x20} (no UNICODE flag), all single-byte in
+    * UTF-8 and never a continuation byte, so a byte scan can't split
+    * inside a multibyte char; `String.trim` strips chars ≤ 0x20 from
+    * the ends (controls included), reproduced by the lo/hi clamp;
+    * interior non-\s controls stay word bytes, exactly like
+    * split-on-spaces after collapse. The whole-string toLowerCase is
+    * kept so context-sensitive mappings (final sigma) match. Pinned
+    * against the declarative twin by NativeExprSpec. */
   def wordHashes(text: UTF8String): Array[Long] = {
-    val s = WS.matcher(text.trim().toLowerCase().toString).replaceAll(" ")
-    val t = s.trim()
-    val words = t.split(" ", -1)
-    val out = new Array[Long](words.length)
-    var i = 0
-    while (i < words.length) {
-      out(i) = XxHash64Function.hash(
-        UTF8String.fromString(words(i)), StringType, 42L)
+    val lowered = text.trim().toLowerCase()
+    val b = lowered.getBytes
+    var lo = 0
+    var hi = b.length - 1
+    while (lo <= hi && (b(lo) & 0xFF) <= 0x20) lo += 1
+    while (hi >= lo && (b(hi) & 0xFF) <= 0x20) hi -= 1
+    val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    if (lo > hi) // all-blank/empty: one empty word, like split("")
+      return Array(XXH64.hashUnsafeBytes(b, off, 0, 42L))
+    @inline def isWs(x: Byte): Boolean =
+      x == 0x20 || (x >= 0x09 && x <= 0x0D)
+    var cnt = 1
+    var i = lo
+    var prevWs = false
+    while (i <= hi) {
+      val ws = isWs(b(i))
+      if (ws && !prevWs) cnt += 1
+      prevWs = ws
       i += 1
+    }
+    val out = new Array[Long](cnt)
+    var w = 0
+    i = lo
+    while (i <= hi) {
+      val start = i
+      while (i <= hi && !isWs(b(i))) i += 1
+      out(w) = XXH64.hashUnsafeBytes(b, off + start, i - start, 42L)
+      w += 1
+      while (i <= hi && isWs(b(i))) i += 1
     }
     out
   }
 
   /** Distinct k-shingle Horner hashes; whole-text fold when fewer than
-    * k words. */
-  def shingleHashes(text: UTF8String, k: Int): GenericArrayData = {
+    * k words. Packed with `UnsafeArrayData.fromPrimitiveArray` — the
+    * boxed `Array[Any]` form allocated one Long per shingle per row
+    * on the hottest kernel of the dedup family. */
+  def shingleHashes(text: UTF8String, k: Int): ArrayData = {
     val w = wordHashes(text)
     val n = w.length
     if (n < k) {
       var acc = 0L
       var i = 0
       while (i < n) { acc = acc * M + w(i); i += 1 }
-      new GenericArrayData(Array[Any](acc))
+      UnsafeArrayData.fromPrimitiveArray(Array(acc))
     } else {
+      // LinkedHashSet keeps first-occurrence order — the twin contract
+      // (array_distinct) pins element order, not just the set
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
       var i = 0
       while (i <= n - k) {
@@ -64,11 +104,11 @@ object MinhashCore extends Serializable {
         seen.add(acc)
         i += 1
       }
-      val out = new Array[Any](seen.size)
+      val out = new Array[Long](seen.size)
       val it = seen.iterator()
       var p = 0
       while (it.hasNext) { out(p) = it.next().longValue(); p += 1 }
-      new GenericArrayData(out)
+      UnsafeArrayData.fromPrimitiveArray(out)
     }
   }
 
@@ -100,7 +140,7 @@ object MinhashCore extends Serializable {
 
   /** MinHash signature: per permutation i, min over shingle hashes of
     * `a_i*h + b_i` (wrap-around). */
-  def minhashSig(hashes: ArrayData, numHashes: Int): GenericArrayData = {
+  def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
     val (as, bs) = permArrays(numHashes)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
@@ -116,7 +156,8 @@ object MinhashCore extends Serializable {
       }
       i += 1
     }
-    new GenericArrayData(sig.map(x => x: Any))
+    // primitive packing: 64 boxed Longs per DOCUMENT otherwise
+    UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
   /** Equal positions between two signatures; a position past either
@@ -226,7 +267,7 @@ case class ShingleHashesExpr(text: Expression, k: Expression)
       code"""
         ${t.code}
         boolean ${ev.isNull} = ${t.isNull};
-        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = $core.shingleHashes(${t.value}, $kv);
         }""")
@@ -276,7 +317,7 @@ case class MinhashSigExpr(hashes: Expression, n: Expression)
       code"""
         ${h.code}
         boolean ${ev.isNull} = ${h.isNull};
-        org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} = null;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
         if (!${ev.isNull}) {
           ${ev.value} = $core.minhashSig(${h.value}, $nv);
         }""")

@@ -41,20 +41,27 @@ object Curate {
                sourceCol: String, labelCol: String,
                minTokens: Int = 5, maxTokens: Int = 1000000,
                budgetPerSource: Long = 300): DataFrame = {
+    // tokenize ONCE at the gate: project the count, filter on the
+    // column (filter-then-project would evaluate the split per row in
+    // BOTH operators), and carry the 8-byte count through the dedup
+    // semi-join into the survivor checkpoint — the attrs branch below
+    // used to re-run the whole split kernel over every survivor's text
     val nTok = Text.tokenCount(col(textCol)).cast("bigint")
-    val q = docs.filter(nTok.between(minTokens, maxTokens))
+    val q = docs.withColumn("__n_tokens", nTok)
+      .filter(col("__n_tokens").between(minTokens, maxTokens))
     // exact dedup via min(id)-per-hash + semi join, NOT a row_number
     // window: a mega-duplicated doc is an unsplittable window
     // partition, while the aggregate partial-combines per partition
     val survivors = Dedup.dropExactDuplicates(q, idCol, textCol)
-      .select(col(idCol), col(textCol), col(sourceCol), col(labelCol))
+      .select(col(idCol), col(textCol), col(sourceCol), col(labelCol),
+        col("__n_tokens"))
       .materialized("curate_dedup_survivors") // lazy: first consumer populates (r10 §6)
     val scored = Classifier
       .nbTrainScore(survivors, idCol, textCol, labelCol)
       .filter(col("score_e6") > 0)
     val attrs = survivors.select(col(idCol).as("doc_id"),
       col(sourceCol).as("source"),
-      Text.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      col("__n_tokens").as("n_tokens"))
     budgetFilter(scored.join(attrs, "doc_id"), budgetPerSource)
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("score_e6"), Sampling.split(col("doc_id")).as("split"))
