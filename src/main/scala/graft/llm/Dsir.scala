@@ -37,8 +37,7 @@ object Dsir {
   /** Bucket id (0..nBuckets-1) of one n-gram string: first 8 hex
     * digits of md5, mod nBuckets — engine-replayable, no xxhash. */
   def bucketOf(ngram: Column, nBuckets: Int): Column =
-    pmod(conv(substring(md5(ngram), 1, 8), 16, 10).cast("long"),
-      lit(nBuckets.toLong))
+    pmod(graft.expr.Md5Prefix(ngram, 8), lit(nBuckets.toLong))
 
   /** All hashed n-gram occurrences from a MATERIALIZED token-array
     * column (unigrams + space-joined bigrams), row-local. `ws` must

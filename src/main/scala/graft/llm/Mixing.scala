@@ -31,7 +31,7 @@ object Mixing {
     * md5(key): 2^32 buckets, exactly representable in a double —
     * DuckDB and Spark compute the identical value. */
   def frac32(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+    graft.expr.Md5Prefix(key.cast("string"), 8)
       .cast("double") / 4294967296.0
 
   /** Materialize the mixture. Output = input columns + `copy`

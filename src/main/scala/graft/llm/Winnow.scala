@@ -89,7 +89,10 @@ object Winnow {
     val ordered = byDoc.orderBy(col("pos"))
     val gram = concat_ws(" ",
       col("word") +: (1 until k).map(j => lead(col("word"), j).over(ordered)): _*)
-    val hash32 = conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+    // native md5-prefix: value-identical to conv(substring(md5)) with
+    // no 32-char hex string materialized per gram (the HOF twin below
+    // keeps the declarative chain as the equivalence reference)
+    val hash32 = graft.expr.Md5Prefix(col("gram"), 8)
     val g = exploded
       .select(col(idCol), col("pos"), gram.as("gram"),
         greatest(count(lit(1)).over(byDoc) - (k - 1), lit(1)).as("mg"))

@@ -119,6 +119,26 @@ class NativeExprSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("md5_prefix matches the conv(substring(md5)) chain (1..15 nibbles)") {
+    // edge strings + the real corpus, at several prefix widths incl.
+    // the call sites' 2 and 8
+    val edge = (texts ++ Seq("", " ", "Σ", "é中文"))
+      .toDF("t")
+    for (n <- Seq(1, 2, 8, 15)) {
+      val bad = edge.select(
+        graft.expr.Md5Prefix(col("t"), n).as("nat"),
+        conv(substring(md5(col("t")), 1, n), 16, 10).cast("long").as("hof"))
+        .filter(col("nat") =!= col("hof")).count()
+      assert(bad == 0, s"nHex=$n edge mismatch")
+    }
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val bad = docs.select(
+      graft.expr.Md5Prefix(col("text"), 8).as("nat"),
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
   test("vec_dot / cosine_sim / lsh_bucket match HOF twins on embeddings") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
