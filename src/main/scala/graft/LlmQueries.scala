@@ -640,7 +640,7 @@ object LlmQueries {
   def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val terms = docs.select(col("doc_id"),
-      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+      explode(graft.expr.AlphaTokens(col("text")))
         .as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val stats = tf.groupBy("term").agg(

@@ -31,7 +31,10 @@ object LangModel {
   /** Lowercase alpha tokens — mirrors the tfidf/bm25 tokenizer (and
     * the ANSI-SQL `regexp_extract_all` twin). */
   def tokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+    // native byte-walk twin of regexp_extract_all(lower(text),
+    // '[a-z]+') — value-identical (NativeExprSpec), no regex matcher
+    // or per-match copy on the hottest tokenize path
+    graft.expr.AlphaTokens(text)
 
   /** Per-document unigram NLL: `n_terms` (token count) and
     * `sum_nll_e6` (total surprisal in micro-nats, exact BIGINT).

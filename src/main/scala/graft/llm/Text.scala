@@ -29,9 +29,13 @@ object Text {
 
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Whitespace token count. */
+  /** Whitespace token count — native one-pass byte walk,
+    * value-identical (NativeExprSpec twin test) to
+    * `when(length(trim(text)) === 0, 0)
+    *  .otherwise(size(split(trim(text), "\\s+")))`
+    * without building the word array. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(words(text)))
+    graft.expr.WsTokenCount(text)
 
   /** BPE-ish token estimate: alpha runs, single digits, punctuation —
     * a GPT-2-style pre-tokenizer approximation. */

@@ -139,6 +139,27 @@ class NativeExprSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("alpha_tokens / ws_token_count match their declarative twins") {
+    val edge = (texts ++ Seq("", " ", "\t", "a\t", "\ta", "a\t\tb",
+      "  x  ", "É Σ abc123def", "ONE two THREE", "中a文b"))
+      .toDF("t")
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text").as("t"))
+    for (df <- Seq(edge, docs)) {
+      val badTok = df.select(
+        graft.expr.AlphaTokens(col("t")).as("nat"),
+        regexp_extract_all(lower(col("t")), lit("[a-z]+"), lit(0)).as("hof"))
+        .filter(col("nat") =!= col("hof")).count()
+      assert(badTok == 0)
+      val badCnt = df.select(
+        graft.expr.WsTokenCount(col("t")).as("nat"),
+        when(length(trim(col("t"))) === 0, 0)
+          .otherwise(size(split(trim(col("t")), "\\s+"))).as("hof"))
+        .filter(col("nat") =!= col("hof")).count()
+      assert(badCnt == 0)
+    }
+  }
+
   test("vec_dot / cosine_sim / lsh_bucket match HOF twins on embeddings") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
