@@ -59,6 +59,44 @@ object TextCore extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** Value-identical to `split(trim(regexp_replace(lower(trim(text)),
+    * "\\s+", " ")), "\\s+")` — i.e. `Text.words(Text.normalize(text))`,
+    * the word array under the winnowing / span / PMI / masking
+    * operators: the maximal non-`\s` runs of `lower(trim(text))`
+    * (collapse-then-split-on-single-space ≡ split-on-runs), `[""]`
+    * when no word survives (split of an empty string). Zero-copy
+    * slices of the lowered buffer. */
+  def normWords(text: UTF8String): ArrayData = {
+    val lowered = text.trim().toLowerCase
+    var b = lowered.getBytes
+    if (b.asInstanceOf[AnyRef] eq text.getBaseObject) b = b.clone()
+    val n = b.length
+    @inline def isWs(x: Byte): Boolean =
+      x == 0x20 || (x >= 0x09 && x <= 0x0D)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!isWs(b(i))) {
+        cnt += 1
+        while (i < n && !isWs(b(i))) i += 1
+      } else i += 1
+    }
+    if (cnt == 0)
+      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8))
+    val out = new Array[Any](cnt)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (!isWs(b(i))) {
+        val start = i
+        while (i < n && !isWs(b(i))) i += 1
+        out(w) = UTF8String.fromBytes(b, start, i - start)
+        w += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def wsTokenCount(text: UTF8String): Int = {
     val b = text.getBytes
     var lo = 0
@@ -96,6 +134,44 @@ object WsTokenCount {
   import org.apache.spark.sql.graftbridge.ExprColumn
   def apply(text: Column): Column =
     ExprColumn.column(WsTokenCountExpr(ExprColumn.expression(text)))
+}
+
+object NormWords {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.ExprColumn
+  def apply(text: Column): Column =
+    ExprColumn.column(NormWordsExpr(ExprColumn.expression(text)))
+}
+
+/** `norm_words(text)` → array<string>. */
+case class NormWordsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null
+    else TextCore.normWords(t.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val t = child.genCode(ctx)
+    val core = ctx.addReferenceObj("textCore", TextCore,
+      TextCore.getClass.getName)
+    ev.copy(code =
+      code"""
+        ${t.code}
+        boolean ${ev.isNull} = ${t.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = $core.normWords(${t.value});
+        }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `alpha_tokens(text)` → array<string>. */

@@ -397,7 +397,7 @@ object Dedup {
     // warm for the eager twin, which paid the whole chain once at
     // build and once per session cache drop
     val grams = spread(docs, col(idCol))
-      .select(col(idCol), posexplode(Text.words(Text.normalize(col(textCol))))
+      .select(col(idCol), posexplode(graft.expr.NormWords(col(textCol)))
         .as(Seq("pos", "word")))
       .select(col(idCol), col("pos"), gram.as("gram"),
         count(lit(1)).over(byDoc).as("nw"))

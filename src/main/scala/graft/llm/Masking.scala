@@ -37,7 +37,7 @@ object Masking {
       rate: Double = 0.15,
       maskTok: String = "<mask>"): DataFrame = {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
-    val ws = Text.words(Text.normalize(col(textCol)))
+    val ws = graft.expr.NormWords(col(textCol))
     val id = col(idCol)
     val flags = transform(ws, (_, i) => maskU(id, i) < lit(rate))
     docs

@@ -35,7 +35,7 @@ object Phrases {
     val toks = docs
       .where(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc"),
-        posexplode(Text.words(Text.normalize(col(textCol)))).as(Seq("pos", "w")))
+        posexplode(graft.expr.NormWords(col(textCol))).as(Seq("pos", "w")))
 
     val w = Window.partitionBy("doc").orderBy("pos")
     val bigrams = toks

@@ -82,7 +82,7 @@ object Winnow {
     // gram START stays < PosCap (the packing precondition) while grams
     // starting just under the cap still see their full k words.
     val exploded = docs.select(col(idCol),
-      posexplode(Text.words(Text.normalize(col(textCol))))
+      posexplode(graft.expr.NormWords(col(textCol)))
         .as(Seq("pos", "word")))
       .filter(col("pos") < lit(PosCap + k - 1))
     val byDoc = Window.partitionBy(col(idCol))

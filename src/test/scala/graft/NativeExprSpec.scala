@@ -160,6 +160,22 @@ class NativeExprSpec extends SparkSuite {
     }
   }
 
+  test("norm_words matches Text.words(Text.normalize) exactly") {
+    import graft.llm.Text
+    val edge = (texts ++ Seq("", " ", "\t", "a\t", "\ta", "a\t\tb",
+      "  x  ", " mixed\tcontrols ", "É Σ ΣΙΓΜΑ", "中 文"))
+      .toDF("t")
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text").as("t"))
+    for (df <- Seq(edge, docs)) {
+      val bad = df.select(
+        graft.expr.NormWords(col("t")).as("nat"),
+        Text.words(Text.normalize(col("t"))).as("hof"))
+        .filter(col("nat") =!= col("hof")).count()
+      assert(bad == 0)
+    }
+  }
+
   test("vec_dot / cosine_sim / lsh_bucket match HOF twins on embeddings") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
