@@ -112,7 +112,11 @@ object Classifier {
     val tf = termFrequencies(docs, idCol, textCol, Some(labelCol),
       checkpoint = true) // fans into the stats branch AND scoring join
     val (weights, consts) = trainFromTf(tf, docs, labelCol)
-    scoreFromTf(tf.drop("pos"), weights, consts, docs, idCol)
+    // consts is 1 row but consumed TWICE by the scorer (oov weight in
+    // the term join, prior in the final projection) — each consumption
+    // replayed its whole docStats + totals lineage
+    scoreFromTf(tf.drop("pos"), weights,
+      consts.materialized("classifier_consts"), docs, idCol)
   }
 
   /** Count-form model: `(stats, docStats)` — per-term class counts
@@ -151,11 +155,20 @@ object Classifier {
     * `nbTrain(docs)` bit for bit. */
   def weightsFromStats(stats: DataFrame, docStats: DataFrame)
       : (DataFrame, DataFrame) = {
-    val tot = stats.agg(
+    // vocab-sized, materialized once: stats feeds the weights
+    // projection AND two tot aggregations (weights' and consts') —
+    // without this the tf-table term aggregation replays per consumer
+    // (the q_quality_classifier plan showed the whole tf→groupBy(term)
+    // pipeline THREE times)
+    val st = stats.materialized("classifier_term_stats")
+    // 1-row, consumed by weights and consts — materialize so the
+    // vocab aggregation itself also runs once
+    val tot = st.agg(
       sum(col("tfp")).cast("bigint").as("np"),
       sum(col("tfn")).cast("bigint").as("nn"),
       count(lit(1)).cast("bigint").as("v"))
-    val weights = stats.crossJoin(broadcast(tot))
+      .materialized("classifier_totals")
+    val weights = st.crossJoin(broadcast(tot))
       .select(col("term"), microNats(
         log((col("tfp") + 1).cast("double") / (col("np") + col("v")).cast("double")) -
         log((col("tfn") + 1).cast("double") / (col("nn") + col("v")).cast("double")))
