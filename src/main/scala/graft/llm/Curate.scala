@@ -172,9 +172,14 @@ object Curate {
     // micro-nats per token; 1e4-wide bins → ~thousands of occupied
     // bins across a realistic 0..40e6 surprisal range
     val key = col("sum_nll_e6").cast("double") / col("n_terms")
+    // compact (id, lang, counts, key, bin) rows, materialized once:
+    // `in` feeds the histogram build AND the final labeling join —
+    // without this the caller's whole scoring pipeline (e.g. the
+    // unigram-NLL aggregation chain) replays per consumer
     val in = scored.select(col(idCol), col(langCol), col("n_terms"),
       col("sum_nll_e6"), key.as("__k"),
       floor(key / lit(1e4)).cast("long").as("__qb"))
+      .materialized("ccnet_scored_bins")
     val overBins = Window.partitionBy(col(langCol)).orderBy(col("__qb"))
     val hist = in.groupBy(col(langCol), col("__qb"))
       .agg(count(lit(1)).as("__cnt"))

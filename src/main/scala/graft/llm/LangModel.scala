@@ -56,7 +56,11 @@ object LangModel {
       // the whole chain as a job at plan-BUILD time on every call
       // (the crossDocSpans lesson, NOTES_r10 §6)
       .materialized("langmodel_unigram_tf")
+    // vocab-sized, materialized once: stats feeds the scoring join
+    // AND the n_total aggregation — without this the tf-by-term
+    // aggregation replays per consumer
     val stats = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
+      .materialized("langmodel_unigram_stats")
     val total = stats.agg(sum(col("ctf")).cast("double").as("n_total"))
     tf.join(stats, "term")
       .crossJoin(broadcast(total))
@@ -102,8 +106,13 @@ object LangModel {
       // lazy — c1's aggregation stage populates the blocks, c2 reads
       // them (NOTES_r10 §6: eager paid the chain at plan-build)
       .materialized("langmodel_bigram_tokens")
+    // vocab-sized, materialized once: c1 feeds BOTH scoring joins
+    // (previous-word and current-word lookups) and the n_total
+    // aggregation — 3 consumers, each replaying the model-corpus
+    // explode+count without it
     val c1 = mWs.select(explode(col("ws")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
+      .materialized("langmodel_bigram_c1")
     val c2 = mWs.filter(size(col("ws")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i).as("w1"),
