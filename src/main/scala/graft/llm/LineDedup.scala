@@ -46,11 +46,16 @@ object LineDedup {
       joiner: String = ". ",
       minDocs: Long = 2L): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // materialized once: lines feeds the doc-frequency branch AND the
+    // keep/reassemble join — without this the whole segmentation
+    // (split + posexplode + normalize-regex + hash) replays per
+    // consumer, two full corpus passes for a one-pass job
     val lines = docs
       .select(col(idCol).as("doc"),
         posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "line")))
       .where(length(trim(col("line"))) > 0)
       .withColumn("h", lineKey(col("line")))
+      .localCheckpoint(false)
 
     // df over DISTINCT docs per hash: two-level aggregate keeps the
     // per-hash state bounded (a boilerplate line in 10M docs reduces
