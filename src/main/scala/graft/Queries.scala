@@ -1357,19 +1357,28 @@ object Queries {
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(15,2)").as("o_totalprice"))
     def at(day: String) = lit(day).cast("timestamp")
-    val upd = base.filter(pmod(col("o_orderkey"), lit(5)) === 0)
-      .select(col("o_orderkey"), lit("upsert").as("op"), at("2025-01-01").as("ts"),
-        col("o_orderkey").as("seq"), col("o_orderstatus"),
-        (col("o_totalprice") + lit(10)).cast("decimal(15,2)").as("o_totalprice"))
-    val del = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
-      .select(col("o_orderkey"), lit("delete").as("op"), at("2025-01-02").as("ts"),
-        col("o_orderkey").as("seq"), lit(null).cast("string").as("o_orderstatus"),
-        lit(null).cast("decimal(15,2)").as("o_totalprice"))
-    val re = base.filter(pmod(col("o_orderkey"), lit(14)) === 0)
-      .select(col("o_orderkey"), lit("upsert").as("op"), at("2025-01-03").as("ts"),
-        col("o_orderkey").as("seq"), lit("R").as("o_orderstatus"),
-        (col("o_totalprice") * lit(2)).cast("decimal(15,2)").as("o_totalprice"))
-    (base, upd.unionByName(del).unionByName(re))
+    // ONE scan builds all three change branches via conditional
+    // structs + explode, instead of a 3-way union of filters that each
+    // re-scanned the fact table (3 scans -> 1; changelog row ORDER is
+    // irrelevant — applyChangelog/scd2History order by (ts, seq))
+    def branch(cond: Column, op: String, ts: Column, status: Column,
+               price: Column) =
+      when(cond, struct(col("o_orderkey"), lit(op).as("op"), ts.as("ts"),
+        col("o_orderkey").as("seq"), status.as("o_orderstatus"),
+        price.cast("decimal(15,2)").as("o_totalprice")))
+    val chg = base.select(explode(array(
+        branch(pmod(col("o_orderkey"), lit(5)) === 0, "upsert",
+          at("2025-01-01"), col("o_orderstatus"),
+          col("o_totalprice") + lit(10)),
+        branch(pmod(col("o_orderkey"), lit(7)) === 0, "delete",
+          at("2025-01-02"), lit(null).cast("string"),
+          lit(null).cast("decimal(15,2)")),
+        branch(pmod(col("o_orderkey"), lit(14)) === 0, "upsert",
+          at("2025-01-03"), lit("R"),
+          col("o_totalprice") * lit(2)))).as("__c"))
+      .filter(col("__c").isNotNull)
+      .select("__c.*")
+    (base, chg)
   }
 
   def cdcApply(s: SparkSession, dir: String): DataFrame = {
@@ -1580,23 +1589,30 @@ object Queries {
     // insert/absent-delete branches can never collide with real keys
     // (or each other) at any SF — a fixed +1M would collide at sf1
     val off = tgt.agg(max(col("o_orderkey"))).head().getLong(0) + 1
-    val upd = tgt.filter(pmod(col("o_orderkey"), lit(5)) === 0)
-      .select(col("o_orderkey"), col("o_orderstatus"),
-        (col("o_totalprice") + lit(10)).cast("decimal(15,2)")
-          .as("o_totalprice"), lit("upsert").as("op"))
-    val ins = tgt.filter(pmod(col("o_orderkey"), lit(11)) === 0)
-      .select((col("o_orderkey") + off).as("o_orderkey"),
-        lit("N").as("o_orderstatus"), col("o_totalprice"),
-        lit("upsert").as("op"))
-    val del = tgt.filter(pmod(col("o_orderkey"), lit(7)) === 0 &&
-        pmod(col("o_orderkey"), lit(5)) =!= 0)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        lit("delete").as("op"))
-    val delAbsent = tgt.filter(pmod(col("o_orderkey"), lit(13)) === 0)
-      .select((col("o_orderkey") + 2 * off).as("o_orderkey"),
-        col("o_orderstatus"), col("o_totalprice"), lit("delete").as("op"))
-    graft.operators.Merge.mergeInto(tgt,
-        upd.unionByName(ins).unionByName(del).unionByName(delAbsent),
+    // ONE scan builds all four source branches via conditional structs
+    // + explode instead of a 4-way union of filters (4 scans -> 1; the
+    // source batch is a SET to MERGE — row order is irrelevant)
+    def branch(cond: Column, key: Column, status: Column, price: Column,
+               op: String) =
+      when(cond, struct(key.as("o_orderkey"), status.as("o_orderstatus"),
+        price.as("o_totalprice"), lit(op).as("op")))
+    val src = tgt.select(explode(array(
+        branch(pmod(col("o_orderkey"), lit(5)) === 0,
+          col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + lit(10)).cast("decimal(15,2)"), "upsert"),
+        branch(pmod(col("o_orderkey"), lit(11)) === 0,
+          col("o_orderkey") + off, lit("N"), col("o_totalprice"),
+          "upsert"),
+        branch(pmod(col("o_orderkey"), lit(7)) === 0 &&
+            pmod(col("o_orderkey"), lit(5)) =!= 0,
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          "delete"),
+        branch(pmod(col("o_orderkey"), lit(13)) === 0,
+          col("o_orderkey") + 2 * off, col("o_orderstatus"),
+          col("o_totalprice"), "delete"))).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select("__s.*")
+    graft.operators.Merge.mergeInto(tgt, src,
         Seq("o_orderkey"), deleteWhen = Some(col("op") === "delete"))
       .withColumn("o_totalprice",
         round(col("o_totalprice"), 2).cast("double"))
