@@ -64,6 +64,14 @@ case class MultiAssetPartsExpr(url: Expression, regex: Expression,
 
   override def children: Seq[Expression] = Seq(url, regex, dataFile)
   override def nullable: Boolean = true
+  // The evaluator is pure, but declaring it non-deterministic stops the
+  // optimizer's filter-pushdown alias substitution from duplicating the
+  // three-regex pass: `select(parts).filter(isnotnull(parts))` was
+  // planned as Filter(isnotnull(multiassetpartsexpr(url))) BELOW the
+  // Project that evaluates it again — 2x the dominant per-row cost of
+  // the J1 map side (measured: core.parts is 0.55 s/600k rows
+  // single-thread; the fused scan task paid ~1.1 s).
+  override lazy val deterministic: Boolean = false
   override def dataType: DataType = StructType(Seq(
     StructField("product_id", StringType, nullable = false),
     StructField("asset_name", StringType, nullable = false),

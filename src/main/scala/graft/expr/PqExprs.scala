@@ -99,6 +99,13 @@ case class PqEncodeExpr(vec: Expression, codebook: Expression,
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
+  // Pure, but declared non-deterministic so filter-pushdown alias
+  // substitution cannot duplicate the m x k x dsub distance pass (and
+  // the embedded codebook literal, which doubled the generated-code
+  // size) into a Filter below the encoding projection — the q_ann_pq /
+  // q_ann_ivfpq plans carried `isnotnull(element_at(pqencodeexpr(..)))`
+  // on the raw scan plus the same encode again in the Project.
+  override lazy val deterministic: Boolean = false
 
   override def checkInputDataTypes()
   : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {

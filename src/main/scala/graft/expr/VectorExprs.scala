@@ -198,6 +198,12 @@ case class LshBucketExpr(vec: Expression, nBits: Expression, dim: Expression)
   override def third: Expression = dim
   override def dataType: DataType = LongType
   override def nullable: Boolean = vec.nullable
+  // Pure, but declared non-deterministic so the bucket equi-join's
+  // inferred `isnotnull(bucket)` is not alias-substituted below the
+  // projection — that pushdown re-ran the nBits x dim hyperplane dot
+  // pass per corpus row in a Filter AND the Project (q_ann_lsh /
+  // q_embed_near_dups plans, guide §4.4 duplication).
+  override lazy val deterministic: Boolean = false
 
   private def elemType: DataType =
     vec.dataType.asInstanceOf[ArrayType].elementType

@@ -99,9 +99,13 @@ object LangModel {
   def stupidBackoffNll(model: DataFrame, score: DataFrame,
                        idCol: String, textCol: String,
                        alpha: Double = 0.4): DataFrame = {
+    // no size(ws) >= 1 filter here: it would be alias-substituted below
+    // the projection and run the tokenizer TWICE per model doc (guide
+    // §4.4 duplication), and it is redundant — c1's explode emits no
+    // rows for an empty array and c2 filters size >= 2 on the
+    // checkpointed arrays anyway
     val mWs = Dedup.spread(model, col(idCol))
       .select(tokens(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= 1)
       // one tokenize pass feeds BOTH count tables (the bm25 lesson);
       // lazy — c1's aggregation stage populates the blocks, c2 reads
       // them (NOTES_r10 §6: eager paid the chain at plan-build)
@@ -121,15 +125,20 @@ object LangModel {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val total = c1.agg(sum(col("c1")).cast("double").as("n_total"))
 
+    // token positions via transform-with-index over ws itself: an empty
+    // array explodes to zero rows, so the old size(ws) >= 1 guard (which
+    // existed because sequence(1, 0) steps DOWN to [1, 0]) is not needed
+    // — that filter was alias-substituted below the projection and ran
+    // the tokenizer twice per scored doc. Same (prev, cur) values:
+    // 0-based lambda index i maps to the old 1-based position i + 1.
     val rows = Dedup.spread(score, col(idCol))
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ws"))
-      .filter(size(col("ws")) >= 1)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("ws"))),
-          i => struct(
-            when(i === 1, lit(null).cast("string"))
-              .otherwise(element_at(col("ws"), i - 1)).as("prev"),
-            element_at(col("ws"), i).as("cur")))).as("t"))
+        explode(transform(col("ws"),
+          (x, i) => struct(
+            when(i === 0, lit(null).cast("string"))
+              .otherwise(element_at(col("ws"), i)).as("prev"),
+            x.as("cur")))).as("t"))
       .select(col("doc_id"), col("t.prev").as("prev"),
         col("t.cur").as("cur"))
       .groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("k"))
