@@ -980,7 +980,10 @@ object LlmQueries {
     * so the DuckDB oracle replays it bit-for-bit. */
   def dsirScores(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    Dsir.importanceScores(d, d.filter(col("lang") === "en"),
+    // subset-target form: the en-slice bucket counts are a partial sum
+    // of the corpus (id, bucket, cnt) table — bit-identical scores,
+    // one tokenize+md5 pass over the slice removed
+    Dsir.importanceScoresSubset(d, col("lang") === "en",
       "doc_id", "text", nBuckets = 1024)
       .orderBy("doc_id")
   }
@@ -992,7 +995,7 @@ object LlmQueries {
     * resampling recipe of Xie et al. 2023, deterministic end to end. */
   def dsirResample(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val scored = Dsir.importanceScores(d, d.filter(col("lang") === "en"),
+    val scored = Dsir.importanceScoresSubset(d, col("lang") === "en",
       "doc_id", "text", nBuckets = 1024)
     graft.llm.Sampling.logWeightedSample(scored, col("doc_id"),
       col("score_e6") / lit(1000000.0), n = 100)

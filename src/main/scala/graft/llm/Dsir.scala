@@ -142,4 +142,29 @@ object Dsir {
       .agg(sum(col("__c")).as("n_ngrams"),
         sum(col("__c") * col("w_e6")).as("score_e6"))
   }
+
+  /** [[importanceScores]] for the common in-corpus case where the
+    * target is a PREDICATE over the raw corpus itself (e.g. "the
+    * English slice"). The target's bucket counts are then a partial
+    * sum of the already-materialized (id, bucket, cnt) table — summing
+    * `cnt` over the target ids per bucket equals re-tokenizing the
+    * target slice exactly — so the slice's tokenize + md5 pass (the
+    * dominant per-row kernel) is never run a second time. The id list
+    * comes from a text-column-pruned scan. Scores are bit-identical
+    * to `importanceScores(raw, raw.filter(targetPred), ...)`. */
+  def importanceScoresSubset(raw: DataFrame, targetPred: Column,
+                             idCol: String, textCol: String,
+                             nBuckets: Int = 1024): DataFrame = {
+    val bc = bucketRows(raw, textCol, nBuckets, Seq(col(idCol)))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val cr = bc.groupBy("bucket").agg(sum(col("__c")).as("nr"))
+    val targetIds = raw.filter(targetPred).select(col(idCol))
+    val ct = bc.join(targetIds, Seq(idCol), "left_semi")
+      .groupBy("bucket").agg(sum(col("__c")).as("nt"))
+    bc.join(broadcast(trainFromCounts(cr, ct, nBuckets)), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_ngrams"),
+        sum(col("__c") * col("w_e6")).as("score_e6"))
+  }
 }

@@ -85,7 +85,13 @@ object MultiAsset {
     // payload = every input column except the two this operator
     // (re)defines; carried through the shuffle as one struct
     val payload = objs.columns.filterNot(c => c == "assets" || c == "product_id").toSeq
-    val matched = objs
+    // widen narrow inputs before the per-row regex triple + grouping
+    // buffers (the dedup operators' spread rule): a single listing file
+    // arrives in O(bytes / maxPartitionBytes) scan partitions — often
+    // one — and the whole map side would run at that width; inputs
+    // already at the session's parallelism pass through shuffle-free
+    val wide = graft.llm.Dedup.spread(objs, col("remote_fileurl"))
+    val matched = wide
       .select(
         call_function("multi_asset_parts", col("remote_fileurl"),
           lit(dataFileRegex), lit(dataFile)).as("__ma"),

@@ -27,8 +27,8 @@ object R16JobProbe {
     val stageTasks = mutable.Map[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val cs = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val cs = j.stageInfos.map(_.name.takeWhile(_ != '\n').take(44))
+          .mkString(" | ")
         starts(j.jobId) = (j.time, cs, j.stageInfos.size)
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
