@@ -775,12 +775,15 @@ object LlmQueries {
       .withColumnRenamed("component", "cluster_id")
     // materialize the compact (doc_id, cluster_id) assignment ONCE —
     // two longs per row — instead of re-running the corpus-union join
-    // for each of its two consumers (the size agg and the final join)
+    // for each of its two consumers (the size agg and the final join);
+    // LAZY: both consumers run inside the one final action, whose
+    // first-touching branch populates the blocks (no separate
+    // materialization job scheduled)
     val assigned = d.select("doc_id")
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // size via map-side-combinable groupBy + join-back (the
     // keepBestPerCluster shape), NOT count-over-window: a 10⁶-member
     // viral cluster reduces to per-partition counters under the agg,
@@ -817,7 +820,9 @@ object LlmQueries {
       .join(comps, Seq("doc_id"), "left")
       .withColumn("cluster_id",
         coalesce(col("cluster_id"), col("doc_id")))
-      .localCheckpoint(true)
+      // lazy: keepBestPerCluster's min-agg branch populates the blocks
+      // inside the final action; no separate materialization job
+      .localCheckpoint(false)
     Dedup.keepBestPerCluster(clustered, "doc_id", "cluster_id",
       col("__prio"))
       .select("doc_id")

@@ -70,10 +70,14 @@ object PageRank {
     require(tolL1 >= 0L, s"tolL1 must be >= 0: $tolL1")
     // Materialize the edge table ONCE: nodes, out-degrees, and
     // degEdges all derive from it, and without this checkpoint each
-    // of their eager materializations would re-run the caller's whole
+    // of their materializations would re-run the caller's whole
     // edge-construction pipeline (scan + joins + distinct) from
-    // scratch — measured 3x the build cost of q_pagerank.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // scratch — measured 3x the build cost of q_pagerank. LAZY since
+    // r16: degEdges (the one remaining eager consumer) populates e's
+    // blocks inside its own materialization job, so the edge build no
+    // longer pays a separate scheduled pass; nodes.count() and the
+    // iterations then read the cached blocks.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     // the rank state comes out of shuffles at numShufflePartitions —
     // degEdges must sit at the SAME count or EnsureRequirements
     // re-shuffles the edge side inside every iteration (on a default

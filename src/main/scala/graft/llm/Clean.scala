@@ -51,8 +51,10 @@ object Clean {
     // Materialize the gate survivors: the exact stage's min-agg AND
     // its semi-join probe both read them, so the (C4/Gopher/token)
     // gate — normalize+tokenize string work over the full corpus —
-    // otherwise runs twice before near-dup even starts.
-    d = d.localCheckpoint(true)
+    // otherwise runs twice before near-dup even starts. LAZY: the
+    // exact-survivor materialization below populates these blocks
+    // inside its own job (no separate scheduled pass).
+    d = d.localCheckpoint(false)
     // exact dedup: keep the smallest id per identical text — the
     // skew-safe min(id)-agg + semi-join shape (see
     // [[Dedup.dropExactDuplicates]]; a row_number window serializes a
@@ -66,8 +68,11 @@ object Clean {
     // 4x, exact-dedup shuffle 2x in the executed plan). One
     // corpus-sized local materialization — the same order of bytes
     // the exact stage's own shuffle already moves — replaces those
-    // repeated corpus passes; rows are identical either way.
-    d = d.localCheckpoint(true)
+    // repeated corpus passes; rows are identical either way. LAZY:
+    // the near-dup stage's shingle persist populate is the first
+    // consumer and fills these blocks in-job; the final anti-join
+    // reads them back.
+    d = d.localCheckpoint(false)
     // near-dup removal (greedy keep-lowest-id)
     Dedup.dropNearDuplicates(d, idCol, textCol, cfg.nearDupThreshold,
       cfg.shingleK, cfg.numHashes, cfg.bands)

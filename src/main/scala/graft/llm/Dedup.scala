@@ -97,6 +97,15 @@ object Dedup {
   private[graft] def pinWidth(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** [[pinWidth]] for a stage whose NEXT operator groups/joins on
+    * `keys`: one keyed REPARTITION_BY_NUM exchange (equally exempt
+    * from AQE byte-coalescing) establishes both the full width AND the
+    * clustering the downstream aggregation needs, so EnsureRequirements
+    * schedules no second exchange — where `groupBy.agg` followed by a
+    * round-robin pinWidth paid two. */
+  private[graft] def pinKeyed(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
   /** Exact-dup key: md5 hex of the raw text (DuckDB-reproducible). */
   def exactKey(text: Column): Column = md5(text.cast("binary"))
 
@@ -235,18 +244,21 @@ object Dedup {
                                bands: Int, maxBucketSize: Int,
                                withEst: Boolean = true): DataFrame = {
     val bandKeys = explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk")
-    // pair generation is quadratic in bucket size but byte-tiny —
-    // measured 216 s on 1-3 AQE-coalesced cores vs ~4 s pinned wide
-    def atFullWidth(buckets: DataFrame): DataFrame = pinWidth(buckets)
     if (withEst) {
       val banded = withSig
         .select(col("doc_id"), col("sig"), bandKeys)
         .select(col("doc_id"), col("sig"),
           col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      val buckets = atFullWidth(banded.groupBy("band", "bucket")
+      // pair generation is quadratic in bucket size but byte-tiny —
+      // measured 216 s on 1-3 AQE-coalesced cores vs ~4 s pinned wide.
+      // The width pin is the PRE-agg keyed repartition (REPARTITION_BY_NUM
+      // is AQE-coalescing-exempt and the groupBy reuses its layout), not
+      // a second round-robin exchange after the agg
+      val buckets = pinKeyed(banded, col("band"), col("bucket"))
+        .groupBy("band", "bucket")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
           .as("members"))
-        .filter(size(col("members")).between(2, maxBucketSize)))
+        .filter(size(col("members")).between(2, maxBucketSize))
       // native sig_agree: one call per in-bucket pair — the
       // interpreted zip_with twin was the hot path when borderline
       // families make candidate counts quadratic
@@ -262,9 +274,9 @@ object Dedup {
           col("p.jaccard_est").as("jaccard_est"))
         .groupBy("id_a", "id_b").agg(max("jaccard_est").as("jaccard_est"))
     } else {
-      val buckets = atFullWidth(
+      val buckets =
         bandedIdBuckets(withSig, numHashes, bands, "members",
-          minSize = 2, maxBucketSize = maxBucketSize))
+          minSize = 2, maxBucketSize = maxBucketSize)
       buckets
         .select(explode(bucketPairs(col("members"), (x, y) => struct(
           x.as("id_a"), y.as("id_b")))).as("p"))
@@ -282,10 +294,11 @@ object Dedup {
   private def bandedIdBuckets(sigs: DataFrame, numHashes: Int, bands: Int,
                               out: String, minSize: Int,
                               maxBucketSize: Int): DataFrame =
-    sigs.select(col("doc_id"),
+    pinKeyed(sigs.select(col("doc_id"),
         explode(lshBandKeys(col("sig"), numHashes, bands)).as("bk"))
       .select(col("doc_id"),
-        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+        col("bk.band").as("band"), col("bk.bucket").as("bucket")),
+      col("band"), col("bucket"))
       .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col("doc_id"))).as(out))
       .filter(size(col(out)).between(minSize, maxBucketSize))
@@ -509,8 +522,11 @@ object Dedup {
     def buckets(df: DataFrame, out: String) =
       bandedIdBuckets(df, numHashes, bands, out,
         minSize = 1, maxBucketSize = maxBucketSize)
-    pinWidth(buckets(newSigs, "mn").join(buckets(catalogSigs, "mc"),
-        Seq("band", "bucket")))
+    // both sides come out of bandedIdBuckets hash-partitioned by
+    // (band, bucket) at full pinned width, so this join schedules no
+    // exchange and the cross explosion below already runs wide
+    buckets(newSigs, "mn").join(buckets(catalogSigs, "mc"),
+        Seq("band", "bucket"))
       .select(explode(flatten(transform(col("mn"), x =>
         transform(col("mc"), y =>
           struct(x.as("id_new"), y.as("id_cat")))))).as("p"))
@@ -687,15 +703,20 @@ object Dedup {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
     }
+    // LAZY checkpoints throughout: the count() right below populates
+    // the blocks in the same job, instead of an eager materialization
+    // job FOLLOWED by a block-reading count (the PageRank lazy-setup
+    // lesson, r15 probe-pinned); lineage still truncates for the
+    // consumers (driver collect / next round / except)
     var edges = canonical(pairs.select(col("id_a").as("u"),
       col("id_b").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     if (edges.count() <= driverMaxEdges)
       return driverComponents(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
       edges = next
@@ -1091,10 +1112,11 @@ object Dedup {
           struct(lit(b).as("band"),
             shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)).as("bk"))
         .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bucket"))
-    val buckets = pinWidth(banded.groupBy("band", "bucket")
+    val buckets = pinKeyed(banded, col("band"), col("bucket"))
+      .groupBy("band", "bucket")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sh"))))
         .as("members"))
-      .filter(size(col("members")).between(2, maxBucketSize)))
+      .filter(size(col("members")).between(2, maxBucketSize))
     buckets
       .select(explode(bucketPairs(col("members"), (x, y) => struct(
         x.getField("doc_id").as("id_a"),

@@ -208,11 +208,11 @@ object Winnow {
   def sharedFingerprintPairs(docs: DataFrame, idCol: String, textCol: String,
                              k: Int = 3, w: Int = 4, minShared: Int = 2,
                              maxDocFreq: Int = 100): DataFrame = {
-    val buckets = Dedup.pinWidth(
-      fingerprintHashes(docs, idCol, textCol, k, w)
-        .groupBy("fp_hash")
-        .agg(sort_array(collect_list(col("fid"))).as("members"))
-        .filter(size(col("members")).between(2, maxDocFreq)))
+    val buckets = Dedup.pinKeyed(
+        fingerprintHashes(docs, idCol, textCol, k, w), col("fp_hash"))
+      .groupBy("fp_hash")
+      .agg(sort_array(collect_list(col("fid"))).as("members"))
+      .filter(size(col("members")).between(2, maxDocFreq))
     buckets
       .select(explode(Dedup.bucketPairs(col("members"),
         (x, y) => struct(x.as("id_a"), y.as("id_b")))).as("p"))
